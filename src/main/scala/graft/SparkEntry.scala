@@ -1,13 +1,172 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` key has a matching `oracleSql` entry (ANSI-ish SQL
+  * DuckDB runs on the same parquet tables). Parity rules (SURVEY §6):
+  * epoch-micros for timestamps, round(…,4) for double aggregates,
+  * total-order ORDER BY, md5-over-strings keys only.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Reports.a7RptDiscovery(Staging.stgEvents(Tables.events(spark, "/root/testdata/sf0.001")))
+
+  private def stg(s: SparkSession, dir: String): DataFrame =
+    Staging.stgEvents(Tables.events(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_stg_events"      -> ((s, dir) => Staging.a1StgEvents(Tables.events(s, dir))),
+    "a2_dim_user"        -> ((s, dir) => Marts.dimUser(stg(s, dir))),
+    "a3_dim_event_type"  -> ((s, dir) => Marts.dimEventType(stg(s, dir))),
+    "a4_fct_events"      -> ((s, dir) => Marts.fctEvents(stg(s, dir))),
+    "a5_rpt_user_counts" -> ((s, dir) => Reports.a5RptUserCounts(stg(s, dir))),
+    "a6_rpt_type_counts" -> ((s, dir) => Reports.a6RptTypeCounts(stg(s, dir))),
+    "a7_rpt_discovery"   -> ((s, dir) => Reports.a7RptDiscovery(stg(s, dir))),
+    "a8_ingest_dedup"    -> ((s, dir) => Staging.a8IngestDedup(Tables.events(s, dir)))
+  )
+
+  /** Shared staging CTE for the oracles — the DuckDB spelling of
+    * Staging.stgEvents. */
+  private val STG = """
+    select
+      md5(concat_ws('-', coalesce(user_id::varchar,'_graft_null_'), coalesce(event_type,'_graft_null_'), coalesce(epoch_us(ts)::varchar,'_graft_null_'))) as play_id,
+      md5(concat_ws('-', coalesce(user_id::varchar,'_graft_null_'), coalesce(event_type,'_graft_null_'))) as track_id,
+      md5(coalesce(event_type,'_graft_null_')) as type_id,
+      md5(coalesce(user_id::varchar,'_graft_null_')) as user_sk,
+      event_id, user_id, event_type, ts,
+      timezone('America/Boise', timezone('UTC', ts)) as ts_mtn,
+      value, json_extract_string(props,'k')::bigint as prop_k
+    from events
+  """
+
+  /** DuckDB spelling of Marts.dimTrack (internal columns). */
+  private val DIM_TRACK = """
+    select track_id, user_id, event_type,
+           count(*) as total_plays,
+           min(ts_mtn) as first_mtn,
+           max(value) as max_value
+    from stg group by track_id, user_id, event_type
+  """
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_stg_events" -> s"""
+      with stg as ($STG)
+      select play_id, track_id, type_id, user_sk, event_id, user_id, event_type,
+             epoch_us(ts) as ts_us, epoch_us(ts_mtn) as ts_mtn_us, value, prop_k
+      from stg order by event_id
+    """,
+
+    "a2_dim_user" -> s"""
+      with stg as ($STG)
+      select user_sk, user_id, count(*) as total_plays,
+             epoch_us(min(ts_mtn)) as first_played_us,
+             year(min(ts_mtn))::bigint as yr_first_played,
+             week(min(ts_mtn)::date)::bigint as wk_first_played
+      from stg group by user_sk, user_id order by user_sk
+    """,
+
+    "a3_dim_event_type" -> s"""
+      with stg as ($STG)
+      select distinct type_id, event_type from stg order by type_id
+    """,
+
+    "a4_fct_events" -> s"""
+      with stg as ($STG)
+      select play_id, track_id, type_id, user_sk, event_id,
+             epoch_us(ts) as ts_us, epoch_us(ts_mtn) as ts_mtn_us, value, prop_k
+      from stg order by ts_mtn_us desc, event_id
+    """,
+
+    "a5_rpt_user_counts" -> s"""
+      with stg as ($STG),
+      dim as ($DIM_TRACK),
+      anchor as (select max(ts_mtn) as anchor_mtn from stg)
+      select dim.user_id, count(*) as plays,
+             round(sum(dim.max_value / 60.0), 4) as minutes_played
+      from stg cross join anchor
+      join dim on stg.track_id = dim.track_id
+      where date_diff('day', stg.ts_mtn::date, anchor.anchor_mtn::date) <= 30
+      group by dim.user_id
+      order by plays desc, dim.user_id
+    """,
+
+    "a6_rpt_type_counts" -> s"""
+      with stg as ($STG),
+      dim as ($DIM_TRACK),
+      dtype as (select distinct type_id, event_type from stg),
+      anchor as (select max(ts_mtn) as anchor_mtn from stg),
+      counts as (
+        select stg.track_id, count(*) as plays,
+               round(sum(dim.max_value / 60.0), 4) as minutes_played
+        from stg cross join anchor
+        join dim on stg.track_id = dim.track_id
+        where date_diff('day', stg.ts_mtn::date, anchor.anchor_mtn::date) <= 30
+        group by stg.track_id
+      )
+      select dtype.event_type as type_name, dim.user_id, counts.plays, counts.minutes_played
+      from counts
+      left join dim on counts.track_id = dim.track_id
+      left join dtype on md5(coalesce(dim.event_type,'_graft_null_')) = dtype.type_id
+      order by counts.plays desc, dim.user_id, type_name
+    """,
+
+    "a7_rpt_discovery" -> s"""
+      with stg as ($STG),
+      base as (
+        select year(ts_mtn)::bigint as year_played,
+               week(ts_mtn::date)::bigint as week_played,
+               max(ts_mtn::date) as week_dt,
+               count(*) as plays,
+               count(distinct user_sk) as uniq_users,
+               count(distinct track_id) as uniq_tracks
+        from stg group by 1, 2
+      ),
+      new_tracks as (
+        select year(first_mtn)::bigint as year_played,
+               week(first_mtn::date)::bigint as week_played,
+               count(*) as new_tracks
+        from (select track_id, min(ts_mtn) as first_mtn from stg group by track_id)
+        group by 1, 2
+      ),
+      new_users as (
+        select year(first_mtn)::bigint as year_played,
+               week(first_mtn::date)::bigint as week_played,
+               count(*) as new_users
+        from (select user_sk, min(ts_mtn) as first_mtn from stg group by user_sk)
+        group by 1, 2
+      )
+      select base.year_played, base.week_played, base.week_dt, base.plays,
+             base.uniq_users, base.uniq_tracks,
+             new_tracks.new_tracks, new_users.new_users,
+             round(case when base.uniq_tracks = 0 or base.uniq_tracks is null then null
+                        else new_tracks.new_tracks / base.uniq_tracks end, 4) as track_discovery_rate,
+             round(case when base.uniq_users = 0 or base.uniq_users is null then null
+                        else new_users.new_users / base.uniq_users end, 4) as user_discovery_rate
+      from base
+      left join new_tracks on base.year_played = new_tracks.year_played and base.week_played = new_tracks.week_played
+      left join new_users on base.year_played = new_users.year_played and base.week_played = new_users.week_played
+      order by base.year_played, base.week_played
+    """,
+
+    "a8_ingest_dedup" -> """
+      with unioned as (
+        select *, 1::bigint as src_batch from events where event_id % 10 < 7
+        union all
+        select *, 2::bigint as src_batch from events where event_id % 10 >= 3
+      ),
+      ranked as (
+        select event_id, src_batch, epoch_us(ts) as ts_us, event_type, value,
+               row_number() over (partition by event_id order by src_batch) as rn
+        from unioned
+      )
+      select event_id, src_batch, ts_us, event_type, value
+      from ranked where rn = 1 order by event_id
+    """
+  )
 }

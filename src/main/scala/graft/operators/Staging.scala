@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Keys, TimeFns}
+
+/** Staging layer: the Spark-first form of the reference's
+  * `stg_recent_tracks` model (dbt_spotify/models/staging/
+  * stg_recent_tracks.sql). The `events` test table plays the role of
+  * the plays stream: ts≈played_at, user_id≈artist, event_type≈context,
+  * value≈duration, props≈raw API JSON payload.
+  *
+  * One narrow projection over the parquet scan — no shuffle; every
+  * derived column is a codegen'd built-in, so the whole stage fuses
+  * into a single WholeStageCodegen over the scan at any data size.
+  */
+object Staging {
+
+  /** Full internal staging frame, keeps native timestamp columns for
+    * downstream marts. Output queries project the *_us forms.
+    *
+    * Keys mirror the reference's 4-key structure:
+    *   play_id  ≈ sk(track, album, artists, played_at) — one per play
+    *   track_id ≈ sk(track, album, release, artists)   — user×type here
+    *   type_id  ≈ sk(album-ish small dim)
+    *   user_sk  ≈ sk(artists)
+    */
+  def stgEvents(events: DataFrame): DataFrame =
+    events.select(
+      Keys.surrogateKey(col("user_id"), col("event_type"), Keys.tsKey(col("ts"))).as("play_id"),
+      Keys.surrogateKey(col("user_id"), col("event_type")).as("track_id"),
+      Keys.surrogateKey(col("event_type")).as("type_id"),
+      Keys.surrogateKey(col("user_id")).as("user_sk"),
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      col("ts"),
+      TimeFns.toZone(col("ts")).as("ts_mtn"),
+      col("value"),
+      get_json_object(col("props"), "$.k").cast("long").as("prop_k")
+    )
+
+  /** Oracle-facing projection: timestamps → epoch micros (exact
+    * cross-engine representation), total-ordered by event_id. */
+  def a1StgEvents(events: DataFrame): DataFrame =
+    stgEvents(events).select(
+      col("play_id"), col("track_id"), col("type_id"), col("user_sk"),
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      unix_micros(col("ts_mtn")).as("ts_mtn_us"),
+      col("value"), col("prop_k")
+    ).orderBy("event_id")
+
+  /** Idempotent-ingest dedup: the reference's `insert … on conflict do
+    * nothing` (flows/pull_recent_tracks.py:233-247) re-expressed as a
+    * keep-first window dedup over overlapping micro-batches. Two
+    * deterministic overlapping slices simulate consecutive API polls.
+    * Scale note: row_number over (key) shuffles once on the dedup key
+    * — the same shuffle an `on conflict` unique index would imply. */
+  def a8IngestDedup(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batch1 = events.filter(col("event_id") % 10 < 7).withColumn("src_batch", lit(1L))
+    val batch2 = events.filter(col("event_id") % 10 >= 3).withColumn("src_batch", lit(2L))
+    val unioned = batch1.unionByName(batch2)
+    val w = Window.partitionBy(col("event_id")).orderBy(col("src_batch"))
+    unioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("src_batch"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+}
