@@ -1,0 +1,203 @@
+package graft
+
+/** DuckDB oracle SQL for tier C (SURVEY §2) — the SQL spelling of
+  * operators/Dedup|Similarity|TextAnalysis. Kept adjacent to the
+  * Scala operators; any change there must be mirrored here (parity
+  * rules in SURVEY §6).
+  */
+object OraclesC {
+
+  /** doc_id → in-order word-3-gram shingle strings. */
+  private val SHINGLES = """
+    select doc_id, unnest([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) as s
+    from (select doc_id, string_split(text, ' ') as w from documents)
+  """
+
+  /** Distinct (doc_id, shingle) then 32-bit key — distinct BEFORE
+    * hashing, matching array_distinct-then-h8 on the Spark side. */
+  private val SH8 = s"""
+    select doc_id, substr(md5(s),1,8) as sh8
+    from (select distinct doc_id, s from ($SHINGLES))
+  """
+
+  private def dot(a: String, b: String) =
+    s"list_sum(list_transform(range(1,65), i -> $a[i]::double * $b[i]::double))"
+  private def cosine(a: String, b: String) =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  private val markers = "['the','a','of','to','and','is','in','it']"
+
+  val sql: Map[String, String] = Map(
+    "c1_dedup_exact" -> """
+      select md5(text) as content_hash, count(*) as n_copies, min(doc_id) as keep_doc_id
+      from documents group by 1 order by content_hash
+    """,
+
+    "c2_dedup_ngram" -> s"""
+      with sh as ($SH8),
+      keep as (select sh8 from sh group by sh8 having count(*) <= 200),
+      shk as (select sh.* from sh join keep using (sh8)),
+      sizes as (select doc_id, count(*) as n_sh from shk group by doc_id),
+      inter as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+        from shk a join shk b on a.sh8 = b.sh8 and a.doc_id < b.doc_id
+        group by 1, 2)
+      select doc_a, doc_b,
+             round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) as jaccard
+      from inter
+      join sizes sa on inter.doc_a = sa.doc_id
+      join sizes sb on inter.doc_b = sb.doc_id
+      order by jaccard desc, doc_a, doc_b limit 50
+    """,
+
+    "c3_dedup_minhash" -> s"""
+      with shd as (select distinct doc_id, s from ($SHINGLES)),
+      mh as (
+        select doc_id, i, min(substr(md5(i::varchar || '|' || s), 1, 8)) as v
+        from shd, unnest(range(0,16)) as t(i)
+        group by doc_id, i),
+      sig as (
+        select doc_id, list(v order by i) as sig from mh group by doc_id),
+      bands as (
+        select doc_id, md5(j::varchar || ':' || sig[2*j+1] || ':' || sig[2*j+2]) as band_key
+        from sig, unnest(range(0,8)) as t(j)),
+      cand as (
+        select distinct a.doc_id as doc_a, b.doc_id as doc_b
+        from bands a join bands b on a.band_key = b.band_key and a.doc_id < b.doc_id),
+      sets as (select doc_id, list(s) as sh from shd group by doc_id)
+      select doc_a, doc_b,
+             round((len(sa.sh) + len(sb.sh) - u.uni)::double / u.uni, 4) as jaccard
+      from cand
+      join sets sa on cand.doc_a = sa.doc_id
+      join sets sb on cand.doc_b = sb.doc_id,
+      lateral (select len(list_distinct(list_concat(sa.sh, sb.sh))) as uni) u
+      order by jaccard desc, doc_a, doc_b limit 50
+    """,
+
+    "c4_dedup_simhash" -> """
+      with toks as (
+        select doc_id, w, count(*) as cnt
+        from (select doc_id, unnest(string_split(text, ' ')) as w from documents)
+        group by doc_id, w),
+      th as (select doc_id, cnt, ('0x'||substr(md5(w),1,15))::bigint as h from toks),
+      bits as (
+        select doc_id, i, sum(case when (h >> i) & 1 = 1 then cnt else -cnt end) as s
+        from th, unnest(range(0,60)) as t(i) group by doc_id, i),
+      sh as (
+        select doc_id, sum(case when s > 0 then (1::bigint << i) else 0::bigint end) as simhash
+        from bits group by doc_id),
+      chunks as (
+        select doc_id, simhash, j, (simhash >> (15*j)) & 32767 as chunk
+        from sh, unnest(range(0,4)) as t(j)),
+      cand as (
+        select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+               bit_count(xor(a.simhash, b.simhash))::bigint as hamming
+        from chunks a join chunks b
+          on a.j = b.j and a.chunk = b.chunk and a.doc_id < b.doc_id)
+      select doc_a, doc_b, hamming from cand order by hamming, doc_a, doc_b limit 50
+    """,
+
+    "c5_embed_neardup" -> s"""
+      with v as (
+        select vec_id, embedding,
+          (case when embedding[1] >= 0 then 1 else 0 end)
+        + (case when embedding[2] >= 0 then 2 else 0 end)
+        + (case when embedding[3] >= 0 then 4 else 0 end)
+        + (case when embedding[4] >= 0 then 8 else 0 end)
+        + (case when embedding[5] >= 0 then 16 else 0 end)
+        + (case when embedding[6] >= 0 then 32 else 0 end)
+        + (case when embedding[7] >= 0 then 64 else 0 end)
+        + (case when embedding[8] >= 0 then 128 else 0 end) as bucket
+        from embeddings)
+      select a.vec_id as vec_a, b.vec_id as vec_b,
+             round(${cosine("a.embedding", "b.embedding")}, 4) as cos
+      from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
+      order by cos desc, vec_a, vec_b limit 50
+    """,
+
+    "c6_ann_topk" -> s"""
+      with q as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id % 100 = 0),
+      scored as (
+        select q.q_id, e.vec_id,
+               round(${cosine("q.q_emb", "e.embedding")}, 4) as cos
+        from embeddings e cross join q
+        where e.vec_id <> q.q_id),
+      ranked as (
+        select q_id, vec_id, cos,
+               row_number() over (partition by q_id order by cos desc, vec_id)::bigint as rank
+        from scored)
+      select q_id, vec_id, cos, rank from ranked where rank <= 10 order by q_id, rank
+    """,
+
+    "c7_ann_ivf" -> s"""
+      with c as (select vec_id as c_id, embedding as c_emb from embeddings where vec_id < 16),
+      assigned as (
+        select vec_id, embedding, cluster from (
+          select e.vec_id, e.embedding, c.c_id as cluster,
+                 row_number() over (partition by e.vec_id
+                   order by round(${cosine("e.embedding", "c.c_emb")}, 4) desc, c.c_id) as rn
+          from embeddings e cross join c)
+        where rn = 1),
+      q as (select vec_id as q_id, embedding as q_emb, cluster from assigned where vec_id % 100 = 0),
+      ranked as (
+        select q.q_id, a.vec_id, a.cluster,
+               round(${cosine("q.q_emb", "a.embedding")}, 4) as cos,
+               row_number() over (partition by q.q_id
+                 order by round(${cosine("q.q_emb", "a.embedding")}, 4) desc, a.vec_id)::bigint as rank
+        from assigned a join q on a.cluster = q.cluster
+        where a.vec_id <> q.q_id)
+      select q_id, vec_id, cluster, cos, rank from ranked where rank <= 10 order by q_id, rank
+    """,
+
+    "c8_langid" -> s"""
+      select doc_id, labeled_lang, n_tokens, en_hits, en_score,
+             case when en_score > 0.01 then 'en' else 'und' end as pred_lang
+      from (
+        select doc_id, lang as labeled_lang,
+               len(w)::bigint as n_tokens,
+               len(list_filter(w, t -> list_contains($markers, t)))::bigint as en_hits,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score
+        from (select doc_id, lang, string_split(text, ' ') as w from documents))
+      order by doc_id
+    """,
+
+    "c9_quality" -> s"""
+      select doc_id, n_chars, n_tokens, distinct_ratio, stopword_ratio, chars_per_token,
+             round(0.3 * least(n_tokens::double / 100.0, 1.0)
+                 + 0.4 * distinct_ratio
+                 + 0.3 * least(stopword_ratio * 5.0, 1.0), 5) as quality
+      from (
+        select doc_id, n_chars::bigint as n_chars,
+               len(w)::bigint as n_tokens,
+               round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as stopword_ratio,
+               round(n_chars::double / len(w), 4) as chars_per_token
+        from (select doc_id, n_chars, string_split(text, ' ') as w from documents))
+      order by doc_id
+    """,
+
+    "c10_token_count" -> """
+      select doc_id,
+             len(string_split(text, ' '))::bigint as ws_tokens,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::bigint as bpe_tokens,
+             length(text)::bigint as len_chars
+      from documents order by doc_id
+    """,
+
+    "c11_fingerprint" -> """
+      with h as (
+        select doc_id,
+               [substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,8) for i in range(1, len(w)-1)] as hs
+        from (select doc_id, string_split(text, ' ') as w from documents)),
+      m as (
+        select doc_id, len(hs)::bigint as n_shingles,
+               case when len(hs) >= 4
+                 then [list_min(hs[i:i+3]) for i in range(1, len(hs)-2)]
+                 else [list_min(hs)] end as mins
+        from h),
+      f as (select doc_id, n_shingles, list_sort(list_distinct(mins)) as fp from m)
+      select doc_id, n_shingles, len(fp)::bigint as fp_size,
+             md5(array_to_string(fp, ',')) as fp_hash
+      from f order by doc_id
+    """
+  )
+}

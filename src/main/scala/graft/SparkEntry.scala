@@ -28,7 +28,19 @@ object SparkEntry {
     "a5_rpt_user_counts" -> ((s, dir) => Reports.a5RptUserCounts(stg(s, dir))),
     "a6_rpt_type_counts" -> ((s, dir) => Reports.a6RptTypeCounts(stg(s, dir))),
     "a7_rpt_discovery"   -> ((s, dir) => Reports.a7RptDiscovery(stg(s, dir))),
-    "a8_ingest_dedup"    -> ((s, dir) => Staging.a8IngestDedup(Tables.events(s, dir)))
+    "a8_ingest_dedup"    -> ((s, dir) => Staging.a8IngestDedup(Tables.events(s, dir))),
+
+    "c1_dedup_exact"   -> ((s, dir) => Dedup.c1Exact(Tables.documents(s, dir))),
+    "c2_dedup_ngram"   -> ((s, dir) => Dedup.c2NgramJaccard(Tables.documents(s, dir))),
+    "c3_dedup_minhash" -> ((s, dir) => Dedup.c3MinhashLsh(Tables.documents(s, dir))),
+    "c4_dedup_simhash" -> ((s, dir) => Dedup.c4Simhash(Tables.documents(s, dir))),
+    "c5_embed_neardup" -> ((s, dir) => Similarity.c5EmbedNearDup(Tables.embeddings(s, dir))),
+    "c6_ann_topk"      -> ((s, dir) => Similarity.c6AnnTopK(Tables.embeddings(s, dir))),
+    "c7_ann_ivf"       -> ((s, dir) => Similarity.c7AnnIvf(Tables.embeddings(s, dir))),
+    "c8_langid"        -> ((s, dir) => TextAnalysis.c8LangId(Tables.documents(s, dir))),
+    "c9_quality"       -> ((s, dir) => TextAnalysis.c9Quality(Tables.documents(s, dir))),
+    "c10_token_count"  -> ((s, dir) => TextAnalysis.c10TokenCount(Tables.documents(s, dir))),
+    "c11_fingerprint"  -> ((s, dir) => TextAnalysis.c11Fingerprint(Tables.documents(s, dir)))
   )
 
   /** Shared staging CTE for the oracles — the DuckDB spelling of
@@ -54,7 +66,7 @@ object SparkEntry {
     from stg group by track_id, user_id, event_type
   """
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = OraclesC.sql ++ Map(
     "a1_stg_events" -> s"""
       with stg as ($STG)
       select play_id, track_id, type_id, user_sk, event_id, user_id, event_type,
