@@ -1,0 +1,134 @@
+package graft
+
+/** DuckDB oracle SQL for tier B (operators/Olap.scala). */
+object OraclesB {
+
+  val sql: Map[String, String] = Map(
+    "b1_pricing_summary" -> """
+      select l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) as sum_qty,
+             round(sum(l_extendedprice), 2) as sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+             round(avg(l_quantity), 4) as avg_qty,
+             round(avg(l_extendedprice), 4) as avg_price,
+             round(avg(l_discount), 4) as avg_disc,
+             count(*) as count_order
+      from lineitem
+      where l_shipdate <= timestamp '1998-09-02'
+      group by l_returnflag, l_linestatus
+      order by l_returnflag, l_linestatus
+    """,
+
+    "b2_top_revenue" -> """
+      select l_orderkey, o_orderdate::date as o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+      from lineitem
+      join orders on l_orderkey = o_orderkey
+      join customer on o_custkey = c_custkey
+      where c_mktsegment = 'BUILDING'
+        and o_orderdate < timestamp '1998-01-01'
+        and l_shipdate > timestamp '1998-01-01'
+      group by l_orderkey, o_orderdate::date, o_orderpriority
+      order by revenue desc, l_orderkey
+      limit 10
+    """,
+
+    "b3_region_revenue" -> """
+      select r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+      from lineitem
+      join orders on l_orderkey = o_orderkey
+      join customer on o_custkey = c_custkey
+      join nation on c_nationkey = n_nationkey
+      join region on n_regionkey = r_regionkey
+      group by r_name, n_name
+      order by revenue desc, r_name, n_name
+    """,
+
+    "b4_window_topn" -> """
+      with rev as (
+        select p_brand, p_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from lineitem join part on l_partkey = p_partkey
+        group by p_brand, p_partkey),
+      ranked as (
+        select p_brand, p_partkey, revenue,
+               row_number() over (partition by p_brand order by revenue desc, p_partkey)::bigint as rank
+        from rev)
+      select p_brand, p_partkey, revenue, rank from ranked
+      where rank <= 3 order by p_brand, rank
+    """,
+
+    "b5_rollup" -> """
+      select coalesce(r_name, 'ALL') as region,
+             coalesce(n_name, 'ALL') as nation,
+             count(*) as n_customers,
+             round(sum(c_acctbal), 2) as acctbal
+      from customer
+      join nation on c_nationkey = n_nationkey
+      join region on n_regionkey = r_regionkey
+      group by rollup(r_name, n_name)
+      order by region, nation
+    """,
+
+    "b6_semi_anti" -> """
+      with w as (
+        select o_orderpriority, count(*) as n_with_lineitems
+        from orders o
+        where exists (select 1 from lineitem l where l.l_orderkey = o.o_orderkey)
+        group by o_orderpriority),
+      wo as (
+        select o_orderpriority, count(*) as n_without_lineitems
+        from orders o
+        where not exists (select 1 from lineitem l where l.l_orderkey = o.o_orderkey)
+        group by o_orderpriority)
+      select coalesce(w.o_orderpriority, wo.o_orderpriority) as o_orderpriority,
+             coalesce(n_with_lineitems, 0) as n_with_lineitems,
+             coalesce(n_without_lineitems, 0) as n_without_lineitems
+      from w full outer join wo on w.o_orderpriority = wo.o_orderpriority
+      order by o_orderpriority
+    """,
+
+    "b7_pivot" -> """
+      select user_id,
+             sum(case when event_type = 'click' then 1 else 0 end)::bigint as click,
+             sum(case when event_type = 'view' then 1 else 0 end)::bigint as view,
+             sum(case when event_type = 'purchase' then 1 else 0 end)::bigint as purchase,
+             sum(case when event_type = 'signup' then 1 else 0 end)::bigint as signup,
+             sum(case when event_type = 'error' then 1 else 0 end)::bigint as error
+      from events group by user_id order by user_id
+    """,
+
+    "b8_asof_attr" -> """
+      with ev as (
+        select event_id, user_id, event_type, epoch_us(ts) as ts_us from events),
+      attr as (
+        select event_id, user_id, event_type, ts_us,
+               max(case when event_type = 'click' then ts_us end) over (
+                 partition by user_id order by ts_us, event_id
+                 rows between unbounded preceding and 1 preceding) as last_click_ts_us
+        from ev)
+      select event_id, user_id, ts_us, last_click_ts_us,
+             ts_us - last_click_ts_us as gap_us
+      from attr where event_type = 'purchase' order by event_id
+    """,
+
+    "b9_sessionize" -> """
+      with ev as (
+        select event_id, user_id, epoch_us(ts) as ts_us from events),
+      g as (
+        select event_id, user_id, ts_us,
+               case when lag(ts_us) over w is null
+                      or ts_us - lag(ts_us) over w > 1800000000
+                    then 1::bigint else 0::bigint end as new_session
+        from ev window w as (partition by user_id order by ts_us, event_id)),
+      s as (
+        select event_id, user_id, ts_us,
+               sum(new_session) over (partition by user_id order by ts_us, event_id
+                 rows between unbounded preceding and current row) as session_seq
+        from g)
+      select event_id, user_id, ts_us, session_seq from s order by event_id
+    """
+  )
+}

@@ -30,6 +30,16 @@ object SparkEntry {
     "a7_rpt_discovery"   -> ((s, dir) => Reports.a7RptDiscovery(stg(s, dir))),
     "a8_ingest_dedup"    -> ((s, dir) => Staging.a8IngestDedup(Tables.events(s, dir))),
 
+    "b1_pricing_summary" -> ((s, dir) => Olap.b1PricingSummary(s, dir)),
+    "b2_top_revenue"     -> ((s, dir) => Olap.b2TopRevenue(s, dir)),
+    "b3_region_revenue"  -> ((s, dir) => Olap.b3RegionRevenue(s, dir)),
+    "b4_window_topn"     -> ((s, dir) => Olap.b4WindowTopN(s, dir)),
+    "b5_rollup"          -> ((s, dir) => Olap.b5Rollup(s, dir)),
+    "b6_semi_anti"       -> ((s, dir) => Olap.b6SemiAnti(s, dir)),
+    "b7_pivot"           -> ((s, dir) => Olap.b7Pivot(s, dir)),
+    "b8_asof_attr"       -> ((s, dir) => Olap.b8AsofAttribution(s, dir)),
+    "b9_sessionize"      -> ((s, dir) => Olap.b9Sessionize(s, dir)),
+
     "c1_dedup_exact"   -> ((s, dir) => Dedup.c1Exact(Tables.documents(s, dir))),
     "c2_dedup_ngram"   -> ((s, dir) => Dedup.c2NgramJaccard(Tables.documents(s, dir))),
     "c3_dedup_minhash" -> ((s, dir) => Dedup.c3MinhashLsh(Tables.documents(s, dir))),
@@ -66,7 +76,7 @@ object SparkEntry {
     from stg group by track_id, user_id, event_type
   """
 
-  def oracleSql: Map[String, String] = OraclesC.sql ++ Map(
+  def oracleSql: Map[String, String] = OraclesB.sql ++ OraclesC.sql ++ Map(
     "a1_stg_events" -> s"""
       with stg as ($STG)
       select play_id, track_id, type_id, user_sk, event_id, user_id, event_type,

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** General OLAP tier over the TPC-H-ish tables (SURVEY §2 tier B).
+  * These exercise the engine's core relational muscle the reference's
+  * dbt models rely on — scan-side filtering, partial aggregation,
+  * broadcast vs shuffle joins, windows, rollups, pivots — in shapes
+  * whose physical plans we tune for scale (see PLANS.md).
+  */
+object Olap {
+
+  /** b1: TPC-H Q1-style wide aggregate. The shipdate filter reaches
+    * the parquet scan (PushedFilters); aggregation is map-side partial
+    * over 2×2 groups — the cheapest possible shuffle. */
+  def b1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** b2: TPC-H Q3-style shipping-priority join: selective dim filter
+    * first, fact⋈fact shuffle join on orderkey, top-10 revenue. */
+  def b2TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** b3: TPC-H Q5-style multi-way join. region/nation are broadcast
+    * (tiny dims); only the customer⋈orders⋈lineitem chain shuffles,
+    * each on its join key. */
+  def b3RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val geo = broadcast(
+      Tables.nation(s, dir).join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey")))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(geo, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("r_name"), col("n_name"))
+  }
+
+  /** b4: window top-N — top-3 revenue parts per brand. Aggregate
+    * first (shrinks to |parts|), then a window over the small frame. */
+  def b4WindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("p_brand"), col("rank"))
+  }
+
+  /** b5: hierarchical rollup region → nation over customer balances.
+    * NULL subtotal labels are coalesced to 'ALL' for oracle parity. */
+  def b5Rollup(s: SparkSession, dir: String): DataFrame = {
+    val geo = broadcast(
+      Tables.nation(s, dir).join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey")))
+    Tables.customer(s, dir)
+      .join(geo, col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("acctbal"))
+      .orderBy("region", "nation")
+  }
+
+  /** b6: left-semi / left-anti joins (EXISTS / NOT EXISTS) — orders
+    * with vs without lineitems, per order priority. */
+  def b6SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val liKeys = Tables.lineitem(s, dir).select("l_orderkey")
+    val withLi = ord.join(liKeys, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_with_lineitems"))
+    val withoutLi = ord.join(liKeys, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_without_lineitems"))
+    withLi.join(withoutLi, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_with_lineitems"), lit(0L)).as("n_with_lineitems"),
+        coalesce(col("n_without_lineitems"), lit(0L)).as("n_without_lineitems"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** b7: pivot — per-user event-type counts as columns (conditional
+    * aggregation; one shuffle on user_id). */
+  def b7Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val p = Tables.events(s, dir).groupBy("user_id")
+      .pivot("event_type", types).agg(count(lit(1)))
+    types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("user_id")
+  }
+
+  /** b8: as-of attribution — for each purchase, the latest strictly
+    * prior click of the same user, composed from a running-max window
+    * (no custom operator needed; shuffles once on user_id). */
+  def b8AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_ts_us",
+        max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_ts_us"),
+        (col("ts_us") - col("last_click_ts_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** b9: sessionization — 30-minute-gap session assignment via lag +
+    * running sum; the batch twin of the streaming sessionizer in
+    * `streaming/`. One shuffle on user_id. */
+  def b9Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val ordW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts_us"), 1).over(ordW))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(ordW.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("session_seq"))
+      .orderBy("event_id")
+  }
+}
