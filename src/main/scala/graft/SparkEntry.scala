@@ -50,7 +50,12 @@ object SparkEntry {
     "c8_langid"        -> ((s, dir) => TextAnalysis.c8LangId(Tables.documents(s, dir))),
     "c9_quality"       -> ((s, dir) => TextAnalysis.c9Quality(Tables.documents(s, dir))),
     "c10_token_count"  -> ((s, dir) => TextAnalysis.c10TokenCount(Tables.documents(s, dir))),
-    "c11_fingerprint"  -> ((s, dir) => TextAnalysis.c11Fingerprint(Tables.documents(s, dir)))
+    "c11_fingerprint"  -> ((s, dir) => TextAnalysis.c11Fingerprint(Tables.documents(s, dir))),
+
+    "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
+
+    "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
+    "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir)))
   )
 
   /** Shared staging CTE for the oracles — the DuckDB spelling of
@@ -189,6 +194,30 @@ object SparkEntry {
       )
       select event_id, src_batch, ts_us, event_type, value
       from ranked where rn = 1 order by event_id
+    """,
+
+    "d1_multimodal_meta" -> """
+      select doc_id,
+             ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
+             length(text)::bigint as n_bytes,
+             md5(text) as content_md5,
+             16 + ('0x'||substr(md5(text),1,4))::bigint % 2048 as fake_width,
+             16 + ('0x'||substr(md5(text),5,4))::bigint % 2048 as fake_height,
+             case when ['image','audio','video'][(doc_id % 3 + 1)::int] = 'video'
+                  then 1 + ('0x'||substr(md5(text),9,4))::bigint % 8 else 1::bigint end as n_frames,
+             'stubbed' as decode_status
+      from documents order by doc_id
+    """,
+
+    "e1_stream_hourly" -> """
+      select epoch_us(date_trunc('hour', ts)) as hour_us, event_type,
+             count(*) as n_events, round(sum(value), 4) as sum_value
+      from events group by 1, 2 order by hour_us, event_type
+    """,
+
+    "e2_stream_dedup" -> """
+      select user_id, event_type, epoch_us(ts) as ts_us, min(event_id) as keep_event_id
+      from events group by 1, 2, 3 order by ts_us, user_id, event_type
     """
   )
 }

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the ingest pipeline (SURVEY §2 tier
+  * E). The reference polls the Spotify API on a cron
+  * (flows/pull_recent_tracks.py:266-275) and upserts into the source
+  * table; Spark-native, that ingest is a stream: readStream →
+  * watermark → windowed agg / keyed dedup → writeStream. These
+  * transforms are written against plain DataFrames so the SAME code
+  * runs in batch (oracle-checked via e1/e2 queries) and streaming
+  * (spec-driven through MemoryStream/readStream).
+  *
+  * Watermarks bound state: hourly aggregation state is dropped 2h
+  * after event time passes; dedup keys likewise — the properties that
+  * keep a 100 TB/day stream's state finite.
+  */
+object EventsStream {
+
+  /** e1: tumbling hourly aggregate per event type. On a streaming
+    * input the watermark finalizes each hour window 2h after its end;
+    * in batch it's a plain group-by (date_trunc == tumbling window). */
+  def hourlyAgg(events: DataFrame, streaming: Boolean): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** e2: watermarked stream dedup on the natural play key. Batch twin
+    * keeps min(event_id) per key — the deterministic equivalent of
+    * streaming "first arrival wins". */
+  def dedup(events: DataFrame, streaming: Boolean): DataFrame =
+    if (streaming)
+      events.withWatermark("ts", "2 hours")
+        .dropDuplicates("user_id", "event_type", "ts")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id").as("keep_event_id"))
+    else
+      events
+        .groupBy(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        .agg(min(col("event_id")).as("keep_event_id"))
+
+  /** Batch-query forms for the driver contract. */
+  def e1Batch(events: DataFrame): DataFrame =
+    hourlyAgg(events, streaming = false)
+      .orderBy("hour_us", "event_type")
+
+  def e2Batch(events: DataFrame): DataFrame =
+    dedup(events, streaming = false)
+      .orderBy("ts_us", "user_id", "event_type")
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventsStream
+
+/** Tier E: the streaming forms must agree with their batch twins when
+  * fed the same (finite) input — run through a real streaming query
+  * (readStream → memory sink). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // The file stream source wants a directory; stage the single parquet
+  // file into a temp dir (simulating an arriving micro-batch drop).
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+
+  private def streamingEvents() = {
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    spark.readStream.schema(raw.schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("e1 streaming hourly agg equals batch result") {
+    val q = EventsStream.hourlyAgg(streamingEvents(), streaming = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("e1_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("e1_out").orderBy("hour_us", "event_type").collect()
+      val want = EventsStream.e1Batch(graft.sources.Tables.events(spark, sf)).collect()
+      assert(got.length == want.length)
+      assert(got.sameElements(want))
+    } finally q.stop()
+  }
+
+  test("e2 streaming dedup emits one row per key") {
+    val q = EventsStream.dedup(streamingEvents(), streaming = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("e2_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("e2_out")
+      val want = EventsStream.e2Batch(graft.sources.Tables.events(spark, sf))
+      assert(got.count() == want.count())
+      assert(got.groupBy("user_id", "event_type", "ts_us").count()
+        .filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
+  test("d1 multimodal meta covers all docs with sane stub features") {
+    val out = SparkEntry.queries("d1_multimodal_meta")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(out.count() == docs.count())
+    assert(out.filter(col("fake_width") < 16 || col("fake_width") >= 2064).count() == 0)
+    assert(out.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() == 0)
+    assert(out.filter(col("decode_status") =!= "stubbed").count() == 0)
+  }
+}
