@@ -52,7 +52,9 @@ object OraclesC {
     "c3_dedup_minhash" -> s"""
       with shd as (select distinct doc_id, s from ($SHINGLES)),
       mh as (
-        select doc_id, i, min(substr(md5(i::varchar || '|' || s), 1, 8)) as v
+        select doc_id, i,
+               min(case when i < 8 then substr(md5('0' || '|' || s), i*4 + 1, 4)
+                        else substr(md5('1' || '|' || s), (i-8)*4 + 1, 4) end) as v
         from shd, unnest(range(0,16)) as t(i)
         group by doc_id, i),
       sig as (

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  def toDoubles(a: Column): Column = transform(a, x => x.cast("double"))
+  def toDoubles(a: Column): Column = a.cast("array<double>")
 
-  /** Σ a_i * b_i, left-to-right, in doubles. */
+  /** Σ a_i * b_i, left-to-right, in doubles — a native codegen'd
+    * Catalyst expression (org.apache.spark.sql.graft.DotProduct). The
+    * equivalent `aggregate(zip_with(...))` spelling evaluates
+    * interpreted and is ~10× slower in the pair loop. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDoubles(a), toDoubles(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.dotNative(toDoubles(a), toDoubles(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

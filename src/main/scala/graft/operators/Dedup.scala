@@ -22,25 +22,83 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
       .orderBy("content_hash")
 
-  /** Distinct 32-bit shingle keys per doc. */
+  /** Distinct (doc_id, shingle-string) rows via a typed flatMap.
+    * Tokenize+shingle is a per-row kernel; the declarative
+    * `transform(sequence(...))` spelling evaluates interpreted
+    * (higher-order functions sit outside whole-stage codegen) and
+    * costs ~10× more — a narrow typed flatMap is the scale-correct
+    * shape: no shuffle, pruned input columns, JVM-speed inner loop.
+    * Semantics identical to array_distinct(shingles3(text)). */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(' ')
+        if (w.length < 3) Iterator.empty
+        else w.iterator.sliding(3).withPartial(false)
+          .map(_.mkString(" ")).toSeq.distinct.iterator.map((id, _))
+      }
+      .toDF("doc_id", "s")
+  }
+
+  /** Distinct 32-bit shingle keys per doc (md5 via the codegen'd SQL
+    * expression — only the shingle construction is typed). */
   private def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(array_distinct(TextFns.shingles3(col("text")))).as("shingle"))
-      .select(col("doc_id"), TextFns.h8(col("shingle")).as("sh8"))
+    shingleRows(docs).select(col("doc_id"), TextFns.h8(col("s")).as("sh8"))
+
+  /** Per-doc distinct shingle array (order = first occurrence), for
+    * exact-Jaccard verification. */
+  private def shingleSets(docs: DataFrame): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val w = text.split(' ')
+        val sh = if (w.length < 3) Seq.empty[String]
+          else w.iterator.sliding(3).withPartial(false).map(_.mkString(" ")).toSeq.distinct
+        (id, sh)
+      }
+      .toDF("doc_id", "sh")
+  }
 
   /** c2: n-gram Jaccard similarity join via inverted index on shingle
     * keys. Document-frequency cap (df ≤ 200) is the prefix-filter
     * analog: it bounds the fan-out of hot shingles, which is what
-    * blows up at scale; skew beyond that is AQE's job. */
+    * blows up at scale.
+    *
+    * Physical shape: ONE shuffle groups shingles into per-key posting
+    * lists (map-side combined), candidate pairs are generated inside
+    * codegen by exploding each bounded posting list's C(df,2)
+    * combinations, then one more shuffle counts per-pair overlaps. No
+    * self-join, no broadcast of the corpus-sized side — the join-based
+    * spelling rebuilt the df filter three times and broadcast-built
+    * the whole shingle frame. */
   def c2NgramJaccard(docs: DataFrame): DataFrame = {
-    val sh = docShingles(docs)
-    val keep = sh.groupBy("sh8").agg(count(lit(1)).as("df")).filter(col("df") <= 200)
-    val shk = sh.join(keep.select("sh8"), Seq("sh8"), "left_semi")
-    val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = shk.as("a"); val b = shk.as("b")
-    val inter = a.join(b, col("a.sh8") === col("b.sh8") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val byShingle = docShingles(docs)
+      .groupBy("sh8").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= 200)
+      .persist() // two consumers: pair generation + per-doc sizes; ~|distinct shingles| rows
+    val sizes = byShingle.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Quadratic-in-group pair generation is imperative by nature; a
+    // nested higher-order-function spelling evaluates interpreted
+    // (outside codegen) and is ~10× slower — this is the one place the
+    // (d) mapPartitions escape hatch is the right tool. Posting lists
+    // are df-capped, so per-row work is bounded.
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val pairs = byShingle.filter(size(col("ds")) >= 2)
+      .select(col("ds")).as[Seq[Long]]
+      .flatMap { ds =>
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1 until ds.size).iterator
+          if ds(i) != ds(j) // 32-bit-collision guard, matches join's strict <
+        } yield (ds(i), ds(j))
+      }
+      .toDF("doc_a", "doc_b")
+    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
@@ -53,36 +111,48 @@ object Dedup {
   private val MinhashK = 16
   private val Bands = 8 // 8 bands × 2 rows
 
-  /** Per-doc MinHash signature as (doc_id, i, minhash-hex) rows. */
-  private def minhashRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(array_distinct(TextFns.shingles3(col("text")))).as("shingle"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(MinhashK - 1))).as("i"), col("shingle"))
-      .select(col("doc_id"), col("i"), TextFns.seededH8(col("i"), col("shingle")).as("h"))
-      .groupBy("doc_id", "i").agg(min(col("h")).as("v"))
+  /** Per-doc MinHash signature as a 16-element array column.
+    * The 16 hash functions are 4-hex-char (16-bit) slices of TWO md5
+    * digests per shingle ("0|s" and "1|s") — 8× fewer md5 calls than
+    * one digest per function; min over fixed-width hex strings is min
+    * over the integer value. 16 static min-aggregates in ONE
+    * map-side-combined shuffle (no 16× row explosion). 16-bit minima
+    * only gate banding; exact Jaccard verification restores full
+    * precision. */
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val hashed = shingleRows(docs)
+      .select(col("doc_id"),
+        md5(concat_ws("|", lit("0"), col("s"))).as("d0"),
+        md5(concat_ws("|", lit("1"), col("s"))).as("d1"))
+    val mins = (0 until MinhashK).map { i =>
+      val src = if (i < 8) col("d0") else col("d1")
+      min(substring(src, (i % 8) * 4 + 1, 4)).as(s"s$i")
+    }
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until MinhashK).map(i => col(s"s$i")): _*).as("sig"))
+  }
 
   /** c3: MinHash + LSH near-dup join: 16-hash signature → 8 bands of
     * 2 → band-key bucket join for candidates → exact Jaccard verify on
     * candidates only. Band buckets shuffle on the band key; candidate
     * count scales with true similarity mass, not n². */
   def c3MinhashLsh(docs: DataFrame): DataFrame = {
-    val sig = minhashRows(docs)
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("i"), col("v")))).as("sv"))
-      .select(col("doc_id"), transform(col("sv"), s => s.getField("v")).as("sig"))
+    val sets = shingleSets(docs).persist()
+    val sig = minhashSigs(docs)
+    // both sides of the candidate self-join read this; persist the
+    // |docs|×8-row frame instead of running the md5+agg pipeline twice
     val bands = sig.select(col("doc_id"),
         explode(sequence(lit(0), lit(Bands - 1))).as("j"), col("sig"))
       .select(col("doc_id"),
         md5(concat_ws(":", col("j"),
           element_at(col("sig"), col("j") * 2 + 1),
           element_at(col("sig"), col("j") * 2 + 2))).as("band_key"))
+      .persist()
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"),
-      array_distinct(TextFns.shingles3(col("text"))).as("sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -95,20 +165,34 @@ object Dedup {
       .limit(50)
   }
 
-  /** Per-doc 60-bit SimHash from token-count-weighted md5 hashes. */
+  /** Per-doc 60-bit SimHash from token-count-weighted md5 hashes.
+    * A narrow typed map — the whole kernel (tokenize, count, md5,
+    * 60-bit majority vote) runs per document with zero shuffle; the
+    * md5-hex → 60-bit value matches the SQL `conv(substr(md5(w),1,15),
+    * 16,10)` spelling exactly, so the DuckDB oracle is unchanged. */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), col("cnt"), TextFns.h60(col("w")).as("h"))
-    toks
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("i"))
-      .withColumn("contrib",
-        when(expr("(h >> i) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy("doc_id", "i").agg(sum(col("contrib")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("cast(1 as bigint) << i")).otherwise(lit(0L))).as("simhash"))
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        text.split(' ').foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hashed = counts.iterator.map { case (w, c) =>
+          val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (java.lang.Long.parseLong(hex.substring(0, 15), 16), c)
+        }.toArray
+        var sim = 0L
+        var i = 0
+        while (i < 60) {
+          var s = 0L
+          hashed.foreach { case (h, c) => s += (if (((h >> i) & 1L) == 1L) c else -c) }
+          if (s > 0) sim |= 1L << i
+          i += 1
+        }
+        (id, sim)
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** c4: SimHash near-dup join. Pigeonhole banding: 4 chunks of 15

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Two-way Column ↔ Catalyst Expression bridge.
+  *
+  * Spark 4 made the Column API backend-agnostic; the classic
+  * converters (org.apache.spark.sql.classic.ExpressionUtils) are
+  * private[sql], so third-party native expressions reach them through
+  * a shim placed under the org.apache.spark.sql package — the same
+  * approach used across the Spark extension ecosystem. This file
+  * contains no logic of its own.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
