@@ -6,10 +6,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    // JVM + codegen warmup on the smallest SF so measured numbers are
-    // plan cost, not first-query classloading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // JVM/JIT + whole-stage-codegen warmup: run every query once at
+    // the smallest SF so the timed pass measures steady-state plan
+    // cost, not first-use Janino compilation and classloading (which
+    // amortize to zero on a long-lived cluster). Caches from the
+    // warmup are dropped so the timed pass does its own I/O.
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -114,6 +114,11 @@ object OraclesB {
       from attr where event_type = 'purchase' order by event_id
     """,
 
+    "b10_salted_agg" -> """
+      select user_id, count(*) as n_events, round(sum(value), 4) as sum_value
+      from events group by user_id order by user_id
+    """,
+
     "b9_sessionize" -> """
       with ev as (
         select event_id, user_id, epoch_us(ts) as ts_us from events),

@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registration for graft's native expressions
+  * — makes them first-class SQL functions so `spark.sql("...
+  * graft_dot(a, b) ...")` works alongside the Column API. Installed
+  * by GraftSession via `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` in cluster
+  * conf). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sink/source connectors (SURVEY §2 "Sources / sinks").
+  *
+  * The reference exports its marts to downstream stores
+  * (flows/dbt_build_and_load_turso.py: duckdb → sqlite dump → HTTP
+  * batch inserts). Spark-native, an export is a partitioned columnar
+  * write; csv/json round-trips cover interchange formats. JDBC is
+  * omitted: the zero-egress container ships no driver jar.
+  */
+object Sinks {
+
+  /** Partitioned parquet export — the scalable mart sink. Partition
+    * columns become directory keys (partition pruning on read);
+    * writer-side `maxRecordsPerFile` would bound file sizes at scale. */
+  def writePartitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV export/import with header; schema pinned on read (inference
+    * is a full extra pass — never at scale). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines export/import, schema pinned on read. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Sinks, Tables}
+
+/** Engine-level capabilities: sinks, SQL function registration,
+  * bucketed co-located joins, salted aggregation. */
+class EngineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
+
+  test("partitioned parquet sink round-trips with partition pruning layout") {
+    val stg = operators.Staging.stgEvents(Tables.events(spark, sf))
+      .select("event_id", "event_type", "value")
+    val path = tmp("part")
+    Sinks.writePartitionedParquet(stg, path, Seq("event_type"))
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("event_type=")))
+    val back = Sinks.readParquet(spark, path)
+    assert(back.count() == stg.count())
+    // partition filter prunes directories: plan must show a pruned scan
+    val pruned = back.filter(col("event_type") === "click")
+    assert(pruned.count() == stg.filter(col("event_type") === "click").count())
+  }
+
+  test("csv and json round-trip with pinned schema") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    val p1 = tmp("csv"); val p2 = tmp("json")
+    Sinks.writeCsv(docs, p1)
+    Sinks.writeJson(docs, p2)
+    assert(Sinks.readCsv(spark, p1, docs.schema).count() == docs.count())
+    assert(Sinks.readJson(spark, p2, docs.schema).count() == docs.count())
+  }
+
+  test("graft_dot is registered as a SQL function via SparkSessionExtensions") {
+    val r = spark.sql("select graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) as d")
+      .head.getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("b10 salted aggregation equals direct groupBy") {
+    val direct = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("user_id").collect()
+    val salted = SparkEntry.queries("b10_salted_agg")(spark, sf).collect()
+    assert(direct.sameElements(salted))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = tmp("warehouse") // external-table paths; warehouse conf untouched (static)
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("drop table if exists orders_b")
+      spark.sql("drop table if exists lineitem_b")
+    }
+  }
+}
