@@ -29,6 +29,7 @@ object SparkEntry {
     "a6_rpt_type_counts" -> ((s, dir) => Reports.a6RptTypeCounts(stg(s, dir))),
     "a7_rpt_discovery"   -> ((s, dir) => Reports.a7RptDiscovery(stg(s, dir))),
     "a8_ingest_dedup"    -> ((s, dir) => Staging.a8IngestDedup(Tables.events(s, dir))),
+    "a9_dq_checks"       -> ((s, dir) => Checks.a9DqChecks(stg(s, dir))),
 
     "b1_pricing_summary" -> ((s, dir) => Olap.b1PricingSummary(s, dir)),
     "b2_top_revenue"     -> ((s, dir) => Olap.b2TopRevenue(s, dir)),
@@ -195,6 +196,31 @@ object SparkEntry {
       )
       select event_id, src_batch, ts_us, event_type, value
       from ranked where rn = 1 order by event_id
+    """,
+
+    "a9_dq_checks" -> s"""
+      with stg as ($STG),
+      du as (select user_sk from stg group by user_sk, user_id),
+      dt as (select track_id from stg group by track_id, user_id, event_type),
+      dty as (select distinct type_id from stg),
+      v as (select
+        (select count(*) from (select user_sk from du group by user_sk having count(*) > 1)) as du_uniq,
+        (select count(*) from du where user_sk is null) as du_null,
+        (select count(*) from (select track_id from dt group by track_id having count(*) > 1)) as dt_uniq,
+        (select count(*) from dt where track_id is null) as dt_null,
+        (select count(*) from (select type_id from dty group by type_id having count(*) > 1)) as dty_uniq,
+        (select count(*) from (select play_id from stg group by play_id having count(*) > 1)) as f_uniq,
+        (select count(*) from stg where play_id is null) as f_null)
+      select t.* from v, lateral (values
+        ('dim_user.user_sk.unique', v.du_uniq, v.du_uniq = 0),
+        ('dim_user.user_sk.not_null', v.du_null, v.du_null = 0),
+        ('dim_track.track_id.unique', v.dt_uniq, v.dt_uniq = 0),
+        ('dim_track.track_id.not_null', v.dt_null, v.dt_null = 0),
+        ('dim_event_type.type_id.unique', v.dty_uniq, v.dty_uniq = 0),
+        ('fct_events.play_id.unique', v.f_uniq, v.f_uniq = 0),
+        ('fct_events.play_id.not_null', v.f_null, v.f_null = 0)
+      ) as t(check_name, n_violations, passed)
+      order by check_name
     """,
 
     "d1_multimodal_meta" -> """

@@ -43,6 +43,44 @@ object EventsStream {
         .groupBy(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
         .agg(min(col("event_id")).as("keep_event_id"))
 
+  /** Event/state/output records for the stateful sessionizer. */
+  case class SessEvent(user_id: Long, ts_us: Long, event_id: Long)
+  case class SessState(sessionSeq: Long, lastTsUs: Long)
+  case class SessAssign(user_id: Long, event_id: Long, ts_us: Long, session_seq: Long)
+
+  /** Streaming sessionization with custom state — the
+    * flatMapGroupsWithState twin of the batch b9 operator
+    * (operators/Olap.b9Sessionize). State per user is (current
+    * session counter, last event time); a >30-min gap opens a new
+    * session. Works on a streaming OR batch Dataset; micro-batch
+    * input is sorted within the group before folding so replays are
+    * deterministic. State is O(users), not O(events) — the property
+    * that keeps this runnable forever. */
+  def sessionizeStateful(events: DataFrame, gapUs: Long = 30L * 60 * 1000000)
+      : org.apache.spark.sql.Dataset[SessAssign] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+
+    def fn(user: Long, evs: Iterator[SessEvent], state: GroupState[SessState]): Iterator[SessAssign] = {
+      val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      var (seq, last) = state.getOption.map(s => (s.sessionSeq, s.lastTsUs)).getOrElse((0L, Long.MinValue))
+      val out = sorted.map { e =>
+        if (last == Long.MinValue || e.ts_us - last > gapUs) seq += 1
+        last = e.ts_us
+        SessAssign(user, e.event_id, e.ts_us, seq)
+      }
+      state.update(SessState(seq, last))
+      out.iterator
+    }
+
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Batch-query forms for the driver contract. */
   def e1Batch(events: DataFrame): DataFrame =
     hourlyAgg(events, streaming = false)

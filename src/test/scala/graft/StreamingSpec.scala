@@ -53,6 +53,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming sessionization matches batch b9") {
+    val q = EventsStream.sessionizeStateful(streamingEvents())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("event_id", "user_id", "ts_us", "session_seq")
+        .orderBy("event_id").collect()
+      val want = SparkEntry.queries("b9_sessionize")(spark, sf)
+        .select("event_id", "user_id", "ts_us", "session_seq").collect()
+      assert(got.length == want.length)
+      assert(got.sameElements(want))
+    } finally q.stop()
+  }
+
   test("d1 multimodal meta covers all docs with sane stub features") {
     val out = SparkEntry.queries("d1_multimodal_meta")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
