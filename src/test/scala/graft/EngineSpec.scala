@@ -48,6 +48,23 @@ class EngineSpec extends AnyFunSuite {
     assert(direct.sameElements(salted))
   }
 
+  test("TopKPerKey custom operator matches the window spelling and plans as TopKPerKeyExec") {
+    val rev = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    val topk = plans.TopK.perKey(rev, Seq("p_brand"),
+      Seq("revenue" -> true, "p_partkey" -> false), 3)
+    assert(topk.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val got = topk.select("p_brand", "p_partkey", "revenue")
+      .orderBy("p_brand", "p_partkey").collect()
+    val want = SparkEntry.queries("b4_window_topn")(spark, sf)
+      .select("p_brand", "p_partkey", "revenue")
+      .orderBy("p_brand", "p_partkey").collect()
+    assert(got.length == want.length)
+    assert(got.sameElements(want))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = tmp("warehouse") // external-table paths; warehouse conf untouched (static)
     val o = Tables.orders(spark, sf)
