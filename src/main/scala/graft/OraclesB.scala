@@ -119,6 +119,18 @@ object OraclesB {
       from events group by user_id order by user_id
     """,
 
+    "b11_quantiles" -> """
+      select event_type, count(*) as n,
+             round(quantile_cont(value, 0.25), 4) as p25,
+             round(quantile_cont(value, 0.5), 4) as p50,
+             round(quantile_cont(value, 0.75), 4) as p75,
+             round(quantile_cont(value, 0.95), 4) as p95,
+             round(stddev_samp(value), 4) as sd,
+             round(min(value), 4) as vmin,
+             round(max(value), 4) as vmax
+      from events group by event_type order by event_type
+    """,
+
     "b9_sessionize" -> """
       with ev as (
         select event_id, user_id, epoch_us(ts) as ts_us from events),

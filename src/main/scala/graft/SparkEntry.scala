@@ -41,6 +41,7 @@ object SparkEntry {
     "b8_asof_attr"       -> ((s, dir) => Olap.b8AsofAttribution(s, dir)),
     "b9_sessionize"      -> ((s, dir) => Olap.b9Sessionize(s, dir)),
     "b10_salted_agg"     -> ((s, dir) => Skew.b10SaltedAgg(Tables.events(s, dir))),
+    "b11_quantiles"      -> ((s, dir) => Stats.b11Quantiles(Tables.events(s, dir))),
 
     "c1_dedup_exact"   -> ((s, dir) => Dedup.c1Exact(Tables.documents(s, dir))),
     "c2_dedup_ngram"   -> ((s, dir) => Dedup.c2NgramJaccard(Tables.documents(s, dir))),

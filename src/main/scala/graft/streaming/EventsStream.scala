@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Watermarks bound state: hourly aggregation state is dropped 2h
   * after event time passes; dedup keys likewise — the properties that
-  * keep a 100 TB/day stream's state finite.
+  * keep a 100 TB/day stream's state finite. (Model: "Structured
+  * Streaming: A Declarative API for Real-Time Applications in Apache
+  * Spark", SIGMOD 2018 — prefix-integrity + watermark semantics.)
   */
 object EventsStream {
 

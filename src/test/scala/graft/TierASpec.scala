@@ -48,6 +48,17 @@ class TierASpec extends AnyFunSuite {
       && col("src_batch") =!= 1).count() == 0)
   }
 
+  test("parseDateWithPrecision handles day and year precision (reference staging rule)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TimeFns
+    val df = spark.createDataFrame(Seq(
+      ("2024-03-05", "day"), ("1999", "year"), ("2024-03-05", "bogus")))
+      .toDF("d", "p")
+      .select(TimeFns.parseDateWithPrecision(col("d"), col("p")).as("parsed"))
+    val got = df.collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(got.toSeq == Seq(Some("2024-03-05"), Some("1999-01-01"), None))
+  }
+
   test("a7 discovery rates are null-safe and within [0,1]") {
     import org.apache.spark.sql.functions._
     val rpt = SparkEntry.queries("a7_rpt_discovery")(spark, sf)
