@@ -20,6 +20,33 @@ object OraclesC {
     from (select distinct doc_id, s from ($SHINGLES))
   """
 
+  /** c3's MinHash-LSH chain up to verified candidate pairs (CTE list,
+    * no WITH keyword) — shared by c3 and c12. */
+  private val C3_CHAIN = s"""
+      shd as (select distinct doc_id, s from ($SHINGLES)),
+      mh as (
+        select doc_id, i,
+               min(case when i < 8 then substr(md5('0' || '|' || s), i*4 + 1, 4)
+                        else substr(md5('1' || '|' || s), (i-8)*4 + 1, 4) end) as v
+        from shd, unnest(range(0,16)) as t(i)
+        group by doc_id, i),
+      sig as (
+        select doc_id, list(v order by i) as sig from mh group by doc_id),
+      bands as (
+        select doc_id, md5(j::varchar || ':' || sig[2*j+1] || ':' || sig[2*j+2]) as band_key
+        from sig, unnest(range(0,8)) as t(j)),
+      cand as (
+        select distinct a.doc_id as doc_a, b.doc_id as doc_b
+        from bands a join bands b on a.band_key = b.band_key and a.doc_id < b.doc_id),
+      sets as (select doc_id, list(s) as sh from shd group by doc_id),
+      vpairs as (
+        select doc_a, doc_b,
+               round((len(sa.sh) + len(sb.sh) - u.uni)::double / u.uni, 4) as jaccard
+        from cand
+        join sets sa on cand.doc_a = sa.doc_id
+        join sets sb on cand.doc_b = sb.doc_id,
+        lateral (select len(list_distinct(list_concat(sa.sh, sb.sh))) as uni) u)"""
+
   private def dot(a: String, b: String) =
     s"list_sum(list_transform(range(1,65), i -> $a[i]::double * $b[i]::double))"
   private def cosine(a: String, b: String) =
@@ -50,29 +77,27 @@ object OraclesC {
     """,
 
     "c3_dedup_minhash" -> s"""
-      with shd as (select distinct doc_id, s from ($SHINGLES)),
-      mh as (
-        select doc_id, i,
-               min(case when i < 8 then substr(md5('0' || '|' || s), i*4 + 1, 4)
-                        else substr(md5('1' || '|' || s), (i-8)*4 + 1, 4) end) as v
-        from shd, unnest(range(0,16)) as t(i)
-        group by doc_id, i),
-      sig as (
-        select doc_id, list(v order by i) as sig from mh group by doc_id),
-      bands as (
-        select doc_id, md5(j::varchar || ':' || sig[2*j+1] || ':' || sig[2*j+2]) as band_key
-        from sig, unnest(range(0,8)) as t(j)),
-      cand as (
-        select distinct a.doc_id as doc_a, b.doc_id as doc_b
-        from bands a join bands b on a.band_key = b.band_key and a.doc_id < b.doc_id),
-      sets as (select doc_id, list(s) as sh from shd group by doc_id)
-      select doc_a, doc_b,
-             round((len(sa.sh) + len(sb.sh) - u.uni)::double / u.uni, 4) as jaccard
-      from cand
-      join sets sa on cand.doc_a = sa.doc_id
-      join sets sb on cand.doc_b = sb.doc_id,
-      lateral (select len(list_distinct(list_concat(sa.sh, sb.sh))) as uni) u
+      with $C3_CHAIN
+      select doc_a, doc_b, jaccard from vpairs
       order by jaccard desc, doc_a, doc_b limit 50
+    """,
+
+    "c12_dup_clusters" -> s"""
+      with recursive $C3_CHAIN,
+      vp as (select doc_a, doc_b from vpairs where jaccard >= 0.5),
+      edges as (
+        select doc_a as a, doc_b as b from vp
+        union
+        select doc_b as a, doc_a as b from vp),
+      reach(a, b) as (
+        select a, b from edges
+        union
+        select r.a, e.b from reach r join edges e on r.b = e.a where e.b <> r.a),
+      lab as (select a as doc_id, least(a, min(b)) as cluster from reach group by a),
+      sizes as (select cluster, count(*) as cluster_size from lab group by cluster)
+      select lab.doc_id, lab.cluster, sizes.cluster_size
+      from lab join sizes using (cluster)
+      order by lab.doc_id
     """,
 
     "c4_dedup_simhash" -> """

@@ -54,6 +54,7 @@ object SparkEntry {
     "c9_quality"       -> ((s, dir) => TextAnalysis.c9Quality(Tables.documents(s, dir))),
     "c10_token_count"  -> ((s, dir) => TextAnalysis.c10TokenCount(Tables.documents(s, dir))),
     "c11_fingerprint"  -> ((s, dir) => TextAnalysis.c11Fingerprint(Tables.documents(s, dir))),
+    "c12_dup_clusters" -> ((s, dir) => Dedup.c12DupClusters(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
 

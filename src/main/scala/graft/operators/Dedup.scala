@@ -136,7 +136,14 @@ object Dedup {
     * 2 → band-key bucket join for candidates → exact Jaccard verify on
     * candidates only. Band buckets shuffle on the band key; candidate
     * count scales with true similarity mass, not n². */
-  def c3MinhashLsh(docs: DataFrame): DataFrame = {
+  def c3MinhashLsh(docs: DataFrame): DataFrame =
+    minhashCandidatePairs(docs)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+
+  /** LSH candidate pairs with exact-Jaccard verification — shared by
+    * the c3 near-dup report and the c12 cluster builder. */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
     val sets = shingleSets(docs).persist()
     val sig = minhashSigs(docs)
     // both sides of the candidate self-join read this; persist the
@@ -161,8 +168,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round((size(col("sh_a")) + size(col("sh_b")) - size(array_union(col("sh_a"), col("sh_b"))))
           .cast("double") / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(50)
+  }
+
+  /** c12: duplicate clusters — connected components over the verified
+    * near-dup pair graph (jaccard ≥ 0.5), the step that turns pair
+    * lists into the keep-one-per-cluster decision a training-data
+    * pipeline actually executes. Iterative min-label propagation:
+    * each round every doc takes the min label among itself and its
+    * neighbors; rounds ≈ component diameter (near-dup components are
+    * shallow). Each round is one shuffle join; at web scale the same
+    * loop runs with the large-star/small-star optimization. */
+  def c12DupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidatePairs(docs)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+    }
+    val sizes = labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster"))
+      .join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   /** Per-doc 60-bit SimHash from token-count-weighted md5 hashes.

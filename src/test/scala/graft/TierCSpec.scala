@@ -54,6 +54,19 @@ class TierCSpec extends AnyFunSuite {
     assert(out.filter(col("vec_id") === col("q_id")).count() == 0)
   }
 
+  test("c12 clusters put every qualifying pair in the same component") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.minhashCandidatePairs(docs).filter(col("jaccard") >= 0.5)
+    val clusters = SparkEntry.queries("c12_dup_clusters")(spark, sf)
+      .select(col("doc_id"), col("cluster"))
+    val broken = pairs
+      .join(clusters.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster", "ca"), Seq("doc_a"))
+      .join(clusters.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster", "cb"), Seq("doc_b"))
+      .filter(col("ca") =!= col("cb"))
+    assert(broken.count() == 0, "edge endpoints in different clusters")
+  }
+
   test("c11 fingerprints are stable across recomputation") {
     val x = SparkEntry.queries("c11_fingerprint")(spark, sf).collect()
     val y = SparkEntry.queries("c11_fingerprint")(spark, sf).collect()
