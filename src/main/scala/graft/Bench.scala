@@ -16,10 +16,20 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
+    // min of two runs per query: the environment shows intermittent
+    // multi-second host stalls; the minimum isolates plan cost from
+    // that noise. Cache is cleared between runs so each measurement
+    // does its own I/O and later queries aren't timed under
+    // accumulated cache/GC pressure.
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> dts.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

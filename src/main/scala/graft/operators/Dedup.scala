@@ -183,6 +183,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
       .persist()
+    // Adaptive: the verified-pair list is orders of magnitude smaller
+    // than the corpus (that's what LSH is for). When it fits a single
+    // task, a one-pass union-find beats ~log(diameter) join rounds;
+    // the iterative pointer-jumping loop remains the path for
+    // pathological edge volumes. Both label components by their min
+    // doc_id, so results are identical.
+    val labels =
+      if (pairs.count() < 1000000L) unionFindLabels(pairs)
+      else propagateLabels(pairs)
+    val sizes = labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster"))
+      .join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Single-task union-find over a bounded edge list; attaching the
+    * larger root under the smaller makes every root the component
+    * minimum. */
+  private def unionFindLabels(pairs: DataFrame): DataFrame = {
+    val spark0 = pairs.sparkSession
+    import spark0.implicits._
+    pairs.as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keysIterator.toArray.iterator.map(n => (n, find(n)))
+      }
+      .toDF("doc_id", "label")
+  }
+
+  /** Distributed min-label propagation with pointer jumping —
+    * O(log diameter) rounds, one shuffle join per round. */
+  private def propagateLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -195,19 +241,27 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nlabel")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val stepped = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("mid"))
+      // pointer jumping: follow my label's label — halves the distance
+      // to the component minimum each round, so long duplicate chains
+      // converge in O(log diameter) rounds instead of O(diameter).
+      val lookup = stepped.select(col("doc_id").as("mid"), col("mid").as("jlabel"))
+      // carry old+new in one frame: one materialization per round
+      // serves both the convergence count and the next iteration
+      val updated = stepped
+        .join(lookup, Seq("mid"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("mid"), coalesce(col("jlabel"), col("mid"))).as("label"))
         .persist()
-      changed = updated.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      changed = updated.filter(col("label") =!= col("old")).count()
+      val prev = labels
+      labels = updated.select(col("doc_id"), col("label"))
+      prev.unpersist()
     }
-    val sizes = labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("doc_id"), col("label").as("cluster"))
-      .join(sizes, Seq("cluster"))
-      .select(col("doc_id"), col("cluster"), col("cluster_size"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** Per-doc 60-bit SimHash from token-count-weighted md5 hashes.
