@@ -131,6 +131,29 @@ object OraclesB {
       from events group by event_type order by event_type
     """,
 
+    "b12_moving_agg" -> """
+      with ev as (
+        select event_id, user_id, epoch_us(ts) as ts_us, value from events)
+      select event_id, user_id, ts_us, value,
+             round(sum(value) over (partition by user_id order by ts_us, event_id
+               rows between unbounded preceding and current row), 4) as running_sum,
+             round(avg(value) over (partition by user_id order by ts_us, event_id
+               rows between 4 preceding and current row), 4) as moving_avg5,
+             row_number() over (partition by user_id order by ts_us, event_id)::bigint as seq
+      from ev order by event_id
+    """,
+
+    "b13_range_join" -> """
+      with ev as (
+        select event_id, user_id, epoch_us(ts) as ts_us from events)
+      select a.event_id as id_a, b.event_id as id_b, b.ts_us - a.ts_us as dt_us
+      from ev a join ev b
+        on a.event_id < b.event_id
+       and a.user_id <> b.user_id
+       and abs(a.ts_us - b.ts_us) <= 1000000
+      order by id_a, id_b
+    """,
+
     "b9_sessionize" -> """
       with ev as (
         select event_id, user_id, epoch_us(ts) as ts_us from events),

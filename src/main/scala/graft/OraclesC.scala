@@ -100,6 +100,30 @@ object OraclesC {
       order by lab.doc_id
     """,
 
+    "c13_split" -> """
+      select lang, split, count(*) as n_docs
+      from (
+        select doc_id, lang,
+               case when bucket < 90 then 'train' when bucket < 95 then 'val' else 'test' end as split
+        from (select doc_id, lang,
+                ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 as bucket
+              from documents))
+      group by lang, split order by lang, split
+    """,
+
+    "c14_quantize" -> """
+      select vec_id,
+             round(list_min(embedding)::double, 6) as qmin,
+             round(list_max(embedding)::double, 6) as qmax,
+             md5(array_to_string(
+               list_transform(embedding, x -> case
+                 when list_max(embedding)::double = list_min(embedding)::double then 0::bigint
+                 else floor((x::double - list_min(embedding)::double)
+                      / (list_max(embedding)::double - list_min(embedding)::double)
+                      * 255.0 + 0.5)::bigint end::varchar), ',')) as codes_md5
+      from embeddings order by vec_id
+    """,
+
     "c4_dedup_simhash" -> """
       with toks as (
         select doc_id, w, count(*) as cnt

@@ -42,6 +42,8 @@ object SparkEntry {
     "b9_sessionize"      -> ((s, dir) => Olap.b9Sessionize(s, dir)),
     "b10_salted_agg"     -> ((s, dir) => Skew.b10SaltedAgg(Tables.events(s, dir))),
     "b11_quantiles"      -> ((s, dir) => Stats.b11Quantiles(Tables.events(s, dir))),
+    "b12_moving_agg"     -> ((s, dir) => Olap.b12MovingAgg(s, dir)),
+    "b13_range_join"     -> ((s, dir) => Olap.b13RangeJoin(s, dir)),
 
     "c1_dedup_exact"   -> ((s, dir) => Dedup.c1Exact(Tables.documents(s, dir))),
     "c2_dedup_ngram"   -> ((s, dir) => Dedup.c2NgramJaccard(Tables.documents(s, dir))),
@@ -55,6 +57,8 @@ object SparkEntry {
     "c10_token_count"  -> ((s, dir) => TextAnalysis.c10TokenCount(Tables.documents(s, dir))),
     "c11_fingerprint"  -> ((s, dir) => TextAnalysis.c11Fingerprint(Tables.documents(s, dir))),
     "c12_dup_clusters" -> ((s, dir) => Dedup.c12DupClusters(Tables.documents(s, dir))),
+    "c13_split"        -> ((s, dir) => Sampling.c13Split(Tables.documents(s, dir))),
+    "c14_quantize"     -> ((s, dir) => Sampling.c14Quantize(Tables.embeddings(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
 

@@ -134,6 +134,45 @@ object Olap {
       .orderBy("event_id")
   }
 
+  /** b12: moving-window aggregates — per-user running totals and a
+    * trailing 5-event moving average (rows-frame windows). One shuffle
+    * on user_id; frames are O(1) incremental per row. */
+  def b12MovingAgg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("running_sum",
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .withColumn("moving_avg5",
+        round(avg(col("value")).over(w.rowsBetween(-4, 0)), 4))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .orderBy("event_id")
+  }
+
+  /** b13: time-range self-join — pairs of events from different users
+    * within 1 second of each other. A naive range join is O(n²); the
+    * scalable shape is bin blocking: each left row probes its own
+    * 1-second bin and the next, the join is equi on the bin key, and
+    * the true range predicate filters candidates. Bin width = range
+    * width keeps candidates ≈ matches. */
+  def b13RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val oneSec = 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val left = ev.select(col("event_id").as("id_a"), col("user_id").as("user_a"),
+      col("ts_us").as("ts_a"), explode(array(
+        (col("ts_us") / oneSec).cast("long"),
+        (col("ts_us") / oneSec).cast("long") + 1)).as("bin"))
+    val right = ev.select(col("event_id").as("id_b"), col("user_id").as("user_b"),
+      col("ts_us").as("ts_b"), (col("ts_us") / oneSec).cast("long").as("bin"))
+    left.join(right, Seq("bin"))
+      .filter(col("id_a") < col("id_b") && col("user_a") =!= col("user_b")
+        && abs(col("ts_a") - col("ts_b")) <= oneSec)
+      .select(col("id_a"), col("id_b"), (col("ts_b") - col("ts_a")).as("dt_us"))
+      .distinct() // a pair can match in two bins
+      .orderBy("id_a", "id_b")
+  }
+
   /** b9: sessionization — 30-minute-gap session assignment via lag +
     * running sum; the batch twin of the streaming sessionizer in
     * `streaming/`. One shuffle on user_id. */

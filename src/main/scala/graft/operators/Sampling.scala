@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for training pipelines (SURVEY §2,
+  * c13/c14). */
+object Sampling {
+
+  /** c13: deterministic hash-based train/val/test split. The split
+    * key is a content-independent stable hash of the document id
+    * (md5 → 28-bit int → percent bucket), so reruns, engines, and
+    * cluster sizes all agree — the reproducibility property a
+    * training pipeline needs. 90/5/5 by bucket; narrow, shuffle-free
+    * except the summary. */
+  def c13Split(docs: DataFrame): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100).as("bucket")
+    docs.select(col("doc_id"), col("lang"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+  }
+
+  /** c14: int8 scalar quantization of embeddings — the standard
+    * memory/bandwidth reduction for ANN serving at scale. Per-vector
+    * min/max scaling to [0,255]; emits the scale parameters plus an
+    * md5 checksum of the quantized codes (arrays stay engine-internal;
+    * the checksum proves byte-exact parity). Narrow single pass. */
+  def c14Quantize(emb: DataFrame): DataFrame = {
+    val e = col("embedding")
+    val lo = array_min(e).cast("double")
+    val hi = array_max(e).cast("double")
+    // floor(v + 0.5) instead of round(): identical halfway semantics
+    // in every engine. Degenerate constant vectors quantize to 0.
+    val q = transform(e, x =>
+      when(hi === lo, lit(0L)).otherwise(
+        floor((x.cast("double") - lo) / (hi - lo) * 255.0 + 0.5).cast("long"))
+        .cast("string"))
+    emb.select(col("vec_id"),
+        round(lo, 6).as("qmin"),
+        round(hi, 6).as("qmax"),
+        md5(concat_ws(",", q)).as("codes_md5"))
+      .orderBy("vec_id")
+  }
+}

@@ -32,6 +32,20 @@ class TierBSpec extends AnyFunSuite {
     assert(sums == spark.read.parquet(s"$sf/orders.parquet").count())
   }
 
+  test("b13 range join pairs are within the band and cross-user") {
+    val out = SparkEntry.queries("b13_range_join")(spark, sf)
+    assert(out.filter(abs(col("dt_us")) > 1000000L).count() == 0)
+    assert(out.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
+  test("c13 split buckets are exhaustive and deterministic") {
+    val out = SparkEntry.queries("c13_split")(spark, sf)
+    val total = out.agg(sum("n_docs")).head.getLong(0)
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
+    val again = SparkEntry.queries("c13_split")(spark, sf).collect()
+    assert(again.sameElements(out.collect()))
+  }
+
   test("b8 attribution only ever looks backwards") {
     val out = SparkEntry.queries("b8_asof_attr")(spark, sf)
     assert(out.filter(col("gap_us") <= 0).count() == 0)
