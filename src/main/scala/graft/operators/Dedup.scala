@@ -199,6 +199,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // test-only entry points for the component-labeling equivalence
+  // property (PropertySpec)
+  private[graft] def testUnionFind(pairs: DataFrame): DataFrame = unionFindLabels(pairs)
+  private[graft] def testPropagate(pairs: DataFrame): DataFrame = propagateLabels(pairs)
+
   /** Single-task union-find over a bounded edge list; attaching the
     * larger root under the smaller makes every root the component
     * minimum. */
