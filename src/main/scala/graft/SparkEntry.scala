@@ -63,7 +63,9 @@ object SparkEntry {
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
 
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
-    "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir)))
+    "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
+    "e3_stream_join"   -> ((s, dir) => graft.streaming.EventsStream
+      .purchaseClickJoin(Tables.events(s, dir), streaming = false).orderBy("p_id", "c_id"))
   )
 
   /** Shared staging CTE for the oracles — the DuckDB spelling of
@@ -251,6 +253,16 @@ object SparkEntry {
     "e2_stream_dedup" -> """
       select user_id, event_type, epoch_us(ts) as ts_us, min(event_id) as keep_event_id
       from events group by 1, 2, 3 order by ts_us, user_id, event_type
+    """,
+
+    "e3_stream_join" -> """
+      select p.event_id as p_id, c.event_id as c_id, p.user_id,
+             epoch_us(p.ts) as p_ts_us, epoch_us(c.ts) as c_ts_us
+      from events p join events c
+        on p.user_id = c.user_id
+       and p.event_type = 'purchase' and c.event_type = 'click'
+       and c.ts >= p.ts - interval 1 hour and c.ts <= p.ts
+      order by p_id, c_id
     """
   )
 }

@@ -83,6 +83,26 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks from the preceding hour (attribution candidates).
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time interval, so Spark can expire join state — the two
+    * requirements that keep stream-stream join state finite. Works on
+    * batch input too (watermarks skipped), which the spec uses as the
+    * ground truth. */
+  def purchaseClickJoin(events: DataFrame, streaming: Boolean): DataFrame = {
+    def side(tpe: String, prefix: String) = {
+      val s = events.filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+      if (streaming) s.withWatermark(s"${prefix}_ts", "2 hours") else s
+    }
+    side("purchase", "p").join(side("click", "c"),
+      expr("p_user = c_user and c_ts >= p_ts - interval 1 hour and c_ts <= p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
+  }
+
   /** Batch-query forms for the driver contract. */
   def e1Batch(events: DataFrame): DataFrame =
     hourlyAgg(events, streaming = false)

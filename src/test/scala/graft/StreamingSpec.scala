@@ -69,6 +69,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val q = EventsStream.purchaseClickJoin(streamingEvents(), streaming = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").orderBy("p_id", "c_id").collect()
+      val want = EventsStream.purchaseClickJoin(
+        graft.sources.Tables.events(spark, sf), streaming = false)
+        .orderBy("p_id", "c_id").collect()
+      assert(got.length == want.length && got.sameElements(want))
+    } finally q.stop()
+  }
+
   test("d1 multimodal meta covers all docs with sane stub features") {
     val out = SparkEntry.queries("d1_multimodal_meta")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
