@@ -54,6 +54,56 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sum of squares in one traversal — what `graft_dot(a, a)` means.
+  * Produced by the GraftOptimizations optimizer rule rather than
+  * written by hand, demonstrating `Rule[LogicalPlan]` injection; the
+  * fold order matches DotProduct exactly so the rewrite is
+  * value-preserving bit-for-bit. */
+case class SelfDot(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_self_dot"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var sum = 0.0
+    var i = 0
+    while (i < x.numElements()) { val v = x.getDouble(i); sum += v * v; i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val v = ctx.freshName("v")
+      s"""
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $x.numElements(); $i++) {
+         |  double $v = $x.getDouble($i);
+         |  $sum += $v * $v;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Optimizer rule: `graft_dot(a, a)` → `graft_self_dot(a)` — one
+  * array traversal instead of two synchronized ones. Injected via
+  * SparkSessionExtensions.injectOptimizerRule; fires on every
+  * norm computation in the similarity tier. */
+object RewriteSelfDot extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case DotProduct(a, b) if a.semanticEquals(b) && a.deterministic => SelfDot(a)
+    }
+}
+
 object VectorExpressions {
   /** Column API for DotProduct. Inputs must already be array<double>
     * (VectorFns.dot casts). Uses Spark 4's public classic

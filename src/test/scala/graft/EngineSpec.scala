@@ -40,6 +40,20 @@ class EngineSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("RewriteSelfDot optimizer rule rewrites graft_dot(a,a) and preserves values") {
+    val df = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.VectorFns.dot(col("embedding"), col("embedding")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_self_dot"), s"rule did not fire:\n$optimized")
+    // value parity vs the unfused spelling (distinct attrs, rule can't fire)
+    val unfused = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("e2"), col("embedding").as("e1"))
+      .select(col("vec_id"), graft.functions.VectorFns.dot(col("e1"), col("e2")).as("d"))
+    val a = df.orderBy("vec_id").collect().map(_.getDouble(1))
+    val b = unfused.orderBy("vec_id").collect().map(_.getDouble(1))
+    assert(a.sameElements(b))
+  }
+
   test("b10 salted aggregation equals direct groupBy") {
     val direct = Tables.events(spark, sf).groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
