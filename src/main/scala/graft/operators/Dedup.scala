@@ -304,7 +304,9 @@ object Dedup {
     * so the chunk-bucket join finds all close pairs without n²
     * compares. Candidates verified with bit_count(xor). */
   def c4Simhash(docs: DataFrame): DataFrame = {
-    val sh = simhash(docs)
+    // both sides of the chunk self-join read the simhash frame;
+    // persist |docs| rows instead of running the kernel twice
+    val sh = simhash(docs).persist()
     val chunks = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("chunk", expr("(simhash >> (15 * j)) & 32767"))
