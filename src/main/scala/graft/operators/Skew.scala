@@ -27,4 +27,19 @@ object Skew {
       .groupBy(col("user_id"))
       .agg(sum(col("n")).as("n_events"), round(sum(col("v")), 4).as("sum_value"))
       .orderBy("user_id")
+
+  /** Salted JOIN for a hot fact key: the fact side gets a
+    * deterministic salt in [0, nSalts); the (small-ish but not
+    * broadcastable) build side is replicated once per salt value, and
+    * the join key becomes (key, salt) — the hot key's rows spread
+    * over nSalts reducers. Row-identical to the plain join
+    * (spec-proven). `saltSource` must be uniformly distributed and
+    * non-null (e.g. a row id). */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+      saltSource: org.apache.spark.sql.Column, nSalts: Int = 16): DataFrame = {
+    val salted = fact.withColumn("_salt", pmod(saltSource, lit(nSalts)))
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1)).cast("array<long>")))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

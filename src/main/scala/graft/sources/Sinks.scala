@@ -22,6 +22,16 @@ object Sinks {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Mart sink for ordered outputs at scale: instead of a global
+    * orderBy (one massive range shuffle + stragglers), partition by
+    * the pruning key and sort WITHIN partitions — readers get
+    * partition pruning plus locally-ordered row groups, which is what
+    * downstream range scans actually exploit. */
+  def writeSortedMart(df: DataFrame, path: String, partitionCol: String,
+      sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** CSV export/import with header; schema pinned on read (inference
     * is a full extra pass — never at scale). */
   def writeCsv(df: DataFrame, path: String): Unit =

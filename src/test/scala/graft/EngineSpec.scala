@@ -79,6 +79,39 @@ class EngineSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("salted join equals the plain join on a skewed key") {
+    // synthetic skew: map most lineitems onto one hot supplier key
+    val fact = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 10 < 7, 1L).otherwise(col("l_suppkey")).as("s_key"))
+    val dim = Tables.supplier(spark, sf)
+      .select(col("s_suppkey").as("s_key"), col("s_name"))
+    val plain = fact.join(dim, Seq("s_key"))
+      .orderBy("s_key", "l_orderkey", "l_linenumber").collect()
+    val salted = operators.Skew.saltedJoin(fact, dim, "s_key",
+        col("l_orderkey") * 10 + col("l_linenumber"))
+      .select("s_key", "l_orderkey", "l_linenumber", "s_name")
+      .orderBy("s_key", "l_orderkey", "l_linenumber").collect()
+    assert(plain.length == salted.length && plain.sameElements(salted))
+  }
+
+  test("sorted mart sink writes partition dirs with locally ordered rows") {
+    val stg = operators.Staging.stgEvents(Tables.events(spark, sf))
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val path = tmp("mart")
+    Sinks.writeSortedMart(stg, path, "event_type", Seq("ts_us"))
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("event_type=")))
+    // rows inside each output file are locally sorted by ts_us
+    val files = new java.io.File(path).listFiles().filter(_.getName.startsWith("event_type="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.take(3).foreach { f =>
+      val ts = spark.read.parquet(f.getAbsolutePath).select("ts_us")
+        .collect().map(_.getLong(0))
+      assert(ts.sameElements(ts.sorted), s"unsorted rows in $f")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = tmp("warehouse") // external-table paths; warehouse conf untouched (static)
     val o = Tables.orders(spark, sf)
