@@ -24,19 +24,12 @@ object TextFns {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** 8-hex-char md5 prefix — the canonical 32-bit shingle key. */
+  /** 8-hex-char md5 prefix — the canonical 32-bit shingle key.
+    * (The MinHash hash family and the 60-bit SimHash token hash are
+    * md5-derived the same way but live in their operators' typed
+    * kernels — see operators/Dedup.scala — with the SQL spelling in
+    * OraclesC.) */
   def h8(c: Column): Column = substring(md5(c), 1, 8)
-
-  /** Seeded hash family for MinHash: h_i(s) = md5(i ++ "|" ++ s)
-    * prefix. Minimum over lexicographic hex == minimum over the
-    * 32-bit integer value, so engines only need string min. */
-  def seededH8(seed: Column, s: Column): Column =
-    substring(md5(concat_ws("|", seed.cast("string"), s)), 1, 8)
-
-  /** First 15 md5 hex chars as a 60-bit non-negative long (SimHash
-    * token hash). 15 hex digits < 2^60 so no sign issues in either
-    * engine. */
-  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** English marker words for the langid / quality heuristics. Kept
     * tiny and hard-coded so the oracle SQL can inline the same list. */
