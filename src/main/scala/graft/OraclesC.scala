@@ -200,19 +200,25 @@ object OraclesC {
     """,
 
     "c8_langid" -> s"""
-      select doc_id, labeled_lang, n_tokens, en_hits, en_score,
-             case when en_score > 0.01 then 'en' else 'und' end as pred_lang
+      select doc_id, labeled_lang, n_tokens, en_hits, en_score, en_ngram_score,
+             case when en_score > 0.01 or en_ngram_score > 0.02 then 'en' else 'und' end as pred_lang
       from (
         select doc_id, lang as labeled_lang,
                len(w)::bigint as n_tokens,
                len(list_filter(w, t -> list_contains($markers, t)))::bigint as en_hits,
-               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score
-        from (select doc_id, lang, string_split(text, ' ') as w from documents))
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
+               round((
+                 (length(text) - length(replace(text, 'th', ''))) / 2
+               + (length(text) - length(replace(text, 'he', ''))) / 2
+               + (length(text) - length(replace(text, 'in', ''))) / 2
+               + (length(text) - length(replace(text, 'er', ''))) / 2
+               )::double / length(text), 4) as en_ngram_score
+        from (select doc_id, lang, text, string_split(text, ' ') as w from documents))
       order by doc_id
     """,
 
     "c9_quality" -> s"""
-      select doc_id, n_chars, n_tokens, distinct_ratio, stopword_ratio, chars_per_token,
+      select doc_id, n_chars, n_tokens, distinct_ratio, stopword_ratio, punct_ratio, chars_per_token,
              round(0.3 * least(n_tokens::double / 100.0, 1.0)
                  + 0.4 * distinct_ratio
                  + 0.3 * least(stopword_ratio * 5.0, 1.0), 5) as quality
@@ -221,8 +227,9 @@ object OraclesC {
                len(w)::bigint as n_tokens,
                round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
                round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as stopword_ratio,
+               round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::double / n_chars, 4) as punct_ratio,
                round(n_chars::double / len(w), 4) as chars_per_token
-        from (select doc_id, n_chars, string_split(text, ' ') as w from documents))
+        from (select doc_id, n_chars, text, string_split(text, ' ') as w from documents))
       order by doc_id
     """,
 

@@ -13,18 +13,28 @@ object TextAnalysis {
 
   private def markerArray = array(TextFns.EnMarkers.map(lit): _*)
 
-  /** c8: language ID via marker-word heuristic. The marker list per
-    * language is the model; synthetic corpus vocabulary only overlaps
-    * English markers, which the heuristic duly reports. */
+  /** c8: language ID via two stacked heuristics — marker words and
+    * character-bigram frequency (occurrences counted with the
+    * length-difference trick, which both engines compute
+    * identically; overlapping-match regexes would not be portable).
+    * The marker/bigram lists per language are the model; the
+    * synthetic corpus only overlaps the English lists, which the
+    * heuristic duly reports. */
   def c8LangId(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokens(col("text"))
     val hits = size(filter(toks, t => array_contains(markerArray, t)))
+    val bigramHits = Seq("th", "he", "in", "er").map { b =>
+      (length(col("text")) - length(regexp_replace(col("text"), b, ""))) / 2
+    }.reduce(_ + _)
     docs.select(
         col("doc_id"), col("lang").as("labeled_lang"),
         size(toks).cast("long").as("n_tokens"),
         hits.cast("long").as("en_hits"),
-        round(hits.cast("double") / size(toks), 4).as("en_score"))
-      .withColumn("pred_lang", when(col("en_score") > 0.01, lit("en")).otherwise(lit("und")))
+        round(hits.cast("double") / size(toks), 4).as("en_score"),
+        round(bigramHits.cast("double") / length(col("text")), 4).as("en_ngram_score"))
+      .withColumn("pred_lang",
+        when(col("en_score") > 0.01 || col("en_ngram_score") > 0.02, lit("en"))
+          .otherwise(lit("und")))
       .orderBy("doc_id")
   }
 
@@ -39,6 +49,8 @@ object TextAnalysis {
         round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("distinct_ratio"),
         round(size(filter(toks, t => array_contains(markerArray, t))).cast("double") / size(toks), 4)
           .as("stopword_ratio"),
+        round(size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("double")
+          / col("n_chars"), 4).as("punct_ratio"),
         round(col("n_chars").cast("double") / size(toks), 4).as("chars_per_token"))
       // round to 5, not 4: the addends are multiples of 1e-5 (weights ×
       // 1e-4-rounded ratios), so a 4-decimal round would sit exactly on
