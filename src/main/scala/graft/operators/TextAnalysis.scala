@@ -79,7 +79,10 @@ object TextAnalysis {
     * in document order, sliding-window (w=4) minima, the distinct
     * sorted minima form the fingerprint set; its md5 is the doc
     * fingerprint. Robust to small edits — the standard near-dup
-    * sketch for plagiarism-style matching. */
+    * sketch for plagiarism-style matching. (Classic winnowing uses a
+    * Rabin-Karp rolling hash purely to make per-gram hashing O(1);
+    * md5-per-gram gives identical selectivity with an engine-portable
+    * hash, which is what the oracle compare needs.) */
   def c11Fingerprint(docs: DataFrame): DataFrame = {
     val hashes = transform(TextFns.shingles3(col("text")), s => TextFns.h8(s))
     val mins = when(size(col("hs")) >= 4,
