@@ -166,7 +166,7 @@ object OraclesB {
       s as (
         select event_id, user_id, ts_us,
                sum(new_session) over (partition by user_id order by ts_us, event_id
-                 rows between unbounded preceding and current row) as session_seq
+                 rows between unbounded preceding and current row)::bigint as session_seq
         from g)
       select event_id, user_id, ts_us, session_seq from s order by event_id
     """

@@ -234,7 +234,7 @@ object SparkEntry {
     "d1_multimodal_meta" -> """
       select doc_id,
              ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
-             length(text)::bigint as n_bytes,
+             strlen(text)::bigint as n_bytes,
              md5(text) as content_md5,
              16 + ('0x'||substr(md5(text),1,4))::bigint % 2048 as fake_width,
              16 + ('0x'||substr(md5(text),5,4))::bigint % 2048 as fake_height,

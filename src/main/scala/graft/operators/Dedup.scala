@@ -78,7 +78,12 @@ object Dedup {
     val byShingle = docShingles(docs)
       .groupBy("sh8").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= 200)
-      .persist() // two consumers: pair generation + per-doc sizes; ~|distinct shingles| rows
+      // two consumers: pair generation + per-doc sizes; ~|distinct
+      // shingles| rows. localCheckpoint (not persist): blocks are
+      // freed by the ContextCleaner when the result frame is dropped,
+      // instead of accumulating in the CacheManager for the life of a
+      // shared session.
+      .localCheckpoint()
     val sizes = byShingle.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // Quadratic-in-group pair generation is imperative by nature; a
@@ -144,7 +149,7 @@ object Dedup {
   /** LSH candidate pairs with exact-Jaccard verification — shared by
     * the c3 near-dup report and the c12 cluster builder. */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val sets = shingleSets(docs).persist()
+    val sets = shingleSets(docs).localCheckpoint()
     val sig = minhashSigs(docs)
     // both sides of the candidate self-join read this; persist the
     // |docs|×8-row frame instead of running the md5+agg pipeline twice
@@ -154,7 +159,7 @@ object Dedup {
         md5(concat_ws(":", col("j"),
           element_at(col("sig"), col("j") * 2 + 1),
           element_at(col("sig"), col("j") * 2 + 2))).as("band_key"))
-      .persist()
+      .localCheckpoint()
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -182,7 +187,7 @@ object Dedup {
     val pairs = minhashCandidatePairs(docs)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-      .persist()
+      .localCheckpoint()
     // Adaptive: the verified-pair list is orders of magnitude smaller
     // than the corpus (that's what LSH is for). When it fits a single
     // task, a one-pass union-find beats ~log(diameter) join rounds;
@@ -237,9 +242,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    // `cached` always holds the EXACT Dataset that was persisted —
+    // unpersisting a projection derived from it would not match the
+    // CacheManager entry and would silently leak the blocks.
+    var cached = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .persist()
+    var labels = cached
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -262,11 +271,17 @@ object Dedup {
           least(col("mid"), coalesce(col("jlabel"), col("mid"))).as("label"))
         .persist()
       changed = updated.filter(col("label") =!= col("old")).count()
-      val prev = labels
+      cached.unpersist()
+      cached = updated
       labels = updated.select(col("doc_id"), col("label"))
-      prev.unpersist()
     }
-    labels
+    // materialize the final labels off the round cache, then release
+    // every block this loop pinned — the caller gets a self-contained
+    // frame whose blocks the ContextCleaner reclaims on GC.
+    val out = labels.localCheckpoint()
+    cached.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** Per-doc 60-bit SimHash from token-count-weighted md5 hashes.
@@ -306,7 +321,7 @@ object Dedup {
   def c4Simhash(docs: DataFrame): DataFrame = {
     // both sides of the chunk self-join read the simhash frame;
     // persist |docs| rows instead of running the kernel twice
-    val sh = simhash(docs).persist()
+    val sh = simhash(docs).localCheckpoint()
     val chunks = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("chunk", expr("(simhash >> (15 * j)) & 32767"))

@@ -159,16 +159,27 @@ object Olap {
     val oneSec = 1000000L
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
-    val left = ev.select(col("event_id").as("id_a"), col("user_id").as("user_a"),
-      col("ts_us").as("ts_a"), explode(array(
+    // The exploded side is the ts-EARLIER row of each pair: if
+    // ts_e <= ts_l and ts_l - ts_e <= 1s, the later row's bin is
+    // always in {bin(ts_e), bin(ts_e)+1}, so 2-bin probing is complete
+    // regardless of id order (a 3-bin explode would also work but adds
+    // 50% probe volume). Output pairs are then canonicalized to the
+    // oracle's id_a < id_b orientation, so dt_us keeps its sign.
+    val earlier = ev.select(col("event_id").as("id_e"), col("user_id").as("user_e"),
+      col("ts_us").as("ts_e"), explode(array(
         (col("ts_us") / oneSec).cast("long"),
         (col("ts_us") / oneSec).cast("long") + 1)).as("bin"))
-    val right = ev.select(col("event_id").as("id_b"), col("user_id").as("user_b"),
-      col("ts_us").as("ts_b"), (col("ts_us") / oneSec).cast("long").as("bin"))
-    left.join(right, Seq("bin"))
-      .filter(col("id_a") < col("id_b") && col("user_a") =!= col("user_b")
-        && abs(col("ts_a") - col("ts_b")) <= oneSec)
-      .select(col("id_a"), col("id_b"), (col("ts_b") - col("ts_a")).as("dt_us"))
+    val later = ev.select(col("event_id").as("id_l"), col("user_id").as("user_l"),
+      col("ts_us").as("ts_l"), (col("ts_us") / oneSec).cast("long").as("bin"))
+    earlier.join(later, Seq("bin"))
+      .filter(col("user_e") =!= col("user_l")
+        && (col("ts_l") - col("ts_e")).between(0L, oneSec)
+        && (col("ts_l") =!= col("ts_e") || col("id_e") < col("id_l")))
+      .select(
+        least(col("id_e"), col("id_l")).as("id_a"),
+        greatest(col("id_e"), col("id_l")).as("id_b"),
+        when(col("id_e") < col("id_l"), col("ts_l") - col("ts_e"))
+          .otherwise(col("ts_e") - col("ts_l")).as("dt_us"))
       .distinct() // a pair can match in two bins
       .orderBy("id_a", "id_b")
   }

@@ -75,7 +75,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cluster"))
-      .persist()
+      .localCheckpoint()
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cluster"))

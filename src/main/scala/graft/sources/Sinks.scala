@@ -29,7 +29,14 @@ object Sinks {
     * downstream range scans actually exploit. */
   def writeSortedMart(df: DataFrame, path: String, partitionCol: String,
       sortCols: Seq[String]): Unit =
-    df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+    // Sort by the partition column FIRST: the file writer requires its
+    // input ordered on the partition column and would insert its own
+    // sort otherwise — relying on that inserted sort being stable to
+    // preserve the sortCols order is an implementation detail, not a
+    // contract. Leading with partitionCol satisfies the writer's
+    // requirement, so no extra sort is inserted and the intra-file
+    // sortCols ordering is guaranteed by OUR sort.
+    df.sortWithinPartitions((partitionCol +: sortCols).map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
   /** CSV export/import with header; schema pinned on read (inference

@@ -32,7 +32,19 @@ for name, sql in sorted(oracles.items()):
         print(f"[FAIL] {name}: cols {gcols} vs {ecols}"); fails += 1; continue
     if len(got) != len(exp):
         print(f"[FAIL] {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
-    got, exp = got[gcols], exp[gcols]
+    # dtype-kind drift (e.g. DuckDB HUGEINT -> object/float vs Spark
+    # int64) hashes differently in the driver even when values match
+    # under a tolerant compare — fail it here so it can't slip through.
+    kinds = [(c, got[c].dtype.kind, exp[c].dtype.kind) for c in gcols
+             if got[c].dtype.kind != exp[c].dtype.kind]
+    if kinds:
+        print(f"[FAIL] {name}: dtype-kind mismatch {kinds}"); fails += 1; continue
+    # Sort rows by all columns before the row-wise compare (per-query
+    # total ORDER BY remains the determinism contract, but the compare
+    # no longer silently depends on it — a missing total order shows up
+    # as a value diff, not a confusing row-order artifact).
+    got = got[gcols].sort_values(gcols, key=lambda s: s.astype(str)).reset_index(drop=True)
+    exp = exp[gcols].sort_values(gcols, key=lambda s: s.astype(str)).reset_index(drop=True)
     bad = None
     for i in range(len(got)):
         for c in gcols:
