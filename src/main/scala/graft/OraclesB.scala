@@ -143,6 +143,35 @@ object OraclesB {
       from ev order by event_id
     """,
 
+    "b14_cube" -> """
+      select coalesce(r_name, 'ALL') as region,
+             coalesce(o_orderpriority, 'ALL') as priority,
+             grouping(r_name, o_orderpriority)::bigint as gid,
+             count(*) as n_orders,
+             round(sum(o_totalprice), 2) as total_price
+      from orders
+      join customer on o_custkey = c_custkey
+      join nation on c_nationkey = n_nationkey
+      join region on n_regionkey = r_regionkey
+      group by cube(r_name, o_orderpriority)
+      order by gid, region, priority
+    """,
+
+    "b15_setops" -> """
+      with c97 as (select distinct o_custkey from orders where year(o_orderdate) = 1997),
+      c98 as (select distinct o_custkey from orders where year(o_orderdate) = 1998),
+      both_y as (select o_custkey from c97 intersect select o_custkey from c98),
+      o97 as (select o_custkey from c97 except select o_custkey from c98),
+      o98 as (select o_custkey from c98 except select o_custkey from c97)
+      select 'both_years' as cohort, count(*) as n_custs,
+             min(o_custkey) as min_cust, max(o_custkey) as max_cust from both_y
+      union all
+      select 'only_1997', count(*), min(o_custkey), max(o_custkey) from o97
+      union all
+      select 'only_1998', count(*), min(o_custkey), max(o_custkey) from o98
+      order by cohort
+    """,
+
     "b13_range_join" -> """
       with ev as (
         select event_id, user_id, epoch_us(ts) as ts_us from events)

@@ -241,6 +241,60 @@ object OraclesC {
       from documents order by doc_id
     """,
 
+    "c15_normalize" -> """
+      select doc_id, length(text)::bigint as len_raw,
+             length(norm)::bigint as len_norm,
+             norm <> text as changed,
+             md5(norm) as norm_md5
+      from (select doc_id, text,
+              trim(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) as norm
+            from documents)
+      order by doc_id
+    """,
+
+    "c16_pii_redact" -> """
+      select doc_id,
+             len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))::bigint as n_emails,
+             len(regexp_extract_all(text, '[0-9]+'))::bigint as n_nums,
+             length(red)::bigint as len_redacted,
+             md5(red) as redacted_md5
+      from (select doc_id, text,
+              regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                '[0-9]+', '<NUM>', 'g') as red
+            from documents)
+      order by doc_id
+    """,
+
+    "c17_tfidf" -> """
+      with terms as (select doc_id, unnest(string_split(text, ' ')) as term from documents),
+      tf as (select doc_id, term, count(*) as tf from terms group by 1, 2),
+      df as (select term, count(*) as df
+             from (select distinct doc_id, term from terms) group by term),
+      n as (select count(*) as n_docs from documents),
+      scored as (
+        select doc_id, term, tf, df,
+               round(tf * ln(n_docs::double / df), 4) as tfidf
+        from tf join df using (term) cross join n),
+      ranked as (
+        select *, row_number() over (partition by doc_id order by tfidf desc, term)::bigint as rank
+        from scored)
+      select doc_id, term, tf, df, tfidf, rank from ranked
+      where rank <= 3 order by doc_id, rank
+    """,
+
+    "c18_stratified" -> """
+      select lang, count(*) as n_total,
+             count(*) filter (where kept) as n_kept,
+             min(doc_id) filter (where kept) as min_kept_id,
+             max(doc_id) filter (where kept) as max_kept_id,
+             round((count(*) filter (where kept))::double / count(*), 4) as kept_frac
+      from (select doc_id, lang,
+              ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 1000
+                < (case when lang = 'en' then 500 else 1000 end) as kept
+            from documents)
+      group by lang order by lang
+    """,
+
     "c11_fingerprint" -> """
       with h as (
         select doc_id,

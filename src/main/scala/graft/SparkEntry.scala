@@ -44,6 +44,8 @@ object SparkEntry {
     "b11_quantiles"      -> ((s, dir) => Stats.b11Quantiles(Tables.events(s, dir))),
     "b12_moving_agg"     -> ((s, dir) => Olap.b12MovingAgg(s, dir)),
     "b13_range_join"     -> ((s, dir) => Olap.b13RangeJoin(s, dir)),
+    "b14_cube"           -> ((s, dir) => Olap.b14Cube(s, dir)),
+    "b15_setops"         -> ((s, dir) => Olap.b15SetOps(s, dir)),
 
     "c1_dedup_exact"   -> ((s, dir) => Dedup.c1Exact(Tables.documents(s, dir))),
     "c2_dedup_ngram"   -> ((s, dir) => Dedup.c2NgramJaccard(Tables.documents(s, dir))),
@@ -59,8 +61,13 @@ object SparkEntry {
     "c12_dup_clusters" -> ((s, dir) => Dedup.c12DupClusters(Tables.documents(s, dir))),
     "c13_split"        -> ((s, dir) => Sampling.c13Split(Tables.documents(s, dir))),
     "c14_quantize"     -> ((s, dir) => Sampling.c14Quantize(Tables.embeddings(s, dir))),
+    "c15_normalize"    -> ((s, dir) => TextAnalysis.c15Normalize(Tables.documents(s, dir))),
+    "c16_pii_redact"   -> ((s, dir) => TextAnalysis.c16PiiRedact(Tables.documents(s, dir))),
+    "c17_tfidf"        -> ((s, dir) => TextAnalysis.c17TfIdf(Tables.documents(s, dir))),
+    "c18_stratified"   -> ((s, dir) => Sampling.c18StratifiedSample(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
+    "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),
 
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
     "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
@@ -242,6 +249,23 @@ object SparkEntry {
                   then 1 + ('0x'||substr(md5(text),9,4))::bigint % 8 else 1::bigint end as n_frames,
              'stubbed' as decode_status
       from documents order by doc_id
+    """,
+
+    "d2_media_chunks" -> """
+      with c as (
+        select doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
+               hex(encode(text)) as hx,
+               octet_length(encode(text)) as n_bytes
+        from documents),
+      x as (
+        select doc_id, media_type, hx,
+               unnest(range(0, greatest(ceil(n_bytes::double / 64)::bigint, 1))) as chunk_idx
+        from c)
+      select doc_id, media_type, chunk_idx::bigint as chunk_idx,
+             (length(substring(hx, (chunk_idx * 128 + 1)::int, 128)) / 2)::bigint as chunk_len,
+             md5(substring(hx, (chunk_idx * 128 + 1)::int, 128)) as chunk_md5
+      from x order by doc_id, chunk_idx
     """,
 
     "e1_stream_hourly" -> """

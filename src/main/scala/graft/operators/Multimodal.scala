@@ -59,4 +59,31 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes, mt) => stubDecode(id, mt, bytes) })
       .orderBy("doc_id")
   }
+
+  /** d2: binary payload chunking — fixed-size slicing of opaque media
+    * blobs with per-chunk checksums: the transport/storage framing a
+    * media pipeline needs before shipping payloads to decode workers
+    * (and the shape frame-extraction plumbing takes for video). Pure
+    * relational spelling: a sequence/explode fan-out + binary
+    * substring, all codegen'd — one narrow pass, rows ≈ bytes/64, no
+    * shuffle before the final ordered output. */
+  def d2MediaChunks(docs: DataFrame, chunkBytes: Int = 64): DataFrame = {
+    val n = length(col("media")) // byte length of the blob
+    // ≥1 chunk even for an empty blob: sequence(0, -1) would generate
+    // a DESCENDING sequence in Spark, not an empty one.
+    val nChunks = greatest(ceil(n.cast("double") / chunkBytes).cast("int"), lit(1))
+    attachBinary(docs)
+      .select(col("doc_id"), col("media_type"), col("media"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("media_type"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("media").substr(col("chunk_idx") * chunkBytes + 1, lit(chunkBytes)).as("chunk"))
+      .select(col("doc_id"), col("media_type"), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        // checksum over the hex encoding, not the raw bytes: DuckDB's
+        // md5 is VARCHAR-only, and hex is byte-exact in both engines
+        // for ANY payload — no ASCII assumption.
+        md5(hex(col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

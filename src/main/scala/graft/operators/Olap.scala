@@ -184,6 +184,52 @@ object Olap {
       .orderBy("id_a", "id_b")
   }
 
+  /** b14: full cube over (region, order priority) with grouping_id —
+    * every subtotal combination in ONE pass: Spark expands the cube
+    * grouping sets and aggregates partially map-side exactly like a
+    * plain groupBy, so the 4× grouping-set expansion never touches
+    * the scan twice. gid disambiguates data-'ALL' from subtotal-'ALL'
+    * rows. Geo dims broadcast; only orders⋈customer shuffles. */
+  def b14Cube(s: SparkSession, dir: String): DataFrame = {
+    val geo = broadcast(
+      Tables.nation(s, dir).join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey")))
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(geo, col("c_nationkey") === col("n_nationkey"))
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n_orders"), col("total_price"))
+      .orderBy("gid", "region", "priority")
+  }
+
+  /** b15: set operations — INTERSECT / EXCEPT over the customer sets
+    * active in two periods, labeled and summarized. Spark plans
+    * intersect/except as semi/anti hash joins on the full row — the
+    * same one-shuffle shape as a distinct — so each branch stays a
+    * single exchange on the set key at any scale. */
+  def b15SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    def custsIn(yr: Int) =
+      ord.filter(year(col("o_orderdate")) === yr).select(col("o_custkey")).distinct()
+    val c97 = custsIn(1997)
+    val c98 = custsIn(1998)
+    def summarize(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_custs"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"))
+        .select(lit(label).as("cohort"), col("n_custs"), col("min_cust"), col("max_cust"))
+    summarize(c97.intersect(c98), "both_years")
+      .unionByName(summarize(c97.except(c98), "only_1997"))
+      .unionByName(summarize(c98.except(c97), "only_1998"))
+      .orderBy("cohort")
+  }
+
   /** b9: sessionization — 30-minute-gap session assignment via lag +
     * running sum; the batch twin of the streaming sessionizer in
     * `streaming/`. One shuffle on user_id. */

@@ -24,6 +24,33 @@ object Sampling {
       .orderBy("lang", "split")
   }
 
+  /** c18: deterministic stratified downsampling — per-stratum keep
+    * rates (the "rebalance over-represented strata" step of corpus
+    * assembly), decided by a stable content-independent hash of the
+    * doc id so every engine, rerun, and cluster size keeps exactly
+    * the same rows. Per-mille buckets from md5(doc_id); strata with
+    * no configured rate keep everything. Narrow map + one
+    * report-sized aggregation. */
+  def c18StratifiedSample(docs: DataFrame, rates: Map[String, Double] = Map("en" -> 0.5))
+      : DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 1000).as("bucket")
+    val keepMille = coalesce(
+      rates.foldLeft(lit(null).cast("long")) { case (acc, (lang, r)) =>
+        when(col("lang") === lang, lit((r * 1000).toLong)).otherwise(acc)
+      }, lit(1000L))
+    docs.select(col("doc_id"), col("lang"), bucket)
+      .withColumn("kept", col("bucket") < keepMille)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("kept"), col("doc_id"))).as("min_kept_id"),
+        max(when(col("kept"), col("doc_id"))).as("max_kept_id"))
+      .withColumn("kept_frac", round(col("n_kept").cast("double") / col("n_total"), 4))
+      .orderBy("lang")
+  }
+
   /** c14: int8 scalar quantization of embeddings — the standard
     * memory/bandwidth reduction for ANN serving at scale. Per-vector
     * min/max scaling to [0,255]; emits the scale parameters plus an

@@ -75,6 +75,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c15: text normalization — the cleanup pass every training
+    * pipeline runs before dedup/tokenization: strip non-alphanumerics,
+    * collapse whitespace runs, trim. Emits the normalized-text md5
+    * (not the text itself — report-sized output) plus before/after
+    * lengths and a changed flag. Narrow single pass, no shuffle. */
+  def c15Normalize(docs: DataFrame): DataFrame = {
+    val stripped = regexp_replace(col("text"), "[^a-z0-9 ]", "")
+    val collapsed = trim(regexp_replace(stripped, " +", " "))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(collapsed).cast("long").as("len_norm"),
+        (collapsed =!= col("text")).as("changed"),
+        md5(collapsed).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** c16: PII redaction — regex scrub of email-shaped tokens and
+    * digit runs, with per-doc match counts and the md5 of the redacted
+    * text. Patterns are kept to character classes + quantifiers so
+    * Java-regex (Spark) and RE2 (DuckDB) semantics agree exactly.
+    * Narrow single pass, no shuffle — redaction cost scales with
+    * bytes scanned, the right unit at 100 TB. */
+  def c16PiiRedact(docs: DataFrame): DataFrame = {
+    val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+    val numRe = "[0-9]+"
+    val redacted = regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), numRe, "<NUM>")
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(numRe), lit(0))).cast("long").as("n_nums"),
+        length(redacted).cast("long").as("len_redacted"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** c17: tf-idf top terms — the per-document salient-term extraction
+    * used for corpus analytics and topic filtering. Two aggregations
+    * (term frequency per doc, document frequency per term) joined on
+    * term, idf = ln(N/df), top-3 per doc by score. Scores are rounded
+    * BEFORE ranking so rank ties break identically in both engines.
+    *
+    * Shuffle inventory: one on (doc_id, term) for tf, one on term for
+    * df, the tf⋈df join shuffles on term (df side is vocabulary-sized
+    * — at 100 TB it stays ≪ corpus and AQE broadcasts it), and the
+    * final window shuffles on doc_id. The corpus-size N is a 1-row
+    * aggregate broadcast, not a collect. */
+  def c17TfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    // tf has exactly one row per (doc, term), so df is a count over tf
+    // — no second corpus scan + explode + distinct. tf is checkpointed
+    // because it feeds both the df aggregation and the score join.
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("doc_id", "rank")
+  }
+
   /** c11: document fingerprinting by winnowing: 32-bit shingle hashes
     * in document order, sliding-window (w=4) minima, the distinct
     * sorted minima form the fingerprint set; its md5 is the doc

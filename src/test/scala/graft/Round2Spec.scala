@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-2 operators (b14–b15, c15–c18, d2) at
+  * sf0.001. Oracle value parity is covered by Verify + compare; these
+  * check structural properties the hash compare can't express. */
+class Round2Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("b14 cube: grand total equals the gid=0 detail sum and gids cover 0..3") {
+    val out = SparkEntry.queries("b14_cube")(spark, sf)
+    val gids = out.select("gid").distinct().collect().map(_.getLong(0)).toSet
+    assert(gids == Set(0L, 1L, 2L, 3L))
+    val detail = out.filter(col("gid") === 0).agg(sum("n_orders")).head.getLong(0)
+    val grand = out.filter(col("gid") === 3).head.getLong(out.columns.indexOf("n_orders"))
+    assert(detail == grand)
+  }
+
+  test("b15 set ops: cohorts partition each year's distinct customers") {
+    val out = SparkEntry.queries("b15_setops")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ord = sources.Tables.orders(spark, sf)
+    def n(yr: Int) = ord.filter(year(col("o_orderdate")) === yr)
+      .select("o_custkey").distinct().count()
+    assert(out("both_years") + out("only_1997") == n(1997))
+    assert(out("both_years") + out("only_1998") == n(1998))
+  }
+
+  test("c15 normalize: never lengthens, unchanged docs keep their md5") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = SparkEntry.queries("c15_normalize")(spark, sf)
+    assert(out.filter(col("len_norm") > col("len_raw")).count() == 0)
+    val joined = out.join(docs.select(col("doc_id"), md5(col("text")).as("raw_md5")), Seq("doc_id"))
+    assert(joined.filter(!col("changed") && col("norm_md5") =!= col("raw_md5")).count() == 0)
+    assert(joined.filter(col("changed") && col("norm_md5") === col("raw_md5")).count() == 0)
+  }
+
+  test("c16 pii redact: redaction only fires when matches exist") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = SparkEntry.queries("c16_pii_redact")(spark, sf)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("raw_md5"),
+        length(col("text")).cast("long").as("len_raw")), Seq("doc_id"))
+    assert(out.filter(col("n_emails") === 0 && col("n_nums") === 0
+      && col("redacted_md5") =!= col("raw_md5")).count() == 0)
+    assert(out.filter((col("n_emails") > 0 || col("n_nums") > 0)
+      && col("redacted_md5") === col("raw_md5")).count() == 0)
+  }
+
+  test("c17 tfidf: at most 3 ranked terms per doc, scores non-increasing in rank") {
+    val out = SparkEntry.queries("c17_tfidf")(spark, sf)
+    assert(out.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
+    assert(out.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("rank")
+    val bad = out.withColumn("prev", lag(col("tfidf"), 1).over(w))
+      .filter(col("prev").isNotNull && col("tfidf") > col("prev"))
+    assert(bad.count() == 0)
+  }
+
+  test("c18 stratified sample: en downsampled, other strata kept whole") {
+    val out = SparkEntry.queries("c18_stratified")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (lang, total, kept) =>
+      assert(kept <= total)
+      if (lang != "en") assert(kept == total, s"stratum $lang unexpectedly sampled")
+    }
+    out.find(_._1 == "en").foreach { case (_, total, kept) =>
+      assert(kept < total, "en stratum not downsampled")
+    }
+  }
+
+  test("d2 media chunks: per-doc chunk lengths reassemble the payload exactly") {
+    val out = SparkEntry.queries("d2_media_chunks")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+    val sums = out.groupBy("doc_id").agg(
+      sum("chunk_len").as("total_len"),
+      count(lit(1)).as("n_chunks"),
+      max("chunk_idx").as("max_idx"),
+      min("chunk_idx").as("min_idx"))
+    val joined = sums.join(docs, Seq("doc_id"))
+    assert(joined.filter(col("total_len") =!= col("n_bytes")).count() == 0)
+    // contiguous indices 0..n-1
+    assert(joined.filter(col("min_idx") =!= 0 || col("max_idx") =!= col("n_chunks") - 1).count() == 0)
+    // all chunks except the last are exactly 64 bytes
+    assert(out.join(sums.select("doc_id", "max_idx"), Seq("doc_id"))
+      .filter(col("chunk_idx") < col("max_idx") && col("chunk_len") =!= 64).count() == 0)
+  }
+}
