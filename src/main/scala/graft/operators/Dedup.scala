@@ -124,8 +124,8 @@ object Dedup {
     * map-side-combined shuffle (no 16× row explosion). 16-bit minima
     * only gate banding; exact Jaccard verification restores full
     * precision. */
-  private def minhashSigs(docs: DataFrame): DataFrame = {
-    val hashed = shingleRows(docs)
+  private def minhashSigs(shingled: DataFrame): DataFrame = {
+    val hashed = shingled
       .select(col("doc_id"),
         md5(concat_ws("|", lit("0"), col("s"))).as("d0"),
         md5(concat_ws("|", lit("1"), col("s"))).as("d1"))
@@ -150,7 +150,13 @@ object Dedup {
     * the c3 near-dup report and the c12 cluster builder. */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
     val sets = shingleSets(docs).localCheckpoint()
-    val sig = minhashSigs(docs)
+    // The signature input is the checkpointed sets exploded back to
+    // (doc_id, shingle) rows — identical content to shingleRows(docs)
+    // (distinct in-order shingles) without running the tokenize+shingle
+    // kernel over the corpus a second time. Docs with <3 words have an
+    // empty sh array and vanish under explode, exactly as shingleRows
+    // emits nothing for them.
+    val sig = minhashSigs(sets.select(col("doc_id"), explode(col("sh")).as("s")))
     // both sides of the candidate self-join read this; persist the
     // |docs|×8-row frame instead of running the md5+agg pipeline twice
     val bands = sig.select(col("doc_id"),

@@ -53,4 +53,13 @@ object Sinks {
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC export/import — the second columnar interchange format Spark
+    * ships natively (predicate pushdown + column pruning work the same
+    * as parquet's). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -9,8 +9,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the scan (verify with `.explain` → `ReadSchema`/`PushedFilters`).
   */
 object Tables {
+  // Memoized per (session, path): `spark.read.parquet` re-lists the
+  // directory and re-reads footers for schema on EVERY call, which is
+  // pure fixed cost when 47 queries hit the same 10 tables in one
+  // session. A DataFrame is an immutable logical plan — safe to share.
+  // Keyed by session so tests/Verify/Bench sessions don't cross-talk.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** events.ts is parquet TIMESTAMP(NANOS); with
     * spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos

@@ -72,6 +72,26 @@ class Round2Spec extends AnyFunSuite {
     }
   }
 
+  test("orc sink round-trips with schema and row count intact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+    sources.Sinks.writeOrc(docs, path)
+    val back = sources.Sinks.readOrc(spark, path)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    // filters reach the ORC scan the same way they do parquet's
+    assert(back.filter(col("lang") === "en").count() ==
+      docs.filter(col("lang") === "en").count())
+  }
+
+  test("approx_count_distinct stays within its error bound of the exact count") {
+    val ev = sources.Tables.events(spark, sf)
+    val exact = ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"), rsd = 0.05)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"approx=$approx exact=$exact drifted past 3x the configured rsd")
+  }
+
   test("d2 media chunks: per-doc chunk lengths reassemble the payload exactly") {
     val out = SparkEntry.queries("d2_media_chunks")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
