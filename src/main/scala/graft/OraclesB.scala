@@ -172,6 +172,41 @@ object OraclesB {
       order by cohort
     """,
 
+    "b16_gapfill" -> """
+      with ev as (
+        select date_trunc('hour', ts) as hour, event_type, value from events),
+      counts as (
+        select hour, event_type, count(*) as n_events,
+               round(sum(value), 4) as sum_value
+        from ev group by 1, 2),
+      bounds as (select min(hour) as h0, max(hour) as h1 from ev),
+      hours as (select unnest(generate_series(h0, h1, interval 1 hour)) as hour from bounds),
+      types as (select distinct event_type from ev)
+      select epoch_us(hours.hour) as hour_us, types.event_type as event_type,
+             coalesce(counts.n_events, 0) as n_events,
+             coalesce(counts.sum_value, 0.0) as sum_value
+      from hours cross join types
+      left join counts on counts.hour = hours.hour and counts.event_type = types.event_type
+      order by hour_us, event_type
+    """,
+
+    "b17_unpivot" -> """
+      with u as (select distinct user_id from events),
+      t as (select unnest(['click','error','purchase','signup','view']) as event_type),
+      c as (select user_id, event_type, count(*) as n from events group by 1, 2)
+      select u.user_id as user_id, t.event_type as event_type, coalesce(c.n, 0)::bigint as n
+      from u cross join t
+      left join c on c.user_id = u.user_id and c.event_type = t.event_type
+      order by u.user_id, t.event_type
+    """,
+
+    "b18_listagg" -> """
+      select user_id,
+             array_to_string(list_sort(list_distinct(list(event_type))), ',') as types_csv,
+             count(*) as n_events
+      from events group by user_id order by user_id
+    """,
+
     "b13_range_join" -> """
       with ev as (
         select event_id, user_id, epoch_us(ts) as ts_us from events)

@@ -295,6 +295,15 @@ object OraclesC {
       group by lang order by lang
     """,
 
+    "c19_ngram_stats" -> """
+      with t as (
+        select doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) as bigram
+        from (select doc_id, string_split(text, ' ') as w from documents))
+      select bigram, count(*) as n, count(distinct doc_id) as n_docs
+      from t group by bigram
+      order by n desc, bigram limit 50
+    """,
+
     "c11_fingerprint" -> """
       with h as (
         select doc_id,

@@ -46,6 +46,9 @@ object SparkEntry {
     "b13_range_join"     -> ((s, dir) => Olap.b13RangeJoin(s, dir)),
     "b14_cube"           -> ((s, dir) => Olap.b14Cube(s, dir)),
     "b15_setops"         -> ((s, dir) => Olap.b15SetOps(s, dir)),
+    "b16_gapfill"        -> ((s, dir) => Olap.b16GapFill(s, dir)),
+    "b17_unpivot"        -> ((s, dir) => Olap.b17Unpivot(s, dir)),
+    "b18_listagg"        -> ((s, dir) => Olap.b18ListAgg(s, dir)),
 
     "c1_dedup_exact"   -> ((s, dir) => Dedup.c1Exact(Tables.documents(s, dir))),
     "c2_dedup_ngram"   -> ((s, dir) => Dedup.c2NgramJaccard(Tables.documents(s, dir))),
@@ -65,6 +68,7 @@ object SparkEntry {
     "c16_pii_redact"   -> ((s, dir) => TextAnalysis.c16PiiRedact(Tables.documents(s, dir))),
     "c17_tfidf"        -> ((s, dir) => TextAnalysis.c17TfIdf(Tables.documents(s, dir))),
     "c18_stratified"   -> ((s, dir) => Sampling.c18StratifiedSample(Tables.documents(s, dir))),
+    "c19_ngram_stats"  -> ((s, dir) => TextAnalysis.c19NgramStats(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

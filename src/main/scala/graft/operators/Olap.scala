@@ -230,6 +230,55 @@ object Olap {
       .orderBy("cohort")
   }
 
+  /** b16: time-series gap filling — the dense hourly grid (every hour
+    * × every event type) left-joined with the observed hourly counts,
+    * missing cells zero-filled. The grid is GENERATED (sequence over
+    * the observed min/max hour × the distinct-type dim), never
+    * scanned: at 100 TB the fact aggregates down to |hours×types|
+    * BEFORE any join, and the grid side is bounded by calendar time —
+    * both report-sized, so the join broadcasts. */
+  def b16GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"), col("value"))
+    val counts = ev.groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+    val hours = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val types = ev.select(col("event_type")).distinct()
+    hours.crossJoin(broadcast(types))
+      .join(broadcast(counts), Seq("hour", "event_type"), "left")
+      .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("hour_us", "event_type")
+  }
+
+  /** b17: unpivot (melt) — the inverse of b7's pivot: wide per-user
+    * type counts back to long (user_id, event_type, n) rows. Spark's
+    * native unpivot is a zero-shuffle Expand over the wide frame. */
+  def b17Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = b7Pivot(s, dir)
+    wide.unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("view"), col("purchase"), col("signup"), col("error")),
+        "event_type", "n")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** b18: ordered list aggregation (listagg/string_agg) — per-user
+    * sorted distinct event types as a csv plus per-user event count.
+    * collect_list order is execution-dependent, so the list is
+    * array_sort-normalized before joining — the only portable listagg
+    * contract (same rule the oracle side follows). One shuffle on
+    * user_id, map-side combined. */
+  def b18ListAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", array_sort(array_distinct(collect_list(col("event_type"))))).as("types_csv"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
   /** b9: sessionization — 30-minute-gap session assignment via lag +
     * running sum; the batch twin of the streaming sessionizer in
     * `streaming/`. One shuffle on user_id. */

@@ -142,6 +142,29 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** c19: corpus n-gram statistics — top-k word bigrams by total
+    * occurrences with document frequency: the vocabulary/phrase
+    * analytics pass of corpus curation. The bigram kernel is a narrow
+    * typed flatMap (same rationale as the shingle kernels: higher-
+    * order-function spellings evaluate interpreted); counting is one
+    * map-side-combined shuffle on the bigram, and the top-k keeps
+    * only report-sized output. */
+  def c19NgramStats(docs: DataFrame, k: Int = 50): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(' ')
+        if (w.length < 2) Iterator.empty
+        else w.iterator.sliding(2).withPartial(false).map(p => (id, p.mkString(" ")))
+      }
+      .toDF("doc_id", "bigram")
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** c11: document fingerprinting by winnowing: 32-bit shingle hashes
     * in document order, sliding-window (w=4) minima, the distinct
     * sorted minima form the fingerprint set; its md5 is the doc

@@ -72,6 +72,47 @@ class Round2Spec extends AnyFunSuite {
     }
   }
 
+  test("b16 gap fill: dense hour×type grid, observed cells preserved") {
+    val out = SparkEntry.queries("b16_gapfill")(spark, sf)
+    val nHours = out.select("hour_us").distinct().count()
+    val nTypes = out.select("event_type").distinct().count()
+    assert(out.count() == nHours * nTypes, "grid not dense")
+    val observed = SparkEntry.queries("e1_stream_hourly")(spark, sf)
+    val mismatch = observed.join(out, Seq("hour_us", "event_type"), "left_anti")
+    assert(mismatch.count() == 0, "observed cell missing from the filled grid")
+    assert(out.agg(sum("n_events")).head.getLong(0) ==
+      sources.Tables.events(spark, sf).count())
+  }
+
+  test("b17 unpivot inverts b7 pivot exactly") {
+    val long = SparkEntry.queries("b17_unpivot")(spark, sf)
+    val wide = SparkEntry.queries("b7_pivot")(spark, sf)
+    val users = wide.count()
+    assert(long.count() == users * 5)
+    val repivoted = long.groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .sum("n")
+    assert(repivoted.orderBy("user_id").collect()
+      .sameElements(wide.orderBy("user_id").collect()))
+  }
+
+  test("b18 listagg: csv is sorted-distinct and counts cover all events") {
+    val out = SparkEntry.queries("b18_listagg")(spark, sf)
+    val bad = out.filter(not(array_sort(array_distinct(split(col("types_csv"), ",")))
+      === split(col("types_csv"), ",")))
+    assert(bad.count() == 0, "csv not sorted-distinct")
+    assert(out.agg(sum("n_events")).head.getLong(0) ==
+      sources.Tables.events(spark, sf).count())
+  }
+
+  test("c19 ngram stats: df never exceeds total count, ordered by count") {
+    val out = SparkEntry.queries("c19_ngram_stats")(spark, sf).collect()
+    assert(out.length <= 50 && out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)), "n_docs > n")
+    val ns = out.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not count-descending")
+  }
+
   test("orc sink round-trips with schema and row count intact") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang", "n_chars")
     val path = java.nio.file.Files.createTempDirectory("graft-orc-").toString
