@@ -295,6 +295,36 @@ object OraclesC {
       group by lang order by lang
     """,
 
+    "c20_contamination" -> s"""
+      with sh as ($SH8),
+      bench as (select distinct sh8 from sh where doc_id % 97 = 0),
+      scored as (
+        select sh.doc_id, count(*) as n_sh,
+               count(bench.sh8) as n_hit
+        from sh left join bench on sh.sh8 = bench.sh8
+        where sh.doc_id % 97 <> 0
+        group by sh.doc_id)
+      select doc_id, n_sh, n_hit,
+             round(n_hit::double / n_sh, 4) as contamination
+      from scored
+      order by contamination desc, doc_id limit 50
+    """,
+
+    "c21_repetition" -> """
+      with b as (
+        select doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) as bigram
+        from (select doc_id, string_split(text, ' ') as w from documents)),
+      c as (select doc_id, bigram, count(*) as cnt from b group by 1, 2),
+      t as (
+        select doc_id, bigram, cnt,
+               sum(cnt) over (partition by doc_id) as total,
+               row_number() over (partition by doc_id order by cnt desc, bigram) as rn
+        from c)
+      select doc_id, total::bigint as n_bigrams, cnt as max_rep, bigram as top_bigram,
+             round(cnt::double / total, 4) as rep_ratio
+      from t where rn = 1 order by doc_id
+    """,
+
     "c19_ngram_stats" -> """
       with t as (
         select doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) as bigram

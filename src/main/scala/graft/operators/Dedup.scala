@@ -29,7 +29,7 @@ object Dedup {
     * costs ~10× more — a narrow typed flatMap is the scale-correct
     * shape: no shuffle, pruned input columns, JVM-speed inner loop.
     * Semantics identical to array_distinct(shingles3(text)). */
-  private def shingleRows(docs: DataFrame): DataFrame = {
+  private[operators] def shingleRows(docs: DataFrame): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]

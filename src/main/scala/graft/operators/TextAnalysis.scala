@@ -165,6 +165,60 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** c20: benchmark-contamination check — the eval-set leakage scan a
+    * training pipeline runs before release: fraction of each training
+    * document's 3-gram shingles that also occur in the benchmark set
+    * (here a deterministic ~1% doc_id slice stands in for the eval
+    * corpus). Shape: per-doc distinct shingle keys ⋈ the benchmark's
+    * distinct key set — the benchmark side collapses to |its distinct
+    * shingles| rows and broadcasts; the corpus side is one pass. A
+    * left-semi-style conditional count keeps the join output at one
+    * row per (doc, matched key), never |doc|×|benchmark|. */
+  def c20Contamination(docs: DataFrame, k: Int = 50): DataFrame = {
+    // typed shingle kernel shared with the dedup tier — the HOF
+    // spelling (transform/sequence) evaluates interpreted and is ~10×
+    // slower (PLANS.md round-1 finding #2)
+    val sh = Dedup.shingleRows(docs)
+      .select(col("doc_id"), TextFns.h8(col("s")).as("sh8"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("sh8")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("sh8"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_sh"), 4).as("contamination"))
+      .orderBy(col("contamination").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** c21: repetition detection — the boilerplate/spam quality signal:
+    * per-doc max bigram multiplicity and its share of all bigrams,
+    * plus the offending bigram (lexicographic min among ties). One
+    * shuffle on (doc, bigram), then a WindowGroupLimit top-1 per doc. */
+  def c21Repetition(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val bigrams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(' ')
+        if (w.length < 2) Iterator.empty
+        else w.iterator.sliding(2).withPartial(false).map(p => (id, p.mkString(" ")))
+      }
+      .toDF("doc_id", "bigram")
+    val counts = bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bigram"))
+    counts
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("total").as("n_bigrams"),
+        col("cnt").as("max_rep"), col("bigram").as("top_bigram"),
+        round(col("cnt").cast("double") / col("total"), 4).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** c11: document fingerprinting by winnowing: 32-bit shingle hashes
     * in document order, sliding-window (w=4) minima, the distinct
     * sorted minima form the fingerprint set; its md5 is the doc

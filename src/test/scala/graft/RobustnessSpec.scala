@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operational behaviors a 100 TB deployment leans on: AQE skew-join
+  * splitting, streaming checkpoint recovery with an exactly-once file
+  * sink, schema evolution on read, and malformed-record isolation. */
+class RobustnessSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    // one pathological hot key (the situation salting/AQE exist for)
+    val left = spark.range(0, 60000).select(
+      when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val right = spark.range(0, 200).select(col("id").as("k"), col("id").as("r"))
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB") {
+      val joined = left.join(right, Seq("k"))
+      // run THIS Dataset's own query execution (count() would plan a
+      // separate query and leave joined's adaptive plan unexecuted)
+      assert(joined.collect().length == 54000 + 20)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
+    }
+  }
+
+  test("streaming ingest to a file sink survives restart exactly-once") {
+    import spark.implicits._
+    val in = tmp("ckpt-in"); val out = tmp("ckpt-out"); val ck = tmp("ckpt-state")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val half = ev.count() / 2
+    // the file-stream source lists FILES under `in` (it does not
+    // recurse into nested directory-writes), so stage each batch as a
+    // single moved part-file
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp(s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(in, s"$name.parquet"))
+    }
+    drop(ev.limit(half.toInt), "batch1")
+
+    def run(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(in)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == half)
+
+    // second batch arrives while the query is DOWN; restart from the
+    // same checkpoint must pick it up without re-emitting batch 1
+    drop(ev, "batch2")
+    run()
+    val result = spark.read.parquet(out)
+    assert(result.count() == half + ev.count(), "restart lost or duplicated rows")
+    assert(result.select("event_id").distinct().count() == ev.count())
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns, absent ones are null") {
+    val p = tmp("evolve")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.select("doc_id", "lang").write.parquet(s"$p/v1.parquet")
+    docs.select(col("doc_id"), col("lang"), col("n_chars").as("added_later"))
+      .write.parquet(s"$p/v2.parquet")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$p/v1.parquet", s"$p/v2.parquet")
+    assert(merged.columns.toSet == Set("doc_id", "lang", "added_later"))
+    assert(merged.count() == docs.count() * 2)
+    assert(merged.filter(col("added_later").isNull).count() == docs.count())
+  }
+
+  test("malformed json rows are isolated, not fatal") {
+    import org.apache.spark.sql.types._
+    val p = tmp("corrupt")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p, "data.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "v": "ok"}""",
+        """{"id": 2, "v": "also ok"}""",
+        """{"id": 3, "v": BROKEN""",
+        """{"id": 4, "v": "fine"}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (default): bad line lands in _corrupt_record
+    // querying only the corrupt column from raw files is disallowed;
+    // cache first (the documented pattern)
+    val permissive = spark.read.schema(schema).json(p).cache()
+    assert(permissive.count() == 4)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    // the corrupt row's data columns are all null; the raw line is kept
+    val corrupt = permissive.filter(col("_corrupt_record").isNotNull).head
+    assert(corrupt.isNullAt(corrupt.fieldIndex("id")) && corrupt.isNullAt(corrupt.fieldIndex("v")))
+    assert(corrupt.getString(corrupt.fieldIndex("_corrupt_record")).contains("BROKEN"))
+    // DROPMALFORMED: bad line excluded entirely
+    val dropped = spark.read.schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(p)
+    assert(dropped.count() == 3)
+    permissive.unpersist()
+  }
+}

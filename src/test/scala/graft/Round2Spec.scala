@@ -113,6 +113,19 @@ class Round2Spec extends AnyFunSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not count-descending")
   }
 
+  test("c20 contamination: fractions bounded, benchmark docs excluded") {
+    val out = SparkEntry.queries("c20_contamination")(spark, sf)
+    assert(out.filter(col("contamination") < 0 || col("contamination") > 1).count() == 0)
+    assert(out.filter(col("doc_id") % 97 === 0).count() == 0)
+    assert(out.filter(col("n_hit") > col("n_sh")).count() == 0)
+  }
+
+  test("c21 repetition: ratios bounded and top bigram count is the per-doc max") {
+    val out = SparkEntry.queries("c21_repetition")(spark, sf)
+    assert(out.filter(col("max_rep") > col("n_bigrams")).count() == 0)
+    assert(out.filter(col("rep_ratio") <= 0 || col("rep_ratio") > 1).count() == 0)
+  }
+
   test("orc sink round-trips with schema and row count intact") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang", "n_chars")
     val path = java.nio.file.Files.createTempDirectory("graft-orc-").toString
