@@ -126,6 +126,20 @@ class Round2Spec extends AnyFunSuite {
     assert(out.filter(col("rep_ratio") <= 0 || col("rep_ratio") > 1).count() == 0)
   }
 
+  test("the SQL surface serves the same plans as the DataFrame API") {
+    // the reference's users write dbt SQL; the engine must serve that
+    // surface directly — temp views + spark.sql over the same tables
+    sources.Tables.events(spark, sf).createOrReplaceTempView("events_v")
+    val viaSql = spark.sql("""
+      select user_id, count(*) as n_events, round(sum(value), 4) as sum_value
+      from events_v group by user_id order by user_id""").collect()
+    val viaApi = sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("user_id").collect()
+    assert(viaSql.sameElements(viaApi))
+  }
+
   test("orc sink round-trips with schema and row count intact") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang", "n_chars")
     val path = java.nio.file.Files.createTempDirectory("graft-orc-").toString
