@@ -27,6 +27,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // localCheckpoint blocks are reclaimed by the ContextCleaner
+        // when their frames become unreachable — which needs a GC.
+        // Nudge it so a prior run's blocks don't sit in executor
+        // memory while the next one is being timed.
+        System.gc()
         dt
       }
       name -> dts.min

@@ -125,6 +125,12 @@ object Dedup {
     * only gate banding; exact Jaccard verification restores full
     * precision. */
   private def minhashSigs(shingled: DataFrame): DataFrame = {
+    // Deliberately the DECLARATIVE 16-min-agg spelling, not the native
+    // graft_minhash TypedImperativeAggregate (plans/MinHashAgg, spec-
+    // proved equal): measured at sf0.1 the imperative aggregate is
+    // 3-4× slower — object aggregation + per-buffer serde loses to 16
+    // whole-stage-codegen'd min columns. The native aggregate stays
+    // registered as the extension-path exemplar; this is the hot path.
     val hashed = shingled
       .select(col("doc_id"),
         md5(concat_ws("|", lit("0"), col("s"))).as("d0"),

@@ -17,6 +17,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    // aggregate functions register the same way — the analyzer wraps
+    // an AggregateFunction into an AggregateExpression on resolution
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSig(children.head)))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RewriteSelfDot)
   }

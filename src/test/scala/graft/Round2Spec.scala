@@ -126,6 +126,42 @@ class Round2Spec extends AnyFunSuite {
     assert(out.filter(col("rep_ratio") <= 0 || col("rep_ratio") > 1).count() == 0)
   }
 
+  test("graft_minhash aggregate equals the 16-column min-agg spelling") {
+    // native one-pass TypedImperativeAggregate vs the declarative
+    // spelling used by the oracle-checked c3 chain
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.createOrReplaceTempView("docs_mh")
+    val viaAgg = spark.sql("""
+      with sh as (
+        select doc_id, explode(array_distinct(
+          transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+            i -> concat_ws(' ', element_at(split(text, ' '), i),
+                                element_at(split(text, ' '), i + 1),
+                                element_at(split(text, ' '), i + 2))))) as s
+        from docs_mh where size(split(text, ' ')) >= 3)
+      select doc_id, graft_minhash(s) as sig from sh group by doc_id""")
+    val declared = spark.sql("""
+      with sh as (
+        select doc_id, explode(array_distinct(
+          transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+            i -> concat_ws(' ', element_at(split(text, ' '), i),
+                                element_at(split(text, ' '), i + 1),
+                                element_at(split(text, ' '), i + 2))))) as s
+        from docs_mh where size(split(text, ' ')) >= 3),
+      h as (select doc_id, md5(concat('0|', s)) as d0, md5(concat('1|', s)) as d1 from sh)
+      select doc_id, array(
+        min(substring(d0, 1, 4)), min(substring(d0, 5, 4)), min(substring(d0, 9, 4)),
+        min(substring(d0, 13, 4)), min(substring(d0, 17, 4)), min(substring(d0, 21, 4)),
+        min(substring(d0, 25, 4)), min(substring(d0, 29, 4)),
+        min(substring(d1, 1, 4)), min(substring(d1, 5, 4)), min(substring(d1, 9, 4)),
+        min(substring(d1, 13, 4)), min(substring(d1, 17, 4)), min(substring(d1, 21, 4)),
+        min(substring(d1, 25, 4)), min(substring(d1, 29, 4))) as sig
+      from h group by doc_id""")
+    val a = viaAgg.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val b = declared.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("the SQL surface serves the same plans as the DataFrame API") {
     // the reference's users write dbt SQL; the engine must serve that
     // surface directly — temp views + spark.sql over the same tables
