@@ -103,6 +103,29 @@ object EventsStream {
         unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
   }
 
+  /** foreachBatch upsert sink — the streaming twin of the reference's
+    * load step (flows/dbt_build_and_load_turso.py: export marts to an
+    * external store with conflict-free inserts). Each micro-batch is
+    * merged into the parquet "store" keep-first on the key: existing
+    * keys win, new keys append — `insert … on conflict do nothing`
+    * semantics, idempotent under micro-batch replay (exactly the
+    * at-least-once delivery contract foreachBatch gives you).
+    *
+    * At scale the store side would be a keyed table format; the merge
+    * shape (batch ⟕ existing on the key, append only the misses) is
+    * what matters: one broadcast-able anti-join per micro-batch. */
+  def upsertSink(batch: DataFrame, storePath: String, key: String): Unit = {
+    val spark0 = batch.sparkSession
+    val incoming = batch.dropDuplicates(key)
+    val merged =
+      if (new java.io.File(storePath).exists()) {
+        val existing = spark0.read.parquet(storePath)
+        incoming.join(existing.select(key), Seq(key), "left_anti")
+      } else incoming
+    // append-mode write: existing files stay, only new keys land
+    merged.write.mode("append").parquet(storePath)
+  }
+
   /** Batch-query forms for the driver contract. */
   def e1Batch(events: DataFrame): DataFrame =
     hourlyAgg(events, streaming = false)

@@ -83,6 +83,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink is idempotent across overlapping micro-batches") {
+    val store = java.nio.file.Files.createTempDirectory("graft-upsert-").toString + "/store"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val n = ev.count()
+    // two overlapping "polls" (the reference's recently-played window
+    // always overlaps the previous poll) + a full replay
+    val poll1 = ev.filter(col("event_id") % 10 < 7)
+    val poll2 = ev.filter(col("event_id") % 10 >= 3)
+    EventsStream.upsertSink(poll1, store, "event_id")
+    EventsStream.upsertSink(poll2, store, "event_id")
+    EventsStream.upsertSink(ev, store, "event_id")      // replay everything
+    val got = spark.read.parquet(store)
+    assert(got.count() == n, "upsert store row count drifted")
+    assert(got.select("event_id").distinct().count() == n)
+    // and it runs as a real streaming sink
+    val q = EventsStream.dedup(streamingEvents(), streaming = true)
+      .select(col("keep_event_id").as("event_id"), col("event_type"), col("ts_us"))
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        EventsStream.upsertSink(b.toDF(), store + "2", "event_id"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(store + "2").count() > 0)
+  }
+
   test("d1 multimodal meta covers all docs with sane stub features") {
     val out = SparkEntry.queries("d1_multimodal_meta")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
