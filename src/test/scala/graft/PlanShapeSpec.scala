@@ -38,6 +38,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("c6_ann_topk").contains("graft_self_dot"))
   }
 
+  test("b14 cube expands AFTER the broadcast joins (scan read once)") {
+    val p = plan("b14_cube")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // Expand must sit above the joins: a plan that joins expanded rows
+    // would 4x the join input
+    assert(p.indexOf("Expand") < p.indexOf("BroadcastHashJoin"),
+      "cube expansion below the joins")
+  }
+
+  test("b16's grid join is broadcast — the fact side never re-shuffles unaggregated") {
+    val p = plan("b16_gapfill")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c17 scans the corpus exactly once (df derived from tf)") {
+    val p = plan("c17_tfidf")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"c17 scans documents $scans times:\n$p")
+  }
+
+  test("c20 broadcasts the benchmark key set against the corpus pass") {
+    val p = plan("c20_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("b17 unpivot is a zero-shuffle Expand over the wide frame") {
+    val p = plan("b17_unpivot")
+    assert(p.contains("Expand"), p)
+    // only the pivot's own aggregation and the final sort may exchange;
+    // the melt itself must not add a hash shuffle on top of the wide frame
+    val expandIdx = p.indexOf("Expand")
+    val above = p.substring(0, expandIdx)
+    assert(!above.contains("Exchange hashpartitioning"),
+      s"unpivot introduced a shuffle above the Expand:\n$p")
+  }
+
   test("staging is a single projection over the scan (no shuffle)") {
     val p = plan("a1_stg_events")
     assert(!p.contains("Exchange hashpartitioning"), s"staging shuffles:\n$p")
