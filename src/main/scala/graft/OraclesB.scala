@@ -207,6 +207,23 @@ object OraclesB {
       from events group by user_id order by user_id
     """,
 
+    "b19_window_nav" -> """
+      with ev as (
+        select event_id, user_id, event_type, epoch_us(ts) as ts_us from events)
+      select event_id, user_id, ts_us,
+             first_value(event_type) over wf as first_type,
+             last_value(event_type) over wf as last_type,
+             lead(ts_us, 1) over w - ts_us as us_to_next,
+             ntile(4) over w::bigint as quartile,
+             round(percent_rank() over w, 4) as pct_rank,
+             round(cume_dist() over w, 4) as cume
+      from ev
+      window w as (partition by user_id order by ts_us, event_id),
+             wf as (partition by user_id order by ts_us, event_id
+                    rows between unbounded preceding and unbounded following)
+      order by event_id
+    """,
+
     "b13_range_join" -> """
       with ev as (
         select event_id, user_id, epoch_us(ts) as ts_us from events)

@@ -32,7 +32,8 @@ object Dedup {
   private[operators] def shingleRows(docs: DataFrame): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val w = text.split(' ')
         if (w.length < 3) Iterator.empty
@@ -52,7 +53,8 @@ object Dedup {
   private def shingleSets(docs: DataFrame): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .map { case (id, text) =>
         val w = text.split(' ')
         val sh = if (w.length < 3) Seq.empty[String]
@@ -304,7 +306,8 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions { it =>
         // word→hash memo shared across the partition's documents:
         // vocabulary is Zipfian, so most occurrences hit the memo and

@@ -279,6 +279,28 @@ object Olap {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** b19: window navigation & distribution functions — first/last
+    * value over the full partition frame, lead-gap to the next event,
+    * quartile ntile, percent_rank and cume_dist: the remaining window
+    * family the b4/b8/b9/b12 queries don't cover. One shuffle on
+    * user_id serves every function. */
+  def b19WindowNav(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev.select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        first(col("event_type")).over(wFull).as("first_type"),
+        last(col("event_type")).over(wFull).as("last_type"),
+        (lead(col("ts_us"), 1).over(w) - col("ts_us")).as("us_to_next"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("event_id")
+  }
+
   /** b9: sessionization — 30-minute-gap session assignment via lag +
     * running sum; the batch twin of the streaming sessionizer in
     * `streaming/`. One shuffle on user_id. */

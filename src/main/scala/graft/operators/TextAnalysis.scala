@@ -152,7 +152,8 @@ object TextAnalysis {
   def c19NgramStats(docs: DataFrame, k: Int = 50): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val w = text.split(' ')
         if (w.length < 2) Iterator.empty
@@ -200,7 +201,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    val bigrams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val bigrams = graft.sources.Tables.parallelKernelInput(
+        docs.select(col("doc_id"), col("text"))).as[(Long, String)]
       .flatMap { case (id, text) =>
         val w = text.split(' ')
         if (w.length < 2) Iterator.empty

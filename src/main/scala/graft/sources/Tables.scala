@@ -21,6 +21,19 @@ object Tables {
     cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Ensure a frame has enough partitions to parallelize a per-row
+    * JVM kernel (typed flatMap/mapPartitions). A single small parquet
+    * file arrives as ONE input split, which would serialize the kernel
+    * on one core no matter how many the host has. At cluster scale
+    * scans arrive pre-split and this is a no-op — the guard only fires
+    * when the planned partition count is below the session's
+    * parallelism, so it never adds a shuffle to an already-distributed
+    * input. */
+  def parallelKernelInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS); with
     * spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos
     * long. Convert with integer `div` (a double division would lose
