@@ -117,8 +117,12 @@ object EventsStream {
   def upsertSink(batch: DataFrame, storePath: String, key: String): Unit = {
     val spark0 = batch.sparkSession
     val incoming = batch.dropDuplicates(key)
+    // existence via the Hadoop FileSystem API — storePath may be an
+    // object store or HDFS at scale, not a local file
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark0.sparkContext.hadoopConfiguration)
     val merged =
-      if (new java.io.File(storePath).exists()) {
+      if (fs.exists(path)) {
         val existing = spark0.read.parquet(storePath)
         incoming.join(existing.select(key), Seq(key), "left_anti")
       } else incoming
