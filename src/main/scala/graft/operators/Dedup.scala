@@ -35,7 +35,9 @@ object Dedup {
     graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val w = text.split(' ')
+        // limit -1 keeps trailing empty tokens — same contract as the
+        // oracle's string_split (and Spark SQL's split builtin)
+        val w = text.split(" ", -1)
         if (w.length < 3) Iterator.empty
         else w.iterator.sliding(3).withPartial(false)
           .map(_.mkString(" ")).toSeq.distinct.iterator.map((id, _))
@@ -56,7 +58,7 @@ object Dedup {
     graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val w = text.split(' ')
+        val w = text.split(" ", -1) // keep trailing empties (= string_split)
         val sh = if (w.length < 3) Seq.empty[String]
           else w.iterator.sliding(3).withPartial(false).map(_.mkString(" ")).toSeq.distinct
         (id, sh)
@@ -321,7 +323,8 @@ object Dedup {
         })
         it.map { case (id, text) =>
           val counts = scala.collection.mutable.HashMap.empty[String, Long]
-          text.split(' ').foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L))
+          // limit -1 keeps trailing empties (= the oracle's string_split)
+          text.split(" ", -1).foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L))
           val hashed = counts.iterator.map { case (w, c) => (wordHash(w), c) }.toArray
           var sim = 0L
           var i = 0

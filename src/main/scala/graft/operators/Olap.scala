@@ -108,11 +108,14 @@ object Olap {
 
   /** b7: pivot — per-user event-type counts as columns (conditional
     * aggregation; one shuffle on user_id). */
+  /** Pivot column set shared by b7 (pivot) and b17 (unpivot) — one
+    * source of truth so the melt can't silently drift from the pivot. */
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
   def b7Pivot(s: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "view", "purchase", "signup", "error")
     val p = Tables.events(s, dir).groupBy("user_id")
-      .pivot("event_type", types).agg(count(lit(1)))
-    types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .pivot("event_type", EventTypes).agg(count(lit(1)))
+    EventTypes.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
       .orderBy("user_id")
   }
 
@@ -216,8 +219,12 @@ object Olap {
     * single exchange on the set key at any scale. */
   def b15SetOps(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
+    // each year's key set feeds three cohort branches (intersect, both
+    // excepts); checkpoint so the scan+distinct runs once per year,
+    // not once per branch
     def custsIn(yr: Int) =
-      ord.filter(year(col("o_orderdate")) === yr).select(col("o_custkey")).distinct()
+      ord.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+        .distinct().localCheckpoint()
     val c97 = custsIn(1997)
     val c98 = custsIn(1998)
     def summarize(df: DataFrame, label: String) =
@@ -260,7 +267,7 @@ object Olap {
     val wide = b7Pivot(s, dir)
     wide.unpivot(
         Array(col("user_id")),
-        Array(col("click"), col("view"), col("purchase"), col("signup"), col("error")),
+        EventTypes.map(col).toArray,
         "event_type", "n")
       .orderBy("user_id", "event_type")
   }

@@ -142,6 +142,23 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** (doc_id, word-bigram) rows via the shared typed kernel — one
+    * definition so c19 and c21 can never diverge on tokenization.
+    * limit -1 keeps trailing empty tokens (= the oracle's
+    * string_split / Spark SQL's split builtin). */
+  private def bigramRows(docs: DataFrame): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < 2) Iterator.empty
+        else w.iterator.sliding(2).withPartial(false).map(p => (id, p.mkString(" ")))
+      }
+      .toDF("doc_id", "bigram")
+  }
+
   /** c19: corpus n-gram statistics — top-k word bigrams by total
     * occurrences with document frequency: the vocabulary/phrase
     * analytics pass of corpus curation. The bigram kernel is a narrow
@@ -150,16 +167,7 @@ object TextAnalysis {
     * map-side-combined shuffle on the bigram, and the top-k keeps
     * only report-sized output. */
   def c19NgramStats(docs: DataFrame, k: Int = 50): DataFrame = {
-    val spark0 = docs.sparkSession
-    import spark0.implicits._
-    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val w = text.split(' ')
-        if (w.length < 2) Iterator.empty
-        else w.iterator.sliding(2).withPartial(false).map(p => (id, p.mkString(" ")))
-      }
-      .toDF("doc_id", "bigram")
+    bigramRows(docs)
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n").desc, col("bigram"))
@@ -178,9 +186,12 @@ object TextAnalysis {
   def c20Contamination(docs: DataFrame, k: Int = 50): DataFrame = {
     // typed shingle kernel shared with the dedup tier — the HOF
     // spelling (transform/sequence) evaluates interpreted and is ~10×
-    // slower (PLANS.md round-1 finding #2)
+    // slower (PLANS.md round-1 finding #2). Checkpointed: the frame
+    // feeds BOTH the benchmark key-set branch and the corpus branch,
+    // and without it Spark runs the kernel once per subtree.
     val sh = Dedup.shingleRows(docs)
       .select(col("doc_id"), TextFns.h8(col("s")).as("sh8"))
+      .localCheckpoint()
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("sh8")).distinct()
     sh.filter(col("doc_id") % 97 =!= 0)
@@ -201,15 +212,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    val bigrams = graft.sources.Tables.parallelKernelInput(
-        docs.select(col("doc_id"), col("text"))).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val w = text.split(' ')
-        if (w.length < 2) Iterator.empty
-        else w.iterator.sliding(2).withPartial(false).map(p => (id, p.mkString(" ")))
-      }
-      .toDF("doc_id", "bigram")
-    val counts = bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+    val counts = bigramRows(docs).groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bigram"))
     counts
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy("doc_id")))

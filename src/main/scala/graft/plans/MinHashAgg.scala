@@ -32,6 +32,10 @@ case class MinHashSig(
 
   private val K = 16
 
+  // one digest per task, not per row — getInstance does provider
+  // lookup + allocation; transient so the expression stays serializable
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
@@ -39,16 +43,15 @@ case class MinHashSig(
 
   override def createAggregationBuffer(): Array[String] = Array.fill[String](K)(null)
 
-  private def hex(md: MessageDigest, s: String): String =
+  private def hex(s: String): String =
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   override def update(buf: Array[String], input: InternalRow): Array[String] = {
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String].toString
-      val md = MessageDigest.getInstance("MD5")
-      val d0 = hex(md, "0|" + s)
-      val d1 = hex(md, "1|" + s)
+      val d0 = hex("0|" + s)
+      val d1 = hex("1|" + s)
       var i = 0
       while (i < K) {
         val slice = (if (i < 8) d0 else d1).substring((i % 8) * 4, (i % 8) * 4 + 4)

@@ -11,15 +11,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   // Memoized per (session, path): `spark.read.parquet` re-lists the
   // directory and re-reads footers for schema on EVERY call, which is
-  // pure fixed cost when 47 queries hit the same 10 tables in one
+  // pure fixed cost when 50+ queries hit the same 10 tables in one
   // session. A DataFrame is an immutable logical plan — safe to share.
   // Keyed by session so tests/Verify/Bench sessions don't cross-talk.
+  // Assumes immutable inputs (true for the test tables); mutated
+  // paths need `invalidate()`.
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def invalidate(): Unit = cache.clear()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // drop entries pinning STOPPED sessions — otherwise a JVM that
+    // cycles sessions (test suites, long-lived services) accumulates
+    // unreclaimable plans + FileIndex listings forever
+    cache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) cache.remove(k)
+    }
     cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   /** Ensure a frame has enough partitions to parallelize a per-row
     * JVM kernel (typed flatMap/mapPartitions). A single small parquet

@@ -39,27 +39,34 @@ for name, sql in sorted(oracles.items()):
              if got[c].dtype.kind != exp[c].dtype.kind]
     if kinds:
         print(f"[FAIL] {name}: dtype-kind mismatch {kinds}"); fails += 1; continue
-    # Sort rows by all columns before the row-wise compare (per-query
-    # total ORDER BY remains the determinism contract, but the compare
-    # no longer silently depends on it — a missing total order shows up
-    # as a value diff, not a confusing row-order artifact).
-    got = got[gcols].sort_values(gcols, key=lambda s: s.astype(str)).reset_index(drop=True)
-    exp = exp[gcols].sort_values(gcols, key=lambda s: s.astype(str)).reset_index(drop=True)
-    bad = None
-    for i in range(len(got)):
-        for c in gcols:
-            g, e = got[c].iloc[i], exp[c].iloc[i]
-            gn = isinstance(g, float) and math.isnan(g) or g is None
-            en = isinstance(e, float) and math.isnan(e) or e is None
-            if gn and en: continue
-            if isinstance(g, float) or isinstance(e, float):
-                if gn != en or abs(float(g) - float(e)) > 1e-9:
-                    bad = (i, c, g, e); break
-            elif str(g) != str(e):
-                bad = (i, c, g, e); break
-        if bad: break
+    # Primary compare is in STORED order — the driver hashes values in
+    # row order, so a broken/missing ORDER BY must FAIL here, not be
+    # papered over by sorting. The sorted compare below is run only
+    # after a stored-order mismatch, to tell "row-order bug" apart
+    # from "value bug" in the failure message.
+    got, exp = got[gcols].reset_index(drop=True), exp[gcols].reset_index(drop=True)
+    def first_diff(g_df, e_df):
+        for i in range(len(g_df)):
+            for c in gcols:
+                g, e = g_df[c].iloc[i], e_df[c].iloc[i]
+                gn = isinstance(g, float) and math.isnan(g) or g is None
+                en = isinstance(e, float) and math.isnan(e) or e is None
+                if gn and en: continue
+                if isinstance(g, float) or isinstance(e, float):
+                    if gn != en or abs(float(g) - float(e)) > 1e-9:
+                        return (i, c, g, e)
+                elif str(g) != str(e):
+                    return (i, c, g, e)
+        return None
+    bad = first_diff(got, exp)
     if bad:
-        print(f"[FAIL] {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}"); fails += 1
+        # diagnose: same multiset of rows in a different order, or a
+        # genuine value difference? (sorted compare is diagnostic only)
+        gs = got.sort_values(gcols, key=lambda s: s.astype(str)).reset_index(drop=True)
+        es = exp.sort_values(gcols, key=lambda s: s.astype(str)).reset_index(drop=True)
+        kind = "ROW-ORDER mismatch (values match after sort — check the query's ORDER BY)" \
+            if first_diff(gs, es) is None else "value mismatch"
+        print(f"[FAIL] {name}: {kind}; row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}"); fails += 1
     else:
         print(f"[ ok ] {name}: {len(got)} rows")
 sys.exit(1 if fails else 0)
