@@ -98,11 +98,13 @@ object Dedup {
     val spark0 = docs.sparkSession
     import spark0.implicits._
     val pairs = byShingle.filter(size(col("ds")) >= 2)
-      .select(col("ds")).as[Seq[Long]]
+      // Array[Long], not Seq[Long]: the primitive-array encoder decodes
+      // the bigint list with a flat copy instead of per-element boxing
+      .select(col("ds")).as[Array[Long]]
       .flatMap { ds =>
         for {
           i <- ds.indices.iterator
-          j <- (i + 1 until ds.size).iterator
+          j <- (i + 1 until ds.length).iterator
           if ds(i) != ds(j) // 32-bit-collision guard, matches join's strict <
         } yield (ds(i), ds(j))
       }
