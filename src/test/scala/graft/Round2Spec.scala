@@ -188,6 +188,23 @@ class Round2Spec extends AnyFunSuite {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("approx_percentile tracks the exact percentile (b11's documented scale path)") {
+    val ev = sources.Tables.events(spark, sf)
+    val rows = ev.groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("exact"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx"),
+        (max(col("value")) - min(col("value"))).as("range"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, approx, range) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(approx - exact) <= math.max(range * 0.05, 1e-9),
+        s"${r.getString(0)}: approx=$approx exact=$exact range=$range")
+    }
+  }
+
   test("approx_count_distinct stays within its error bound of the exact count") {
     val ev = sources.Tables.events(spark, sf)
     val exact = ev.select(countDistinct(col("user_id"))).head.getLong(0)
