@@ -76,6 +76,7 @@ object SparkEntry {
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),
+    "d3_frame_sample"    -> ((s, dir) => Multimodal.d3FrameSample(Tables.documents(s, dir))),
 
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
     "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
@@ -274,6 +275,25 @@ object SparkEntry {
              (length(substring(hx, (chunk_idx * 128 + 1)::int, 128)) / 2)::bigint as chunk_len,
              md5(substring(hx, (chunk_idx * 128 + 1)::int, 128)) as chunk_md5
       from x order by doc_id, chunk_idx
+    """,
+
+    "d3_frame_sample" -> """
+      with c as (
+        select doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
+               hex(encode(text)) as hx,
+               octet_length(encode(text)) as n_bytes
+        from documents),
+      x as (
+        select doc_id, media_type, hx,
+               unnest(range(0, greatest(ceil(n_bytes::double / 64)::bigint, 1))) as chunk_idx
+        from c)
+      select doc_id, (chunk_idx / 2)::bigint as frame_idx, chunk_idx::bigint as chunk_idx,
+             (length(substring(hx, (chunk_idx * 128 + 1)::int, 128)) / 2)::bigint as chunk_len,
+             md5(substring(hx, (chunk_idx * 128 + 1)::int, 128)) as chunk_md5
+      from x
+      where media_type = 'video' and chunk_idx % 2 = 0
+      order by doc_id, frame_idx
     """,
 
     "e1_stream_hourly" -> """

@@ -67,6 +67,20 @@ object Multimodal {
     * relational spelling: a sequence/explode fan-out + binary
     * substring, all codegen'd — one narrow pass, rows ≈ bytes/64, no
     * shuffle before the final ordered output. */
+  /** d3: frame sampling — the every-Nth-frame selection a video
+    * pipeline runs before decode (sample-then-decode, never the
+    * reverse). Operates on the d2 chunk stream: video payloads only,
+    * every `stride`-th chunk kept as a "frame", renumbered densely so
+    * downstream batch shapes are contiguous. The stride filter is a
+    * narrow predicate on the chunk stream — the decode worker fan-out
+    * downstream sees 1/stride of the bytes. */
+  def d3FrameSample(docs: DataFrame, stride: Int = 2): DataFrame =
+    d2MediaChunks(docs)
+      .filter(col("media_type") === "video" && col("chunk_idx") % stride === 0)
+      .select(col("doc_id"), (col("chunk_idx") / stride).cast("long").as("frame_idx"),
+        col("chunk_idx"), col("chunk_len"), col("chunk_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   def d2MediaChunks(docs: DataFrame, chunkBytes: Int = 64): DataFrame = {
     val n = length(col("media")) // byte length of the blob
     // ≥1 chunk even for an empty blob: sequence(0, -1) would generate

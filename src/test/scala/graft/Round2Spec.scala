@@ -176,6 +176,23 @@ class Round2Spec extends AnyFunSuite {
     assert(viaSql.sameElements(viaApi))
   }
 
+  test("d3 frame sampling keeps every 2nd video chunk, densely renumbered") {
+    val frames = SparkEntry.queries("d3_frame_sample")(spark, sf)
+    val chunks = SparkEntry.queries("d2_media_chunks")(spark, sf)
+    assert(frames.filter(col("chunk_idx") =!= col("frame_idx") * 2).count() == 0)
+    // every sampled frame is a real chunk with the same checksum
+    val joined = frames.join(
+      chunks.filter(col("media_type") === "video")
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_md5").as("d2_md5")),
+      Seq("doc_id", "chunk_idx"))
+    assert(joined.count() == frames.count())
+    assert(joined.filter(col("chunk_md5") =!= col("d2_md5")).count() == 0)
+    // dense renumbering: per doc, frame_idx runs 0..n-1
+    val dense = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("frame_idx").as("lo"), max("frame_idx").as("hi"))
+    assert(dense.filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1).count() == 0)
+  }
+
   test("orc sink round-trips with schema and row count intact") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang", "n_chars")
     val path = java.nio.file.Files.createTempDirectory("graft-orc-").toString
