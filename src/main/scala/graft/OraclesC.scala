@@ -325,6 +325,22 @@ object OraclesC {
       from t where rn = 1 order by doc_id
     """,
 
+    "c22_seq_pack" -> """
+      with d as (
+        select doc_id, doc_id % 32 as shard,
+               len(string_split(text, ' '))::bigint as n_tok
+        from documents),
+      c as (
+        select doc_id, shard, n_tok,
+               sum(n_tok) over (partition by shard order by doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from d)
+      select shard, ((cum - n_tok) // 512)::bigint as seq_id,
+             count(*) as n_docs, sum(n_tok)::bigint as sum_tok,
+             min(doc_id) as first_doc, max(doc_id) as last_doc
+      from c group by 1, 2 order by shard, seq_id
+    """,
+
     "c19_ngram_stats" -> """
       with t as (
         select doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) as bigram

@@ -51,6 +51,32 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** c22: sequence packing — the concat-then-chunk step that turns a
+    * document stream into fixed-token-budget training sequences.
+    * Global greedy packing is inherently sequential, so the scalable
+    * contract packs WITHIN deterministic shards (doc_id mod 32): each
+    * shard runs an ordered prefix sum of token counts and a document's
+    * sequence id is its start-offset block (floor(preceding-tokens /
+    * budget)) — one window shuffle on the shard key, every shard
+    * independent, reproducible on any cluster size. Emits the per-
+    * sequence summary (doc count, token sum, id range). */
+  def c22SequencePack(docs: DataFrame, budget: Long = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "seq_id")
+  }
+
   /** c14: int8 scalar quantization of embeddings — the standard
     * memory/bandwidth reduction for ANN serving at scale. Per-vector
     * min/max scaling to [0,255]; emits the scale parameters plus an

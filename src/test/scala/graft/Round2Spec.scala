@@ -193,6 +193,20 @@ class Round2Spec extends AnyFunSuite {
     assert(dense.filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1).count() == 0)
   }
 
+  test("c22 sequence packing conserves documents and tokens") {
+    val out = SparkEntry.queries("c22_seq_pack")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(out.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    val totalTok = docs.select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(out.agg(sum("sum_tok")).head.getLong(0) == totalTok)
+    // id ranges of consecutive sequences within a shard never overlap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("seq_id")
+    val bad = out.withColumn("prev_last", lag(col("last_doc"), 1).over(w))
+      .filter(col("prev_last").isNotNull && col("first_doc") <= col("prev_last"))
+    assert(bad.count() == 0, "sequence id ranges overlap within a shard")
+  }
+
   test("orc sink round-trips with schema and row count intact") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang", "n_chars")
     val path = java.nio.file.Files.createTempDirectory("graft-orc-").toString
