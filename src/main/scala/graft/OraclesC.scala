@@ -53,6 +53,12 @@ object OraclesC {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   private val markers = "['the','a','of','to','and','is','in','it']"
 
+  // similarity-tier parameters come from the SAME Scala constants the
+  // operators default to — oracle and operator cannot drift
+  private val NQ = graft.operators.Similarity.DefaultQueryCount
+  private val NC = graft.operators.Similarity.DefaultCentroidCount
+  private val NPROBE = graft.operators.Similarity.DefaultNProbe
+
   val sql: Map[String, String] = Map(
     "c1_dedup_exact" -> """
       select md5(text) as content_hash, count(*) as n_copies, min(doc_id) as keep_doc_id
@@ -166,7 +172,7 @@ object OraclesC {
     """,
 
     "c6_ann_topk" -> s"""
-      with q as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id % 100 = 0),
+      with q as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
       scored as (
         select q.q_id, e.vec_id,
                round(${cosine("q.q_emb", "e.embedding")}, 4) as cos
@@ -180,22 +186,22 @@ object OraclesC {
     """,
 
     "c7_ann_ivf" -> s"""
-      with c as (select vec_id as c_id, embedding as c_emb from embeddings where vec_id < 16),
-      assigned as (
-        select vec_id, embedding, cluster from (
-          select e.vec_id, e.embedding, c.c_id as cluster,
-                 row_number() over (partition by e.vec_id
-                   order by round(${cosine("e.embedding", "c.c_emb")}, 4) desc, c.c_id) as rn
-          from embeddings e cross join c)
-        where rn = 1),
-      q as (select vec_id as q_id, embedding as q_emb, cluster from assigned where vec_id % 100 = 0),
+      with c as (select vec_id as c_id, embedding as c_emb from embeddings where vec_id < $NC),
+      ranked_assign as (
+        select e.vec_id, e.embedding, c.c_id,
+               row_number() over (partition by e.vec_id
+                 order by round(${cosine("e.embedding", "c.c_emb")}, 4) desc, c.c_id) as rn
+        from embeddings e cross join c),
+      assigned as (select vec_id, embedding, c_id as cluster from ranked_assign where rn = 1),
+      probes as (select vec_id as q_id, embedding as q_emb, c_id as cluster
+                 from ranked_assign where vec_id < $NQ and rn <= $NPROBE),
       ranked as (
-        select q.q_id, a.vec_id, a.cluster,
-               round(${cosine("q.q_emb", "a.embedding")}, 4) as cos,
-               row_number() over (partition by q.q_id
-                 order by round(${cosine("q.q_emb", "a.embedding")}, 4) desc, a.vec_id)::bigint as rank
-        from assigned a join q on a.cluster = q.cluster
-        where a.vec_id <> q.q_id)
+        select p.q_id, a.vec_id, a.cluster,
+               round(${cosine("p.q_emb", "a.embedding")}, 4) as cos,
+               row_number() over (partition by p.q_id
+                 order by round(${cosine("p.q_emb", "a.embedding")}, 4) desc, a.vec_id)::bigint as rank
+        from assigned a join probes p on a.cluster = p.cluster
+        where a.vec_id <> p.q_id)
       select q_id, vec_id, cluster, cos, rank from ranked where rank <= 10 order by q_id, rank
     """,
 

@@ -30,6 +30,7 @@ object SparkEntry {
     "a7_rpt_discovery"   -> ((s, dir) => Reports.a7RptDiscovery(stg(s, dir))),
     "a8_ingest_dedup"    -> ((s, dir) => Staging.a8IngestDedup(Tables.events(s, dir))),
     "a9_dq_checks"       -> ((s, dir) => Checks.a9DqChecks(stg(s, dir))),
+    "a10_date_precision" -> ((s, dir) => Staging.a10DatePrecision(Tables.events(s, dir))),
 
     "b1_pricing_summary" -> ((s, dir) => Olap.b1PricingSummary(s, dir)),
     "b2_top_revenue"     -> ((s, dir) => Olap.b2TopRevenue(s, dir)),
@@ -206,6 +207,22 @@ object SparkEntry {
       left join new_tracks on base.year_played = new_tracks.year_played and base.week_played = new_tracks.week_played
       left join new_users on base.year_played = new_users.year_played and base.week_played = new_users.week_played
       order by base.year_played, base.week_played
+    """,
+
+    "a10_date_precision" -> """
+      with d as (
+        select event_id,
+               case when event_id % 2 = 0 then 'day' else 'year' end as precision,
+               case when event_id % 2 = 0 then strftime(ts, '%Y-%m-%d')
+                    else strftime(ts, '%Y') end as date_str
+        from events),
+      p as (
+        select event_id, precision,
+               case when precision = 'day' then date_str::date
+                    when precision = 'year' then (date_str || '-01-01')::date end as release_date
+        from d)
+      select precision, release_date, count(*) as n_events, min(event_id) as first_event
+      from p group by 1, 2 order by precision, release_date
     """,
 
     "a8_ingest_dedup" -> """

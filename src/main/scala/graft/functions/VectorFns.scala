@@ -29,12 +29,14 @@ object VectorFns {
     * oracle SQL so doubles match bit-for-bit. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-pattern LSH bucket over the first `nBits` dimensions:
-    * bit d set iff a[d+1] >= 0. The fixed coordinate hyperplanes play
-    * the role of random projections — deterministic for the oracle;
-    * swapping in seeded random hyperplanes is config, not structure. */
-  def signBucket(a: Column, nBits: Int): Column =
+  /** Sign-pattern LSH bucket over `nBits` dimensions starting at
+    * `offset`: bit d set iff a[offset+d+1] >= 0. The fixed coordinate
+    * hyperplanes play the role of random projections — deterministic
+    * for the oracle; swapping in seeded random hyperplanes is config,
+    * not structure. Distinct offsets give INDEPENDENT hash tables
+    * (multi-table LSH recall). */
+  def signBucket(a: Column, nBits: Int, offset: Int = 0): Column =
     (0 until nBits).map { d =>
-      when(element_at(a, d + 1) >= 0, lit(1L << d)).otherwise(lit(0L))
+      when(element_at(a, offset + d + 1) >= 0, lit(1L << d)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

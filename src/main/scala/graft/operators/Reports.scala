@@ -28,12 +28,16 @@ object Reports {
 
   /** rpt_artist_counts analog (rpt_artist_counts.sql): recent plays ⋈
     * track dim, grouped by artist(=user): play count + minutes
-    * listened. Dim side is broadcast — it is aggregate-sized. */
+    * listened. The dim is TRACK-grain — it grows with the corpus, so
+    * no broadcast hint: a forced broadcast OOMs instead of degrading
+    * at 100×. AQE picks broadcast vs shuffle from measured size;
+    * hints stay reserved for fixed-cardinality dims (event types,
+    * nation/region). */
   def a5RptUserCounts(stg: DataFrame): DataFrame = {
     val dim = Marts.dimTrack(stg)
       .select(col("track_id"), col("user_id").as("dim_user_id"), col("max_value"))
     last30(withAnchor(stg))
-      .join(broadcast(dim), Seq("track_id"), "inner")
+      .join(dim, Seq("track_id"), "inner")
       .groupBy(col("dim_user_id").as("user_id"))
       .agg(
         count(lit(1)).as("plays"),
@@ -42,19 +46,22 @@ object Reports {
   }
 
   /** rpt_track_counts analog (rpt_track_counts.sql): per-track recent
-    * counts, then two broadcast dim joins for display attributes. */
+    * counts, then two dim joins for display attributes. The track dim
+    * is corpus-grain → no broadcast hint (AQE decides, so the join
+    * degrades to shuffle instead of OOMing at 100×); the event-type
+    * dim is fixed-cardinality → hinted. */
   def a6RptTypeCounts(stg: DataFrame): DataFrame = {
     val dim = Marts.dimTrack(stg)
       .select(col("track_id"), col("user_id"), col("event_type"), col("max_value"))
     val dtype = Marts.dimEventType(stg)
     val counts = last30(withAnchor(stg))
-      .join(broadcast(dim.select(col("track_id"), col("max_value"))), Seq("track_id"), "inner")
+      .join(dim.select(col("track_id"), col("max_value")), Seq("track_id"), "inner")
       .groupBy(col("track_id"))
       .agg(
         count(lit(1)).as("plays"),
         round(sum(col("max_value") / 60.0), 4).as("minutes_played"))
     counts
-      .join(broadcast(dim.drop("max_value")), Seq("track_id"), "left")
+      .join(dim.drop("max_value"), Seq("track_id"), "left")
       .join(broadcast(dtype.withColumnRenamed("event_type", "type_name")),
         Keys.surrogateKey(col("event_type")) === col("type_id"), "left")
       .select(col("type_name"), col("user_id"), col("plays"), col("minutes_played"))

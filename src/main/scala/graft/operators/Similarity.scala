@@ -6,47 +6,113 @@ import graft.functions.VectorFns
 
 /** Embedding similarity operators (SURVEY §2: c5–c7).
   *
-  * Scale stance: the query/centroid sides are broadcast (bounded);
-  * the corpus side streams through — no n×n shuffle anywhere except
-  * the sign-bucket join whose fan-out is bucket-bounded. Norms are
-  * computed ONCE per vector and carried as a column, so each pair
-  * costs a single dot-product fold; cosine = dot/(nrm_a*nrm_b) is
-  * bit-identical to the inline sqrt(dot(a,a)) spelling the oracle
-  * uses, because sqrt and multiply are IEEE-deterministic.
+  * Scale stance (round-3 hardening):
+  *  - The query and centroid sides are EXPLICIT bounded inputs — any
+  *    DataFrame the caller supplies; the defaults are a fixed-COUNT id
+  *    prefix, never a corpus fraction, so the broadcast side is O(1)
+  *    in corpus size at any scale.
+  *  - c5's sign-LSH hyperplane count is a parameter; `bitsForCorpus`
+  *    gives the log₂(n)-proportional setting that keeps per-bucket
+  *    occupancy (and so candidate-pair volume ≈ Σ C(bucket,2))
+  *    bounded as the corpus grows. Multiple hash tables restore the
+  *    recall that more bits cost, mirroring the banding discipline of
+  *    the MinHash tier.
+  *  - Norms are computed ONCE per vector and carried as a column, so
+  *    each pair costs a single dot-product fold; cosine =
+  *    dot/(nrm_a*nrm_b) is bit-identical to the inline
+  *    sqrt(dot(a,a)) spelling the oracle uses (IEEE determinism).
   */
 object Similarity {
 
-  /** Deterministic bounded query sample: every 100th vector. */
-  private def queriesOf(emb: DataFrame): DataFrame =
-    withNorm(emb).filter(col("vec_id") % 100 === 0)
+  /** Driver-contract defaults — the oracle SQL interpolates these same
+    * constants, so operator and oracle can never drift apart. */
+  val DefaultQueryCount = 100
+  val DefaultCentroidCount = 16
+  val DefaultNProbe = 2
+  val DefaultSignBits = 8
+
+  /** Default bounded query set: the first `n` vector ids. A fixed
+    * COUNT — not a `% k` corpus fraction — so the broadcast stays `n`
+    * rows whether the corpus is 1e3 or 1e12 vectors. */
+  def defaultQueries(emb: DataFrame, n: Int = DefaultQueryCount): DataFrame =
+    withNorm(emb).filter(col("vec_id") < n)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+
+  /** Default coarse centroids: the first `n` vectors — a deterministic
+    * stand-in for a k-means training step (training is an offline
+    * job; the serving-path structure is what's under test). Fixed
+    * count, broadcast-sized by construction. */
+  def defaultCentroids(emb: DataFrame, n: Int = DefaultCentroidCount): DataFrame =
+    withNorm(emb).filter(col("vec_id") < n)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+
+  /** Hyperplane count that keeps sign-LSH per-bucket occupancy near
+    * `targetPerBucket` as the corpus grows: ceil(log₂(n/target)),
+    * floored at the oracle default. At 1e12 vectors with a 1024
+    * target this is 30 bits — candidate pairs stay ≈ n·target/2
+    * instead of n²/2^8. */
+  def bitsForCorpus(nVectors: Long, targetPerBucket: Long = 1024L): Int = {
+    val buckets = math.max(1L, nVectors / math.max(1L, targetPerBucket))
+    val bits =
+      if (buckets <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(62, math.max(DefaultSignBits, bits))
+  }
 
   private def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", VectorFns.norm(col("embedding")))
 
+  /** Attach q_nrm if the caller's query frame doesn't carry one. */
+  private def withQueryNorm(q: DataFrame): DataFrame =
+    if (q.columns.contains("q_nrm")) q
+    else q.withColumn("q_nrm", VectorFns.norm(col("q_emb")))
+
   private def pairCos(aEmb: String, aNrm: String, bEmb: String, bNrm: String) =
     round(VectorFns.dot(col(aEmb), col(bEmb)) / (col(aNrm) * col(bNrm)), 4)
 
-  /** c5: embedding-cosine near-dup pairs via sign-pattern LSH over the
-    * first 8 dims (256 buckets) — candidates share a bucket, cosine
-    * verified on candidates only, top-50 emitted. */
-  def c5EmbedNearDup(emb: DataFrame): DataFrame = {
+  /** Candidate pairs for c5 before cosine verification — exposed so
+    * specs can assert the volume bounds the banding math promises.
+    * Table t hashes `nBits` sign bits starting at dimension t·nBits;
+    * a pair is a candidate iff it collides in ANY table. */
+  private[graft] def c5Candidates(emb: DataFrame, nBits: Int, nTables: Int): DataFrame = {
+    require(nBits * nTables <= 64, "sign tables exceed embedding dims")
     val b = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"),
-      VectorFns.signBucket(col("embedding"), 8).as("bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      posexplode(array((0 until nTables).map(t =>
+        VectorFns.signBucket(col("embedding"), nBits, t * nBits)): _*)).as(Seq("tbl", "bucket")))
+    val joined = b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        pairCos("a.embedding", "a.nrm", "b.embedding", "b.nrm").as("cos"))
-      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
-      .limit(50)
+        col("a.embedding").as("emb_a"), col("a.nrm").as("nrm_a"),
+        col("b.embedding").as("emb_b"), col("b.nrm").as("nrm_b"))
+    // a pair colliding in >1 table must emit once; with one table the
+    // join is already duplicate-free, so skip the dedup shuffle
+    if (nTables == 1) joined else joined.dropDuplicates("vec_a", "vec_b")
   }
 
-  /** c6: brute-force cosine top-k — the exact ANN baseline. Queries
-    * are broadcast against the corpus scan; ranking is per-query via
-    * window. At 100 TB the corpus side stays a single pass. */
-  def c6AnnTopK(emb: DataFrame, k: Int = 10): DataFrame = {
+  /** c5: embedding-cosine near-dup pairs via sign-pattern LSH —
+    * candidates share a bucket in one of `nTables` tables, cosine is
+    * verified on candidates only, top-50 emitted. `nBits` defaults to
+    * the oracle's 8 (256 buckets); at scale pass
+    * `bitsForCorpus(n)` (+ more tables for recall) so per-bucket
+    * candidate volume stays bounded — fixed bits on a growing corpus
+    * degenerate toward n²/2^bits. */
+  def c5EmbedNearDup(emb: DataFrame, nBits: Int = DefaultSignBits, nTables: Int = 1): DataFrame =
+    c5Candidates(emb, nBits, nTables)
+      .select(col("vec_a"), col("vec_b"),
+        pairCos("emb_a", "nrm_a", "emb_b", "nrm_b").as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+
+  /** c6: brute-force cosine top-k — the exact ANN baseline. The query
+    * side is an explicit bounded DataFrame (q_id, q_emb[, q_nrm]),
+    * broadcast against the corpus scan; ranking is per-query via
+    * window (Spark plans it as a k-bounded WindowGroupLimit). At any
+    * scale the corpus side stays a single pass. */
+  def c6AnnTopK(emb: DataFrame, queries: Option[DataFrame] = None, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = withNorm(emb).crossJoin(broadcast(queriesOf(emb)))
+    val q = withQueryNorm(queries.getOrElse(defaultQueries(emb)))
+    val scored = withNorm(emb).crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         pairCos("q_emb", "q_nrm", "embedding", "nrm").as("cos"))
@@ -56,31 +122,35 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** c7: IVF-style ANN. Coarse centroids here are the first 16
-    * vectors — a deterministic stand-in for a k-means training step
-    * (training is an offline job; the serving-path structure is what
-    * matters): broadcast centroids → one-pass cluster assignment →
-    * per-query search restricted to the query's cluster (nprobe=1).
-    * Scan cost drops from |corpus| to |cluster| per query. The
-    * assignment feeds both the corpus and query sides, so it is
-    * persisted rather than recomputed per branch. */
-  def c7AnnIvf(emb: DataFrame, k: Int = 10): DataFrame = {
+  /** c7: IVF-style ANN. Broadcast centroids → one-pass coarse
+    * assignment of the corpus (nearest centroid each) → each query
+    * probes its `nprobe` nearest clusters and searches only their
+    * members. Scan cost per query drops from |corpus| to
+    * nprobe·|cluster|; nprobe is the recall/cost dial (the spec
+    * checks recall against the c6 exact baseline is monotone in it).
+    * Queries and centroids are explicit bounded inputs — the probe
+    * frame is |queries|·nprobe rows, broadcast-sized by construction. */
+  def c7AnnIvf(emb: DataFrame, queries: Option[DataFrame] = None,
+      centroids: Option[DataFrame] = None, k: Int = 10, nprobe: Int = DefaultNProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = withNorm(emb).filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val cent = broadcast(centroids.getOrElse(defaultCentroids(emb)))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = withNorm(emb).crossJoin(broadcast(centroids))
+    val assigned = withNorm(emb).crossJoin(cent)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
         pairCos("embedding", "nrm", "c_emb", "c_nrm").as("c_cos"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cluster"))
-      .localCheckpoint()
-    val q = assigned.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cluster"))
+    val q = withQueryNorm(queries.getOrElse(defaultQueries(emb)))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(cent)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id"),
+        pairCos("q_emb", "q_nrm", "c_emb", "c_nrm").as("c_cos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("cluster"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(q), Seq("cluster"))
+    assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("cluster"),
         pairCos("q_emb", "q_nrm", "embedding", "nrm").as("cos"))

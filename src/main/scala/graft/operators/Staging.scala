@@ -51,6 +51,28 @@ object Staging {
       col("value"), col("prop_k")
     ).orderBy("event_id")
 
+  /** a10: date-precision parsing exercised end-to-end — the reference
+    * staging rule for release dates whose granularity is tagged by a
+    * precision column ('day' → as-is, 'year' → Jan 1;
+    * stg_recent_tracks.sql:21-27). The events table has no precision
+    * column, so one is DERIVED deterministically (event parity picks
+    * the precision, the date string is formatted from ts at that
+    * granularity) — the parse itself is the thing under oracle test.
+    * Narrow projection + one report-grain aggregation. */
+  def a10DatePrecision(events: DataFrame): DataFrame = {
+    val isDay = col("event_id") % 2 === 0
+    val precision = when(isDay, lit("day")).otherwise(lit("year"))
+    val dateStr = when(isDay, date_format(col("ts"), "yyyy-MM-dd"))
+      .otherwise(date_format(col("ts"), "yyyy"))
+    events
+      .select(col("event_id"), precision.as("precision"), dateStr.as("date_str"))
+      .withColumn("release_date",
+        TimeFns.parseDateWithPrecision(col("date_str"), col("precision")))
+      .groupBy("precision", "release_date")
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+      .orderBy("precision", "release_date")
+  }
+
   /** Idempotent-ingest dedup: the reference's `insert … on conflict do
     * nothing` (flows/pull_recent_tracks.py:233-247) re-expressed as a
     * keep-first window dedup over overlapping micro-batches. Two

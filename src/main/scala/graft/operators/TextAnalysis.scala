@@ -180,9 +180,14 @@ object TextAnalysis {
     * (here a deterministic ~1% doc_id slice stands in for the eval
     * corpus). Shape: per-doc distinct shingle keys ⋈ the benchmark's
     * distinct key set — the benchmark side collapses to |its distinct
-    * shingles| rows and broadcasts; the corpus side is one pass. A
-    * left-semi-style conditional count keeps the join output at one
-    * row per (doc, matched key), never |doc|×|benchmark|. */
+    * shingles| rows; the corpus side is one pass. A left-semi-style
+    * conditional count keeps the join output at one row per (doc,
+    * matched key), never |doc|×|benchmark|. No broadcast hint: the
+    * benchmark key set is corpus-PROPORTIONAL (distinct shingles of a
+    * ~1% slice), so a forced broadcast bypasses AQE's size check and
+    * OOMs at scale — AQE broadcasts it while it measures small and
+    * degrades to a shuffled join (spillable build side) when it
+    * doesn't. */
   def c20Contamination(docs: DataFrame, k: Int = 50): DataFrame = {
     // typed shingle kernel shared with the dedup tier — the HOF
     // spelling (transform/sequence) evaluates interpreted and is ~10×
@@ -195,7 +200,7 @@ object TextAnalysis {
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("sh8")).distinct()
     sh.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("sh8"), "left")
+      .join(bench.withColumn("hit", lit(1L)), Seq("sh8"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("doc_id"), col("n_sh"), col("n_hit"),

@@ -103,6 +103,32 @@ object EventsStream {
         unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
   }
 
+  /** Store layout: hash buckets over the upsert key, as partition
+    * directories — the pruning structure a keyed table format would
+    * give us. 32 buckets locally; a cluster deployment sizes this like
+    * shuffle partitions (config, not code). */
+  val StoreBuckets = 32
+
+  private def withBucket(df: DataFrame, key: String): DataFrame =
+    df.withColumn("__kb", pmod(xxhash64(col(key)), lit(StoreBuckets)).cast("int"))
+
+  /** True iff the store has COMMITTED data (a `__kb=` partition dir),
+    * not just a path: a first micro-batch that dies after mkdir leaves
+    * `_temporary` behind, and a bare exists() check would then feed
+    * an unreadable store to every later batch. */
+  private def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.startsWith("__kb="))
+
+  /** Pruned store scan: schema pinned (no inference pass over the
+    * store) and filtered to the micro-batch's key buckets — the filter
+    * is on the partition column, so the scan lists/reads ONLY those
+    * directories. Exposed for the spec that asserts the pruning. */
+  private[graft] def storeScan(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      schema: org.apache.spark.sql.types.StructType, buckets: Seq[Int]): DataFrame =
+    spark.read.schema(schema).parquet(storePath)
+      .filter(col("__kb").isin(buckets.map(Int.box): _*))
+
   /** foreachBatch upsert sink — the streaming twin of the reference's
     * load step (flows/dbt_build_and_load_turso.py: export marts to an
     * external store with conflict-free inserts). Each micro-batch is
@@ -111,23 +137,25 @@ object EventsStream {
     * semantics, idempotent under micro-batch replay (exactly the
     * at-least-once delivery contract foreachBatch gives you).
     *
-    * At scale the store side would be a keyed table format; the merge
-    * shape (batch ⟕ existing on the key, append only the misses) is
-    * what matters: one broadcast-able anti-join per micro-batch. */
+    * Scale shape: the store is partitioned by key hash-bucket, and the
+    * anti-join reads ONLY the buckets the micro-batch touches (a small
+    * batch touches few) — never a full-store rescan. The touched-
+    * bucket collect is bounded by StoreBuckets, not data size. */
   def upsertSink(batch: DataFrame, storePath: String, key: String): Unit = {
     val spark0 = batch.sparkSession
-    val incoming = batch.dropDuplicates(key)
-    // existence via the Hadoop FileSystem API — storePath may be an
-    // object store or HDFS at scale, not a local file
+    val incoming = withBucket(batch.dropDuplicates(key), key)
+    // store existence via the Hadoop FileSystem API — storePath may be
+    // an object store or HDFS at scale, not a local file
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark0.sparkContext.hadoopConfiguration)
     val merged =
-      if (fs.exists(path)) {
-        val existing = spark0.read.parquet(storePath)
+      if (hasCommittedData(fs, path)) {
+        val touched = incoming.select("__kb").distinct().collect().map(_.getInt(0)).toSeq
+        val existing = storeScan(spark0, storePath, incoming.schema, touched)
         incoming.join(existing.select(key), Seq(key), "left_anti")
       } else incoming
-    // append-mode write: existing files stay, only new keys land
-    merged.write.mode("append").parquet(storePath)
+    // append-mode write: existing bucket files stay, only new keys land
+    merged.write.mode("append").partitionBy("__kb").parquet(storePath)
   }
 
   /** Batch-query forms for the driver contract. */

@@ -13,6 +13,23 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Final adaptive plan — AQE join-strategy decisions (broadcast vs
+    * shuffle from MEASURED sizes) only exist after execution. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("b1 pushes the shipdate filter and prunes columns at the scan") {
     val p = plan("b1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -60,9 +77,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans <= 1, s"c17 scans documents $scans times:\n$p")
   }
 
-  test("c20 broadcasts the benchmark key set against the corpus pass") {
-    val p = plan("c20_contamination")
+  test("c20's benchmark join is AQE-broadcast while small (no forced hint)") {
+    // the benchmark key set is corpus-proportional, so the operator
+    // carries NO broadcast hint; at test scale AQE must still measure
+    // it small and pick the broadcast join at runtime
+    val p = finalPlan("c20_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("report dim joins degrade to shuffle when broadcast is off (no forced hint)") {
+    // the track dim is corpus-grain: with the broadcast thresholds
+    // disabled, the planner must fall back to a shuffled join — a
+    // forced broadcast() hint would ignore the threshold and OOM at
+    // scale instead
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      for (name <- Seq("a5_rpt_user_counts", "c20_contamination")) {
+        val p = finalPlan(name)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$name still broadcasts with thresholds disabled (forced hint?):\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      }
+    }
+    // and with defaults restored the same joins broadcast again
+    assert(finalPlan("a5_rpt_user_counts").contains("BroadcastHashJoin"))
   }
 
   test("b17 unpivot is a zero-shuffle Expand over the wide frame") {

@@ -81,6 +81,42 @@ class RobustnessSpec extends AnyFunSuite {
     assert(result.select("event_id").distinct().count() == ev.count())
   }
 
+  test("upsertSink recovers from a store dir with no committed files") {
+    import graft.streaming.EventsStream
+    // simulate a first micro-batch that died after mkdir: the path
+    // exists but holds only an uncommitted _temporary dir — a bare
+    // exists() gate would try to read it and fail on every retry
+    val store = tmp("upsert-recover") + "/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store, "_temporary"))
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    EventsStream.upsertSink(ev, store, "event_id")
+    assert(spark.read.parquet(store).count() == ev.count())
+    // and the retry after recovery stays idempotent
+    EventsStream.upsertSink(ev, store, "event_id")
+    assert(spark.read.parquet(store).count() == ev.count())
+  }
+
+  test("upsert store reads are partition-pruned to the batch's key buckets") {
+    import graft.streaming.EventsStream
+    val store = tmp("upsert-prune") + "/store"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    EventsStream.upsertSink(ev, store, "event_id")
+    val full = spark.read.parquet(store)
+    val schema = full.schema
+    val bucketsOnDisk = full.select("__kb").distinct().collect().map(_.getInt(0)).sorted
+    assert(bucketsOnDisk.length > 1, "store did not fan out over key buckets")
+    val probe = Seq(bucketsOnDisk.head)
+    val scan = EventsStream.storeScan(spark, store, schema, probe)
+    // the bucket filter must reach the scan as a PARTITION filter —
+    // that is what keeps a small micro-batch from rescanning the store
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__kb"),
+      s"bucket filter did not become a partition filter:\n$plan")
+    assert(scan.count() == full.filter(col("__kb") === probe.head).count())
+  }
+
   test("parquet schema evolution: mergeSchema unions columns, absent ones are null") {
     val p = tmp("evolve")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
