@@ -53,11 +53,19 @@ object OraclesC {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   private val markers = "['the','a','of','to','and','is','in','it']"
 
-  // similarity-tier parameters come from the SAME Scala constants the
+  // operator parameters come from the SAME Scala constants the
   // operators default to — oracle and operator cannot drift
   private val NQ = graft.operators.Similarity.DefaultQueryCount
   private val NC = graft.operators.Similarity.DefaultCentroidCount
   private val NPROBE = graft.operators.Similarity.DefaultNProbe
+  private val TRAIN = graft.operators.Sampling.SplitTrainPct
+  private val VAL = graft.operators.Sampling.SplitValPct
+  private val BUDGET = graft.operators.Sampling.DefaultTokenBudget
+  private val SHARDS = graft.operators.Sampling.PackShards
+  /** c18's keep-rate CASE, derived from the operator's rate map. */
+  private val KEEP_MILLE = graft.operators.Sampling.DefaultRates
+    .map { case (lang, r) => s"when lang = '$lang' then ${(r * 1000).toLong}" }
+    .mkString("case ", " ", " else 1000 end")
 
   val sql: Map[String, String] = Map(
     "c1_dedup_exact" -> """
@@ -106,11 +114,11 @@ object OraclesC {
       order by lab.doc_id
     """,
 
-    "c13_split" -> """
+    "c13_split" -> s"""
       select lang, split, count(*) as n_docs
       from (
         select doc_id, lang,
-               case when bucket < 90 then 'train' when bucket < 95 then 'val' else 'test' end as split
+               case when bucket < $TRAIN then 'train' when bucket < $VAL then 'val' else 'test' end as split
         from (select doc_id, lang,
                 ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 as bucket
               from documents))
@@ -288,7 +296,7 @@ object OraclesC {
       where rank <= 3 order by doc_id, rank
     """,
 
-    "c18_stratified" -> """
+    "c18_stratified" -> s"""
       select lang, count(*) as n_total,
              count(*) filter (where kept) as n_kept,
              min(doc_id) filter (where kept) as min_kept_id,
@@ -296,7 +304,7 @@ object OraclesC {
              round((count(*) filter (where kept))::double / count(*), 4) as kept_frac
       from (select doc_id, lang,
               ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 1000
-                < (case when lang = 'en' then 500 else 1000 end) as kept
+                < ($KEEP_MILLE) as kept
             from documents)
       group by lang order by lang
     """,
@@ -331,9 +339,9 @@ object OraclesC {
       from t where rn = 1 order by doc_id
     """,
 
-    "c22_seq_pack" -> """
+    "c22_seq_pack" -> s"""
       with d as (
-        select doc_id, doc_id % 32 as shard,
+        select doc_id, doc_id % $SHARDS as shard,
                len(string_split(text, ' '))::bigint as n_tok
         from documents),
       c as (
@@ -341,7 +349,7 @@ object OraclesC {
                sum(n_tok) over (partition by shard order by doc_id
                  rows between unbounded preceding and current row)::bigint as cum
         from d)
-      select shard, ((cum - n_tok) // 512)::bigint as seq_id,
+      select shard, ((cum - n_tok) // $BUDGET)::bigint as seq_id,
              count(*) as n_docs, sum(n_tok)::bigint as sum_tok,
              min(doc_id) as first_doc, max(doc_id) as last_doc
       from c group by 1, 2 order by shard, seq_id

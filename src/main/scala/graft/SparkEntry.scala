@@ -100,6 +100,10 @@ object SparkEntry {
     from events
   """
 
+  // multimodal tunables shared with the oracle SQL below
+  private val CHUNK = operators.Multimodal.DefaultChunkBytes
+  private val STRIDE = operators.Multimodal.DefaultStride
+
   /** DuckDB spelling of Marts.dimTrack (internal columns). */
   private val DIM_TRACK = """
     select track_id, user_id, event_type,
@@ -278,7 +282,10 @@ object SparkEntry {
       from documents order by doc_id
     """,
 
-    "d2_media_chunks" -> """
+    // chunk/stride literals interpolated from the operator's own
+    // constants (Multimodal.DefaultChunkBytes/DefaultStride) — the
+    // hex-domain offsets are 2× the byte values
+    "d2_media_chunks" -> s"""
       with c as (
         select doc_id,
                ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
@@ -287,15 +294,15 @@ object SparkEntry {
         from documents),
       x as (
         select doc_id, media_type, hx,
-               unnest(range(0, greatest(ceil(n_bytes::double / 64)::bigint, 1))) as chunk_idx
+               unnest(range(0, greatest(ceil(n_bytes::double / $CHUNK)::bigint, 1))) as chunk_idx
         from c)
       select doc_id, media_type, chunk_idx::bigint as chunk_idx,
-             (length(substring(hx, (chunk_idx * 128 + 1)::int, 128)) / 2)::bigint as chunk_len,
-             md5(substring(hx, (chunk_idx * 128 + 1)::int, 128)) as chunk_md5
+             (length(substring(hx, (chunk_idx * ${2 * CHUNK} + 1)::int, ${2 * CHUNK})) / 2)::bigint as chunk_len,
+             md5(substring(hx, (chunk_idx * ${2 * CHUNK} + 1)::int, ${2 * CHUNK})) as chunk_md5
       from x order by doc_id, chunk_idx
     """,
 
-    "d3_frame_sample" -> """
+    "d3_frame_sample" -> s"""
       with c as (
         select doc_id,
                ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
@@ -304,13 +311,13 @@ object SparkEntry {
         from documents),
       x as (
         select doc_id, media_type, hx,
-               unnest(range(0, greatest(ceil(n_bytes::double / 64)::bigint, 1))) as chunk_idx
+               unnest(range(0, greatest(ceil(n_bytes::double / $CHUNK)::bigint, 1))) as chunk_idx
         from c)
-      select doc_id, (chunk_idx / 2)::bigint as frame_idx, chunk_idx::bigint as chunk_idx,
-             (length(substring(hx, (chunk_idx * 128 + 1)::int, 128)) / 2)::bigint as chunk_len,
-             md5(substring(hx, (chunk_idx * 128 + 1)::int, 128)) as chunk_md5
+      select doc_id, (chunk_idx / $STRIDE)::bigint as frame_idx, chunk_idx::bigint as chunk_idx,
+             (length(substring(hx, (chunk_idx * ${2 * CHUNK} + 1)::int, ${2 * CHUNK})) / 2)::bigint as chunk_len,
+             md5(substring(hx, (chunk_idx * ${2 * CHUNK} + 1)::int, ${2 * CHUNK})) as chunk_md5
       from x
-      where media_type = 'video' and chunk_idx % 2 = 0
+      where media_type = 'video' and chunk_idx % $STRIDE = 0
       order by doc_id, frame_idx
     """,
 

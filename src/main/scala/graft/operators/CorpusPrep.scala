@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo of materialized corpus-prep frames (shingle
+  * sets, bigram rows). The dedup/text tiers all start from the same
+  * expensive per-row kernels over the corpus; inside a multi-query
+  * session (Verify, Bench, a notebook) this makes that ONE pass per
+  * corpus instead of one per query — c2/c3/c12/c20 share the shingle
+  * kernel, c19/c21 the bigram kernel.
+  *
+  * Keys are (session, kind, semantic hash of the input plan), so two
+  * corpora or two sessions never collide. Entries hold
+  * localCheckpoint'd frames: blocks are materialized once
+  * (MEMORY_AND_DISK — large corpora spill, not OOM) and reclaimed by
+  * the ContextCleaner when entries are dropped. Stopped-session
+  * entries are pruned on the miss path only — a cache hit costs one
+  * map lookup, no O(entries) scan. */
+private[graft] object CorpusPrep {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  def memo(kind: String, input: DataFrame)(build: => DataFrame): DataFrame = {
+    val key = (input.sparkSession, kind, input.queryExecution.analyzed.semanticHash())
+    cache.get(key) match {
+      case Some(df) => df
+      case None =>
+        cache.keys.foreach { k =>
+          if (k._1.sparkContext.isStopped) cache.remove(k)
+        }
+        cache.getOrElseUpdate(key, build)
+    }
+  }
+
+  /** Drop all entries — call after mutating a corpus path in place. */
+  def invalidate(): Unit = cache.clear()
+}

@@ -22,49 +22,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
       .orderBy("content_hash")
 
-  /** Distinct (doc_id, shingle-string) rows via a typed flatMap.
-    * Tokenize+shingle is a per-row kernel; the declarative
-    * `transform(sequence(...))` spelling evaluates interpreted
-    * (higher-order functions sit outside whole-stage codegen) and
-    * costs ~10× more — a narrow typed flatMap is the scale-correct
-    * shape: no shuffle, pruned input columns, JVM-speed inner loop.
-    * Semantics identical to array_distinct(shingles3(text)). */
-  private[operators] def shingleRows(docs: DataFrame): DataFrame = {
-    val spark0 = docs.sparkSession
-    import spark0.implicits._
-    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        // limit -1 keeps trailing empty tokens — same contract as the
-        // oracle's string_split (and Spark SQL's split builtin)
-        val w = text.split(" ", -1)
-        if (w.length < 3) Iterator.empty
-        else w.iterator.sliding(3).withPartial(false)
-          .map(_.mkString(" ")).toSeq.distinct.iterator.map((id, _))
-      }
-      .toDF("doc_id", "s")
-  }
-
-  /** Distinct 32-bit shingle keys per doc (md5 via the codegen'd SQL
-    * expression — only the shingle construction is typed). */
-  private def docShingles(docs: DataFrame): DataFrame =
-    shingleRows(docs).select(col("doc_id"), TextFns.h8(col("s")).as("sh8"))
-
-  /** Per-doc distinct shingle array (order = first occurrence), for
-    * exact-Jaccard verification. */
+  /** Per-doc distinct shingle array (order = first occurrence), via a
+    * typed map kernel. Tokenize+shingle is a per-row kernel; the
+    * declarative `transform(sequence(...))` spelling evaluates
+    * interpreted (higher-order functions sit outside whole-stage
+    * codegen) and costs ~10× more — a narrow typed map is the
+    * scale-correct shape: no shuffle, pruned input columns, JVM-speed
+    * inner loop. Semantics identical to
+    * array_distinct(shingles3(text)); `split(" ", -1)` keeps trailing
+    * empty tokens (= the oracle's string_split). */
   private def shingleSets(docs: DataFrame): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
     graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val w = text.split(" ", -1) // keep trailing empties (= string_split)
+        val w = text.split(" ", -1)
         val sh = if (w.length < 3) Seq.empty[String]
           else w.iterator.sliding(3).withPartial(false).map(_.mkString(" ")).toSeq.distinct
         (id, sh)
       }
       .toDF("doc_id", "sh")
   }
+
+  /** The SHARED corpus-prep frame: one materialized shingle-kernel
+    * pass per (session, corpus) — c2, c3, c12, and c20 all derive
+    * from this instead of re-tokenizing the corpus per query. */
+  private[operators] def sharedShingleSets(docs: DataFrame): DataFrame =
+    CorpusPrep.memo("shingle_sets", docs)(shingleSets(docs).localCheckpoint())
+
+  /** Distinct 32-bit shingle keys per doc, exploded off the shared
+    * sets (md5 via the codegen'd SQL expression — only the shingle
+    * construction is typed). Docs with <3 words have an empty array
+    * and vanish under explode. Shared with c20. */
+  private[operators] def docShingles8(docs: DataFrame): DataFrame =
+    sharedShingleSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), TextFns.h8(col("s")).as("sh8"))
 
   /** c2: n-gram Jaccard similarity join via inverted index on shingle
     * keys. Document-frequency cap (df ≤ 200) is the prefix-filter
@@ -79,7 +73,7 @@ object Dedup {
     * spelling rebuilt the df filter three times and broadcast-built
     * the whole shingle frame. */
   def c2NgramJaccard(docs: DataFrame): DataFrame = {
-    val byShingle = docShingles(docs)
+    val byShingle = docShingles8(docs)
       .groupBy("sh8").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= 200)
       // two consumers: pair generation + per-doc sizes; ~|distinct
@@ -161,13 +155,11 @@ object Dedup {
   /** LSH candidate pairs with exact-Jaccard verification — shared by
     * the c3 near-dup report and the c12 cluster builder. */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val sets = shingleSets(docs).localCheckpoint()
-    // The signature input is the checkpointed sets exploded back to
-    // (doc_id, shingle) rows — identical content to shingleRows(docs)
-    // (distinct in-order shingles) without running the tokenize+shingle
-    // kernel over the corpus a second time. Docs with <3 words have an
-    // empty sh array and vanish under explode, exactly as shingleRows
-    // emits nothing for them.
+    val sets = sharedShingleSets(docs)
+    // The signature input is the materialized sets exploded back to
+    // (doc_id, shingle) rows — the tokenize+shingle kernel never runs
+    // a second time (and, via CorpusPrep, not even a second time
+    // ACROSS queries in the same session).
     val sig = minhashSigs(sets.select(col("doc_id"), explode(col("sh")).as("s")))
     // both sides of the candidate self-join read this; persist the
     // |docs|×8-row frame instead of running the md5+agg pipeline twice
@@ -202,9 +194,21 @@ object Dedup {
     * shallow). Each round is one shuffle join; at web scale the same
     * loop runs with the large-star/small-star optimization. */
   def c12DupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    // Pair count observed DURING the eager checkpoint's own
+    // materialization job (accumulator in a typed pass-through) — no
+    // separate count() job serializing in front of the labeling.
+    // Task retries can overcount an accumulator; it only steers the
+    // branch choice below, where an overcount errs toward the
+    // distributed path — safe.
+    val acc = spark0.sparkContext.longAccumulator("c12_pair_count")
     val pairs = minhashCandidatePairs(docs)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)]
+      .map { p => acc.add(1L); p }
+      .toDF("doc_a", "doc_b")
       .localCheckpoint()
     // Adaptive: the verified-pair list is orders of magnitude smaller
     // than the corpus (that's what LSH is for). When it fits a single
@@ -213,7 +217,7 @@ object Dedup {
     // pathological edge volumes. Both label components by their min
     // doc_id, so results are identical.
     val labels =
-      if (pairs.count() < 1000000L) unionFindLabels(pairs)
+      if (acc.value < 1000000L) unionFindLabels(pairs)
       else propagateLabels(pairs)
     val sizes = labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster"))

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Driver-contract defaults, interpolated into the oracle SQL
+    * (SparkEntry) so operator and oracle can't drift. */
+  val DefaultChunkBytes = 64
+  val DefaultStride = 2
+
   /** Typed row after metadata extraction. */
   case class MediaMeta(
       doc_id: Long, media_type: String, n_bytes: Long, content_md5: String,
@@ -74,14 +79,14 @@ object Multimodal {
     * downstream batch shapes are contiguous. The stride filter is a
     * narrow predicate on the chunk stream — the decode worker fan-out
     * downstream sees 1/stride of the bytes. */
-  def d3FrameSample(docs: DataFrame, stride: Int = 2): DataFrame =
+  def d3FrameSample(docs: DataFrame, stride: Int = DefaultStride): DataFrame =
     d2MediaChunks(docs)
       .filter(col("media_type") === "video" && col("chunk_idx") % stride === 0)
       .select(col("doc_id"), (col("chunk_idx") / stride).cast("long").as("frame_idx"),
         col("chunk_idx"), col("chunk_len"), col("chunk_md5"))
       .orderBy("doc_id", "frame_idx")
 
-  def d2MediaChunks(docs: DataFrame, chunkBytes: Int = 64): DataFrame = {
+  def d2MediaChunks(docs: DataFrame, chunkBytes: Int = DefaultChunkBytes): DataFrame = {
     val n = length(col("media")) // byte length of the blob
     // ≥1 chunk even for an empty blob: sequence(0, -1) would generate
     // a DESCENDING sequence in Spark, not an empty one.

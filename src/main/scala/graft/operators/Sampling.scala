@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
   * c13/c14). */
 object Sampling {
 
+  /** Driver-contract defaults — the oracle SQL interpolates these
+    * same constants (OraclesC), so calling with non-default args can
+    * never silently break parity: the oracle is DERIVED from them. */
+  val SplitTrainPct = 90
+  val SplitValPct = 95
+  val DefaultRates: Map[String, Double] = Map("en" -> 0.5)
+  val DefaultTokenBudget = 512L
+  val PackShards = 32
+
   /** c13: deterministic hash-based train/val/test split. The split
     * key is a content-independent stable hash of the document id
     * (md5 → 28-bit int → percent bucket), so reruns, engines, and
@@ -18,7 +27,8 @@ object Sampling {
       .cast("long") % 100).as("bucket")
     docs.select(col("doc_id"), col("lang"), bucket)
       .withColumn("split",
-        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+        when(col("bucket") < SplitTrainPct, "train")
+          .when(col("bucket") < SplitValPct, "val").otherwise("test"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "split")
@@ -31,7 +41,7 @@ object Sampling {
     * the same rows. Per-mille buckets from md5(doc_id); strata with
     * no configured rate keep everything. Narrow map + one
     * report-sized aggregation. */
-  def c18StratifiedSample(docs: DataFrame, rates: Map[String, Double] = Map("en" -> 0.5))
+  def c18StratifiedSample(docs: DataFrame, rates: Map[String, Double] = DefaultRates)
       : DataFrame = {
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
       .cast("long") % 1000).as("bucket")
@@ -60,11 +70,11 @@ object Sampling {
     * budget)) — one window shuffle on the shard key, every shard
     * independent, reproducible on any cluster size. Emits the per-
     * sequence summary (doc count, token sum, id range). */
-  def c22SequencePack(docs: DataFrame, budget: Long = 512): DataFrame = {
+  def c22SequencePack(docs: DataFrame, budget: Long = DefaultTokenBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    docs.select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+    docs.select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))

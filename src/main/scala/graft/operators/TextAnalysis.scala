@@ -146,7 +146,7 @@ object TextAnalysis {
     * definition so c19 and c21 can never diverge on tokenization.
     * limit -1 keeps trailing empty tokens (= the oracle's
     * string_split / Spark SQL's split builtin). */
-  private def bigramRows(docs: DataFrame): DataFrame = {
+  private def bigramRowsKernel(docs: DataFrame): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
     graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
@@ -158,6 +158,11 @@ object TextAnalysis {
       }
       .toDF("doc_id", "bigram")
   }
+
+  /** Shared materialized bigram frame: the kernel runs once per
+    * (session, corpus); c19 and c21 both read the same blocks. */
+  private def bigramRows(docs: DataFrame): DataFrame =
+    CorpusPrep.memo("bigram_rows", docs)(bigramRowsKernel(docs).localCheckpoint())
 
   /** c19: corpus n-gram statistics — top-k word bigrams by total
     * occurrences with document frequency: the vocabulary/phrase
@@ -189,14 +194,11 @@ object TextAnalysis {
     * degrades to a shuffled join (spillable build side) when it
     * doesn't. */
   def c20Contamination(docs: DataFrame, k: Int = 50): DataFrame = {
-    // typed shingle kernel shared with the dedup tier — the HOF
-    // spelling (transform/sequence) evaluates interpreted and is ~10×
-    // slower (PLANS.md round-1 finding #2). Checkpointed: the frame
-    // feeds BOTH the benchmark key-set branch and the corpus branch,
-    // and without it Spark runs the kernel once per subtree.
-    val sh = Dedup.shingleRows(docs)
-      .select(col("doc_id"), TextFns.h8(col("s")).as("sh8"))
-      .localCheckpoint()
+    // shingle keys off the SHARED materialized corpus-prep frame
+    // (CorpusPrep via Dedup) — the typed kernel runs once per
+    // (session, corpus), not once per query or per consuming subtree;
+    // both branches below explode the already-materialized sets.
+    val sh = Dedup.docShingles8(docs)
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("sh8")).distinct()
     sh.filter(col("doc_id") % 97 =!= 0)

@@ -39,6 +39,26 @@ object Sinks {
     df.sortWithinPartitions((partitionCol +: sortCols).map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** External keyed-store export — the reference's turso load
+    * (flows/dbt_build_and_load_turso.py) behind a store-agnostic
+    * contract (ExternalStore: JDBC in deployment, embedded in specs).
+    * DDL once from the driver; rows flow from the EXECUTORS, one
+    * connection per partition, `batchSize`-chunked conflict-free
+    * inserts — replays and overlapping loads are idempotent, and the
+    * driver never becomes a row funnel. */
+  def writeExternal(df: DataFrame, store: ExternalStore, table: String,
+      keyCols: Seq[String], batchSize: Int = 500): Unit = {
+    val schema = df.schema
+    val ddl = store.connect()
+    try ddl.ensureTable(table, schema, keyCols) finally ddl.close()
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = store.connect()
+      try it.grouped(batchSize).foreach { chunk =>
+        conn.insertIgnoreBatch(table, schema, keyCols, chunk)
+      } finally conn.close()
+    }
+  }
+
   /** CSV export/import with header; schema pinned on read (inference
     * is a full extra pass — never at scale). */
   def writeCsv(df: DataFrame, path: String): Unit =

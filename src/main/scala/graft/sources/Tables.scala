@@ -19,17 +19,29 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop every cached entry, or just the entries under one path —
+    * REQUIRED after rewriting files beneath a loaded path (the cached
+    * frame pins the old FileIndex listing + schema). Write paths in
+    * this repo target fresh output dirs, so nothing calls it on the
+    * hot path; it exists for callers that mutate inputs in place. */
   def invalidate(): Unit = cache.clear()
+  def invalidate(path: String): Unit =
+    cache.keys.foreach { k => if (k._2 == path) cache.remove(k) }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // drop entries pinning STOPPED sessions — otherwise a JVM that
-    // cycles sessions (test suites, long-lived services) accumulates
-    // unreclaimable plans + FileIndex listings forever
-    cache.keys.foreach { k =>
-      if (k._1.sparkContext.isStopped) cache.remove(k)
+    val key = (spark, s"$sfDir/$name.parquet")
+    cache.get(key) match {
+      case Some(df) => df // hit: one map lookup, no cache scan
+      case None =>
+        // prune entries pinning STOPPED sessions on the miss path only
+        // — otherwise a JVM that cycles sessions (test suites,
+        // long-lived services) accumulates unreclaimable plans +
+        // FileIndex listings forever
+        cache.keys.foreach { k =>
+          if (k._1.sparkContext.isStopped) cache.remove(k)
+        }
+        cache.getOrElseUpdate(key, spark.read.parquet(key._2))
     }
-    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
-      spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** Ensure a frame has enough partitions to parallelize a per-row
@@ -37,12 +49,30 @@ object Tables {
     * file arrives as ONE input split, which would serialize the kernel
     * on one core no matter how many the host has. At cluster scale
     * scans arrive pre-split and this is a no-op — the guard only fires
-    * when the planned partition count is below the session's
-    * parallelism, so it never adds a shuffle to an already-distributed
-    * input. */
+    * when the scan's split count is below the session's parallelism,
+    * so it never adds a shuffle to an already-distributed input.
+    *
+    * The split count is ESTIMATED from the relation's byte size and
+    * `spark.sql.files.maxPartitionBytes` — the same arithmetic file
+    * split packing uses — instead of `df.rdd.getNumPartitions`, which
+    * forces a full physical-planning + RDD-conversion pass per kernel
+    * invocation. Non-file inputs (test frames) fall back to the
+    * repartition: harmless on small local data, unreachable for the
+    * parquet-backed operators. */
   def parallelKernelInput(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val fileSplits = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            (f.location.sizeInBytes + maxSplit - 1) / maxSplit
+          case _ => 1L
+        }
+    }
+    val planned = if (fileSplits.isEmpty) 1L else fileSplits.max
+    if (planned < target) df.repartition(target) else df
   }
 
   /** events.ts is parquet TIMESTAMP(NANOS); with

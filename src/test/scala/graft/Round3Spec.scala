@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Round-3 scale-hardening invariants: the similarity tier's candidate
+  * volume must be controllable (bits ∝ log n) and its recall dials
+  * (tables, nprobe) must move in the right direction. */
+class Round3Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("bitsForCorpus grows with log2 of the corpus and never drops below the default") {
+    assert(Similarity.bitsForCorpus(1000) == 8)          // floor
+    assert(Similarity.bitsForCorpus(1L << 20) == 10)     // 2^20/1024 buckets
+    assert(Similarity.bitsForCorpus(1L << 30) == 20)
+    assert(Similarity.bitsForCorpus(1L << 40) == 30)     // ~1e12 vectors
+    val seq = Seq(1L << 12, 1L << 16, 1L << 24, 1L << 40).map(Similarity.bitsForCorpus(_))
+    assert(seq == seq.sorted, "not monotone")
+  }
+
+  test("more sign bits never increase c5 candidate volume (the scale dial works)") {
+    val c8 = Similarity.c5Candidates(emb, nBits = 8, nTables = 1).count()
+    val c12 = Similarity.c5Candidates(emb, nBits = 12, nTables = 1).count()
+    val c16 = Similarity.c5Candidates(emb, nBits = 16, nTables = 1).count()
+    assert(c12 <= c8, s"12 bits produced MORE candidates ($c12 > $c8)")
+    assert(c16 <= c12, s"16 bits produced MORE candidates ($c16 > $c12)")
+  }
+
+  test("extra hash tables only ADD candidates (recall dial) and never duplicate pairs") {
+    val one = Similarity.c5Candidates(emb, 8, 1).select("vec_a", "vec_b")
+    val two = Similarity.c5Candidates(emb, 8, 2).select("vec_a", "vec_b")
+    assert(one.join(two, Seq("vec_a", "vec_b"), "left_anti").count() == 0,
+      "table 0's candidates lost when adding a second table")
+    assert(two.groupBy("vec_a", "vec_b").count().filter(col("count") > 1).count() == 0,
+      "multi-table candidates not deduplicated")
+  }
+
+  test("c7 recall against the exact c6 baseline is monotone in nprobe") {
+    val truth = Similarity.c6AnnTopK(emb).select("q_id", "vec_id")
+    def recall(nprobe: Int): Long =
+      Similarity.c7AnnIvf(emb, nprobe = nprobe).select("q_id", "vec_id")
+        .join(truth, Seq("q_id", "vec_id"), "left_semi").count()
+    val r1 = recall(1); val r2 = recall(2); val r4 = recall(4)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 $r1")
+    assert(r4 >= r2, s"nprobe=4 recall $r4 below nprobe=2 $r2")
+    assert(r4 > 0)
+  }
+
+  test("c6/c7 accept an arbitrary bounded query frame (explicit-input contract)") {
+    // a caller-supplied query set with no precomputed norm column
+    val q = emb.filter(col("vec_id").between(20, 24))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val brute = Similarity.c6AnnTopK(emb, Some(q), k = 5)
+    assert(brute.select("q_id").distinct().count() == 5)
+    assert(brute.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+    val ivf = Similarity.c7AnnIvf(emb, Some(q), k = 5, nprobe = 2)
+    assert(ivf.select("q_id").distinct().count() == 5)
+    // IVF results are a subset of each query's probed clusters, so
+    // every returned neighbor must also score in the brute-force
+    // universe (same ids, same cosine)
+    val joined = ivf.select(col("q_id"), col("vec_id"), col("cos").as("ivf_cos"))
+      .join(Similarity.c6AnnTopK(emb, Some(q), k = Int.MaxValue)
+        .select(col("q_id"), col("vec_id"), col("cos")), Seq("q_id", "vec_id"))
+    assert(joined.count() == ivf.count())
+    assert(joined.filter(col("ivf_cos") =!= col("cos")).count() == 0)
+  }
+}
