@@ -38,10 +38,11 @@ object Similarity {
     withNorm(emb).filter(col("vec_id") < n)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
 
-  /** Default coarse centroids: the first `n` vectors — a deterministic
-    * stand-in for a k-means training step (training is an offline
-    * job; the serving-path structure is what's under test). Fixed
-    * count, broadcast-sized by construction. */
+  /** Default coarse centroids: the first `n` vectors — the
+    * deterministic SEED the oracle pins (so the c7 oracle stays
+    * cross-engine checkable); `trainCentroids` below is the actual
+    * spherical-k-means job that refines it offline. Fixed count,
+    * broadcast-sized by construction. */
   def defaultCentroids(emb: DataFrame, n: Int = DefaultCentroidCount): DataFrame =
     withNorm(emb).filter(col("vec_id") < n)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
@@ -120,6 +121,57 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Lloyd's k-means over the embedding corpus — the offline training
+    * job that produces c7's coarse centroids (defaultCentroids is its
+    * 0-iteration seed). Per iteration, two distributed steps:
+    * (1) assignment: corpus × broadcast(centroids), argmax cosine —
+    * one pass, no corpus shuffle; (2) update: per-(cluster, dim) mean
+    * via posexplode + two-key agg, array rebuilt in dim order — one
+    * shuffle on (cluster, dim), k·dims rows out. Cosine against a
+    * mean re-normalizes, so the update IS the spherical k-means step
+    * (monotone average-cosine objective — spec-checked). The corpus
+    * never collects; centroids stay k rows, lineage cut per round.
+    * Empty clusters keep their previous centroid. */
+  def trainCentroids(emb: DataFrame, k: Int = DefaultCentroidCount, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint() // read once per iteration, not re-scanned per lineage step
+    var cent = defaultCentroids(emb, k)
+      .select(col("c_id"), VectorFns.toDoubles(col("c_emb")).as("c_emb"), col("c_nrm"))
+      .localCheckpoint()
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    for (_ <- 1 to iters) {
+      val assigned = corpus.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          pairCos("embedding", "nrm", "c_emb", "c_nrm").as("c_cos"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+      val updated = assigned
+        .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("c_id", "dim").agg(avg(col("v")).as("m"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c_emb"))
+        .withColumn("c_nrm", VectorFns.norm(col("c_emb")))
+      val kept = cent.join(updated.select("c_id"), Seq("c_id"), "left_anti")
+      cent = updated.unionByName(kept).localCheckpoint() // k rows; cut lineage
+    }
+    cent
+  }
+
+  /** Mean best-assignment cosine — the (spherical) k-means objective,
+    * for convergence checks. One pass over the corpus. */
+  def kmeansObjective(emb: DataFrame, centroids: DataFrame): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    withNorm(emb).crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("c_id"),
+        pairCos("embedding", "nrm", "c_emb", "c_nrm").as("c_cos"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .agg(avg(col("c_cos"))).head.getDouble(0)
   }
 
   /** c7: IVF-style ANN. Broadcast centroids → one-pass coarse

@@ -50,6 +50,19 @@ class Round3Spec extends AnyFunSuite {
     assert(r4 > 0)
   }
 
+  test("trainCentroids improves the spherical k-means objective, serves c7 unchanged") {
+    val r0 = Similarity.kmeansObjective(emb, Similarity.defaultCentroids(emb))
+    val trained = Similarity.trainCentroids(emb, iters = 3)
+    assert(trained.count() == Similarity.DefaultCentroidCount.toLong,
+      "empty clusters lost their centroid")
+    val r3 = Similarity.kmeansObjective(emb, trained)
+    assert(r3 >= r0 - 1e-6, s"objective degraded: $r0 -> $r3")
+    // trained centroids drop straight into the serving path
+    val out = Similarity.c7AnnIvf(emb, centroids = Some(trained))
+    assert(out.count() > 0)
+    assert(out.groupBy("q_id").count().filter(col("count") > 10).count() == 0)
+  }
+
   test("c6/c7 accept an arbitrary bounded query frame (explicit-input contract)") {
     // a caller-supplied query set with no precomputed norm column
     val q = emb.filter(col("vec_id").between(20, 24))
