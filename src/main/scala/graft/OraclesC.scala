@@ -20,21 +20,28 @@ object OraclesC {
     from (select distinct doc_id, s from ($SHINGLES))
   """
 
+  // MinHash geometry from the operator's own constants (Dedup)
+  private val MHK = graft.operators.Dedup.MinhashK
+  private val BANDS = graft.operators.Dedup.Bands
+  private val R = MHK / BANDS // rows per band
+  private val BAND_KEY =
+    (1 to R).map(r => s"sig[$R*j+$r]").mkString("j::varchar || ':' || ", " || ':' || ", "")
+
   /** c3's MinHash-LSH chain up to verified candidate pairs (CTE list,
     * no WITH keyword) — shared by c3 and c12. */
   private val C3_CHAIN = s"""
       shd as (select distinct doc_id, s from ($SHINGLES)),
       mh as (
         select doc_id, i,
-               min(case when i < 8 then substr(md5('0' || '|' || s), i*4 + 1, 4)
-                        else substr(md5('1' || '|' || s), (i-8)*4 + 1, 4) end) as v
-        from shd, unnest(range(0,16)) as t(i)
+               min(case when i < ${MHK / 2} then substr(md5('0' || '|' || s), i*4 + 1, 4)
+                        else substr(md5('1' || '|' || s), (i-${MHK / 2})*4 + 1, 4) end) as v
+        from shd, unnest(range(0,$MHK)) as t(i)
         group by doc_id, i),
       sig as (
         select doc_id, list(v order by i) as sig from mh group by doc_id),
       bands as (
-        select doc_id, md5(j::varchar || ':' || sig[2*j+1] || ':' || sig[2*j+2]) as band_key
-        from sig, unnest(range(0,8)) as t(j)),
+        select doc_id, md5($BAND_KEY) as band_key
+        from sig, unnest(range(0,$BANDS)) as t(j)),
       cand as (
         select distinct a.doc_id as doc_a, b.doc_id as doc_b
         from bands a join bands b on a.band_key = b.band_key and a.doc_id < b.doc_id),
@@ -75,7 +82,7 @@ object OraclesC {
 
     "c2_dedup_ngram" -> s"""
       with sh as ($SH8),
-      keep as (select sh8 from sh group by sh8 having count(*) <= 200),
+      keep as (select sh8 from sh group by sh8 having count(*) <= ${graft.operators.Dedup.DfCap}),
       shk as (select sh.* from sh join keep using (sh8)),
       sizes as (select doc_id, count(*) as n_sh from shk group by doc_id),
       inter as (

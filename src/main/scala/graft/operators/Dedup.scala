@@ -14,6 +14,12 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** c2's document-frequency cap — the prefix-filter analog bounding
+    * hot-shingle fan-out (pair volume ≤ Σ C(df,2) ≤ DfCap/2 × shingle
+    * rows). Raise/lower with corpus duplication rate, not corpus
+    * size. The oracle SQL interpolates this same constant. */
+  val DfCap = 200
+
   /** c1: exact dedup via content-hash groupBy — one shuffle on the
     * hash, emits the canonical keep-list (`min(doc_id)` wins, like the
     * reference's `on conflict do nothing` keeps the first row). */
@@ -72,10 +78,10 @@ object Dedup {
     * self-join, no broadcast of the corpus-sized side — the join-based
     * spelling rebuilt the df filter three times and broadcast-built
     * the whole shingle frame. */
-  def c2NgramJaccard(docs: DataFrame): DataFrame = {
+  def c2NgramJaccard(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
     val byShingle = docShingles8(docs)
       .groupBy("sh8").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= 200)
+      .filter(size(col("ds")) <= dfCap)
       // two consumers: pair generation + per-doc sizes; ~|distinct
       // shingles| rows. localCheckpoint (not persist): blocks are
       // freed by the ContextCleaner when the result frame is dropped,
@@ -113,8 +119,11 @@ object Dedup {
       .limit(50)
   }
 
-  private val MinhashK = 16
-  private val Bands = 8 // 8 bands × 2 rows
+  /** MinHash geometry: K slices from 2 md5 digests (K is structural —
+    * tied to the 8×4-hex-char split of each digest), banded as
+    * `Bands` bands of K/Bands rows. The oracle interpolates both. */
+  val MinhashK = 16
+  val Bands = 8
 
   /** Per-doc MinHash signature as a 16-element array column.
     * The 16 hash functions are 4-hex-char (16-bit) slices of TWO md5
@@ -163,12 +172,12 @@ object Dedup {
     val sig = minhashSigs(sets.select(col("doc_id"), explode(col("sh")).as("s")))
     // both sides of the candidate self-join read this; persist the
     // |docs|×8-row frame instead of running the md5+agg pipeline twice
+    val rowsPerBand = MinhashK / Bands
     val bands = sig.select(col("doc_id"),
         explode(sequence(lit(0), lit(Bands - 1))).as("j"), col("sig"))
       .select(col("doc_id"),
-        md5(concat_ws(":", col("j"),
-          element_at(col("sig"), col("j") * 2 + 1),
-          element_at(col("sig"), col("j") * 2 + 2))).as("band_key"))
+        md5(concat_ws(":", col("j") +: (1 to rowsPerBand).map(r =>
+          element_at(col("sig"), col("j") * rowsPerBand + r)): _*)).as("band_key"))
       .localCheckpoint()
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_key"))

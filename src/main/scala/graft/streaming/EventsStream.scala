@@ -158,6 +158,26 @@ object EventsStream {
     merged.write.mode("append").partitionBy("__kb").parquet(storePath)
   }
 
+  /** Store maintenance: every micro-batch appends a file per touched
+    * bucket, so read cost grows with FILE COUNT even when data
+    * doesn't. Compaction rewrites each bucket's rows into one file
+    * (repartition on the bucket column → one task owns each bucket's
+    * write) and swaps directories. A table format would do this
+    * transactionally; as an explicit maintenance job the swap is a
+    * rename — schedule it against a quiesced store (readers mid-swap
+    * see the old or new listing, writers must pause). */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, storePath: String): Unit = {
+    val df = spark.read.parquet(storePath)
+    val tmpPath = storePath + "__compacting"
+    df.repartition(col("__kb"))
+      .write.mode("overwrite").partitionBy("__kb").parquet(tmpPath)
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+  }
+
   /** Batch-query forms for the driver contract. */
   def e1Batch(events: DataFrame): DataFrame =
     hourlyAgg(events, streaming = false)

@@ -64,6 +64,41 @@ class ExternalSinkSpec extends AnyFunSuite {
     assert(EmbeddedStore.connects.get() > 3)
   }
 
+  test("polling ingest is incremental on the cursor and idempotent under overlap") {
+    import org.apache.spark.sql.types._
+    import graft.sources.{PageSource, PollingIngest}
+    val store = java.nio.file.Files.createTempDirectory("graft-poll-").toString + "/store"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("v", StringType)))
+    // a fake recently-played API: 10 items per page, records the
+    // cursors it was asked for (overlap built in: pages re-serve the
+    // last 5 items before the cursor boundary, like the reference's
+    // recently-played window)
+    val asked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    class Fake(upTo: Long) extends PageSource {
+      def fetchPage(cursorUs: Long, page: Int): Seq[String] = {
+        if (page == 0) asked += cursorUs
+        val from = math.max(0L, cursorUs - 5) + page * 10
+        val ids = from until math.min(from + 10, upTo)
+        ids.map(i => s"""{"event_id": $i, "ts_us": $i, "v": "x$i"}""").toSeq
+      }
+    }
+    val n1 = PollingIngest.ingest(spark, new Fake(30), schema, store, "event_id", "ts_us")
+    assert(n1 == 30 && asked == Seq(0L))
+    assert(spark.read.parquet(store).count() == 30)
+    // second poll: cursor advanced to 29, fetch overlaps [25,50)
+    val n2 = PollingIngest.ingest(spark, new Fake(50), schema, store, "event_id", "ts_us")
+    assert(asked == Seq(0L, 29L), s"cursor not incremental: $asked")
+    assert(n2 == 26) // 24..49 re-served, 25 of them overlap-or-new
+    val got = spark.read.parquet(store)
+    assert(got.count() == 50, "overlap duplicated or gap lost")
+    assert(got.select("event_id").distinct().count() == 50)
+    // replay the same poll: nothing new lands
+    PollingIngest.ingest(spark, new Fake(50), schema, store, "event_id", "ts_us")
+    assert(spark.read.parquet(store).count() == 50)
+  }
+
   test("jdbc store builds the reference's on-conflict dialect") {
     // no driver jar in this container — assert the SQL/DDL shape via
     // the same type mapping the executor path uses

@@ -117,6 +117,30 @@ class RobustnessSpec extends AnyFunSuite {
     assert(scan.count() == full.filter(col("__kb") === probe.head).count())
   }
 
+  test("store compaction collapses per-batch files without changing content") {
+    import graft.streaming.EventsStream
+    val store = tmp("upsert-compact") + "/store"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    // three overlapping loads → up to three files per bucket
+    EventsStream.upsertSink(ev.filter(col("event_id") % 3 === 0), store, "event_id")
+    EventsStream.upsertSink(ev.filter(col("event_id") % 3 =!= 2), store, "event_id")
+    EventsStream.upsertSink(ev, store, "event_id")
+    def filesPerBucket: Map[String, Int] =
+      new java.io.File(store).listFiles().filter(_.getName.startsWith("__kb="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = spark.read.parquet(store)
+    val (nBefore, sumBefore) =
+      (before.count(), before.agg(sum("value")).head.getDouble(0))
+    assert(filesPerBucket.values.max > 1, "appends did not fragment (test premise)")
+    EventsStream.compactStore(spark, store)
+    assert(filesPerBucket.values.max == 1, s"compaction left fragments: $filesPerBucket")
+    val after = spark.read.parquet(store)
+    assert(after.count() == nBefore)
+    assert(math.abs(after.agg(sum("value")).head.getDouble(0) - sumBefore) < 1e-6)
+    assert(after.select("event_id").distinct().count() == nBefore)
+  }
+
   test("parquet schema evolution: mergeSchema unions columns, absent ones are null") {
     val p = tmp("evolve")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
