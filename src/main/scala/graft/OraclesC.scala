@@ -371,6 +371,42 @@ object OraclesC {
       order by n desc, bigram limit 50
     """,
 
+    "c23_curation" -> s"""
+      with sig as (
+        select doc_id,
+               len(w) as n_tokens,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
+               round(((length(text) - length(replace(text, 'th', ''))) / 2
+                    + (length(text) - length(replace(text, 'he', ''))) / 2
+                    + (length(text) - length(replace(text, 'in', ''))) / 2
+                    + (length(text) - length(replace(text, 'er', ''))) / 2
+                     )::double / length(text), 4) as en_ngram_score,
+               round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                 + len(regexp_extract_all(text, '[0-9]+')) as n_pii
+        from (select doc_id, text, string_split(text, ' ') as w from documents)),
+      r as (
+        select case when n_tokens < 5 then 'too_short'
+                    when not (en_score > 0.01 or en_ngram_score > 0.02) then 'non_en'
+                    when distinct_ratio < 0.3 then 'repetitive'
+                    when n_pii > 20 then 'pii_heavy'
+                    else 'keep' end as reason
+        from sig),
+      t as (select count(*) as total from documents)
+      select reason, count(*) as n_docs,
+             round(count(*)::double / t.total, 4) as share
+      from r, t group by reason, t.total order by reason
+    """,
+
+    "c24_source_stats" -> """
+      select source, count(*) as n_docs,
+             count(distinct md5(text)) as n_uniq,
+             round(1.0 - count(distinct md5(text))::double / count(*), 4) as dup_rate,
+             round(avg(n_chars), 4) as avg_chars,
+             count(distinct lang) as n_langs
+      from documents group by source order by source
+    """,
+
     "c11_fingerprint" -> """
       with h as (
         select doc_id,

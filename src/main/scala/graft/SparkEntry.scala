@@ -75,6 +75,8 @@ object SparkEntry {
     "c20_contamination"-> ((s, dir) => TextAnalysis.c20Contamination(Tables.documents(s, dir))),
     "c21_repetition"   -> ((s, dir) => TextAnalysis.c21Repetition(Tables.documents(s, dir))),
     "c22_seq_pack"     -> ((s, dir) => Sampling.c22SequencePack(Tables.documents(s, dir))),
+    "c23_curation"     -> ((s, dir) => TextAnalysis.c23CurationFilter(Tables.documents(s, dir))),
+    "c24_source_stats" -> ((s, dir) => TextAnalysis.c24SourceStats(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -92,15 +92,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // PII patterns shared by c16 and the c23 curation cascade — kept to
+  // character classes + quantifiers so Java regex (Spark) and RE2
+  // (DuckDB) agree exactly
+  private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
+  private val NumRe = "[0-9]+"
+
   /** c16: PII redaction — regex scrub of email-shaped tokens and
     * digit runs, with per-doc match counts and the md5 of the redacted
-    * text. Patterns are kept to character classes + quantifiers so
-    * Java-regex (Spark) and RE2 (DuckDB) semantics agree exactly.
-    * Narrow single pass, no shuffle — redaction cost scales with
+    * text. Narrow single pass, no shuffle — redaction cost scales with
     * bytes scanned, the right unit at 100 TB. */
   def c16PiiRedact(docs: DataFrame): DataFrame = {
-    val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
-    val numRe = "[0-9]+"
+    val emailRe = EmailRe
+    val numRe = NumRe
     val redacted = regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), numRe, "<NUM>")
     docs.select(
         col("doc_id"),
@@ -230,6 +234,57 @@ object TextAnalysis {
         round(col("cnt").cast("double") / col("total"), 4).as("rep_ratio"))
       .orderBy("doc_id")
   }
+
+  /** c23: the composed curation gate — the keep/drop decision a
+    * training pipeline actually executes, cascading the tier's
+    * signals in priority order (too_short → non_en → repetitive →
+    * pii_heavy → keep) in ONE narrow pass over the scan; only the
+    * report-sized reason aggregation shuffles. Thresholds compare
+    * 4-rounded ratios (the same spellings c8/c9 hash-match on), so
+    * the branch taken is engine-exact. */
+  def c23CurationFilter(docs: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nTokens = size(toks)
+    val enScore = round(size(filter(toks, t => array_contains(markerArray, t)))
+      .cast("double") / nTokens, 4)
+    val bigramHits = Seq("th", "he", "in", "er").map { b =>
+      (length(col("text")) - length(regexp_replace(col("text"), b, ""))) / 2
+    }.reduce(_ + _)
+    val enNgram = round(bigramHits.cast("double") / length(col("text")), 4)
+    val distinctRatio = round(size(array_distinct(toks)).cast("double") / nTokens, 4)
+    val nPii = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(col("text"), lit(NumRe), lit(0)))
+    val reason = when(nTokens < 5, "too_short")
+      .when(!(enScore > 0.01 || enNgram > 0.02), "non_en")
+      .when(distinctRatio < 0.3, "repetitive")
+      .when(nPii > 20, "pii_heavy")
+      .otherwise("keep")
+    val total = docs.agg(count(lit(1)).as("total"))
+    docs.select(reason.as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("reason"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("total"), 4).as("share"))
+      .orderBy("reason")
+  }
+
+  /** c24: per-source corpus report — the source-level curation view
+    * (which feeds/domains are duplicate-heavy or off-language): doc
+    * counts, exact-dup rate via distinct content hash, mean length,
+    * language spread. One shuffle on source. At 100 TB the
+    * countDistinct stays exact only if per-source cardinality allows;
+    * approx_count_distinct is the documented swap (EngineSpec bounds
+    * its error). */
+  def c24SourceStats(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_uniq"),
+        round(lit(1.0) - countDistinct(md5(col("text"))).cast("double") / count(lit(1)), 4)
+          .as("dup_rate"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
 
   /** c11: document fingerprinting by winnowing: 32-bit shingle hashes
     * in document order, sliding-window (w=4) minima, the distinct

@@ -63,6 +63,25 @@ class Round3Spec extends AnyFunSuite {
     assert(out.groupBy("q_id").count().filter(col("count") > 10).count() == 0)
   }
 
+  test("c23 curation reasons partition the corpus, shares sum to 1") {
+    val out = SparkEntry.queries("c23_curation")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(out.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    val shareSum = out.agg(sum("share")).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
+    val valid = Set("keep", "too_short", "non_en", "repetitive", "pii_heavy")
+    assert(out.collect().forall(r => valid(r.getString(0))))
+  }
+
+  test("c24 source stats: dup rate bounded, uniques never exceed docs") {
+    val out = SparkEntry.queries("c24_source_stats")(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter(col("n_uniq") > col("n_docs")).count() == 0)
+    assert(out.filter(col("dup_rate") < 0 || col("dup_rate") >= 1).count() == 0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(out.agg(sum("n_docs")).head.getLong(0) == docs.count())
+  }
+
   test("c6/c7 accept an arbitrary bounded query frame (explicit-input contract)") {
     // a caller-supplied query set with no precomputed norm column
     val q = emb.filter(col("vec_id").between(20, 24))
