@@ -4,6 +4,15 @@ package graft
 object OraclesB {
 
   val sql: Map[String, String] = Map(
+    "b21_time_window" -> """
+      select event_id, user_id, epoch_us(ts) as ts_us,
+             count(*) over (partition by user_id order by epoch_us(ts)
+               range between 600000000 preceding and current row) as n_10m,
+             round(sum(value) over (partition by user_id order by epoch_us(ts)
+               range between 600000000 preceding and current row), 4) as v_10m
+      from events order by event_id
+    """,
+
     "b1_pricing_summary" -> """
       select l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) as sum_qty,

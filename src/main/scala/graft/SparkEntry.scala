@@ -52,6 +52,7 @@ object SparkEntry {
     "b18_listagg"        -> ((s, dir) => Olap.b18ListAgg(s, dir)),
     "b19_window_nav"     -> ((s, dir) => Olap.b19WindowNav(s, dir)),
     "b20_bivariate"      -> ((s, dir) => Stats.b20Bivariate(Tables.events(s, dir))),
+    "b21_time_window"    -> ((s, dir) => Olap.b21TimeWindow(s, dir)),
 
     "c1_dedup_exact"   -> ((s, dir) => Dedup.c1Exact(Tables.documents(s, dir))),
     "c2_dedup_ngram"   -> ((s, dir) => Dedup.c2NgramJaccard(Tables.documents(s, dir))),

@@ -152,6 +152,26 @@ object Olap {
       .orderBy("event_id")
   }
 
+  /** b21: event-time RANGE-frame window — trailing 10-minute count and
+    * sum per user. b12's rows-frames bound by ROW COUNT; range frames
+    * bound by the ORDER-BY VALUE (micros here), the form time-series
+    * features actually need (a burst of events widens the frame's row
+    * count automatically). Same single shuffle on user_id; Spark
+    * evaluates the frame incrementally with two pointers per
+    * partition. Peers (equal ts) share a frame, so the sum's row SET
+    * is engine-deterministic; round(4) absorbs fold-order drift. */
+  def b21TimeWindow(s: SparkSession, dir: String): DataFrame = {
+    val tenMinUs = 600000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-tenMinUs, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("v_10m", round(sum(col("value")).over(w), 4))
+      .drop("value")
+      .orderBy("event_id")
+  }
+
   /** b13: time-range self-join — pairs of events from different users
     * within 1 second of each other. A naive range join is O(n²); the
     * scalable shape is bin blocking: each left row probes its own

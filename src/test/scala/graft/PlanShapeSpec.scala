@@ -115,6 +115,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unpivot introduced a shuffle above the Expand:\n$p")
   }
 
+  test("c5 multi-table candidates stay an equi-join on (table, bucket)") {
+    val p = graft.operators.Similarity
+      .c5Candidates(sources.Tables.embeddings(spark, sf), 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("c7's probe side broadcasts; the corpus side never does") {
+    val p = plan("c7_ann_ivf")
+    assert(p.contains("BroadcastExchange"), p)
+    // exactly the two bounded sides broadcast (centroids, probes) —
+    // a third would mean the corpus assignment leaked into one
+    val n = "BroadcastExchange".r.findAllIn(p).length
+    assert(n <= 3, s"unexpected broadcast count $n:\n$p")
+  }
+
   test("staging is a single projection over the scan (no shuffle)") {
     val p = plan("a1_stg_events")
     assert(!p.contains("Exchange hashpartitioning"), s"staging shuffles:\n$p")
