@@ -125,6 +125,15 @@ object Dedup {
   val MinhashK = 16
   val Bands = 8
 
+  /** Degenerate-bucket cap for the LSH band join (and c4's chunk
+    * join): a bucket of B colliding docs yields C(B,2) candidate
+    * pairs — a corpus with a large near-identical mass turns one
+    * bucket quadratic. Buckets past the cap are DROPPED, not
+    * enumerated: that mass is exact-dup-shaped, which is c1's job
+    * (run exact dedup first), and at hamming/jaccard-verify time it
+    * would saturate anyway. The c2 df-cap discipline applied to LSH. */
+  val BucketCap = 1000
+
   /** Per-doc MinHash signature as a 16-element array column.
     * The 16 hash functions are 4-hex-char (16-bit) slices of TWO md5
     * digests per shingle ("0|s" and "1|s") — 8× fewer md5 calls than
@@ -162,8 +171,12 @@ object Dedup {
       .limit(50)
 
   /** LSH candidate pairs with exact-Jaccard verification — shared by
-    * the c3 near-dup report and the c12 cluster builder. */
-  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    * the c3 near-dup report and the c12 cluster builder. `bucketCap`
+    * bounds per-band-bucket fan-out (see BucketCap); the window count
+    * shares the band-key shuffle the self-join needs anyway, so both
+    * join sides reuse one exchange. */
+  def minhashCandidatePairs(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sets = sharedShingleSets(docs)
     // The signature input is the materialized sets exploded back to
     // (doc_id, shingle) rows — the tokenize+shingle kernel never runs
@@ -178,6 +191,9 @@ object Dedup {
       .select(col("doc_id"),
         md5(concat_ws(":", col("j") +: (1 to rowsPerBand).map(r =>
           element_at(col("sig"), col("j") * rowsPerBand + r)): _*)).as("band_key"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_key"))))
+      .filter(col("bsz") <= bucketCap)
+      .select(col("doc_id"), col("band_key"))
       .localCheckpoint()
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_key"))
@@ -359,13 +375,21 @@ object Dedup {
     * bits — any pair within hamming distance 3 must agree on ≥1 chunk,
     * so the chunk-bucket join finds all close pairs without n²
     * compares. Candidates verified with bit_count(xor). */
-  def c4Simhash(docs: DataFrame): DataFrame = {
+  def c4Simhash(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // both sides of the chunk self-join read the simhash frame;
     // persist |docs| rows instead of running the kernel twice
     val sh = simhash(docs).localCheckpoint()
     val chunks = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("chunk", expr("(simhash >> (15 * j)) & 32767"))
+      // degenerate-bucket cap (see BucketCap): a chunk bucket of B
+      // near-identical docs is B² candidates; drop it — exact-dup
+      // mass belongs to c1, and the window count shares the join's
+      // own (j, chunk) shuffle
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("j"), col("chunk"))))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
     val cand = chunks.as("a")
       .join(chunks.as("b"), col("a.j") === col("b.j") && col("a.chunk") === col("b.chunk")
         && col("a.doc_id") < col("b.doc_id"))

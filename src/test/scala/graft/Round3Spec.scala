@@ -63,6 +63,21 @@ class Round3Spec extends AnyFunSuite {
     assert(out.groupBy("q_id").count().filter(col("count") > 10).count() == 0)
   }
 
+  test("LSH bucket caps bound degenerate near-identical mass (c3/c4)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val clones = (0L until 200L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // without a binding cap the clone bucket enumerates quadratically
+    val unbounded = Dedup.minhashCandidatePairs(clones, bucketCap = Int.MaxValue).count()
+    assert(unbounded == 200L * 199 / 2, s"expected full pair mass, got $unbounded")
+    // the cap drops the degenerate bucket instead of enumerating it —
+    // that mass is exact-dup-shaped and belongs to c1
+    assert(Dedup.minhashCandidatePairs(clones, bucketCap = 100).count() == 0)
+    assert(Dedup.c4Simhash(clones, bucketCap = 100).count() == 0)
+  }
+
   test("c23 curation reasons partition the corpus, shares sum to 1") {
     val out = SparkEntry.queries("c23_curation")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
