@@ -74,12 +74,22 @@ object Similarity {
   /** Candidate pairs for c5 before cosine verification — exposed so
     * specs can assert the volume bounds the banding math promises.
     * Table t hashes `nBits` sign bits starting at dimension t·nBits;
-    * a pair is a candidate iff it collides in ANY table. */
-  private[graft] def c5Candidates(emb: DataFrame, nBits: Int, nTables: Int): DataFrame = {
+    * a pair is a candidate iff it collides in ANY table. `bucketCap`
+    * is the degenerate-bucket guard (Dedup.BucketCap discipline): a
+    * bucket of B near-identical vectors is C(B,2) pairs — past the
+    * cap it's dropped, not enumerated, since that mass is exact-dup
+    * shaped; the window count shares the join's (tbl, bucket)
+    * shuffle. */
+  private[graft] def c5Candidates(emb: DataFrame, nBits: Int, nTables: Int,
+      bucketCap: Int = Dedup.BucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(nBits * nTables <= 64, "sign tables exceed embedding dims")
     val b = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until nTables).map(t =>
         VectorFns.signBucket(col("embedding"), nBits, t * nBits)): _*)).as(Seq("tbl", "bucket")))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
     val joined = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
@@ -98,8 +108,9 @@ object Similarity {
     * `bitsForCorpus(n)` (+ more tables for recall) so per-bucket
     * candidate volume stays bounded — fixed bits on a growing corpus
     * degenerate toward n²/2^bits. */
-  def c5EmbedNearDup(emb: DataFrame, nBits: Int = DefaultSignBits, nTables: Int = 1): DataFrame =
-    c5Candidates(emb, nBits, nTables)
+  def c5EmbedNearDup(emb: DataFrame, nBits: Int = DefaultSignBits, nTables: Int = 1,
+      bucketCap: Int = Dedup.BucketCap): DataFrame =
+    c5Candidates(emb, nBits, nTables, bucketCap)
       .select(col("vec_a"), col("vec_b"),
         pairCos("emb_a", "nrm_a", "emb_b", "nrm_b").as("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
