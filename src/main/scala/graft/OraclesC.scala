@@ -65,6 +65,8 @@ object OraclesC {
   private val NQ = graft.operators.Similarity.DefaultQueryCount
   private val NC = graft.operators.Similarity.DefaultCentroidCount
   private val NPROBE = graft.operators.Similarity.DefaultNProbe
+  private val CSZ = graft.operators.Sampling.ChunkTokens
+  private val CST = CSZ - graft.operators.Sampling.ChunkOverlap // stride
   private val TRAIN = graft.operators.Sampling.SplitTrainPct
   private val VAL = graft.operators.Sampling.SplitValPct
   private val BUDGET = graft.operators.Sampling.DefaultTokenBudget
@@ -396,6 +398,18 @@ object OraclesC {
       select reason, count(*) as n_docs,
              round(count(*)::double / t.total, 4) as share
       from r, t group by reason, t.total order by reason
+    """,
+
+    "c25_doc_chunks" -> s"""
+      with d as (select doc_id, string_split(text, ' ') as w from documents),
+      x as (
+        select doc_id, w,
+               unnest(range(0, greatest(ceil((len(w) - ${CSZ - CST})::double / $CST)::bigint, 1))) as chunk_idx
+        from d)
+      select doc_id, chunk_idx::bigint as chunk_idx,
+             len(w[(chunk_idx*$CST+1)::int : (chunk_idx*$CST+$CSZ)::int])::bigint as n_tok,
+             md5(array_to_string(w[(chunk_idx*$CST+1)::int : (chunk_idx*$CST+$CSZ)::int], ' ')) as chunk_md5
+      from x order by doc_id, chunk_idx
     """,
 
     "c24_source_stats" -> """

@@ -15,6 +15,8 @@ object Sampling {
   val DefaultRates: Map[String, Double] = Map("en" -> 0.5)
   val DefaultTokenBudget = 512L
   val PackShards = 32
+  val ChunkTokens = 256
+  val ChunkOverlap = 32
 
   /** c13: deterministic hash-based train/val/test split. The split
     * key is a content-independent stable hash of the document id
@@ -86,6 +88,34 @@ object Sampling {
         max(col("doc_id")).as("last_doc"))
       .orderBy("shard", "seq_id")
   }
+
+  /** c25: context-window chunking — split each document's token
+    * stream into fixed-size windows with overlap (stride = size −
+    * overlap): the step that turns raw documents into model-ready
+    * training rows, complementing c22 (which packs SHORT docs up to a
+    * budget; this splits LONG docs down to one). One narrow pass —
+    * the fan-out is sequence+posexplode inside codegen, chunk
+    * content is md5'd for cross-engine parity, no shuffle before the
+    * ordered output. A short tail chunk is kept (standard practice;
+    * filtering it is a trailing predicate). */
+  def c25DocChunks(docs: DataFrame, size: Int = ChunkTokens,
+      overlap: Int = ChunkOverlap): DataFrame = {
+    require(overlap < size, "overlap must be smaller than the chunk size")
+    val stride = size - overlap
+    val toks = split(col("text"), " ", -1)
+    val nChunks = greatest(
+      ceil((size_(toks) - overlap).cast("double") / stride).cast("int"), lit(1))
+    docs.select(col("doc_id"), toks.as("w"), explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("w"), col("chunk_idx") * stride + 1, lit(size)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size_(col("chunk")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // functions.size, aliased: `size` collides with the param name above
+  private def size_(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.size(c)
 
   /** c14: int8 scalar quantization of embeddings — the standard
     * memory/bandwidth reduction for ANN serving at scale. Per-vector

@@ -78,6 +78,25 @@ class Round3Spec extends AnyFunSuite {
     assert(Dedup.c4Simhash(clones, bucketCap = 100).count() == 0)
   }
 
+  test("c25 chunking: long docs fan out with the configured overlap, short docs stay whole") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val words = (0 until 1000).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "short doc")).toDF("doc_id", "text")
+    val out = Sampling.c25DocChunks(docs).collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // stride 224: ceil((1000-32)/224) = 5 chunks; full chunks carry 256
+    // tokens, the tail carries 1000 - 4*224 = 104 — so consecutive
+    // chunks share exactly 32 tokens and the last token is covered
+    assert(d1.length == 5, s"expected 5 chunks, got ${d1.length}")
+    assert(d1.init.forall(_.getLong(2) == 256L))
+    assert(d1.last.getLong(2) == 104L)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getLong(2) == 2L)
+    // distinct content per chunk (overlap ≠ duplication)
+    assert(d1.map(_.getString(3)).distinct.length == 5)
+  }
+
   test("c23 curation reasons partition the corpus, shares sum to 1") {
     val out = SparkEntry.queries("c23_curation")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
