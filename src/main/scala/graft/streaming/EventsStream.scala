@@ -158,6 +158,18 @@ object EventsStream {
     merged.write.mode("append").partitionBy("__kb").parquet(storePath)
   }
 
+  /** Stream-static enrichment: a streaming fact joined to a STATIC
+    * dimension frame — the third join family Structured Streaming
+    * supports (beside stream-stream and batch). The static side needs
+    * no watermark and is re-planned per micro-batch (picking up
+    * compaction of the dim); Spark broadcasts it when small, exactly
+    * like batch. Works identically on batch input — the spec uses
+    * that as ground truth. */
+  def enrichWithTypeDim(events: DataFrame, typeDim: DataFrame): DataFrame =
+    events.join(typeDim, Seq("event_type"), "left")
+      .select(col("event_id"), col("event_type"), col("type_rank"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+
   /** Store maintenance: every micro-batch appends a file per touched
     * bucket, so read cost grows with FILE COUNT even when data
     * doesn't. Compaction rewrites each bucket's rows into one file

@@ -109,6 +109,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store + "2").count() > 0)
   }
 
+  test("stream-static enrichment matches the batch join") {
+    // the static dim: event types ranked by total count (a mart-like
+    // frame the stream enriches against)
+    val dim = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").count()
+      .select(col("event_type"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("count").desc, col("event_type"))).cast("long").as("type_rank"))
+    val q = EventsStream.enrichWithTypeDim(streamingEvents(), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").orderBy("event_id").collect()
+      val want = EventsStream.enrichWithTypeDim(
+        graft.sources.Tables.events(spark, sf), dim).orderBy("event_id").collect()
+      assert(got.length == want.length && got.sameElements(want))
+      // every event matched the dim (left join, complete dim)
+      assert(spark.table("enrich_out").filter(col("type_rank").isNull).count() == 0)
+    } finally q.stop()
+  }
+
   test("d1 multimodal meta covers all docs with sane stub features") {
     val out = SparkEntry.queries("d1_multimodal_meta")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
