@@ -25,12 +25,26 @@ private[graft] object CorpusPrep {
     cache.get(key) match {
       case Some(df) => df
       case None =>
-        cache.keys.foreach { k =>
-          if (k._1.sparkContext.isStopped) cache.remove(k)
+        // Serialize builds: TrieMap.getOrElseUpdate may run `build`
+        // in several racing threads and keep one result — the losers'
+        // localCheckpoint blocks would be materialized and never
+        // referenced again (a leak until GC). Builds are rare (one
+        // per corpus per session), so a coarse lock costs nothing;
+        // cache HITS above never take it.
+        lock.synchronized {
+          cache.get(key).getOrElse {
+            cache.keys.foreach { k =>
+              if (k._1.sparkContext.isStopped) cache.remove(k)
+            }
+            val df = build
+            cache.put(key, df)
+            df
+          }
         }
-        cache.getOrElseUpdate(key, build)
     }
   }
+
+  private val lock = new Object
 
   /** Drop all entries — call after mutating a corpus path in place. */
   def invalidate(): Unit = cache.clear()

@@ -63,6 +63,40 @@ class Round3Spec extends AnyFunSuite {
     assert(out.groupBy("q_id").count().filter(col("count") > 10).count() == 0)
   }
 
+  test("count_min_sketch estimates dominate exact counts within the eps bound") {
+    // the third sketch in the family (HLL + approx_percentile covered
+    // in Round2Spec): heavy-hitter counting with bounded memory
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val bytes = ev.agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = ev.groupBy("event_type").count().collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val est = cms.estimateCount(r.getString(0))
+      assert(est >= r.getLong(1), s"${r.getString(0)}: CMS underestimated")
+      assert(est <= r.getLong(1) + math.max(1L, (0.001 * total).toLong) * 3,
+        s"${r.getString(0)}: est $est vs exact ${r.getLong(1)} out of bound")
+    }
+  }
+
+  test("corpus-prep memo survives concurrent first-touch (one session, many queries)") {
+    // a shared session runs queries concurrently in practice (Verify,
+    // notebooks, a thrift server); the shingle/bigram memo must not
+    // race-build or fail under that
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val names = Seq("c2_dedup_ngram", "c3_dedup_minhash", "c19_ngram_stats",
+      "c21_repetition", "c20_contamination", "c4_dedup_simhash")
+    val counts = Await.result(
+      Future.traverse(names)(n => Future(SparkEntry.queries(n)(spark, sf).count())),
+      5.minutes)
+    assert(counts.forall(_ > 0))
+  }
+
   test("LSH bucket caps bound degenerate near-identical mass (c3/c4)") {
     import spark.implicits._
     import graft.operators.Dedup
