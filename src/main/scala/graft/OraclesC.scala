@@ -24,6 +24,10 @@ object OraclesC {
   private val MHK = graft.operators.Dedup.MinhashK
   private val BANDS = graft.operators.Dedup.Bands
   private val R = MHK / BANDS // rows per band
+  // the degenerate-bucket cap is part of the OPERATOR SEMANTICS, so
+  // the oracle enforces the same cap (QUALIFY) — parity holds on any
+  // corpus, including ones where the cap binds
+  private val CAP = graft.operators.Dedup.BucketCap
   private val BAND_KEY =
     (1 to R).map(r => s"sig[$R*j+$r]").mkString("j::varchar || ':' || ", " || ':' || ", "")
 
@@ -41,7 +45,8 @@ object OraclesC {
         select doc_id, list(v order by i) as sig from mh group by doc_id),
       bands as (
         select doc_id, md5($BAND_KEY) as band_key
-        from sig, unnest(range(0,$BANDS)) as t(j)),
+        from sig, unnest(range(0,$BANDS)) as t(j)
+        qualify count(*) over (partition by band_key) <= $CAP),
       cand as (
         select distinct a.doc_id as doc_a, b.doc_id as doc_b
         from bands a join bands b on a.band_key = b.band_key and a.doc_id < b.doc_id),
@@ -147,7 +152,7 @@ object OraclesC {
       from embeddings order by vec_id
     """,
 
-    "c4_dedup_simhash" -> """
+    "c4_dedup_simhash" -> s"""
       with toks as (
         select doc_id, w, count(*) as cnt
         from (select doc_id, unnest(string_split(text, ' ')) as w from documents)
@@ -161,7 +166,8 @@ object OraclesC {
         from bits group by doc_id),
       chunks as (
         select doc_id, simhash, j, (simhash >> (15*j)) & 32767 as chunk
-        from sh, unnest(range(0,4)) as t(j)),
+        from sh, unnest(range(0,4)) as t(j)
+        qualify count(*) over (partition by j, chunk) <= $CAP),
       cand as (
         select distinct a.doc_id as doc_a, b.doc_id as doc_b,
                bit_count(xor(a.simhash, b.simhash))::bigint as hamming
@@ -181,7 +187,8 @@ object OraclesC {
         + (case when embedding[6] >= 0 then 32 else 0 end)
         + (case when embedding[7] >= 0 then 64 else 0 end)
         + (case when embedding[8] >= 0 then 128 else 0 end) as bucket
-        from embeddings)
+        from embeddings
+        qualify count(*) over (partition by bucket) <= $CAP)
       select a.vec_id as vec_a, b.vec_id as vec_b,
              round(${cosine("a.embedding", "b.embedding")}, 4) as cos
       from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id

@@ -15,7 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (MEMORY_AND_DISK — large corpora spill, not OOM) and reclaimed by
   * the ContextCleaner when entries are dropped. Stopped-session
   * entries are pruned on the miss path only — a cache hit costs one
-  * map lookup, no O(entries) scan. */
+  * map lookup, no O(entries) scan.
+  *
+  * Cluster caveat: localCheckpoint blocks die with their executor
+  * and the cut lineage cannot rebuild them — after an executor loss
+  * a memoized frame is permanently broken for the session. Call
+  * `invalidate()` from a task-failure listener (or swap the build to
+  * reliable `checkpoint()` on a durable dir, as docs/DEPLOY.md
+  * prescribes for all long-lived intermediates) when deploying on a
+  * lossy cluster; single-JVM local mode cannot hit this. */
 private[graft] object CorpusPrep {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]

@@ -75,7 +75,14 @@ final class JdbcExternalStore(url: String, props: Map[String, String] = Map.empt
           names.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
           ps.addBatch()
         }
-        ps.executeBatch().map(n => math.max(n, 0)).sum.toLong
+        // SUCCESS_NO_INFO (-2) means the driver executed the element
+        // but won't report a count (batched-rewrite drivers do this);
+        // treat it as landed — mapping it to 0 would report "nothing
+        // inserted" for fully-successful batches
+        ps.executeBatch().map {
+          case java.sql.Statement.SUCCESS_NO_INFO => 1
+          case n                                  => math.max(n, 0)
+        }.sum.toLong
       } finally ps.close()
     }
 

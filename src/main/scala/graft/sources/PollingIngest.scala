@@ -32,11 +32,9 @@ object PollingIngest {
     * footer stats make the max cheap; a production deployment would
     * keep it in a metadata sidecar instead. */
   def cursorOf(spark: SparkSession, storePath: String, tsCol: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(storePath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("__kb="))
-    if (!committed) 0L
+    // committed-store detection is owned by EventsStream (one
+    // definition of the bucket layout), not re-derived here
+    if (!graft.streaming.EventsStream.hasCommittedData(spark, storePath)) 0L
     else {
       val row = spark.read.parquet(storePath).agg(max(col(tsCol))).head
       if (row.isNullAt(0)) 0L else row.getLong(0)

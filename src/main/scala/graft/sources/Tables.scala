@@ -26,7 +26,7 @@ object Tables {
     * hot path; it exists for callers that mutate inputs in place. */
   def invalidate(): Unit = cache.clear()
   def invalidate(path: String): Unit =
-    cache.keys.foreach { k => if (k._2 == path) cache.remove(k) }
+    cache.keys.foreach { k => if (k._2.startsWith(path)) cache.remove(k) }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val key = (spark, s"$sfDir/$name.parquet")
@@ -52,22 +52,31 @@ object Tables {
     * when the scan's split count is below the session's parallelism,
     * so it never adds a shuffle to an already-distributed input.
     *
-    * The split count is ESTIMATED from the relation's byte size and
-    * `spark.sql.files.maxPartitionBytes` — the same arithmetic file
-    * split packing uses — instead of `df.rdd.getNumPartitions`, which
-    * forces a full physical-planning + RDD-conversion pass per kernel
-    * invocation. Non-file inputs (test frames) fall back to the
-    * repartition: harmless on small local data, unreachable for the
-    * parquet-backed operators. */
+    * The split count is ESTIMATED with the same arithmetic Spark's
+    * FilePartition packing uses — maxSplitBytes =
+    * min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum))
+    * — instead of `df.rdd.getNumPartitions`, which forces a full
+    * physical-planning + RDD-conversion pass per kernel invocation.
+    * (Plain ceil(bytes/maxPartitionBytes) would miss the bytes-per-
+    * core term and shuffle any corpus under ~cores×128MB that Spark
+    * already plans as `cores` splits.) Non-file inputs (test frames)
+    * fall back to the repartition: harmless on small local data,
+    * unreachable for the parquet-backed operators. */
   def parallelKernelInput(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val conf = spark.sessionState.conf
+    val minPartitionNum = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
     val fileSplits = df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
           case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            (f.location.sizeInBytes + maxSplit - 1) / maxSplit
+            val bytes = f.location.sizeInBytes
+            val bytesPerCore = bytes / math.max(1, minPartitionNum)
+            val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+              math.max(conf.filesOpenCostInBytes, bytesPerCore)))
+            (bytes + maxSplit - 1) / maxSplit
           case _ => 1L
         }
     }

@@ -110,15 +110,24 @@ object EventsStream {
   val StoreBuckets = 32
 
   private def withBucket(df: DataFrame, key: String): DataFrame =
-    df.withColumn("__kb", pmod(xxhash64(col(key)), lit(StoreBuckets)).cast("int"))
+    df.withColumn(KeyBucketCol, pmod(xxhash64(col(key)), lit(StoreBuckets)).cast("int"))
 
-  /** True iff the store has COMMITTED data (a `__kb=` partition dir),
+  /** The store's bucket partition column — shared with PollingIngest
+    * so the layout is defined exactly once. */
+  private[graft] val KeyBucketCol = "__kb"
+
+  /** True iff the store has COMMITTED data (a bucket partition dir),
     * not just a path: a first micro-batch that dies after mkdir leaves
     * `_temporary` behind, and a bare exists() check would then feed
-    * an unreadable store to every later batch. */
-  private def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.startsWith("__kb="))
+    * an unreadable store to every later batch. Shared with
+    * PollingIngest's cursor read. */
+  private[graft] def hasCommittedData(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith(s"$KeyBucketCol="))
+  }
 
   /** Pruned store scan: schema pinned (no inference pass over the
     * store) and filtered to the micro-batch's key buckets — the filter
@@ -127,7 +136,7 @@ object EventsStream {
   private[graft] def storeScan(spark: org.apache.spark.sql.SparkSession, storePath: String,
       schema: org.apache.spark.sql.types.StructType, buckets: Seq[Int]): DataFrame =
     spark.read.schema(schema).parquet(storePath)
-      .filter(col("__kb").isin(buckets.map(Int.box): _*))
+      .filter(col(KeyBucketCol).isin(buckets.map(Int.box): _*))
 
   /** foreachBatch upsert sink — the streaming twin of the reference's
     * load step (flows/dbt_build_and_load_turso.py: export marts to an
@@ -143,19 +152,19 @@ object EventsStream {
     * bucket collect is bounded by StoreBuckets, not data size. */
   def upsertSink(batch: DataFrame, storePath: String, key: String): Unit = {
     val spark0 = batch.sparkSession
-    val incoming = withBucket(batch.dropDuplicates(key), key)
-    // store existence via the Hadoop FileSystem API — storePath may be
-    // an object store or HDFS at scale, not a local file
-    val path = new org.apache.hadoop.fs.Path(storePath)
-    val fs = path.getFileSystem(spark0.sparkContext.hadoopConfiguration)
     val merged =
-      if (hasCommittedData(fs, path)) {
-        val touched = incoming.select("__kb").distinct().collect().map(_.getInt(0)).toSeq
+      if (hasCommittedData(spark0, storePath)) {
+        // materialize the deduped batch ONCE: it feeds the touched-
+        // bucket collect, the anti-join, and the write — without the
+        // checkpoint each would re-run the dedup shuffle (and for
+        // file-backed micro-batches, re-read the source)
+        val incoming = withBucket(batch.dropDuplicates(key), key).localCheckpoint()
+        val touched = incoming.select(KeyBucketCol).distinct().collect().map(_.getInt(0)).toSeq
         val existing = storeScan(spark0, storePath, incoming.schema, touched)
         incoming.join(existing.select(key), Seq(key), "left_anti")
-      } else incoming
+      } else withBucket(batch.dropDuplicates(key), key)
     // append-mode write: existing bucket files stay, only new keys land
-    merged.write.mode("append").partitionBy("__kb").parquet(storePath)
+    merged.write.mode("append").partitionBy(KeyBucketCol).parquet(storePath)
   }
 
   /** Stream-static enrichment: a streaming fact joined to a STATIC
@@ -181,13 +190,25 @@ object EventsStream {
   def compactStore(spark: org.apache.spark.sql.SparkSession, storePath: String): Unit = {
     val df = spark.read.parquet(storePath)
     val tmpPath = storePath + "__compacting"
-    df.repartition(col("__kb"))
-      .write.mode("overwrite").partitionBy("__kb").parquet(tmpPath)
+    df.repartition(col(KeyBucketCol))
+      .write.mode("overwrite").partitionBy(KeyBucketCol).parquet(tmpPath)
     val path = new org.apache.hadoop.fs.Path(storePath)
     val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val old = new org.apache.hadoop.fs.Path(storePath + "__precompact")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    // swap order matters: the LIVE data is never deleted before its
+    // replacement is in place — a crash mid-swap leaves either the
+    // old store (step 1 incomplete) or the new one (step 2 done) at
+    // a readable path, plus an explicitly-named leftover to clean up;
+    // rename results are CHECKED (object-store renames return false)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compactStore: could not move live store aside: $path")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore the live store before failing
+      throw new java.io.IOException(s"compactStore: could not install compacted store: $tmpPath")
+    }
+    fs.delete(old, true)
   }
 
   /** Batch-query forms for the driver contract. */

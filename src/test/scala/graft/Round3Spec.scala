@@ -23,16 +23,20 @@ class Round3Spec extends AnyFunSuite {
   }
 
   test("more sign bits never increase c5 candidate volume (the scale dial works)") {
-    val c8 = Similarity.c5Candidates(emb, nBits = 8, nTables = 1).count()
-    val c12 = Similarity.c5Candidates(emb, nBits = 12, nTables = 1).count()
-    val c16 = Similarity.c5Candidates(emb, nBits = 16, nTables = 1).count()
+    // cap disabled: the monotonicity claim is about the BANDING math;
+    // with a binding cap an 8-bit over-cap bucket (dropped, 0 pairs)
+    // can split into enumerable 12-bit sub-buckets and the count
+    // could legitimately rise — the cap is exercised separately
+    def cnt(bits: Int) =
+      Similarity.c5Candidates(emb, nBits = bits, nTables = 1, bucketCap = Int.MaxValue).count()
+    val (c8, c12, c16) = (cnt(8), cnt(12), cnt(16))
     assert(c12 <= c8, s"12 bits produced MORE candidates ($c12 > $c8)")
     assert(c16 <= c12, s"16 bits produced MORE candidates ($c16 > $c12)")
   }
 
   test("extra hash tables only ADD candidates (recall dial) and never duplicate pairs") {
-    val one = Similarity.c5Candidates(emb, 8, 1).select("vec_a", "vec_b")
-    val two = Similarity.c5Candidates(emb, 8, 2).select("vec_a", "vec_b")
+    val one = Similarity.c5Candidates(emb, 8, 1, Int.MaxValue).select("vec_a", "vec_b")
+    val two = Similarity.c5Candidates(emb, 8, 2, Int.MaxValue).select("vec_a", "vec_b")
     assert(one.join(two, Seq("vec_a", "vec_b"), "left_anti").count() == 0,
       "table 0's candidates lost when adding a second table")
     assert(two.groupBy("vec_a", "vec_b").count().filter(col("count") > 1).count() == 0,
