@@ -137,28 +137,32 @@ object Similarity {
   /** Lloyd's k-means over the embedding corpus — the offline training
     * job that produces c7's coarse centroids (defaultCentroids is its
     * 0-iteration seed). Per iteration, two distributed steps:
-    * (1) assignment: corpus × broadcast(centroids), argmax cosine —
-    * one pass, no corpus shuffle; (2) update: per-(cluster, dim) mean
-    * via posexplode + two-key agg, array rebuilt in dim order — one
-    * shuffle on (cluster, dim), k·dims rows out. Cosine against a
+    * (1) assignment: corpus × broadcast(centroids), argmax cosine as
+    * a max_by aggregation — map-side combine collapses the k scored
+    * rows per vector before the shuffle; (2) update: per-(cluster,
+    * dim) mean via posexplode + two-key agg, array rebuilt in dim
+    * order — one shuffle on (cluster, dim), k·dims rows out. Cosine against a
     * mean re-normalizes, so the update IS the spherical k-means step
     * (monotone average-cosine objective — spec-checked). The corpus
     * never collects; centroids stay k rows, lineage cut per round.
     * Empty clusters keep their previous centroid. */
   def trainCentroids(emb: DataFrame, k: Int = DefaultCentroidCount, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
       .localCheckpoint() // read once per iteration, not re-scanned per lineage step
     var cent = defaultCentroids(emb, k)
       .select(col("c_id"), VectorFns.toDoubles(col("c_emb")).as("c_emb"), col("c_nrm"))
       .localCheckpoint()
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
     for (_ <- 1 to iters) {
+      // argmax via max_by aggregation, NOT a window: partial (map-side)
+      // combine reduces the shuffled volume k× — the training pass
+      // shuffles |corpus| pre-combined rows instead of sorting
+      // |corpus|·k. Tie-break (-c_id) == the window's `c_id ASC`.
       val assigned = corpus.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("embedding"), col("c_id"),
           pairCos("embedding", "nrm", "c_emb", "c_nrm").as("c_cos"))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(expr("max_by(struct(c_id, embedding), struct(c_cos, -c_id))").as("best"))
+        .select(col("best.c_id").as("c_id"), col("best.embedding").as("embedding"))
       val updated = assigned
         .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("c_id", "dim").agg(avg(col("v")).as("m"))
@@ -173,17 +177,14 @@ object Similarity {
   }
 
   /** Mean best-assignment cosine — the (spherical) k-means objective,
-    * for convergence checks. One pass over the corpus. */
-  def kmeansObjective(emb: DataFrame, centroids: DataFrame): Double = {
-    import org.apache.spark.sql.expressions.Window
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    * for convergence checks. One pass over the corpus; the per-vector
+    * best is a plain max aggregation (map-side combined). */
+  def kmeansObjective(emb: DataFrame, centroids: DataFrame): Double =
     withNorm(emb).crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("c_id"),
+      .select(col("vec_id"),
         pairCos("embedding", "nrm", "c_emb", "c_nrm").as("c_cos"))
-      .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") === 1)
-      .agg(avg(col("c_cos"))).head.getDouble(0)
-  }
+      .groupBy("vec_id").agg(max(col("c_cos")).as("best"))
+      .agg(avg(col("best"))).head.getDouble(0)
 
   /** c7: IVF-style ANN. Broadcast centroids → one-pass coarse
     * assignment of the corpus (nearest centroid each) → each query
