@@ -11,7 +11,25 @@ import graft.functions.TextFns
   */
 object TextAnalysis {
 
+  import org.apache.spark.sql.Column
+
   private def markerArray = array(TextFns.EnMarkers.map(lit): _*)
+
+  // Signal spellings shared by c8/c9/c23 — ONE definition each, so
+  // the curation gate's thresholds can never drift from the
+  // oracle-matched originals.
+  private def markerHitsOf(toks: Column) =
+    size(filter(toks, t => array_contains(markerArray, t)))
+  private def enScoreOf(toks: Column) =
+    round(markerHitsOf(toks).cast("double") / size(toks), 4)
+  private def enNgramScoreOf(text: Column) = {
+    val hits = Seq("th", "he", "in", "er").map { b =>
+      (length(text) - length(regexp_replace(text, b, ""))) / 2
+    }.reduce(_ + _)
+    round(hits.cast("double") / length(text), 4)
+  }
+  private def distinctRatioOf(toks: Column) =
+    round(size(array_distinct(toks)).cast("double") / size(toks), 4)
 
   /** c8: language ID via two stacked heuristics — marker words and
     * character-bigram frequency (occurrences counted with the
@@ -22,16 +40,12 @@ object TextAnalysis {
     * heuristic duly reports. */
   def c8LangId(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokens(col("text"))
-    val hits = size(filter(toks, t => array_contains(markerArray, t)))
-    val bigramHits = Seq("th", "he", "in", "er").map { b =>
-      (length(col("text")) - length(regexp_replace(col("text"), b, ""))) / 2
-    }.reduce(_ + _)
     docs.select(
         col("doc_id"), col("lang").as("labeled_lang"),
         size(toks).cast("long").as("n_tokens"),
-        hits.cast("long").as("en_hits"),
-        round(hits.cast("double") / size(toks), 4).as("en_score"),
-        round(bigramHits.cast("double") / length(col("text")), 4).as("en_ngram_score"))
+        markerHitsOf(toks).cast("long").as("en_hits"),
+        enScoreOf(toks).as("en_score"),
+        enNgramScoreOf(col("text")).as("en_ngram_score"))
       .withColumn("pred_lang",
         when(col("en_score") > 0.01 || col("en_ngram_score") > 0.02, lit("en"))
           .otherwise(lit("und")))
@@ -46,9 +60,8 @@ object TextAnalysis {
         col("doc_id"),
         col("n_chars").cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
-        round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("distinct_ratio"),
-        round(size(filter(toks, t => array_contains(markerArray, t))).cast("double") / size(toks), 4)
-          .as("stopword_ratio"),
+        distinctRatioOf(toks).as("distinct_ratio"),
+        enScoreOf(toks).as("stopword_ratio"),
         round(size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("double")
           / col("n_chars"), 4).as("punct_ratio"),
         round(col("n_chars").cast("double") / size(toks), 4).as("chars_per_token"))
@@ -244,27 +257,20 @@ object TextAnalysis {
     * the branch taken is engine-exact. */
   def c23CurationFilter(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokens(col("text"))
-    val nTokens = size(toks)
-    val enScore = round(size(filter(toks, t => array_contains(markerArray, t)))
-      .cast("double") / nTokens, 4)
-    val bigramHits = Seq("th", "he", "in", "er").map { b =>
-      (length(col("text")) - length(regexp_replace(col("text"), b, ""))) / 2
-    }.reduce(_ + _)
-    val enNgram = round(bigramHits.cast("double") / length(col("text")), 4)
-    val distinctRatio = round(size(array_distinct(toks)).cast("double") / nTokens, 4)
     val nPii = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
       size(regexp_extract_all(col("text"), lit(NumRe), lit(0)))
-    val reason = when(nTokens < 5, "too_short")
-      .when(!(enScore > 0.01 || enNgram > 0.02), "non_en")
-      .when(distinctRatio < 0.3, "repetitive")
+    val reason = when(size(toks) < 5, "too_short")
+      .when(!(enScoreOf(toks) > 0.01 || enNgramScoreOf(col("text")) > 0.02), "non_en")
+      .when(distinctRatioOf(toks) < 0.3, "repetitive")
       .when(nPii > 20, "pii_heavy")
       .otherwise("keep")
-    val total = docs.agg(count(lit(1)).as("total"))
+    // total = sum over the ≤5-row reason aggregate (unpartitioned
+    // window), NOT a second corpus scan — every doc has exactly one
+    // reason, so the sums agree by construction
     docs.select(reason.as("reason"))
       .groupBy("reason").agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(total))
-      .select(col("reason"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("total"), 4).as("share"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(), 4))
       .orderBy("reason")
   }
 

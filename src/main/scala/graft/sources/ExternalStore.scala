@@ -66,9 +66,13 @@ final class JdbcExternalStore(url: String, props: Map[String, String] = Map.empt
     def insertIgnoreBatch(table: String, schema: StructType, keyCols: Seq[String],
         rows: Seq[Row]): Long = {
       val names = schema.fieldNames
+      // keyless tables (plain report exports) get an unconditional
+      // INSERT — "ON CONFLICT ()" is a syntax error
+      val onConflict =
+        if (keyCols.isEmpty) ""
+        else s" ON CONFLICT (${keyCols.mkString(", ")}) DO NOTHING"
       val sql = s"INSERT INTO $table (${names.mkString(", ")}) " +
-        s"VALUES (${names.map(_ => "?").mkString(", ")}) " +
-        s"ON CONFLICT (${keyCols.mkString(", ")}) DO NOTHING"
+        s"VALUES (${names.map(_ => "?").mkString(", ")})" + onConflict
       val ps = conn.prepareStatement(sql)
       try {
         rows.foreach { r =>

@@ -21,7 +21,16 @@ import org.apache.spark.sql.types.StructType
   */
 trait PageSource extends Serializable {
   /** Raw JSON lines for items strictly after `cursorUs` (epoch
-    * micros), page by page; an empty page ends the poll. */
+    * micros), page by page; an empty page ends the poll.
+    *
+    * CONTRACT: pages must run OLDEST-FIRST from the cursor. The
+    * cursor is the store's max event time, so if a capped poll
+    * (`maxPages`) stops early, everything already fetched is a
+    * contiguous prefix and the next poll resumes exactly at the gap.
+    * A newest-first source would advance the cursor past unfetched
+    * items and silently lose them — an implementation wrapping a
+    * newest-first API (the reference's recently-played endpoint)
+    * must buffer-and-reverse within its window. */
   def fetchPage(cursorUs: Long, page: Int): Seq[String]
 }
 

@@ -25,8 +25,15 @@ object Tables {
     * this repo target fresh output dirs, so nothing calls it on the
     * hot path; it exists for callers that mutate inputs in place. */
   def invalidate(): Unit = cache.clear()
-  def invalidate(path: String): Unit =
-    cache.keys.foreach { k => if (k._2.startsWith(path)) cache.remove(k) }
+  def invalidate(path: String): Unit = {
+    // exact file, or everything under a directory — a bare prefix
+    // would also evict siblings ("/data/sf1" must not match
+    // "/data/sf10/...")
+    val dir = if (path.endsWith("/")) path else path + "/"
+    cache.keys.foreach { k =>
+      if (k._2 == path || k._2.startsWith(dir)) cache.remove(k)
+    }
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val key = (spark, s"$sfDir/$name.parquet")

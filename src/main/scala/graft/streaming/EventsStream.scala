@@ -105,12 +105,47 @@ object EventsStream {
 
   /** Store layout: hash buckets over the upsert key, as partition
     * directories — the pruning structure a keyed table format would
-    * give us. 32 buckets locally; a cluster deployment sizes this like
-    * shuffle partitions (config, not code). */
+    * give us. 32 buckets for NEW stores; the count is FROZEN into
+    * each store's `_graft_store_meta` sidecar at creation and read
+    * back on every merge, because the bucket function is part of the
+    * on-disk layout: hashing a key with a different modulus than the
+    * store was written with would probe the wrong directory and
+    * re-insert existing keys. Resizing therefore only affects stores
+    * created after the config change; existing stores keep their
+    * layout until compacted into a new one. */
   val StoreBuckets = 32
+  private val MetaFile = "_graft_store_meta"
 
-  private def withBucket(df: DataFrame, key: String): DataFrame =
-    df.withColumn(KeyBucketCol, pmod(xxhash64(col(key)), lit(StoreBuckets)).cast("int"))
+  private def withBucket(df: DataFrame, key: String, nBuckets: Int): DataFrame =
+    df.withColumn(KeyBucketCol, pmod(xxhash64(col(key)), lit(nBuckets)).cast("int"))
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The store's frozen bucket count (None = store not created yet). */
+  private def readStoreBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String): Option[Int] = {
+    val m = new org.apache.hadoop.fs.Path(storePath, MetaFile)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  private def writeStoreBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String, n: Int): Unit = {
+    val m = new org.apache.hadoop.fs.Path(storePath, MetaFile)
+    if (!fs.exists(m)) {
+      val out = fs.create(m, false)
+      try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** The store's bucket partition column — shared with PollingIngest
     * so the layout is defined exactly once. */
@@ -152,19 +187,34 @@ object EventsStream {
     * bucket collect is bounded by StoreBuckets, not data size. */
   def upsertSink(batch: DataFrame, storePath: String, key: String): Unit = {
     val spark0 = batch.sparkSession
+    val fs = fsOf(spark0, storePath)
+    healInterruptedCompaction(fs, storePath)
+    // the store's own frozen bucket count wins over the code constant
+    // — the hash modulus is part of the on-disk layout
+    val nBuckets = readStoreBuckets(fs, storePath).getOrElse(StoreBuckets)
     val merged =
       if (hasCommittedData(spark0, storePath)) {
         // materialize the deduped batch ONCE: it feeds the touched-
         // bucket collect, the anti-join, and the write — without the
         // checkpoint each would re-run the dedup shuffle (and for
         // file-backed micro-batches, re-read the source)
-        val incoming = withBucket(batch.dropDuplicates(key), key).localCheckpoint()
+        val incoming = withBucket(batch.dropDuplicates(key), key, nBuckets).localCheckpoint()
         val touched = incoming.select(KeyBucketCol).distinct().collect().map(_.getInt(0)).toSeq
         val existing = storeScan(spark0, storePath, incoming.schema, touched)
         incoming.join(existing.select(key), Seq(key), "left_anti")
-      } else withBucket(batch.dropDuplicates(key), key)
+      } else {
+        // refuse to mix layouts: a path holding flat parquet files is
+        // some OTHER dataset, not an empty graft store
+        if (fs.exists(new org.apache.hadoop.fs.Path(storePath)) &&
+            fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
+              .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+          throw new java.io.IOException(
+            s"upsertSink: $storePath holds non-bucketed parquet; refusing to mix layouts")
+        withBucket(batch.dropDuplicates(key), key, nBuckets)
+      }
     // append-mode write: existing bucket files stay, only new keys land
     merged.write.mode("append").partitionBy(KeyBucketCol).parquet(storePath)
+    writeStoreBuckets(fs, storePath, nBuckets)
   }
 
   /** Stream-static enrichment: a streaming fact joined to a STATIC
@@ -187,28 +237,50 @@ object EventsStream {
     * transactionally; as an explicit maintenance job the swap is a
     * rename — schedule it against a quiesced store (readers mid-swap
     * see the old or new listing, writers must pause). */
+  /** Heal an interrupted compaction swap before touching the store.
+    * The swap leaves exactly one of three states: (live, no aside) =
+    * normal; (no live, aside) = crashed between the two renames →
+    * restore the aside copy; (live, aside) = crashed after install,
+    * before cleanup → the aside copy is superseded, drop it. Called
+    * by BOTH the sink and compaction, so no crash window lets a later
+    * merge mistake the store for empty and fork the key space. */
+  private def healInterruptedCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val aside = new org.apache.hadoop.fs.Path(storePath + "__precompact")
+    if (fs.exists(aside)) {
+      if (!fs.exists(path)) {
+        if (!fs.rename(aside, path))
+          throw new java.io.IOException(
+            s"store recovery: could not restore $aside to $path")
+      } else fs.delete(aside, true)
+    }
+  }
+
   def compactStore(spark: org.apache.spark.sql.SparkSession, storePath: String): Unit = {
+    val fs = fsOf(spark, storePath)
+    healInterruptedCompaction(fs, storePath)
+    val nBuckets = readStoreBuckets(fs, storePath).getOrElse(StoreBuckets)
     val df = spark.read.parquet(storePath)
     val tmpPath = storePath + "__compacting"
     df.repartition(col(KeyBucketCol))
       .write.mode("overwrite").partitionBy(KeyBucketCol).parquet(tmpPath)
+    writeStoreBuckets(fs, tmpPath, nBuckets) // layout travels with the data
     val path = new org.apache.hadoop.fs.Path(storePath)
     val tmp = new org.apache.hadoop.fs.Path(tmpPath)
-    val old = new org.apache.hadoop.fs.Path(storePath + "__precompact")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // swap order matters: the LIVE data is never deleted before its
-    // replacement is in place — a crash mid-swap leaves either the
-    // old store (step 1 incomplete) or the new one (step 2 done) at
-    // a readable path, plus an explicitly-named leftover to clean up;
-    // rename results are CHECKED (object-store renames return false)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(path, old))
+    val aside = new org.apache.hadoop.fs.Path(storePath + "__precompact")
+    // swap order matters: the live data is never DELETED before its
+    // replacement is installed, and both the sink and this method heal
+    // the one crash window (live renamed aside, replacement not yet
+    // in) by restoring the aside copy; rename results are CHECKED
+    // (object-store renames return false)
+    if (!fs.rename(path, aside))
       throw new java.io.IOException(s"compactStore: could not move live store aside: $path")
     if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // restore the live store before failing
+      fs.rename(aside, path) // restore the live store before failing
       throw new java.io.IOException(s"compactStore: could not install compacted store: $tmpPath")
     }
-    fs.delete(old, true)
+    fs.delete(aside, true)
   }
 
   /** Batch-query forms for the driver contract. */
