@@ -117,6 +117,49 @@ class RobustnessSpec extends AnyFunSuite {
     assert(scan.count() == full.filter(col("__kb") === probe.head).count())
   }
 
+  test("an interrupted compaction swap heals on the next store touch") {
+    import graft.streaming.EventsStream
+    val store = tmp("upsert-heal") + "/store"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    EventsStream.upsertSink(ev, store, "event_id")
+    val n = spark.read.parquet(store).count()
+    // simulate the one crash window: live store moved aside, the
+    // compacted replacement never installed
+    java.nio.file.Files.move(java.nio.file.Paths.get(store),
+      java.nio.file.Paths.get(store + "__precompact"))
+    assert(!new java.io.File(store).exists())
+    // the next merge must restore the aside copy, NOT fork a fresh
+    // store and re-insert every key
+    EventsStream.upsertSink(ev, store, "event_id")
+    val healed = spark.read.parquet(store)
+    assert(healed.count() == n, "heal lost rows or forked the store")
+    assert(healed.select("event_id").distinct().count() == n)
+    assert(!new java.io.File(store + "__precompact").exists(), "aside copy left behind")
+  }
+
+  test("the store's bucket layout is frozen in its meta sidecar; foreign layouts refused") {
+    import graft.streaming.EventsStream
+    val store = tmp("upsert-meta") + "/store"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    EventsStream.upsertSink(ev, store, "event_id")
+    val meta = java.nio.file.Paths.get(store, "_graft_store_meta")
+    assert(java.nio.file.Files.readString(meta).trim ==
+      EventsStream.StoreBuckets.toString)
+    // compaction carries the layout meta into the swapped-in store
+    EventsStream.compactStore(spark, store)
+    assert(java.nio.file.Files.readString(meta).trim ==
+      EventsStream.StoreBuckets.toString)
+    // a path holding flat (non-bucketed) parquet is another dataset —
+    // the sink must refuse rather than mix layouts
+    val flat = tmp("upsert-flat") + "/store"
+    ev.limit(10).write.parquet(flat)
+    intercept[java.io.IOException] {
+      EventsStream.upsertSink(ev, flat, "event_id")
+    }
+  }
+
   test("store compaction collapses per-batch files without changing content") {
     import graft.streaming.EventsStream
     val store = tmp("upsert-compact") + "/store"
