@@ -66,8 +66,10 @@ final class JdbcExternalStore(url: String, props: Map[String, String] = Map.empt
     def insertIgnoreBatch(table: String, schema: StructType, keyCols: Seq[String],
         rows: Seq[Row]): Long = {
       val names = schema.fieldNames
-      // keyless tables (plain report exports) get an unconditional
-      // INSERT — "ON CONFLICT ()" is a syntax error
+      // keyless = plain INSERT ("ON CONFLICT ()" is a syntax error).
+      // NOTE: only reachable by direct callers — Sinks.writeExternal
+      // requires keys, because keyless appends are not replay-safe
+      // under Spark task retry.
       val onConflict =
         if (keyCols.isEmpty) ""
         else s" ON CONFLICT (${keyCols.mkString(", ")}) DO NOTHING"

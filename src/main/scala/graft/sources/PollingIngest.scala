@@ -41,6 +41,12 @@ object PollingIngest {
     * footer stats make the max cheap; a production deployment would
     * keep it in a metadata sidecar instead. */
   def cursorOf(spark: SparkSession, storePath: String, tsCol: String): Long = {
+    // heal a crashed compaction FIRST: mistaking a mid-swap store for
+    // empty would reset the cursor to 0 and burn a whole capped poll
+    // re-fetching history the store already holds
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.EventsStream.healInterruptedCompaction(fs, storePath)
     // committed-store detection is owned by EventsStream (one
     // definition of the bucket layout), not re-derived here
     if (!graft.streaming.EventsStream.hasCommittedData(spark, storePath)) 0L

@@ -48,6 +48,11 @@ object Sinks {
     * driver never becomes a row funnel. */
   def writeExternal(df: DataFrame, store: ExternalStore, table: String,
       keyCols: Seq[String], batchSize: Int = 500): Unit = {
+    // the sink's replay-safety comes ENTIRELY from key conflicts:
+    // Spark retries/speculatively re-runs partitions, and a keyless
+    // append would land those rows twice — refuse loudly
+    require(keyCols.nonEmpty,
+      "writeExternal is an idempotent keyed load; a keyless append is not replay-safe")
     val schema = df.schema
     val ddl = store.connect()
     try ddl.ensureTable(table, schema, keyCols) finally ddl.close()

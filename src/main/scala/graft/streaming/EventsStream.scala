@@ -123,7 +123,9 @@ object EventsStream {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The store's frozen bucket count (None = store not created yet). */
+  /** The store's frozen bucket count (None = store not created yet,
+    * or a torn meta write — callers fall back to the constant, which
+    * matches pre-meta behavior). */
   private def readStoreBuckets(fs: org.apache.hadoop.fs.FileSystem,
       storePath: String): Option[Int] = {
     val m = new org.apache.hadoop.fs.Path(storePath, MetaFile)
@@ -133,17 +135,22 @@ object EventsStream {
       try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
+        scala.util.Try(new String(buf.toByteArray, "UTF-8").trim.toInt).toOption
       } finally in.close()
     }
   }
 
+  /** Idempotent, ATOMIC meta write (tmp + rename): a torn create must
+    * never leave an existing-but-empty sidecar that poisons every
+    * later merge. */
   private def writeStoreBuckets(fs: org.apache.hadoop.fs.FileSystem,
       storePath: String, n: Int): Unit = {
     val m = new org.apache.hadoop.fs.Path(storePath, MetaFile)
     if (!fs.exists(m)) {
-      val out = fs.create(m, false)
+      val tmp = new org.apache.hadoop.fs.Path(storePath, MetaFile + ".tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, m)
     }
   }
 
@@ -203,18 +210,27 @@ object EventsStream {
         val existing = storeScan(spark0, storePath, incoming.schema, touched)
         incoming.join(existing.select(key), Seq(key), "left_anti")
       } else {
-        // refuse to mix layouts: a path holding flat parquet files is
-        // some OTHER dataset, not an empty graft store
-        if (fs.exists(new org.apache.hadoop.fs.Path(storePath)) &&
-            fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
-              .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+        // refuse to mix layouts: anything in the directory that is
+        // not store-shaped (bucket dirs, meta, hidden commit files)
+        // is some OTHER dataset — flat parquet, a foreign
+        // partitionBy(date) layout — and appending __kb= dirs into it
+        // would entangle both
+        val p = new org.apache.hadoop.fs.Path(storePath)
+        if (fs.exists(p) && fs.listStatus(p).exists { f =>
+              val n = f.getPath.getName
+              !(n.startsWith(s"$KeyBucketCol=") || n.startsWith("_") || n.startsWith("."))
+            })
           throw new java.io.IOException(
-            s"upsertSink: $storePath holds non-bucketed parquet; refusing to mix layouts")
+            s"upsertSink: $storePath holds a foreign layout; refusing to mix")
         withBucket(batch.dropDuplicates(key), key, nBuckets)
       }
+    // the layout meta commits BEFORE the first data commit: a crash
+    // between the two leaves (meta, no data) — harmless, the next
+    // merge reads the same modulus — never (data, no meta), which a
+    // later resize of the code constant would misinterpret
+    writeStoreBuckets(fs, storePath, nBuckets)
     // append-mode write: existing bucket files stay, only new keys land
     merged.write.mode("append").partitionBy(KeyBucketCol).parquet(storePath)
-    writeStoreBuckets(fs, storePath, nBuckets)
   }
 
   /** Stream-static enrichment: a streaming fact joined to a STATIC
@@ -244,7 +260,7 @@ object EventsStream {
     * before cleanup → the aside copy is superseded, drop it. Called
     * by BOTH the sink and compaction, so no crash window lets a later
     * merge mistake the store for empty and fork the key space. */
-  private def healInterruptedCompaction(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def healInterruptedCompaction(fs: org.apache.hadoop.fs.FileSystem,
       storePath: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val aside = new org.apache.hadoop.fs.Path(storePath + "__precompact")
