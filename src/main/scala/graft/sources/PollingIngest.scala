@@ -41,18 +41,25 @@ object PollingIngest {
     * footer stats make the max cheap; a production deployment would
     * keep it in a metadata sidecar instead. */
   def cursorOf(spark: SparkSession, storePath: String, tsCol: String): Long = {
-    // heal a crashed compaction FIRST: mistaking a mid-swap store for
-    // empty would reset the cursor to 0 and burn a whole capped poll
-    // re-fetching history the store already holds
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.streaming.EventsStream.healInterruptedCompaction(fs, storePath)
-    // committed-store detection is owned by EventsStream (one
-    // definition of the bucket layout), not re-derived here
-    if (!graft.streaming.EventsStream.hasCommittedData(spark, storePath)) 0L
-    else {
-      val row = spark.read.parquet(storePath).agg(max(col(tsCol))).head
-      if (row.isNullAt(0)) 0L else row.getLong(0)
+    import graft.streaming.EventsStream
+    // READ-ONLY mid-swap tolerance: if a compaction crash left the
+    // store at its aside path, read the cursor from THERE rather than
+    // mutating anything — cursorOf may race a live compaction, and
+    // only writers (required to pause during compaction) get to heal.
+    // Mistaking the mid-swap store for empty would reset the cursor
+    // to 0 and burn a whole capped poll re-fetching stored history.
+    // Committed-store detection is owned by EventsStream (one
+    // definition of the bucket layout), not re-derived here.
+    val readable =
+      if (EventsStream.hasCommittedData(spark, storePath)) Some(storePath)
+      else if (EventsStream.hasCommittedData(spark, storePath + "__precompact"))
+        Some(storePath + "__precompact")
+      else None
+    readable match {
+      case None => 0L
+      case Some(dir) =>
+        val row = spark.read.parquet(dir).agg(max(col(tsCol))).head
+        if (row.isNullAt(0)) 0L else row.getLong(0)
     }
   }
 

@@ -135,7 +135,13 @@ object EventsStream {
       try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        scala.util.Try(new String(buf.toByteArray, "UTF-8").trim.toInt).toOption
+        val text = new String(buf.toByteArray, "UTF-8").trim
+        // a PRESENT-but-unparseable meta is corruption, and guessing a
+        // modulus against a frozen layout silently duplicates keys —
+        // fail loudly instead (meta writes are atomic, so this never
+        // arises from a crash)
+        Some(scala.util.Try(text.toInt).getOrElse(throw new java.io.IOException(
+          s"$m holds unparseable store meta '$text'; repair it before merging")))
       } finally in.close()
     }
   }
@@ -150,7 +156,8 @@ object EventsStream {
       val tmp = new org.apache.hadoop.fs.Path(storePath, MetaFile + ".tmp")
       val out = fs.create(tmp, true)
       try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
-      fs.rename(tmp, m)
+      if (!fs.rename(tmp, m) && !fs.exists(m))
+        throw new java.io.IOException(s"could not commit store meta $m")
     }
   }
 

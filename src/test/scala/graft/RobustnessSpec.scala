@@ -130,8 +130,10 @@ class RobustnessSpec extends AnyFunSuite {
       java.nio.file.Paths.get(store + "__precompact"))
     assert(!new java.io.File(store).exists())
     // the next merge must restore the aside copy, NOT fork a fresh
-    // store and re-insert every key
-    EventsStream.upsertSink(ev, store, "event_id")
+    // store and re-insert every key — replay only a SUBSET, so a heal
+    // that silently dropped the aside copy could not fake the full
+    // count with re-inserted rows
+    EventsStream.upsertSink(ev.limit(10), store, "event_id")
     val healed = spark.read.parquet(store)
     assert(healed.count() == n, "heal lost rows or forked the store")
     assert(healed.select("event_id").distinct().count() == n)
