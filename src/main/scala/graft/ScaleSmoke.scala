@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measured scale-up evidence for the candidate-generation
+  * tiers. Replicates the test corpus N× into a work dir with
+  * STRUCTURE-PRESERVING transforms — each replica keeps the
+  * original's intra-replica similarity structure but shares nothing
+  * across replicas:
+  *  - documents: every token gets a per-replica prefix, so shingle
+  *    and bigram vocabularies are disjoint across replicas (near-dup
+  *    mass grows linearly, as a real corpus's would — naive
+  *    replication would instead make every doc an N-way near-dup and
+  *    measure the degenerate-bucket path, which the cap specs already
+  *    cover);
+  *  - embeddings: a deterministic hash perturbation per (vector,
+  *    replica, dim) decorrelates sign patterns across replicas.
+  * Then times the heavy operators on base vs scaled and prints one
+  * JSON line per query with the time ratio vs the N× data ratio.
+  * A candidate-bounded operator should land near ratio ≈ N (linear);
+  * ratios ≫ N expose quadratic candidate growth.
+  *
+  * Usage: runMain graft.ScaleSmoke [N] [srcDir] [workDir]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 8
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val work = if (args.length > 2) args(2) else "/tmp/graft-scale"
+    val spark = GraftSession.get()
+
+    val reps = spark.range(n).select(col("id").as("rep"))
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        // per-token replica prefix → disjoint shingle vocabularies
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("r"), col("rep"), lit("_$1"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(401)) - 200).cast("double") / 500.0)
+            .cast("float")).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+
+    val queries = Seq("c2_dedup_ngram", "c3_dedup_minhash", "c4_dedup_simhash",
+      "c12_dup_clusters", "c5_embed_neardup", "c6_ann_topk")
+
+    def time(name: String, dir: String): Double = {
+      operators.CorpusPrep.invalidate()
+      sources.Tables.invalidate()
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm both paths once (JIT/codegen), then measure
+    queries.foreach { q => time(q, src) }
+    val rows = queries.map { q =>
+      val base = time(q, src)
+      val scaled = time(q, work)
+      f"""{"query":"$q","base_sec":$base%.2f,"scaled_sec":$scaled%.2f,"time_ratio":${scaled / base}%.1f,"data_ratio":$n}"""
+    }
+    rows.foreach(println)
+    spark.stop()
+  }
+}
