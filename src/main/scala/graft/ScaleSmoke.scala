@@ -57,6 +57,13 @@ object ScaleSmoke {
       operators.CorpusPrep.invalidate()
       sources.Tables.invalidate()
       spark.sharedState.cacheManager.clearCache()
+      // localCheckpoint blocks are reclaimed by the ContextCleaner
+      // only after their RDDs are GC'd — at N× scale the previous
+      // query's multi-GB blocks would otherwise still occupy storage
+      // and evict the current query's, measuring thrash instead of
+      // the operator (the round-1 bench anomaly, PLANS.md)
+      System.gc()
+      Thread.sleep(500)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
