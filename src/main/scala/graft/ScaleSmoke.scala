@@ -13,12 +13,18 @@ import org.apache.spark.sql.functions._
   *    replication would instead make every doc an N-way near-dup and
   *    measure the degenerate-bucket path, which the cap specs already
   *    cover);
-  *  - embeddings: a deterministic hash perturbation per (vector,
-  *    replica, dim) decorrelates sign patterns across replicas.
+  *  - embeddings: each replica is shifted by a PER-REPLICA constant
+  *    offset vector (hash of (replica, dim) only — deliberately NOT
+  *    of the vector id, which would give every vector independent
+  *    noise and destroy intra-replica similarity): near-dup pairs
+  *    within a replica stay near-dups (v≈w ⇒ v+t≈w+t, same sign
+  *    buckets), while replicas land in decorrelated regions.
   * Then times the heavy operators on base vs scaled and prints one
   * JSON line per query with the time ratio vs the N× data ratio.
   * A candidate-bounded operator should land near ratio ≈ N (linear);
-  * ratios ≫ N expose quadratic candidate growth.
+  * ratios ≫ N expose quadratic candidate growth. Each timing is the
+  * min of 2 runs, both paths warmed once first (Bench's discipline —
+  * this host shows multi-second stalls).
   *
   * Usage: runMain graft.ScaleSmoke [N] [srcDir] [workDir]
   */
@@ -31,21 +37,26 @@ object ScaleSmoke {
 
     val reps = spark.range(n).select(col("id").as("rep"))
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    // id offsets derive from the source's own max — a fixed constant
+    // would silently collide replicas on a larger source corpus
+    val docOffset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     docs.crossJoin(reps)
       .select(
-        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        (col("doc_id") + col("rep") * docOffset).as("doc_id"),
         // per-token replica prefix → disjoint shingle vocabularies
         regexp_replace(col("text"), lit("(\\S+)"),
           concat(lit("r"), col("rep"), lit("_$1"))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text"))) // keep metadata consistent
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecOffset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     emb.crossJoin(reps)
       .select(
-        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        (col("vec_id") + col("rep") * vecOffset).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           (x.cast("double") +
-            (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(401)) - 200).cast("double") / 500.0)
+            (pmod(xxhash64(col("rep"), i), lit(401)) - 200).cast("double") / 500.0)
             .cast("float")).as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
@@ -53,7 +64,17 @@ object ScaleSmoke {
     val queries = Seq("c2_dedup_ngram", "c3_dedup_minhash", "c4_dedup_simhash",
       "c12_dup_clusters", "c5_embed_neardup", "c6_ann_topk")
 
-    def time(name: String, dir: String): Double = {
+    // the one knob a real scale-up retunes with the data (SURVEY §5:
+    // "at cluster scale these become cluster-sized via config not
+    // code"): shuffle partitions for the SCALED runs, so the tool can
+    // separate "operator grows superlinearly" from "fixed-size
+    // shuffle partitions started spilling"
+    val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val scaledPartitions = sys.env.getOrElse("SPARK_GRAFT_SCALE_SHUFFLE", basePartitions)
+
+    def run(name: String, dir: String): Double = {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (dir == work) scaledPartitions else basePartitions)
       operators.CorpusPrep.invalidate()
       sources.Tables.invalidate()
       spark.sharedState.cacheManager.clearCache()
@@ -68,9 +89,15 @@ object ScaleSmoke {
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // min-of-2: the host's multi-second stalls would otherwise demand
+    // hand-run medians (Bench.scala's discipline)
+    def time(name: String, dir: String): Double =
+      math.min(run(name, dir), run(name, dir))
 
-    // warm both paths once (JIT/codegen), then measure
-    queries.foreach { q => time(q, src) }
+    // warm BOTH paths once (JIT + Janino codegen; AQE may pick
+    // different physical plans at N×, so the scaled path needs its
+    // own warm-up or its first-run codegen cost lands in the timing)
+    queries.foreach { q => run(q, src); run(q, work) }
     val rows = queries.map { q =>
       val base = time(q, src)
       val scaled = time(q, work)
