@@ -68,10 +68,14 @@ object Multimodal {
   /** d2: binary payload chunking — fixed-size slicing of opaque media
     * blobs with per-chunk checksums: the transport/storage framing a
     * media pipeline needs before shipping payloads to decode workers
-    * (and the shape frame-extraction plumbing takes for video). Pure
-    * relational spelling: a sequence/explode fan-out + binary
-    * substring, all codegen'd — one narrow pass, rows ≈ bytes/64, no
-    * shuffle before the final ordered output. */
+    * (and the shape frame-extraction plumbing takes for video).
+    *
+    * Typed flatMap kernel: each emitted chunk row carries only
+    * (idx, len, md5) — work and memory linear in blob size. The
+    * earlier explode(sequence) spelling rode the FULL binary payload
+    * into every chunk row before substr, O(bytes²/chunk) per blob —
+    * harmless on the ~1 KB stand-in text, catastrophic on the
+    * GB-scale video payload this operator exists for. */
   /** d3: frame sampling — the every-Nth-frame selection a video
     * pipeline runs before decode (sample-then-decode, never the
     * reverse). Operates on the d2 chunk stream: video payloads only,
@@ -87,22 +91,39 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
 
   def d2MediaChunks(docs: DataFrame, chunkBytes: Int = DefaultChunkBytes): DataFrame = {
-    val n = length(col("media")) // byte length of the blob
-    // ≥1 chunk even for an empty blob: sequence(0, -1) would generate
-    // a DESCENDING sequence in Spark, not an empty one.
-    val nChunks = greatest(ceil(n.cast("double") / chunkBytes).cast("int"), lit(1))
-    attachBinary(docs)
-      .select(col("doc_id"), col("media_type"), col("media"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
-      .select(
-        col("doc_id"), col("media_type"), col("chunk_idx").cast("long").as("chunk_idx"),
-        col("media").substr(col("chunk_idx") * chunkBytes + 1, lit(chunkBytes)).as("chunk"))
-      .select(col("doc_id"), col("media_type"), col("chunk_idx"),
-        length(col("chunk")).cast("long").as("chunk_len"),
-        // checksum over the hex encoding, not the raw bytes: DuckDB's
-        // md5 is VARCHAR-only, and hex is byte-exact in both engines
-        // for ANY payload — no ASCII assumption.
-        md5(hex(col("chunk"))).as("chunk_md5"))
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    graft.sources.Tables.parallelKernelInput(
+        attachBinary(docs).select(col("doc_id"), col("media"), col("media_type")))
+      .as[(Long, Array[Byte], String)]
+      .flatMap { case (id, bytes, mt) =>
+        // ≥1 chunk even for an empty blob (empty payloads still need a
+        // framing row downstream).
+        val nChunks = math.max(
+          math.ceil(bytes.length.toDouble / chunkBytes).toInt, 1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until nChunks).iterator.map { i =>
+          val from = i * chunkBytes
+          val until = math.min(from + chunkBytes, bytes.length)
+          // checksum over the hex encoding, not the raw bytes: DuckDB's
+          // md5 is VARCHAR-only, and hex is byte-exact in both engines
+          // for ANY payload — no ASCII assumption. Uppercase digits =
+          // Spark's hex() and DuckDB's hex().
+          val sb = new java.lang.StringBuilder((until - from) * 2)
+          var j = from
+          while (j < until) {
+            sb.append(HexDigits((bytes(j) >> 4) & 0xf)); sb.append(HexDigits(bytes(j) & 0xf))
+            j += 1
+          }
+          md.reset()
+          val h = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .map("%02x".format(_)).mkString
+          (id, mt, i.toLong, (until - from).toLong, h)
+        }
+      }
+      .toDF("doc_id", "media_type", "chunk_idx", "chunk_len", "chunk_md5")
       .orderBy("doc_id", "chunk_idx")
   }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
 }

@@ -66,17 +66,28 @@ object Sampling {
   /** c22: sequence packing — the concat-then-chunk step that turns a
     * document stream into fixed-token-budget training sequences.
     * Global greedy packing is inherently sequential, so the scalable
-    * contract packs WITHIN deterministic shards (doc_id mod 32): each
-    * shard runs an ordered prefix sum of token counts and a document's
-    * sequence id is its start-offset block (floor(preceding-tokens /
-    * budget)) — one window shuffle on the shard key, every shard
-    * independent, reproducible on any cluster size. Emits the per-
-    * sequence summary (doc count, token sum, id range). */
-  def c22SequencePack(docs: DataFrame, budget: Long = DefaultTokenBudget): DataFrame = {
+    * contract packs WITHIN deterministic shards (doc_id mod shards):
+    * each shard runs an ordered prefix sum of token counts and a
+    * document's sequence id is its start-offset block
+    * (floor(preceding-tokens / budget)) — one window shuffle on the
+    * shard key, every shard independent, reproducible on any cluster
+    * size. Emits the per-sequence summary (doc count, token sum, id
+    * range).
+    *
+    * `shards` bounds the packing stage's parallelism AND the size of
+    * each shard's sorted prefix-sum (≈ corpus/shards rows per window
+    * partition) — set it ∝ cluster cores at deployment (e.g. 2–4× the
+    * executor-core count) so no shard outgrows one task. Different
+    * shard counts produce different (equally valid) packings; the
+    * driver-checked default is [[PackShards]], which the oracle SQL
+    * interpolates so the two can't drift. */
+  def c22SequencePack(docs: DataFrame, budget: Long = DefaultTokenBudget,
+      shards: Int = PackShards): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(shards > 0, "shards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    docs.select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+    docs.select(col("doc_id"), (col("doc_id") % shards).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
@@ -93,29 +104,48 @@ object Sampling {
     * stream into fixed-size windows with overlap (stride = size −
     * overlap): the step that turns raw documents into model-ready
     * training rows, complementing c22 (which packs SHORT docs up to a
-    * budget; this splits LONG docs down to one). One narrow pass —
-    * the fan-out is sequence+posexplode inside codegen, chunk
-    * content is md5'd for cross-engine parity, no shuffle before the
-    * ordered output. A short tail chunk is kept (standard practice;
+    * budget; this splits LONG docs down to one).
+    *
+    * Typed flatMap kernel, like the shingle path: each emitted row
+    * carries ONLY (idx, n_tok, md5) — total work and memory are
+    * linear in document length. The earlier declarative spelling
+    * (explode(sequence) then slice) duplicated the full token array
+    * into every chunk row before slicing: O(L²/stride) per document,
+    * which a 1M-token training doc turns into ~4.5k copies of a
+    * 1M-element array. A short tail chunk is kept (standard practice;
     * filtering it is a trailing predicate). */
   def c25DocChunks(docs: DataFrame, size: Int = ChunkTokens,
       overlap: Int = ChunkOverlap): DataFrame = {
     require(overlap < size, "overlap must be smaller than the chunk size")
     val stride = size - overlap
-    val toks = split(col("text"), " ", -1)
-    val nChunks = greatest(
-      ceil((size_(toks) - overlap).cast("double") / stride).cast("int"), lit(1))
-    docs.select(col("doc_id"), toks.as("w"), explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        slice(col("w"), col("chunk_idx") * stride + 1, lit(size)).as("chunk"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size_(col("chunk")).cast("long").as("n_tok"),
-        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        val nChunks = math.max(
+          math.ceil((w.length - overlap).toDouble / stride).toInt, 1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until nChunks).iterator.map { i =>
+          val from = i * stride
+          val until = math.min(from + size, w.length)
+          val nTok = math.max(until - from, 0)
+          val sb = new java.lang.StringBuilder
+          var j = from
+          while (j < until) {
+            if (j > from) sb.append(' ')
+            sb.append(w(j)); j += 1
+          }
+          md.reset()
+          val hex = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          (id, i.toLong, nTok.toLong, hex)
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "n_tok", "chunk_md5")
       .orderBy("doc_id", "chunk_idx")
   }
-
-  // functions.size, aliased: `size` collides with the param name above
-  private def size_(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.size(c)
 
   /** c14: int8 scalar quantization of embeddings — the standard
     * memory/bandwidth reduction for ANN serving at scale. Per-vector
