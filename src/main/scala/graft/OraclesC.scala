@@ -76,6 +76,46 @@ object OraclesC {
   private val VAL = graft.operators.Sampling.SplitValPct
   private val BUDGET = graft.operators.Sampling.DefaultTokenBudget
   private val SHARDS = graft.operators.Sampling.PackShards
+  // c26's fixed-point trainer parameters, from the operator constants
+  private val QS = graft.operators.Similarity.QuantScale
+  private val QITERS = graft.operators.Similarity.QuantIters
+
+  /** One spherical-k-means iteration in DuckDB — the CTE-for-CTE
+    * replay of trainCentroidsQuantized's loop body. Exact int64 sums
+    * of floor(v·scale + 0.5) make the update order-independent, so
+    * the iterative loop is cross-engine deterministic (see the
+    * operator's Scaladoc). `prev` is the incoming centroid CTE name,
+    * `i` the iteration suffix. Empty clusters keep their previous
+    * centroid (coalesce on the left join). */
+  private def kmeansIter(prev: String, i: Int): String = s"""
+      asg$i as (
+        select e.vec_id, e.embedding, c.c_id,
+               row_number() over (partition by e.vec_id
+                 order by round(${cosine("e.embedding", "c.c_emb")}, 4) desc, c.c_id) as rn
+        from embeddings e cross join $prev c),
+      a$i as (select vec_id, embedding, c_id from asg$i where rn = 1),
+      upd$i as (
+        select c_id, i as dim,
+               sum(floor(embedding[i]::double * $QS + 0.5)::bigint) as s,
+               count(*) as n
+        from a$i, unnest(range(1,65)) as t(i)
+        group by c_id, i),
+      cm$i as (
+        select c_id, list(s::double / (n * $QS)::double order by dim) as c_emb
+        from upd$i group by c_id),
+      cent$i as (
+        select c.c_id, coalesce(u.c_emb, c.c_emb) as c_emb
+        from $prev c left join cm$i u using (c_id))"""
+
+  /** The full trained-centroid CTE chain: cent0 = the seed (first NC
+    * vectors as doubles), then QITERS unrolled iterations. */
+  private val TRAINED_CENTROIDS = s"""
+      cent0 as (
+        select vec_id as c_id,
+               list_transform(embedding, x -> x::double) as c_emb
+        from embeddings where vec_id < $NC),""" +
+    (1 to QITERS).map(i => kmeansIter(s"cent${i - 1}", i)).mkString(",")
+
   /** c18's keep-rate CASE, derived from the operator's rate map. */
   private val KEEP_MILLE = graft.operators.Sampling.DefaultRates
     .map { case (lang, r) => s"when lang = '$lang' then ${(r * 1000).toLong}" }
@@ -211,6 +251,27 @@ object OraclesC {
 
     "c7_ann_ivf" -> s"""
       with c as (select vec_id as c_id, embedding as c_emb from embeddings where vec_id < $NC),
+      ranked_assign as (
+        select e.vec_id, e.embedding, c.c_id,
+               row_number() over (partition by e.vec_id
+                 order by round(${cosine("e.embedding", "c.c_emb")}, 4) desc, c.c_id) as rn
+        from embeddings e cross join c),
+      assigned as (select vec_id, embedding, c_id as cluster from ranked_assign where rn = 1),
+      probes as (select vec_id as q_id, embedding as q_emb, c_id as cluster
+                 from ranked_assign where vec_id < $NQ and rn <= $NPROBE),
+      ranked as (
+        select p.q_id, a.vec_id, a.cluster,
+               round(${cosine("p.q_emb", "a.embedding")}, 4) as cos,
+               row_number() over (partition by p.q_id
+                 order by round(${cosine("p.q_emb", "a.embedding")}, 4) desc, a.vec_id)::bigint as rank
+        from assigned a join probes p on a.cluster = p.cluster
+        where a.vec_id <> p.q_id)
+      select q_id, vec_id, cluster, cos, rank from ranked where rank <= 10 order by q_id, rank
+    """,
+
+    "c26_ann_ivf_trained" -> s"""
+      with $TRAINED_CENTROIDS,
+      c as (select c_id, c_emb from cent$QITERS),
       ranked_assign as (
         select e.vec_id, e.embedding, c.c_id,
                row_number() over (partition by e.vec_id

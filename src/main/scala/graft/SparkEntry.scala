@@ -79,6 +79,7 @@ object SparkEntry {
     "c23_curation"     -> ((s, dir) => TextAnalysis.c23CurationFilter(Tables.documents(s, dir))),
     "c24_source_stats" -> ((s, dir) => TextAnalysis.c24SourceStats(Tables.documents(s, dir))),
     "c25_doc_chunks"   -> ((s, dir) => Sampling.c25DocChunks(Tables.documents(s, dir))),
+    "c26_ann_ivf_trained" -> ((s, dir) => Similarity.c26AnnIvfTrained(Tables.embeddings(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -176,6 +176,68 @@ object Similarity {
     cent
   }
 
+  /** Fixed-point quantization scale for [[trainCentroidsQuantized]]
+    * and its iteration count — interpolated into the c26 oracle. */
+  val QuantScale = 1000000L
+  val QuantIters = 2
+
+  /** Spherical k-means with a FIXED-POINT centroid update — the
+    * cross-engine-checkable variant of [[trainCentroids]] (c26).
+    *
+    * Why the ordinary trainer can't be oracled: its update step is
+    * `avg(v)` over shuffled rows, and float summation order differs
+    * run-to-run and engine-to-engine, so the trained centroids drift
+    * in the last ulp and downstream assignments can flip. Here the
+    * update sums QUANTIZED per-dim values — floor(v·scale + 0.5) as
+    * exact int64 — so the aggregation is associative/commutative with
+    * NO rounding, then one IEEE-exact division s/(n·scale) rebuilds
+    * the double centroid. Every step (float→double cast, fixed-point
+    * floor, integer sum, one division, left-to-right dot) is
+    * bit-identical in any engine, making the whole iterative loop
+    * deterministic — DuckDB replays it CTE-for-CTE in the c26 oracle.
+    * Same distributed shape as trainCentroids: broadcast centroids,
+    * map-side-combined max_by assignment, one (c_id, dim) shuffle per
+    * update; the corpus never collects. int64 headroom: |v|≤~1 →
+    * |s| ≤ n·scale ≈ 1e12·1e6 < 2^63 at a 1e12-vector corpus. */
+  def trainCentroidsQuantized(emb: DataFrame, k: Int = DefaultCentroidCount,
+      iters: Int = QuantIters, scale: Long = QuantScale): DataFrame = {
+    val corpus = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint()
+    var cent = defaultCentroids(emb, k)
+      .select(col("c_id"), VectorFns.toDoubles(col("c_emb")).as("c_emb"), col("c_nrm"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = corpus.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          pairCos("embedding", "nrm", "c_emb", "c_nrm").as("c_cos"))
+        .groupBy("vec_id")
+        .agg(expr("max_by(struct(c_id, embedding), struct(c_cos, -c_id))").as("best"))
+        .select(col("best.c_id").as("c_id"), col("best.embedding").as("embedding"))
+      val updated = assigned
+        .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("c_id", "dim")
+        .agg(sum(floor(col("v").cast("double") * scale + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("c_id"), col("dim"),
+          (col("s").cast("double") / (col("n") * scale).cast("double")).as("m"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c_emb"))
+        .withColumn("c_nrm", VectorFns.norm(col("c_emb")))
+      val kept = cent.join(updated.select("c_id"), Seq("c_id"), "left_anti")
+      cent = updated.unionByName(kept).localCheckpoint() // k rows; cut lineage
+    }
+    cent
+  }
+
+  /** c26: the c7 IVF serving path over TRAINED centroids — closes the
+    * "centroids are a stand-in" loop end-to-end with an oracle-checked
+    * result (the quantized trainer above makes the training replayable
+    * in SQL). Same output contract as c7. */
+  def c26AnnIvfTrained(emb: DataFrame, k: Int = 10,
+      nprobe: Int = DefaultNProbe): DataFrame =
+    c7AnnIvf(emb, centroids = Some(trainCentroidsQuantized(emb)), k = k, nprobe = nprobe)
+
   /** Mean best-assignment cosine — the (spherical) k-means objective,
     * for convergence checks. One pass over the corpus; the per-vector
     * best is a plain max aggregation (map-side combined). */

@@ -89,6 +89,31 @@ class Round4Spec extends AnyFunSuite {
         "— per-item quadratic behavior is back")
   }
 
+  // ---- c26: trained quantized centroids ----
+
+  test("quantized k-means trainer is run-to-run deterministic (exact array equality)") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = operators.Similarity.trainCentroidsQuantized(emb)
+      .select("c_id", "c_emb").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val b = operators.Similarity.trainCentroidsQuantized(emb)
+      .select("c_id", "c_emb").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // bit-exact, not approximate: the fixed-point update removes every
+    // order-dependent float sum, which is what makes c26 oracle-able
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("quantized training improves the spherical k-means objective over the seed") {
+    val emb = Tables.embeddings(spark, sf)
+    val seed = operators.Similarity.defaultCentroids(emb)
+    val trained = operators.Similarity.trainCentroidsQuantized(emb)
+    val o0 = operators.Similarity.kmeansObjective(emb, seed)
+    val o2 = operators.Similarity.kmeansObjective(emb, trained)
+    // quantization error is ~1e-6 per dim; allow it in the comparison
+    assert(o2 >= o0 - 1e-5, s"trained objective $o2 below seed $o0")
+  }
+
   // ---- c22: shard count is a real parameter ----
 
   test("c22 conserves docs and tokens at any shard count, deterministically") {
