@@ -27,13 +27,12 @@ object Checks {
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"))
 
-  /** a9: the mart test-suite (unique + not_null on every dim/fact key,
-    * mirroring the reference's yml tests), as a result table. */
-  def a9DqChecks(stg: DataFrame): DataFrame = {
-    val dimUser = Marts.dimUser(stg)
-    val dimTrack = Marts.dimTrack(stg)
-    val dimType = Marts.dimEventType(stg)
-    val fct = Marts.fctEvents(stg)
+  /** The test-suite body over ALREADY-MATERIALIZED marts — the dbt
+    * shape exactly: tests run against built tables, never against a
+    * re-derivation of staging. Callers with marts saved via Sinks
+    * point this at the saved frames. */
+  def dqChecksOverMarts(dimUser: DataFrame, dimTrack: DataFrame,
+      dimType: DataFrame, fct: DataFrame): DataFrame =
     Seq(
       uniqueViolations(dimUser, "dim_user.user_sk.unique", Seq("user_sk")),
       notNullViolations(dimUser, "dim_user.user_sk.not_null", "user_sk"),
@@ -45,5 +44,22 @@ object Checks {
       .reduce(_ unionByName _)
       .withColumn("passed", col("n_violations") === 0L)
       .orderBy("check_name")
+
+  /** a9: the mart test-suite (unique + not_null on every dim/fact key,
+    * mirroring the reference's yml tests), as a result table.
+    *
+    * Staging is materialized ONCE (localCheckpoint) and each mart is
+    * materialized from it before the checks run — the in-session
+    * analog of dbt building tables and then testing them. The r3
+    * spelling inlined the staging subtree under each of 7 check
+    * branches: 7 source scans per run. Now the source is scanned
+    * exactly once; the check job reads executor-local mart blocks. */
+  def a9DqChecks(stg: DataFrame): DataFrame = {
+    val s = stg.localCheckpoint()
+    val dimUser = Marts.dimUser(s).localCheckpoint()
+    val dimTrack = Marts.dimTrack(s).localCheckpoint()
+    val dimType = Marts.dimEventType(s).localCheckpoint()
+    val fct = Marts.fctEvents(s).localCheckpoint()
+    dqChecksOverMarts(dimUser, dimTrack, dimType, fct)
   }
 }

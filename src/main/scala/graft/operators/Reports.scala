@@ -46,22 +46,27 @@ object Reports {
   }
 
   /** rpt_track_counts analog (rpt_track_counts.sql): per-track recent
-    * counts, then two dim joins for display attributes. The track dim
-    * is corpus-grain → no broadcast hint (AQE decides, so the join
-    * degrades to shuffle instead of OOMing at 100×); the event-type
-    * dim is fixed-cardinality → hinted. */
+    * counts + display attributes in ONE pass. track_id is a function
+    * of (user_id, event_type), so both display attributes are
+    * CONSTANT within a track group and ride the counts aggregation as
+    * min() — no second dim join, no second aggregation of the
+    * corpus-grain track dim (the r3 plan aggregated it twice). The
+    * only dim join left fetches all-time max_value (not derivable
+    * from the 30-day slice); it's corpus-grain → no broadcast hint
+    * (AQE decides, so the join degrades to shuffle instead of OOMing
+    * at 100×). The event-type dim is fixed-cardinality → hinted. */
   def a6RptTypeCounts(stg: DataFrame): DataFrame = {
-    val dim = Marts.dimTrack(stg)
-      .select(col("track_id"), col("user_id"), col("event_type"), col("max_value"))
+    val trackMax = Marts.dimTrack(stg).select(col("track_id"), col("max_value"))
     val dtype = Marts.dimEventType(stg)
     val counts = last30(withAnchor(stg))
-      .join(dim.select(col("track_id"), col("max_value")), Seq("track_id"), "inner")
+      .join(trackMax, Seq("track_id"), "inner")
       .groupBy(col("track_id"))
       .agg(
         count(lit(1)).as("plays"),
-        round(sum(col("max_value") / 60.0), 4).as("minutes_played"))
+        round(sum(col("max_value") / 60.0), 4).as("minutes_played"),
+        min(col("user_id")).as("user_id"),
+        min(col("event_type")).as("event_type"))
     counts
-      .join(dim.drop("max_value"), Seq("track_id"), "left")
       .join(broadcast(dtype.withColumnRenamed("event_type", "type_name")),
         Keys.surrogateKey(col("event_type")) === col("type_id"), "left")
       .select(col("type_name"), col("user_id"), col("plays"), col("minutes_played"))

@@ -135,4 +135,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("a1_stg_events")
     assert(!p.contains("Exchange hashpartitioning"), s"staging shuffles:\n$p")
   }
+
+  test("a6 aggregates the track dim exactly once (display attrs ride the counts agg)") {
+    // the r3 plan inlined dimTrack under both the counts join and the
+    // display join — two full aggregations of a corpus-grain dim, 5
+    // source subtrees. With the display attributes folded into the
+    // counts groupBy exactly 4 remain: stg slice, anchor agg, ONE dim
+    // subtree, and the event-type dim.
+    val p = plan("a6_rpt_type_counts")
+    val scans = "events\\.parquet".r.findAllIn(p).length
+    assert(scans <= 4, s"a6 scans events $scans times (dim aggregated twice?):\n$p")
+  }
+
+  test("a9 runs its checks over materialized marts: one source scan total") {
+    val p = plan("a9_dq_checks")
+    val scans = "events\\.parquet".r.findAllIn(p).length
+    assert(scans == 0, s"a9's check job still re-derives staging from source:\n$p")
+  }
 }
