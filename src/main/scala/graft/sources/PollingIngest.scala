@@ -65,21 +65,34 @@ object PollingIngest {
 
   /** One poll: drain pages after the store's cursor, parse, merge.
     * Returns the fetched row count (merged rows ≤ that under
-    * overlap — conflicts are dropped by the store). */
+    * overlap — conflicts are dropped by the store).
+    *
+    * Pages merge in bounded chunks of `pagesPerMerge` — driver memory
+    * holds at most one chunk, never the whole poll (a 1000-page
+    * backfill previously buffered everything before the first merge).
+    * The OLDEST-FIRST page contract makes partial polls safe: after
+    * every merged chunk the store's max event time — the next poll's
+    * cursor — covers exactly the merged prefix, so a mid-poll crash
+    * loses nothing and the next poll resumes at the gap. Conflicts on
+    * re-fetched overlap rows are dropped by the keep-first store. */
   def ingest(spark: SparkSession, source: PageSource, schema: StructType,
-      storePath: String, key: String, tsCol: String, maxPages: Int = 1000): Long = {
+      storePath: String, key: String, tsCol: String, maxPages: Int = 1000,
+      pagesPerMerge: Int = 50): Long = {
     import spark.implicits._
+    require(pagesPerMerge > 0, "pagesPerMerge must be positive")
     val cursorUs = cursorOf(spark, storePath, tsCol)
-    val lines = Iterator.from(0)
+    var fetched = 0L
+    Iterator.from(0)
       .map(p => source.fetchPage(cursorUs, p))
       .takeWhile(_.nonEmpty)
       .take(maxPages)
-      .flatten.toSeq
-    if (lines.isEmpty) 0L
-    else {
-      val batch = spark.read.schema(schema).json(spark.createDataset(lines))
-      graft.streaming.EventsStream.upsertSink(batch, storePath, key)
-      lines.length.toLong
-    }
+      .grouped(pagesPerMerge) // lazy: fetches a chunk, merges, moves on
+      .foreach { chunk =>
+        val lines = chunk.flatten
+        val batch = spark.read.schema(schema).json(spark.createDataset(lines))
+        graft.streaming.EventsStream.upsertSink(batch, storePath, key)
+        fetched += lines.length
+      }
+    fetched
   }
 }

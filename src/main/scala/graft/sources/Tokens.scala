@@ -1,0 +1,64 @@
+package graft.sources
+
+/** OAuth token lifecycle for authed page sources — the reference's
+  * check_token / get_token / store_tokens chain re-expressed
+  * (/root/reference/flows/pull_recent_tracks.py:73-110,
+  * /root/reference/util/login.py:1-60): validate the stored access
+  * token, exchange the refresh token for a fresh one when stale,
+  * persist the rotated pair back to the secret store.
+  *
+  * Both backends are injected interfaces: this is edge/driver-side
+  * deployment plumbing (like PageSource fetching), and no network
+  * client ships in a zero-egress build — specs drive fakes, a
+  * deployment supplies an HTTP token endpoint and its secret manager
+  * (the reference uses Prefect Cloud secrets).
+  */
+trait SecretStore extends Serializable {
+  def get(name: String): Option[String]
+  def put(name: String, value: String): Unit
+}
+
+/** The two token API calls of the OAuth refresh-grant flow. */
+trait TokenEndpoint extends Serializable {
+  /** check_token: is this access token still accepted? (the reference
+    * probes /v1/me and checks for 200.) */
+  def isValid(accessToken: String): Boolean
+
+  /** get_token: exchange a refresh token → (access token, optionally a
+    * rotated refresh token — providers that don't rotate return None).
+    * Throws on a rejected refresh token (raise_for_status). */
+  def refresh(refreshToken: String): (String, Option[String])
+}
+
+/** A source of currently-valid access tokens, for PageSource
+  * implementations that need auth on every fetch. */
+trait TokenSource extends Serializable {
+  def accessToken(): String
+}
+
+/** The reference's lifecycle: stored-token fast path, refresh + store
+  * on expiry. Stateless between calls — the secret store is the
+  * source of truth, so concurrent pollers sharing one store converge
+  * on the same rotated tokens. */
+final class RefreshingTokenSource(
+    store: SecretStore,
+    endpoint: TokenEndpoint,
+    accessName: String = "api-access-token",
+    refreshName: String = "api-refresh-token") extends TokenSource {
+
+  def accessToken(): String =
+    store.get(accessName).filter(endpoint.isValid) match {
+      case Some(valid) => valid
+      case None =>
+        val refreshTok = store.get(refreshName).getOrElse(throw new IllegalStateException(
+          s"access token stale and no refresh token stored under '$refreshName'"))
+        val (access, rotated) = endpoint.refresh(refreshTok)
+        // store_tokens: persist the new access token; the reference
+        // deliberately keeps its original refresh token (the save is
+        // commented out there) — we persist a rotation only when the
+        // provider actually returns one
+        store.put(accessName, access)
+        rotated.foreach(store.put(refreshName, _))
+        access
+    }
+}

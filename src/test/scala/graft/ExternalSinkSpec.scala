@@ -99,6 +99,79 @@ class ExternalSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 50)
   }
 
+  test("chunked poll: a mid-poll failure keeps the merged prefix and resumes at the gap") {
+    import org.apache.spark.sql.types._
+    import graft.sources.{PageSource, PollingIngest}
+    val store = java.nio.file.Files.createTempDirectory("graft-pollchunk-").toString + "/store"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("v", StringType)))
+    // items 1..100, 10 per page, strictly after the cursor (oldest
+    // first); failAtPage simulates the API dying mid-backfill
+    val asked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    class Fake(failAtPage: Int = Int.MaxValue) extends PageSource {
+      def fetchPage(cursorUs: Long, page: Int): Seq[String] = {
+        if (page == 0) asked += cursorUs
+        if (page >= failAtPage) throw new RuntimeException("api down")
+        val from = cursorUs + 1 + page * 10
+        (from until math.min(from + 10, 101L))
+          .map(i => s"""{"event_id": $i, "ts_us": $i, "v": "x$i"}""")
+      }
+    }
+    // pagesPerMerge=3: pages 0-2 merge (1..30), pages 3-5 merge
+    // (31..60), page 6 throws — the two merged chunks must survive
+    intercept[RuntimeException] {
+      PollingIngest.ingest(spark, new Fake(failAtPage = 6), schema, store,
+        "event_id", "ts_us", pagesPerMerge = 3)
+    }
+    assert(spark.read.parquet(store).count() == 60,
+      "merged prefix lost (or whole poll buffered driver-side)")
+    // the next poll's cursor is the merged prefix's max — it resumes
+    // exactly at the gap and completes the backfill
+    val n = PollingIngest.ingest(spark, new Fake(), schema, store,
+      "event_id", "ts_us", pagesPerMerge = 3)
+    assert(asked.last == 60L, s"resume cursor wrong: $asked")
+    assert(n == 40)
+    val got = spark.read.parquet(store)
+    assert(got.count() == 100 && got.select("event_id").distinct().count() == 100)
+  }
+
+  test("token source refreshes an expired access token without network and persists it") {
+    import graft.sources.{PageSource, RefreshingTokenSource, SecretStore, TokenEndpoint}
+    val secrets = scala.collection.mutable.Map(
+      "api-access-token" -> "expired-0", "api-refresh-token" -> "r0")
+    var refreshCalls = 0
+    val store = new SecretStore {
+      def get(name: String): Option[String] = secrets.get(name)
+      def put(name: String, value: String): Unit = secrets(name) = value
+    }
+    val endpoint = new TokenEndpoint {
+      def isValid(tok: String): Boolean = tok == "fresh-1"
+      def refresh(rt: String): (String, Option[String]) = {
+        refreshCalls += 1
+        assert(rt == "r0", s"refresh grant used wrong token: $rt")
+        ("fresh-1", Some("r1"))
+      }
+    }
+    val tokens = new RefreshingTokenSource(store, endpoint)
+    // an authed page source: every fetch demands a currently-valid
+    // token, like the reference's Bearer-header fetch
+    class AuthedSource extends PageSource {
+      def fetchPage(cursorUs: Long, page: Int): Seq[String] = {
+        val tok = tokens.accessToken()
+        assert(endpoint.isValid(tok), "fetch ran with a stale token")
+        if (page == 0 && cursorUs == 0) Seq("""{"event_id": 1}""") else Seq.empty
+      }
+    }
+    assert(new AuthedSource().fetchPage(0, 0).nonEmpty)
+    assert(refreshCalls == 1, "expired token did not trigger exactly one refresh")
+    assert(secrets("api-access-token") == "fresh-1", "rotated access token not stored")
+    assert(secrets("api-refresh-token") == "r1", "rotated refresh token not stored")
+    // fast path: a second use finds the stored token valid, no refresh
+    tokens.accessToken()
+    assert(refreshCalls == 1, "valid stored token still hit the refresh grant")
+  }
+
   test("jdbc store builds the reference's on-conflict dialect") {
     // no driver jar in this container — assert the SQL/DDL shape via
     // the same type mapping the executor path uses
