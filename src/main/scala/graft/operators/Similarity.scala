@@ -83,8 +83,17 @@ object Similarity {
   private[graft] def c5Candidates(emb: DataFrame, nBits: Int, nTables: Int,
       bucketCap: Int = Dedup.BucketCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nBits * nTables <= 64, "sign tables exceed embedding dims")
-    val b = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"),
+    require(nBits > 0 && nTables > 0 && nBits <= 62, "bits per table must be in 1..62")
+    // the hyperplane count is bounded by the ACTUAL embedding width,
+    // checked per row in the scan (codegen'd, no extra pass): past-end
+    // element_at would return null and silently hash every overflow
+    // bit to 0 — degraded collision-heavy buckets instead of an error
+    val need = nBits * nTables
+    val guarded = withNorm(emb).filter(assert_true(
+      size(col("embedding")) >= need,
+      concat(lit(s"c5: $nTables×$nBits sign tables need ≥$need dims, embedding has "),
+        size(col("embedding")))).isNull)
+    val b = guarded.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until nTables).map(t =>
         VectorFns.signBucket(col("embedding"), nBits, t * nBits)): _*)).as(Seq("tbl", "bucket")))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
@@ -107,7 +116,9 @@ object Similarity {
     * the oracle's 8 (256 buckets); at scale pass
     * `bitsForCorpus(n)` (+ more tables for recall) so per-bucket
     * candidate volume stays bounded — fixed bits on a growing corpus
-    * degenerate toward n²/2^bits. */
+    * degenerate toward n²/2^bits. nBits·nTables must not exceed the
+    * embedding dimension (each table reads its own dim slice) — the
+    * scan asserts this per row and fails loudly on a narrower corpus. */
   def c5EmbedNearDup(emb: DataFrame, nBits: Int = DefaultSignBits, nTables: Int = 1,
       bucketCap: Int = Dedup.BucketCap): DataFrame =
     c5Candidates(emb, nBits, nTables, bucketCap)

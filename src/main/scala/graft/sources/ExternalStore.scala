@@ -40,6 +40,14 @@ trait ExternalConnection {
 final class JdbcExternalStore(url: String, props: Map[String, String] = Map.empty)
     extends ExternalStore {
 
+  /** Quote an identifier for the target family (sqlite/turso/
+    * postgres all take ANSI double quotes). Legal Spark column names
+    * ("order", "group", names with spaces) would otherwise break the
+    * built DDL/INSERT. Dot-qualified table names quote per segment so
+    * "main.tracks" stays schema-qualified. */
+  private def q(id: String): String =
+    id.split('.').map(s => "\"" + s.replace("\"", "\"\"") + "\"").mkString(".")
+
   def connect(): ExternalConnection = new ExternalConnection {
     private val info = new java.util.Properties()
     props.foreach { case (k, v) => info.setProperty(k, v) }
@@ -56,10 +64,10 @@ final class JdbcExternalStore(url: String, props: Map[String, String] = Map.empt
     }
 
     def ensureTable(table: String, schema: StructType, keyCols: Seq[String]): Unit = {
-      val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
-      val pk = if (keyCols.nonEmpty) s", PRIMARY KEY (${keyCols.mkString(", ")})" else ""
+      val cols = schema.fields.map(f => s"${q(f.name)} ${sqlType(f.dataType)}").mkString(", ")
+      val pk = if (keyCols.nonEmpty) s", PRIMARY KEY (${keyCols.map(q).mkString(", ")})" else ""
       val st = conn.createStatement()
-      try st.executeUpdate(s"CREATE TABLE IF NOT EXISTS $table ($cols$pk)")
+      try st.executeUpdate(s"CREATE TABLE IF NOT EXISTS ${q(table)} ($cols$pk)")
       finally st.close()
     }
 
@@ -72,8 +80,8 @@ final class JdbcExternalStore(url: String, props: Map[String, String] = Map.empt
       // under Spark task retry.
       val onConflict =
         if (keyCols.isEmpty) ""
-        else s" ON CONFLICT (${keyCols.mkString(", ")}) DO NOTHING"
-      val sql = s"INSERT INTO $table (${names.mkString(", ")}) " +
+        else s" ON CONFLICT (${keyCols.map(q).mkString(", ")}) DO NOTHING"
+      val sql = s"INSERT INTO ${q(table)} (${names.map(q).mkString(", ")}) " +
         s"VALUES (${names.map(_ => "?").mkString(", ")})" + onConflict
       val ps = conn.prepareStatement(sql)
       try {

@@ -23,8 +23,21 @@ object Tables {
     * REQUIRED after rewriting files beneath a loaded path (the cached
     * frame pins the old FileIndex listing + schema). Write paths in
     * this repo target fresh output dirs, so nothing calls it on the
-    * hot path; it exists for callers that mutate inputs in place. */
-  def invalidate(): Unit = cache.clear()
+    * hot path; it exists for callers that mutate inputs in place.
+    *
+    * Also evicts CorpusPrep's memoized kernel frames: they are
+    * DERIVED from these loads (localCheckpoint'd shingle/bigram
+    * passes), and their semantic-hash keys collide for same
+    * path+schema — without the cascade a caller following this
+    * method's contract would still be served stale corpus-prep
+    * blocks. CorpusPrep entries aren't keyed by path (they memoize
+    * arbitrary input plans), so the path-scoped form evicts them
+    * all — invalidation is a cold-path correctness hook, not a
+    * performance one. */
+  def invalidate(): Unit = {
+    cache.clear()
+    graft.operators.CorpusPrep.invalidate()
+  }
   def invalidate(path: String): Unit = {
     // exact file, or everything under a directory — a bare prefix
     // would also evict siblings ("/data/sf1" must not match
@@ -33,6 +46,7 @@ object Tables {
     cache.keys.foreach { k =>
       if (k._2 == path || k._2.startsWith(dir)) cache.remove(k)
     }
+    graft.operators.CorpusPrep.invalidate()
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -271,6 +271,7 @@ object EventsStream {
       storePath: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val aside = new org.apache.hadoop.fs.Path(storePath + "__precompact")
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "__compacting")
     if (fs.exists(aside)) {
       if (!fs.exists(path)) {
         if (!fs.rename(aside, path))
@@ -278,6 +279,88 @@ object EventsStream {
             s"store recovery: could not restore $aside to $path")
       } else fs.delete(aside, true)
     }
+    // a stale __compacting dir (crash after the tmp write, before the
+    // swap) is NEVER the only copy — the live-or-aside store still
+    // holds everything — so it is always safe to drop; left in place
+    // it is a full store copy of dead weight. Writers are required to
+    // pause during compaction, so this cannot race a live one.
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    healInterruptedBucketCompaction(fs, storePath)
+  }
+
+  /** Heal per-bucket compaction leftovers (compactStoreSelective's
+    * crash windows). For each bucket aside: live bucket missing →
+    * restore it; live present → the aside is superseded, drop it.
+    * Bucket tmp dirs are never the only copy → always dropped. */
+  private[graft] def healInterruptedBucketCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).map(_.getPath).foreach { d =>
+      val name = d.getName
+      if (name.startsWith(BucketAsidePrefix)) {
+        val live = new org.apache.hadoop.fs.Path(p,
+          s"$KeyBucketCol=${name.stripPrefix(BucketAsidePrefix)}")
+        if (!fs.exists(live)) {
+          if (!fs.rename(d, live))
+            throw new java.io.IOException(s"store recovery: could not restore bucket $d")
+        } else fs.delete(d, true)
+      } else if (name.startsWith(BucketTmpPrefix)) fs.delete(d, true)
+    }
+  }
+
+  // underscore prefix hides these from Spark's file listing; NO '='
+  // in the name (an underscore dir containing '=' is NOT filtered by
+  // partition discovery and would be parsed as a partition value)
+  private[graft] val BucketAsidePrefix = "_compact_aside_kb"
+  private[graft] val BucketTmpPrefix = "_compact_tmp_kb"
+
+  /** Selective maintenance: compact ONLY buckets whose data-file count
+    * reached `minFiles`, leaving every other bucket's files untouched
+    * (byte-identical — spec-asserted). At scale a handful of hot
+    * buckets fragment while the cold tail doesn't; the whole-store
+    * [[compactStore]] rewrites corpus-sized cold data for nothing,
+    * this rewrites exactly the fragmented buckets. Each bucket swaps
+    * independently (write tmp → live aside → tmp installed → aside
+    * dropped, renames checked), and [[healInterruptedBucketCompaction]]
+    * — invoked from every store touch — covers each crash window, so
+    * a failure mid-list leaves earlier buckets compacted, later ones
+    * as they were, and nothing lost. Returns the compacted bucket ids.
+    * Like compactStore, run against a quiesced store (writers pause;
+    * readers mid-swap see old or new files). */
+  def compactStoreSelective(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      minFiles: Int = 4): Seq[Int] = {
+    require(minFiles >= 2, "minFiles < 2 would rewrite already-compact buckets")
+    val fs = fsOf(spark, storePath)
+    healInterruptedCompaction(fs, storePath)
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    if (!fs.exists(p)) return Seq.empty
+    val isData = (n: String) => !n.startsWith("_") && !n.startsWith(".")
+    val fragmented = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$KeyBucketCol="))
+      .map(_.getPath)
+      .filter(d => fs.listStatus(d).count(f => f.isFile && isData(f.getPath.getName)) >= minFiles)
+    fragmented.map { dir =>
+      val n = dir.getName.stripPrefix(s"$KeyBucketCol=").toInt
+      val tmp = new org.apache.hadoop.fs.Path(p, s"$BucketTmpPrefix$n")
+      val aside = new org.apache.hadoop.fs.Path(p, s"$BucketAsidePrefix$n")
+      // one file: a bucket is sized to one task by layout contract
+      spark.read.parquet(dir.toString).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(dir, aside)) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(s"compactStoreSelective: could not move bucket aside: $dir")
+      }
+      if (!fs.rename(tmp, dir)) {
+        if (!fs.rename(aside, dir))
+          throw new java.io.IOException(
+            s"compactStoreSelective: bucket $n lost BOTH live and aside — restore $aside manually")
+        fs.delete(tmp, true)
+        throw new java.io.IOException(s"compactStoreSelective: could not install bucket $n")
+      }
+      fs.delete(aside, true)
+      n
+    }.toSeq
   }
 
   def compactStore(spark: org.apache.spark.sql.SparkSession, storePath: String): Unit = {
@@ -301,6 +384,7 @@ object EventsStream {
       throw new java.io.IOException(s"compactStore: could not move live store aside: $path")
     if (!fs.rename(tmp, path)) {
       fs.rename(aside, path) // restore the live store before failing
+      fs.delete(tmp, true) // the restored live store supersedes the tmp copy
       throw new java.io.IOException(s"compactStore: could not install compacted store: $tmpPath")
     }
     fs.delete(aside, true)

@@ -186,6 +186,64 @@ class RobustnessSpec extends AnyFunSuite {
     assert(after.select("event_id").distinct().count() == nBefore)
   }
 
+  test("selective compaction rewrites only fragmented buckets; others stay byte-identical") {
+    import graft.streaming.EventsStream
+    val store = tmp("upsert-selcompact") + "/store"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    // first load seeds every bucket with ONE file; follow-ups insert
+    // FRESH keys confined to buckets 0..7 (filtered on the store's own
+    // hash), fragmenting only those
+    EventsStream.upsertSink(ev, store, "event_id")
+    val nb = EventsStream.StoreBuckets
+    for (i <- 1 to 3)
+      EventsStream.upsertSink(
+        ev.select((col("event_id") + 1000000L * i).as("event_id"),
+            col("event_type"), col("value"))
+          .filter(pmod(xxhash64(col("event_id")), lit(nb)) < 8)
+          .limit(50), store, "event_id")
+    def bucketFiles(): Map[String, Map[String, Long]] =
+      new java.io.File(store).listFiles().filter(_.getName.startsWith("__kb="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap).toMap
+    val before = bucketFiles()
+    val cold = before.filter(_._2.size == 1).keys.toSet
+    val hot = before.filter(_._2.size >= 3).keys.toSet
+    assert(hot.nonEmpty, "test premise: no bucket fragmented")
+    assert(cold.nonEmpty, "test premise: every bucket fragmented")
+    def md5s(b: String): Seq[Seq[Byte]] =
+      new java.io.File(s"$store/$b").listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .map(f => java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath)).toSeq).toSeq
+    val rowsBefore = spark.read.parquet(store).count()
+    val sumBefore = spark.read.parquet(store).agg(sum("value")).head.getDouble(0)
+    val md5Before = cold.map(b => b -> md5s(b)).toMap
+    val compacted = EventsStream.compactStoreSelective(spark, store, minFiles = 3)
+    assert(compacted.map(n => s"__kb=$n").toSet == hot,
+      s"compacted $compacted, expected exactly the fragmented buckets $hot")
+    val after = bucketFiles()
+    // untouched buckets: same file names, same mtimes, same bytes
+    for (b <- cold) {
+      assert(after(b) == before(b), s"cold bucket $b was rewritten")
+      assert(md5s(b) == md5Before(b), s"cold bucket $b content changed")
+    }
+    // fragmented buckets: one file each now, content preserved
+    for (b <- hot) assert(after(b).size == 1, s"hot bucket $b still fragmented: ${after(b)}")
+    val got = spark.read.parquet(store)
+    assert(got.count() == rowsBefore)
+    assert(got.select("event_id").distinct().count() == rowsBefore)
+    assert(math.abs(got.agg(sum("value")).head.getDouble(0) - sumBefore) < 1e-6,
+      "selective compaction changed row content")
+    // leftovers from a simulated bucket-swap crash heal on next touch
+    val kb = s"__kb=${compacted.head}"
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$store/$kb"),
+      java.nio.file.Paths.get(s"$store/_compact_aside_kb${compacted.head}"))
+    EventsStream.upsertSink(ev.limit(5), store, "event_id")
+    assert(new java.io.File(s"$store/$kb").exists(), "bucket aside not restored")
+    assert(spark.read.parquet(store).count() == rowsBefore)
+  }
+
   test("parquet schema evolution: mergeSchema unions columns, absent ones are null") {
     val p = tmp("evolve")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
