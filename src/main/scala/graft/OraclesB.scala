@@ -244,14 +244,21 @@ object OraclesB {
       group by event_type order by event_type
     """,
 
-    "b13_range_join" -> """
+    // the hot-bin cap is part of the operator's semantics (burst
+    // seconds are dropped via the pair's LATER row), so the oracle
+    // enforces the same cap — literal interpolated from the operator
+    "b13_range_join" -> s"""
       with ev as (
-        select event_id, user_id, epoch_us(ts) as ts_us from events)
+        select event_id, user_id, epoch_us(ts) as ts_us,
+               count(*) over (partition by ts_us // 1000000)
+                 <= ${graft.operators.Olap.RangeBinCap} as under_cap
+        from events)
       select a.event_id as id_a, b.event_id as id_b, b.ts_us - a.ts_us as dt_us
       from ev a join ev b
         on a.event_id < b.event_id
        and a.user_id <> b.user_id
        and abs(a.ts_us - b.ts_us) <= 1000000
+       and (case when b.ts_us >= a.ts_us then b.under_cap else a.under_cap end)
       order by id_a, id_b
     """,
 

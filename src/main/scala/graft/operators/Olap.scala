@@ -172,16 +172,33 @@ object Olap {
       .orderBy("event_id")
   }
 
+  /** Hot-bin guard for b13 (the BucketCap discipline of the dedup
+    * tier): a burst of `cap` events inside one second is ~cap²/2
+    * candidate pairs from that second alone. Seconds whose occupancy
+    * exceeds the cap are dropped FROM THE PROBED SIDE — a pair is
+    * found via its later row's bin, so dropping over-cap bins there
+    * kills the burst² mass while bounding total candidates at
+    * 2·n·cap (each surviving bin joins ≤ cap probed rows). Burst
+    * seconds are degenerate for a cross-user coincidence join the
+    * same way mega-buckets are for LSH. */
+  val RangeBinCap = 1000
+
   /** b13: time-range self-join — pairs of events from different users
     * within 1 second of each other. A naive range join is O(n²); the
     * scalable shape is bin blocking: each left row probes its own
     * 1-second bin and the next, the join is equi on the bin key, and
     * the true range predicate filters candidates. Bin width = range
-    * width keeps candidates ≈ matches. */
-  def b13RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    * width keeps candidates ≈ matches; [[RangeBinCap]] bounds the
+    * burst-second blowup (cap mirrored in the oracle). */
+  def b13RangeJoin(s: SparkSession, dir: String, binCap: Int = RangeBinCap): DataFrame =
+    b13RangeJoinOn(Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us")), binCap)
+
+  /** Frame-level body of b13 over (event_id, user_id, ts_us) — split
+    * out so specs can drive synthetic burst corpora through it. */
+  private[graft] def b13RangeJoinOn(ev: DataFrame, binCap: Int = RangeBinCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val oneSec = 1000000L
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
     // The exploded side is the ts-EARLIER row of each pair: if
     // ts_e <= ts_l and ts_l - ts_e <= 1s, the later row's bin is
     // always in {bin(ts_e), bin(ts_e)+1}, so 2-bin probing is complete
@@ -192,8 +209,12 @@ object Olap {
       col("ts_us").as("ts_e"), explode(array(
         (col("ts_us") / oneSec).cast("long"),
         (col("ts_us") / oneSec).cast("long") + 1)).as("bin"))
+    // the occupancy window shares the join's own bin-key shuffle
     val later = ev.select(col("event_id").as("id_l"), col("user_id").as("user_l"),
       col("ts_us").as("ts_l"), (col("ts_us") / oneSec).cast("long").as("bin"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bin"))))
+      .filter(col("bsz") <= binCap)
+      .drop("bsz")
     earlier.join(later, Seq("bin"))
       .filter(col("user_e") =!= col("user_l")
         && (col("ts_l") - col("ts_e")).between(0L, oneSec)

@@ -114,6 +114,40 @@ class Round4Spec extends AnyFunSuite {
     assert(o2 >= o0 - 1e-5, s"trained objective $o2 below seed $o0")
   }
 
+  // ---- b13: hot-bin guard ----
+
+  test("b13 drops burst-second pairs via the cap and keeps everything else exact") {
+    import spark.implicits._
+    // 500 events inside one second (bin 5) — 500 > cap=100, a burst —
+    // plus 20 normal events in the adjacent second (bin 6, under cap)
+    val burst = (0 until 500).map(i => (i.toLong, (i % 5).toLong, 5000000L + i * 1000L))
+    val normal = (0 until 20).map(i => (1000L + i, (i % 7).toLong, 6100000L + i * 10000L))
+    val all = burst ++ normal
+    val ev = all.toDF("event_id", "user_id", "ts_us")
+    val got = graft.operators.Olap.b13RangeJoinOn(ev, binCap = 100)
+      .select("id_a", "id_b", "dt_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: the naive quadratic join minus pairs whose LATER
+    // row (max ts, tie max id) sits in the over-cap bin
+    val overCap = Set(5L) // only bin 5 exceeds 100 events
+    val expected = (for {
+      a <- all; b <- all
+      if a._1 < b._1 && a._2 != b._2 && math.abs(a._3 - b._3) <= 1000000L
+      later = if (b._3 >= a._3) b else a
+      if !overCap(later._3 / 1000000L)
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1),
+      (if (a._1 < b._1) b._3 - a._3 else a._3 - b._3))).toSet
+    assert(expected.nonEmpty, "test premise: some pairs survive the cap")
+    // burst-internal pairs must be gone, cross-bin pairs with an
+    // under-cap later bin must survive
+    assert(expected.exists { case (x, y, _) => x < 500 && y >= 1000 },
+      "test premise: burst->normal pairs exist")
+    assert(got == expected)
+    // and the burst's quadratic mass really was excluded: no pair has
+    // both ends inside the burst
+    assert(!got.exists { case (x, y, _) => x < 500 && y < 500 })
+  }
+
   // ---- c22: shard count is a real parameter ----
 
   test("c22 conserves docs and tokens at any shard count, deterministically") {
