@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Thin mart-DAG runner — the orchestration layer of the reference
+  * (dbt's ref() dependency graph + the Prefect flow's retry handling,
+  * /root/reference/dbt_spotify/dbt_project.yml + flows/&#42;.py) as a
+  * library function: build every mart in dependency order,
+  * MATERIALIZE each through an injected sink, retry a failed build,
+  * and skip (never run) everything downstream of a mart that stays
+  * failed. graft is a library, not a scheduler — cron/Prefect/Airflow
+  * own WHEN a run starts; this owns the in-run ordering, which is the
+  * part a user replacing the reference actually needs.
+  *
+  * Downstream builds receive the frame the SINK returned — i.e. they
+  * read the materialized mart (dbt's semantics), not a re-derivation
+  * of its lineage, so each mart's subtree executes exactly once per
+  * run no matter how many dependents it has.
+  */
+final case class Mart(
+    name: String,
+    deps: Seq[String],
+    build: Map[String, DataFrame] => DataFrame)
+
+sealed trait MartStatus
+object MartStatus {
+  case object Built extends MartStatus
+  /** Build or save threw on every attempt; `attempts` includes the
+    * retries. */
+  final case class Failed(attempts: Int, error: Throwable) extends MartStatus
+  /** Never attempted: an upstream mart failed. */
+  final case class Skipped(blockedOn: Seq[String]) extends MartStatus
+}
+
+object MartRunner {
+
+  /** Dependency-respecting build order (Kahn), deterministic: among
+    * ready marts the DECLARED order wins, so runs are reproducible.
+    * Throws on unknown deps and cycles — a malformed DAG is a bug,
+    * not a runtime condition to limp through. */
+  def topoOrder(marts: Seq[Mart]): Seq[Mart] = {
+    val byName = marts.map(m => m.name -> m).toMap
+    require(byName.size == marts.size, "duplicate mart names")
+    marts.foreach(m => m.deps.foreach(d =>
+      require(byName.contains(d), s"mart '${m.name}' depends on unknown '$d'")))
+    val order = scala.collection.mutable.ArrayBuffer.empty[Mart]
+    val placed = scala.collection.mutable.Set.empty[String]
+    var remaining = marts
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.deps.forall(placed))
+      if (ready.isEmpty)
+        throw new IllegalArgumentException(
+          s"dependency cycle among: ${blocked.map(_.name).mkString(", ")}")
+      order ++= ready
+      placed ++= ready.map(_.name)
+      remaining = blocked
+    }
+    order.toSeq
+  }
+
+  /** Run the DAG. `save` materializes a built mart and returns the
+    * readable (materialized) frame handed to dependents — use
+    * [[parquetSink]] for a dbt-like parquet warehouse, or any custom
+    * sink (bucketed tables, the external keyed store). `retries` =
+    * extra attempts per mart after the first failure. Failures don't
+    * abort the run: independent subtrees still build (dbt's behavior);
+    * dependents of a failed mart are Skipped. */
+  def run(marts: Seq[Mart], save: (String, DataFrame) => DataFrame,
+      retries: Int = 1): Map[String, MartStatus] = {
+    val status = scala.collection.mutable.Map.empty[String, MartStatus]
+    val built = scala.collection.mutable.Map.empty[String, DataFrame]
+    topoOrder(marts).foreach { m =>
+      val failedDeps = m.deps.filterNot(built.contains)
+      if (failedDeps.nonEmpty) status(m.name) = MartStatus.Skipped(failedDeps)
+      else {
+        var attempt = 0
+        var done = false
+        var lastErr: Throwable = null
+        while (!done && attempt <= retries) {
+          attempt += 1
+          try {
+            built(m.name) = save(m.name, m.build(built.toMap))
+            status(m.name) = MartStatus.Built
+            done = true
+          } catch { case scala.util.control.NonFatal(e) => lastErr = e }
+        }
+        if (!done) status(m.name) = MartStatus.Failed(attempt, lastErr)
+      }
+    }
+    status.toMap
+  }
+
+  /** Parquet warehouse sink: overwrite `<root>/<name>` and return the
+    * re-read frame, so dependents scan the materialized files. */
+  def parquetSink(spark: SparkSession, root: String): (String, DataFrame) => DataFrame =
+    (name, df) => {
+      val path = s"$root/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+  /** The reference pipeline as a DAG instance: staging → dims/fact →
+    * reports → DQ checks (the dbt model tree of
+    * dbt_spotify/models/{staging,marts}). */
+  def spotifyDag(spark: SparkSession, sfDir: String): Seq[Mart] = {
+    import graft.operators._
+    import graft.sources.Tables
+    Seq(
+      Mart("stg_events", Nil, _ => Staging.stgEvents(Tables.events(spark, sfDir))),
+      Mart("dim_user", Seq("stg_events"), d => Marts.dimUser(d("stg_events"))),
+      Mart("dim_event_type", Seq("stg_events"), d => Marts.dimEventType(d("stg_events"))),
+      Mart("fct_events", Seq("stg_events"), d => Marts.fctEvents(d("stg_events"))),
+      Mart("rpt_user_counts", Seq("stg_events"), d => Reports.a5RptUserCounts(d("stg_events"))),
+      Mart("rpt_type_counts", Seq("stg_events"), d => Reports.a6RptTypeCounts(d("stg_events"))),
+      Mart("rpt_discovery", Seq("stg_events"), d => Reports.a7RptDiscovery(d("stg_events"))),
+      Mart("dq_checks", Seq("dim_user", "dim_event_type", "fct_events", "stg_events"),
+        d => Checks.dqChecksOverMarts(
+          d("dim_user"),
+          Marts.dimTrack(d("stg_events")),
+          d("dim_event_type"),
+          d("fct_events"))))
+  }
+}

@@ -62,7 +62,10 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
 
     val queries = Seq("c2_dedup_ngram", "c3_dedup_minhash", "c4_dedup_simhash",
-      "c12_dup_clusters", "c5_embed_neardup", "c6_ann_topk")
+      "c12_dup_clusters", "c5_embed_neardup", "c6_ann_topk",
+      // r4: the chunk/pack tiers — linear kernels (c25/d2) and the
+      // sharded prefix-sum (c22) need the same measured evidence
+      "c22_seq_pack", "c25_doc_chunks", "d2_media_chunks")
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:
     // "at cluster scale these become cluster-sized via config not

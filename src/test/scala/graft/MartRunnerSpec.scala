@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mart-DAG runner: dependency order, retry, skip-downstream —
+  * the reference's dbt-build + Prefect-retry behavior. */
+class MartRunnerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("the spotify DAG builds end-to-end into a parquet warehouse") {
+    val root = java.nio.file.Files.createTempDirectory("graft-martrun-").toString
+    val status = MartRunner.run(
+      MartRunner.spotifyDag(spark, sf), MartRunner.parquetSink(spark, root))
+    assert(status.values.forall(_ == MartStatus.Built), s"not all built: $status")
+    // every mart is materialized and non-empty
+    for (name <- status.keys)
+      assert(spark.read.parquet(s"$root/$name").count() > 0, s"$name empty")
+    // and the DQ suite over the materialized marts passes
+    val dq = spark.read.parquet(s"$root/dq_checks")
+    assert(dq.filter(!col("passed")).count() == 0, "DQ violations in built marts")
+    assert(dq.count() == 7)
+  }
+
+  test("a transient failure is retried; a persistent one skips exactly its downstream") {
+    import spark.implicits._
+    var flakyAttempts = 0
+    val dag = Seq(
+      Mart("base", Nil, _ => Seq((1, "a")).toDF("id", "v")),
+      // fails on the first attempt, builds on the retry
+      Mart("flaky", Seq("base"), d => {
+        flakyAttempts += 1
+        if (flakyAttempts < 2) sys.error("transient")
+        d("base").withColumn("f", lit(1))
+      }),
+      // fails every attempt
+      Mart("broken", Seq("base"), _ => sys.error("permanent")),
+      Mart("child_of_broken", Seq("broken"), d => d("broken")),
+      Mart("grandchild", Seq("child_of_broken"), d => d("child_of_broken")),
+      // independent of the broken subtree — must still build
+      Mart("child_of_flaky", Seq("flaky"), d => d("flaky")))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val status = MartRunner.run(dag, (name, df) => { seen += name; df }, retries = 1)
+    assert(flakyAttempts == 2)
+    assert(status("base") == MartStatus.Built)
+    assert(status("flaky") == MartStatus.Built)
+    assert(status("child_of_flaky") == MartStatus.Built)
+    status("broken") match {
+      case MartStatus.Failed(attempts, err) =>
+        assert(attempts == 2 && err.getMessage == "permanent")
+      case other => fail(s"broken: $other")
+    }
+    assert(status("child_of_broken") == MartStatus.Skipped(Seq("broken")))
+    assert(status("grandchild") == MartStatus.Skipped(Seq("child_of_broken")))
+    // dependency order: base before its dependents; skipped marts never hit the sink
+    assert(seen.indexOf("base") >= 0 && seen.indexOf("base") < seen.indexOf("flaky"))
+    assert(!seen.contains("child_of_broken") && !seen.contains("grandchild"))
+  }
+
+  test("malformed DAGs fail loudly: unknown deps and cycles") {
+    import spark.implicits._
+    val df = () => Seq(1).toDF("x")
+    intercept[IllegalArgumentException] {
+      MartRunner.topoOrder(Seq(Mart("a", Seq("nope"), _ => df())))
+    }
+    intercept[IllegalArgumentException] {
+      MartRunner.topoOrder(Seq(
+        Mart("a", Seq("b"), _ => df()), Mart("b", Seq("a"), _ => df())))
+    }
+  }
+}
