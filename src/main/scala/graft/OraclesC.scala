@@ -480,6 +480,43 @@ object OraclesC {
       from x order by doc_id, chunk_idx
     """,
 
+    // c27 = c25's chunk spelling feeding c23's signal spelling, both
+    // verbatim — chunk text reassembles with single spaces, so
+    // re-splitting it equals the token slice
+    "c27_chunk_curation" -> s"""
+      with d as (select doc_id, string_split(text, ' ') as w from documents),
+      x as (
+        select doc_id, w,
+               unnest(range(0, greatest(ceil((len(w) - ${CSZ - CST})::double / $CST)::bigint, 1))) as chunk_idx
+        from d),
+      ch as (
+        select array_to_string(w[(chunk_idx*$CST+1)::int : (chunk_idx*$CST+$CSZ)::int], ' ') as text
+        from x),
+      sig as (
+        select len(w) as n_tokens,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
+               round(((length(text) - length(replace(text, 'th', ''))) / 2
+                    + (length(text) - length(replace(text, 'he', ''))) / 2
+                    + (length(text) - length(replace(text, 'in', ''))) / 2
+                    + (length(text) - length(replace(text, 'er', ''))) / 2
+                     )::double / length(text), 4) as en_ngram_score,
+               round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                 + len(regexp_extract_all(text, '[0-9]+')) as n_pii
+        from (select text, string_split(text, ' ') as w from ch)),
+      r as (
+        select case when n_tokens < 5 then 'too_short'
+                    when not (en_score > 0.01 or en_ngram_score > 0.02) then 'non_en'
+                    when distinct_ratio < 0.3 then 'repetitive'
+                    when n_pii > 20 then 'pii_heavy'
+                    else 'keep' end as reason
+        from sig),
+      t as (select count(*) as total from ch)
+      select reason, count(*) as n_chunks,
+             round(count(*)::double / t.total, 4) as share
+      from r, t group by reason, t.total order by reason
+    """,
+
     "c24_source_stats" -> """
       select source, count(*) as n_docs,
              count(distinct md5(text)) as n_uniq,

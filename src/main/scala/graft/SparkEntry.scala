@@ -31,6 +31,8 @@ object SparkEntry {
     "a8_ingest_dedup"    -> ((s, dir) => Staging.a8IngestDedup(Tables.events(s, dir))),
     "a9_dq_checks"       -> ((s, dir) => Checks.a9DqChecks(stg(s, dir))),
     "a10_date_precision" -> ((s, dir) => Staging.a10DatePrecision(Tables.events(s, dir))),
+    "a11_scd2_snapshot"  -> ((s, dir) => Marts.a11Scd2Snapshot(Tables.events(s, dir))),
+    "a12_incremental_mart" -> ((s, dir) => Marts.a12IncrementalMart(s, dir)),
 
     "b1_pricing_summary" -> ((s, dir) => Olap.b1PricingSummary(s, dir)),
     "b2_top_revenue"     -> ((s, dir) => Olap.b2TopRevenue(s, dir)),
@@ -80,6 +82,7 @@ object SparkEntry {
     "c24_source_stats" -> ((s, dir) => TextAnalysis.c24SourceStats(Tables.documents(s, dir))),
     "c25_doc_chunks"   -> ((s, dir) => Sampling.c25DocChunks(Tables.documents(s, dir))),
     "c26_ann_ivf_trained" -> ((s, dir) => Similarity.c26AnnIvfTrained(Tables.embeddings(s, dir))),
+    "c27_chunk_curation"  -> ((s, dir) => TextAnalysis.c27ChunkCuration(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),
@@ -141,6 +144,33 @@ object SparkEntry {
     """,
 
     "a4_fct_events" -> s"""
+      with stg as ($STG)
+      select play_id, track_id, type_id, user_sk, event_id,
+             epoch_us(ts) as ts_us, epoch_us(ts_mtn) as ts_mtn_us, value, prop_k
+      from stg order by ts_mtn_us desc, event_id
+    """,
+
+    "a11_scd2_snapshot" -> """
+      with e as (
+        select user_id, event_type, epoch_us(ts) as ts_us, event_id,
+               lag(event_type) over (partition by user_id order by ts, event_id) as prev_type
+        from events),
+      c as (
+        select user_id, event_type, ts_us, event_id
+        from e where prev_type is null or prev_type <> event_type)
+      select user_id,
+             row_number() over (partition by user_id order by ts_us, event_id) as version,
+             event_type,
+             ts_us as valid_from_us,
+             lead(ts_us) over (partition by user_id order by ts_us, event_id) as valid_to_us,
+             lead(ts_us) over (partition by user_id order by ts_us, event_id) is null as is_current
+      from c order by user_id, version
+    """,
+
+    // a12 merges two overlapping batches through the bucketed upsert
+    // store; the oracle is a4's FULL-REBUILD SQL — incremental must
+    // equal full refresh, overlap included
+    "a12_incremental_mart" -> s"""
       with stg as ($STG)
       select play_id, track_id, type_id, user_sk, event_id,
              epoch_us(ts) as ts_us, epoch_us(ts_mtn) as ts_mtn_us, value, prop_k

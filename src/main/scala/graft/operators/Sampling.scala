@@ -147,6 +147,41 @@ object Sampling {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Chunk TEXTS — the composition-facing sibling of [[c25DocChunks]]:
+    * same window geometry (size tokens, stride = size − overlap, kept
+    * short tail), but each row carries the chunk's text so downstream
+    * operators (the curation gate, language ID, PII scans) can run at
+    * CHUNK grain. Typed flatMap kernel like c25: per-row work and
+    * output are linear in document length (total emitted characters ≈
+    * size/stride × L ≈ 1.14 L at the defaults) — never the full-array-
+    * per-row quadratic the declarative explode+slice spelling pays. */
+  def chunkTexts(docs: DataFrame, size: Int = ChunkTokens,
+      overlap: Int = ChunkOverlap): DataFrame = {
+    require(overlap < size, "overlap must be smaller than the chunk size")
+    val stride = size - overlap
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        val nChunks = math.max(
+          math.ceil((w.length - overlap).toDouble / stride).toInt, 1)
+        (0 until nChunks).iterator.map { i =>
+          val from = i * stride
+          val until = math.min(from + size, w.length)
+          val sb = new java.lang.StringBuilder
+          var j = from
+          while (j < until) {
+            if (j > from) sb.append(' ')
+            sb.append(w(j)); j += 1
+          }
+          (id, i.toLong, sb.toString)
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk_text")
+  }
+
   /** c14: int8 scalar quantization of embeddings — the standard
     * memory/bandwidth reduction for ANN serving at scale. Per-vector
     * min/max scaling to [0,255]; emits the scale parameters plus an

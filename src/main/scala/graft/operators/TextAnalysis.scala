@@ -255,24 +255,52 @@ object TextAnalysis {
     * report-sized reason aggregation shuffles. Thresholds compare
     * 4-rounded ratios (the same spellings c8/c9 hash-match on), so
     * the branch taken is engine-exact. */
-  def c23CurationFilter(docs: DataFrame): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val nPii = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
-      size(regexp_extract_all(col("text"), lit(NumRe), lit(0)))
-    val reason = when(size(toks) < 5, "too_short")
-      .when(!(enScoreOf(toks) > 0.01 || enNgramScoreOf(col("text")) > 0.02), "non_en")
-      .when(distinctRatioOf(toks) < 0.3, "repetitive")
-      .when(nPii > 20, "pii_heavy")
-      .otherwise("keep")
+  def c23CurationFilter(docs: DataFrame): DataFrame =
     // total = sum over the ≤5-row reason aggregate (unpartitioned
     // window), NOT a second corpus scan — every doc has exactly one
     // reason, so the sums agree by construction
-    docs.select(reason.as("reason"))
+    docs.select(curationReasonOf(col("text")).as("reason"))
       .groupBy("reason").agg(count(lit(1)).as("n_docs"))
       .withColumn("share",
         round(col("n_docs").cast("double") / sum(col("n_docs")).over(), 4))
       .orderBy("reason")
+
+  /** The cascaded keep/drop decision itself — ONE spelling shared by
+    * c23 (document grain) and c27 (chunk grain), so the two reports
+    * can never disagree on what a threshold means. */
+  private def curationReasonOf(text: Column): Column = {
+    val toks = TextFns.tokens(text)
+    val nPii = size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(NumRe), lit(0)))
+    when(size(toks) < 5, "too_short")
+      .when(!(enScoreOf(toks) > 0.01 || enNgramScoreOf(text) > 0.02), "non_en")
+      .when(distinctRatioOf(toks) < 0.3, "repetitive")
+      .when(nPii > 20, "pii_heavy")
+      .otherwise("keep")
   }
+
+  /** c27: the curation gate at CHUNK grain — c25's context windows
+    * piped through c23's cascade. After chunking, curation stops
+    * being one keep/drop decision per document: a long document is
+    * many windows, and a clean article with one boilerplate-heavy
+    * appendix keeps most of them and drops a few — a split the
+    * doc-grain report cannot see. Emits per-reason CHUNK counts and
+    * share, the number a pipeline actually budgets training data by
+    * once chunking is the unit of ingestion.
+    *
+    * Scale shape: the chunk kernel is linear per document
+    * ([[Sampling.chunkTexts]]), every signal is a narrow projection
+    * over the chunk row, and the only shuffle is the ≤5-row reason
+    * aggregate — composing the two operators adds NO shuffle over
+    * c23. */
+  def c27ChunkCuration(docs: DataFrame, size: Int = Sampling.ChunkTokens,
+      overlap: Int = Sampling.ChunkOverlap): DataFrame =
+    Sampling.chunkTexts(docs, size, overlap)
+      .select(curationReasonOf(col("chunk_text")).as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n_chunks"))
+      .withColumn("share",
+        round(col("n_chunks").cast("double") / sum(col("n_chunks")).over(), 4))
+      .orderBy("reason")
 
   /** c24: per-source corpus report — the source-level curation view
     * (which feeds/domains are duplicate-heavy or off-language): doc

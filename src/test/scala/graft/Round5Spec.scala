@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Marts, Sampling, Staging, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-5 invariants: the chunk-grain curation composition (c27)
+  * and the chunk-text kernel it rides on.
+  */
+class Round5Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("chunkTexts with zero overlap reassembles every document exactly") {
+    val rebuilt = Sampling.chunkTexts(docs, Sampling.ChunkTokens, 0)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+          .getField("chunk_text")).as("rebuilt"))
+    val diff = docs.join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("rebuilt"))
+    assert(diff.count() == 0, "lossless chunk cover violated")
+  }
+
+  test("chunkTexts geometry agrees with c25 (same windows, same token counts)") {
+    val texts = Sampling.chunkTexts(docs)
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk_text"), " ", -1)).cast("long").as("n_tok"),
+        md5(col("chunk_text")).as("chunk_md5"))
+    val c25 = Sampling.c25DocChunks(docs)
+    assert(texts.count() == c25.count())
+    assert(texts.except(c25).count() == 0)
+    assert(c25.except(texts).count() == 0)
+  }
+
+  test("c27 chunk counts conserve the c25 chunk total") {
+    val total = TextAnalysis.c27ChunkCuration(docs)
+      .agg(sum("n_chunks")).head.getLong(0)
+    assert(total == Sampling.c25DocChunks(docs).count())
+  }
+
+  test("c27 equals running the doc-grain gate over chunks-as-documents") {
+    val chunksAsDocs = Sampling.chunkTexts(docs)
+      .select(col("chunk_text").as("text"))
+    val viaC23 = TextAnalysis.c23CurationFilter(chunksAsDocs)
+      .withColumnRenamed("n_docs", "n_chunks")
+    val c27 = TextAnalysis.c27ChunkCuration(docs)
+    assert(c27.except(viaC23).count() == 0)
+    assert(viaC23.except(c27).count() == 0)
+  }
+
+  test("a11 SCD2 intervals are contiguous, versioned, and single-current per user") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val snap = Marts.a11Scd2Snapshot(events).cache()
+    try {
+      // exactly one open (current) episode per user
+      val currents = snap.groupBy("user_id")
+        .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("n_open"))
+        .filter(col("n_open") =!= 1L)
+      assert(currents.count() == 0, "users without exactly one current episode")
+      // versions are 1..n dense per user
+      val badVersions = snap.groupBy("user_id")
+        .agg(max(col("version")).as("mx"), count(lit(1)).as("n"),
+          min(col("version")).as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+      assert(badVersions.count() == 0, "version numbering not dense from 1")
+      // contiguity: each episode's valid_to equals the next valid_from
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("version")
+      val gaps = snap
+        .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+        .filter(col("next_from").isNotNull && col("valid_to_us") =!= col("next_from"))
+      assert(gaps.count() == 0, "non-contiguous validity intervals")
+      // adjacent episodes always change the tracked value
+      val noChange = snap
+        .withColumn("prev_val", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_val").isNotNull && col("prev_val") === col("event_type"))
+      assert(noChange.count() == 0, "episode recorded without a value change")
+      // first episode starts at the user's first event
+      val firstTs = events.groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("min_ts_us"))
+      val badStart = snap.filter(col("version") === 1L)
+        .join(firstTs, "user_id")
+        .filter(col("valid_from_us") =!= col("min_ts_us"))
+      assert(badStart.count() == 0, "history does not start at first event")
+    } finally snap.unpersist()
+  }
+
+  test("a12 incremental merge equals the full rebuild") {
+    val events = Tables.events(spark, sf)
+    val full = Marts.fctEvents(Staging.stgEvents(events))
+    val incr = Marts.a12IncrementalMart(spark, sf)
+    assert(incr.count() == full.count())
+    assert(incr.except(full).count() == 0)
+    assert(full.except(incr).count() == 0)
+  }
+
+  test("c27 sees intra-document splits the doc-grain gate cannot") {
+    import spark.implicits._
+    // one synthetic doc: a clean English head long enough to chunk,
+    // plus one window of pure digit-run boilerplate — doc-grain c23
+    // gives it ONE reason; chunk-grain c27 must split it
+    // varied letter-words (high distinct ratio, no digits) with an
+    // English marker every 3rd token
+    val head = (0 until 600).map { i =>
+      if (i % 3 == 0) "the"
+      else s"${('a' + i / 26 % 26).toChar}${('a' + i % 26).toChar}${('a' + i % 7).toChar}"
+    }.mkString(" ")
+    val tail = (1 to 300).map(i => s"$i$i$i").mkString(" ")
+    val doc = Seq((1L, head + " " + tail)).toDF("doc_id", "text")
+    val rpt = TextAnalysis.c27ChunkCuration(doc)
+    val reasons = rpt.select("reason").as[String].collect().toSet
+    assert(reasons.contains("keep"), s"expected kept head chunks, got $reasons")
+    assert(reasons.size > 1, s"expected a dropped tail window too, got $reasons")
+  }
+}
