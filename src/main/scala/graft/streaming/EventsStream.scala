@@ -199,14 +199,27 @@ object EventsStream {
     * anti-join reads ONLY the buckets the micro-batch touches (a small
     * batch touches few) — never a full-store rescan. The touched-
     * bucket collect is bounded by StoreBuckets, not data size. */
-  def upsertSink(batch: DataFrame, storePath: String, key: String): Unit = {
+  def upsertSink(batch: DataFrame, storePath: String, key: String): Unit =
+    upsertSink(batch, storePath, key, autoCompactMinFiles = None)
+
+  /** As [[upsertSink]], optionally compacting any TOUCHED bucket whose
+    * data-file count crossed `autoCompactMinFiles` right after the
+    * merge — the maintenance loop a long-running streaming writer
+    * needs (every micro-batch adds a file per touched bucket; without
+    * a trigger the read side degrades until someone remembers to run
+    * compaction manually). Only the buckets this batch touched are
+    * even listed, so the trigger's cost tracks batch size, not store
+    * size. Same quiesced-writer caveat as [[compactStoreSelective]]:
+    * one writer at a time owns the store. */
+  def upsertSink(batch: DataFrame, storePath: String, key: String,
+      autoCompactMinFiles: Option[Int]): Unit = {
     val spark0 = batch.sparkSession
     val fs = fsOf(spark0, storePath)
     healInterruptedCompaction(fs, storePath)
     // the store's own frozen bucket count wins over the code constant
     // — the hash modulus is part of the on-disk layout
     val nBuckets = readStoreBuckets(fs, storePath).getOrElse(StoreBuckets)
-    val merged =
+    val (merged, touchedBuckets) =
       if (hasCommittedData(spark0, storePath)) {
         // materialize the deduped batch ONCE: it feeds the touched-
         // bucket collect, the anti-join, and the write — without the
@@ -215,7 +228,7 @@ object EventsStream {
         val incoming = withBucket(batch.dropDuplicates(key), key, nBuckets).localCheckpoint()
         val touched = incoming.select(KeyBucketCol).distinct().collect().map(_.getInt(0)).toSeq
         val existing = storeScan(spark0, storePath, incoming.schema, touched)
-        incoming.join(existing.select(key), Seq(key), "left_anti")
+        (incoming.join(existing.select(key), Seq(key), "left_anti"), Some(touched))
       } else {
         // refuse to mix layouts: anything in the directory that is
         // not store-shaped (bucket dirs, meta, hidden commit files)
@@ -229,15 +242,28 @@ object EventsStream {
             })
           throw new java.io.IOException(
             s"upsertSink: $storePath holds a foreign layout; refusing to mix")
-        withBucket(batch.dropDuplicates(key), key, nBuckets)
+        (withBucket(batch.dropDuplicates(key), key, nBuckets), None)
       }
     // the layout meta commits BEFORE the first data commit: a crash
     // between the two leaves (meta, no data) — harmless, the next
     // merge reads the same modulus — never (data, no meta), which a
     // later resize of the code constant would misinterpret
     writeStoreBuckets(fs, storePath, nBuckets)
-    // append-mode write: existing bucket files stay, only new keys land
-    merged.write.mode("append").partitionBy(KeyBucketCol).parquet(storePath)
+    // append-mode write: existing bucket files stay, only new keys
+    // land. The repartition on the bucket column makes each merge add
+    // ONE file per touched bucket — without it, partitionBy splits
+    // every shuffle partition's rows across every bucket it holds
+    // keys for: O(partitions × buckets) slivers per merge, and the
+    // read side pays for each of them. Bucket count = the write's
+    // task parallelism, the store's documented one-task-per-bucket
+    // layout contract (see compactStore).
+    merged.repartition(nBuckets, col(KeyBucketCol))
+      .write.mode("append").partitionBy(KeyBucketCol).parquet(storePath)
+    // maintenance rides the write: only the buckets this merge touched
+    // are listed (first write = every bucket, which one fresh file
+    // each can never trigger)
+    autoCompactMinFiles.foreach(mf =>
+      compactStoreSelective(spark0, storePath, mf, onlyBuckets = touchedBuckets))
   }
 
   /** Stream-static enrichment: a streaming fact joined to a STATIC
@@ -329,15 +355,18 @@ object EventsStream {
     * Like compactStore, run against a quiesced store (writers pause;
     * readers mid-swap see old or new files). */
   def compactStoreSelective(spark: org.apache.spark.sql.SparkSession, storePath: String,
-      minFiles: Int = 4): Seq[Int] = {
+      minFiles: Int = 4, onlyBuckets: Option[Seq[Int]] = None): Seq[Int] = {
     require(minFiles >= 2, "minFiles < 2 would rewrite already-compact buckets")
     val fs = fsOf(spark, storePath)
     healInterruptedCompaction(fs, storePath)
     val p = new org.apache.hadoop.fs.Path(storePath)
     if (!fs.exists(p)) return Seq.empty
     val isData = (n: String) => !n.startsWith("_") && !n.startsWith(".")
+    val wanted = onlyBuckets.map(_.toSet)
     val fragmented = fs.listStatus(p)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$KeyBucketCol="))
+      .filter(s => wanted.forall(_.contains(
+        s.getPath.getName.stripPrefix(s"$KeyBucketCol=").toInt)))
       .map(_.getPath)
       .filter(d => fs.listStatus(d).count(f => f.isFile && isData(f.getPath.getName)) >= minFiles)
     fragmented.map { dir =>

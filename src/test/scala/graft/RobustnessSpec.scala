@@ -244,6 +244,36 @@ class RobustnessSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == rowsBefore)
   }
 
+  test("upsertSink auto-compaction keeps touched buckets bounded, content intact") {
+    import graft.streaming.EventsStream
+    val store = tmp("upsert-autoc") + "/store"
+    val plain = tmp("upsert-autoc-plain") + "/store"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_id") % 7 === 0) // deterministic slice
+    for (i <- 0 to 5) {
+      val slice = ev.select((col("event_id") + 1000000L * i).as("event_id"),
+        col("event_type"), col("value"))
+      EventsStream.upsertSink(slice, store, "event_id", autoCompactMinFiles = Some(3))
+      EventsStream.upsertSink(slice, plain, "event_id")
+    }
+    def bucketCounts(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("__kb="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    // trigger fires at 3 files → 1, so at rest a bucket holds ≤ 2
+    val auto = bucketCounts(store)
+    assert(auto.values.max <= 2, s"trigger failed to bound fragmentation: $auto")
+    // the untriggered twin DID fragment (premise the trigger mattered)
+    assert(bucketCounts(plain).values.max >= 3,
+      "test premise: plain store never fragmented")
+    // identical contents either way
+    val a = spark.read.parquet(store)
+    val b = spark.read.parquet(plain)
+    assert(a.count() == b.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      "auto-compaction changed store content")
+  }
+
   test("parquet schema evolution: mergeSchema unions columns, absent ones are null") {
     val p = tmp("evolve")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
