@@ -99,6 +99,32 @@ object MartRunner {
       spark.read.parquet(path)
     }
 
+  /** Incremental warehouse sink — dbt's `incremental` materialization
+    * with a unique_key, per mart: models named in `keyOf` MERGE into a
+    * bucketed keep-first upsert store (only new keys land, bucket-
+    * pruned — a re-run or an overlapping batch is idempotent, and a
+    * run costs its batch, not the warehouse); models absent from
+    * `keyOf` fall back to [[parquetSink]]-style overwrite (dbt
+    * `table` — correct for aggregates, which cannot be keyed-merged).
+    * Dependents read the MATERIALIZED store, i.e. the full history
+    * merged so far, not just this run's slice — exactly how an
+    * incremental dbt model's downstream sees it.
+    * `autoCompactMinFiles` passes through to the store's maintenance
+    * trigger so a daily-run warehouse never fragments unboundedly. */
+  def incrementalSink(spark: SparkSession, root: String, keyOf: Map[String, String],
+      autoCompactMinFiles: Option[Int] = None): (String, DataFrame) => DataFrame =
+    (name, df) => {
+      val path = s"$root/$name"
+      keyOf.get(name) match {
+        case Some(key) =>
+          graft.streaming.EventsStream.upsertSink(df, path, key, autoCompactMinFiles)
+          spark.read.parquet(path).drop(graft.streaming.EventsStream.KeyBucketCol)
+        case None =>
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+      }
+    }
+
   /** The reference pipeline as a DAG instance: staging → dims/fact →
     * reports → DQ checks (the dbt model tree of
     * dbt_spotify/models/{staging,marts}). */

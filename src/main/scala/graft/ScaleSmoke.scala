@@ -65,7 +65,10 @@ object ScaleSmoke {
       "c12_dup_clusters", "c5_embed_neardup", "c6_ann_topk",
       // r4: the chunk/pack tiers — linear kernels (c25/d2) and the
       // sharded prefix-sum (c22) need the same measured evidence
-      "c22_seq_pack", "c25_doc_chunks", "d2_media_chunks")
+      "c22_seq_pack", "c25_doc_chunks", "d2_media_chunks",
+      // r5: chunk-grain curation composes the chunk kernel with the
+      // gate's narrow signals — must scale like c25, not worse
+      "c27_chunk_curation")
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:
     // "at cluster scale these become cluster-sized via config not

@@ -22,6 +22,41 @@ class MartRunnerSpec extends AnyFunSuite {
     assert(dq.count() == 7)
   }
 
+  test("incremental sink: two overlapping DAG runs equal one full build") {
+    import graft.operators.{Marts, Staging}
+    import graft.sources.Tables
+    val root = java.nio.file.Files.createTempDirectory("graft-incrdag-").toString
+    val ev = Tables.events(spark, sf)
+    def dag(pred: org.apache.spark.sql.Column) = Seq(
+      Mart("stg_events", Nil, _ => Staging.stgEvents(ev.filter(pred))),
+      Mart("fct_events", Seq("stg_events"), d => Marts.fctEvents(d("stg_events"))),
+      // an AGGREGATE mart stays overwrite-materialized (no unique key
+      // survives re-aggregation) and must reflect the FULL merged
+      // staging history, not this run's slice
+      Mart("dim_event_type", Seq("stg_events"), d => Marts.dimEventType(d("stg_events"))))
+    val keys = Map("stg_events" -> "play_id", "fct_events" -> "play_id")
+    val sink = MartRunner.incrementalSink(spark, root, keys)
+    // run 1: events 0..6 (mod 10); run 2: 5..9 — overlap 5,6 arrives twice
+    val s1 = MartRunner.run(dag(col("event_id") % 10 < 7), sink)
+    assert(s1.values.forall(_ == MartStatus.Built), s"run1: $s1")
+    val s2 = MartRunner.run(dag(col("event_id") % 10 >= 5), sink)
+    assert(s2.values.forall(_ == MartStatus.Built), s"run2: $s2")
+    val kb = graft.streaming.EventsStream.KeyBucketCol
+    val fctStore = spark.read.parquet(s"$root/fct_events").drop(kb)
+    val full = Marts.fctEvents(Staging.stgEvents(ev))
+    assert(fctStore.count() == full.count(), "incremental fact lost or duplicated rows")
+    assert(fctStore.except(full).count() == 0 && full.except(fctStore).count() == 0)
+    // the overwrite mart saw the merged history: every event type present
+    val dimTypes = spark.read.parquet(s"$root/dim_event_type")
+    assert(dimTypes.count() ==
+      Marts.dimEventType(Staging.stgEvents(ev)).count(),
+      "aggregate mart did not see the merged staging store")
+    // run 3 replays run 2 exactly — fully idempotent, nothing new lands
+    val s3 = MartRunner.run(dag(col("event_id") % 10 >= 5), sink)
+    assert(s3.values.forall(_ == MartStatus.Built), s"run3: $s3")
+    assert(spark.read.parquet(s"$root/fct_events").drop(kb).count() == full.count())
+  }
+
   test("a transient failure is retried; a persistent one skips exactly its downstream") {
     import spark.implicits._
     var flakyAttempts = 0
