@@ -179,6 +179,21 @@ object OraclesC {
       group by lang, split order by lang, split
     """,
 
+    // seed and shard count interpolated from the operator's constants
+    "c28_epoch_shuffle" -> s"""
+      with k as (
+        select doc_id, md5('${graft.operators.Sampling.ShuffleSeed}' || ':' || doc_id::varchar) as shuffle_key
+        from documents),
+      s as (
+        select doc_id, shuffle_key,
+               ('0x' || substr(shuffle_key, 1, 7))::bigint % ${graft.operators.Sampling.ShuffleShards} as shard
+        from k)
+      select doc_id, shard,
+             row_number() over (partition by shard order by shuffle_key) as pos,
+             shuffle_key
+      from s order by shard, pos
+    """,
+
     "c14_quantize" -> """
       select vec_id,
              round(list_min(embedding)::double, 6) as qmin,

@@ -83,10 +83,12 @@ object SparkEntry {
     "c25_doc_chunks"   -> ((s, dir) => Sampling.c25DocChunks(Tables.documents(s, dir))),
     "c26_ann_ivf_trained" -> ((s, dir) => Similarity.c26AnnIvfTrained(Tables.embeddings(s, dir))),
     "c27_chunk_curation"  -> ((s, dir) => TextAnalysis.c27ChunkCuration(Tables.documents(s, dir))),
+    "c28_epoch_shuffle"   -> ((s, dir) => Sampling.c28EpochShuffle(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),
     "d3_frame_sample"    -> ((s, dir) => Multimodal.d3FrameSample(Tables.documents(s, dir))),
+    "d4_chunk_dedup"     -> ((s, dir) => Multimodal.d4ChunkDedup(Tables.documents(s, dir))),
 
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
     "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
@@ -354,6 +356,27 @@ object SparkEntry {
       from x
       where media_type = 'video' and chunk_idx % $STRIDE = 0
       order by doc_id, frame_idx
+    """,
+
+    "d4_chunk_dedup" -> s"""
+      with c as (
+        select doc_id, hex(encode(text)) as hx,
+               octet_length(encode(text)) as n_bytes
+        from documents),
+      x as (
+        select doc_id, hx,
+               unnest(range(0, greatest(ceil(n_bytes::double / $CHUNK)::bigint, 1))) as chunk_idx
+        from c),
+      ch as (
+        select doc_id,
+               (length(substring(hx, (chunk_idx * ${2 * CHUNK} + 1)::int, ${2 * CHUNK})) / 2)::bigint as chunk_len,
+               md5(substring(hx, (chunk_idx * ${2 * CHUNK} + 1)::int, ${2 * CHUNK})) as chunk_md5
+        from x)
+      select chunk_md5, count(*) as n_copies, count(distinct doc_id) as n_docs,
+             min(doc_id) as canonical_doc, max(chunk_len) as chunk_len,
+             (count(*) - 1) * max(chunk_len) as dup_bytes
+      from ch group by chunk_md5 having count(*) > 1
+      order by n_copies desc, chunk_md5
     """,
 
     "e1_stream_hourly" -> """

@@ -125,5 +125,30 @@ object Multimodal {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** d4: content-addressed segment dedup over the chunk stream — the
+    * media twin of c1's exact text dedup: identical fixed-size
+    * segments (repeated frames, shared intros/outros, padding runs)
+    * collapse by chunk checksum, reporting copy counts, distinct
+    * carriers, the canonical (lowest-doc) copy, and the bytes a
+    * dedup'd store would reclaim. For video corpora this is the
+    * frame-level pruning pass that runs BEFORE any decode.
+    *
+    * Scale shape: one shuffle on the checksum — content-addressed
+    * keys hash-distribute evenly, and the count/min aggregates are
+    * map-side combinable, so even a degenerate corpus (billions of
+    * identical black frames) costs one hot-key partial-agg chain,
+    * never a blowup. */
+  def d4ChunkDedup(docs: DataFrame, chunkBytes: Int = DefaultChunkBytes): DataFrame =
+    d2MediaChunks(docs, chunkBytes)
+      .groupBy(col("chunk_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"),
+        max(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_copies") > 1)
+      .withColumn("dup_bytes", (col("n_copies") - 1) * col("chunk_len"))
+      .orderBy(col("n_copies").desc, col("chunk_md5"))
+
   private val HexDigits = "0123456789ABCDEF".toCharArray
 }

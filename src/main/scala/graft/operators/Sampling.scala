@@ -17,6 +17,8 @@ object Sampling {
   val PackShards = 32
   val ChunkTokens = 256
   val ChunkOverlap = 32
+  val ShuffleShards = 16
+  val ShuffleSeed = 1L
 
   /** c13: deterministic hash-based train/val/test split. The split
     * key is a content-independent stable hash of the document id
@@ -145,6 +147,35 @@ object Sampling {
       }
       .toDF("doc_id", "chunk_idx", "n_tok", "chunk_md5")
       .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** c28: deterministic epoch shuffle — the reproducible global
+    * permutation a training run reads its corpus in. Order is DEFINED
+    * by data, not by execution: each doc's sort key is
+    * md5(seed:doc_id), its shard a stable hash prefix (c13's
+    * spelling), its position the within-shard rank of the key — so
+    * any engine, cluster size, or rerun yields the SAME (shard, pos)
+    * permutation, and changing the seed gives an independent one per
+    * epoch.
+    *
+    * A single global rank would funnel 100 TB through one sort
+    * partition; the sharded contract keeps every rank window
+    * one-task-sized with `shards` ∝ cluster size (c22's discipline —
+    * the oracle interpolates the default so the two can't drift), and
+    * an epoch reader interleaves shards round-robin. */
+  def c28EpochShuffle(docs: DataFrame, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards > 0, "shards must be positive")
+    val key = md5(concat_ws(":", lit(seed), col("doc_id")))
+    docs.select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 7), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("shuffle_key")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("shuffle_key"))
+      .orderBy("shard", "pos")
   }
 
   /** Chunk TEXTS — the composition-facing sibling of [[c25DocChunks]]:

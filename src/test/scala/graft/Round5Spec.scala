@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Marts, Sampling, Staging, TextAnalysis}
+import graft.operators.{Marts, Multimodal, Sampling, Staging, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-5 invariants: the chunk-grain curation composition (c27)
@@ -96,6 +96,49 @@ class Round5Spec extends AnyFunSuite {
     assert(incr.count() == full.count())
     assert(incr.except(full).count() == 0)
     assert(full.except(incr).count() == 0)
+  }
+
+  test("c28 epoch shuffle is a permutation, stable across reruns, seed-sensitive") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val e1 = Sampling.c28EpochShuffle(docs)
+    // permutation: every doc exactly once, positions dense per shard
+    assert(e1.count() == n)
+    assert(e1.select("doc_id").distinct().count() == n)
+    val dense = e1.groupBy("shard")
+      .agg(max(col("pos")).as("mx"), count(lit(1)).as("cnt"), min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("cnt") || col("mn") =!= 1L)
+    assert(dense.count() == 0, "positions not dense from 1 within a shard")
+    // reproducible: a rerun yields the identical permutation
+    assert(e1.except(Sampling.c28EpochShuffle(docs)).count() == 0)
+    // a different seed yields a genuinely different order
+    val e2 = Sampling.c28EpochShuffle(docs, seed = 2L)
+    val agree = e1.select("doc_id", "shard", "pos")
+      .intersect(e2.select("doc_id", "shard", "pos")).count()
+    assert(agree < n / 10, s"seed change left $agree/$n assignments in place")
+    // shard count is a real parameter: still a permutation at 4 shards
+    val e4 = Sampling.c28EpochShuffle(docs, shards = 4)
+    assert(e4.count() == n && e4.select("doc_id").distinct().count() == n)
+  }
+
+  test("d4 finds every cross-copy of an identical media segment") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val d4 = Multimodal.d4ChunkDedup(docs)
+    // every reported group really has >1 copies and consistent byte math
+    val bad = d4.filter(col("n_copies") <= 1 ||
+      col("dup_bytes") =!= (col("n_copies") - 1) * col("chunk_len"))
+    assert(bad.count() == 0)
+    // planted duplicates: two docs sharing one full chunk-aligned
+    // payload must collapse to groups counted across both carriers
+    val payload = "x" * (Multimodal.DefaultChunkBytes * 3)
+    val planted = Seq((900001L, payload), (900002L, payload))
+      .toDF("doc_id", "text")
+    val got = Multimodal.d4ChunkDedup(planted)
+    assert(got.count() == 1, "identical chunks within+across docs collapse to one group")
+    val row = got.head
+    assert(row.getAs[Long]("n_copies") == 6 && row.getAs[Long]("n_docs") == 2 &&
+      row.getAs[Long]("canonical_doc") == 900001L)
   }
 
   test("c27 sees intra-document splits the doc-grain gate cannot") {
