@@ -89,6 +89,7 @@ object SparkEntry {
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),
     "d3_frame_sample"    -> ((s, dir) => Multimodal.d3FrameSample(Tables.documents(s, dir))),
     "d4_chunk_dedup"     -> ((s, dir) => Multimodal.d4ChunkDedup(Tables.documents(s, dir))),
+    "d5_media_manifest"  -> ((s, dir) => Multimodal.d5MediaManifest(Tables.documents(s, dir))),
 
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
     "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
@@ -377,6 +378,39 @@ object SparkEntry {
              (count(*) - 1) * max(chunk_len) as dup_bytes
       from ch group by chunk_md5 having count(*) > 1
       order by n_copies desc, chunk_md5
+    """,
+
+    // d5 defines the canonical copy by (doc_id, chunk_idx) order; the
+    // oracle spells it as a per-checksum row_number, the operator as a
+    // struct-min agg + join (window partitions would be unbounded on a
+    // degenerate corpus) — same result by construction
+    "d5_media_manifest" -> s"""
+      with c as (
+        select doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
+               hex(encode(text)) as hx,
+               octet_length(encode(text)) as n_bytes
+        from documents),
+      x as (
+        select doc_id, media_type, hx,
+               unnest(range(0, greatest(ceil(n_bytes::double / $CHUNK)::bigint, 1))) as chunk_idx
+        from c),
+      ch as (
+        select doc_id, media_type, chunk_idx,
+               (length(substring(hx, (chunk_idx * ${2 * CHUNK} + 1)::int, ${2 * CHUNK})) / 2)::bigint as chunk_len,
+               md5(substring(hx, (chunk_idx * ${2 * CHUNK} + 1)::int, ${2 * CHUNK})) as chunk_md5
+        from x),
+      r as (
+        select *, row_number() over (partition by chunk_md5 order by doc_id, chunk_idx) as rn
+        from ch)
+      select doc_id, media_type, count(*) as n_chunks,
+             sum(chunk_len)::bigint as n_bytes,
+             sum(case when rn > 1 then 1 else 0 end)::bigint as n_redundant,
+             sum(case when rn > 1 then chunk_len else 0 end)::bigint as reclaim_bytes,
+             case when sum(chunk_len) = 0 then null
+                  else round((sum(chunk_len) - sum(case when rn > 1 then chunk_len else 0 end))::double
+                             / sum(chunk_len), 4) end as uniq_ratio
+      from r group by doc_id, media_type order by doc_id
     """,
 
     "e1_stream_hourly" -> """

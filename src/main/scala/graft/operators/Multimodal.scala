@@ -150,5 +150,40 @@ object Multimodal {
       .withColumn("dup_bytes", (col("n_copies") - 1) * col("chunk_len"))
       .orderBy(col("n_copies").desc, col("chunk_md5"))
 
+  /** d5: per-document media manifest with dedup-aware storage
+    * accounting (d2 ∘ d4): for every document, its chunk count and
+    * byte total, plus how many of its chunk INSTANCES are redundant —
+    * i.e. not the canonical (first-occurring) copy of their content —
+    * and the bytes a content-addressed store would reclaim for it.
+    * The shipping manifest a CAS-backed media lake derives per asset.
+    *
+    * Canonical copy = min (doc_id, chunk_idx) per checksum, computed
+    * as a map-side-combinable struct-min aggregate and joined back on
+    * the checksum — deliberately NOT a per-checksum window, whose
+    * partitions would be unbounded on a degenerate corpus (billions
+    * of identical black frames in one window partition); the
+    * agg+join spelling hash-distributes and degrades to an AQE skew
+    * join instead. Two checksum shuffles + the doc regroup. */
+  def d5MediaManifest(docs: DataFrame, chunkBytes: Int = DefaultChunkBytes): DataFrame = {
+    val chunks = d2MediaChunks(docs, chunkBytes)
+    val canon = chunks.groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("c"))
+      .select(col("chunk_md5"), col("c.doc_id").as("c_doc"), col("c.chunk_idx").as("c_idx"))
+    chunks.join(canon, Seq("chunk_md5"))
+      .withColumn("redundant",
+        !(col("doc_id") === col("c_doc") && col("chunk_idx") === col("c_idx")))
+      .groupBy(col("doc_id"), col("media_type"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("n_bytes"),
+        sum(when(col("redundant"), 1L).otherwise(0L)).as("n_redundant"),
+        sum(when(col("redundant"), col("chunk_len")).otherwise(0L)).as("reclaim_bytes"))
+      .withColumn("uniq_ratio",
+        when(col("n_bytes") === 0L, lit(null).cast("double"))
+          .otherwise(round((col("n_bytes") - col("reclaim_bytes")).cast("double")
+            / col("n_bytes"), 4)))
+      .orderBy("doc_id")
+  }
+
   private val HexDigits = "0123456789ABCDEF".toCharArray
 }

@@ -141,6 +141,27 @@ class Round5Spec extends AnyFunSuite {
       row.getAs[Long]("canonical_doc") == 900001L)
   }
 
+  test("d5 manifest accounting reconciles with d4's group view") {
+    val docs = Tables.documents(spark, sf)
+    val d5 = Multimodal.d5MediaManifest(docs).cache()
+    try {
+      // chunk totals reconcile with the raw chunk stream
+      val chunks = Multimodal.d2MediaChunks(docs)
+      assert(d5.agg(sum("n_chunks")).head.getLong(0) == chunks.count())
+      assert(d5.agg(sum("n_bytes")).head.getLong(0) ==
+        chunks.agg(sum("chunk_len")).head.getLong(0))
+      // total redundant instances = Σ (n_copies − 1) over d4's groups
+      val d4extra = Multimodal.d4ChunkDedup(docs)
+        .agg(sum(col("n_copies") - 1)).head.getLong(0)
+      assert(d5.agg(sum("n_redundant")).head.getLong(0) == d4extra,
+        "manifest redundancy disagrees with the dedup group view")
+      // a fully-unique doc has ratio 1.0; bounds hold everywhere
+      val bad = d5.filter(col("uniq_ratio") > 1.0 || col("uniq_ratio") < 0.0 ||
+        (col("n_redundant") === 0L && col("uniq_ratio") =!= 1.0))
+      assert(bad.count() == 0)
+    } finally d5.unpersist()
+  }
+
   test("c27 sees intra-document splits the doc-grain gate cannot") {
     import spark.implicits._
     // one synthetic doc: a clean English head long enough to chunk,

@@ -109,6 +109,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store + "2").count() > 0)
   }
 
+  test("live auto-compacting upsert: micro-batch stream, bounded files, batch-equal store") {
+    val in = java.nio.file.Files.createTempDirectory("graft-autoc-in-").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-autoc-st-").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-autoc-out-").toString + "/store"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    // six slice files → six micro-batches under maxFilesPerTrigger=1
+    for (i <- 0 until 6) {
+      val out = s"$stage/s$i"
+      ev.filter(pmod(col("event_id"), lit(6)) === i).coalesce(1).write.parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$in/slice$i.parquet"))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        EventsStream.upsertSink(b.toDF(), store, "event_id",
+          autoCompactMinFiles = Some(3)))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // store content equals the batch source exactly
+    val got = spark.read.parquet(store)
+      .select(col("event_id"), col("event_type"), col("value"))
+    assert(got.count() == ev.count())
+    assert(got.except(ev).count() == 0 && ev.except(got).count() == 0)
+    // and the maintenance trigger held fragmentation at rest ≤ 2
+    val perBucket = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("__kb="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(perBucket.values.max <= 2,
+      s"live stream left fragmented buckets: $perBucket")
+  }
+
   test("stream-static enrichment matches the batch join") {
     // the static dim: event types ranked by total count (a mart-like
     // frame the stream enriches against)
