@@ -128,11 +128,16 @@ object MartRunner {
   /** The reference pipeline as a DAG instance: staging → dims/fact →
     * reports → DQ checks (the dbt model tree of
     * dbt_spotify/models/{staging,marts}). */
-  def spotifyDag(spark: SparkSession, sfDir: String): Seq[Mart] = {
+  def spotifyDag(spark: SparkSession, sfDir: String): Seq[Mart] =
+    spotifyDagFrom(graft.sources.Tables.events(spark, sfDir))
+
+  /** Same DAG over a caller-supplied events frame — the shape the
+    * end-to-end [[Pipeline]] needs, where events come from the ingest
+    * store rather than a test directory. */
+  def spotifyDagFrom(events: DataFrame): Seq[Mart] = {
     import graft.operators._
-    import graft.sources.Tables
     Seq(
-      Mart("stg_events", Nil, _ => Staging.stgEvents(Tables.events(spark, sfDir))),
+      Mart("stg_events", Nil, _ => Staging.stgEvents(events)),
       Mart("dim_user", Seq("stg_events"), d => Marts.dimUser(d("stg_events"))),
       Mart("dim_event_type", Seq("stg_events"), d => Marts.dimEventType(d("stg_events"))),
       Mart("fct_events", Seq("stg_events"), d => Marts.fctEvents(d("stg_events"))),

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.sources.{ExternalStore, PageSource, PollingIngest, Sinks}
+
+/** One scheduled run's report: what the poll fetched, what the DAG
+  * built (or failed/skipped), what reached the external store. */
+final case class PipelineReport(
+    fetchedRows: Long,
+    martStatus: Map[String, MartStatus],
+    loadedTables: Seq[String])
+
+/** The reference's ENTIRE cron flow as one library call
+  * (flows/pull_recent_tracks.py → dbt build →
+  * flows/dbt_build_and_load_turso.py): poll the API incrementally
+  * into the keep-first ingest store, build the mart DAG over the
+  * STORED history (never just this poll's slice), and load the built
+  * serving marts into the external keyed store. Every leg is an
+  * already-spec'd component — PollingIngest (cursor-incremental,
+  * chunk-merged), MartRunner (topo order, retry, skip-downstream),
+  * Sinks.writeExternal (executor-side idempotent keyed inserts) —
+  * this owns only the composition, the built-marts-only export gate,
+  * and the run report. Scheduling (cron/Prefect) stays outside, as
+  * in the reference; the whole call is replay-idempotent end to end
+  * because each leg is.
+  */
+object Pipeline {
+
+  def runOnce(
+      spark: SparkSession,
+      source: PageSource,
+      pageSchema: StructType,
+      ingestStore: String,
+      key: String,
+      tsCol: String,
+      eventsFrom: DataFrame => DataFrame,
+      dagFor: DataFrame => Seq[Mart],
+      warehouseRoot: String,
+      external: ExternalStore,
+      exportKeys: Map[String, Seq[String]],
+      maxPages: Int = 1000): PipelineReport = {
+    val fetched = PollingIngest.ingest(
+      spark, source, pageSchema, ingestStore, key, tsCol, maxPages)
+    val stored = spark.read.parquet(ingestStore)
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+    val status = MartRunner.run(
+      dagFor(eventsFrom(stored)), MartRunner.parquetSink(spark, warehouseRoot))
+    // export ONLY marts that built this run — a failed mart must not
+    // overwrite the store with stale or partial rows; its last good
+    // load simply stands (the keyed store makes that safe)
+    val loaded = exportKeys.toSeq.sortBy(_._1).collect {
+      case (table, keys) if status.get(table).contains(MartStatus.Built) =>
+        Sinks.writeExternal(
+          spark.read.parquet(s"$warehouseRoot/$table"), external, table, keys)
+        table
+    }
+    PipelineReport(fetched, status, loaded)
+  }
+}

@@ -172,6 +172,56 @@ class ExternalSinkSpec extends AnyFunSuite {
     assert(refreshCalls == 1, "valid stored token still hit the refresh grant")
   }
 
+  test("end-to-end pipeline: poll → store → DAG build → external load, idempotent") {
+    import org.apache.spark.sql.types._
+    import graft.sources.PageSource
+    EmbeddedStore.clear()
+    val ingest = java.nio.file.Files.createTempDirectory("graft-pipe-in-").toString + "/store"
+    val wh = java.nio.file.Files.createTempDirectory("graft-pipe-wh-").toString
+    val pageSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // an events-shaped API: 10 items/page, 5-item overlap window
+    class Api(upTo: Long) extends PageSource {
+      def fetchPage(cursorUs: Long, page: Int): Seq[String] = {
+        // items are 1s apart; the cursor arrives in epoch micros
+        val from = math.max(0L, cursorUs / 1000000L - 5) + page * 10
+        (from until math.min(from + 10, upTo)).map { i =>
+          s"""{"event_id": $i, "ts_us": ${i * 1000000L}, "user_id": ${i % 7}, """ +
+            s""""event_type": "t${i % 3}", "value": ${i % 50}.5, "props": "{\\"k\\": ${i % 9}}"}"""
+        }.toSeq
+      }
+    }
+    def run(upTo: Long) = Pipeline.runOnce(
+      spark, new Api(upTo), pageSchema, ingest, "event_id", "ts_us",
+      eventsFrom = df => df
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      dagFor = MartRunner.spotifyDagFrom,
+      warehouseRoot = wh,
+      external = new EmbeddedExternalStore,
+      exportKeys = Map("fct_events" -> Seq("play_id"), "dim_user" -> Seq("user_sk"),
+        "dim_event_type" -> Seq("type_id")))
+    val r1 = run(40)
+    assert(r1.fetchedRows == 40)
+    assert(r1.martStatus.values.forall(_ == MartStatus.Built), s"${r1.martStatus}")
+    assert(r1.loadedTables == Seq("dim_event_type", "dim_user", "fct_events"))
+    assert(EmbeddedStore.tables.get("fct_events").size == 40)
+    // DQ suite passed over the materialized warehouse
+    assert(spark.read.parquet(s"$wh/dq_checks").filter(!col("passed")).count() == 0)
+    // second scheduled run: incremental poll, full-history rebuild,
+    // keyed re-load is a no-op for already-present facts
+    val r2 = run(60)
+    assert(r2.fetchedRows < 40, s"poll was not incremental: ${r2.fetchedRows}")
+    assert(EmbeddedStore.tables.get("fct_events").size == 60)
+    assert(spark.read.parquet(s"$wh/fct_events").count() == 60,
+      "warehouse fact does not cover the merged history")
+    // exact replay: nothing new anywhere
+    val r3 = run(60)
+    assert(EmbeddedStore.tables.get("fct_events").size == 60)
+    assert(spark.read.parquet(s"$wh/dq_checks").filter(!col("passed")).count() == 0)
+  }
+
   test("jdbc store builds the reference's on-conflict dialect") {
     // no driver jar in this container — assert the SQL/DDL shape via
     // the same type mapping the executor path uses
