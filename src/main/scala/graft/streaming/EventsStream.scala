@@ -83,6 +83,56 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Event/state/output records for the streaming SCD2 tracker. */
+  case class ScdEvent(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
+  case class ScdOpen(eventType: String, sinceUs: Long, version: Long)
+  case class ScdClosed(user_id: Long, version: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming SCD type-2 — the flatMapGroupsWithState twin of the
+    * batch a11 snapshot (operators/Marts.a11Scd2Snapshot): per-key
+    * state is the OPEN episode (current value, since-when, version);
+    * a value change CLOSES it, emitting the finished
+    * [valid_from, valid_to) row downstream (append mode). The open
+    * episode is never emitted — it lives in state until its closing
+    * change arrives, which is the only append-consistent contract; the
+    * batch snapshot's open rows are exactly what a terminal state
+    * flush would produce. State is O(keys), not O(events) — a type-2
+    * history tracker that runs forever. Works on batch input too
+    * (state starts empty per group); micro-batch input sorts within
+    * the group, and cross-batch ordering rides event time arriving in
+    * batch order. */
+  def scd2Stateful(events: DataFrame): org.apache.spark.sql.Dataset[ScdClosed] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+
+    def fn(user: Long, evs: Iterator[ScdEvent], state: GroupState[ScdOpen]): Iterator[ScdClosed] = {
+      val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[ScdClosed]
+      sorted.foreach { e =>
+        cur match {
+          case None =>
+            cur = Some(ScdOpen(e.event_type, e.ts_us, 1L))
+          case Some(s) if s.eventType != e.event_type =>
+            out += ScdClosed(user, s.version, s.eventType, s.sinceUs, e.ts_us)
+            cur = Some(ScdOpen(e.event_type, e.ts_us, s.version + 1))
+          case _ => ()
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[ScdEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks from the preceding hour (attribution candidates).
     * Both sides carry watermarks and the join condition bounds the

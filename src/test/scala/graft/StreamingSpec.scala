@@ -69,6 +69,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closed episodes match the batch snapshot across micro-batches") {
+    // two TIME-ORDERED micro-batches so the open episode genuinely
+    // carries across batch boundaries in state
+    val in = java.nio.file.Files.createTempDirectory("graft-scd2-in-").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-scd2-st-").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val cut = raw.selectExpr("cast(approx_percentile(ts, 0.5) as long)").head.getLong(0)
+    for ((pred, i) <- Seq(col("ts") <= cut, col("ts") > cut).zipWithIndex) {
+      val out = s"$stage/s$i"
+      raw.filter(pred).coalesce(1).write.parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$in/batch$i.parquet"))
+    }
+    val src = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventsStream.scd2Stateful(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("scd2_out")
+        .orderBy("user_id", "version").collect()
+      // batch twin: a11's CLOSED episodes (the open one lives in state)
+      val want = graft.operators.Marts
+        .a11Scd2Snapshot(graft.sources.Tables.events(spark, sf))
+        .filter(col("valid_to_us").isNotNull)
+        .select("user_id", "version", "event_type", "valid_from_us", "valid_to_us")
+        .orderBy("user_id", "version").collect()
+      assert(got.length == want.length,
+        s"closed-episode counts differ: ${got.length} vs ${want.length}")
+      assert(got.sameElements(want))
+      // and at least one episode closed ACROSS the batch boundary
+      assert(spark.table("scd2_out")
+        .filter(col("valid_from_us") <= cut / 1000 && col("valid_to_us") > cut / 1000)
+        .count() > 0, "no episode spanned the micro-batch boundary")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventsStream.purchaseClickJoin(streamingEvents(), streaming = true)
       .writeStream.outputMode("append")
