@@ -532,6 +532,47 @@ object OraclesC {
       from r, t group by reason, t.total order by reason
     """,
 
+    "c29_quality_bins" -> s"""
+      with q as (
+        select source, doc_id, len(w)::bigint as n_tok,
+               round(0.3 * least(len(w)::double / 100.0, 1.0)
+                   + 0.4 * round(len(list_distinct(w))::double / len(w), 4)
+                   + 0.3 * least(round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) * 5.0, 1.0), 5) as quality
+        from (select source, doc_id, string_split(text, ' ') as w from documents)),
+      b as (
+        select source, n_tok, quality,
+               ntile(${graft.operators.TextAnalysis.QualityBins})
+                 over (partition by source order by quality, doc_id) as bin
+        from q)
+      select source, bin::bigint as bin, count(*) as n_docs,
+             min(quality) as min_q, max(quality) as max_q,
+             sum(n_tok)::bigint as sum_tok
+      from b group by source, bin order by source, bin
+    """,
+
+    "c30_source_mixture" -> s"""
+      with d as (
+        select source, doc_id,
+               len(string_split(text, ' '))::bigint as n_tok,
+               md5(doc_id::varchar) as prio,
+               case ${graft.operators.TextAnalysis.MixtureBudgets.toSeq.sortBy(_._1)
+                  .map { case (s, b) => s"when source = '$s' then ${b}" }.mkString(" ")}
+                    else ${graft.operators.TextAnalysis.DefaultMixtureBudget} end as budget
+        from documents),
+      c as (
+        select source, n_tok, budget,
+               sum(n_tok) over (partition by source order by prio, doc_id
+                 rows between unbounded preceding and current row) as cum
+        from d)
+      select source, count(*) as n_docs,
+             sum(case when cum - n_tok < budget then 1 else 0 end)::bigint as n_kept,
+             sum(case when cum - n_tok < budget then n_tok else 0 end)::bigint as kept_tok,
+             max(budget)::bigint as budget,
+             round(sum(case when cum - n_tok < budget then n_tok else 0 end)::double
+                   / max(budget), 4) as fill_rate
+      from c group by source order by source
+    """,
+
     "c24_source_stats" -> """
       select source, count(*) as n_docs,
              count(distinct md5(text)) as n_uniq,

@@ -84,6 +84,8 @@ object SparkEntry {
     "c26_ann_ivf_trained" -> ((s, dir) => Similarity.c26AnnIvfTrained(Tables.embeddings(s, dir))),
     "c27_chunk_curation"  -> ((s, dir) => TextAnalysis.c27ChunkCuration(Tables.documents(s, dir))),
     "c28_epoch_shuffle"   -> ((s, dir) => Sampling.c28EpochShuffle(Tables.documents(s, dir))),
+    "c29_quality_bins"    -> ((s, dir) => TextAnalysis.c29QualityBins(Tables.documents(s, dir))),
+    "c30_source_mixture"  -> ((s, dir) => TextAnalysis.c30SourceMixture(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -64,15 +64,86 @@ object TextAnalysis {
         enScoreOf(toks).as("stopword_ratio"),
         round(size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("double")
           / col("n_chars"), 4).as("punct_ratio"),
-        round(col("n_chars").cast("double") / size(toks), 4).as("chars_per_token"))
-      // round to 5, not 4: the addends are multiples of 1e-5 (weights ×
-      // 1e-4-rounded ratios), so a 4-decimal round would sit exactly on
-      // half-way points where engines' tie-breaking differs.
-      .withColumn("quality",
-        round(lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
-          + lit(0.4) * col("distinct_ratio")
-          + lit(0.3) * least(col("stopword_ratio") * 5.0, lit(1.0)), 5))
+        round(col("n_chars").cast("double") / size(toks), 4).as("chars_per_token"),
+        qualityOf(col("text")).as("quality"))
       .orderBy("doc_id")
+  }
+
+  /** The composite quality score itself — ONE spelling shared by c9
+    * (per-doc report) and c29 (per-source binning). Rounds to 5: the
+    * addends are multiples of 1e-5, and a 4-decimal round would sit
+    * exactly on half-way points where engines' tie-breaking differs. */
+  private def qualityOf(text: Column): Column = {
+    val toks = TextFns.tokens(text)
+    round(lit(0.3) * least(size(toks).cast("double") / 100.0, lit(1.0))
+      + lit(0.4) * distinctRatioOf(toks)
+      + lit(0.3) * least(enScoreOf(toks) * 5.0, lit(1.0)), 5)
+  }
+
+  /** c29: per-source quality binning — the "keep the top X% of each
+    * source" view a curation run prices before committing: every
+    * source's docs ranked by the c9 quality score and cut into
+    * `bins` ntiles, reporting each bin's doc count, quality range,
+    * and token mass. Dropping bins 1..k per source IS the
+    * quality-floor policy, and the bin boundaries double as
+    * per-source quality quantiles.
+    *
+    * Scale shape: one shuffle on source; the rank window is
+    * per-source. A 100 TB source outgrows one sort task — at that
+    * size swap the exact ntile for approx_percentile cutpoints (same
+    * report, sketch-derived edges); the exact spelling is the oracle
+    * contract here, same discipline as c22/c28's shard parameter. */
+  def c29QualityBins(docs: DataFrame, bins: Int = QualityBins): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+        qualityOf(col("text")).as("quality"))
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_q"),
+        max(col("quality")).as("max_q"),
+        sum(col("n_tok")).as("sum_tok"))
+      .orderBy("source", "bin")
+  }
+
+  /** c30: token-budget source mixture — the Pile/LLaMA-style step
+    * that assembles a training mix: each source contributes documents
+    * (in a deterministic md5 priority order, so every engine/cluster
+    * picks the SAME subset) until its token budget fills; the report
+    * prices the resulting mixture per source. A doc is admitted iff
+    * its START offset is inside the budget (c22's block rule), so
+    * budgets overshoot by at most one document — standard practice.
+    *
+    * One shuffle on source + the per-source prefix-sum window; same
+    * 100 TB caveat and remedy as c22 (shard the prefix sum ∝
+    * cluster). Budget overrides + the default are operator constants
+    * the oracle interpolates — parity cannot drift. */
+  def c30SourceMixture(docs: DataFrame,
+      budgets: Map[String, Long] = MixtureBudgets,
+      defaultBudget: Long = DefaultMixtureBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("prio"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val budgetCol =
+      if (budgets.isEmpty) lit(defaultBudget)
+      else coalesce(
+        element_at(typedLit(budgets), col("source")), lit(defaultBudget))
+    docs.select(col("source"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("prio"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("kept", col("cum") - col("n_tok") < budgetCol)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tok"),
+        max(budgetCol).as("budget"))
+      .withColumn("fill_rate",
+        round(col("kept_tok").cast("double") / col("budget"), 4))
+      .orderBy("source")
   }
 
   /** c10: token counting — whitespace tokens plus a BPE-ish regex
@@ -108,6 +179,12 @@ object TextAnalysis {
   // PII patterns shared by c16 and the c23 curation cascade — kept to
   // character classes + quantifiers so Java regex (Spark) and RE2
   // (DuckDB) agree exactly
+  /** Driver-contract defaults for c29/c30 — the oracle SQL
+    * interpolates these (OraclesC), so they cannot drift. */
+  val QualityBins = 10
+  val MixtureBudgets: Map[String, Long] = Map("src0" -> 400L, "src1" -> 1200L)
+  val DefaultMixtureBudget = 800L
+
   private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
   private val NumRe = "[0-9]+"
 

@@ -162,6 +162,54 @@ class Round5Spec extends AnyFunSuite {
     } finally d5.unpersist()
   }
 
+  test("c29 bins partition each source completely with ordered quality ranges") {
+    val docs = Tables.documents(spark, sf)
+    val bins = TextAnalysis.c29QualityBins(docs).cache()
+    try {
+      // bins cover every doc exactly once
+      assert(bins.agg(sum("n_docs")).head.getLong(0) == docs.count())
+      // within a source, bin ranges are ordered: bin k's max ≤ bin k+1's min
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("bin")
+      val disordered = bins
+        .withColumn("next_min", lead(col("min_q"), 1).over(w))
+        .filter(col("next_min").isNotNull && col("max_q") > col("next_min"))
+      assert(disordered.count() == 0, "bin quality ranges overlap out of order")
+      // bin sizes are balanced (ntile: differ by at most 1 within source)
+      val unbalanced = bins.groupBy("source")
+        .agg((max(col("n_docs")) - min(col("n_docs"))).as("spread"))
+        .filter(col("spread") > 1)
+      assert(unbalanced.count() == 0, "ntile bins unbalanced")
+    } finally bins.unpersist()
+  }
+
+  test("c30 mixture respects budgets, overshoot bounded by one document") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val mix = TextAnalysis.c30SourceMixture(docs).cache()
+    try {
+      // budget column reflects the declared overrides + default
+      val got = mix.select("source", "budget").as[(String, Long)].collect().toMap
+      for ((s, b) <- got)
+        assert(b == TextAnalysis.MixtureBudgets.getOrElse(s,
+          TextAnalysis.DefaultMixtureBudget), s"$s budget $b")
+      // kept tokens start inside the budget; overshoot < one max doc
+      val maxDoc = docs
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .agg(max("n")).head.getLong(0)
+      val over = mix.filter(col("kept_tok") >= col("budget") + maxDoc)
+      assert(over.count() == 0, "mixture overshot by more than one document")
+      // admission is prefix-closed: re-running with a LARGER default
+      // budget keeps a superset of tokens per source
+      val bigger = TextAnalysis.c30SourceMixture(docs,
+        budgets = Map.empty, defaultBudget = 10000L)
+      val shrunk = mix.select(col("source"), col("n_kept"))
+        .join(bigger.select(col("source"), col("n_kept").as("n_kept_big")), "source")
+        .filter(col("n_kept_big") < col("n_kept"))
+      assert(shrunk.count() == 0, "larger budget kept fewer docs")
+    } finally mix.unpersist()
+  }
+
   test("c27 sees intra-document splits the doc-grain gate cannot") {
     import spark.implicits._
     // one synthetic doc: a clean English head long enough to chunk,
