@@ -573,6 +573,17 @@ object OraclesC {
       from c group by source order by source
     """,
 
+    "c31_unigram_logprob" -> """
+      with terms as (select doc_id, unnest(string_split(text, ' ')) as term from documents),
+      tf as (select doc_id, term, count(*) as tf from terms group by 1, 2),
+      uni as (select term, sum(tf)::bigint as cnt from tf group by term),
+      tot as (select sum(cnt)::bigint as n_total from uni)
+      select doc_id, sum(tf)::bigint as n_tokens, count(*) as n_terms,
+             round(sum(tf::double * log10(cnt::double / n_total)) / sum(tf), 4) as mean_logprob
+      from tf join uni using (term), tot
+      group by doc_id order by doc_id
+    """,
+
     "c24_source_stats" -> """
       select source, count(*) as n_docs,
              count(distinct md5(text)) as n_uniq,

@@ -32,6 +32,7 @@ object SparkEntry {
     "a9_dq_checks"       -> ((s, dir) => Checks.a9DqChecks(stg(s, dir))),
     "a10_date_precision" -> ((s, dir) => Staging.a10DatePrecision(Tables.events(s, dir))),
     "a11_scd2_snapshot"  -> ((s, dir) => Marts.a11Scd2Snapshot(Tables.events(s, dir))),
+    "a13_freshness"      -> ((s, dir) => Checks.a13Freshness(Tables.events(s, dir))),
     "a12_incremental_mart" -> ((s, dir) => Marts.a12IncrementalMart(s, dir)),
 
     "b1_pricing_summary" -> ((s, dir) => Olap.b1PricingSummary(s, dir)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "c28_epoch_shuffle"   -> ((s, dir) => Sampling.c28EpochShuffle(Tables.documents(s, dir))),
     "c29_quality_bins"    -> ((s, dir) => TextAnalysis.c29QualityBins(Tables.documents(s, dir))),
     "c30_source_mixture"  -> ((s, dir) => TextAnalysis.c30SourceMixture(Tables.documents(s, dir))),
+    "c31_unigram_logprob" -> ((s, dir) => TextAnalysis.c31UnigramLogprob(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),
@@ -153,6 +155,22 @@ object SparkEntry {
       select play_id, track_id, type_id, user_sk, event_id,
              epoch_us(ts) as ts_us, epoch_us(ts_mtn) as ts_mtn_us, value, prop_k
       from stg order by ts_mtn_us desc, event_id
+    """,
+
+    // thresholds interpolated from Checks' constants; DuckDB's log(x)
+    // is log10 — c31 uses log10() explicitly on both sides
+    "a13_freshness" -> s"""
+      with t as (
+        select event_type, count(*) as n_events,
+               max(epoch_us(ts)) as max_loaded_us
+        from events group by event_type),
+      a as (select max(epoch_us(ts)) as as_of_us from events)
+      select t.event_type, t.n_events, t.max_loaded_us, a.as_of_us,
+             a.as_of_us - t.max_loaded_us as lag_us,
+             case when a.as_of_us - t.max_loaded_us > ${graft.operators.Checks.FreshErrorUs} then 'error'
+                  when a.as_of_us - t.max_loaded_us > ${graft.operators.Checks.FreshWarnUs} then 'warn'
+                  else 'pass' end as freshness
+      from t, a order by event_type
     """,
 
     "a11_scd2_snapshot" -> """

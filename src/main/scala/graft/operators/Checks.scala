@@ -45,6 +45,36 @@ object Checks {
       .withColumn("passed", col("n_violations") === 0L)
       .orderBy("check_name")
 
+  /** Freshness thresholds (micros) — dbt's source-freshness
+    * warn_after/error_after; the oracle interpolates them. */
+  val FreshWarnUs: Long = 6L * 3600 * 1000000
+  val FreshErrorUs: Long = 24L * 3600 * 1000000
+
+  /** a13: source-freshness check — dbt's `dbt source freshness`
+    * (warn_after / error_after on a loaded-at column; the reference's
+    * stack checks its `src_recent_tracks` source the same way). Each
+    * event type's newest event is compared against the table's
+    * global high-water mark: a feed that stopped arriving goes
+    * `warn`, then `error`. The anchor is data-derived (max ts), not
+    * wall-clock, so the check is replayable and engine-portable —
+    * production swaps the anchor for now() at the call site.
+    *
+    * One aggregate pass + a 1-row broadcast — a report-sized plan. */
+  def a13Freshness(events: DataFrame, warnUs: Long = FreshWarnUs,
+      errorUs: Long = FreshErrorUs): DataFrame = {
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("as_of_us"))
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("max_loaded_us"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("lag_us", col("as_of_us") - col("max_loaded_us"))
+      .withColumn("freshness",
+        when(col("lag_us") > errorUs, "error")
+          .when(col("lag_us") > warnUs, "warn")
+          .otherwise("pass"))
+      .orderBy("event_type")
+  }
+
   /** a9: the mart test-suite (unique + not_null on every dim/fact key,
     * mirroring the reference's yml tests), as a result table.
     *

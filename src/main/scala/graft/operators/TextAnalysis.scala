@@ -146,6 +146,39 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** c31: unigram log-probability scoring — the CCNet-style LM
+    * quality filter with the corpus's own unigram table standing in
+    * for the external language model: every document scored by the
+    * mean log10-probability of its tokens under the corpus unigram
+    * distribution. Boilerplate and in-distribution text scores high;
+    * rare-token soup (the stuff perplexity filters drop) scores low.
+    * In production the unigram table is REPLACED by the pretrained
+    * LM's table (a broadcast lookup); the plan shape is identical.
+    *
+    * Shape: one (doc, term) aggregation (map-side combined), the
+    * unigram table derived FROM it (no second corpus scan — c17's
+    * trick), a term-keyed join back, one per-doc aggregate. The
+    * rounded mean is the only cross-engine float surface (SURVEY §6
+    * discipline, same as b20's moments). */
+  def c31UnigramLogprob(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val uni = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val total = uni.agg(sum(col("cnt")).as("n_total"))
+    tf.join(uni, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        round(sum(col("tf").cast("double")
+            * log10(col("cnt").cast("double") / col("n_total")))
+          / sum(col("tf")), 4).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** c10: token counting — whitespace tokens plus a BPE-ish regex
     * lexer count (letters runs / digit runs / single punctuation). */
   def c10TokenCount(docs: DataFrame): DataFrame = {

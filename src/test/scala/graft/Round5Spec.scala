@@ -210,6 +210,50 @@ class Round5Spec extends AnyFunSuite {
     } finally mix.unpersist()
   }
 
+  test("a13 freshness grades stale feeds warn then error against the high-water mark") {
+    import spark.implicits._
+    import graft.operators.Checks
+    val hourUs = 3600L * 1000000
+    // anchor type ends at t=100h; 'warned' stopped 8h earlier; 'dead' 30h
+    val rows = Seq(
+      (1L, "live", 100 * hourUs), (2L, "live", 99 * hourUs),
+      (3L, "warned", 92 * hourUs), (4L, "dead", 70 * hourUs))
+    val ev = rows.toDF("event_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val got = Checks.a13Freshness(ev)
+      .select("event_type", "freshness").as[(String, String)].collect().toMap
+    assert(got == Map("live" -> "pass", "warned" -> "warn", "dead" -> "error"), got.toString)
+  }
+
+  test("c31 scores in-distribution repetition above rare-token soup") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val scored = TextAnalysis.c31UnigramLogprob(docs).cache()
+    try {
+      assert(scored.count() == docs.count(), "every doc scored")
+      assert(scored.filter(col("mean_logprob") >= 0.0).count() == 0,
+        "log-probs must be negative")
+      // token accounting agrees with the whitespace tokenizer
+      val n1 = scored.agg(sum("n_tokens")).head.getLong(0)
+      val n2 = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+        .agg(sum("n")).head.getLong(0)
+      assert(n1 == n2, s"token totals drifted: $n1 vs $n2")
+    } finally scored.unpersist()
+    // a doc of corpus-common tokens must outscore one of unique tokens
+    val common = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc).head.getString(0)
+    val synth = Seq(
+      (800001L, Seq.fill(20)(common).mkString(" ")),
+      (800002L, (1 to 20).map(i => s"zzqx$i").mkString(" "))).toDF("doc_id", "text")
+    val s = TextAnalysis.c31UnigramLogprob(docs.select(col("doc_id"), col("text"))
+        .unionByName(synth))
+      .filter(col("doc_id") >= 800001L)
+      .select("doc_id", "mean_logprob").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(800001L) > s(800002L),
+      s"common-token doc must outscore rare-token doc: $s")
+  }
+
   test("c27 sees intra-document splits the doc-grain gate cannot") {
     import spark.implicits._
     // one synthetic doc: a clean English head long enough to chunk,
