@@ -159,7 +159,11 @@ object TextAnalysis {
     * unigram table derived FROM it (no second corpus scan — c17's
     * trick), a term-keyed join back, one per-doc aggregate. The
     * rounded mean is the only cross-engine float surface (SURVEY §6
-    * discipline, same as b20's moments). */
+    * discipline, same as b20's moments). Skew stance: stopword terms
+    * make the term join hot by construction — the unigram side is
+    * deliberately unhinted so AQE can broadcast it when the
+    * vocabulary is small and split the fat sort-merge partitions
+    * when it is not (the skew-split path RobustnessSpec proves). */
   def c31UnigramLogprob(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("term"))
