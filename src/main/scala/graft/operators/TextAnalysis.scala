@@ -108,6 +108,36 @@ object TextAnalysis {
       .orderBy("source", "bin")
   }
 
+  /** The 100 TB spelling of [[c29QualityBins]]: bin edges from a
+    * per-source approx_percentile SKETCH (one map-side-combined agg,
+    * no per-source sort), docs assigned by cutpoint comparison —
+    * same report schema, no window anywhere, so a source of any size
+    * stays task-parallel. Sketch edges are not cross-engine-stable,
+    * so this variant is spec-verified (assignment monotone in
+    * quality, conservation, near-uniform bin mass on a uniform
+    * corpus) rather than oracle-checked — the exact ntile spelling
+    * remains the oracle contract. The cutpoint frame is one row per
+    * source; it stays unhinted so AQE broadcasts it when small. */
+  def c29QualityBinsApprox(docs: DataFrame, bins: Int = QualityBins,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = docs.select(col("source"), col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+      qualityOf(col("text")).as("quality"))
+    val probs = (1 until bins).map(i => i.toDouble / bins)
+    val cuts = scored.groupBy("source")
+      .agg(expr(s"approx_percentile(quality, array(${probs.mkString(", ")}), $accuracy)")
+        .as("cuts"))
+    scored.join(cuts, Seq("source"))
+      .withColumn("bin",
+        (size(filter(col("cuts"), c => col("quality") > c)) + 1).cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_q"),
+        max(col("quality")).as("max_q"),
+        sum(col("n_tok")).as("sum_tok"))
+      .orderBy("source", "bin")
+  }
+
   /** c30: token-budget source mixture — the Pile/LLaMA-style step
     * that assembles a training mix: each source contributes documents
     * (in a deterministic md5 priority order, so every engine/cluster

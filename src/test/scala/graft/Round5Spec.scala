@@ -183,6 +183,37 @@ class Round5Spec extends AnyFunSuite {
     } finally bins.unpersist()
   }
 
+  test("c29 approx variant: windowless, conservative, near-uniform on a uniform corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // same report schema, total docs conserved
+    val approx = TextAnalysis.c29QualityBinsApprox(docs)
+    assert(approx.columns.toSeq ==
+      TextAnalysis.c29QualityBins(docs).columns.toSeq)
+    assert(approx.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    // the scale claim: NO window/sort anywhere in the plan
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx binning must not plan a window")
+    // bin ranges stay ordered (cutpoint assignment is monotone)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bin")
+    val disordered = approx
+      .withColumn("next_min", lead(col("min_q"), 1).over(w))
+      .filter(col("next_min").isNotNull && col("max_q") > col("next_min"))
+    assert(disordered.count() == 0)
+    // sketch quality: ~uniform bins on a synthetic uniform single source
+    val synth = (1 to 2000).map { i =>
+      // distinct letter-words → quality varies smoothly with length
+      (i.toLong, "uni", ((0 to i % 97 + 3).map(j => s"w${i}x$j") :+ "the").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val sbins = TextAnalysis.c29QualityBinsApprox(synth)
+      .select("n_docs").as[Long].collect()
+    val ideal = 2000.0 / TextAnalysis.QualityBins
+    assert(sbins.length == TextAnalysis.QualityBins, s"got ${sbins.length} bins")
+    assert(sbins.forall(n => n > ideal * 0.5 && n < ideal * 1.5),
+      s"bin masses far from uniform: ${sbins.mkString(",")}")
+  }
+
   test("c30 mixture respects budgets, overshoot bounded by one document") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
