@@ -120,8 +120,7 @@ object MartRunner {
           graft.streaming.EventsStream.upsertSink(df, path, key, autoCompactMinFiles)
           spark.read.parquet(path).drop(graft.streaming.EventsStream.KeyBucketCol)
         case None =>
-          df.write.mode("overwrite").parquet(path)
-          spark.read.parquet(path)
+          parquetSink(spark, root)(name, df)
       }
     }
 

@@ -42,10 +42,21 @@ object Pipeline {
       maxPages: Int = 1000): PipelineReport = {
     val fetched = PollingIngest.ingest(
       spark, source, pageSchema, ingestStore, key, tsCol, maxPages)
+    // a first run against a not-yet-populated API legitimately
+    // fetches nothing and leaves no store — report and stand down
+    // rather than crash every scheduled run until data appears
+    if (!graft.streaming.EventsStream.hasCommittedData(spark, ingestStore))
+      return PipelineReport(fetched, Map.empty, Nil)
     val stored = spark.read.parquet(ingestStore)
       .drop(graft.streaming.EventsStream.KeyBucketCol)
-    val status = MartRunner.run(
-      dagFor(eventsFrom(stored)), MartRunner.parquetSink(spark, warehouseRoot))
+    val dag = dagFor(eventsFrom(stored))
+    // a typo'd export name would otherwise just never load, silently,
+    // run after run — malformed config is a bug, not a condition to
+    // limp through (topoOrder's own stance on unknown deps)
+    require(exportKeys.keySet.subsetOf(dag.map(_.name).toSet),
+      s"exportKeys name(s) not in the DAG: " +
+        s"${exportKeys.keySet -- dag.map(_.name)}")
+    val status = MartRunner.run(dag, MartRunner.parquetSink(spark, warehouseRoot))
     // export ONLY marts that built this run — a failed mart must not
     // overwrite the store with stale or partial rows; its last good
     // load simply stands (the keyed store makes that safe)

@@ -61,19 +61,20 @@ object Checks {
     *
     * One aggregate pass + a 1-row broadcast — a report-sized plan. */
   def a13Freshness(events: DataFrame, warnUs: Long = FreshWarnUs,
-      errorUs: Long = FreshErrorUs): DataFrame = {
-    val anchor = events.agg(max(unix_micros(col("ts"))).as("as_of_us"))
+      errorUs: Long = FreshErrorUs): DataFrame =
+    // the global high-water anchor is the max over the per-type maxes
+    // — an unpartitioned window over the ≤|event types|-row aggregate,
+    // NOT a second corpus scan (c23's discipline)
     events.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         max(unix_micros(col("ts"))).as("max_loaded_us"))
-      .crossJoin(broadcast(anchor))
+      .withColumn("as_of_us", max(col("max_loaded_us")).over())
       .withColumn("lag_us", col("as_of_us") - col("max_loaded_us"))
       .withColumn("freshness",
         when(col("lag_us") > errorUs, "error")
           .when(col("lag_us") > warnUs, "warn")
           .otherwise("pass"))
       .orderBy("event_type")
-  }
 
   /** a9: the mart test-suite (unique + not_null on every dim/fact key,
     * mirroring the reference's yml tests), as a result table.

@@ -114,8 +114,18 @@ object Marts {
     * the entire point of incremental at scale. */
   def a12IncrementalMart(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val events = graft.sources.Tables.events(spark, dir)
-    val store = java.nio.file.Files.createTempDirectory("graft_incr_fct")
-      .resolve("store").toString
+    // stable scratch store per input dir, rebuilt from scratch each
+    // invocation — repeated Verify/Bench runs reuse ONE path instead
+    // of accumulating orphaned temp stores. (This query is the
+    // oracle-checked demonstration of the incremental path;
+    // deployment uses MartRunner.incrementalSink on a durable root.)
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_incr_fct_" + Integer.toHexString(dir.hashCode)).getPath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(store))
     def batch(pred: org.apache.spark.sql.Column): DataFrame =
       fctProjection(Staging.stgEvents(events.filter(pred)))
     // deterministic overlapping slices (events 5,6 mod 10 arrive twice

@@ -220,6 +220,27 @@ class ExternalSinkSpec extends AnyFunSuite {
     val r3 = run(60)
     assert(EmbeddedStore.tables.get("fct_events").size == 60)
     assert(spark.read.parquet(s"$wh/dq_checks").filter(!col("passed")).count() == 0)
+    // a first run that fetches NOTHING (API not yet populated) must
+    // report and stand down, not crash on the absent store
+    val emptyIngest = java.nio.file.Files
+      .createTempDirectory("graft-pipe-empty-").toString + "/store"
+    val r0 = Pipeline.runOnce(
+      spark, new Api(0), pageSchema, emptyIngest, "event_id", "ts_us",
+      eventsFrom = identity, dagFor = MartRunner.spotifyDagFrom,
+      warehouseRoot = wh + "0", external = new EmbeddedExternalStore,
+      exportKeys = Map("fct_events" -> Seq("play_id")))
+    assert(r0.fetchedRows == 0 && r0.martStatus.isEmpty && r0.loadedTables.isEmpty)
+    // a typo'd export table name fails fast, not silently-never-loads
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.runOnce(
+        spark, new Api(40), pageSchema, ingest, "event_id", "ts_us",
+        eventsFrom = df => df
+          .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+        dagFor = MartRunner.spotifyDagFrom,
+        warehouseRoot = wh, external = new EmbeddedExternalStore,
+        exportKeys = Map("fct_event" -> Seq("play_id")))
+    }
+    assert(ex.getMessage.contains("fct_event"))
   }
 
   test("jdbc store builds the reference's on-conflict dialect") {
