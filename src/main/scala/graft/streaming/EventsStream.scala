@@ -166,18 +166,44 @@ object EventsStream {
   val StoreBuckets = 32
   private val MetaFile = "_graft_store_meta"
 
-  private def withBucket(df: DataFrame, key: String, nBuckets: Int): DataFrame =
-    df.withColumn(KeyBucketCol, pmod(xxhash64(col(key)), lit(nBuckets)).cast("int"))
+  /** The store's bucket hash — part of the frozen on-disk layout,
+    * recorded in the meta sidecar next to the modulus.
+    *
+    * [[Murmur3Bucket]] (all NEW stores) is deliberately the SAME hash
+    * Spark's HashPartitioning uses (Murmur3, seed 42): a
+    * `repartition(nBuckets, key)` then places every row in the
+    * partition whose id EQUALS its bucket, so the merge's dedup
+    * aggregate, the anti-join, and the partitionBy write all ride ONE
+    * exchange — the dedicated bucket repartition disappears.
+    * [[Xx64Bucket]] is the legacy layout (v1 meta, no hash token);
+    * stores carrying it keep xxhash64 forever (the hash is part of
+    * the layout) and pay the extra exchange until compacted into a
+    * new store. */
+  private[graft] sealed trait BucketHash { def token: String }
+  private[graft] case object Murmur3Bucket extends BucketHash { val token = "murmur3" }
+  private[graft] case object Xx64Bucket extends BucketHash { val token = "" }
+
+  private def withBucket(df: DataFrame, key: String, nBuckets: Int,
+      h: BucketHash): DataFrame = h match {
+    case Murmur3Bucket =>
+      df.withColumn(KeyBucketCol, pmod(hash(col(key)), lit(nBuckets)).cast("int"))
+    case Xx64Bucket =>
+      df.withColumn(KeyBucketCol, pmod(xxhash64(col(key)), lit(nBuckets)).cast("int"))
+  }
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The store's frozen bucket count (None = store not created yet,
-    * or a torn meta write — callers fall back to the constant, which
-    * matches pre-meta behavior). */
-  private def readStoreBuckets(fs: org.apache.hadoop.fs.FileSystem,
-      storePath: String): Option[Int] = {
+  /** The store's frozen bucket layout: modulus + hash (None = store
+    * not created yet, or a torn meta write — callers fall back to the
+    * constants, which match pre-meta behavior). Meta grammar:
+    * `"<n>"` = v1, xxhash64 (the token IS the version);
+    * `"<n> murmur3"` = v2. An unknown hash token fails loudly — it is
+    * either corruption or a newer layout this build cannot merge
+    * into. */
+  private def readStoreMeta(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String): Option[(Int, BucketHash)] = {
     val m = new org.apache.hadoop.fs.Path(storePath, MetaFile)
     if (!fs.exists(m)) None
     else {
@@ -187,11 +213,17 @@ object EventsStream {
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
         val text = new String(buf.toByteArray, "UTF-8").trim
         // a PRESENT-but-unparseable meta is corruption, and guessing a
-        // modulus against a frozen layout silently duplicates keys —
-        // fail loudly instead (meta writes are atomic, so this never
-        // arises from a crash)
-        Some(scala.util.Try(text.toInt).getOrElse(throw new java.io.IOException(
-          s"$m holds unparseable store meta '$text'; repair it before merging")))
+        // modulus/hash against a frozen layout silently duplicates
+        // keys — fail loudly instead (meta writes are atomic, so this
+        // never arises from a crash)
+        def corrupt() = throw new java.io.IOException(
+          s"$m holds unparseable store meta '$text'; repair it before merging")
+        text.split("\\s+").toSeq match {
+          case Seq(n) => Some((scala.util.Try(n.toInt).getOrElse(corrupt()), Xx64Bucket))
+          case Seq(n, Murmur3Bucket.token) =>
+            Some((scala.util.Try(n.toInt).getOrElse(corrupt()), Murmur3Bucket))
+          case _ => corrupt()
+        }
       } finally in.close()
     }
   }
@@ -199,13 +231,14 @@ object EventsStream {
   /** Idempotent, ATOMIC meta write (tmp + rename): a torn create must
     * never leave an existing-but-empty sidecar that poisons every
     * later merge. */
-  private def writeStoreBuckets(fs: org.apache.hadoop.fs.FileSystem,
-      storePath: String, n: Int): Unit = {
+  private def writeStoreMeta(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String, n: Int, h: BucketHash): Unit = {
     val m = new org.apache.hadoop.fs.Path(storePath, MetaFile)
     if (!fs.exists(m)) {
       val tmp = new org.apache.hadoop.fs.Path(storePath, MetaFile + ".tmp")
       val out = fs.create(tmp, true)
-      try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+      val body = if (h.token.isEmpty) s"$n\n" else s"$n ${h.token}\n"
+      try out.write(body.getBytes("UTF-8")) finally out.close()
       if (!fs.rename(tmp, m) && !fs.exists(m))
         throw new java.io.IOException(s"could not commit store meta $m")
     }
@@ -266,16 +299,39 @@ object EventsStream {
     val spark0 = batch.sparkSession
     val fs = fsOf(spark0, storePath)
     healInterruptedCompaction(fs, storePath)
-    // the store's own frozen bucket count wins over the code constant
-    // — the hash modulus is part of the on-disk layout
-    val nBuckets = readStoreBuckets(fs, storePath).getOrElse(StoreBuckets)
+    val committed = hasCommittedData(spark0, storePath)
+    // the store's own frozen layout (modulus + hash) wins over the
+    // code constants; a committed store with a torn/absent meta is a
+    // pre-meta layout (xxhash64), a FRESH store starts on the
+    // murmur3-aligned layout
+    val (nBuckets, hashKind) = readStoreMeta(fs, storePath).getOrElse(
+      if (committed) (StoreBuckets, Xx64Bucket) else (StoreBuckets, Murmur3Bucket))
+    // Dedup spelling is layout-dependent. Murmur3 layout: ONE
+    // exchange — repartition(nBuckets, key) places every row in the
+    // partition whose id equals its bucket (same hash, same modulus),
+    // the dropDuplicates aggregate's ClusteredDistribution(key) is
+    // already satisfied (no second exchange), and the partitionBy
+    // write then emits ONE file per touched bucket with no dedicated
+    // bucket repartition. Legacy xxhash64 layout: bucket ≠ partition
+    // id, so it keeps the dedup exchange + explicit bucket
+    // repartition (two exchanges) until compacted into a new store.
+    def dedupedBucketed(df: DataFrame): DataFrame = hashKind match {
+      case Murmur3Bucket =>
+        withBucket(df.repartition(nBuckets, col(key)).dropDuplicates(key),
+          key, nBuckets, Murmur3Bucket)
+      case Xx64Bucket =>
+        withBucket(df.dropDuplicates(key), key, nBuckets, Xx64Bucket)
+          .repartition(nBuckets, col(KeyBucketCol))
+    }
     val (merged, touchedBuckets) =
-      if (hasCommittedData(spark0, storePath)) {
+      if (committed) {
         // materialize the deduped batch ONCE: it feeds the touched-
         // bucket collect, the anti-join, and the write — without the
         // checkpoint each would re-run the dedup shuffle (and for
-        // file-backed micro-batches, re-read the source)
-        val incoming = withBucket(batch.dropDuplicates(key), key, nBuckets).localCheckpoint()
+        // file-backed micro-batches, re-read the source). The
+        // checkpoint preserves the partitioning, so the murmur3 path
+        // stays exchange-free through the anti-join and write.
+        val incoming = dedupedBucketed(batch).localCheckpoint()
         val touched = incoming.select(KeyBucketCol).distinct().collect().map(_.getInt(0)).toSeq
         val existing = storeScan(spark0, storePath, incoming.schema, touched)
         (incoming.join(existing.select(key), Seq(key), "left_anti"), Some(touched))
@@ -292,23 +348,19 @@ object EventsStream {
             })
           throw new java.io.IOException(
             s"upsertSink: $storePath holds a foreign layout; refusing to mix")
-        (withBucket(batch.dropDuplicates(key), key, nBuckets), None)
+        (dedupedBucketed(batch), None)
       }
     // the layout meta commits BEFORE the first data commit: a crash
     // between the two leaves (meta, no data) — harmless, the next
-    // merge reads the same modulus — never (data, no meta), which a
-    // later resize of the code constant would misinterpret
-    writeStoreBuckets(fs, storePath, nBuckets)
+    // merge reads the same layout — never (data, no meta), which a
+    // later change of the code constants would misinterpret
+    writeStoreMeta(fs, storePath, nBuckets, hashKind)
     // append-mode write: existing bucket files stay, only new keys
-    // land. The repartition on the bucket column makes each merge add
-    // ONE file per touched bucket — without it, partitionBy splits
-    // every shuffle partition's rows across every bucket it holds
-    // keys for: O(partitions × buckets) slivers per merge, and the
-    // read side pays for each of them. Bucket count = the write's
-    // task parallelism, the store's documented one-task-per-bucket
-    // layout contract (see compactStore).
-    merged.repartition(nBuckets, col(KeyBucketCol))
-      .write.mode("append").partitionBy(KeyBucketCol).parquet(storePath)
+    // land; each merge adds ONE file per touched bucket (bucket ==
+    // partition for murmur3; explicit repartition for legacy), the
+    // store's documented one-task-per-bucket layout contract (see
+    // compactStore).
+    merged.write.mode("append").partitionBy(KeyBucketCol).parquet(storePath)
     // maintenance rides the write: only the buckets this merge touched
     // are listed (first write = every bucket, which one fresh file
     // each can never trigger)
@@ -445,12 +497,14 @@ object EventsStream {
   def compactStore(spark: org.apache.spark.sql.SparkSession, storePath: String): Unit = {
     val fs = fsOf(spark, storePath)
     healInterruptedCompaction(fs, storePath)
-    val nBuckets = readStoreBuckets(fs, storePath).getOrElse(StoreBuckets)
+    // meta-missing committed stores are pre-meta layouts → xxhash64
+    val (nBuckets, hashKind) = readStoreMeta(fs, storePath)
+      .getOrElse((StoreBuckets, Xx64Bucket))
     val df = spark.read.parquet(storePath)
     val tmpPath = storePath + "__compacting"
     df.repartition(col(KeyBucketCol))
       .write.mode("overwrite").partitionBy(KeyBucketCol).parquet(tmpPath)
-    writeStoreBuckets(fs, tmpPath, nBuckets) // layout travels with the data
+    writeStoreMeta(fs, tmpPath, nBuckets, hashKind) // layout travels with the data
     val path = new org.apache.hadoop.fs.Path(storePath)
     val tmp = new org.apache.hadoop.fs.Path(tmpPath)
     val aside = new org.apache.hadoop.fs.Path(storePath + "__precompact")

@@ -148,11 +148,11 @@ class RobustnessSpec extends AnyFunSuite {
     EventsStream.upsertSink(ev, store, "event_id")
     val meta = java.nio.file.Paths.get(store, "_graft_store_meta")
     assert(java.nio.file.Files.readString(meta).trim ==
-      EventsStream.StoreBuckets.toString)
+      s"${EventsStream.StoreBuckets} murmur3")
     // compaction carries the layout meta into the swapped-in store
     EventsStream.compactStore(spark, store)
     assert(java.nio.file.Files.readString(meta).trim ==
-      EventsStream.StoreBuckets.toString)
+      s"${EventsStream.StoreBuckets} murmur3")
     // a path holding flat (non-bucketed) parquet is another dataset —
     // the sink must refuse rather than mix layouts
     val flat = tmp("upsert-flat") + "/store"
@@ -200,7 +200,7 @@ class RobustnessSpec extends AnyFunSuite {
       EventsStream.upsertSink(
         ev.select((col("event_id") + 1000000L * i).as("event_id"),
             col("event_type"), col("value"))
-          .filter(pmod(xxhash64(col("event_id")), lit(nb)) < 8)
+          .filter(pmod(hash(col("event_id")), lit(nb)) < 8)
           .limit(50), store, "event_id")
     def bucketFiles(): Map[String, Map[String, Long]] =
       new java.io.File(store).listFiles().filter(_.getName.startsWith("__kb="))
@@ -242,6 +242,43 @@ class RobustnessSpec extends AnyFunSuite {
     EventsStream.upsertSink(ev.limit(5), store, "event_id")
     assert(new java.io.File(s"$store/$kb").exists(), "bucket aside not restored")
     assert(spark.read.parquet(store).count() == rowsBefore)
+  }
+
+  test("murmur3 stores align bucket==partition; legacy v1 stores stay on xxhash64") {
+    import graft.streaming.EventsStream
+    val nb = EventsStream.StoreBuckets
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    // fresh store → v2 meta, murmur3 buckets (== Spark partition ids)
+    val m3 = tmp("store-m3") + "/store"
+    EventsStream.upsertSink(ev, m3, "event_id")
+    val metaText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$m3/_graft_store_meta")), "UTF-8").trim
+    assert(metaText == s"$nb murmur3", s"unexpected meta '$metaText'")
+    assert(spark.read.parquet(m3)
+      .filter(col("__kb") =!= pmod(hash(col("event_id")), lit(nb))).count() == 0,
+      "murmur3 store bucket values drifted from the layout hash")
+    // the single-exchange claim, observed: one file per bucket dir
+    val files = new java.io.File(m3).listFiles().filter(_.getName.startsWith("__kb="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty && files.forall(_ == 1),
+      s"murmur3 first merge did not land one file per bucket: ${files.mkString(",")}")
+    // legacy store: a v1 meta pins xxhash64 forever
+    val xx = tmp("store-xx") + "/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(xx))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$xx/_graft_store_meta"), s"$nb\n".getBytes("UTF-8"))
+    EventsStream.upsertSink(ev, xx, "event_id")
+    assert(spark.read.parquet(xx)
+      .filter(col("__kb") =!= pmod(xxhash64(col("event_id")), lit(nb))).count() == 0,
+      "legacy store abandoned its frozen xxhash64 layout")
+    // same rows under either layout; replays no-op on both
+    EventsStream.upsertSink(ev, m3, "event_id")
+    EventsStream.upsertSink(ev, xx, "event_id")
+    val a = spark.read.parquet(m3).drop("__kb")
+    val b = spark.read.parquet(xx).drop("__kb")
+    assert(a.count() == ev.count() && b.count() == ev.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
   test("upsertSink auto-compaction keeps touched buckets bounded, content intact") {
