@@ -68,7 +68,11 @@ object ScaleSmoke {
       "c22_seq_pack", "c25_doc_chunks", "d2_media_chunks",
       // r5: chunk-grain curation composes the chunk kernel with the
       // gate's narrow signals — must scale like c25, not worse
-      "c27_chunk_curation")
+      "c27_chunk_curation",
+      // r4c: the new report tiers — per-source windows (c29/c30), the
+      // stopword-skewed term join (c31), checksum shuffles (d4/d5)
+      "c29_quality_bins", "c30_source_mixture", "c31_unigram_logprob",
+      "d4_chunk_dedup", "d5_media_manifest")
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:
     // "at cluster scale these become cluster-sized via config not
