@@ -102,13 +102,23 @@ object MartRunner {
   /** Incremental warehouse sink — dbt's `incremental` materialization
     * with a unique_key, per mart: models named in `keyOf` MERGE into a
     * bucketed keep-first upsert store (only new keys land, bucket-
-    * pruned — a re-run or an overlapping batch is idempotent, and a
-    * run costs its batch, not the warehouse); models absent from
-    * `keyOf` fall back to [[parquetSink]]-style overwrite (dbt
-    * `table` — correct for aggregates, which cannot be keyed-merged).
-    * Dependents read the MATERIALIZED store, i.e. the full history
-    * merged so far, not just this run's slice — exactly how an
-    * incremental dbt model's downstream sees it.
+    * pruned — a re-run or an overlapping batch is idempotent); models
+    * absent from `keyOf` fall back to [[parquetSink]]-style overwrite
+    * (dbt `table` — correct for aggregates, which cannot be
+    * keyed-merged). Dependents read the MATERIALIZED store, i.e. the
+    * full history merged so far, not just this run's slice — exactly
+    * how an incremental dbt model's downstream sees it.
+    *
+    * Cost contract, scoped precisely: a keyed model whose INPUT is
+    * the run's raw batch costs its batch, not the warehouse — that is
+    * the top-of-DAG ingest case (stg_events from a poll slice). A
+    * keyed DEPENDENT of an incremental model reads the full
+    * materialized history, so its build recomputes and re-offers the
+    * whole warehouse to the merge (all buckets touched; the anti-join
+    * drops the old keys again). dbt scopes the same problem with
+    * `is_incremental()` input filters; here the equivalent is giving
+    * the dependent a batch-shaped input (filter its build on the
+    * run's slice) — the sink cannot infer that filter for you.
     * `autoCompactMinFiles` passes through to the store's maintenance
     * trigger so a daily-run warehouse never fragments unboundedly. */
   def incrementalSink(spark: SparkSession, root: String, keyOf: Map[String, String],

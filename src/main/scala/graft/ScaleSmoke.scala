@@ -49,6 +49,19 @@ object ScaleSmoke {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text"))) // keep metadata consistent
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    // events: per-replica id/user offsets keep every replica's
+    // per-user event sequences intact — a11's episode structure and
+    // a12's key space grow linearly (users × N), never denser
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evOffset = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val userOffset = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    ev.crossJoin(reps)
+      .select(
+        (col("event_id") + col("rep") * evOffset).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * userOffset).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vecOffset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     emb.crossJoin(reps)
@@ -72,7 +85,11 @@ object ScaleSmoke {
       // r4c: the new report tiers — per-source windows (c29/c30), the
       // stopword-skewed term join (c31), checksum shuffles (d4/d5)
       "c29_quality_bins", "c30_source_mixture", "c31_unigram_logprob",
-      "d4_chunk_dedup", "d5_media_manifest")
+      "d4_chunk_dedup", "d5_media_manifest",
+      // r5: the heaviest tier-A/C additions — SCD2's per-user windows,
+      // the incremental store merges, and the trained-IVF Lloyd loop
+      // need measured scale rows too
+      "a11_scd2_snapshot", "a12_incremental_mart", "c26_ann_ivf_trained")
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:
     // "at cluster scale these become cluster-sized via config not

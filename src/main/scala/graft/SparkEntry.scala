@@ -34,6 +34,7 @@ object SparkEntry {
     "a11_scd2_snapshot"  -> ((s, dir) => Marts.a11Scd2Snapshot(Tables.events(s, dir))),
     "a13_freshness"      -> ((s, dir) => Checks.a13Freshness(Tables.events(s, dir))),
     "a12_incremental_mart" -> ((s, dir) => Marts.a12IncrementalMart(s, dir)),
+    "a14_nested_json"    -> ((s, dir) => Staging.a14NestedJson(Tables.events(s, dir))),
 
     "b1_pricing_summary" -> ((s, dir) => Olap.b1PricingSummary(s, dir)),
     "b2_top_revenue"     -> ((s, dir) => Olap.b2TopRevenue(s, dir)),
@@ -86,7 +87,9 @@ object SparkEntry {
     "c27_chunk_curation"  -> ((s, dir) => TextAnalysis.c27ChunkCuration(Tables.documents(s, dir))),
     "c28_epoch_shuffle"   -> ((s, dir) => Sampling.c28EpochShuffle(Tables.documents(s, dir))),
     "c29_quality_bins"    -> ((s, dir) => TextAnalysis.c29QualityBins(Tables.documents(s, dir))),
-    "c30_source_mixture"  -> ((s, dir) => TextAnalysis.c30SourceMixture(Tables.documents(s, dir))),
+    // the bucketed spelling computes the same rows as the exact window
+    // (Round5Spec proves equality) with no per-source sort task
+    "c30_source_mixture"  -> ((s, dir) => TextAnalysis.c30SourceMixtureBucketed(Tables.documents(s, dir))),
     "c31_unigram_logprob" -> ((s, dir) => TextAnalysis.c31UnigramLogprob(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
@@ -198,6 +201,23 @@ object SparkEntry {
       select play_id, track_id, type_id, user_sk, event_id,
              epoch_us(ts) as ts_us, epoch_us(ts_mtn) as ts_mtn_us, value, prop_k
       from stg order by ts_mtn_us desc, event_id
+    """,
+
+    // a14 builds the identical nested JSON text on both engines; the
+    // array-of-structs extraction + join is the thing under test
+    "a14_nested_json" -> """
+      with j as (
+        select event_id,
+          '{"album": {"name": "album_' || (event_id % 20)::varchar || '"}, "artists": [' ||
+            array_to_string(list_transform(range((event_id % 3 + 1)::bigint), i ->
+              '{"name": "artist_' || ((user_id + i*7) % 50)::varchar || '"}'), ',') || ']}' as payload
+        from events)
+      select event_id,
+        json_extract_string(payload, '$.album.name') as album_name,
+        json_array_length(json_extract(payload, '$.artists'))::bigint as n_artists,
+        array_to_string(list_transform(range(json_array_length(json_extract(payload, '$.artists'))::bigint),
+          i -> json_extract_string(payload, '$.artists[' || i::varchar || '].name')), ', ') as artist_names
+      from j order by event_id
     """,
 
     "a5_rpt_user_counts" -> s"""

@@ -86,11 +86,11 @@ object Checks {
     * branches: 7 source scans per run. Now the source is scanned
     * exactly once; the check job reads executor-local mart blocks. */
   def a9DqChecks(stg: DataFrame): DataFrame = {
-    val s = stg.localCheckpoint()
-    val dimUser = Marts.dimUser(s).localCheckpoint()
-    val dimTrack = Marts.dimTrack(s).localCheckpoint()
-    val dimType = Marts.dimEventType(s).localCheckpoint()
-    val fct = Marts.fctEvents(s).localCheckpoint()
+    val s = Materialize.frame(stg)
+    val dimUser = Materialize.frame(Marts.dimUser(s))
+    val dimTrack = Materialize.frame(Marts.dimTrack(s))
+    val dimType = Materialize.frame(Marts.dimEventType(s))
+    val fct = Materialize.frame(Marts.fctEvents(s))
     dqChecksOverMarts(dimUser, dimTrack, dimType, fct)
   }
 }

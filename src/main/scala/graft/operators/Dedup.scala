@@ -55,7 +55,7 @@ object Dedup {
     * pass per (session, corpus) — c2, c3, c12, and c20 all derive
     * from this instead of re-tokenizing the corpus per query. */
   private[operators] def sharedShingleSets(docs: DataFrame): DataFrame =
-    CorpusPrep.memo("shingle_sets", docs)(shingleSets(docs).localCheckpoint())
+    CorpusPrep.memo("shingle_sets", docs)(Materialize.frame(shingleSets(docs)))
 
   /** Distinct 32-bit shingle keys per doc, exploded off the shared
     * sets (md5 via the codegen'd SQL expression — only the shingle

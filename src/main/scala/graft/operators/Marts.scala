@@ -114,18 +114,26 @@ object Marts {
     * the entire point of incremental at scale. */
   def a12IncrementalMart(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val events = graft.sources.Tables.events(spark, dir)
-    // stable scratch store per input dir, rebuilt from scratch each
-    // invocation — repeated Verify/Bench runs reuse ONE path instead
-    // of accumulating orphaned temp stores. (This query is the
-    // oracle-checked demonstration of the incremental path;
-    // deployment uses MartRunner.incrementalSink on a durable root.)
-    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_incr_fct_" + Integer.toHexString(dir.hashCode)).getPath
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(store))
+    // Scratch store: keyed by the FULL input dir (sanitized — a hash
+    // could collide two dirs onto one store) plus the application id,
+    // so two concurrent drivers (Verify + Bench on the same dir)
+    // never race on one path mid-merge; rebuilt from scratch each
+    // invocation, so repeated runs in one application reuse ONE path
+    // instead of accumulating orphans. Cleanup goes through the
+    // Hadoop FileSystem RESOLVED FROM THE PATH — the same resolution
+    // Spark's scheme-less write uses — so on a deployment whose
+    // default FS is not the local FS, the delete and the write still
+    // target the same location (a java.io.File rm would silently
+    // no-op there). This query is the oracle-checked DEMO of the
+    // incremental path; a deployment runs
+    // [[graft.MartRunner.incrementalSink]] on a durable warehouse
+    // root instead of a tmpdir scratch.
+    val store = System.getProperty("java.io.tmpdir") +
+      "/graft_incr_fct_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + spark.sparkContext.applicationId
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(storePath)) fs.delete(storePath, true)
     def batch(pred: org.apache.spark.sql.Column): DataFrame =
       fctProjection(Staging.stgEvents(events.filter(pred)))
     // deterministic overlapping slices (events 5,6 mod 10 arrive twice

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Strategy switch for materializing corpus-grain intermediates (the
+  * staged tf frames of c17/c31, a9's staging+marts, CorpusPrep's
+  * shingle/bigram kernels, c30's scored frame).
+  *
+  * `localCheckpoint` is the right default for a single-JVM session
+  * (Verify/Bench/local notebooks): blocks land in executor
+  * MEMORY_AND_DISK storage with no durable write. But it CUTS lineage
+  * while pinning blocks to executors — on a real cluster, losing one
+  * executor mid-job kills the query unrecoverably. At 100 TB these
+  * intermediates belong on durable storage, so the strategy is a
+  * session conf, not code:
+  *
+  *   spark.conf.set("graft.materialize", "local")            // default
+  *   spark.conf.set("graft.materialize", "reliable")         // rdd checkpoint
+  *   spark.conf.set("graft.materialize", "scratch:/durable/tmp")
+  *
+  * `reliable` uses Spark's reliable `checkpoint()` (requires
+  * `sparkContext.setCheckpointDir` on a durable FS); `scratch:<root>`
+  * round-trips through parquet under `<root>` — the spelling that
+  * also survives driver restarts and lets a second job reuse the
+  * frame. Cluster deployments should set `reliable` or `scratch:`
+  * (docs/DEPLOY.md); results are strategy-independent — spec-asserted
+  * by Round5Spec ("materialize strategies agree").
+  *
+  * NOT routed through here: the streaming upsert sink's micro-batch
+  * checkpoint (partitioning preservation is load-bearing there, and a
+  * failed micro-batch is simply replayed) and the k-row k-means
+  * centroid frames (bounded, rebuilt per iteration).
+  */
+object Materialize {
+
+  private val ConfKey = "graft.materialize"
+
+  /** Materialize `df` per the session's `graft.materialize` conf and
+    * return the re-readable frame. */
+  def frame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(ConfKey, "local") match {
+      case "local"    => df.localCheckpoint()
+      case "reliable" => df.checkpoint()
+      case s if s.startsWith("scratch:") =>
+        val root = s.stripPrefix("scratch:")
+        require(root.nonEmpty, s"$ConfKey=scratch: needs a root path")
+        // one dir per materialization, keyed by application so two
+        // drivers sharing a scratch root never collide; callers own
+        // cleanup of the root (it is scratch by contract)
+        val path = s"$root/graft_mat_${spark.sparkContext.applicationId}_" +
+          java.util.UUID.randomUUID().toString
+        df.write.mode("error").parquet(path)
+        spark.read.parquet(path)
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey='$other' — expected local | reliable | scratch:<root>")
+    }
+  }
+}

@@ -73,6 +73,48 @@ object Staging {
       .orderBy("precision", "release_date")
   }
 
+  /** a14: nested-array JSON flattening — the ingest shape the
+    * reference applies to every API page: a nested `album` object and
+    * an `artists` ARRAY OF STRUCTS flattened to scalar columns, the
+    * list comma-joined to one string
+    * (flows/pull_recent_tracks.py:119-122 and :132-135). a1 exercises
+    * scalar JSON fields only; this is the array→`transform`→
+    * `array_join` path — the same shape multi-author docs and tag
+    * lists need in an LLM pipeline. The events table has no nested
+    * payload, so one is SYNTHESIZED deterministically per event (a10's
+    * discipline: parity derives the payload, the PARSE is the thing
+    * under oracle test — the oracle builds the identical JSON text and
+    * re-extracts it with DuckDB's json functions).
+    *
+    * Narrow projection over the scan, no shuffle; `from_json` parses
+    * each payload once into a typed struct and every output column is
+    * a field path off that one parse. */
+  def a14NestedJson(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val nArtists = col("event_id") % 3 + 1
+    val artistsJson = concat(lit("["),
+      array_join(transform(sequence(lit(0L), nArtists - 1), i =>
+        concat(lit("{\"name\": \"artist_"),
+          ((col("user_id") + i * 7) % 50).cast("string"), lit("\"}"))), ","),
+      lit("]"))
+    val payload = concat(
+      lit("{\"album\": {\"name\": \"album_"),
+      (col("event_id") % 20).cast("string"),
+      lit("\"}, \"artists\": "), artistsJson, lit("}"))
+    val schema = StructType(Seq(
+      StructField("album", StructType(Seq(StructField("name", StringType)))),
+      StructField("artists",
+        ArrayType(StructType(Seq(StructField("name", StringType)))))))
+    events.select(col("event_id"), payload.as("payload"))
+      .withColumn("j", from_json(col("payload"), schema))
+      .select(col("event_id"),
+        col("j.album.name").as("album_name"),
+        size(col("j.artists")).cast("long").as("n_artists"),
+        array_join(transform(col("j.artists"), a => a.getField("name")), ", ")
+          .as("artist_names"))
+      .orderBy("event_id")
+  }
+
   /** Idempotent-ingest dedup: the reference's `insert … on conflict do
     * nothing` (flows/pull_recent_tracks.py:233-247) re-expressed as a
     * keep-first window dedup over overlapping micro-batches. Two

@@ -73,7 +73,7 @@ object TextAnalysis {
     * (per-doc report) and c29 (per-source binning). Rounds to 5: the
     * addends are multiples of 1e-5, and a 4-decimal round would sit
     * exactly on half-way points where engines' tie-breaking differs. */
-  private def qualityOf(text: Column): Column = {
+  private[graft] def qualityOf(text: Column): Column = {
     val toks = TextFns.tokens(text)
     round(lit(0.3) * least(size(toks).cast("double") / 100.0, lit(1.0))
       + lit(0.4) * distinctRatioOf(toks)
@@ -138,6 +138,33 @@ object TextAnalysis {
       .orderBy("source", "bin")
   }
 
+  /** Shared c30 scoring frame — ONE spelling of (n_tok, prio, budget)
+    * for both mixture variants, so exact and bucketed admission can
+    * never drift on the inputs they rank. */
+  private def mixtureScored(docs: DataFrame,
+      budgets: Map[String, Long], defaultBudget: Long): DataFrame = {
+    val budgetCol =
+      if (budgets.isEmpty) lit(defaultBudget)
+      else coalesce(
+        element_at(typedLit(budgets), col("source")), lit(defaultBudget))
+    docs.select(col("source"), col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+      md5(col("doc_id").cast("string")).as("prio"),
+      budgetCol.as("budget"))
+  }
+
+  /** Shared c30 report aggregation over a scored frame carrying a
+    * boolean `kept` admission flag. */
+  private def mixtureReport(flagged: DataFrame): DataFrame =
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tok"),
+        max(col("budget")).as("budget"))
+      .withColumn("fill_rate",
+        round(col("kept_tok").cast("double") / col("budget"), 4))
+      .orderBy("source")
+
   /** c30: token-budget source mixture — the Pile/LLaMA-style step
     * that assembles a training mix: each source contributes documents
     * (in a deterministic md5 priority order, so every engine/cluster
@@ -145,11 +172,16 @@ object TextAnalysis {
     * prices the resulting mixture per source. A doc is admitted iff
     * its START offset is inside the budget (c22's block rule), so
     * budgets overshoot by at most one document — standard practice.
+    * Budget overrides + the default are operator constants the oracle
+    * interpolates — parity cannot drift.
     *
-    * One shuffle on source + the per-source prefix-sum window; same
-    * 100 TB caveat and remedy as c22 (shard the prefix sum ∝
-    * cluster). Budget overrides + the default are operator constants
-    * the oracle interpolates — parity cannot drift. */
+    * THIS spelling is the oracle contract and the spec ground truth:
+    * one per-source prefix-sum window, which at 100 TB funnels an
+    * entire source through one sort task. The keyed query runs
+    * [[c30SourceMixtureBucketed]], which computes the IDENTICAL
+    * admission set with no per-source window (proved row-equal by
+    * Round5Spec) — c29's exact-vs-approx discipline, except here the
+    * scale spelling is exact too, so it ships as the default. */
   def c30SourceMixture(docs: DataFrame,
       budgets: Map[String, Long] = MixtureBudgets,
       defaultBudget: Long = DefaultMixtureBudget): DataFrame = {
@@ -157,23 +189,73 @@ object TextAnalysis {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("prio"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val budgetCol =
-      if (budgets.isEmpty) lit(defaultBudget)
-      else coalesce(
-        element_at(typedLit(budgets), col("source")), lit(defaultBudget))
-    docs.select(col("source"), col("doc_id"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
-        md5(col("doc_id").cast("string")).as("prio"))
+    mixtureScored(docs, budgets, defaultBudget)
       .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("kept", col("cum") - col("n_tok") < budgetCol)
+      .withColumn("kept", col("cum") - col("n_tok") < col("budget"))
+      .transform(mixtureReport)
+  }
+
+  /** The 100 TB spelling of [[c30SourceMixture]] — same rows, no
+    * per-source window. The md5 priority is uniform, so its first
+    * [[MixtureBucketHexChars]] hex chars split every source into 4096
+    * PREFIX-ORDERED buckets (lexicographic md5 order refines bucket
+    * order). Admission then resolves in three task-parallel steps:
+    *
+    *  1. histogram: sum(n_tok) per (source, bucket) — one map-side-
+    *     combinable aggregate, ≤4096 rows per source;
+    *  2. cutpoint: on that tiny frame, the first bucket whose
+    *     cumulative token mass reaches the budget (window over ≤4096
+    *     rows per source — bounded by the constant, not the data) and
+    *     the cumulative mass BEFORE it (`base`);
+    *  3. admit: bucket < cut → kept (its docs all start before the
+    *     budget), bucket > cut → dropped (they all start at ≥ base +
+    *     cut-bucket mass ≥ budget), bucket == cut → the one boundary
+    *     sliver resolves exactly with a prefix sum partitioned by
+    *     (source, BUCKET) — every window partition is ~1/4096 of a
+    *     source, so a source of any size stays task-parallel.
+    *
+    * The admitted set is IDENTICAL to the exact window's — the
+    * cutpoint math is exact, not a sketch — so this runs behind the
+    * keyed c30 query against the unchanged oracle. The scored frame
+    * feeds both the histogram and the admission pass; it is
+    * materialized via [[Materialize.frame]] so the corpus is scanned
+    * and tokenized once (strategy-switchable for durability at
+    * cluster scale). */
+  def c30SourceMixtureBucketed(docs: DataFrame,
+      budgets: Map[String, Long] = MixtureBudgets,
+      defaultBudget: Long = DefaultMixtureBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Materialize.frame(
+      mixtureScored(docs, budgets, defaultBudget)
+        .withColumn("bkt",
+          conv(substring(col("prio"), 1, MixtureBucketHexChars), 16, 10)
+            .cast("long")))
+    val wHist = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = scored.groupBy("source", "bkt")
+      .agg(sum(col("n_tok")).as("bkt_tok"), max(col("budget")).as("budget"))
+      .withColumn("base", coalesce(sum(col("bkt_tok")).over(wHist), lit(0L)))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tok"),
-        max(budgetCol).as("budget"))
-      .withColumn("fill_rate",
-        round(col("kept_tok").cast("double") / col("budget"), 4))
-      .orderBy("source")
+      // struct-min picks the FIRST bucket whose through-mass reaches
+      // the budget; no crossing (source smaller than budget) → null →
+      // sentinel cut above every bucket, everything admitted
+      .agg(min(when(col("base") + col("bkt_tok") >= col("budget"),
+        struct(col("bkt"), col("base")))).as("cut"))
+      .select(col("source"),
+        coalesce(col("cut.bkt"), lit(Long.MaxValue)).as("cut_bkt"),
+        coalesce(col("cut.base"), lit(0L)).as("cut_base"))
+    // the boundary sliver's window partitions on (source, bkt): the
+    // 1/4096-of-a-source partition that replaces the whole-source sort
+    val wSliver = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("prio"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored.join(cuts, Seq("source")) // cuts is |sources| rows — AQE broadcasts it
+      .withColumn("cum_in", sum(col("n_tok")).over(wSliver))
+      .withColumn("kept",
+        col("bkt") < col("cut_bkt") ||
+          (col("bkt") === col("cut_bkt") &&
+            col("cut_base") + col("cum_in") - col("n_tok") < col("budget")))
+      .transform(mixtureReport)
   }
 
   /** c31: unigram log-probability scoring — the CCNet-style LM
@@ -197,8 +279,8 @@ object TextAnalysis {
   def c31UnigramLogprob(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = Materialize.frame(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val uni = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
     val total = uni.agg(sum(col("cnt")).as("n_total"))
     tf.join(uni, Seq("term"))
@@ -251,6 +333,12 @@ object TextAnalysis {
   val QualityBins = 10
   val MixtureBudgets: Map[String, Long] = Map("src0" -> 400L, "src1" -> 1200L)
   val DefaultMixtureBudget = 800L
+  /** md5-prefix width of the c30 bucketed-admission histogram: 3 hex
+    * chars = 4096 prefix-ordered buckets per source. Fixed by the
+    * exact-equality contract (any width gives the same rows), sized so
+    * the per-source histogram stays trivially window-able while the
+    * boundary sliver is ~0.02% of a source. */
+  val MixtureBucketHexChars = 3
 
   private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
   private val NumRe = "[0-9]+"
@@ -289,8 +377,8 @@ object TextAnalysis {
     // tf has exactly one row per (doc, term), so df is a count over tf
     // — no second corpus scan + explode + distinct. tf is checkpointed
     // because it feeds both the df aggregation and the score join.
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = Materialize.frame(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("term"))
@@ -323,7 +411,7 @@ object TextAnalysis {
   /** Shared materialized bigram frame: the kernel runs once per
     * (session, corpus); c19 and c21 both read the same blocks. */
   private def bigramRows(docs: DataFrame): DataFrame =
-    CorpusPrep.memo("bigram_rows", docs)(bigramRowsKernel(docs).localCheckpoint())
+    CorpusPrep.memo("bigram_rows", docs)(Materialize.frame(bigramRowsKernel(docs)))
 
   /** c19: corpus n-gram statistics — top-k word bigrams by total
     * occurrences with document frequency: the vocabulary/phrase

@@ -36,6 +36,63 @@ trait TokenSource extends Serializable {
   def accessToken(): String
 }
 
+/** The one-time authorization-code grant that BOOTSTRAPS the refresh
+  * loop — the reference's login web app re-expressed as a contract
+  * (/root/reference/util/login.py:19-45): build the provider
+  * authorize URL (response_type=code, scope, redirect_uri, a
+  * random `state` nonce), receive the callback, REJECT a mismatched
+  * state or a provider error, then exchange the code for the initial
+  * (access, refresh) token pair. Deployment supplies the HTTP pieces
+  * (a browser redirect + a tiny callback endpoint); specs drive a
+  * fake exchanger. */
+trait AuthCodeExchanger extends Serializable {
+  /** The token-endpoint call of the auth-code grant:
+    * grant_type=authorization_code, code + redirect_uri (+ client
+    * credentials, owned by the implementation). Returns
+    * (access token, refresh token). Throws on a rejected code. */
+  def exchange(code: String, redirectUri: String): (String, String)
+}
+
+/** Drives the one-time grant and seeds the [[SecretStore]] that
+  * [[RefreshingTokenSource]] then lives off — together they cover the
+  * token lifecycle from zero stored state. `state` is caller-supplied
+  * entropy (the reference uses a 16-byte hex nonce); the flow only
+  * enforces that the callback ECHOES it. */
+final class AuthCodeFlow(
+    store: SecretStore,
+    exchanger: AuthCodeExchanger,
+    clientId: String,
+    redirectUri: String,
+    state: String,
+    authorizeBase: String = "https://accounts.spotify.com/authorize",
+    scope: String = "user-read-recently-played",
+    accessName: String = "api-access-token",
+    refreshName: String = "api-refresh-token") extends Serializable {
+
+  /** The /login redirect target — where the flow sends the user. */
+  def authorizeUrl: String =
+    s"$authorizeBase?response_type=code&client_id=$clientId" +
+      s"&scope=$scope&redirect_uri=$redirectUri&state=$state"
+
+  /** The /callback handler: state check, provider-error check, then
+    * code→token exchange; the minted pair lands in the secret store,
+    * which makes every later [[RefreshingTokenSource.accessToken]]
+    * call work from zero. Returns the access token. */
+  def complete(callbackState: String, code: Option[String],
+      error: Option[String]): String = {
+    if (callbackState != state)
+      throw new IllegalStateException("auth callback: mismatched state")
+    error.foreach(e =>
+      throw new IllegalStateException(s"auth callback: provider error '$e'"))
+    val c = code.getOrElse(
+      throw new IllegalStateException("auth callback: no code and no error"))
+    val (access, refresh) = exchanger.exchange(c, redirectUri)
+    store.put(accessName, access)
+    store.put(refreshName, refresh)
+    access
+  }
+}
+
 /** The reference's lifecycle: stored-token fast path, refresh + store
   * on expiry. Stateless between calls — the secret store is the
   * source of truth, so concurrent pollers sharing one store converge

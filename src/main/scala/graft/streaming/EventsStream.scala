@@ -101,7 +101,16 @@ object EventsStream {
     * history tracker that runs forever. Works on batch input too
     * (state starts empty per group); micro-batch input sorts within
     * the group, and cross-batch ordering rides event time arriving in
-    * batch order. */
+    * batch order.
+    *
+    * Late-data guard: an event arriving in a LATER micro-batch with
+    * event time before the open episode's start cannot be applied —
+    * the preceding history is already emitted downstream in append
+    * mode, and treating it as a forward change would close the open
+    * episode with an INVERTED interval (valid_to < valid_from). Such
+    * events are dropped, the watermark semantics every append-mode
+    * stateful operator gives late data; StreamingSpec pins both the
+    * drop and the never-inverted invariant. */
   def scd2Stateful(events: DataFrame): org.apache.spark.sql.Dataset[ScdClosed] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark0 = events.sparkSession
@@ -115,6 +124,9 @@ object EventsStream {
         cur match {
           case None =>
             cur = Some(ScdOpen(e.event_type, e.ts_us, 1L))
+          case Some(s) if e.ts_us < s.sinceUs =>
+            () // cross-batch late event: history is already emitted —
+               // dropping beats writing an inverted interval
           case Some(s) if s.eventType != e.event_type =>
             out += ScdClosed(user, s.version, s.eventType, s.sinceUs, e.ts_us)
             cur = Some(ScdOpen(e.event_type, e.ts_us, s.version + 1))
@@ -293,7 +305,16 @@ object EventsStream {
     * compaction manually). Only the buckets this batch touched are
     * even listed, so the trigger's cost tracks batch size, not store
     * size. Same quiesced-writer caveat as [[compactStoreSelective]]:
-    * one writer at a time owns the store. */
+    * one writer at a time owns the store.
+    *
+    * READER caveat the base sink does not have: plain upsertSink only
+    * ever APPENDS files, so a concurrent reader's directory listing
+    * stays valid. Enabling the trigger makes the sink swap bucket
+    * directories in place on fragmented micro-batches — a reader that
+    * listed files before a swap can hit FileNotFoundException on the
+    * replaced originals. Gate concurrent reads through a
+    * retry/refresh (or read between batches) when the trigger is on;
+    * with it off, the store remains append-only under readers. */
   def upsertSink(batch: DataFrame, storePath: String, key: String,
       autoCompactMinFiles: Option[Int]): Unit = {
     val spark0 = batch.sparkSession
@@ -505,22 +526,62 @@ object EventsStream {
     df.repartition(col(KeyBucketCol))
       .write.mode("overwrite").partitionBy(KeyBucketCol).parquet(tmpPath)
     writeStoreMeta(fs, tmpPath, nBuckets, hashKind) // layout travels with the data
+    swapStoreInto(fs, storePath, tmpPath, "compactStore")
+  }
+
+  /** Install a fully-written replacement store over the live one —
+    * the shared tail of [[compactStore]] and [[migrateStore]]. Swap
+    * order matters: the live data is never DELETED before its
+    * replacement is installed, and every store touch heals the one
+    * crash window (live renamed aside, replacement not yet in) by
+    * restoring the aside copy; rename results are CHECKED
+    * (object-store renames return false). */
+  private def swapStoreInto(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String, tmpPath: String, op: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val tmp = new org.apache.hadoop.fs.Path(tmpPath)
     val aside = new org.apache.hadoop.fs.Path(storePath + "__precompact")
-    // swap order matters: the live data is never DELETED before its
-    // replacement is installed, and both the sink and this method heal
-    // the one crash window (live renamed aside, replacement not yet
-    // in) by restoring the aside copy; rename results are CHECKED
-    // (object-store renames return false)
     if (!fs.rename(path, aside))
-      throw new java.io.IOException(s"compactStore: could not move live store aside: $path")
+      throw new java.io.IOException(s"$op: could not move live store aside: $path")
     if (!fs.rename(tmp, path)) {
       fs.rename(aside, path) // restore the live store before failing
       fs.delete(tmp, true) // the restored live store supersedes the tmp copy
-      throw new java.io.IOException(s"compactStore: could not install compacted store: $tmpPath")
+      throw new java.io.IOException(s"$op: could not install replacement store: $tmpPath")
     }
     fs.delete(aside, true)
+  }
+
+  /** One-time layout migration: rewrite a legacy xxhash64-bucketed
+    * store (v1 meta, or pre-meta) into the murmur3 layout, so every
+    * later merge rides ONE exchange instead of paying the dedicated
+    * bucket repartition forever. The rewrite re-hashes every key with
+    * the partitioner-aligned hash, lands one file per bucket (the
+    * compacted layout), commits a v2 meta INTO the replacement before
+    * the swap — layout travels with the data, same as compaction —
+    * and installs it with [[compactStore]]'s checked swap + heal
+    * discipline. `key` names the store's upsert key (the meta records
+    * only the layout, not the key — same caller contract as
+    * [[upsertSink]]). Returns true iff a migration ran; an
+    * already-murmur3 or empty store is a no-op. Run against a
+    * quiesced store, like all maintenance here. */
+  def migrateStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      key: String): Boolean = {
+    val fs = fsOf(spark, storePath)
+    healInterruptedCompaction(fs, storePath)
+    if (!hasCommittedData(spark, storePath)) return false
+    val (nBuckets, hashKind) = readStoreMeta(fs, storePath)
+      .getOrElse((StoreBuckets, Xx64Bucket))
+    if (hashKind == Murmur3Bucket) return false
+    val df = spark.read.parquet(storePath).drop(KeyBucketCol)
+    val tmpPath = storePath + "__compacting"
+    // repartition on the KEY with the store's modulus: murmur3 bucket
+    // == partition id, so the partitionBy write emits one file per
+    // bucket with no second exchange
+    withBucket(df.repartition(nBuckets, col(key)), key, nBuckets, Murmur3Bucket)
+      .write.mode("overwrite").partitionBy(KeyBucketCol).parquet(tmpPath)
+    writeStoreMeta(fs, tmpPath, nBuckets, Murmur3Bucket)
+    swapStoreInto(fs, storePath, tmpPath, "migrateStore")
+    true
   }
 
   /** Batch-query forms for the driver contract. */

@@ -172,6 +172,65 @@ class ExternalSinkSpec extends AnyFunSuite {
     assert(refreshCalls == 1, "valid stored token still hit the refresh grant")
   }
 
+  test("auth-code bootstrap seeds an empty secret store, then refresh takes over") {
+    import graft.sources.{AuthCodeExchanger, AuthCodeFlow, RefreshingTokenSource,
+      SecretStore, TokenEndpoint}
+    // zero stored tokens: the state a deployment starts from
+    val secrets = scala.collection.mutable.Map.empty[String, String]
+    val store = new SecretStore {
+      def get(name: String): Option[String] = secrets.get(name)
+      def put(name: String, value: String): Unit = secrets(name) = value
+    }
+    var exchanges = 0
+    val exchanger = new AuthCodeExchanger {
+      def exchange(code: String, redirectUri: String): (String, String) = {
+        exchanges += 1
+        assert(code == "grant-42", s"exchange ran with wrong code: $code")
+        assert(redirectUri == "http://localhost:8000/callback")
+        ("boot-access", "boot-refresh")
+      }
+    }
+    val flow = new AuthCodeFlow(store, exchanger, clientId = "cid",
+      redirectUri = "http://localhost:8000/callback", state = "nonce-1")
+    // the login redirect carries the full grant request
+    val url = flow.authorizeUrl
+    for (piece <- Seq("response_type=code", "client_id=cid",
+        "scope=user-read-recently-played",
+        "redirect_uri=http://localhost:8000/callback", "state=nonce-1"))
+      assert(url.contains(piece), s"authorize url missing $piece: $url")
+    // forged/mismatched state and provider errors are REJECTED before
+    // any exchange, and nothing lands in the store
+    intercept[IllegalStateException] {
+      flow.complete("evil-nonce", Some("grant-42"), None) }
+    intercept[IllegalStateException] {
+      flow.complete("nonce-1", None, Some("access_denied")) }
+    intercept[IllegalStateException] { flow.complete("nonce-1", None, None) }
+    assert(exchanges == 0 && secrets.isEmpty,
+      "a rejected callback must not exchange or store anything")
+    // the happy callback mints + persists the pair
+    assert(flow.complete("nonce-1", Some("grant-42"), None) == "boot-access")
+    assert(exchanges == 1)
+    assert(secrets("api-access-token") == "boot-access")
+    assert(secrets("api-refresh-token") == "boot-refresh")
+    // …and the refresh lifecycle now works from what bootstrap stored:
+    // the bootstrapped access token expires, the refresh grant uses the
+    // bootstrapped refresh token
+    var refreshCalls = 0
+    val endpoint = new TokenEndpoint {
+      def isValid(tok: String): Boolean = tok == "fresh-1"
+      def refresh(rt: String): (String, Option[String]) = {
+        refreshCalls += 1
+        assert(rt == "boot-refresh", s"refresh used wrong token: $rt")
+        ("fresh-1", None)
+      }
+    }
+    val tokens = new RefreshingTokenSource(store, endpoint)
+    assert(tokens.accessToken() == "fresh-1")
+    assert(refreshCalls == 1 && secrets("api-access-token") == "fresh-1")
+    assert(secrets("api-refresh-token") == "boot-refresh",
+      "non-rotating provider must keep the bootstrapped refresh token")
+  }
+
   test("end-to-end pipeline: poll → store → DAG build → external load, idempotent") {
     import org.apache.spark.sql.types._
     import graft.sources.PageSource

@@ -281,6 +281,50 @@ class RobustnessSpec extends AnyFunSuite {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("migrateStore rewrites a legacy store to murmur3: same rows, one exchange after") {
+    import graft.streaming.EventsStream
+    val nb = EventsStream.StoreBuckets
+    val store = tmp("store-migrate") + "/store"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    // legacy store: v1 meta pins xxhash64; two merges fragment it
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/_graft_store_meta"), s"$nb\n".getBytes("UTF-8"))
+    EventsStream.upsertSink(ev.filter(col("event_id") % 2 === 0), store, "event_id")
+    EventsStream.upsertSink(ev, store, "event_id")
+    val before = spark.read.parquet(store).drop("__kb").orderBy("event_id").collect()
+    assert(EventsStream.migrateStore(spark, store, "event_id"),
+      "legacy store should migrate")
+    // layout flipped: v2 meta, buckets re-hashed with the partitioner
+    // hash, one file per bucket (the migration IS a compaction)
+    val metaText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$store/_graft_store_meta")), "UTF-8").trim
+    assert(metaText == s"$nb murmur3", s"meta not bumped: '$metaText'")
+    assert(spark.read.parquet(store)
+      .filter(col("__kb") =!= pmod(hash(col("event_id")), lit(nb))).count() == 0,
+      "migrated buckets drifted from the murmur3 layout hash")
+    def filesPerBucket(): Array[Int] =
+      new java.io.File(store).listFiles().filter(_.getName.startsWith("__kb="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(filesPerBucket().forall(_ == 1),
+      s"migration did not compact: ${filesPerBucket().mkString(",")}")
+    // content byte-equal: identical rows before and after
+    val after = spark.read.parquet(store).drop("__kb").orderBy("event_id").collect()
+    assert(after.sameElements(before), "migration changed store content")
+    // already-murmur3 → no-op
+    assert(!EventsStream.migrateStore(spark, store, "event_id"))
+    // a post-migration merge rides the single exchange: one NEW file
+    // per touched bucket, and replays stay idempotent
+    val fresh = ev.select((col("event_id") + 5000000L).as("event_id"),
+      col("event_type"), col("value"))
+    EventsStream.upsertSink(fresh, store, "event_id")
+    assert(filesPerBucket().forall(_ <= 2),
+      s"post-migration merge fragmented buckets: ${filesPerBucket().mkString(",")}")
+    EventsStream.upsertSink(ev, store, "event_id") // full replay: all dups
+    assert(spark.read.parquet(store).count() == before.length + fresh.count())
+  }
+
   test("upsertSink auto-compaction keeps touched buckets bounded, content intact") {
     import graft.streaming.EventsStream
     val store = tmp("upsert-autoc") + "/store"

@@ -285,6 +285,114 @@ class Round5Spec extends AnyFunSuite {
       s"common-token doc must outscore rare-token doc: $s")
   }
 
+  test("c30 bucketed admission equals the exact window spelling") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // the shipped corpus, shipped budgets
+    def same(d: org.apache.spark.sql.DataFrame,
+        budgets: Map[String, Long], default: Long): Unit = {
+      val exact = TextAnalysis.c30SourceMixture(d, budgets, default)
+      val bucketed = TextAnalysis.c30SourceMixtureBucketed(d, budgets, default)
+      assert(exact.columns.toSeq == bucketed.columns.toSeq)
+      assert(exact.except(bucketed).count() == 0 &&
+        bucketed.except(exact).count() == 0,
+        s"mixture variants diverged at budgets=$budgets default=$default")
+    }
+    same(docs, TextAnalysis.MixtureBudgets, TextAnalysis.DefaultMixtureBudget)
+    // budget sweep: crossing in the first bucket (1), mid-corpus, far
+    // past the corpus (no crossing — every doc admitted)
+    for (b <- Seq(1L, 7L, 400L, 100000000L))
+      same(docs, Map.empty, b)
+    // exact-boundary stress: constant 10-token docs make many budgets
+    // land EXACTLY on a doc edge (the >= / < tie cases)
+    val uniform = (1 to 500).map(i =>
+      (i.toLong, "uni", (1 to 10).map(j => s"t$i$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    for (b <- Seq(10L, 50L, 55L, 2500L, 5000L, 5001L))
+      same(uniform, Map.empty, b)
+  }
+
+  test("c30 bucketed plans no whole-source window (the scale contract)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = TextAnalysis.c30SourceMixtureBucketed(Tables.documents(spark, sf))
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w }
+    assert(wins.nonEmpty, "expected the sliver window in the plan")
+    wins.foreach { w =>
+      val parts = w.partitionSpec.map(_.sql.toLowerCase)
+      val bucketScoped = parts.exists(_.contains("bkt"))
+      // a window keyed by source alone is legal ONLY over the bucket
+      // histogram (≤4096 rows per source) — its subtree must aggregate
+      // by (source, bkt), never hold raw corpus rows
+      val overHistogram = w.child.collect {
+        case a: logical.Aggregate if a.groupingExpressions.size == 2 => a
+      }.nonEmpty
+      assert(bucketScoped || overHistogram,
+        s"window partitioned by $parts funnels a whole source into one task")
+    }
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "boundary sliver must partition by (source, bkt)")
+  }
+
+  test("c29 approx bins agree with exact ntile bins up to quality ties") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // at sf0.001 the corpus is far below the sketch accuracy, so
+    // approx_percentile is EXACT and any bin-mass deviation comes only
+    // from ties: ntile splits equal-quality runs by doc_id, the
+    // cutpoint comparison keeps each run in one bin
+    val exact = TextAnalysis.c29QualityBins(docs)
+      .select(col("source"), col("bin"), col("n_docs").as("n_exact"))
+    val approx = TextAnalysis.c29QualityBinsApprox(docs)
+      .select(col("source"), col("bin"), col("n_docs").as("n_approx"))
+    val maxTie = docs
+      .select(col("source"),
+        TextAnalysis.qualityOf(col("text")).as("q"))
+      .groupBy("source", "q").count()
+      .groupBy("source").agg(max("count").as("max_tie"))
+    val offenders = exact.join(approx, Seq("source", "bin"), "full_outer")
+      .na.fill(0L, Seq("n_exact", "n_approx"))
+      .join(maxTie, "source")
+      .filter(abs(col("n_exact") - col("n_approx")) > col("max_tie"))
+    assert(offenders.count() == 0,
+      s"bins deviate beyond tie mass:\n${offenders.collect().mkString("\n")}")
+    // and both partition each source completely
+    val tot = exact.groupBy("source").agg(sum("n_exact").as("e"))
+      .join(approx.groupBy("source").agg(sum("n_approx").as("a")), "source")
+      .filter(col("e") =!= col("a"))
+    assert(tot.count() == 0)
+  }
+
+  test("materialize strategies produce identical results") {
+    import graft.operators.Checks
+    val docs = Tables.documents(spark, sf)
+    val key = "graft.materialize"
+    val saved = spark.conf.getOption(key)
+    spark.sparkContext.setCheckpointDir("/tmp/graft-test-ckpt")
+    def runAll(): (Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row]) = (
+      TextAnalysis.c31UnigramLogprob(docs).collect(),
+      Checks.a9DqChecks(Staging.stgEvents(Tables.events(spark, sf))).collect(),
+      TextAnalysis.c30SourceMixtureBucketed(docs).collect())
+    try {
+      spark.conf.set(key, "local")
+      val base = runAll()
+      for (strategy <- Seq("reliable", "scratch:/tmp/graft-test-scratch")) {
+        spark.conf.set(key, strategy)
+        val got = runAll()
+        assert(got._1.sameElements(base._1), s"$strategy: c31 diverged")
+        assert(got._2.sameElements(base._2), s"$strategy: a9 diverged")
+        assert(got._3.sameElements(base._3), s"$strategy: c30 diverged")
+      }
+      spark.conf.set(key, "bogus")
+      intercept[IllegalArgumentException] {
+        TextAnalysis.c31UnigramLogprob(docs).collect()
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("c27 sees intra-document splits the doc-grain gate cannot") {
     import spark.implicits._
     // one synthetic doc: a clean English head long enough to chunk,

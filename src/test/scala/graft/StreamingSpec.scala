@@ -110,6 +110,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 drops cross-batch late events instead of inverting intervals") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-scd2-late-").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-scd2-late-st-").toString
+    def batch(name: String, rows: Seq[(Long, String, Long, Long)]): Unit = {
+      val out = s"$stage/$name"
+      rows.toDF("user_id", "event_type", "ts_us", "event_id")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+        .coalesce(1).write.parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    // batch 0 closes A at t=200 and leaves B open since 200; batch 1
+    // carries a LATE event at t=150 (before B's start — must be
+    // dropped) and a change at t=300 (closes B normally)
+    batch("batch0", Seq((1L, "A", 100L, 1L), (1L, "B", 200L, 2L)))
+    batch("batch1", Seq((1L, "C", 150L, 3L), (1L, "D", 300L, 4L)))
+    val schema = spark.read.parquet(s"$stage/batch0").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = EventsStream.scd2Stateful(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_late_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("scd2_late_out")
+        .select("event_type", "valid_from_us", "valid_to_us")
+        .orderBy("valid_from_us")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.forall { case (_, f, t) => t > f },
+        s"inverted interval emitted: ${got.mkString(",")}")
+      assert(got.toSeq == Seq(("A", 100L, 200L), ("B", 200L, 300L)),
+        s"late event not dropped cleanly: ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventsStream.purchaseClickJoin(streamingEvents(), streaming = true)
       .writeStream.outputMode("append")
