@@ -119,6 +119,8 @@ object MartRunner {
     * `is_incremental()` input filters; here the equivalent is giving
     * the dependent a batch-shaped input (filter its build on the
     * run's slice) — the sink cannot infer that filter for you.
+    * MartRunnerSpec's batch-scoped test is the worked example: the
+    * scoped dependent's final store equals the full rebuild.
     * `autoCompactMinFiles` passes through to the store's maintenance
     * trigger so a daily-run warehouse never fragments unboundedly. */
   def incrementalSink(spark: SparkSession, root: String, keyOf: Map[String, String],

@@ -57,6 +57,33 @@ class MartRunnerSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/fct_events").drop(kb).count() == full.count())
   }
 
+  test("batch-scoped keyed dependents (dbt is_incremental shape) equal the full build") {
+    import graft.operators.{Marts, Staging}
+    import graft.sources.Tables
+    val root = java.nio.file.Files.createTempDirectory("graft-incrscoped-").toString
+    val ev = Tables.events(spark, sf)
+    // the cost-contract remedy the incrementalSink doc prescribes:
+    // the keyed DEPENDENT filters its input to the run's batch (dbt's
+    // is_incremental() filter) instead of re-offering the whole
+    // merged history to the merge every run
+    def dag(pred: org.apache.spark.sql.Column) = Seq(
+      Mart("stg_events", Nil, _ => Staging.stgEvents(ev.filter(pred))),
+      Mart("fct_events", Seq("stg_events"),
+        d => Marts.fctEvents(d("stg_events").filter(pred))))
+    val sink = MartRunner.incrementalSink(spark, root,
+      Map("stg_events" -> "play_id", "fct_events" -> "play_id"))
+    for (pred <- Seq(col("event_id") % 10 < 7, col("event_id") % 10 >= 5)) {
+      val s = MartRunner.run(dag(pred), sink)
+      assert(s.values.forall(_ == MartStatus.Built), s.toString)
+    }
+    val kb = graft.streaming.EventsStream.KeyBucketCol
+    val fct = spark.read.parquet(s"$root/fct_events").drop(kb)
+    val full = Marts.fctEvents(Staging.stgEvents(ev))
+    assert(fct.count() == full.count(),
+      "batch-scoped incremental fact lost or duplicated rows")
+    assert(fct.except(full).count() == 0 && full.except(fct).count() == 0)
+  }
+
   test("a transient failure is retried; a persistent one skips exactly its downstream") {
     import spark.implicits._
     var flakyAttempts = 0
