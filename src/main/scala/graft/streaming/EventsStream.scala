@@ -312,9 +312,10 @@ object EventsStream {
     * stays valid. Enabling the trigger makes the sink swap bucket
     * directories in place on fragmented micro-batches — a reader that
     * listed files before a swap can hit FileNotFoundException on the
-    * replaced originals. Gate concurrent reads through a
-    * retry/refresh (or read between batches) when the trigger is on;
-    * with it off, the store remains append-only under readers. */
+    * replaced originals. Gate concurrent reads through
+    * [[withReaderRetry]] (or read between batches) when the trigger
+    * is on; with it off, the store remains append-only under
+    * readers. */
   def upsertSink(batch: DataFrame, storePath: String, key: String,
       autoCompactMinFiles: Option[Int]): Unit = {
     val spark0 = batch.sparkSession
@@ -387,6 +388,42 @@ object EventsStream {
     // each can never trigger)
     autoCompactMinFiles.foreach(mf =>
       compactStoreSelective(spark0, storePath, mf, onlyBuckets = touchedBuckets))
+  }
+
+  /** Run a read ACTION over a store that a concurrent compacting
+    * writer may be swapping: bucket swaps delete the files a reader
+    * listed before the swap, so its tasks die with
+    * FileNotFoundException even though the store is perfectly
+    * consistent. This classifies that exact failure (a
+    * FileNotFoundException anywhere in the cause chain), refreshes
+    * Spark's cached listings/relations for the path, and re-runs the
+    * body — which must REBUILD its frame from the path (e.g.
+    * `spark.read.parquet(storePath)`), because a captured DataFrame
+    * pins the stale file list. Any other failure rethrows
+    * immediately. This is the reader half of the auto-compaction
+    * contract ([[upsertSink]] with `autoCompactMinFiles`): the writer
+    * swaps atomically per bucket, the reader retries across the swap. */
+  def withReaderRetry[T](spark: org.apache.spark.sql.SparkSession,
+      storePath: String, attempts: Int = 3)(body: => T): T = {
+    require(attempts >= 1, "attempts must be positive")
+    def staleListing(t: Throwable): Boolean = {
+      var c = t
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+        c = c.getCause
+      }
+      false
+    }
+    var last: Throwable = null
+    for (_ <- 1 to attempts) {
+      try return body
+      catch {
+        case scala.util.control.NonFatal(e) if staleListing(e) =>
+          last = e
+          spark.catalog.refreshByPath(storePath)
+      }
+    }
+    throw last
   }
 
   /** Stream-static enrichment: a streaming fact joined to a STATIC

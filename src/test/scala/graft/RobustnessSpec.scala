@@ -325,6 +325,53 @@ class RobustnessSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == before.length + fresh.count())
   }
 
+  test("withReaderRetry survives a compaction swap under a stale reader") {
+    import graft.streaming.EventsStream
+    val store = tmp("store-reader") + "/store"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    // several merges fragment the buckets so compaction has work
+    for (i <- 0 to 3)
+      EventsStream.upsertSink(ev.select((col("event_id") + 1000000L * i)
+        .as("event_id"), col("event_type"), col("value")), store, "event_id")
+    val expected = spark.read.parquet(store).count()
+    // a reader captures its file listing BEFORE the swap…
+    val stale = spark.read.parquet(store)
+    assert(stale.count() == expected)
+    assert(EventsStream.compactStoreSelective(spark, store, minFiles = 2).nonEmpty,
+      "compaction had nothing to rewrite — the scenario needs a swap")
+    // …and that captured frame now points at deleted files: the
+    // failure withReaderRetry exists to absorb
+    val bare = intercept[Exception] { stale.count() }
+    def fnfInChain(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+        c = c.getCause
+      }
+      false
+    }
+    assert(fnfInChain(bare), s"expected FileNotFoundException, got: $bare")
+    // the wrapped read retries across the swap: first attempt replays
+    // the stale listing, the rebuild-from-path attempt succeeds
+    var attempt = 0
+    val n = EventsStream.withReaderRetry(spark, store) {
+      attempt += 1
+      if (attempt == 1) stale.count()
+      else spark.read.parquet(store).count()
+    }
+    assert(attempt == 2 && n == expected,
+      s"retry did not recover: attempt=$attempt n=$n expected=$expected")
+    // non-listing failures pass straight through, no retry
+    var calls = 0
+    intercept[IllegalStateException] {
+      EventsStream.withReaderRetry(spark, store) {
+        calls += 1; throw new IllegalStateException("unrelated")
+      }
+    }
+    assert(calls == 1, "unrelated failure must not retry")
+  }
+
   test("upsertSink auto-compaction keeps touched buckets bounded, content intact") {
     import graft.streaming.EventsStream
     val store = tmp("upsert-autoc") + "/store"
