@@ -20,6 +20,16 @@ object Sampling {
   val ShuffleShards = 16
   val ShuffleSeed = 1L
 
+  /** Deployment sizing for the shard-count parameters (c22's packing,
+    * c28's epoch shuffle): `perCore` shards per available core, never
+    * below the oracle-contract default — so every shard's sorted
+    * prefix-sum/rank stays one-task-sized as the cluster grows, while
+    * the driver-checked queries keep interpolating the constants.
+    * Call at the deployment call site:
+    * `c22SequencePack(docs, shards = Sampling.shardsFor(spark))`. */
+  def shardsFor(spark: org.apache.spark.sql.SparkSession, perCore: Int = 2): Int =
+    math.max(PackShards, perCore * spark.sparkContext.defaultParallelism)
+
   /** c13: deterministic hash-based train/val/test split. The split
     * key is a content-independent stable hash of the document id
     * (md5 → 28-bit int → percent bucket), so reruns, engines, and

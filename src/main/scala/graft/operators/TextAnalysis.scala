@@ -143,6 +143,11 @@ object TextAnalysis {
     * never drift on the inputs they rank. */
   private def mixtureScored(docs: DataFrame,
       budgets: Map[String, Long], defaultBudget: Long): DataFrame = {
+    // a non-positive token budget is malformed config, not a mixture:
+    // fail loudly (topoOrder's stance) instead of dividing fill_rate
+    // by zero inside a 100 TB job
+    require(defaultBudget > 0 && budgets.values.forall(_ > 0),
+      s"token budgets must be positive: default=$defaultBudget overrides=$budgets")
     val budgetCol =
       if (budgets.isEmpty) lit(defaultBudget)
       else coalesce(

@@ -45,6 +45,35 @@ class PropertySpec extends AnyFunSuite {
     assert(keys.distinct.length == 3)
   }
 
+  private val corpusGen: Gen[List[(Long, String, Int)]] =
+    Gen.sized { _ =>
+      for {
+        nDocs <- Gen.choose(1, 120)
+        docs <- Gen.listOfN(nDocs, for {
+          id <- Gen.choose(0L, 100000L)
+          src <- Gen.oneOf("s0", "s1", "s2")
+          nTok <- Gen.oneOf(Gen.choose(0, 3), Gen.choose(1, 60)) // incl. empty docs
+        } yield (id, src, nTok))
+      } yield docs.distinctBy(_._1)
+    }
+
+  test("c30 bucketed admission equals the exact window on random corpora and budgets") {
+    import spark.implicits._
+    val budgetGen = Gen.oneOf(Gen.choose(1L, 30L), Gen.choose(1L, 3000L))
+    for ((docs, i) <- samples(corpusGen, 5).zipWithIndex if docs.nonEmpty) {
+      val df = docs.map { case (id, src, n) =>
+        (id, src, (1 to n).map(j => s"w$j").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val budget = samples(budgetGen, i + 1).last
+      val exact = operators.TextAnalysis
+        .c30SourceMixture(df, Map.empty, budget).collect().toSeq
+      val bucketed = operators.TextAnalysis
+        .c30SourceMixtureBucketed(df, Map.empty, budget).collect().toSeq
+      assert(exact == bucketed,
+        s"divergence at budget=$budget corpus#$i (${docs.size} docs)")
+    }
+  }
+
   test("safeDivide never throws and nulls on zero") {
     import spark.implicits._
     for (xs <- samples(Gen.listOfN(20, Gen.oneOf(Gen.choose(-5.0, 5.0), Gen.const(0.0))), 2)) {

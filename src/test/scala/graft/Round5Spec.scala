@@ -363,6 +363,18 @@ class Round5Spec extends AnyFunSuite {
     assert(tot.count() == 0)
   }
 
+  test("shardsFor sizes packing shards to the cluster, never below the contract default") {
+    val n = Sampling.shardsFor(spark)
+    assert(n >= Sampling.PackShards)
+    assert(n >= spark.sparkContext.defaultParallelism)
+    // and the packing stays conservation-correct at the scaled count
+    val packed = Sampling.c22SequencePack(docs, shards = n)
+    val totTok = packed.agg(sum("sum_tok")).head.getLong(0)
+    val want = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(totTok == want, "scaled shard count lost tokens")
+  }
+
   test("materialize strategies produce identical results") {
     import graft.operators.Checks
     val docs = Tables.documents(spark, sf)
