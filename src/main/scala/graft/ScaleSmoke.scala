@@ -53,8 +53,8 @@ object ScaleSmoke {
     // per-user event sequences intact — a11's episode structure and
     // a12's key space grow linearly (users × N), never denser
     val ev = spark.read.parquet(s"$src/events.parquet")
-    val evOffset = ev.agg(max(col("event_id"))).head.getLong(0) + 1
-    val userOffset = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    val evMaxes = ev.agg(max(col("event_id")), max(col("user_id"))).head
+    val (evOffset, userOffset) = (evMaxes.getLong(0) + 1, evMaxes.getLong(1) + 1)
     ev.crossJoin(reps)
       .select(
         (col("event_id") + col("rep") * evOffset).as("event_id"),

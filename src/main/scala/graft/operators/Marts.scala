@@ -134,6 +134,11 @@ object Marts {
     val storePath = new org.apache.hadoop.fs.Path(store)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(storePath)) fs.delete(storePath, true)
+    // the appId key prevents cross-driver races but means a stable
+    // path no longer reaps earlier runs' stores — register this one
+    // for JVM-exit cleanup so repeated Verify/Bench invocations leave
+    // no orphan copies behind
+    fs.deleteOnExit(storePath)
     def batch(pred: org.apache.spark.sql.Column): DataFrame =
       fctProjection(Staging.stgEvents(events.filter(pred)))
     // deterministic overlapping slices (events 5,6 mod 10 arrive twice

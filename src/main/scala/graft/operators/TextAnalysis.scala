@@ -254,7 +254,11 @@ object TextAnalysis {
     val wSliver = Window.partitionBy(col("source"), col("bkt"))
       .orderBy(col("prio"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    scored.join(cuts, Seq("source")) // cuts is |sources| rows — AQE broadcasts it
+    // null-safe join: a NULL source is a legal group (the exact window
+    // spelling reports it), and a plain equi-join would silently drop
+    // its documents. cuts is |sources| rows — AQE broadcasts it.
+    scored.join(cuts, scored("source") <=> cuts("source"))
+      .drop(cuts("source"))
       .withColumn("cum_in", sum(col("n_tok")).over(wSliver))
       .withColumn("kept",
         col("bkt") < col("cut_bkt") ||

@@ -69,10 +69,15 @@ final class AuthCodeFlow(
     accessName: String = "api-access-token",
     refreshName: String = "api-refresh-token") extends Serializable {
 
-  /** The /login redirect target — where the flow sends the user. */
-  def authorizeUrl: String =
-    s"$authorizeBase?response_type=code&client_id=$clientId" +
-      s"&scope=$scope&redirect_uri=$redirectUri&state=$state"
+  /** The /login redirect target — where the flow sends the user.
+    * Every parameter is percent-encoded (RFC 6749 §4.1.1): a
+    * redirect_uri carrying its own query string, or a multi-scope
+    * value with spaces, must not split this URL's query. */
+  def authorizeUrl: String = {
+    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+    s"$authorizeBase?response_type=code&client_id=${enc(clientId)}" +
+      s"&scope=${enc(scope)}&redirect_uri=${enc(redirectUri)}&state=${enc(state)}"
+  }
 
   /** The /callback handler: state check, provider-error check, then
     * code→token exchange; the minted pair lands in the secret store,

@@ -192,12 +192,23 @@ class ExternalSinkSpec extends AnyFunSuite {
     }
     val flow = new AuthCodeFlow(store, exchanger, clientId = "cid",
       redirectUri = "http://localhost:8000/callback", state = "nonce-1")
-    // the login redirect carries the full grant request
+    // the login redirect carries the full grant request, params
+    // percent-encoded (the redirect_uri's own '://' must not survive
+    // raw inside this URL's query)
     val url = flow.authorizeUrl
     for (piece <- Seq("response_type=code", "client_id=cid",
         "scope=user-read-recently-played",
-        "redirect_uri=http://localhost:8000/callback", "state=nonce-1"))
+        "redirect_uri=http%3A%2F%2Flocalhost%3A8000%2Fcallback", "state=nonce-1"))
       assert(url.contains(piece), s"authorize url missing $piece: $url")
+    // a redirect carrying its own query + a multi-scope value must not
+    // split the authorize query string
+    val tricky = new AuthCodeFlow(store, exchanger, clientId = "cid",
+      redirectUri = "https://host/cb?env=prod", state = "nonce-1",
+      scope = "user-read-recently-played user-top-read").authorizeUrl
+    val query = tricky.substring(tricky.indexOf('?') + 1)
+    assert(!query.contains("?") && !query.contains(" "),
+      s"unencoded params split the authorize url: $tricky")
+    assert(query.split("&").length == 5, s"param structure broken: $tricky")
     // forged/mismatched state and provider errors are REJECTED before
     // any exchange, and nothing lands in the store
     intercept[IllegalStateException] {

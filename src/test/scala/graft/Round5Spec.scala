@@ -310,6 +310,16 @@ class Round5Spec extends AnyFunSuite {
       .toDF("doc_id", "source", "text")
     for (b <- Seq(10L, 50L, 55L, 2500L, 5000L, 5001L))
       same(uniform, Map.empty, b)
+    // NULL source is a legal group: the exact window reports it, so
+    // the bucketed join must be null-safe rather than dropping it
+    val withNull = (1 to 40).map(i =>
+      (i.toLong, if (i % 4 == 0) null else s"s${i % 3}",
+        (1 to 10).map(j => s"n$i$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val gotNull = TextAnalysis.c30SourceMixtureBucketed(withNull, Map.empty, 60L)
+      .filter(col("source").isNull)
+    assert(gotNull.count() == 1, "null-source group dropped by the bucketed join")
+    same(withNull, Map.empty, 60L)
   }
 
   test("c30 bucketed plans no whole-source window (the scale contract)") {
