@@ -51,7 +51,7 @@ class PropertySpec extends AnyFunSuite {
         nDocs <- Gen.choose(1, 120)
         docs <- Gen.listOfN(nDocs, for {
           id <- Gen.choose(0L, 100000L)
-          src <- Gen.oneOf("s0", "s1", "s2")
+          src <- Gen.oneOf("s0", "s1", "s2", null) // null source is a legal group
           nTok <- Gen.oneOf(Gen.choose(0, 3), Gen.choose(1, 60)) // incl. empty docs
         } yield (id, src, nTok))
       } yield docs.distinctBy(_._1)
