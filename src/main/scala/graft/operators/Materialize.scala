@@ -51,6 +51,11 @@ object Materialize {
         val path = s"$root/graft_mat_${spark.sparkContext.applicationId}_" +
           java.util.UUID.randomUUID().toString
         df.write.mode("error").parquet(path)
+        // bound the scratch footprint to the JVM's lifetime: each
+        // materialization registers its own dir for exit cleanup, so
+        // only a crash leaves anything for the caller's root sweep
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
         spark.read.parquet(path)
       case other => throw new IllegalArgumentException(
         s"$ConfKey='$other' — expected local | reliable | scratch:<root>")
