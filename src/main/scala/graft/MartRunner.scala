@@ -116,20 +116,26 @@ object MartRunner {
     * materialized history, so its build recomputes and re-offers the
     * whole warehouse to the merge (all buckets touched; the anti-join
     * drops the old keys again). dbt scopes the same problem with
-    * `is_incremental()` input filters; here the equivalent is giving
-    * the dependent a batch-shaped input (filter its build on the
-    * run's slice) — the sink cannot infer that filter for you.
-    * MartRunnerSpec's batch-scoped test is the worked example: the
-    * scoped dependent's final store equals the full rebuild.
+    * `is_incremental()` input filters; `scopeOf` is that hook as sink
+    * config: a mart named there has its BUILT frame passed through
+    * the scope function before the merge, so only the run's slice is
+    * offered — bucket pruning then touches only the slice's buckets
+    * instead of the whole warehouse (MartRunnerSpec asserts the file
+    * counts). A run constructs its sink with its batch's scope, just
+    * as a dbt model's is_incremental() filter references its batch.
+    * Correctness is unchanged either way — the anti-join drops
+    * already-present keys — scope only changes what the merge COSTS.
     * `autoCompactMinFiles` passes through to the store's maintenance
     * trigger so a daily-run warehouse never fragments unboundedly. */
   def incrementalSink(spark: SparkSession, root: String, keyOf: Map[String, String],
-      autoCompactMinFiles: Option[Int] = None): (String, DataFrame) => DataFrame =
+      autoCompactMinFiles: Option[Int] = None,
+      scopeOf: Map[String, DataFrame => DataFrame] = Map.empty): (String, DataFrame) => DataFrame =
     (name, df) => {
       val path = s"$root/$name"
       keyOf.get(name) match {
         case Some(key) =>
-          graft.streaming.EventsStream.upsertSink(df, path, key, autoCompactMinFiles)
+          val offered = scopeOf.get(name).fold(df)(scope => scope(df))
+          graft.streaming.EventsStream.upsertSink(offered, path, key, autoCompactMinFiles)
           spark.read.parquet(path).drop(graft.streaming.EventsStream.KeyBucketCol)
         case None =>
           parquetSink(spark, root)(name, df)

@@ -64,6 +64,22 @@ object OraclesC {
   private def cosine(a: String, b: String) =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   private val markers = "['the','a','of','to','and','is','in','it']"
+  private val SEMTH = graft.operators.Similarity.SemDedupThreshold
+
+  /** c5's sign-LSH bucket CTE (first 8 dims, capped buckets) —
+    * shared by c5 and c32, exactly the operator's default geometry. */
+  private val SIGN_BUCKETS = s"""v as (
+        select vec_id, embedding,
+          (case when embedding[1] >= 0 then 1 else 0 end)
+        + (case when embedding[2] >= 0 then 2 else 0 end)
+        + (case when embedding[3] >= 0 then 4 else 0 end)
+        + (case when embedding[4] >= 0 then 8 else 0 end)
+        + (case when embedding[5] >= 0 then 16 else 0 end)
+        + (case when embedding[6] >= 0 then 32 else 0 end)
+        + (case when embedding[7] >= 0 then 64 else 0 end)
+        + (case when embedding[8] >= 0 then 128 else 0 end) as bucket
+        from embeddings
+        qualify count(*) over (partition by bucket) <= $CAP)"""
 
   // operator parameters come from the SAME Scala constants the
   // operators default to — oracle and operator cannot drift
@@ -232,22 +248,33 @@ object OraclesC {
     """,
 
     "c5_embed_neardup" -> s"""
-      with v as (
-        select vec_id, embedding,
-          (case when embedding[1] >= 0 then 1 else 0 end)
-        + (case when embedding[2] >= 0 then 2 else 0 end)
-        + (case when embedding[3] >= 0 then 4 else 0 end)
-        + (case when embedding[4] >= 0 then 8 else 0 end)
-        + (case when embedding[5] >= 0 then 16 else 0 end)
-        + (case when embedding[6] >= 0 then 32 else 0 end)
-        + (case when embedding[7] >= 0 then 64 else 0 end)
-        + (case when embedding[8] >= 0 then 128 else 0 end) as bucket
-        from embeddings
-        qualify count(*) over (partition by bucket) <= $CAP)
+      with $SIGN_BUCKETS
       select a.vec_id as vec_a, b.vec_id as vec_b,
              round(${cosine("a.embedding", "b.embedding")}, 4) as cos
       from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
       order by cos desc, vec_a, vec_b limit 50
+    """,
+
+    // c12's recursive-reach components over c5's verified pair graph
+    // — threshold interpolated from the operator constant
+    "c32_semantic_clusters" -> s"""
+      with recursive $SIGN_BUCKETS,
+      vp as (
+        select a.vec_id as va, b.vec_id as vb
+        from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
+        where round(${cosine("a.embedding", "b.embedding")}, 4) >= $SEMTH),
+      edges as (
+        select va as a, vb as b from vp
+        union
+        select vb as a, va as b from vp),
+      reach(a, b) as (
+        select a, b from edges
+        union
+        select r.a, e.b from reach r join edges e on r.b = e.a where e.b <> r.a),
+      lab as (select a as vec_id, least(a, min(b)) as cluster from reach group by a)
+      select cluster, min(vec_id) as canonical,
+             count(*) as n_members, count(*) - 1 as reclaimable
+      from lab group by cluster order by cluster
     """,
 
     "c6_ann_topk" -> s"""

@@ -89,7 +89,10 @@ object ScaleSmoke {
       // r5: the heaviest tier-A/C additions — SCD2's per-user windows,
       // the incremental store merges, and the trained-IVF Lloyd loop
       // need measured scale rows too
-      "a11_scd2_snapshot", "a12_incremental_mart", "c26_ann_ivf_trained")
+      "a11_scd2_snapshot", "a12_incremental_mart", "c26_ann_ivf_trained",
+      // r6: the semantic-cluster report (c5's pair graph + union-find)
+      // and the mart test suite (multi-frame materialization)
+      "c32_semantic_clusters", "a9_dq_checks")
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:
     // "at cluster scale these become cluster-sized via config not
@@ -131,6 +134,21 @@ object ScaleSmoke {
       f"""{"query":"$q","base_sec":$base%.2f,"scaled_sec":$scaled%.2f,"time_ratio":${scaled / base}%.1f,"data_ratio":$n}"""
     }
     rows.foreach(println)
+
+    // r6: the DURABLE materialization path (graft.materialize=
+    // scratch:, the cluster spelling — docs/DEPLOY.md) re-measured on
+    // the Materialize-heavy queries: its time_ratio must sit within
+    // noise of the local-strategy rows above, proving durability is a
+    // constant-factor write cost, not a scaling change
+    val scratchQueries = Seq("c30_source_mixture", "c31_unigram_logprob", "a9_dq_checks")
+    spark.conf.set("graft.materialize", s"scratch:$work/_scratch")
+    scratchQueries.foreach { q => run(q, src); run(q, work) }
+    scratchQueries.foreach { q =>
+      val base = time(q, src)
+      val scaled = time(q, work)
+      println(f"""{"query":"$q","strategy":"scratch","base_sec":$base%.2f,"scaled_sec":$scaled%.2f,"time_ratio":${scaled / base}%.1f,"data_ratio":$n}""")
+    }
+    spark.conf.unset("graft.materialize")
     spark.stop()
   }
 }

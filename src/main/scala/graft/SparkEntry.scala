@@ -79,18 +79,23 @@ object SparkEntry {
     "c19_ngram_stats"  -> ((s, dir) => TextAnalysis.c19NgramStats(Tables.documents(s, dir))),
     "c20_contamination"-> ((s, dir) => TextAnalysis.c20Contamination(Tables.documents(s, dir))),
     "c21_repetition"   -> ((s, dir) => TextAnalysis.c21Repetition(Tables.documents(s, dir))),
-    "c22_seq_pack"     -> ((s, dir) => Sampling.c22SequencePack(Tables.documents(s, dir))),
+    // shard counts resolve through the graft.shards conf: the pinned
+    // oracle constant by default, ∝ defaultParallelism under "auto"
+    "c22_seq_pack"     -> ((s, dir) => Sampling.c22SequencePack(Tables.documents(s, dir),
+      shards = Sampling.resolveShards(s, Sampling.PackShards))),
     "c23_curation"     -> ((s, dir) => TextAnalysis.c23CurationFilter(Tables.documents(s, dir))),
     "c24_source_stats" -> ((s, dir) => TextAnalysis.c24SourceStats(Tables.documents(s, dir))),
     "c25_doc_chunks"   -> ((s, dir) => Sampling.c25DocChunks(Tables.documents(s, dir))),
     "c26_ann_ivf_trained" -> ((s, dir) => Similarity.c26AnnIvfTrained(Tables.embeddings(s, dir))),
     "c27_chunk_curation"  -> ((s, dir) => TextAnalysis.c27ChunkCuration(Tables.documents(s, dir))),
-    "c28_epoch_shuffle"   -> ((s, dir) => Sampling.c28EpochShuffle(Tables.documents(s, dir))),
+    "c28_epoch_shuffle"   -> ((s, dir) => Sampling.c28EpochShuffle(Tables.documents(s, dir),
+      shards = Sampling.resolveShards(s, Sampling.ShuffleShards))),
     "c29_quality_bins"    -> ((s, dir) => TextAnalysis.c29QualityBins(Tables.documents(s, dir))),
     // the bucketed spelling computes the same rows as the exact window
     // (Round5Spec proves equality) with no per-source sort task
     "c30_source_mixture"  -> ((s, dir) => TextAnalysis.c30SourceMixtureBucketed(Tables.documents(s, dir))),
     "c31_unigram_logprob" -> ((s, dir) => TextAnalysis.c31UnigramLogprob(Tables.documents(s, dir))),
+    "c32_semantic_clusters" -> ((s, dir) => Similarity.c32SemanticClusters(Tables.embeddings(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

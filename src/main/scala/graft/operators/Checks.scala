@@ -84,13 +84,14 @@ object Checks {
     * analog of dbt building tables and then testing them. The r3
     * spelling inlined the staging subtree under each of 7 check
     * branches: 7 source scans per run. Now the source is scanned
-    * exactly once; the check job reads executor-local mart blocks. */
+    * exactly once, the FOUR mart materializations share one trigger
+    * job ([[Materialize.frames]] — they were 4 sequential eager-
+    * checkpoint jobs, which was most of a9's wall time), and the
+    * check job reads executor-local mart blocks. */
   def a9DqChecks(stg: DataFrame): DataFrame = {
     val s = Materialize.frame(stg)
-    val dimUser = Materialize.frame(Marts.dimUser(s))
-    val dimTrack = Materialize.frame(Marts.dimTrack(s))
-    val dimType = Materialize.frame(Marts.dimEventType(s))
-    val fct = Materialize.frame(Marts.fctEvents(s))
+    val Seq(dimUser, dimTrack, dimType, fct) = Materialize.frames(Seq(
+      Marts.dimUser(s), Marts.dimTrack(s), Marts.dimEventType(s), Marts.fctEvents(s)))
     dqChecksOverMarts(dimUser, dimTrack, dimType, fct)
   }
 }

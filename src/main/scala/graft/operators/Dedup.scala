@@ -219,36 +219,46 @@ object Dedup {
     * shallow). Each round is one shuffle join; at web scale the same
     * loop runs with the large-star/small-star optimization. */
   def c12DupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val spark0 = docs.sparkSession
-    import spark0.implicits._
-    // Pair count observed DURING the eager checkpoint's own
-    // materialization job (accumulator in a typed pass-through) — no
-    // separate count() job serializing in front of the labeling.
-    // Task retries can overcount an accumulator; it only steers the
-    // branch choice below, where an overcount errs toward the
-    // distributed path — safe.
-    val acc = spark0.sparkContext.longAccumulator("c12_pair_count")
-    val pairs = minhashCandidatePairs(docs)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .as[(Long, Long)]
-      .map { p => acc.add(1L); p }
-      .toDF("doc_a", "doc_b")
-      .localCheckpoint()
-    // Adaptive: the verified-pair list is orders of magnitude smaller
-    // than the corpus (that's what LSH is for). When it fits a single
-    // task, a one-pass union-find beats ~log(diameter) join rounds;
-    // the iterative pointer-jumping loop remains the path for
-    // pathological edge volumes. Both label components by their min
-    // doc_id, so results are identical.
-    val labels =
-      if (acc.value < 1000000L) unionFindLabels(pairs)
-      else propagateLabels(pairs)
+    val labels = labelComponents(
+      minhashCandidatePairs(docs)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b")))
     val sizes = labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster"))
       .join(sizes, Seq("cluster"))
       .select(col("doc_id"), col("cluster"), col("cluster_size"))
       .orderBy("doc_id")
+  }
+
+  /** Connected-component labels over a verified pair frame
+    * (doc_a, doc_b) — every endpoint labeled by its component's min
+    * id. The shared engine of c12 (text near-dup clusters) and c32
+    * (embedding-space semantic clusters).
+    *
+    * Pair count is observed DURING the eager checkpoint's own
+    * materialization job (accumulator in a typed pass-through) — no
+    * separate count() job serializing in front of the labeling.
+    * Task retries can overcount an accumulator; it only steers the
+    * branch choice below, where an overcount errs toward the
+    * distributed path — safe.
+    *
+    * Adaptive: the verified-pair list is orders of magnitude smaller
+    * than the corpus (that's what LSH is for). When it fits a single
+    * task, a one-pass union-find beats ~log(diameter) join rounds;
+    * the iterative pointer-jumping loop remains the path for
+    * pathological edge volumes. Both label components by their min
+    * id, so results are identical (PropertySpec's equivalence fuzz). */
+  private[graft] def labelComponents(pairFrame: DataFrame): DataFrame = {
+    val spark0 = pairFrame.sparkSession
+    import spark0.implicits._
+    val acc = spark0.sparkContext.longAccumulator("graft_pair_count")
+    val pairs = pairFrame
+      .as[(Long, Long)]
+      .map { p => acc.add(1L); p }
+      .toDF("doc_a", "doc_b")
+      .localCheckpoint()
+    if (acc.value < 1000000L) unionFindLabels(pairs)
+    else propagateLabels(pairs)
   }
 
   // test-only entry points for the component-labeling equivalence

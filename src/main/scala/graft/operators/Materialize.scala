@@ -61,4 +61,33 @@ object Materialize {
         s"$ConfKey='$other' — expected local | reliable | scratch:<root>")
     }
   }
+
+  /** Materialize SEVERAL independent frames as one unit. Under the
+    * `local` strategy each frame is lazily checkpoint-marked and a
+    * single trigger job computes them all — their stages schedule
+    * concurrently inside one job instead of running one eager
+    * checkpoint job per frame, so N materializations pay ONE
+    * job-scheduling floor rather than N (the a9 profile fix: 4 mart
+    * checkpoints were 4 sequential jobs). `reliable` and `scratch:`
+    * fall back to per-frame [[frame]] — both are a durable write per
+    * frame by nature, and correctness is identical (Round5Spec's
+    * strategy-equality contract covers [[frame]]; Round6Spec asserts
+    * frames == frame row-for-row under `local`). */
+  def frames(dfs: Seq[DataFrame]): Seq[DataFrame] =
+    if (dfs.isEmpty) Seq.empty
+    else {
+      val spark = dfs.head.sparkSession
+      spark.conf.get(ConfKey, "local") match {
+        case "local" =>
+          val marked = dfs.map(_.localCheckpoint(eager = false))
+          // one job over a count-shaped union: every leg's partitions
+          // are computed (committing its lazy checkpoint as a side
+          // effect) and nothing but the 1-per-row literal is moved
+          marked.map(_.select(org.apache.spark.sql.functions.lit(1L).as("one")))
+            .reduce(_ union _)
+            .count()
+          marked
+        case _ => dfs.map(frame)
+      }
+    }
 }

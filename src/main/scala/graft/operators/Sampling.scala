@@ -22,13 +22,42 @@ object Sampling {
 
   /** Deployment sizing for the shard-count parameters (c22's packing,
     * c28's epoch shuffle): `perCore` shards per available core, never
-    * below the oracle-contract default — so every shard's sorted
-    * prefix-sum/rank stays one-task-sized as the cluster grows, while
-    * the driver-checked queries keep interpolating the constants.
-    * Call at the deployment call site:
-    * `c22SequencePack(docs, shards = Sampling.shardsFor(spark))`. */
-  def shardsFor(spark: org.apache.spark.sql.SparkSession, perCore: Int = 2): Int =
-    math.max(PackShards, perCore * spark.sparkContext.defaultParallelism)
+    * below `floor` — so every shard's sorted prefix-sum/rank stays
+    * one-task-sized as the cluster grows, while the driver-checked
+    * queries keep interpolating the constants. */
+  def shardsFor(spark: org.apache.spark.sql.SparkSession, perCore: Int = 2,
+      floor: Int = PackShards): Int =
+    math.max(floor, perCore * spark.sparkContext.defaultParallelism)
+
+  /** How the KEYED queries resolve their shard count, as a session
+    * conf — the auto-sizing wire from [[shardsFor]] to the c22/c28
+    * call sites without breaking the oracle contract:
+    *
+    *   graft.shards = default     // the pinned oracle constant (default)
+    *   graft.shards = auto        // shardsFor: ∝ defaultParallelism, ≥ constant
+    *   graft.shards = <n>         // explicit count
+    *
+    * Shard count is part of each operator's OUTPUT contract (a c22
+    * packing / c28 permutation is per-shard), so reproducibility
+    * demands the default stay a data-independent constant — the same
+    * rows on any cluster, which is what the DuckDB oracle checks. A
+    * deployment that wants cluster-proportional sharding opts in per
+    * session and owns the resulting (equally valid, still
+    * deterministic for fixed n) layout. */
+  val ShardsConfKey = "graft.shards"
+
+  def resolveShards(spark: org.apache.spark.sql.SparkSession, pinned: Int): Int =
+    spark.conf.get(ShardsConfKey, "default") match {
+      case "default" => pinned
+      case "auto"    => shardsFor(spark, floor = pinned)
+      case n =>
+        val v = try n.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$ShardsConfKey='$n' — expected default | auto | positive int")
+        }
+        require(v > 0, s"$ShardsConfKey must be positive, got $v")
+        v
+    }
 
   /** c13: deterministic hash-based train/val/test split. The split
     * key is a content-independent stable hash of the document id

@@ -30,6 +30,12 @@ object Similarity {
   val DefaultCentroidCount = 16
   val DefaultNProbe = 2
   val DefaultSignBits = 8
+  /** c32's default cosine admission bar. A SemDeDup production run
+    * sets this near 0.95+; the driver's synthetic embeddings are
+    * near-orthogonal random vectors, so the pinned oracle constant
+    * sits where the data actually clusters (multi-member components
+    * at every SF) — the semantics under test are identical. */
+  val SemDedupThreshold = 0.25
 
   /** Default bounded query set: the first `n` vector ids. A fixed
     * COUNT — not a `% k` corpus fraction — so the broadcast stays `n`
@@ -126,6 +132,38 @@ object Similarity {
         pairCos("emb_a", "nrm_a", "emb_b", "nrm_b").as("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(50)
+
+  /** c32: embedding-grain semantic dedup clusters — the SemDeDup-style
+    * keep-one-per-cluster DECISION, not just the pair list: c5's
+    * LSH-bucketed, cosine-verified pairs (never all-pairs — candidate
+    * volume is bounded by the banding/cap math c5Candidates' spec
+    * pins) become connected components via the same adaptive
+    * union-find / min-label-propagation engine c12 uses on text
+    * near-dups ([[Dedup.labelComponents]] — transitivity and
+    * engine-equivalence are its spec'd properties). Each cluster is
+    * reported as the decision a curation pipeline executes: the
+    * canonical member to KEEP (deterministically the min vec_id —
+    * also the component label, so any engine agrees), the member
+    * count, and how many vectors dedup would reclaim (all but the
+    * canonical). Singleton vectors never enter the pair graph and are
+    * implicitly kept — the report is clusters-with-duplicates only,
+    * bounded by the verified-pair volume, not the corpus. */
+  def c32SemanticClusters(emb: DataFrame, nBits: Int = DefaultSignBits, nTables: Int = 1,
+      threshold: Double = SemDedupThreshold, bucketCap: Int = Dedup.BucketCap): DataFrame = {
+    val pairs = c5Candidates(emb, nBits, nTables, bucketCap)
+      .select(col("vec_a"), col("vec_b"),
+        pairCos("emb_a", "nrm_a", "emb_b", "nrm_b").as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+    Dedup.labelComponents(pairs)
+      .groupBy(col("label").as("cluster"))
+      .agg(
+        min(col("doc_id")).as("canonical"),
+        count(lit(1)).as("n_members"))
+      .withColumn("reclaimable", col("n_members") - 1L)
+      .select(col("cluster"), col("canonical"), col("n_members"), col("reclaimable"))
+      .orderBy("cluster")
+  }
 
   /** c6: brute-force cosine top-k — the exact ANN baseline. The query
     * side is an explicit bounded DataFrame (q_id, q_emb[, q_nrm]),

@@ -246,7 +246,11 @@ object TextAnalysis {
       // sentinel cut above every bucket, everything admitted
       .agg(min(when(col("base") + col("bkt_tok") >= col("budget"),
         struct(col("bkt"), col("base")))).as("cut"))
-      .select(col("source"),
+      // the key is renamed (cut_source) so the join below is
+      // unambiguous by construction — cuts derives from scored, and a
+      // same-name condition would lean on the analyzer's ambiguous-
+      // self-join heuristic (the classic trivially-true-equals trap)
+      .select(col("source").as("cut_source"),
         coalesce(col("cut.bkt"), lit(Long.MaxValue)).as("cut_bkt"),
         coalesce(col("cut.base"), lit(0L)).as("cut_base"))
     // the boundary sliver's window partitions on (source, bkt): the
@@ -257,8 +261,8 @@ object TextAnalysis {
     // null-safe join: a NULL source is a legal group (the exact window
     // spelling reports it), and a plain equi-join would silently drop
     // its documents. cuts is |sources| rows — AQE broadcasts it.
-    scored.join(cuts, scored("source") <=> cuts("source"))
-      .drop(cuts("source"))
+    scored.join(cuts, col("source") <=> col("cut_source"))
+      .drop("cut_source")
       .withColumn("cum_in", sum(col("n_tok")).over(wSliver))
       .withColumn("kept",
         col("bkt") < col("cut_bkt") ||

@@ -85,7 +85,13 @@ final class AuthCodeFlow(
     * call work from zero. Returns the access token. */
   def complete(callbackState: String, code: Option[String],
       error: Option[String]): String = {
-    if (callbackState != state)
+    // constant-time comparison: a timing side channel on the CSRF
+    // nonce check is negligible for a single-use random state, but
+    // MessageDigest.isEqual costs nothing and removes it outright
+    val stateOk = java.security.MessageDigest.isEqual(
+      callbackState.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      state.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!stateOk)
       throw new IllegalStateException("auth callback: mismatched state")
     error.foreach(e =>
       throw new IllegalStateException(s"auth callback: provider error '$e'"))

@@ -104,29 +104,49 @@ object EventsStream {
     * batch order.
     *
     * Late-data guard: an event arriving in a LATER micro-batch with
-    * event time before the open episode's start cannot be applied —
-    * the preceding history is already emitted downstream in append
-    * mode, and treating it as a forward change would close the open
-    * episode with an INVERTED interval (valid_to < valid_from). Such
-    * events are dropped, the watermark semantics every append-mode
-    * stateful operator gives late data; StreamingSpec pins both the
-    * drop and the never-inverted invariant. */
-  def scd2Stateful(events: DataFrame): org.apache.spark.sql.Dataset[ScdClosed] = {
+    * event time at or before the open episode's start cannot be
+    * applied — the preceding history is already emitted downstream in
+    * append mode, and treating it as a forward change would close the
+    * open episode with an INVERTED (valid_to < valid_from) or
+    * zero-width (valid_to == valid_from) interval. Such events are
+    * dropped, the watermark semantics every append-mode stateful
+    * operator gives late data. The equal-timestamp drop applies ONLY
+    * to the episode carried in from a prior batch: WITHIN a batch an
+    * equal-timestamp type change is a real change in the
+    * (ts, event_id) total order — exactly what the batch a11 twin
+    * emits — so it still closes (possibly zero-width, as in a11).
+    * StreamingSpec pins the drop and the never-inverted invariant.
+    *
+    * Dropping is policy; `lateDropCounter` makes it VISIBLE policy: a
+    * caller-supplied accumulator is bumped once per dropped event, so
+    * an operator watching the job sees data loss instead of inferring
+    * it. (Task retries can overcount an accumulator — Spark's
+    * standard caveat for observability metrics; the count is a
+    * monitoring signal, not an exactly-once ledger.) */
+  def scd2Stateful(events: DataFrame,
+      lateDropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[ScdClosed] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark0 = events.sparkSession
     import spark0.implicits._
 
     def fn(user: Long, evs: Iterator[ScdEvent], state: GroupState[ScdOpen]): Iterator[ScdClosed] = {
       val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
-      var cur = state.getOption
+      // the episode carried from PREVIOUS batches: equality with its
+      // start is late (that instant was already processed); equality
+      // with a start opened in THIS batch is the a11 total order
+      val carried = state.getOption
+      var cur = carried
       val out = scala.collection.mutable.ArrayBuffer.empty[ScdClosed]
       sorted.foreach { e =>
         cur match {
           case None =>
             cur = Some(ScdOpen(e.event_type, e.ts_us, 1L))
-          case Some(s) if e.ts_us < s.sinceUs =>
-            () // cross-batch late event: history is already emitted —
-               // dropping beats writing an inverted interval
+          case Some(s) if e.ts_us < s.sinceUs ||
+              (e.ts_us == s.sinceUs && carried.contains(s)) =>
+            // cross-batch late event: history is already emitted —
+            // dropping beats writing an inverted/zero-width interval
+            lateDropCounter.foreach(_.add(1L))
           case Some(s) if s.eventType != e.event_type =>
             out += ScdClosed(user, s.version, s.eventType, s.sinceUs, e.ts_us)
             cur = Some(ScdOpen(e.event_type, e.ts_us, s.version + 1))

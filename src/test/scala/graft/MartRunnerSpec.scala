@@ -62,18 +62,20 @@ class MartRunnerSpec extends AnyFunSuite {
     import graft.sources.Tables
     val root = java.nio.file.Files.createTempDirectory("graft-incrscoped-").toString
     val ev = Tables.events(spark, sf)
-    // the cost-contract remedy the incrementalSink doc prescribes:
-    // the keyed DEPENDENT filters its input to the run's batch (dbt's
-    // is_incremental() filter) instead of re-offering the whole
-    // merged history to the merge every run
+    // the cost-contract remedy the incrementalSink doc prescribes, now
+    // through the API: the DEPENDENT builds from the FULL materialized
+    // store (the natural spelling), and the sink's scopeOf hook — dbt's
+    // is_incremental() filter as sink config — trims the offered frame
+    // to the run's batch before the merge
     def dag(pred: org.apache.spark.sql.Column) = Seq(
       Mart("stg_events", Nil, _ => Staging.stgEvents(ev.filter(pred))),
       Mart("fct_events", Seq("stg_events"),
-        d => Marts.fctEvents(d("stg_events").filter(pred))))
-    val sink = MartRunner.incrementalSink(spark, root,
-      Map("stg_events" -> "play_id", "fct_events" -> "play_id"))
+        d => Marts.fctEvents(d("stg_events"))))
+    def sink(pred: org.apache.spark.sql.Column) = MartRunner.incrementalSink(spark, root,
+      Map("stg_events" -> "play_id", "fct_events" -> "play_id"),
+      scopeOf = Map("fct_events" -> (df => df.filter(pred))))
     for (pred <- Seq(col("event_id") % 10 < 7, col("event_id") % 10 >= 5)) {
-      val s = MartRunner.run(dag(pred), sink)
+      val s = MartRunner.run(dag(pred), sink(pred))
       assert(s.values.forall(_ == MartStatus.Built), s.toString)
     }
     val kb = graft.streaming.EventsStream.KeyBucketCol
@@ -82,6 +84,68 @@ class MartRunnerSpec extends AnyFunSuite {
     assert(fct.count() == full.count(),
       "batch-scoped incremental fact lost or duplicated rows")
     assert(fct.except(full).count() == 0 && full.except(fct).count() == 0)
+  }
+
+  test("scopeOf avoids warehouse-sized dependent merges (touched-bucket file counts)") {
+    import graft.operators.{Marts, Staging}
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val keys = Map("stg_events" -> "play_id", "fct_events" -> "play_id")
+    // TWO base loads so every populated bucket holds ≥2 data files —
+    // the fragmentation that makes compaction-on-touch (minFiles=2)
+    // observable per touched bucket
+    val base1 = col("event_id") % 10 < 4
+    val base2 = col("event_id") % 10 >= 4 && col("event_id") % 10 < 7
+    val base = base1 || base2
+    // a ~0.1% slice: a handful of events, most of them NEW keys
+    val tiny = col("event_id") % 997 === 3
+    def dag(pred: org.apache.spark.sql.Column) = Seq(
+      Mart("stg_events", Nil, _ => Staging.stgEvents(ev.filter(pred))),
+      // the warehouse-sized dependent: builds from the FULL store
+      Mart("fct_events", Seq("stg_events"), d => Marts.fctEvents(d("stg_events"))))
+    // data files per bucket dir of the fct store
+    def files(root: String): Map[String, Set[String]] = {
+      val d = new java.io.File(s"$root/fct_events")
+      d.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith(graft.streaming.EventsStream.KeyBucketCol))
+        .map(b => b.getName -> b.listFiles().map(f => f.getName + ":" + f.lastModified())
+          .toSet).toMap
+    }
+    // identical fragmented pre-state in both stores: two base runs each
+    val scopedRoot = java.nio.file.Files.createTempDirectory("graft-scoped-").toString
+    val plainRoot = java.nio.file.Files.createTempDirectory("graft-plain-").toString
+    for (root <- Seq(scopedRoot, plainRoot); pred <- Seq(base1, base2))
+      assert(MartRunner.run(dag(pred), MartRunner.incrementalSink(spark, root, keys))
+        .values.forall(_ == MartStatus.Built))
+    // the tiny incremental run, with compaction-on-touch (minFiles=2,
+    // and every bucket is ≥2 files) making every bucket the merge
+    // TOUCHES rewrite its files — the observable for merge scope
+    val before = (files(scopedRoot), files(plainRoot))
+    val stScoped = MartRunner.run(dag(tiny), MartRunner.incrementalSink(spark, scopedRoot, keys,
+      autoCompactMinFiles = Some(2),
+      scopeOf = Map("fct_events" -> (df => df.filter(tiny)))))
+    assert(stScoped.values.forall(_ == MartStatus.Built), stScoped.toString)
+    val stPlain = MartRunner.run(dag(tiny), MartRunner.incrementalSink(spark, plainRoot, keys,
+      autoCompactMinFiles = Some(2)))
+    assert(stPlain.values.forall(_ == MartStatus.Built), stPlain.toString)
+    def changed(before: Map[String, Set[String]], after: Map[String, Set[String]]): Int =
+      after.count { case (bucket, fs) => before.get(bucket).forall(_ != fs) }
+    val scopedTouched = changed(before._1, files(scopedRoot))
+    val plainTouched = changed(before._2, files(plainRoot))
+    val batchKeys = Staging.stgEvents(ev.filter(tiny)).select("play_id").distinct().count()
+    // unscoped: the dependent re-offers the whole warehouse — every
+    // populated bucket is touched. scoped: only the batch's buckets.
+    assert(plainTouched == before._2.size,
+      s"expected the unscoped merge to touch all ${before._2.size} buckets, got $plainTouched")
+    assert(scopedTouched <= batchKeys && scopedTouched < plainTouched,
+      s"scoped merge touched $scopedTouched buckets for $batchKeys keys " +
+        s"(unscoped: $plainTouched)")
+    // and the scoped store still converged to the same content
+    val kb = graft.streaming.EventsStream.KeyBucketCol
+    val want = Marts.fctEvents(Staging.stgEvents(ev.filter(base || tiny)))
+    val got = spark.read.parquet(s"$scopedRoot/fct_events").drop(kb)
+    assert(got.count() == want.count() &&
+      got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
   test("a transient failure is retried; a persistent one skips exactly its downstream") {

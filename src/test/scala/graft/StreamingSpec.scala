@@ -126,13 +126,18 @@ class StreamingSpec extends AnyFunSuite {
     }
     // batch 0 closes A at t=200 and leaves B open since 200; batch 1
     // carries a LATE event at t=150 (before B's start — must be
-    // dropped) and a change at t=300 (closes B normally)
+    // dropped), an EQUAL-timestamp late event at t=200 (== B's
+    // carried start: applying it would emit a zero-width interval —
+    // must also be dropped), and a change at t=300 (closes B
+    // normally)
     batch("batch0", Seq((1L, "A", 100L, 1L), (1L, "B", 200L, 2L)))
-    batch("batch1", Seq((1L, "C", 150L, 3L), (1L, "D", 300L, 4L)))
+    batch("batch1", Seq((1L, "C", 150L, 3L), (1L, "E", 200L, 4L), (1L, "D", 300L, 5L)))
     val schema = spark.read.parquet(s"$stage/batch0").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
-    val q = EventsStream.scd2Stateful(src)
+    // dropped-late observability: the policy's visible counterpart
+    val dropped = spark.sparkContext.longAccumulator("scd2_late_dropped")
+    val q = EventsStream.scd2Stateful(src, lateDropCounter = Some(dropped))
       .writeStream.outputMode("append")
       .format("memory").queryName("scd2_late_out").start()
     try {
@@ -142,9 +147,11 @@ class StreamingSpec extends AnyFunSuite {
         .orderBy("valid_from_us")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       assert(got.forall { case (_, f, t) => t > f },
-        s"inverted interval emitted: ${got.mkString(",")}")
+        s"inverted or zero-width interval emitted: ${got.mkString(",")}")
       assert(got.toSeq == Seq(("A", 100L, 200L), ("B", 200L, 300L)),
         s"late event not dropped cleanly: ${got.mkString(",")}")
+      assert(dropped.value == 2L,
+        s"late-drop counter: expected the 2 planted late events, got ${dropped.value}")
     } finally q.stop()
   }
 
