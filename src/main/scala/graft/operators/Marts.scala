@@ -19,6 +19,13 @@ object Marts {
   /** dim_artist analog (dim_artist.sql): per-user totals + first-played
     * calendar fields. Single hash aggregate. */
   def dimUser(stg: DataFrame): DataFrame =
+    dimUserBody(stg).orderBy("user_sk")
+
+  /** [[dimUser]] without the report ordering — what a9's in-session
+    * materialization uses: a global sort buys the TEST SUITE nothing
+    * (checks aggregate), and each one costs a range-sampling job plus
+    * a sort stage. The warehouse mart keeps the ordered spelling. */
+  private[graft] def dimUserBody(stg: DataFrame): DataFrame =
     stg.groupBy(col("user_sk"), col("user_id"))
       .agg(
         count(lit(1)).as("total_plays"),
@@ -28,10 +35,12 @@ object Marts {
         unix_micros(col("first_mtn")).as("first_played_us"),
         TimeFns.calYear(col("first_mtn")).as("yr_first_played"),
         TimeFns.isoWeek(col("first_mtn")).as("wk_first_played"))
-      .orderBy("user_sk")
 
   /** dim_track analog: per user×type combo (the "track" grain). */
   def dimTrack(stg: DataFrame): DataFrame =
+    dimTrackBody(stg).orderBy("track_id")
+
+  private[graft] def dimTrackBody(stg: DataFrame): DataFrame =
     stg.groupBy(col("track_id"), col("user_id"), col("event_type"))
       .agg(
         count(lit(1)).as("total_plays"),
@@ -45,11 +54,13 @@ object Marts {
         TimeFns.calYear(col("first_mtn")).as("yr_first_played"),
         TimeFns.isoWeek(col("first_mtn")).as("wk_first_played"),
         col("max_value"))
-      .orderBy("track_id")
 
   /** dim_album analog (dim_album.sql): pure DISTINCT projection. */
   def dimEventType(stg: DataFrame): DataFrame =
-    stg.select(col("type_id"), col("event_type")).distinct().orderBy("type_id")
+    dimEventTypeBody(stg).orderBy("type_id")
+
+  private[graft] def dimEventTypeBody(stg: DataFrame): DataFrame =
+    stg.select(col("type_id"), col("event_type")).distinct()
 
   /** fct_played_track analog (fct_played_track.sql): keyed fact
     * projection, ordered by local-time recency. The global orderBy is
@@ -60,8 +71,9 @@ object Marts {
 
   /** The fact projection without the report ordering — the spelling
     * incremental builds merge through (a sink imposes its own layout;
-    * sorting before a repartitioning write is wasted work). */
-  private def fctProjection(stg: DataFrame): DataFrame =
+    * sorting before a repartitioning write is wasted work) and a9
+    * materializes for its checks. */
+  private[graft] def fctProjection(stg: DataFrame): DataFrame =
     stg.select(
       col("play_id"), col("track_id"), col("type_id"), col("user_sk"),
       col("event_id"),
