@@ -64,13 +64,22 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$work/events.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vecOffset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    // per-replica cyclic DIMENSION rotation: an orthogonal transform,
+    // so every intra-replica dot product and norm is preserved
+    // EXACTLY — near-dup and >=threshold pair mass grows linearly
+    // with the replica count, as a real corpus's would — while sign
+    // buckets and cross-replica pairs decorrelate. (The earlier
+    // constant-offset shift inflated intra-replica cosines —
+    // cos(v+t, w+t) -> 1 as |t| grows — turning each replica into a
+    // near-complete >=threshold pair graph: 82% of 20x candidates
+    // verified at c32's bar, a quadratic mass no real corpus shows.)
+    val dims = emb.selectExpr("size(embedding)").head.getInt(0)
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("rep") * vecOffset).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x.cast("double") +
-            (pmod(xxhash64(col("rep"), i), lit(401)) - 200).cast("double") / 500.0)
-            .cast("float")).as("embedding"),
+        transform(col("embedding"), (_, i) =>
+          element_at(col("embedding"),
+            (pmod(i + col("rep"), lit(dims)) + 1).cast("int"))).as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
 
