@@ -123,13 +123,24 @@ object MartRunner {
     * instead of the whole warehouse (MartRunnerSpec asserts the file
     * counts). A run constructs its sink with its batch's scope, just
     * as a dbt model's is_incremental() filter references its batch.
-    * Correctness is unchanged either way — the anti-join drops
-    * already-present keys — scope only changes what the merge COSTS.
+    * A scope that COVERS the run's new keys leaves correctness
+    * unchanged — the anti-join drops already-present keys either way,
+    * so scope only changes what the merge costs; a scope narrower
+    * than the batch loses rows, exactly as a wrong is_incremental()
+    * filter does in dbt (the scope is the caller's claim about the
+    * batch, and the sink cannot check it). Scoping is only meaningful
+    * for merged marts, so names in `scopeOf` must be keyed.
     * `autoCompactMinFiles` passes through to the store's maintenance
     * trigger so a daily-run warehouse never fragments unboundedly. */
   def incrementalSink(spark: SparkSession, root: String, keyOf: Map[String, String],
       autoCompactMinFiles: Option[Int] = None,
-      scopeOf: Map[String, DataFrame => DataFrame] = Map.empty): (String, DataFrame) => DataFrame =
+      scopeOf: Map[String, DataFrame => DataFrame] = Map.empty): (String, DataFrame) => DataFrame = {
+    // a scoped name that is not keyed is a configuration bug (a typo
+    // would silently re-offer the warehouse every run — the exact
+    // cost failure the hook exists to prevent); fail at construction
+    val unkeyed = scopeOf.keySet -- keyOf.keySet
+    require(unkeyed.isEmpty,
+      s"incrementalSink: scopeOf names must be keyed marts; not in keyOf: ${unkeyed.mkString(", ")}")
     (name, df) => {
       val path = s"$root/$name"
       keyOf.get(name) match {
@@ -141,6 +152,7 @@ object MartRunner {
           parquetSink(spark, root)(name, df)
       }
     }
+  }
 
   /** The reference pipeline as a DAG instance: staging → dims/fact →
     * reports → DQ checks (the dbt model tree of

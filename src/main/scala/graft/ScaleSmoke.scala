@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   *    replication would instead make every doc an N-way near-dup and
   *    measure the degenerate-bucket path, which the cap specs already
   *    cover);
-  *  - embeddings: each replica is shifted by a PER-REPLICA constant
-  *    offset vector (hash of (replica, dim) only — deliberately NOT
-  *    of the vector id, which would give every vector independent
-  *    noise and destroy intra-replica similarity): near-dup pairs
-  *    within a replica stay near-dups (v≈w ⇒ v+t≈w+t, same sign
-  *    buckets), while replicas land in decorrelated regions.
+  *  - embeddings: each replica gets a PER-REPLICA cyclic rotation of
+  *    the dimensions — an orthogonal transform, so every intra-replica
+  *    dot product and norm (and therefore every cosine and >=threshold
+  *    pair) is preserved EXACTLY and similarity mass grows linearly
+  *    with replicas, while sign buckets and cross-replica pairs
+  *    decorrelate. (A constant-offset shift is NOT structure-
+  *    preserving for thresholded cosine: cos(v+t, w+t) → 1 as |t|
+  *    grows, which made each replica a near-complete pair graph.)
   * Then times the heavy operators on base vs scaled and prints one
   * JSON line per query with the time ratio vs the N× data ratio.
   * A candidate-bounded operator should land near ratio ≈ N (linear);
@@ -74,6 +76,11 @@ object ScaleSmoke {
     // near-complete >=threshold pair graph: 82% of 20x candidates
     // verified at c32's bar, a quadratic mass no real corpus shows.)
     val dims = emb.selectExpr("size(embedding)").head.getInt(0)
+    // rotations repeat mod dims: replica r and r+dims would be exact
+    // copies — the quadratic cross-replica mass the rotation exists
+    // to prevent. 64 replicas of sf0.1 is far past this tool's range.
+    require(n <= dims,
+      s"ScaleSmoke: replica count $n exceeds embedding dims $dims — rotations would collide")
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("rep") * vecOffset).as("vec_id"),

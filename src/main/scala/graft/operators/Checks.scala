@@ -102,8 +102,8 @@ object Checks {
     * analog of dbt building tables and then testing them. The r3
     * spelling inlined the staging subtree under each of 7 check
     * branches: 7 source scans per run. Now the source is scanned
-    * exactly once, the FOUR mart materializations share one trigger
-    * job ([[Materialize.frames]] — they were 4 sequential eager-
+    * exactly once, the FOUR mart materializations run as concurrent
+    * actions ([[Materialize.frames]] — they were 4 sequential eager-
     * checkpoint jobs, which was most of a9's wall time), and the
     * check job reads executor-local mart blocks. */
   def a9DqChecks(stg: DataFrame): DataFrame = {

@@ -62,32 +62,30 @@ object Materialize {
     }
   }
 
-  /** Materialize SEVERAL independent frames as one unit. Under the
-    * `local` strategy each frame is lazily checkpoint-marked and a
-    * single trigger job computes them all — their stages schedule
-    * concurrently inside one job instead of running one eager
-    * checkpoint job per frame, so N materializations pay ONE
-    * job-scheduling floor rather than N (the a9 profile fix: 4 mart
-    * checkpoints were 4 sequential jobs). `reliable` and `scratch:`
-    * fall back to per-frame [[frame]] — both are a durable write per
-    * frame by nature, and correctness is identical (Round5Spec's
-    * strategy-equality contract covers [[frame]]; Round6Spec asserts
-    * frames == frame row-for-row under `local`). */
+  /** Materialize SEVERAL independent frames as one unit: each runs
+    * [[frame]] on its own thread, so the N materializations execute
+    * as CONCURRENT Spark actions and their per-job scheduling floors
+    * overlap instead of summing (the a9 profile fix: 4 sequential
+    * mart checkpoints were most of its wall time). Concurrency, not
+    * a shared trigger job, is the mechanism on purpose: under AQE a
+    * query's shuffle stages are materialized eagerly inside the
+    * checkpoint call itself, so a lazy-mark + single trigger job
+    * still runs each frame's stages back-to-back — overlapping
+    * actions is what actually buys the wall time. Applies to every
+    * strategy (durable writes to distinct paths overlap the same
+    * way); results are identical to sequential per-frame calls
+    * (Round6Spec asserts row equality; Round5Spec's strategy-equality
+    * contract covers [[frame]] itself). */
   def frames(dfs: Seq[DataFrame]): Seq[DataFrame] =
-    if (dfs.isEmpty) Seq.empty
+    if (dfs.sizeIs <= 1) dfs.map(frame)
     else {
-      val spark = dfs.head.sparkSession
-      spark.conf.get(ConfKey, "local") match {
-        case "local" =>
-          val marked = dfs.map(_.localCheckpoint(eager = false))
-          // one job over a count-shaped union: every leg's partitions
-          // are computed (committing its lazy checkpoint as a side
-          // effect) and nothing but the 1-per-row literal is moved
-          marked.map(_.select(org.apache.spark.sql.functions.lit(1L).as("one")))
-            .reduce(_ union _)
-            .count()
-          marked
-        case _ => dfs.map(frame)
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(dfs.size, 8))
+      try {
+        val futures = dfs.map(df => pool.submit(
+          new java.util.concurrent.Callable[DataFrame] { def call(): DataFrame = frame(df) }))
+        futures.map(f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      } finally pool.shutdown()
     }
 }

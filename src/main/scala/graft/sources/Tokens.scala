@@ -87,8 +87,10 @@ final class AuthCodeFlow(
       error: Option[String]): String = {
     // constant-time comparison: a timing side channel on the CSRF
     // nonce check is negligible for a single-use random state, but
-    // MessageDigest.isEqual costs nothing and removes it outright
-    val stateOk = java.security.MessageDigest.isEqual(
+    // MessageDigest.isEqual costs nothing and removes it outright.
+    // A missing state (null from a callback param lookup) is the
+    // same rejection, not an NPE.
+    val stateOk = callbackState != null && java.security.MessageDigest.isEqual(
       callbackState.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       state.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (!stateOk)

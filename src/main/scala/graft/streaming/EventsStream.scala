@@ -83,9 +83,14 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
-  /** Event/state/output records for the streaming SCD2 tracker. */
+  /** Event/state/output records for the streaming SCD2 tracker.
+    * `sinceId` is the event_id that OPENED the episode — it pins the
+    * open episode's position in a11's (ts, event_id) total order, so
+    * the late-data guard can distinguish a genuinely out-of-order
+    * arrival from an equal-timestamp tie that a11's order would
+    * process as a forward change. */
   case class ScdEvent(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
-  case class ScdOpen(eventType: String, sinceUs: Long, version: Long)
+  case class ScdOpen(eventType: String, sinceUs: Long, sinceId: Long, version: Long)
   case class ScdClosed(user_id: Long, version: Long, event_type: String,
       valid_from_us: Long, valid_to_us: Long)
 
@@ -103,19 +108,25 @@ object EventsStream {
     * the group, and cross-batch ordering rides event time arriving in
     * batch order.
     *
-    * Late-data guard: an event arriving in a LATER micro-batch with
-    * event time at or before the open episode's start cannot be
-    * applied — the preceding history is already emitted downstream in
-    * append mode, and treating it as a forward change would close the
-    * open episode with an INVERTED (valid_to < valid_from) or
-    * zero-width (valid_to == valid_from) interval. Such events are
-    * dropped, the watermark semantics every append-mode stateful
-    * operator gives late data. The equal-timestamp drop applies ONLY
-    * to the episode carried in from a prior batch: WITHIN a batch an
-    * equal-timestamp type change is a real change in the
-    * (ts, event_id) total order — exactly what the batch a11 twin
-    * emits — so it still closes (possibly zero-width, as in a11).
-    * StreamingSpec pins the drop and the never-inverted invariant.
+    * Late-data guard: an event is LATE iff it precedes the open
+    * episode's opening event in a11's (ts, event_id) total order —
+    * strictly earlier event time, or an equal timestamp with a lower
+    * event_id. The history up to that point is already emitted
+    * downstream in append mode, so a late event cannot be applied;
+    * treating it as a forward change would close the open episode
+    * with an INVERTED interval (valid_to < valid_from). Late events
+    * are dropped — the semantics every append-mode stateful operator
+    * gives data behind the watermark. Because the guard is the SAME
+    * total order a11 sorts by (not a batch-boundary test), output for
+    * in-order data is independent of where micro-batch boundaries
+    * fall: an equal-timestamp tie with a HIGHER event_id is a real
+    * forward change whether it arrives in the same batch or the next
+    * one, and closes the episode exactly as a11 does — possibly
+    * zero-width (valid_to == valid_from), the legal SCD2 row a11
+    * emits when an attribute changes twice at one instant. A replay
+    * of the opening event itself ((ts, id) equal, same type) is an
+    * idempotent no-op, not a drop. StreamingSpec pins the drop, the
+    * counter, the zero-width tie, and the never-inverted invariant.
     *
     * Dropping is policy; `lateDropCounter` makes it VISIBLE policy: a
     * caller-supplied accumulator is bumped once per dropped event, so
@@ -132,24 +143,20 @@ object EventsStream {
 
     def fn(user: Long, evs: Iterator[ScdEvent], state: GroupState[ScdOpen]): Iterator[ScdClosed] = {
       val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
-      // the episode carried from PREVIOUS batches: equality with its
-      // start is late (that instant was already processed); equality
-      // with a start opened in THIS batch is the a11 total order
-      val carried = state.getOption
-      var cur = carried
+      var cur = state.getOption
       val out = scala.collection.mutable.ArrayBuffer.empty[ScdClosed]
       sorted.foreach { e =>
         cur match {
           case None =>
-            cur = Some(ScdOpen(e.event_type, e.ts_us, 1L))
+            cur = Some(ScdOpen(e.event_type, e.ts_us, e.event_id, 1L))
           case Some(s) if e.ts_us < s.sinceUs ||
-              (e.ts_us == s.sinceUs && carried.contains(s)) =>
-            // cross-batch late event: history is already emitted —
-            // dropping beats writing an inverted/zero-width interval
+              (e.ts_us == s.sinceUs && e.event_id < s.sinceId) =>
+            // behind the open episode in the (ts, event_id) order:
+            // that history is already emitted — drop, visibly
             lateDropCounter.foreach(_.add(1L))
           case Some(s) if s.eventType != e.event_type =>
             out += ScdClosed(user, s.version, s.eventType, s.sinceUs, e.ts_us)
-            cur = Some(ScdOpen(e.event_type, e.ts_us, s.version + 1))
+            cur = Some(ScdOpen(e.event_type, e.ts_us, e.event_id, s.version + 1))
           case _ => ()
         }
       }

@@ -21,14 +21,6 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
 
   test("b1 pushes the shipdate filter and prunes columns at the scan") {
     val p = plan("b1_pricing_summary")

@@ -12,15 +12,6 @@ class RobustnessSpec extends AnyFunSuite {
   private def tmp(name: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
 
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._

@@ -5,20 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Dedup, Materialize, Sampling, Similarity}
 
 /** Round-6 contracts: conf-driven shard resolution wired into the
-  * c22/c28 call sites, single-job multi-frame materialization (the a9
+  * c22/c28 call sites, concurrent multi-frame materialization (the a9
   * profile fix), and the c32 semantic-dedup cluster report. */
 class Round6Spec extends AnyFunSuite {
   import TestSpark._
-
-  private def withConf(key: String, value: String)(body: => Unit): Unit = {
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
 
   // ---- graft.shards resolution ----------------------------------------
 
@@ -27,26 +17,26 @@ class Round6Spec extends AnyFunSuite {
     // session's parallelism
     assert(Sampling.resolveShards(spark, Sampling.PackShards) == Sampling.PackShards)
     assert(Sampling.resolveShards(spark, Sampling.ShuffleShards) == Sampling.ShuffleShards)
-    withConf(Sampling.ShardsConfKey, "default") {
+    withConf(Sampling.ShardsConfKey -> "default") {
       assert(Sampling.resolveShards(spark, Sampling.PackShards) == Sampling.PackShards)
     }
     // auto: perCore × defaultParallelism, floored at the pinned
     // constant — on this local[4] session that is max(pinned, 8)
     val p = spark.sparkContext.defaultParallelism
-    withConf(Sampling.ShardsConfKey, "auto") {
+    withConf(Sampling.ShardsConfKey -> "auto") {
       assert(Sampling.resolveShards(spark, Sampling.PackShards) ==
         math.max(Sampling.PackShards, 2 * p))
       assert(Sampling.resolveShards(spark, 2) == math.max(2, 2 * p))
     }
-    withConf(Sampling.ShardsConfKey, "24") {
+    withConf(Sampling.ShardsConfKey -> "24") {
       assert(Sampling.resolveShards(spark, Sampling.PackShards) == 24)
     }
-    withConf(Sampling.ShardsConfKey, "0") {
+    withConf(Sampling.ShardsConfKey -> "0") {
       intercept[IllegalArgumentException] {
         Sampling.resolveShards(spark, Sampling.PackShards)
       }
     }
-    withConf(Sampling.ShardsConfKey, "lots") {
+    withConf(Sampling.ShardsConfKey -> "lots") {
       intercept[IllegalArgumentException] {
         Sampling.resolveShards(spark, Sampling.PackShards)
       }
@@ -66,7 +56,7 @@ class Round6Spec extends AnyFunSuite {
     // a different shuffle-partition count and a repartitioned input
     // are EXECUTION changes; the shard layout is data-defined, so the
     // rows must not move
-    withConf("spark.sql.shuffle.partitions", "7") {
+    withConf("spark.sql.shuffle.partitions" -> "7") {
       assert(run() == base, "c22/c28 rows changed under a different shuffle-partition count")
     }
     val repart = Sampling.c22SequencePack(docs.repartition(13),
@@ -79,7 +69,7 @@ class Round6Spec extends AnyFunSuite {
     val docs = graft.sources.Tables.documents(spark, sf)
     val nDocs = docs.count()
     val totTok = docs.select(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
-    withConf(Sampling.ShardsConfKey, "48") {
+    withConf(Sampling.ShardsConfKey -> "48") {
       val pack = SparkEntry.queries("c22_seq_pack")(spark, sf)
       val agg = pack.agg(sum("n_docs"), sum("sum_tok"), max("shard")).head()
       assert(agg.getLong(0) == nDocs, "c22@48 lost or duplicated docs")
@@ -95,7 +85,7 @@ class Round6Spec extends AnyFunSuite {
 
   // ---- Materialize.frames ---------------------------------------------
 
-  test("Materialize.frames equals per-frame materialization (local strategy, one trigger job)") {
+  test("Materialize.frames equals per-frame materialization on every strategy") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val a = docs.groupBy("lang").agg(count(lit(1)).as("n"))
     val b = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
@@ -103,12 +93,13 @@ class Round6Spec extends AnyFunSuite {
     assert(ma.collect().toSet == Materialize.frame(a).collect().toSet)
     assert(mb.collect().toSet == Materialize.frame(b).collect().toSet)
     assert(Materialize.frames(Seq.empty) == Seq.empty)
-    // non-local strategies take the per-frame (durable-write) path —
-    // same rows
+    // the concurrent actions run the conf'd strategy too — same rows
+    // through the durable path (two frames so the pool engages)
     val scratch = java.nio.file.Files.createTempDirectory("graft-mats-").toString
-    withConf("graft.materialize", s"scratch:$scratch") {
-      val Seq(sa) = Materialize.frames(Seq(a))
+    withConf("graft.materialize" -> s"scratch:$scratch") {
+      val Seq(sa, sb) = Materialize.frames(Seq(a, b))
       assert(sa.collect().toSet == ma.collect().toSet)
+      assert(sb.collect().toSet == mb.collect().toSet)
     }
   }
 

@@ -124,12 +124,13 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$in/$name.parquet"))
     }
-    // batch 0 closes A at t=200 and leaves B open since 200; batch 1
-    // carries a LATE event at t=150 (before B's start — must be
-    // dropped), an EQUAL-timestamp late event at t=200 (== B's
-    // carried start: applying it would emit a zero-width interval —
-    // must also be dropped), and a change at t=300 (closes B
-    // normally)
+    // batch 0 closes A at t=200 and leaves B open since (200, id 2);
+    // batch 1 carries a LATE event at t=150 (behind B's opening in
+    // the (ts, event_id) order — must be dropped and counted), an
+    // equal-timestamp TIE at t=200 with a HIGHER event_id (a real
+    // forward change in a11's order even across the batch boundary —
+    // closes B zero-width, exactly as the batch twin does), and a
+    // change at t=300 (closes E normally)
     batch("batch0", Seq((1L, "A", 100L, 1L), (1L, "B", 200L, 2L)))
     batch("batch1", Seq((1L, "C", 150L, 3L), (1L, "E", 200L, 4L), (1L, "D", 300L, 5L)))
     val schema = spark.read.parquet(s"$stage/batch0").schema
@@ -144,14 +145,15 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("scd2_late_out")
         .select("event_type", "valid_from_us", "valid_to_us")
-        .orderBy("valid_from_us")
+        .orderBy("valid_from_us", "valid_to_us")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      assert(got.forall { case (_, f, t) => t > f },
-        s"inverted or zero-width interval emitted: ${got.mkString(",")}")
-      assert(got.toSeq == Seq(("A", 100L, 200L), ("B", 200L, 300L)),
-        s"late event not dropped cleanly: ${got.mkString(",")}")
-      assert(dropped.value == 2L,
-        s"late-drop counter: expected the 2 planted late events, got ${dropped.value}")
+      assert(got.forall { case (_, f, t) => t >= f },
+        s"inverted interval emitted: ${got.mkString(",")}")
+      assert(got.toSeq == Seq(
+        ("A", 100L, 200L), ("B", 200L, 200L), ("E", 200L, 300L)),
+        s"late drop / equal-ts tie mishandled: ${got.mkString(",")}")
+      assert(dropped.value == 1L,
+        s"late-drop counter: expected exactly the 1 planted late event, got ${dropped.value}")
     } finally q.stop()
   }
 

@@ -10,6 +10,18 @@ object TestSpark {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Set session confs for the body, restoring (or unsetting) the
+    * prior values afterwards — the shared spelling for every spec
+    * that flips a conf. */
+  def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
 
 /** Tier A (reference-pipeline parity) invariants at sf0.001. */
