@@ -39,6 +39,10 @@ class TierASpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("the driver's flagship entry smoke returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("a1 staging preserves row count and has unique play ids") {
     val stg = SparkEntry.queries("a1_stg_events")(spark, sf)
     val n = stg.count()
