@@ -277,6 +277,35 @@ object OraclesC {
       from lab group by cluster order by cluster
     """,
 
+    // c33's shingle-diagonal span collapse — width / min-span /
+    // occurrence-cap interpolated from the operator constants; the
+    // pos − row_number() run trick is the same window the operator
+    // plans
+    "c33_substring_dedup" -> s"""
+      with d as (select doc_id, string_split(text, ' ') as w0 from documents),
+      sh as (
+        select doc_id, p as pos,
+               md5(array_to_string(w0[p+1:p+${graft.operators.Dedup.SpanShingleW}], ' ')) as key
+        from d, lateral (select unnest(range(0, len(w0) - ${graft.operators.Dedup.SpanShingleW - 1})) as p) t),
+      keyed as (
+        select key from sh group by key
+        having count(*) between 2 and ${graft.operators.Dedup.SpanOccCap}),
+      pr as (
+        select a.doc_id as doc_a, a.pos as pos_a, b.doc_id as doc_b, b.pos as pos_b
+        from sh a join keyed using (key) join sh b using (key)
+        where a.doc_id < b.doc_id),
+      runs as (
+        select doc_a, doc_b, pos_a - pos_b as diag, pos_a, pos_b,
+               pos_a - row_number() over (
+                 partition by doc_a, doc_b, pos_a - pos_b order by pos_a) as grp
+        from pr)
+      select doc_a, doc_b, min(pos_a) as a_start, min(pos_b) as b_start,
+             count(*) + ${graft.operators.Dedup.SpanShingleW - 1} as n_tokens
+      from runs group by doc_a, doc_b, diag, grp
+      having count(*) + ${graft.operators.Dedup.SpanShingleW - 1} >= ${graft.operators.Dedup.SpanMinTokens}
+      order by doc_a, doc_b, a_start, b_start
+    """,
+
     "c6_ann_topk" -> s"""
       with q as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
       scored as (

@@ -96,12 +96,14 @@ object SparkEntry {
     "c30_source_mixture"  -> ((s, dir) => TextAnalysis.c30SourceMixtureBucketed(Tables.documents(s, dir))),
     "c31_unigram_logprob" -> ((s, dir) => TextAnalysis.c31UnigramLogprob(Tables.documents(s, dir))),
     "c32_semantic_clusters" -> ((s, dir) => Similarity.c32SemanticClusters(Tables.embeddings(s, dir))),
+    "c33_substring_dedup" -> ((s, dir) => Dedup.c33SubstringDedup(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),
     "d3_frame_sample"    -> ((s, dir) => Multimodal.d3FrameSample(Tables.documents(s, dir))),
     "d4_chunk_dedup"     -> ((s, dir) => Multimodal.d4ChunkDedup(Tables.documents(s, dir))),
     "d5_media_manifest"  -> ((s, dir) => Multimodal.d5MediaManifest(Tables.documents(s, dir))),
+    "d6_media_neardup"   -> ((s, dir) => Multimodal.d6MediaNearDup(Tables.documents(s, dir))),
 
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
     "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
@@ -456,6 +458,52 @@ object SparkEntry {
                   else round((sum(chunk_len) - sum(case when rn > 1 then chunk_len else 0 end))::double
                              / sum(chunk_len), 4) end as uniq_ratio
       from r group by doc_id, media_type order by doc_id
+    """,
+
+    // d6's stub-pHash (60 hex stripes, top md5 bit each), 4×15
+    // pigeonhole bands within media type, hamming ≤ 3, recursive-reach
+    // components (c32's spelling at asset grain) — geometry
+    // interpolated from the operator constants
+    "d6_media_neardup" -> s"""
+      with recursive m as (
+        select doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
+               hex(encode(text)) as hx
+        from documents),
+      geo as (
+        select doc_id, media_type, hx,
+               greatest(ceil(strlen(hx) / ${graft.operators.Multimodal.PhashStripes}.0)::bigint, 1) as w
+        from m),
+      ph as (
+        select doc_id, media_type,
+               bit_or(case when substr(md5(substr(hx, (i*w+1)::int, w::int)),1,1) >= '8'
+                           then 1::bigint << i else 0::bigint end) as phash
+        from geo, lateral (select unnest(range(0, ${graft.operators.Multimodal.PhashStripes})) as i) t
+        group by doc_id, media_type),
+      bands as (
+        select doc_id, media_type, phash, j, (phash >> (15*j)::int) & 32767 as band
+        from ph, lateral (select unnest(range(0, ${graft.operators.Multimodal.PhashBands})) as j) t
+        qualify count(*) over (partition by media_type, j, band) <= ${graft.operators.Dedup.BucketCap}),
+      vp as (
+        select distinct a.doc_id as doc_a, b.doc_id as doc_b
+        from bands a join bands b
+          on a.media_type = b.media_type and a.j = b.j and a.band = b.band
+          and a.doc_id < b.doc_id
+        where bit_count(xor(a.phash, b.phash)) <= ${graft.operators.Multimodal.PhashMaxHamming}),
+      edges as (
+        select doc_a as a, doc_b as b from vp
+        union
+        select doc_b as a, doc_a as b from vp),
+      reach(a, b) as (
+        select a, b from edges
+        union
+        select r.a, e.b from reach r join edges e on r.b = e.a where e.b <> r.a),
+      lab as (select a as doc_id, least(a, min(b)) as cluster from reach group by a)
+      select ph.doc_id, ph.media_type, ph.phash,
+             coalesce(lab.cluster, ph.doc_id) as cluster,
+             (case when coalesce(lab.cluster, ph.doc_id) = ph.doc_id then 1 else 0 end)::bigint as is_canonical
+      from ph left join lab on ph.doc_id = lab.doc_id
+      order by ph.doc_id
     """,
 
     "e1_stream_hourly" -> """

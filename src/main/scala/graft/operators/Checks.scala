@@ -80,13 +80,23 @@ object Checks {
     * One aggregate pass + a 1-row broadcast — a report-sized plan. */
   def a13Freshness(events: DataFrame, warnUs: Long = FreshWarnUs,
       errorUs: Long = FreshErrorUs): DataFrame =
-    // the global high-water anchor is the max over the per-type maxes
-    // — an unpartitioned window over the ≤|event types|-row aggregate,
-    // NOT a second corpus scan (c23's discipline)
-    events.groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
-        max(unix_micros(col("ts"))).as("max_loaded_us"))
-      .withColumn("as_of_us", max(col("max_loaded_us")).over())
+    // the global high-water anchor is the max over the per-type
+    // maxes, re-aggregated off the SAME per-type frame and broadcast
+    // back as a 1-row cross join — one corpus scan (the anchor
+    // branch's subtree is exchange-identical to the report's, so
+    // ReuseExchange serves both from one shuffle), and no
+    // unpartitioned WindowExec, whose "No Partition Defined" WARN is
+    // indistinguishable from a real scale bug in a driver log. (An
+    // unpartitioned-window spelling is plan-equivalent here — the
+    // frame is ≤|event types| rows — but can't be spelled WARN-free:
+    // the optimizer folds literal partition keys away.)
+    {
+      val perType = events.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_micros(col("ts"))).as("max_loaded_us"))
+      perType.crossJoin(
+        broadcast(perType.agg(max(col("max_loaded_us")).as("as_of_us"))))
+    }
       .withColumn("lag_us", col("as_of_us") - col("max_loaded_us"))
       .withColumn("freshness",
         when(col("lag_us") > errorUs, "error")

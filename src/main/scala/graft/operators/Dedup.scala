@@ -408,4 +408,112 @@ object Dedup {
       .distinct()
     cand.orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(50)
   }
+
+  /** c33 geometry: shingle width (tokens per key), minimum reported
+    * span (tokens), and the per-key occurrence cap ([[DfCap]]
+    * discipline — a shingle occurring in more than `SpanOccCap`
+    * places is boilerplate mass, cut by rule instead of enumerated
+    * as C(occ,2) pairs). All three are operator semantics; the
+    * oracle interpolates the same constants. */
+  val SpanShingleW = 8
+  val SpanMinTokens = 16
+  val SpanOccCap = 200
+
+  /** Positional fixed-width shingles: (doc_id, pos, 128-bit key).
+    * Same typed-kernel rationale as [[shingleSets]] (the sliding
+    * window is a per-row loop; interpreted higher-order functions
+    * cost ~10×), but positions are kept — runs of consecutive
+    * shared positions are what c33 collapses into spans. The md5 key
+    * is applied DECLARATIVELY on top (codegen'd, and the exact
+    * spelling the oracle uses), so only 32-hex keys + two longs ever
+    * reach the shuffle — never the 8-token shingle text. */
+  private def posShingles(docs: DataFrame, w: Int): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < w) Iterator.empty
+        else {
+          // one reusable builder; avg shingle ~ w * avg-token bytes
+          val sb = new java.lang.StringBuilder
+          (0 to toks.length - w).iterator.map { p =>
+            sb.setLength(0)
+            var j = p
+            while (j < p + w) {
+              if (j > p) sb.append(' ')
+              sb.append(toks(j)); j += 1
+            }
+            (id, p.toLong, sb.toString)
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "s")
+      .select(col("doc_id"), col("pos"), md5(col("s")).as("key"))
+  }
+
+  /** c33: exact repeated-SPAN dedup across documents — the Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") family: find maximal token ranges that occur verbatim
+    * in more than one document, the grain doc-level dedup (c1) and
+    * near-dup (c2–c4) both miss. The reference has no analog; this
+    * extends the training-data mandate.
+    *
+    * Suffix arrays are the single-node spelling; the Spark-shaped
+    * equivalent is shingle-diagonal run collapse: (1) every width-W
+    * positional shingle keyed by md5; (2) keys kept only when their
+    * occurrence count is in [2, occCap] — pair volume is Σ C(occ,2)
+    * ≤ occCap/2 × shared-shingle rows, never n² (c2's df-cap
+    * discipline; a key past the cap is boilerplate, cut by rule);
+    * (3) cross-doc occurrence pairs generated inside the bounded
+    * posting list (c2's typed-kernel escape hatch — quadratic-in-
+    * group pair gen is imperative by nature); (4) per (doc_a, doc_b,
+    * diagonal = pos_a − pos_b), runs of CONSECUTIVE shared positions
+    * collapse into one maximal span via the pos − row_number trick —
+    * a shared span of L tokens is exactly L−W+1 consecutive shingle
+    * hits on one diagonal; (5) spans shorter than `minSpan` are
+    * noise (a single 128-bit-collision could fake a W-token span;
+    * ≥ minSpan needs minSpan−W+1 consecutive colliding keys —
+    * impossible in practice) and are dropped.
+    *
+    * Physical shape: one shuffle to posting lists (map-side
+    * combined), pair gen inside codegen-adjacent typed kernels, one
+    * (doc_a, doc_b, diag)-partitioned window + the span groupBy
+    * sharing that exchange. Report: (doc_a, doc_b, a_start, b_start,
+    * n_tokens) per maximal span, a-side = the keep side (lower
+    * doc_id = first occurrence, c1's keep-first policy); a caller
+    * cuts [b_start, b_start + n_tokens) from doc_b. */
+  def c33SubstringDedup(docs: DataFrame, w: Int = SpanShingleW,
+      minSpan: Int = SpanMinTokens, occCap: Int = SpanOccCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1 && minSpan >= w, "minSpan must be at least the shingle width")
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val pairs = posShingles(docs, w)
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
+      .filter(size(col("occ")).between(2, occCap))
+      // posting list sorted by (doc, pos): i<j ⇒ doc_i ≤ doc_j, so
+      // skipping equal docs orients every pair doc_a < doc_b
+      .select(col("occ")).as[Seq[(Long, Long)]]
+      .flatMap { occ =>
+        for {
+          i <- occ.indices.iterator
+          j <- (i + 1 until occ.length).iterator
+          if occ(i)._1 != occ(j)._1
+        } yield (occ(i)._1, occ(i)._2, occ(j)._1, occ(j)._2)
+      }
+      .toDF("doc_a", "pos_a", "doc_b", "pos_b")
+    val diag = col("pos_a") - col("pos_b")
+    val run = Window.partitionBy(col("doc_a"), col("doc_b"), diag).orderBy(col("pos_a"))
+    pairs
+      .withColumn("grp", col("pos_a") - row_number().over(run))
+      .groupBy(col("doc_a"), col("doc_b"), diag.as("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
+        (count(lit(1)) + (w - 1)).as("n_tokens"))
+      .filter(col("n_tokens") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"), col("n_tokens"))
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+  }
 }

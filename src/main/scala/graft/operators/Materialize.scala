@@ -83,9 +83,18 @@ object Materialize {
       try {
         val futures = dfs.map(df => pool.submit(
           new java.util.concurrent.Callable[DataFrame] { def call(): DataFrame = frame(df) }))
-        futures.map(f =>
-          try f.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+        try futures.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // one frame failed: the whole unit fails, so sibling
+            // materializations are wasted cluster work — cancel the
+            // queued ones and interrupt the running ones instead of
+            // letting them finish (and leak scratch dirs) in
+            // background threads after the failure propagates
+            futures.foreach(_.cancel(true))
+            pool.shutdownNow()
+            throw e.getCause
+        }
       } finally pool.shutdown()
     }
 }

@@ -26,13 +26,27 @@ object Multimodal {
       doc_id: Long, media_type: String, n_bytes: Long, content_md5: String,
       fake_width: Long, fake_height: Long, n_frames: Long, decode_status: String)
 
+  /** Lowercase hex of a digest — table lookup, not a per-byte
+    * format() call (the D-tier kernels run this per CHUNK; format's
+    * locale machinery was a measurable constant factor). */
+  private def hexLower(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = HexLowerDigits((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexLowerDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** STUB decode: in production this calls the codec (image resize,
     * audio resample, video frame-sample). Here: md5-derived
     * deterministic pseudo-features so the oracle can verify the
     * plumbing end-to-end. */
   private def stubDecode(docId: Long, mediaType: String, bytes: Array[Byte]): MediaMeta = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    val hex = hexLower(md.digest(bytes))
     def h(from: Int, len: Int): Long = java.lang.Long.parseLong(hex.substring(from, from + len), 16)
     MediaMeta(
       doc_id = docId,
@@ -84,13 +98,19 @@ object Multimodal {
     * narrow predicate on the chunk stream — the decode worker fan-out
     * downstream sees 1/stride of the bytes. */
   def d3FrameSample(docs: DataFrame, stride: Int = DefaultStride): DataFrame =
-    d2MediaChunks(docs)
+    chunkRows(docs, DefaultChunkBytes)
       .filter(col("media_type") === "video" && col("chunk_idx") % stride === 0)
       .select(col("doc_id"), (col("chunk_idx") / stride).cast("long").as("frame_idx"),
         col("chunk_idx"), col("chunk_len"), col("chunk_md5"))
       .orderBy("doc_id", "frame_idx")
 
-  def d2MediaChunks(docs: DataFrame, chunkBytes: Int = DefaultChunkBytes): DataFrame = {
+  /** The shared chunk kernel: payload bytes enter here ONCE, slim
+    * (doc_id, media_type, chunk_idx, chunk_len, chunk_md5) rows leave
+    * — nothing downstream of this frame ever touches payload bytes
+    * again (d4's dedup groupBy, d5's two checksum shuffles, d3's
+    * stride filter all move checksum-sized rows only). No sort: each
+    * consumer orders its own report. */
+  private def chunkRows(docs: DataFrame, chunkBytes: Int): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
     graft.sources.Tables.parallelKernelInput(
@@ -102,28 +122,33 @@ object Multimodal {
         val nChunks = math.max(
           math.ceil(bytes.length.toDouble / chunkBytes).toInt, 1)
         val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](chunkBytes * 2)
         (0 until nChunks).iterator.map { i =>
           val from = i * chunkBytes
           val until = math.min(from + chunkBytes, bytes.length)
           // checksum over the hex encoding, not the raw bytes: DuckDB's
           // md5 is VARCHAR-only, and hex is byte-exact in both engines
           // for ANY payload — no ASCII assumption. Uppercase digits =
-          // Spark's hex() and DuckDB's hex().
-          val sb = new java.lang.StringBuilder((until - from) * 2)
+          // Spark's hex() and DuckDB's hex(). The hex rides a reused
+          // byte buffer straight into the digest — the per-chunk
+          // StringBuilder→String→getBytes churn was ~3 allocations of
+          // payload-sized garbage per chunk, a GB-scale-blob tax.
           var j = from
           while (j < until) {
-            sb.append(HexDigits((bytes(j) >> 4) & 0xf)); sb.append(HexDigits(bytes(j) & 0xf))
+            buf((j - from) * 2) = HexDigits((bytes(j) >> 4) & 0xf).toByte
+            buf((j - from) * 2 + 1) = HexDigits(bytes(j) & 0xf).toByte
             j += 1
           }
           md.reset()
-          val h = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-            .map("%02x".format(_)).mkString
-          (id, mt, i.toLong, (until - from).toLong, h)
+          md.update(buf, 0, (until - from) * 2)
+          (id, mt, i.toLong, (until - from).toLong, hexLower(md.digest()))
         }
       }
       .toDF("doc_id", "media_type", "chunk_idx", "chunk_len", "chunk_md5")
-      .orderBy("doc_id", "chunk_idx")
   }
+
+  def d2MediaChunks(docs: DataFrame, chunkBytes: Int = DefaultChunkBytes): DataFrame =
+    chunkRows(docs, chunkBytes).orderBy("doc_id", "chunk_idx")
 
   /** d4: content-addressed segment dedup over the chunk stream — the
     * media twin of c1's exact text dedup: identical fixed-size
@@ -139,7 +164,7 @@ object Multimodal {
     * identical black frames) costs one hot-key partial-agg chain,
     * never a blowup. */
   def d4ChunkDedup(docs: DataFrame, chunkBytes: Int = DefaultChunkBytes): DataFrame =
-    d2MediaChunks(docs, chunkBytes)
+    chunkRows(docs, chunkBytes)
       .groupBy(col("chunk_md5"))
       .agg(
         count(lit(1)).as("n_copies"),
@@ -163,9 +188,17 @@ object Multimodal {
     * partitions would be unbounded on a degenerate corpus (billions
     * of identical black frames in one window partition); the
     * agg+join spelling hash-distributes and degrades to an AQE skew
-    * join instead. Two checksum shuffles + the doc regroup. */
+    * join instead. Two checksum shuffles + the doc regroup.
+    *
+    * The chunk frame is MATERIALIZED before the self-referencing
+    * join: both join sides read the slim (checksum-sized) rows, so
+    * the payload-chewing chunk kernel runs once — unmaterialized,
+    * the canonical branch's aggregate breaks exchange reuse and the
+    * whole binary scan + hex/md5 pass ran TWICE (the dominant term
+    * in d5's r6 ScaleSmoke row). Strategy rides `graft.materialize`
+    * (localCheckpoint locally, durable scratch on a cluster). */
   def d5MediaManifest(docs: DataFrame, chunkBytes: Int = DefaultChunkBytes): DataFrame = {
-    val chunks = d2MediaChunks(docs, chunkBytes)
+    val chunks = Materialize.frame(chunkRows(docs, chunkBytes))
     val canon = chunks.groupBy(col("chunk_md5"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("c"))
       .select(col("chunk_md5"), col("c.doc_id").as("c_doc"), col("c.chunk_idx").as("c_idx"))
@@ -185,5 +218,114 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** d6 stub-pHash geometry: 60 stripes (a 6×10 blockhash-style
+    * grid; bit 60–63 stay clear so the hash never touches the bigint
+    * sign — DuckDB's `<<` overflows at 63), banded 4×15 for the
+    * pigeonhole join, hamming ≤ 3 = "same asset, different
+    * encoding". All oracle-interpolated operator semantics. */
+  val PhashStripes = 60
+  val PhashBands = 4
+  val PhashMaxHamming = 3
+
+  /** Deterministic stubbed PERCEPTUAL hash — the d1 discipline: no
+    * codecs ship in this container, so the decode+DCT of a real
+    * pHash is stubbed with a blockhash-shaped statistic the oracle
+    * can replay: the payload's hex splits into [[PhashStripes]]
+    * equal stripes, each stripe contributes one bit (top bit of its
+    * md5). Like real blockhash, a LOCALIZED payload change (re-tag,
+    * bitrate tweak, color-space flip over a region) perturbs only
+    * the stripes it touches — hamming stays small — while unrelated
+    * payloads land ~30 bits apart. (A real pHash is also
+    * length-invariant because decode normalizes dimensions first;
+    * the stub's grid is length-relative instead, so the invariance
+    * only holds for same-length recodes. That is a property of the
+    * STUB, not the plumbing — swap `stubPhash` for the codec call
+    * and everything downstream holds.) */
+  private def stubPhash(bytes: Array[Byte]): Long = {
+    val hx = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      hx(i * 2) = HexDigits((bytes(i) >> 4) & 0xf).toByte
+      hx(i * 2 + 1) = HexDigits(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    val w = math.max(math.ceil(hx.length / PhashStripes.toDouble).toLong, 1L).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var phash = 0L
+    var s = 0
+    while (s < PhashStripes) {
+      val from = math.min(s * w, hx.length)
+      val until = math.min(from + w, hx.length)
+      md.reset()
+      md.update(hx, from, until - from)
+      // top bit of the digest = first md5 hex char >= '8'
+      if ((md.digest()(0) & 0x80) != 0) phash |= 1L << s
+      s += 1
+    }
+    phash
+  }
+
+  /** d6: perceptual near-dup clustering for media assets — the gap
+    * d4 leaves open: d4 collapses byte-IDENTICAL segments, so a
+    * re-encoded asset (same content, different bytes) escapes it
+    * entirely. d6 is the media twin of c4's SimHash discipline at
+    * ASSET grain: per-asset stubbed perceptual hash (one kernel pass
+    * over payload bytes — the only stage that touches them), 4×15
+    * pigeonhole banding WITHIN media type (hamming ≤ 3 ⇒ ≥1 band
+    * agrees, so the band equi-join finds every close pair without n²
+    * compares; [[Dedup.BucketCap]] guards degenerate buckets),
+    * xor-popcount verification on candidates only, then the same
+    * adaptive component labeler every dedup tier uses
+    * ([[Dedup.labelComponents]]).
+    *
+    * Report: one row per ASSET — its phash, its cluster (= the
+    * component's min doc_id; singletons self-cluster), and the
+    * keep/drop decision (`is_canonical`, c1's keep-first policy).
+    * Per-asset, not clusters-only, because the manifest consumer
+    * (d5's shape) needs a decision for EVERY asset. */
+  def d6MediaNearDup(docs: DataFrame, maxHamming: Int = PhashMaxHamming,
+      bucketCap: Int = Dedup.BucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    require(maxHamming < PhashBands,
+      "pigeonhole banding is only complete for hamming < band count")
+    // phash kernel: both the band join's two sides and the final
+    // report read this |assets|-row frame — one payload pass total
+    val ph = Materialize.frame(
+      graft.sources.Tables.parallelKernelInput(
+          attachBinary(docs).select(col("doc_id"), col("media"), col("media_type")))
+        .as[(Long, Array[Byte], String)]
+        .mapPartitions(_.map { case (id, bytes, mt) => (id, mt, stubPhash(bytes)) })
+        .toDF("doc_id", "media_type", "phash"))
+    val bands = ph.select(col("doc_id"), col("media_type"), col("phash"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("j"))
+      .withColumn("band", expr(s"(phash >> (15 * j)) & 32767"))
+      // degenerate-bucket cap, c4's discipline: B near-identical
+      // assets in one band bucket is C(B,2) pairs — that mass is
+      // exact-dup shaped (d4's job), not enumerated here
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("media_type"), col("j"), col("band"))))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.media_type") === col("b.media_type") && col("a.j") === col("b.j")
+          && col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.phash ^ b.phash)") <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val labels = Dedup.labelComponents(pairs)
+      .withColumnRenamed("label", "comp")
+    ph.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      .withColumn("is_canonical",
+        when(col("cluster") === col("doc_id"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("media_type"), col("phash"),
+        col("cluster"), col("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   private val HexDigits = "0123456789ABCDEF".toCharArray
+  private val HexLowerDigits = "0123456789abcdef".toCharArray
 }

@@ -74,8 +74,18 @@ object Similarity {
     if (q.columns.contains("q_nrm")) q
     else q.withColumn("q_nrm", VectorFns.norm(col("q_emb")))
 
-  private def pairCos(aEmb: String, aNrm: String, bEmb: String, bNrm: String) =
-    round(VectorFns.dot(col(aEmb), col(bEmb)) / (col(aNrm) * col(bNrm)), 4)
+  /** Cosine between two pre-normed vectors — NULL when either norm
+    * is zero. A zero-norm embedding has no direction, so its cosine
+    * is undefined; the plain division is a query-killing ANSI
+    * DIVIDE_BY_ZERO on ONE corrupt row (and NaN with ANSI off, which
+    * Spark orders ABOVE every real cosine — even worse, it would WIN
+    * top-k ranks and pass thresholds). Null does the right thing in
+    * every consumer for free: it compares false against thresholds,
+    * sorts after real cosines, and drops out of max_by. */
+  private def pairCos(aEmb: String, aNrm: String, bEmb: String, bNrm: String) = {
+    val denom = col(aNrm) * col(bNrm)
+    when(denom > 0, round(VectorFns.dot(col(aEmb), col(bEmb)) / denom, 4))
+  }
 
   /** Candidate pairs for c5 before cosine verification — exposed so
     * specs can assert the volume bounds the banding math promises.
@@ -153,7 +163,14 @@ object Similarity {
     val pairs = c5Candidates(emb, nBits, nTables, bucketCap)
       .select(col("vec_a"), col("vec_b"),
         pairCos("emb_a", "nrm_a", "emb_b", "nrm_b").as("cos"))
-      .filter(col("cos") >= threshold)
+      // zero-norm embeddings cosine to NULL (pairCos) and fail the
+      // threshold; the isnan belt covers NaN ELEMENTS in a corrupt
+      // embedding (norm NaN passes `> 0` — Spark orders NaN above
+      // every double — so NaN can still reach the filter, and
+      // unguarded it would pass `>= threshold` against every
+      // capped-bucket neighbor and glue unrelated clusters together).
+      // No similarity EVIDENCE is never an admission.
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"))
     Dedup.labelComponents(pairs)
       .groupBy(col("label").as("cluster"))

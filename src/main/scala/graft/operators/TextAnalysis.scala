@@ -501,19 +501,37 @@ object TextAnalysis {
     * 4-rounded ratios (the same spellings c8/c9 hash-match on), so
     * the branch taken is engine-exact. */
   def c23CurationFilter(docs: DataFrame): DataFrame =
-    // total = sum over the ≤5-row reason aggregate (unpartitioned
-    // window), NOT a second corpus scan — every doc has exactly one
-    // reason, so the sums agree by construction
-    docs.select(curationReasonOf(col("text")).as("reason"))
-      .groupBy("reason").agg(count(lit(1)).as("n_docs"))
-      .withColumn("share",
-        round(col("n_docs").cast("double") / sum(col("n_docs")).over(), 4))
+    // total = re-aggregate of the ≤5-row reason counts, broadcast
+    // back as a 1-row cross join ([[shareOfTotal]]) — NOT a second
+    // corpus scan (every doc has exactly one reason, so the sums
+    // agree by construction; ReuseExchange serves both branches from
+    // the one reason shuffle), and not an unpartitioned window,
+    // whose WARN would pollute driver logs
+    shareOfTotal(
+      docs.select(curationReasonOf(col("text")).as("reason"))
+        .groupBy("reason").agg(count(lit(1)).as("n_docs")),
+      "n_docs", "share")
       .orderBy("reason")
 
-  /** The cascaded keep/drop decision itself — ONE spelling shared by
-    * c23 (document grain) and c27 (chunk grain), so the two reports
-    * can never disagree on what a threshold means. */
-  private def curationReasonOf(text: Column): Column = {
+  /** share = count / Σcount over a REPORT-SIZED frame, spelled as a
+    * 1-row broadcast cross join. The natural unpartitioned-window
+    * spelling can't be written WARN-free (the optimizer folds literal
+    * partition keys), and WindowExec's "No Partition Defined" WARN in
+    * a driver log is indistinguishable from a real scale bug —
+    * driver logs should carry signal only. */
+  private def shareOfTotal(counts: DataFrame, countCol: String, shareCol: String): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(sum(col(countCol)).as("_graft_total"))))
+      .withColumn(shareCol,
+        round(col(countCol).cast("double") / col("_graft_total"), 4))
+      .drop("_graft_total")
+
+  /** The cascaded keep/drop decision itself — the DECLARATIVE
+    * spelling (c23's document-grain pass, and the reference the
+    * equivalence fuzz holds [[CurationKernel]] to). c27 runs the same
+    * cascade inside its fused chunk kernel; Round7Spec proves the two
+    * spellings byte-equal per text, so the reports can never disagree
+    * on what a threshold means. */
+  private[graft] def curationReasonOf(text: Column): Column = {
     val toks = TextFns.tokens(text)
     val nPii = size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
       size(regexp_extract_all(text, lit(NumRe), lit(0)))
@@ -522,6 +540,88 @@ object TextAnalysis {
       .when(distinctRatioOf(toks) < 0.3, "repetitive")
       .when(nPii > 20, "pii_heavy")
       .otherwise("keep")
+  }
+
+  /** The curation cascade as a plain JVM function — the fused-kernel
+    * twin of [[curationReasonOf]], byte-for-byte the same decision
+    * (Round7Spec fuzzes the two spellings against each other,
+    * adversarial tokens included). Exists because c27 evaluates the
+    * cascade once per CHUNK: the declarative spelling re-splits the
+    * chunk text four times and runs six regex passes per row through
+    * the expression interpreter, and — worse — forces every chunk's
+    * text to round-trip through a serialized row between the chunk
+    * kernel and the signal projection. Inside the kernel the chunk is
+    * a token slice we already hold; the signals read it directly and
+    * only the ≤5 distinct reason strings ever become rows.
+    *
+    * Parity notes (each pinned by the fuzz): `round` replicates
+    * Spark's Round-on-double (BigDecimal HALF_UP); char counts are
+    * CODE POINTS (Spark's length()), not UTF-16 units; bigram
+    * occurrence counting is non-overlapping left-to-right (=
+    * regexp_replace's length-diff trick); the PII patterns compile
+    * with java.util.regex exactly as Spark's regexp_extract_all
+    * does. */
+  private[graft] object CurationKernel {
+    private val Markers = TextFns.EnMarkers.toSet
+    private val EmailP = java.util.regex.Pattern.compile(EmailRe)
+    private val NumP = java.util.regex.Pattern.compile(NumRe)
+
+    private def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    private def occurrences(s: String, sub: String): Int = {
+      var n = 0; var i = s.indexOf(sub)
+      while (i >= 0) { n += 1; i = s.indexOf(sub, i + sub.length) }
+      n
+    }
+
+    private def countMatches(p: java.util.regex.Pattern, s: String): Int = {
+      val m = p.matcher(s); var n = 0
+      while (m.find()) n += 1
+      n
+    }
+
+    /** The cascade over a token slice [from, until) of `w`, with the
+      * chunk string materialized lazily — most too_short chunks never
+      * build it. `mkString(" ")` then re-splitting returns the slice
+      * itself (tokens cannot contain spaces), which is exactly the
+      * declarative spelling's `tokens(chunk_text)`. */
+    def reasonOf(w: Array[String], from: Int, until: Int): String = {
+      val n = until - from
+      if (n < 5) return "too_short"
+      var hits = 0; var distinct = 0
+      val seen = new java.util.HashSet[String](n * 2)
+      var i = from
+      while (i < until) {
+        val t = w(i)
+        if (Markers.contains(t)) hits += 1
+        if (seen.add(t)) distinct += 1
+        i += 1
+      }
+      lazy val text: String = {
+        val sb = new java.lang.StringBuilder
+        var j = from
+        while (j < until) { if (j > from) sb.append(' '); sb.append(w(j)); j += 1 }
+        sb.toString
+      }
+      val enScore = round4(hits.toDouble / n)
+      val nonEn = !(enScore > 0.01) && {
+        val len = text.codePointCount(0, text.length)
+        val occ = occurrences(text, "th") + occurrences(text, "he") +
+          occurrences(text, "in") + occurrences(text, "er")
+        !(round4(occ.toDouble / len) > 0.02)
+      }
+      if (nonEn) "non_en"
+      else if (round4(distinct.toDouble / n) < 0.3) "repetitive"
+      else if (countMatches(EmailP, text) + countMatches(NumP, text) > 20) "pii_heavy"
+      else "keep"
+    }
+
+    /** Document-grain convenience (the fuzz's unit of comparison). */
+    def reasonOf(text: String): String = {
+      val w = text.split(" ", -1)
+      reasonOf(w, 0, w.length)
+    }
   }
 
   /** c27: the curation gate at CHUNK grain — c25's context windows
@@ -533,19 +633,39 @@ object TextAnalysis {
     * share, the number a pipeline actually budgets training data by
     * once chunking is the unit of ingestion.
     *
-    * Scale shape: the chunk kernel is linear per document
-    * ([[Sampling.chunkTexts]]), every signal is a narrow projection
-    * over the chunk row, and the only shuffle is the ≤5-row reason
-    * aggregate — composing the two operators adds NO shuffle over
-    * c23. */
+    * Scale shape: ONE fused typed kernel — tokenize, window, and the
+    * cascade run per document with the chunk text never leaving the
+    * kernel (the r6 spelling serialized every chunk's text into a row
+    * and re-split it four times in the signal projection — ~5× the
+    * memory traffic, the superlinear term in the r6 ScaleSmoke row).
+    * Only reason strings become rows, so the shuffle is the ≤5-row
+    * reason aggregate — composing chunking with the gate adds NO
+    * shuffle over c23, and now no payload serialization either. */
   def c27ChunkCuration(docs: DataFrame, size: Int = Sampling.ChunkTokens,
-      overlap: Int = Sampling.ChunkOverlap): DataFrame =
-    Sampling.chunkTexts(docs, size, overlap)
-      .select(curationReasonOf(col("chunk_text")).as("reason"))
+      overlap: Int = Sampling.ChunkOverlap): DataFrame = {
+    require(overlap < size, "overlap must be smaller than the chunk size")
+    val stride = size - overlap
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (_, text) =>
+        // window geometry identical to Sampling.chunkTexts/c25 —
+        // Round7Spec holds this kernel to the composed
+        // chunkTexts∘curationReasonOf spelling on real corpora
+        val w = text.split(" ", -1)
+        val nChunks = math.max(
+          math.ceil((w.length - overlap).toDouble / stride).toInt, 1)
+        (0 until nChunks).iterator.map { i =>
+          val from = i * stride
+          CurationKernel.reasonOf(w, from, math.min(from + size, w.length))
+        }
+      }
+      .toDF("reason")
       .groupBy("reason").agg(count(lit(1)).as("n_chunks"))
-      .withColumn("share",
-        round(col("n_chunks").cast("double") / sum(col("n_chunks")).over(), 4))
+      .transform(shareOfTotal(_, "n_chunks", "share"))
       .orderBy("reason")
+  }
 
   /** c24: per-source corpus report — the source-level curation view
     * (which feeds/domains are duplicate-heavy or off-language): doc

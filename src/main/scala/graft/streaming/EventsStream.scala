@@ -90,7 +90,8 @@ object EventsStream {
     * arrival from an equal-timestamp tie that a11's order would
     * process as a forward change. */
   case class ScdEvent(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
-  case class ScdOpen(eventType: String, sinceUs: Long, sinceId: Long, version: Long)
+  case class ScdOpen(eventType: String, sinceUs: Long, sinceId: Long, version: Long,
+      maxUs: Long, maxId: Long)
   case class ScdClosed(user_id: Long, version: Long, event_type: String,
       valid_from_us: Long, valid_to_us: Long)
 
@@ -108,13 +109,16 @@ object EventsStream {
     * the group, and cross-batch ordering rides event time arriving in
     * batch order.
     *
-    * Late-data guard: an event is LATE iff it precedes the open
-    * episode's opening event in a11's (ts, event_id) total order —
-    * strictly earlier event time, or an equal timestamp with a lower
-    * event_id. The history up to that point is already emitted
-    * downstream in append mode, so a late event cannot be applied;
-    * treating it as a forward change would close the open episode
-    * with an INVERTED interval (valid_to < valid_from). Late events
+    * Late-data guard: an event is LATE iff it is behind the MAX
+    * (ts, event_id) this key has already processed, in a11's total
+    * order — strictly earlier event time, or an equal timestamp with
+    * a lower event_id. State carries that high-water mark alongside
+    * the open episode, so the guard covers EVERY out-of-order
+    * arrival: an event behind the episode opening (whose history is
+    * already emitted and cannot be rewritten), and equally an event
+    * behind an already-processed same-type no-op (which a11's order
+    * would have sorted BEFORE that no-op — applying it as a forward
+    * change would silently diverge from the batch twin). Late events
     * are dropped — the semantics every append-mode stateful operator
     * gives data behind the watermark. Because the guard is the SAME
     * total order a11 sorts by (not a batch-boundary test), output for
@@ -124,9 +128,13 @@ object EventsStream {
     * one, and closes the episode exactly as a11 does — possibly
     * zero-width (valid_to == valid_from), the legal SCD2 row a11
     * emits when an attribute changes twice at one instant. A replay
-    * of the opening event itself ((ts, id) equal, same type) is an
-    * idempotent no-op, not a drop. StreamingSpec pins the drop, the
-    * counter, the zero-width tie, and the never-inverted invariant.
+    * of an already-processed event ((ts, id) equal to the high-water
+    * mark, same type) is an idempotent no-op, not a drop.
+    * StreamingSpec pins the drops (both classes), the counter, the
+    * zero-width tie, and the never-inverted invariant. (The state
+    * schema carries two extra longs per key — still O(keys); a
+    * checkpoint written by the pre-guard schema is not resumable,
+    * the usual stateful-schema-evolution caveat.)
     *
     * Dropping is policy; `lateDropCounter` makes it VISIBLE policy: a
     * caller-supplied accumulator is bumped once per dropped event, so
@@ -148,16 +156,22 @@ object EventsStream {
       sorted.foreach { e =>
         cur match {
           case None =>
-            cur = Some(ScdOpen(e.event_type, e.ts_us, e.event_id, 1L))
-          case Some(s) if e.ts_us < s.sinceUs ||
-              (e.ts_us == s.sinceUs && e.event_id < s.sinceId) =>
-            // behind the open episode in the (ts, event_id) order:
-            // that history is already emitted — drop, visibly
+            cur = Some(ScdOpen(e.event_type, e.ts_us, e.event_id, 1L, e.ts_us, e.event_id))
+          case Some(s) if e.ts_us < s.maxUs ||
+              (e.ts_us == s.maxUs && e.event_id < s.maxId) =>
+            // behind the key's processed high-water mark in the
+            // (ts, event_id) order: a11 would have sorted it earlier —
+            // applying it now would diverge silently. Drop, visibly.
             lateDropCounter.foreach(_.add(1L))
           case Some(s) if s.eventType != e.event_type =>
             out += ScdClosed(user, s.version, s.eventType, s.sinceUs, e.ts_us)
-            cur = Some(ScdOpen(e.event_type, e.ts_us, e.event_id, s.version + 1))
-          case _ => ()
+            cur = Some(ScdOpen(e.event_type, e.ts_us, e.event_id, s.version + 1,
+              e.ts_us, e.event_id))
+          case Some(s) =>
+            // same-type no-op still advances the high-water mark — the
+            // disorder guard above is relative to everything PROCESSED,
+            // not just the episode opening
+            cur = Some(s.copy(maxUs = e.ts_us, maxId = e.event_id))
         }
       }
       cur.foreach(state.update)

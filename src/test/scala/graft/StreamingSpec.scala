@@ -157,6 +157,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 drops events behind an already-processed same-type no-op") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-scd2-hwm-").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-scd2-hwm-st-").toString
+    def batch(name: String, rows: Seq[(Long, String, Long, Long)]): Unit = {
+      val out = s"$stage/$name"
+      rows.toDF("user_id", "event_type", "ts_us", "event_id")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+        .coalesce(1).write.parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    // batch 0: A opens at (100, 1), then a same-type NO-OP at (300, 3)
+    // advances the key's processed high-water mark past the episode
+    // opening. batch 1: C at (200, 2) is behind that mark — a11's
+    // order would have sorted it BEFORE the no-op, so applying it now
+    // would silently diverge; it must be dropped AND counted (the
+    // pre-r7 guard, relative only to the opening (100, 1), let it
+    // through). A replay of the high-water event itself (A, 300, 3)
+    // is an idempotent no-op, not a drop. D at (400, 4) closes A.
+    batch("batch0", Seq((1L, "A", 100L, 1L), (1L, "A", 300L, 3L)))
+    batch("batch1", Seq((1L, "C", 200L, 2L), (1L, "A", 300L, 3L), (1L, "D", 400L, 4L)))
+    val schema = spark.read.parquet(s"$stage/batch0").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val dropped = spark.sparkContext.longAccumulator("scd2_hwm_dropped")
+    val q = EventsStream.scd2Stateful(src, lateDropCounter = Some(dropped))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_hwm_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("scd2_hwm_out")
+        .select("event_type", "valid_from_us", "valid_to_us")
+        .orderBy("valid_from_us", "valid_to_us")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq(("A", 100L, 400L)),
+        s"event behind the processed high-water mark was applied: ${got.mkString(",")}")
+      assert(dropped.value == 1L,
+        s"expected exactly the 1 behind-no-op event counted, got ${dropped.value}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventsStream.purchaseClickJoin(streamingEvents(), streaming = true)
       .writeStream.outputMode("append")
