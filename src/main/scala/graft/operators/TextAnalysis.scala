@@ -501,15 +501,20 @@ object TextAnalysis {
     * 4-rounded ratios (the same spellings c8/c9 hash-match on), so
     * the branch taken is engine-exact. */
   def c23CurationFilter(docs: DataFrame): DataFrame =
-    // total = re-aggregate of the ≤5-row reason counts, broadcast
-    // back as a 1-row cross join ([[shareOfTotal]]) — NOT a second
-    // corpus scan (every doc has exactly one reason, so the sums
-    // agree by construction; ReuseExchange serves both branches from
-    // the one reason shuffle), and not an unpartitioned window,
-    // whose WARN would pollute driver logs
+    curationReport(docs.select(curationReasonOf(col("text")).as("reason")))
+
+  /** The c23 report over an already-decided `reason` column — ONE
+    * spelling shared by the batch gate and the streaming gate
+    * (CurationStream), so their reports cannot drift. total =
+    * re-aggregate of the ≤5-row reason counts, broadcast back as a
+    * 1-row cross join ([[shareOfTotal]]) — NOT a second corpus scan
+    * (every doc has exactly one reason, so the sums agree by
+    * construction; ReuseExchange serves both branches from the one
+    * reason shuffle), and not an unpartitioned window, whose WARN
+    * would pollute driver logs. */
+  private[graft] def curationReport(reasons: DataFrame): DataFrame =
     shareOfTotal(
-      docs.select(curationReasonOf(col("text")).as("reason"))
-        .groupBy("reason").agg(count(lit(1)).as("n_docs")),
+      reasons.groupBy("reason").agg(count(lit(1)).as("n_docs")),
       "n_docs", "share")
       .orderBy("reason")
 

@@ -88,6 +88,40 @@ class PropertySpec extends AnyFunSuite {
       } yield rows.distinctBy(_._1)
     }
 
+  // reference machinery for the c32 fuzz: same LSH geometry (sign
+  // bucket over the 8 dims, degenerate-bucket cap), cosine in
+  // left-to-right double arithmetic with Spark's HALF_UP 4-decimal
+  // rounding, plain union-find over the verified pairs
+  private def embBucket(v: Array[Float]): Long =
+    (0 until 8).map(d => if (v(d) >= 0) 1L << d else 0L).sum
+  private def embDot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var j = 0
+    while (j < a.length) { s += a(j).toDouble * b(j).toDouble; j += 1 }
+    s
+  }
+  private def embCos4(a: Array[Float], b: Array[Float]): Double =
+    BigDecimal.valueOf(embDot(a, b) / (math.sqrt(embDot(a, a)) * math.sqrt(embDot(b, b))))
+      .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Brute-force SemDeDup at threshold `th`: (cluster, canonical,
+    * n_members, reclaimable), the rows c32 must reproduce. */
+  private def bruteClusters(rows: List[(Long, Array[Float])],
+      th: Double): Seq[(Long, Long, Long, Long)] = {
+    val pairs = embCorpusPairs(rows, embBucket, embCos4, th)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.groupBy(find).toSeq
+      .map { case (root, ms) => (root, ms.min, ms.size.toLong, ms.size.toLong - 1) }
+      .sortBy(_._1)
+  }
+
   test("c32 equals a brute-force semantic-dedup reference on random corpora") {
     import spark.implicits._
     val th = operators.Similarity.SemDedupThreshold
@@ -95,35 +129,59 @@ class PropertySpec extends AnyFunSuite {
       val got = operators.Similarity
         .c32SemanticClusters(rows.toDF("vec_id", "embedding"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-      // reference: same LSH geometry (sign bucket over the 8 dims,
-      // degenerate-bucket cap), cosine in left-to-right double
-      // arithmetic with Spark's HALF_UP 4-decimal rounding, plain
-      // union-find over the verified pairs
-      def bucket(v: Array[Float]): Long =
-        (0 until 8).map(d => if (v(d) >= 0) 1L << d else 0L).sum
-      def dot(a: Array[Float], b: Array[Float]): Double = {
-        var s = 0.0; var j = 0
-        while (j < a.length) { s += a(j).toDouble * b(j).toDouble; j += 1 }
-        s
-      }
-      def cos4(a: Array[Float], b: Array[Float]): Double =
-        BigDecimal.valueOf(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
-          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-      val pairs = embCorpusPairs(rows, bucket, cos4, th)
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
-      }
-      pairs.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val want = parent.keys.groupBy(find).toSeq
-        .map { case (root, ms) => (root, ms.min, ms.size.toLong, ms.size.toLong - 1) }
-        .sortBy(_._1)
-      assert(got == want, s"corpus#$i (${rows.size} vectors, ${pairs.size} pairs)")
+      val want = bruteClusters(rows, th)
+      assert(got == want, s"corpus#$i (${rows.size} vectors)")
     }
+  }
+
+  test("c32 admission bar holds across thresholds, including the production ~0.95 regime") {
+    import spark.implicits._
+    // a corpus BUILT to discriminate thresholds: random bases plus
+    // planted near-identical copies (cos ≈ 0.999+, the SemDeDup
+    // "same semantic content, different wording" case) and planted
+    // mid-similarity variants (cos ≈ 0.85–0.92) that a production
+    // bar must REJECT and a loose bar must admit
+    val rnd = new scala.util.Random(32)
+    def vec(): Array[Float] = {
+      val v = Array.fill(8)((rnd.nextInt(201) - 100) / 100.0f)
+      if (v.forall(_ == 0f)) { v(0) = 0.5f }; v
+    }
+    val rows = scala.collection.mutable.ListBuffer.empty[(Long, Array[Float])]
+    var id = 0L
+    for (_ <- 0 until 12) {
+      val base = vec()
+      rows += ((id, base)); id += 1
+      // near-identical: uniform scale + one-permille nudge
+      if (rnd.nextBoolean()) {
+        val c = base.map(_ * 1.02f); c(3) = c(3) + 0.001f
+        rows += ((id, c)); id += 1
+      }
+      // mid-similarity: blend toward an unrelated direction
+      if (rnd.nextBoolean()) {
+        val o = vec()
+        val m = Array.tabulate(8)(d => (0.85f * base(d) + 0.35f * o(d)))
+        if (m.forall(_ == 0f)) m(0) = 0.5f
+        rows += ((id, m)); id += 1
+      }
+    }
+    val corpus = rows.toList
+    val df = corpus.toDF("vec_id", "embedding")
+    val byTh = (for (th <- Seq(0.25, 0.7, 0.95, 0.99)) yield {
+      val got = operators.Similarity
+        .c32SemanticClusters(df, threshold = th)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == bruteClusters(corpus, th),
+        s"c32 diverges from brute force at threshold $th")
+      th -> got
+    }).toMap
+    // the sweep must actually discriminate: the loose bar admits
+    // strictly more duplicate mass than the production bar, and the
+    // production bar still catches the planted near-identical copies
+    def dupMass(cl: Seq[(Long, Long, Long, Long)]): Long = cl.map(_._4).sum
+    assert(dupMass(byTh(0.25)) > dupMass(byTh(0.95)),
+      "loose and production thresholds admitted the same mass — sweep is vacuous")
+    assert(dupMass(byTh(0.95)) > 0,
+      "production threshold missed every planted near-identical copy")
   }
 
   private def embCorpusPairs(rows: List[(Long, Array[Float])],

@@ -201,6 +201,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gate equals batch c23 across a micro-batch boundary") {
+    import graft.streaming.CurationStream
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // stage the corpus as TWO files → two micro-batches, so the gate
+    // provably composes across a trigger boundary
+    val in = java.nio.file.Files.createTempDirectory("graft-cur-in-").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+    val reasonStore = java.nio.file.Files.createTempDirectory("graft-cur-r-").toString + "/store"
+    val keepStore = java.nio.file.Files.createTempDirectory("graft-cur-k-").toString + "/store"
+    def runGate(): Unit = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = CurationStream.curationGate(src, reasonStore, keepStore)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runGate()
+    val want = graft.operators.TextAnalysis.c23CurationFilter(docs)
+      .collect().map(_.toSeq).toSeq
+    def gotReport() = CurationStream.report(spark, reasonStore)
+      .collect().map(_.toSeq).toSeq
+    assert(gotReport() == want,
+      "live-gated report diverged from batch c23 over the same corpus")
+    // the corpus store holds exactly the admitted docs
+    val kept = spark.read.parquet(keepStore)
+    val nKeep = docs.select(graft.operators.TextAnalysis.curationReasonOf(col("text"))
+      .as("r")).filter(col("r") === "keep").count()
+    assert(kept.count() == nKeep && kept.select("doc_id").distinct().count() == nKeep)
+    // at-least-once replay: re-offering the whole corpus changes nothing
+    runGate()
+    assert(gotReport() == want, "replayed micro-batches double-counted")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventsStream.purchaseClickJoin(streamingEvents(), streaming = true)
       .writeStream.outputMode("append")
