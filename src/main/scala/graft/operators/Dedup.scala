@@ -505,11 +505,17 @@ object Dedup {
         } yield (occ(i)._1, occ(i)._2, occ(j)._1, occ(j)._2)
       }
       .toDF("doc_a", "pos_a", "doc_b", "pos_b")
-    val diag = col("pos_a") - col("pos_b")
-    val run = Window.partitionBy(col("doc_a"), col("doc_b"), diag).orderBy(col("pos_a"))
+    // diag is materialized as a COLUMN so the span aggregate's
+    // grouping keys are a superset of the window's hash partitioning
+    // ATTRIBUTES — EnsureRequirements then reuses the window exchange
+    // for the groupBy (re-deriving pos_a − pos_b as a fresh
+    // expression planned a third shuffle; PlanShapeSpec pins 2)
+    val run = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
     pairs
+      .withColumn("diag", col("pos_a") - col("pos_b"))
       .withColumn("grp", col("pos_a") - row_number().over(run))
-      .groupBy(col("doc_a"), col("doc_b"), diag.as("diag"), col("grp"))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
         (count(lit(1)) + (w - 1)).as("n_tokens"))
       .filter(col("n_tokens") >= minSpan)

@@ -36,11 +36,33 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("no query plans a broadcast nested loop or cartesian product") {
     for (name <- Seq("c2_dedup_ngram", "c3_dedup_minhash", "c4_dedup_simhash", "c5_embed_neardup",
-      "b13_range_join")) {
+      "b13_range_join", "c33_substring_dedup", "d6_media_neardup")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop join")
     }
+  }
+
+  test("c33's span collapse shares the diagonal exchange (window + groupBy, one shuffle)") {
+    val p = plan("c33_substring_dedup")
+    // the run-group window and the span aggregate both key on
+    // (doc_a, doc_b, diag): the groupBy must reuse the window's sort
+    // order/exchange rather than plan its own hash exchange on top
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"c33 plans $exchanges hash exchanges (posting-list + diagonal expected):\n$p")
+  }
+
+  test("d6's band-join sides read the materialized phash frame, never the payload kernel") {
+    val p = plan("d6_media_neardup")
+    // the phash kernel is materialized (Materialize.frame → Scan
+    // ExistingRDD); if the payload-chewing kernel itself appeared in
+    // the final plan, the binary scan would re-run per consumer (the
+    // pre-diet d5 bug). The labeler's union-find MapPartitions is the
+    // only legitimate object kernel here.
+    assert(p.contains("Scan ExistingRDD"), s"phash frame not materialized:\n$p")
+    assert(!p.contains("MapPartitions graft.operators.Multimodal"),
+      s"d6's final plan re-runs the payload phash kernel:\n$p")
   }
 
   test("similarity norms use the fused self-dot expression") {
