@@ -31,6 +31,33 @@ object OraclesC {
   private val BAND_KEY =
     (1 to R).map(r => s"sig[$R*j+$r]").mkString("j::varchar || ':' || ", " || ':' || ", "")
 
+  /** c33's shingle-diagonal span chain up to maximal cross-doc spans
+    * (CTE list, no WITH keyword) — shared by c33 and c34. Geometry
+    * interpolated from the operator constants. */
+  private val C33_CHAIN = s"""
+      d33 as (select doc_id, string_split(text, ' ') as w0 from documents),
+      sh33 as (
+        select doc_id, p as pos,
+               md5(array_to_string(w0[p+1:p+${graft.operators.Dedup.SpanShingleW}], ' ')) as key
+        from d33, lateral (select unnest(range(0, len(w0) - ${graft.operators.Dedup.SpanShingleW - 1})) as p) t),
+      keyed33 as (
+        select key from sh33 group by key
+        having count(*) between 2 and ${graft.operators.Dedup.SpanOccCap}),
+      pr33 as (
+        select a.doc_id as doc_a, a.pos as pos_a, b.doc_id as doc_b, b.pos as pos_b
+        from sh33 a join keyed33 using (key) join sh33 b using (key)
+        where a.doc_id < b.doc_id),
+      runs33 as (
+        select doc_a, doc_b, pos_a - pos_b as diag, pos_a, pos_b,
+               pos_a - row_number() over (
+                 partition by doc_a, doc_b, pos_a - pos_b order by pos_a) as grp
+        from pr33),
+      spans as (
+        select doc_a, doc_b, min(pos_a) as a_start, min(pos_b) as b_start,
+               count(*) + ${graft.operators.Dedup.SpanShingleW - 1} as n_tokens
+        from runs33 group by doc_a, doc_b, diag, grp
+        having count(*) + ${graft.operators.Dedup.SpanShingleW - 1} >= ${graft.operators.Dedup.SpanMinTokens})"""
+
   /** c3's MinHash-LSH chain up to verified candidate pairs (CTE list,
     * no WITH keyword) — shared by c3 and c12. */
   private val C3_CHAIN = s"""
@@ -282,28 +309,31 @@ object OraclesC {
     // pos − row_number() run trick is the same window the operator
     // plans
     "c33_substring_dedup" -> s"""
-      with d as (select doc_id, string_split(text, ' ') as w0 from documents),
-      sh as (
-        select doc_id, p as pos,
-               md5(array_to_string(w0[p+1:p+${graft.operators.Dedup.SpanShingleW}], ' ')) as key
-        from d, lateral (select unnest(range(0, len(w0) - ${graft.operators.Dedup.SpanShingleW - 1})) as p) t),
-      keyed as (
-        select key from sh group by key
-        having count(*) between 2 and ${graft.operators.Dedup.SpanOccCap}),
-      pr as (
-        select a.doc_id as doc_a, a.pos as pos_a, b.doc_id as doc_b, b.pos as pos_b
-        from sh a join keyed using (key) join sh b using (key)
-        where a.doc_id < b.doc_id),
-      runs as (
-        select doc_a, doc_b, pos_a - pos_b as diag, pos_a, pos_b,
-               pos_a - row_number() over (
-                 partition by doc_a, doc_b, pos_a - pos_b order by pos_a) as grp
-        from pr)
-      select doc_a, doc_b, min(pos_a) as a_start, min(pos_b) as b_start,
-             count(*) + ${graft.operators.Dedup.SpanShingleW - 1} as n_tokens
-      from runs group by doc_a, doc_b, diag, grp
-      having count(*) + ${graft.operators.Dedup.SpanShingleW - 1} >= ${graft.operators.Dedup.SpanMinTokens}
+      with $C33_CHAIN
+      select doc_a, doc_b, a_start, b_start, n_tokens from spans
       order by doc_a, doc_b, a_start, b_start
+    """,
+
+    // c34's island merge over c33's b-side intervals — the running
+    // max uses a strict ROWS frame, the island id the default RANGE
+    // cumulative frame; tied intervals share an island in both
+    // engines
+    "c34_span_cuts" -> s"""
+      with $C33_CHAIN,
+      iv as (select doc_b as doc_id, b_start as s, b_start + n_tokens as e from spans),
+      m as (
+        select doc_id, s, e,
+               max(e) over (partition by doc_id order by s, e
+                 rows between unbounded preceding and 1 preceding) as maxe
+        from iv),
+      isl as (
+        select doc_id, s, e,
+               sum(case when maxe is null or s > maxe then 1 else 0 end)
+                 over (partition by doc_id order by s, e) as island
+        from m),
+      r as (select doc_id, island, min(s) as cs, max(e) as ce from isl group by doc_id, island)
+      select doc_id, count(*) as n_cut_ranges, sum(ce - cs)::bigint as cut_tokens
+      from r group by doc_id order by doc_id
     """,
 
     "c6_ann_topk" -> s"""

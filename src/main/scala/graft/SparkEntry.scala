@@ -97,6 +97,7 @@ object SparkEntry {
     "c31_unigram_logprob" -> ((s, dir) => TextAnalysis.c31UnigramLogprob(Tables.documents(s, dir))),
     "c32_semantic_clusters" -> ((s, dir) => Similarity.c32SemanticClusters(Tables.embeddings(s, dir))),
     "c33_substring_dedup" -> ((s, dir) => Dedup.c33SubstringDedup(Tables.documents(s, dir))),
+    "c34_span_cuts" -> ((s, dir) => Dedup.c34SpanCuts(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

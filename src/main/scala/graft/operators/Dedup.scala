@@ -522,4 +522,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"), col("n_tokens"))
       .orderBy("doc_a", "doc_b", "a_start", "b_start")
   }
+
+  /** c34: the span-dedup CUT decision — what a pipeline actually
+    * executes on c33's evidence (Lee et al. cut all-but-one
+    * occurrence of every duplicated span; c33's keep-first
+    * orientation makes the survivor the lowest doc_id holding it):
+    * per document, the DISJOINT token ranges to remove. A doc's cut
+    * intervals come from every pair where it is the b-side; they
+    * overlap freely (one passage can match several earlier docs with
+    * different extents), so they are merged with the classic
+    * running-max island trick — an interval starts a new island iff
+    * it begins strictly after the max end seen before it (b9's gap
+    * detection, on intervals instead of timestamps).
+    *
+    * Scale shape: everything past c33 operates on SPAN rows (volume
+    * ∝ duplication evidence, not corpus): one doc_id window + two
+    * span-row aggregates, the (doc_id, island) one reusing the
+    * window's exchange. Report: (doc_id, n_cut_ranges, cut_tokens),
+    * the budget line item "how much of this doc is someone else's
+    * text". */
+  def c34SpanCuts(docs: DataFrame, w: Int = SpanShingleW,
+      minSpan: Int = SpanMinTokens, occCap: Int = SpanOccCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = c33SubstringDedup(docs, w, minSpan, occCap)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("n_tokens")).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    // ROWS frame for the running max (strictly-prior intervals);
+    // island id via the default RANGE cumulative frame — tied
+    // intervals share their island id by construction in BOTH
+    // engines, so the spelling is order-stable under ties
+    iv
+      .withColumn("maxe", max(col("e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("cs"), max(col("e")).as("ce"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cut_ranges"),
+        sum(col("ce") - col("cs")).as("cut_tokens"))
+      .orderBy("doc_id")
+  }
 }

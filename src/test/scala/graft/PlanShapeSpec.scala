@@ -36,7 +36,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("no query plans a broadcast nested loop or cartesian product") {
     for (name <- Seq("c2_dedup_ngram", "c3_dedup_minhash", "c4_dedup_simhash", "c5_embed_neardup",
-      "b13_range_join", "c33_substring_dedup", "d6_media_neardup")) {
+      "b13_range_join", "c33_substring_dedup", "c34_span_cuts", "d6_media_neardup")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop join")

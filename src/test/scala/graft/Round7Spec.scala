@@ -206,6 +206,40 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  // ---- c34 span cut decision ------------------------------------------
+
+  test("c34 merges overlapping cut intervals and never cuts the keeper") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def toks(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val sharedA = toks("s", 24)
+    val sharedB = toks("s", 30)          // extends sharedA (same prefix run)
+    val far = toks("f", 20)
+    val docs = Seq(
+      // doc 1: the global keeper of the s-span and the f-span
+      (1L, s"$sharedB ${toks("p", 6)} $far"),
+      // doc 2 holds sharedA at pos 3 AND far at pos 3+24+5: two cut
+      // ranges from DIFFERENT earlier docs; its s-copy matches doc 1's
+      // longer span partially → the b-side interval is [3, 3+24)
+      (2L, s"${toks("q", 3)} $sharedA ${toks("r", 5)} $far"),
+      // doc 3 holds sharedB whole → one 30-token cut vs doc 1, plus a
+      // 24-token overlap vs doc 2 starting at the same place: the two
+      // intervals [0,30) and [0,24) must merge to ONE 30-token range
+      (3L, s"$sharedB ${toks("u", 8)}")
+    ).toDF("doc_id", "text")
+    val got = Dedup.c34SpanCuts(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 keeps everything (lowest id for every span it holds);
+    // doc 2 cuts its s-copy [3,27) and its far-copy (20 tokens);
+    // doc 3 cuts one merged 30-token range
+    assert(got == Seq((2L, 2L, 44L), (3L, 1L, 30L)),
+      s"c34 cut report: ${got.mkString(",")}")
+    // a corpus with no cross-doc spans cuts nothing
+    val clean = Seq((10L, toks("x", 40)), (11L, toks("y", 40))).toDF("doc_id", "text")
+    assert(Dedup.c34SpanCuts(clean).collect().isEmpty)
+  }
+
   // ---- d6 perceptual media near-dup -----------------------------------
 
   test("d6 clusters planted re-encodes, splits media types, leaves strangers singleton") {
