@@ -38,7 +38,7 @@ object OraclesC {
       d33 as (select doc_id, string_split(text, ' ') as w0 from documents),
       sh33 as (
         select doc_id, p as pos,
-               md5(array_to_string(w0[p+1:p+${graft.operators.Dedup.SpanShingleW}], ' ')) as key
+               substr(md5(array_to_string(w0[p+1:p+${graft.operators.Dedup.SpanShingleW}], ' ')), 1, 16) as key
         from d33, lateral (select unnest(range(0, len(w0) - ${graft.operators.Dedup.SpanShingleW - 1})) as p) t),
       keyed33 as (
         select key from sh33 group by key

@@ -419,14 +419,22 @@ object Dedup {
   val SpanMinTokens = 16
   val SpanOccCap = 200
 
-  /** Positional fixed-width shingles: (doc_id, pos, 128-bit key).
+  /** Positional fixed-width shingles: (doc_id, pos, 64-bit key).
     * Same typed-kernel rationale as [[shingleSets]] (the sliding
     * window is a per-row loop; interpreted higher-order functions
     * cost ~10×), but positions are kept — runs of consecutive
-    * shared positions are what c33 collapses into spans. The md5 key
-    * is applied DECLARATIVELY on top (codegen'd, and the exact
-    * spelling the oracle uses), so only 32-hex keys + two longs ever
-    * reach the shuffle — never the 8-token shingle text. */
+    * shared positions are what c33 collapses into spans. The md5
+    * key is applied DECLARATIVELY on top (codegen'd, the exact
+    * spelling the oracle uses) and TRUNCATED to 16 hex chars = 64
+    * bits, so only 16-byte keys + two longs ever reach the shuffle —
+    * never the 8-token shingle text, and half the key bytes of the
+    * full digest. Truncation is safe for SPAN semantics: a colliding
+    * key pair can fake at most one isolated shingle match on a
+    * random diagonal (W tokens < minSpan — filtered); a fake SPAN
+    * would need minSpan−W+1 consecutive collisions. At 10^11
+    * shingles, expected isolated collisions ≈ 10^22/2^65 ≪ 1 per
+    * thousand corpora — and each costs a filtered row, not a wrong
+    * answer. */
   private def posShingles(docs: DataFrame, w: Int): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
@@ -450,7 +458,7 @@ object Dedup {
         }
       }
       .toDF("doc_id", "pos", "s")
-      .select(col("doc_id"), col("pos"), md5(col("s")).as("key"))
+      .select(col("doc_id"), col("pos"), substring(md5(col("s")), 1, 16).as("key"))
   }
 
   /** c33: exact repeated-SPAN dedup across documents — the Lee et
@@ -485,6 +493,25 @@ object Dedup {
     * doc_id = first occurrence, c1's keep-first policy); a caller
     * cuts [b_start, b_start + n_tokens) from doc_b. */
   def c33SubstringDedup(docs: DataFrame, w: Int = SpanShingleW,
+      minSpan: Int = SpanMinTokens, occCap: Int = SpanOccCap): DataFrame =
+    spanFrame(docs, w, minSpan, occCap)
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+
+  /** The SHARED span evidence: c33's chain up to (but not including)
+    * its report sort, memoized per (session, corpus, geometry) via
+    * the CorpusPrep discipline — c33 and c34 both derive from this,
+    * so a session running the report AND the cut decision pays for
+    * the shingle/pair/collapse chain once (the same reason c2/c3/c12
+    * share one shingle kernel). */
+  private def spanFrame(docs: DataFrame, w: Int,
+      minSpan: Int, occCap: Int): DataFrame =
+    CorpusPrep.memo(s"c33_spans_${w}_${minSpan}_$occCap", docs)(
+      Materialize.frame(spanChain(docs, w, minSpan, occCap)))
+
+  /** The span chain as a pure plan (exposed for the plan-shape spec:
+    * the window-exchange reuse is invisible once [[spanFrame]]
+    * materializes it). */
+  private[graft] def spanChain(docs: DataFrame, w: Int = SpanShingleW,
       minSpan: Int = SpanMinTokens, occCap: Int = SpanOccCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 1 && minSpan >= w, "minSpan must be at least the shingle width")
@@ -520,7 +547,6 @@ object Dedup {
         (count(lit(1)) + (w - 1)).as("n_tokens"))
       .filter(col("n_tokens") >= minSpan)
       .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"), col("n_tokens"))
-      .orderBy("doc_a", "doc_b", "a_start", "b_start")
   }
 
   /** c34: the span-dedup CUT decision — what a pipeline actually
@@ -544,7 +570,7 @@ object Dedup {
   def c34SpanCuts(docs: DataFrame, w: Int = SpanShingleW,
       minSpan: Int = SpanMinTokens, occCap: Int = SpanOccCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val iv = c33SubstringDedup(docs, w, minSpan, occCap)
+    val iv = spanFrame(docs, w, minSpan, occCap)
       .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
         (col("b_start") + col("n_tokens")).as("e"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))

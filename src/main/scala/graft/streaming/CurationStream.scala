@@ -33,10 +33,14 @@ object CurationStream {
 
   /** Start the gate over a streaming `docs` frame (doc_id, text).
     * `reasonStore` accumulates (doc_id, reason); `keepStore`
-    * accumulates the admitted (doc_id, text). */
+    * accumulates the admitted (doc_id, text). `checkpoint` (durable
+    * storage in production) lets a restarted gate resume source
+    * progress instead of re-offering the whole history — correctness
+    * never depends on it (the keyed stores absorb full replays,
+    * spec-pinned), it only bounds restart COST. */
   def curationGate(docs: DataFrame, reasonStore: String,
-      keepStore: String): StreamingQuery =
-    docs.writeStream
+      keepStore: String, checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // decide once per micro-batch, feed both sinks from the one

@@ -44,7 +44,11 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("c33's span collapse shares the diagonal exchange (window + groupBy, one shuffle)") {
-    val p = plan("c33_substring_dedup")
+    // assert on the PURE chain — the keyed query memoizes+materializes
+    // it (spanFrame), which would hide the window plan behind a scan
+    val p = graft.operators.Dedup
+      .spanChain(graft.sources.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
     // the run-group window and the span aggregate both key on
     // (doc_a, doc_b, diag): the groupBy must reuse the window's sort
     // order/exchange rather than plan its own hash exchange on top

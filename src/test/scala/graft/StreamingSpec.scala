@@ -232,6 +232,18 @@ class StreamingSpec extends AnyFunSuite {
     // at-least-once replay: re-offering the whole corpus changes nothing
     runGate()
     assert(gotReport() == want, "replayed micro-batches double-counted")
+    // checkpointed restart: a NEW gate over the same input resumes
+    // source progress (no work) and the report stands
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cur-ck-").toString
+    def runCheckpointed(): Unit = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = CurationStream.curationGate(src, reasonStore, keepStore, Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    runCheckpointed()
+    runCheckpointed()
+    assert(gotReport() == want, "checkpointed restart corrupted the report")
   }
 
   test("stream-stream interval join matches the batch join") {
