@@ -164,6 +164,20 @@ object OraclesC {
     .map { case (lang, r) => s"when lang = '$lang' then ${(r * 1000).toLong}" }
     .mkString("case ", " ", " else 1000 end")
 
+  // c35 Bloom geometry, c37 BM25 constants, c38 mixture share — all
+  // from the operator constants (Double.toString round-trips exactly,
+  // so the SQL literal parses back to the identical IEEE double)
+  private val BLOOM_M = graft.operators.TextAnalysis.BloomBits
+  private val BLOOM_K = graft.operators.TextAnalysis.BloomHashes
+  private val K1 = graft.operators.TextAnalysis.Bm25K1
+  private val K1P1 = graft.operators.TextAnalysis.Bm25K1 + 1
+  private val B25 = graft.operators.TextAnalysis.Bm25B
+  private val OMB = 1 - graft.operators.TextAnalysis.Bm25B
+  private val BMTOPK = graft.operators.TextAnalysis.Bm25TopK
+  private val QTOK = graft.operators.TextAnalysis.Bm25QueryTokens
+  private val PCAP = graft.operators.TextAnalysis.Bm25PostingCap
+  private val MIXSHARE = graft.operators.Sampling.MixBudgetShare
+
   val sql: Map[String, String] = Map(
     "c1_dedup_exact" -> """
       select md5(text) as content_hash, count(*) as n_copies, min(doc_id) as keep_doc_id
@@ -500,6 +514,111 @@ object OraclesC {
              round(n_hit::double / n_sh, 4) as contamination
       from scored
       order by contamination desc, doc_id limit 50
+    """,
+
+    "c35_bloom_contamination" -> s"""
+      with sh as ($SH8),
+      bench as (select distinct sh8 from sh where doc_id % 97 = 0),
+      bits as (
+        select distinct ('0x' || substr(md5(i::varchar || ':' || sh8), 1, 7))::bigint % $BLOOM_M as pos
+        from bench, unnest(range(0,$BLOOM_K)) as t(i)),
+      probe as (
+        select doc_id, sh8,
+               ('0x' || substr(md5(i::varchar || ':' || sh8), 1, 7))::bigint % $BLOOM_M as pos
+        from sh, unnest(range(0,$BLOOM_K)) as t(i)
+        where doc_id % 97 <> 0),
+      per_sh as (
+        select probe.doc_id, probe.sh8,
+               count(*) as n_pos, count(bits.pos) as n_hit
+        from probe left join bits on probe.pos = bits.pos
+        group by probe.doc_id, probe.sh8)
+      select doc_id, count(*) as n_sh,
+             (count(*) filter (where n_hit = n_pos))::bigint as n_flagged,
+             round((count(*) filter (where n_hit = n_pos))::double / count(*), 4) as flagged_frac
+      from per_sh group by doc_id
+      order by flagged_frac desc, doc_id limit 50
+    """,
+
+    "c36_cluster_split" -> s"""
+      with recursive $C3_CHAIN,
+      vp as (select doc_a, doc_b from vpairs where jaccard >= 0.5),
+      edges as (
+        select doc_a as a, doc_b as b from vp
+        union
+        select doc_b as a, doc_a as b from vp),
+      reach(a, b) as (
+        select a, b from edges
+        union
+        select r.a, e.b from reach r join edges e on r.b = e.a where e.b <> r.a),
+      lab as (select a as doc_id, least(a, min(b)) as cluster from reach group by a),
+      cl as (
+        select d.doc_id, coalesce(lab.cluster, d.doc_id) as cluster
+        from documents d left join lab on d.doc_id = lab.doc_id),
+      s as (
+        select doc_id, cluster,
+               case when b < $TRAIN then 'train' when b < $VAL then 'val' else 'test' end as split
+        from (select doc_id, cluster,
+                ('0x' || substr(md5(cluster::varchar), 1, 7))::bigint % 100 as b
+              from cl))
+      select split, count(*) as n_docs, count(distinct cluster) as n_clusters
+      from s group by split order by split
+    """,
+
+    "c37_bm25" -> s"""
+      with q as (
+        select doc_id as q_id, unnest(list_distinct(w[1:$QTOK])) as term
+        from (select doc_id, string_split(text, ' ') as w
+              from documents where doc_id % 101 = 0)),
+      terms as (
+        select doc_id, unnest(string_split(text, ' ')) as term
+        from documents where doc_id % 101 <> 0),
+      tf as (select doc_id, term, count(*) as tf from terms group by 1, 2),
+      dl as (select doc_id, sum(tf)::bigint as dl from tf group by 1),
+      stats as (select sum(dl)::double / count(*) as avgdl, count(*) as n_docs from dl),
+      dfx as (select term, count(*) as df from tf group by 1),
+      capped as (select term, df from dfx, stats where df * 10 <= n_docs * 9),
+      pruned as (
+        select q.q_id, tf.term, tf.doc_id, tf.tf
+        from q join tf using (term)
+        qualify row_number() over (partition by q_id, term
+          order by tf desc, doc_id) <= $PCAP),
+      contrib as (
+        select p.q_id, p.doc_id,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * $K1P1)
+                 / (tf + $K1 * ($OMB + $B25 * dl / avgdl)) as c
+        from pruned p
+        join capped using (term)
+        join dl on p.doc_id = dl.doc_id, stats),
+      scored as (select q_id, doc_id, round(sum(c), 4) as score from contrib group by 1, 2),
+      ranked as (
+        select q_id, doc_id, score,
+               row_number() over (partition by q_id order by score desc, doc_id) as rank
+        from scored)
+      select q_id, rank, doc_id, score from ranked
+      where rank <= $BMTOPK order by q_id, rank
+    """,
+
+    "c38_temperature_mix" -> s"""
+      with counts as (select source, count(*) as n_total from documents group by source),
+      tot as (
+        select sum(n_total)::bigint as n_corpus,
+               round(sum(sqrt(n_total)), 6) as z
+        from counts),
+      rates as (
+        select source,
+               least(1000, floor(1000.0 * floor(n_corpus * $MIXSHARE)
+                 * sqrt(n_total) / (z * n_total))::bigint) as mille
+        from counts, tot),
+      d as (
+        select doc_id, source,
+               ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 1000 as bucket
+        from documents)
+      select d.source, count(*) as n_docs, min(mille) as keep_mille,
+             (count(*) filter (where bucket < mille))::bigint as n_kept,
+             round((count(*) filter (where bucket < mille))::double / count(*), 4) as kept_frac
+      from d join rates on d.source = rates.source
+      group by d.source order by d.source
     """,
 
     "c21_repetition" -> """

@@ -123,7 +123,12 @@ object ScaleSmoke {
       // r7: the span-dedup posting lists (occurrence-capped) and the
       // per-asset phash banding — both candidate-bounded by
       // construction, both need the measured row to prove it
-      "c33_substring_dedup", "d6_media_neardup")
+      "c33_substring_dedup", "d6_media_neardup",
+      // r8: the bounded-broadcast Bloom probe (must track the shingle
+      // kernel's profile), the cluster-split label join (verified-
+      // pair-sized), and the pruned inverted-index probe (fan-out
+      // capped per (query, term))
+      "c35_bloom_contamination", "c36_cluster_split", "c37_bm25")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -98,6 +98,10 @@ object SparkEntry {
     "c32_semantic_clusters" -> ((s, dir) => Similarity.c32SemanticClusters(Tables.embeddings(s, dir))),
     "c33_substring_dedup" -> ((s, dir) => Dedup.c33SubstringDedup(Tables.documents(s, dir))),
     "c34_span_cuts" -> ((s, dir) => Dedup.c34SpanCuts(Tables.documents(s, dir))),
+    "c35_bloom_contamination" -> ((s, dir) => TextAnalysis.c35BloomContamination(Tables.documents(s, dir))),
+    "c36_cluster_split" -> ((s, dir) => Sampling.c36ClusterSplit(Tables.documents(s, dir))),
+    "c37_bm25" -> ((s, dir) => TextAnalysis.c37Bm25(Tables.documents(s, dir))),
+    "c38_temperature_mix" -> ((s, dir) => Sampling.c38TemperatureMix(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

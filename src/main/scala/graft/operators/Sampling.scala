@@ -273,4 +273,95 @@ object Sampling {
         md5(concat_ws(",", q)).as("codes_md5"))
       .orderBy("vec_id")
   }
+
+  // ---- c36: leakage-safe (dedup-aware) split --------------------------
+
+  /** c36: cluster-aware train/val/test split — c13's reproducible
+    * hash split with the leakage hole closed: c13 buckets each DOC
+    * independently, so a near-duplicate pair can straddle train and
+    * test, leaking training text into eval (the exact failure Lee et
+    * al. 2022 §6 measure). Here the split key is the doc's near-dup
+    * CLUSTER (c12's connected components over verified MinHash-LSH
+    * pairs; singletons are their own cluster), so every member of a
+    * cluster lands in the same split by construction — the md5 bucket
+    * is a function of the cluster id alone.
+    *
+    * Scale shape: the pair chain is c3/c12's (banded LSH, BucketCap,
+    * candidate volume ∝ similarity mass), the labeler is the adaptive
+    * union-find/pointer-jump engine, and the label frame is
+    * verified-pair-sized — the left join back to the corpus leaves
+    * every unlabeled doc untouched (coalesce to its own id). One
+    * report-sized aggregation follows; same 90/5/5 geometry as c13
+    * ([[SplitTrainPct]]/[[SplitValPct]]). */
+  def c36ClusterSplit(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val labels = Dedup.labelComponents(
+      Dedup.minhashCandidatePairs(docs)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("label", "cluster")
+    val bucket = conv(substring(md5(col("cluster").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < SplitTrainPct, "train")
+          .when(bucket < SplitValPct, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster")).as("n_clusters"))
+      .orderBy("split")
+  }
+
+  // ---- c38: temperature-scaled source mixture -------------------------
+
+  /** Temperature exponent and target budget share — oracle-
+    * interpolated contract constants (c22's discipline). α = 0.5 is
+    * the multilingual-sampling standard (mT5/XLM-R's p ∝ n^α) AND
+    * the one exponent with a cross-engine-exact spelling: n^0.5 is
+    * written `sqrt` (correctly rounded per IEEE in both engines),
+    * where a general `pow(n, α)` is allowed 1-ulp slack that could
+    * flip the floor() at a mille boundary. A different α would need
+    * the dither guard c29's sketch twin uses. */
+  val MixAlpha = 0.5
+  val MixBudgetShare = 0.5
+
+  /** c38: temperature-scaled source sampling — the mixture-flattening
+    * step of corpus assembly (mT5 §3.1, XLM-R): sources are kept with
+    * probability ∝ n^(α−1) so small sources are up-weighted relative
+    * to their raw share, targeting a total budget of
+    * [[MixBudgetShare]]·|corpus| docs with weights p_s ∝ n_s^α
+    * (α = [[MixAlpha]] = 0.5 ⇒ sqrt). Differs from c18 (FIXED
+    * per-stratum rates) and c30 (exact token-budget admission): the
+    * rates here are DERIVED from the observed per-source counts.
+    *
+    * Determinism: the per-source keep rate is quantized to per-mille
+    * (floor — an under-, never over-shoot) and admission is c18's
+    * content-independent md5(doc_id) bucket, so every engine, rerun,
+    * and cluster size keeps exactly the same rows. Σ√n is a
+    * report-sized double sum rounded to 6 before use. Physical
+    * shape: one report-sized count aggregate, broadcast back over
+    * the corpus scan, one narrow filter + report aggregation — no
+    * corpus shuffle at all. */
+  def c38TemperatureMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val tot = counts.agg(
+      sum(col("n_total")).as("n_corpus"),
+      round(sum(sqrt(col("n_total").cast("double"))), 6).as("z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("mille", least(lit(1000L),
+        floor(lit(1000.0) * floor(col("n_corpus") * lit(MixBudgetShare))
+          * sqrt(col("n_total").cast("double"))
+          / (col("z") * col("n_total")))))
+      .select(col("source"), col("mille"))
+    docs.select(col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 1000).as("bucket"))
+      .join(broadcast(rates), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("mille")).as("keep_mille"),
+        sum(when(col("bucket") < col("mille"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac", round(col("n_kept").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+  }
 }

@@ -110,14 +110,27 @@ object Tables {
     * long. Convert with integer `div` (a double division would lose
     * precision above 2^53) to Spark's native micros timestamp —
     * matching DuckDB, which also truncates ns→us on read. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Normalize an events frame's `ts` to a session-tz TIMESTAMP
+    * whatever the parquet spelling of the instant is: TIMESTAMP(NANOS)
+    * arrives as a nanos long (the nanosAsLong conf) and divides down
+    * to micros; un-zoned TIMESTAMP_MICROS arrives as TIMESTAMP_NTZ
+    * and casts — under the session's pinned UTC zone the wall clock
+    * IS the instant, so both spellings yield identical values (and
+    * identical `epoch_us` on the DuckDB side, which reads the same
+    * file naively). Works on batch and streaming frames alike (it
+    * only inspects the schema), so the streaming specs share it. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(load(spark, sfDir, "events"))
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")

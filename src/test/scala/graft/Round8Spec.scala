@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFns
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Round-8 contracts: the Bloom decontamination scan never misses a
+  * truly contaminated shingle (superset of the exact scan), the
+  * cluster-aware split is leakage-safe where c13's per-doc split is
+  * not, BM25 ranks by the textbook formula with stopword elision and
+  * static posting pruning, and the temperature mixture up-weights
+  * small sources by exactly the floor-quantized sqrt rule. */
+class Round8Spec extends AnyFunSuite {
+  import TestSpark._
+
+  /** The operators' stable hash: md5 of the string, first 7 hex chars
+    * as an int, mod m — replicated on the JVM so specs can compute
+    * expected admissions/buckets exactly. */
+  private def md5Bucket(s: String, m: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 7)
+    java.lang.Long.parseLong(hex, 16) % m
+  }
+
+  private def docsDF(rows: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  // ---- c35: Bloom decontamination -------------------------------------
+
+  test("c35 planted: copied passage flagged, disjoint doc clean") {
+    // doc 0 (0 % 97 == 0) is the benchmark; doc 1 copies its text
+    // wholesale; doc 2 shares no vocabulary. With |bench shingles|
+    // ≈ 30 and 2^20 bits, the all-4-positions FP probability per
+    // clean shingle is ~(120/2^20)^4 ≈ 2e-16 — asserting zero is
+    // sound.
+    val bench = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val clean = (1 to 32).map(i => s"other$i").mkString(" ")
+    val docs = docsDF(Seq(
+      (0L, bench, "en", "s"),
+      (1L, bench + " tail1 tail2", "en", "s"),
+      (2L, clean, "en", "s")))
+    val out = TextAnalysis.c35BloomContamination(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(0L), "benchmark doc must not be probed")
+    assert(out(1L)._1 >= 30, s"copied passage under-flagged: ${out(1L)}")
+    assert(out(2L) == ((0L, 0.0)), s"disjoint doc falsely flagged: ${out(2L)}")
+  }
+
+  test("c35 never undercounts the exact scan (Bloom superset property)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sh = docs
+      .select(col("doc_id"),
+        explode(array_distinct(transform(TextFns.shingles3(col("text")),
+          s => TextFns.h8(s)))).as("sh8"))
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("sh8").distinct()
+    val exact = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(bench.withColumn("hit", lit(1L)), Seq("sh8"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_exact"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextAnalysis.c35BloomContamination(docs, k = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bloom.keySet == exact.keySet)
+    for ((id, n) <- exact)
+      assert(bloom(id) >= n, s"doc $id: bloom ${bloom(id)} < exact $n — a false NEGATIVE")
+  }
+
+  // ---- c36: leakage-safe split ----------------------------------------
+
+  test("c36 keeps a near-dup pair in one split where c13 separates it") {
+    // find two ids whose DOC-grain buckets land in different c13
+    // splits (one train, one test) — the leakage case
+    val ids = (1L to 400L)
+    val a = ids.find(i => md5Bucket(i.toString, 100) < Sampling.SplitTrainPct).get
+    val b = ids.find(i => md5Bucket(i.toString, 100) >= Sampling.SplitValPct).get
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ")
+    val filler = (0 until 20).map { i =>
+      val id = 1000L + i
+      (id, (1 to 30).map(j => s"f${i}x$j").mkString(" "), "en", "s")
+    }
+    val docs = docsDF(Seq(
+      (a, shared, "en", "s"),
+      (b, shared + " extra", "en", "s")) ++ filler)
+
+    // expected: cluster(a,b) = min(a,b); every filler is its own
+    // cluster; split decided by the CLUSTER id's bucket
+    val clusters = Seq(math.min(a, b)) ++ filler.map(_._1)
+    def splitOf(c: Long) = {
+      val bkt = md5Bucket(c.toString, 100)
+      if (bkt < Sampling.SplitTrainPct) "train"
+      else if (bkt < Sampling.SplitValPct) "val" else "test"
+    }
+    val expected = clusters.groupBy(splitOf)
+      .map { case (s, cs) =>
+        val nDocs = cs.map(c => if (c == math.min(a, b)) 2L else 1L).sum
+        s -> ((nDocs, cs.size.toLong))
+      }
+    val got = Sampling.c36ClusterSplit(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // and the pair really does straddle under the per-DOC split
+    assert(splitOf(a) == "train" && splitOf(b) == "test",
+      "planted ids no longer straddle — pick different ids")
+  }
+
+  // ---- c37: BM25 --------------------------------------------------------
+
+  test("c37 ranks by tf saturation, elides universal terms, prunes to cap") {
+    // query doc 0 (0 % 101 == 0): terms {ubiq, apple, banana, pad}.
+    // "ubiq" appears in EVERY corpus doc → df = 100% > 90% → elided.
+    // Candidates (none ≡ 0 mod 101): tf(apple) 4 > 2 > 1; doc 5 has
+    // only elided/absent terms and must not appear at all.
+    val docs = docsDF(Seq(
+      (0L, "ubiq apple banana pad", "en", "s"),
+      (1L, "ubiq apple apple apple apple pad1", "en", "s"),
+      (2L, "ubiq apple apple pad2 pad3 pad4", "en", "s"),
+      (3L, "ubiq apple banana pad5 pad6", "en", "s"),
+      (5L, "ubiq pad7 pad8 pad9", "en", "s")))
+    val out = TextAnalysis.c37Bm25(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.forall(_._1 == 0L))
+    val ranked = out.sortBy(_._2).map(_._3)
+    assert(!ranked.contains(5L), s"doc with only elided terms retrieved: $ranked")
+    // doc 3 matches apple AND banana; banana's idf (df=1 of 4) is
+    // high, so it must outrank the tf-only docs; among 1 and 2 the
+    // higher apple tf wins
+    assert(ranked.indexOf(1L) < ranked.indexOf(2L),
+      s"tf ordering violated: $ranked")
+    assert(ranked.contains(3L))
+
+    // static pruning: cap=1 keeps only the top-tf doc per (q, term) —
+    // doc 1 for apple, doc 3 for banana
+    val pruned = TextAnalysis.c37Bm25(docs, postingCap = 1)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(pruned == Set(1L, 3L), s"cap=1 kept $pruned")
+  }
+
+  test("c37 hand-computed BM25 score matches") {
+    // one query term, two candidates, tiny corpus — replicate the
+    // formula exactly (idf over the 3 corpus docs, length norm vs
+    // mean dl) and compare to 4 decimals
+    val docs = docsDF(Seq(
+      (0L, "apple zz1 zz2 zz3", "en", "s"),
+      (1L, "apple apple x1 x2", "en", "s"),
+      (2L, "apple y1", "en", "s"),
+      (3L, "z1 z2 z3 z4 z5 z6", "en", "s")))
+    val n = 3.0
+    val avgdl = (4 + 2 + 6) / 3.0
+    def score(tf: Long, dl: Long, df: Long): Double = {
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      val c = idf * (tf * (TextAnalysis.Bm25K1 + 1)) /
+        (tf + TextAnalysis.Bm25K1 *
+          (1 - TextAnalysis.Bm25B + TextAnalysis.Bm25B * dl / avgdl))
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = Map(1L -> score(2, 4, 2), 2L -> score(1, 2, 2))
+    val got = TextAnalysis.c37Bm25(docs)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  // ---- c38: temperature mixture ---------------------------------------
+
+  test("c38 floor-quantized sqrt rates, small source up-weighted") {
+    // 400 big + 100 small: z = 20 + 10 = 30, budget = 250 →
+    // mille_big = floor(1000·250·20/(30·400)) = 416,
+    // mille_small = floor(1000·250·10/(30·100)) = 833
+    val docs = docsDF(
+      (0L until 400L).map(i => (i, s"b$i", "en", "big")) ++
+        (400L until 500L).map(i => (i, s"s$i", "en", "small")))
+    val got = Sampling.c38TemperatureMix(docs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val keptBig = (0L until 400L).count(i => md5Bucket(i.toString, 1000) < 416)
+    val keptSmall = (400L until 500L).count(i => md5Bucket(i.toString, 1000) < 833)
+    assert(got("big") == ((400L, 416L, keptBig.toLong,
+      BigDecimal(keptBig / 400.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("small") == ((100L, 833L, keptSmall.toLong,
+      BigDecimal(keptSmall / 100.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // the temperature property itself: the small source keeps a
+    // strictly larger share than the big one
+    assert(got("small")._2 > got("big")._2)
+  }
+
+  test("c38 single source caps at mille 1000 (keep everything within budget rule)") {
+    // one source: mille = min(1000, floor(1000·floor(n/2)·√n/(√n·n)))
+    // = floor(1000·(n/2)/n) = 500 for even n — exactly the budget
+    // share, no up-weighting possible
+    val docs = docsDF((0L until 100L).map(i => (i, s"t$i", "en", "only")))
+    val got = Sampling.c38TemperatureMix(docs).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 500L, s"single-source mille: ${got.head}")
+  }
+}

@@ -22,8 +22,8 @@ class StreamingSpec extends AnyFunSuite {
 
   private def streamingEvents() = {
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    spark.readStream.schema(raw.schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(raw.schema).parquet(streamDir))
   }
 
   test("e1 streaming hourly agg equals batch result") {
@@ -74,19 +74,24 @@ class StreamingSpec extends AnyFunSuite {
     // carries across batch boundaries in state
     val in = java.nio.file.Files.createTempDirectory("graft-scd2-in-").toString
     val stage = java.nio.file.Files.createTempDirectory("graft-scd2-st-").toString
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val cut = raw.selectExpr("cast(approx_percentile(ts, 0.5) as long)").head.getLong(0)
-    for ((pred, i) <- Seq(col("ts") <= cut, col("ts") > cut).zipWithIndex) {
+    // stage from the NORMALIZED frame (ts already a TIMESTAMP): the
+    // staged files then carry adjusted-UTC micros whatever the source
+    // parquet's ts spelling was, and the stream needs no per-format
+    // conversion of its own
+    val ev = graft.sources.Tables
+      .normalizeEventTs(spark.read.parquet(s"$sf/events.parquet"))
+    val cut = ev.selectExpr("approx_percentile(unix_micros(ts), 0.5)").head.getLong(0)
+    for ((pred, i) <- Seq(unix_micros(col("ts")) <= cut, unix_micros(col("ts")) > cut)
+        .zipWithIndex) {
       val out = s"$stage/s$i"
-      raw.filter(pred).coalesce(1).write.parquet(out)
+      ev.filter(pred).coalesce(1).write.parquet(out)
       val part = new java.io.File(out).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$in/batch$i.parquet"))
     }
-    val src = spark.readStream.schema(raw.schema)
+    val src = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = EventsStream.scd2Stateful(src)
       .writeStream.outputMode("append")
       .format("memory").queryName("scd2_out").start()
@@ -105,7 +110,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.sameElements(want))
       // and at least one episode closed ACROSS the batch boundary
       assert(spark.table("scd2_out")
-        .filter(col("valid_from_us") <= cut / 1000 && col("valid_to_us") > cut / 1000)
+        .filter(col("valid_from_us") <= cut && col("valid_to_us") > cut)
         .count() > 0, "no episode spanned the micro-batch boundary")
     } finally q.stop()
   }
