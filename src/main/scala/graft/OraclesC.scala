@@ -520,11 +520,11 @@ object OraclesC {
       with sh as ($SH8),
       bench as (select distinct sh8 from sh where doc_id % 97 = 0),
       bits as (
-        select distinct ('0x' || substr(md5(i::varchar || ':' || sh8), 1, 7))::bigint % $BLOOM_M as pos
+        select distinct ('0x' || substr(md5(sh8), 1 + 7*i, 7))::bigint % $BLOOM_M as pos
         from bench, unnest(range(0,$BLOOM_K)) as t(i)),
       probe as (
         select doc_id, sh8,
-               ('0x' || substr(md5(i::varchar || ':' || sh8), 1, 7))::bigint % $BLOOM_M as pos
+               ('0x' || substr(md5(sh8), 1 + 7*i, 7))::bigint % $BLOOM_M as pos
         from sh, unnest(range(0,$BLOOM_K)) as t(i)
         where doc_id % 97 <> 0),
       per_sh as (
@@ -578,16 +578,16 @@ object OraclesC {
       dfx as (select term, count(*) as df from tf group by 1),
       capped as (select term, df from dfx, stats where df * 10 <= n_docs * 9),
       pruned as (
-        select q.q_id, tf.term, tf.doc_id, tf.tf
-        from q join tf using (term)
-        qualify row_number() over (partition by q_id, term
+        select term, doc_id, tf from tf
+        qualify row_number() over (partition by term
           order by tf desc, doc_id) <= $PCAP),
       contrib as (
-        select p.q_id, p.doc_id,
+        select q.q_id, p.doc_id,
                ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
                  * (tf * $K1P1)
                  / (tf + $K1 * ($OMB + $B25 * dl / avgdl)) as c
-        from pruned p
+        from q
+        join pruned p using (term)
         join capped using (term)
         join dl on p.doc_id = dl.doc_id, stats),
       scored as (select q_id, doc_id, round(sum(c), 4) as score from contrib group by 1, 2),

@@ -725,11 +725,17 @@ object TextAnalysis {
     * transform/sequence) so the whole derivation stays inside
     * whole-stage codegen; higher-order functions evaluate
     * interpreted. */
+  /** Position i is the i-th disjoint 7-hex-char (28-bit) slice of ONE
+    * md5(sh8) digest, mod [[BloomBits]] — k positions per shingle for
+    * one hash computation (the 128-bit digest holds 4×28 independent
+    * bits), and the k probe expressions share the digest via codegen
+    * subexpression elimination when projected together. */
+  private def bloomPosition(sh8: Column, i: Int): Column =
+    conv(substring(md5(sh8), 1 + 7 * i, 7), 16, 10)
+      .cast("long") % BloomBits
+
   private def bloomPositions(sh8: Column): Column =
-    array((0 until BloomHashes).map { i =>
-      conv(substring(md5(concat(lit(i.toString), lit(":"), sh8)), 1, 7), 16, 10)
-        .cast("long") % BloomBits
-    }: _*)
+    array((0 until BloomHashes).map(i => bloomPosition(sh8, i)): _*)
 
   /** c35: Bloom-filter benchmark decontamination — the 100 TB scale
     * path for c20's eval-leakage scan. c20 joins the corpus against
@@ -755,18 +761,38 @@ object TextAnalysis {
     * O(BloomBits) bound and keeps the whole operator
     * Catalyst-visible (and oracle-checkable). */
   def c35BloomContamination(docs: DataFrame, k: Int = 50): DataFrame = {
+    require(BloomHashes * 7 <= 32, "bloom positions are disjoint 7-hex slices of one md5")
     val sh = Dedup.docShingles8(docs)
-    val bits = sh.filter(col("doc_id") % 97 === 0)
-      .select(col("sh8")).distinct()
-      .select(explode(bloomPositions(col("sh8"))).as("pos")).distinct()
-    sh.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), col("sh8"), explode(bloomPositions(col("sh8"))).as("pos"))
-      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
-      .groupBy("doc_id", "sh8")
-      .agg(count(lit(1)).as("n_pos"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    // materialized: the k probe joins each broadcast this frame, and
+    // an unmaterialized plan would re-derive the bench explode +
+    // distinct once per hash function (bounded ≤ 2^20 longs — the
+    // whole point of the Bloom spelling — so the blocks are small)
+    val bits = Materialize.frame(
+      sh.filter(col("doc_id") % 97 === 0)
+        .select(col("sh8")).distinct()
+        .select(explode(bloomPositions(col("sh8"))).as("pos")).distinct())
+    // Probe spelling: one broadcast-hash LOOKUP PER HASH FUNCTION on
+    // the distinct (doc, shingle) rows — k narrow joins against the
+    // same bounded bit table (ReuseExchange serves one broadcast) —
+    // instead of explode(×k) + a (doc, shingle)-grain count shuffle.
+    // The shingle frame never widens and the only shuffle left is the
+    // per-doc report aggregation. "All k positions set" becomes a
+    // conjunction of per-join hit flags — same semantics the oracle's
+    // count(hit) = k spelling computes.
+    // ONE projection computes all k positions (the shared md5 digest
+    // is eliminated as a common subexpression), then k narrow joins
+    val withPos = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id") +: (0 until BloomHashes)
+        .map(i => bloomPosition(col("sh8"), i).as(s"_p$i")): _*)
+    val probe = (0 until BloomHashes).foldLeft(withPos) { case (df, i) =>
+      df.join(broadcast(bits.select(col("pos").as(s"_p$i"), lit(1L).as(s"_h$i"))),
+        Seq(s"_p$i"), "left")
+    }
+    val allHit = (0 until BloomHashes).map(i => col(s"_h$i").isNotNull).reduce(_ && _)
+    probe
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("n_hit") === col("n_pos"), 1L).otherwise(0L)).as("n_flagged"))
+        sum(when(allHit, 1L).otherwise(0L)).as("n_flagged"))
       .select(col("doc_id"), col("n_sh"), col("n_flagged"),
         round(col("n_flagged").cast("double") / col("n_sh"), 4).as("flagged_frac"))
       .orderBy(col("flagged_frac").desc, col("doc_id"))
@@ -812,11 +838,11 @@ object TextAnalysis {
     * session), one term-keyed df aggregate, the probe join shuffles
     * tf on term once (the query side is slice-sized — AQE broadcasts
     * it while it measures small; no forced hint since the slice is
-    * corpus-proportional, c20's rule), one (q_id, term) pruning
-    * window + one (q_id, doc) score aggregate, one q_id-partitioned
-    * WindowGroupLimit top-k. Probe fan-out is ≤ queries · terms ·
-    * [[Bm25PostingCap]] after pruning — never n², independent of
-    * term frequency skew. */
+    * corpus-proportional, c20's rule), one term-keyed pruning window
+    * sharing the df aggregate's exchange + one (q_id, doc) score
+    * aggregate, one q_id-partitioned WindowGroupLimit top-k. Probe
+    * fan-out is ≤ queries · terms · [[Bm25PostingCap]] after
+    * pruning — never n², independent of term frequency skew. */
   def c37Bm25(docs: DataFrame, postingCap: Int = Bm25PostingCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // a doc's tf rows don't depend on other docs, so the corpus
@@ -838,15 +864,19 @@ object TextAnalysis {
     val dfCapped = corpusTf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .filter(col("df") * 10 <= col("n_docs") * 9)
-    // static posting pruning: rank candidates per (query, term) by
-    // (tf desc, doc_id) and keep the cap — a WindowGroupLimit, so
-    // each partition holds only cap rows past the rank
-    val wQT = Window.partitionBy("q_id", "term").orderBy(col("tf").desc, col("doc_id"))
-    val pruned = queries.join(corpusTf, Seq("term"))
-      .withColumn("prank", row_number().over(wQT))
+    // static posting pruning: rank each TERM's posting list by
+    // (tf desc, doc_id) and keep the cap — the rank is a function of
+    // the term alone, so pruning BEFORE the query join is identical
+    // to pruning per (query, term) after it, with the window reading
+    // |tf| rows instead of |queries ⋈ tf|, and its term-keyed
+    // exchange shared with the df aggregate (ReuseExchange). The
+    // row_number filter plans as a WindowGroupLimit.
+    val wT = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    val postings = corpusTf
+      .withColumn("prank", row_number().over(wT))
       .filter(col("prank") <= postingCap)
       .drop("prank")
-    val scored = pruned
+    val scored = queries.join(postings, Seq("term"))
       .join(dfCapped, Seq("term"))
       .join(dl, Seq("doc_id"))
       .select(col("q_id"), col("doc_id"),
