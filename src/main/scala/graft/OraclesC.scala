@@ -621,6 +621,29 @@ object OraclesC {
       group by d.source order by d.source
     """,
 
+    "c39_dsir" -> """
+      with tf as (
+        select doc_id, term, count(*) as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      tgt as (select term, sum(tf)::bigint as c_tgt from tf where doc_id % 97 = 0 group by 1),
+      rawu as (select term, sum(tf)::bigint as c_raw from tf where doc_id % 97 <> 0 group by 1),
+      vocab as (
+        select coalesce(tgt.term, rawu.term) as term,
+               coalesce(c_tgt, 0) as c_tgt, coalesce(c_raw, 0) as c_raw
+        from tgt full join rawu on tgt.term = rawu.term),
+      tot as (select sum(c_tgt)::bigint as n_tgt, sum(c_raw)::bigint as n_raw,
+                     count(*) as v from vocab)
+      select tf.doc_id, sum(tf)::bigint as n_tokens,
+             round(sum(tf::double * (log10((c_tgt+1)::double / (n_tgt+v))
+                                   - log10((c_raw+1)::double / (n_raw+v)))) / sum(tf),
+                   4) as mean_llr
+      from tf join vocab using (term), tot
+      where tf.doc_id % 97 <> 0
+      group by tf.doc_id
+      order by mean_llr desc, doc_id limit 50
+    """,
+
     "c21_repetition" -> """
       with b as (
         select doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) as bigram

@@ -894,11 +894,59 @@ object TextAnalysis {
   }
 
   /** Shared materialized (doc_id, term, tf) frame — the term-grain
-    * twin of the shingle/bigram memos: c17, c31, and c37 all start
-    * from the same tokenize + (doc, term) count, so inside a
+    * twin of the shingle/bigram memos: c17, c31, c37, and c39 all
+    * start from the same tokenize + (doc, term) count, so inside a
     * multi-query session the corpus is tokenized once. */
   private[operators] def tfRows(docs: DataFrame): DataFrame =
     CorpusPrep.memo("tf_rows", docs)(Materialize.frame(
       docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))))
+
+  // ---- c39: DSIR importance scoring -----------------------------------
+
+  /** c39: data selection via importance resampling (DSIR, Xie et al.
+    * 2023) — score every raw document by how much more likely its
+    * tokens are under the TARGET domain's unigram model than under
+    * the raw corpus's own: mean per-token log-likelihood ratio
+    * log10 p_tgt(t) − log10 p_raw(t), add-1 smoothed over the joint
+    * vocabulary. The target is the deterministic ~1% benchmark slice
+    * (c20/c35's discipline — "find me more data that looks like
+    * this"); the top-k ranked docs are what a targeted-pretraining
+    * pipeline would admit. c31 scores fluency under ONE corpus-wide
+    * model; c39 is the two-model CONTRAST that steers selection
+    * toward a domain.
+    *
+    * Shape: both unigram tables reduce off the shared [[tfRows]]
+    * memo (vocabulary-sized — at 100 TB still ≪ corpus, AQE
+    * broadcasts them), the joint vocab is materialized once for its
+    * two consumers (totals + score join), totals ride a 1-row
+    * broadcast, and the scoring pass is one term join + one per-doc
+    * aggregate. Mean (not sum) keeps the score length-unbiased;
+    * round(·,4) before the rank, c17's discipline. */
+  def c39DsirSelection(docs: DataFrame, k: Int = 50): DataFrame = {
+    val tf = tfRows(docs)
+    val isTgt = col("doc_id") % 97 === 0
+    val tgtU = tf.filter(isTgt).groupBy("term").agg(sum(col("tf")).as("c_tgt"))
+    val rawTf = tf.filter(!isTgt)
+    val rawU = rawTf.groupBy("term").agg(sum(col("tf")).as("c_raw"))
+    val vocab = Materialize.frame(
+      tgtU.join(rawU, Seq("term"), "full")
+        .select(col("term"),
+          coalesce(col("c_tgt"), lit(0L)).as("c_tgt"),
+          coalesce(col("c_raw"), lit(0L)).as("c_raw")))
+    val totals = vocab.agg(
+      sum(col("c_tgt")).as("n_tgt"), sum(col("c_raw")).as("n_raw"),
+      count(lit(1)).as("v"))
+    rawTf.join(vocab, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf").cast("double")
+            * (log10((col("c_tgt") + 1).cast("double") / (col("n_tgt") + col("v")))
+              - log10((col("c_raw") + 1).cast("double") / (col("n_raw") + col("v")))))
+          / sum(col("tf")), 4).as("mean_llr"))
+      .orderBy(col("mean_llr").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -188,6 +188,33 @@ class Round8Spec extends AnyFunSuite {
     assert(got("small")._2 > got("big")._2)
   }
 
+  // ---- c39: DSIR ------------------------------------------------------
+
+  test("c39 ranks target-like raw docs above generic ones, hand-checked") {
+    // target doc 0 (0 % 97 == 0) speaks "medical"; raw doc 1 shares
+    // that vocabulary, raw doc 2 is generic filler also present in
+    // the raw background. Expected ordering: doc 1 ≫ doc 2.
+    val docs = docsDF(Seq(
+      (0L, "dose trial cohort dose trial", "en", "s"),
+      (1L, "dose trial cohort", "en", "s"),
+      (2L, "web page click web", "en", "s"),
+      (3L, "web page click banner ad", "en", "s")))
+    val got = TextAnalysis.c39DsirSelection(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L), s"raw docs only: ${got.toSeq}")
+    val byDoc = got.map(t => t._1 -> t._3).toMap
+    assert(byDoc(1L) > byDoc(2L) && byDoc(1L) > byDoc(3L),
+      s"target-like doc not ranked first: $byDoc")
+
+    // hand-check doc 1's mean llr: vocab = {dose,trial,cohort,web,
+    // page,click,banner,ad} (V=8), N_tgt=5, N_raw=12
+    def llr(cTgt: Long, cRaw: Long): Double =
+      math.log10((cTgt + 1).toDouble / (5 + 8)) - math.log10((cRaw + 1).toDouble / (12 + 8))
+    val expect1 = BigDecimal((llr(2, 1) + llr(2, 1) + llr(1, 1)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byDoc(1L) == expect1, s"doc 1 llr ${byDoc(1L)} != $expect1")
+  }
+
   test("c38 single source caps at mille 1000 (keep everything within budget rule)") {
     // one source: mille = min(1000, floor(1000·floor(n/2)·√n/(√n·n)))
     // = floor(1000·(n/2)/n) = 500 for even n — exactly the budget
