@@ -761,27 +761,38 @@ object TextAnalysis {
     * O(BloomBits) bound and keeps the whole operator
     * Catalyst-visible (and oracle-checkable). */
   def c35BloomContamination(docs: DataFrame, k: Int = 50): DataFrame = {
-    require(BloomHashes * 7 <= 32, "bloom positions are disjoint 7-hex slices of one md5")
     val sh = Dedup.docShingles8(docs)
-    // materialized: the k probe joins each broadcast this frame, and
-    // an unmaterialized plan would re-derive the bench explode +
-    // distinct once per hash function (bounded ≤ 2^20 longs — the
-    // whole point of the Bloom spelling — so the blocks are small)
-    val bits = Materialize.frame(
-      sh.filter(col("doc_id") % 97 === 0)
-        .select(col("sh8")).distinct()
+    val bits = bloomBitsFromKeys(sh.filter(col("doc_id") % 97 === 0))
+    bloomProbeRows(sh.filter(col("doc_id") % 97 =!= 0), bits)
+      .orderBy(col("flagged_frac").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The Bloom set-bit table of a (…, sh8) key frame — materialized:
+    * the k probe joins each broadcast it, and an unmaterialized plan
+    * would re-derive the explode + distinct once per hash function
+    * (bounded ≤ 2^20 longs — the whole point of the Bloom spelling —
+    * so the blocks are small). Shared by c35's build side and the
+    * streaming gate's static benchmark filter (DecontamStream). */
+  private[graft] def bloomBitsFromKeys(sh8Keys: DataFrame): DataFrame = {
+    require(BloomHashes * 7 <= 32, "bloom positions are disjoint 7-hex slices of one md5")
+    Materialize.frame(
+      sh8Keys.select(col("sh8")).distinct()
         .select(explode(bloomPositions(col("sh8"))).as("pos")).distinct())
-    // Probe spelling: one broadcast-hash LOOKUP PER HASH FUNCTION on
-    // the distinct (doc, shingle) rows — k narrow joins against the
-    // same bounded bit table (ReuseExchange serves one broadcast) —
-    // instead of explode(×k) + a (doc, shingle)-grain count shuffle.
-    // The shingle frame never widens and the only shuffle left is the
-    // per-doc report aggregation. "All k positions set" becomes a
-    // conjunction of per-join hit flags — same semantics the oracle's
-    // count(hit) = k spelling computes.
-    // ONE projection computes all k positions (the shared md5 digest
-    // is eliminated as a common subexpression), then k narrow joins
-    val withPos = sh.filter(col("doc_id") % 97 =!= 0)
+  }
+
+  /** Per-doc Bloom flags over a (doc_id, sh8) frame: one broadcast-
+    * hash LOOKUP PER HASH FUNCTION on the distinct (doc, shingle)
+    * rows — k narrow joins against the same bounded bit table —
+    * instead of explode(×k) + a (doc, shingle)-grain count shuffle.
+    * The shingle frame never widens and the only shuffle is the
+    * per-doc aggregation. All k positions are computed in ONE
+    * projection (the shared md5 digest is eliminated as a common
+    * subexpression); "all k positions set" is a conjunction of
+    * per-join hit flags — the same semantics as the oracle's
+    * count(hit) = k spelling. */
+  private[graft] def bloomProbeRows(sh: DataFrame, bits: DataFrame): DataFrame = {
+    val withPos = sh
       .select(col("doc_id") +: (0 until BloomHashes)
         .map(i => bloomPosition(col("sh8"), i).as(s"_p$i")): _*)
     val probe = (0 until BloomHashes).foldLeft(withPos) { case (df, i) =>
@@ -795,9 +806,18 @@ object TextAnalysis {
         sum(when(allHit, 1L).otherwise(0L)).as("n_flagged"))
       .select(col("doc_id"), col("n_sh"), col("n_flagged"),
         round(col("n_flagged").cast("double") / col("n_sh"), 4).as("flagged_frac"))
-      .orderBy(col("flagged_frac").desc, col("doc_id"))
-      .limit(k)
   }
+
+  /** The (doc_id, sh8) derivation as a PLAIN projection — the
+    * streaming gate's spelling: identical rows to Dedup.docShingles8
+    * (distinct 3-gram keys per doc; <3-word docs vanish under the
+    * explode) but NOT session-memoized, because a streaming query
+    * would key one memo entry per micro-batch plan and leak the
+    * cache. Batch c35 keeps the memoized path. */
+  private[graft] def docShingles8Direct(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(transform(TextFns.shingles3(col("text")),
+        s => TextFns.h8(s)))).as("sh8"))
 
   // ---- c37: BM25 retrieval --------------------------------------------
 

@@ -251,6 +251,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotReport() == want, "checkpointed restart corrupted the report")
   }
 
+  test("streaming decontamination gate equals the batch Bloom probe + replay-safe") {
+    import graft.streaming.DecontamStream
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // static benchmark = c35's slice of the same corpus; stream = the
+    // probe side, staged as TWO files → two micro-batches
+    val bits = TextAnalysis.bloomBitsFromKeys(
+      TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0)))
+    val raw = docs.filter(col("doc_id") % 97 =!= 0)
+    val in = java.nio.file.Files.createTempDirectory("graft-dec-in-").toString
+    raw.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+    raw.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+    val decisionStore = java.nio.file.Files.createTempDirectory("graft-dec-d-").toString + "/store"
+    val keepStore = java.nio.file.Files.createTempDirectory("graft-dec-k-").toString + "/store"
+    def runGate(): Unit = {
+      val src = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = DecontamStream.decontamGate(src, bits, decisionStore, keepStore)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runGate()
+    // the decision log matches batch c35's probe rows over the same
+    // corpus (unlimited k; compare on shingled docs — the gate also
+    // logs n_sh = 0 admissions, which the batch report omits)
+    val want = TextAnalysis.c35BloomContamination(docs, k = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def gotDecisions() = DecontamStream.decisions(spark, decisionStore)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val got = gotDecisions()
+    assert(got.filter(_._2._1 > 0).map { case (k2, v) => k2 -> ((v._1, v._2, v._3)) } == want,
+      "live probe rows diverged from batch c35")
+    // shingle-less docs are admitted with n_sh = 0
+    assert(got.filter(_._2._1 == 0).forall(_._2._4), "a shingle-less doc was refused")
+    // the admission bar is the 4-rounded frac vs MaxFlaggedFrac
+    for ((id, (_, _, frac, adm)) <- got)
+      assert(adm == (frac <= DecontamStream.MaxFlaggedFrac), s"doc $id verdict wrong")
+    // the corpus store holds exactly the admitted docs
+    val kept = spark.read.parquet(keepStore)
+    assert(kept.select("doc_id").distinct().count() == got.count(_._2._4).toLong)
+    // at-least-once replay: re-offering everything changes nothing
+    runGate()
+    assert(gotDecisions() == got, "replayed micro-batches changed decisions")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventsStream.purchaseClickJoin(streamingEvents(), streaming = true)
       .writeStream.outputMode("append")
