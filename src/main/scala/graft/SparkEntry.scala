@@ -110,6 +110,7 @@ object SparkEntry {
     "d4_chunk_dedup"     -> ((s, dir) => Multimodal.d4ChunkDedup(Tables.documents(s, dir))),
     "d5_media_manifest"  -> ((s, dir) => Multimodal.d5MediaManifest(Tables.documents(s, dir))),
     "d6_media_neardup"   -> ((s, dir) => Multimodal.d6MediaNearDup(Tables.documents(s, dir))),
+    "d7_cluster_manifest" -> ((s, dir) => Multimodal.d7ClusterManifest(Tables.documents(s, dir))),
 
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
     "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
@@ -134,6 +135,45 @@ object SparkEntry {
   // multimodal tunables shared with the oracle SQL below
   private val CHUNK = operators.Multimodal.DefaultChunkBytes
   private val STRIDE = operators.Multimodal.DefaultStride
+
+  /** d6's phash → bands → verified pairs → component-label CTE list
+    * (no WITH keyword; needs `recursive`) — shared by the d6 report
+    * and d7's cluster accounting, geometry interpolated from the
+    * operator constants. */
+  private val D6_CHAIN = s"""m as (
+        select doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
+               hex(encode(text)) as hx
+        from documents),
+      geo as (
+        select doc_id, media_type, hx,
+               greatest(ceil(strlen(hx) / ${operators.Multimodal.PhashStripes}.0)::bigint, 1) as w
+        from m),
+      ph as (
+        select doc_id, media_type,
+               bit_or(case when substr(md5(substr(hx, (i*w+1)::int, w::int)),1,1) >= '8'
+                           then 1::bigint << i else 0::bigint end) as phash
+        from geo, lateral (select unnest(range(0, ${operators.Multimodal.PhashStripes})) as i) t
+        group by doc_id, media_type),
+      bands as (
+        select doc_id, media_type, phash, j, (phash >> (15*j)::int) & 32767 as band
+        from ph, lateral (select unnest(range(0, ${operators.Multimodal.PhashBands})) as j) t
+        qualify count(*) over (partition by media_type, j, band) <= ${operators.Dedup.BucketCap}),
+      vp as (
+        select distinct a.doc_id as doc_a, b.doc_id as doc_b
+        from bands a join bands b
+          on a.media_type = b.media_type and a.j = b.j and a.band = b.band
+          and a.doc_id < b.doc_id
+        where bit_count(xor(a.phash, b.phash)) <= ${operators.Multimodal.PhashMaxHamming}),
+      edges as (
+        select doc_a as a, doc_b as b from vp
+        union
+        select doc_b as a, doc_a as b from vp),
+      reach(a, b) as (
+        select a, b from edges
+        union
+        select r.a, e.b from reach r join edges e on r.b = e.a where e.b <> r.a),
+      lab as (select a as doc_id, least(a, min(b)) as cluster from reach group by a)"""
 
   /** DuckDB spelling of Marts.dimTrack (internal columns). */
   private val DIM_TRACK = """
@@ -471,45 +511,28 @@ object SparkEntry {
     // components (c32's spelling at asset grain) — geometry
     // interpolated from the operator constants
     "d6_media_neardup" -> s"""
-      with recursive m as (
-        select doc_id,
-               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
-               hex(encode(text)) as hx
-        from documents),
-      geo as (
-        select doc_id, media_type, hx,
-               greatest(ceil(strlen(hx) / ${graft.operators.Multimodal.PhashStripes}.0)::bigint, 1) as w
-        from m),
-      ph as (
-        select doc_id, media_type,
-               bit_or(case when substr(md5(substr(hx, (i*w+1)::int, w::int)),1,1) >= '8'
-                           then 1::bigint << i else 0::bigint end) as phash
-        from geo, lateral (select unnest(range(0, ${graft.operators.Multimodal.PhashStripes})) as i) t
-        group by doc_id, media_type),
-      bands as (
-        select doc_id, media_type, phash, j, (phash >> (15*j)::int) & 32767 as band
-        from ph, lateral (select unnest(range(0, ${graft.operators.Multimodal.PhashBands})) as j) t
-        qualify count(*) over (partition by media_type, j, band) <= ${graft.operators.Dedup.BucketCap}),
-      vp as (
-        select distinct a.doc_id as doc_a, b.doc_id as doc_b
-        from bands a join bands b
-          on a.media_type = b.media_type and a.j = b.j and a.band = b.band
-          and a.doc_id < b.doc_id
-        where bit_count(xor(a.phash, b.phash)) <= ${graft.operators.Multimodal.PhashMaxHamming}),
-      edges as (
-        select doc_a as a, doc_b as b from vp
-        union
-        select doc_b as a, doc_a as b from vp),
-      reach(a, b) as (
-        select a, b from edges
-        union
-        select r.a, e.b from reach r join edges e on r.b = e.a where e.b <> r.a),
-      lab as (select a as doc_id, least(a, min(b)) as cluster from reach group by a)
+      with recursive $D6_CHAIN
       select ph.doc_id, ph.media_type, ph.phash,
              coalesce(lab.cluster, ph.doc_id) as cluster,
              (case when coalesce(lab.cluster, ph.doc_id) = ph.doc_id then 1 else 0 end)::bigint as is_canonical
       from ph left join lab on ph.doc_id = lab.doc_id
       order by ph.doc_id
+    """,
+
+    "d7_cluster_manifest" -> s"""
+      with recursive $D6_CHAIN,
+      cl as (
+        select ph.doc_id, ph.media_type,
+               coalesce(lab.cluster, ph.doc_id) as cluster,
+               (case when coalesce(lab.cluster, ph.doc_id) = ph.doc_id then 1 else 0 end) as is_canonical
+        from ph left join lab on ph.doc_id = lab.doc_id),
+      sz as (select doc_id, octet_length(encode(text))::bigint as asset_bytes from documents)
+      select cluster, media_type, count(*) as n_assets,
+             sum(asset_bytes)::bigint as n_bytes,
+             sum(case when is_canonical = 0 then asset_bytes else 0 end)::bigint as reclaim_bytes
+      from cl join sz using (doc_id)
+      group by cluster, media_type
+      order by cluster
     """,
 
     "e1_stream_hourly" -> """

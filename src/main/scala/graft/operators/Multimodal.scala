@@ -284,7 +284,22 @@ object Multimodal {
     * Per-asset, not clusters-only, because the manifest consumer
     * (d5's shape) needs a decision for EVERY asset. */
   def d6MediaNearDup(docs: DataFrame, maxHamming: Int = PhashMaxHamming,
-      bucketCap: Int = Dedup.BucketCap): DataFrame = {
+      bucketCap: Int = Dedup.BucketCap): DataFrame =
+    d6Assets(docs, maxHamming, bucketCap).orderBy("doc_id")
+
+  /** The per-asset cluster frame d6 reports and d7 accounts over —
+    * session-memoized at the DEFAULT geometry (the memo key is the
+    * input plan, so non-default parameters bypass it rather than
+    * serving another geometry's rows). */
+  private[graft] def d6Assets(docs: DataFrame, maxHamming: Int = PhashMaxHamming,
+      bucketCap: Int = Dedup.BucketCap): DataFrame =
+    if (maxHamming == PhashMaxHamming && bucketCap == Dedup.BucketCap)
+      CorpusPrep.memo("d6_assets", docs)(
+        Materialize.frame(d6AssetsBuild(docs, maxHamming, bucketCap)))
+    else d6AssetsBuild(docs, maxHamming, bucketCap)
+
+  private def d6AssetsBuild(docs: DataFrame, maxHamming: Int,
+      bucketCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark0 = docs.sparkSession
     import spark0.implicits._
@@ -323,7 +338,32 @@ object Multimodal {
         when(col("cluster") === col("doc_id"), 1L).otherwise(0L))
       .select(col("doc_id"), col("media_type"), col("phash"),
         col("cluster"), col("is_canonical"))
-      .orderBy("doc_id")
+  }
+
+  /** d7: storage accounting at PERCEPTUAL-cluster grain — the cut
+    * decision over d6's evidence, the way c34 is the cut over c33's:
+    * d5 prices what exact chunk dedup reclaims, but a re-encoded
+    * asset shares no byte-identical chunk, so its redundancy is
+    * invisible to d5. Per d6 cluster: member count, total payload
+    * bytes, and what keep-one-per-cluster reclaims (every
+    * non-canonical member's full payload). Cluster ids are min doc
+    * ids — globally unique across media types since banding never
+    * crosses a type — so the report's total order is the cluster id.
+    *
+    * Shape: the memoized per-asset cluster frame ⋈ an |assets|-row
+    * byte-size projection (payload READ only for its length — the
+    * kernel's slim-rows discipline), one report-sized aggregation. */
+  def d7ClusterManifest(docs: DataFrame): DataFrame = {
+    val sizes = attachBinary(docs)
+      .select(col("doc_id"), length(col("media")).cast("long").as("asset_bytes"))
+    d6Assets(docs).join(sizes, Seq("doc_id"))
+      .groupBy("cluster", "media_type")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("asset_bytes")).as("n_bytes"),
+        sum(when(col("is_canonical") === 0L, col("asset_bytes")).otherwise(0L))
+          .as("reclaim_bytes"))
+      .orderBy("cluster")
   }
 
   private val HexDigits = "0123456789ABCDEF".toCharArray

@@ -188,6 +188,36 @@ class Round8Spec extends AnyFunSuite {
     assert(got("small")._2 > got("big")._2)
   }
 
+  // ---- d7: perceptual-cluster manifest --------------------------------
+
+  test("d7 accounts every payload byte and reclaims exactly the non-canonical mass") {
+    import graft.operators.Multimodal
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val report = Multimodal.d7ClusterManifest(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // regroup d6's per-asset rows + payload sizes in plain Scala
+    val assets = Multimodal.d6MediaNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    val bytes = docs.select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = assets.groupBy(a => (a._3, a._2)).map { case ((cl, mt), as) =>
+      (cl, mt, as.length.toLong, as.map(a => bytes(a._1)).sum,
+        as.filter(_._4 == 0L).map(a => bytes(a._1)).sum)
+    }.toSeq.sortBy(_._1)
+    assert(report.toSeq == want, "d7 disagrees with a by-hand regroup of d6")
+    // every payload byte is accounted once; reclaim < total wherever
+    // a cluster has members, and zero for singletons
+    assert(report.map(_._4).sum == bytes.values.sum)
+    for ((cl, _, n, tot, rec) <- report) {
+      if (n == 1L) assert(rec == 0L, s"singleton cluster $cl reclaims")
+      assert(rec < tot || tot == 0L, s"cluster $cl reclaims its canonical too")
+    }
+    // the corpus plants near-identical docs → at least one multi-
+    // asset cluster must exist for the reclaim story to be tested
+    assert(report.exists(_._3 > 1), "no multi-asset cluster in the corpus")
+  }
+
   // ---- c39: DSIR ------------------------------------------------------
 
   test("c39 ranks target-like raw docs above generic ones, hand-checked") {
