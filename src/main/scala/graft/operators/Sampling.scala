@@ -293,7 +293,17 @@ object Sampling {
     * every unlabeled doc untouched (coalesce to its own id). One
     * report-sized aggregation follows; same 90/5/5 geometry as c13
     * ([[SplitTrainPct]]/[[SplitValPct]]). */
-  def c36ClusterSplit(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def c36ClusterSplit(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    c36Assignments(docs, threshold)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster")).as("n_clusters"))
+      .orderBy("split")
+
+  /** The per-doc (doc_id, cluster, split) assignment under c36's
+    * rule — the keyed report aggregates this; exposed at doc grain
+    * so the leakage-safety PROPERTY (a cluster never straddles
+    * splits) is testable directly, not only via planted examples. */
+  private[graft] def c36Assignments(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val labels = Dedup.labelComponents(
       Dedup.minhashCandidatePairs(docs)
         .filter(col("jaccard") >= threshold)
@@ -307,9 +317,6 @@ object Sampling {
       .withColumn("split",
         when(bucket < SplitTrainPct, "train")
           .when(bucket < SplitValPct, "val").otherwise("test"))
-      .groupBy("split")
-      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster")).as("n_clusters"))
-      .orderBy("split")
   }
 
   // ---- c38: temperature-scaled source mixture -------------------------

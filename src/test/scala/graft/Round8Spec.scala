@@ -108,6 +108,30 @@ class Round8Spec extends AnyFunSuite {
       "planted ids no longer straddle — pick different ids")
   }
 
+  test("c36 property: no cluster straddles splits; c13 provably leaks on the same corpus") {
+    // the REAL corpus: its planted near-identical docs make non-
+    // singleton clusters, so the property is exercised, not vacuous
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val asg = Sampling.c36Assignments(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(asg.length == docs.count())
+    val perCluster = asg.groupBy(_._2).map { case (c, rows) => c -> rows.map(_._3).toSet }
+    assert(perCluster.values.forall(_.size == 1),
+      s"clusters split across sets: ${perCluster.filter(_._2.size > 1).take(3)}")
+    assert(perCluster.exists(_._2 != null) && asg.groupBy(_._2).exists(_._2.length > 1),
+      "no multi-doc cluster — property vacuous on this corpus")
+    // c13's per-doc split separates at least one of those clusters
+    // (the leak c36 exists to close)
+    val docSplit = asg.map { case (id, _, _) =>
+      val b = md5Bucket(id.toString, 100)
+      id -> (if (b < Sampling.SplitTrainPct) "train"
+             else if (b < Sampling.SplitValPct) "val" else "test")
+    }.toMap
+    val leaked = asg.groupBy(_._2).exists { case (_, rows) =>
+      rows.length > 1 && rows.map(r => docSplit(r._1)).toSet.size > 1 }
+    assert(leaked, "corpus never exercises the c13 leak — planted spec still covers it")
+  }
+
   // ---- c37: BM25 --------------------------------------------------------
 
   test("c37 ranks by tf saturation, elides universal terms, prunes to cap") {
