@@ -165,8 +165,14 @@ object OraclesC {
     .mkString("case ", " ", " else 1000 end")
 
   // c35 Bloom geometry, c37 BM25 constants, c38 mixture share — all
-  // from the operator constants (Double.toString round-trips exactly,
-  // so the SQL literal parses back to the identical IEEE double)
+  // from the operator constants. Double.toString round-trips exactly,
+  // so the SQL literal DENOTES the identical IEEE double — but DuckDB
+  // parses it as DECIMAL and multiplies bigints EXACTLY in decimal
+  // context (e.g. 3 * 2.2 = 6.6 exact, vs double 6.6000000000000005),
+  // so any product that is inexact in binary must cast its integer
+  // operand ::double first to force the double-by-double path Spark
+  // takes (see c37's tf::double). Sums/products that stay exactly
+  // representable (±0.5, 0.25·x, 0.75·x, 1000.0·n) are safe either way.
   private val BLOOM_M = graft.operators.TextAnalysis.BloomBits
   private val BLOOM_K = graft.operators.TextAnalysis.BloomHashes
   private val K1 = graft.operators.TextAnalysis.Bm25K1
@@ -517,21 +523,26 @@ object OraclesC {
     """,
 
     "c35_bloom_contamination" -> s"""
-      with sh as ($SH8),
-      bench as (select distinct sh8 from sh where doc_id % 97 = 0),
+      with shs as (
+        select doc_id, s, substr(md5(s), 1, 8) as sh8
+        from (select distinct doc_id, s from ($SHINGLES))),
+      bench as (select distinct sh8 from shs where doc_id % 97 = 0),
       bits as (
         select distinct ('0x' || substr(md5(sh8), 1 + 7*i, 7))::bigint % $BLOOM_M as pos
         from bench, unnest(range(0,$BLOOM_K)) as t(i)),
       probe as (
-        select doc_id, sh8,
+        select doc_id, s,
                ('0x' || substr(md5(sh8), 1 + 7*i, 7))::bigint % $BLOOM_M as pos
-        from sh, unnest(range(0,$BLOOM_K)) as t(i)
+        from shs, unnest(range(0,$BLOOM_K)) as t(i)
         where doc_id % 97 <> 0),
+      -- grouped by the RAW shingle (not sh8): the Spark probe counts
+      -- one row per distinct raw shingle, so an in-doc h8 collision
+      -- contributes TWO rows on both sides
       per_sh as (
-        select probe.doc_id, probe.sh8,
+        select probe.doc_id, probe.s,
                count(*) as n_pos, count(bits.pos) as n_hit
         from probe left join bits on probe.pos = bits.pos
-        group by probe.doc_id, probe.sh8)
+        group by probe.doc_id, probe.s)
       select doc_id, count(*) as n_sh,
              (count(*) filter (where n_hit = n_pos))::bigint as n_flagged,
              round((count(*) filter (where n_hit = n_pos))::double / count(*), 4) as flagged_frac
@@ -584,7 +595,7 @@ object OraclesC {
       contrib as (
         select q.q_id, p.doc_id,
                ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                 * (tf * $K1P1)
+                 * (tf::double * $K1P1)
                  / (tf + $K1 * ($OMB + $B25 * dl / avgdl)) as c
         from q
         join pruned p using (term)

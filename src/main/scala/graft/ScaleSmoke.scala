@@ -128,7 +128,8 @@ object ScaleSmoke {
       // kernel's profile), the cluster-split label join (verified-
       // pair-sized), and the pruned inverted-index probe (fan-out
       // capped per (query, term))
-      "c35_bloom_contamination", "c36_cluster_split", "c37_bm25", "c39_dsir")
+      "c35_bloom_contamination", "c36_cluster_split", "c37_bm25", "c39_dsir",
+      "d7_cluster_manifest")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

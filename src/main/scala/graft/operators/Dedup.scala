@@ -219,16 +219,25 @@ object Dedup {
     * shallow). Each round is one shuffle join; at web scale the same
     * loop runs with the large-star/small-star optimization. */
   def c12DupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val labels = labelComponents(
-      minhashCandidatePairs(docs)
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b")))
+    val labels = verifiedDupLabels(docs, threshold)
     val sizes = labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster"))
       .join(sizes, Seq("cluster"))
       .select(col("doc_id"), col("cluster"), col("cluster_size"))
       .orderBy("doc_id")
   }
+
+  /** (doc_id, label) for every doc in a verified near-dup pair at
+    * `threshold` — the ONE chain (candidate pairs → jaccard filter →
+    * component labeling) c12's cluster report and c36's leakage-safe
+    * split both consume; a threshold or verification change lands in
+    * both by construction. */
+  private[operators] def verifiedDupLabels(docs: DataFrame,
+      threshold: Double): DataFrame =
+    labelComponents(
+      minhashCandidatePairs(docs)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b")))
 
   /** Connected-component labels over a verified pair frame
     * (doc_a, doc_b) — every endpoint labeled by its component's min

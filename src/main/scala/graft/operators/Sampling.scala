@@ -304,10 +304,7 @@ object Sampling {
     * so the leakage-safety PROPERTY (a cluster never straddles
     * splits) is testable directly, not only via planted examples. */
   private[graft] def c36Assignments(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val labels = Dedup.labelComponents(
-      Dedup.minhashCandidatePairs(docs)
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b")))
+    val labels = Dedup.verifiedDupLabels(docs, threshold)
       .withColumnRenamed("label", "cluster")
     val bucket = conv(substring(md5(col("cluster").cast("string")), 1, 7), 16, 10)
       .cast("long") % 100

@@ -719,12 +719,6 @@ object TextAnalysis {
   val BloomBits: Long = 1L << 20
   val BloomHashes = 4
 
-  /** The k Bloom bit positions of a 32-bit shingle key, as an array
-    * column — position i is a 28-bit md5 slice of "i:sh8" mod
-    * [[BloomBits]]. Spelled with per-index literal expressions (not
-    * transform/sequence) so the whole derivation stays inside
-    * whole-stage codegen; higher-order functions evaluate
-    * interpreted. */
   /** Position i is the i-th disjoint 7-hex-char (28-bit) slice of ONE
     * md5(sh8) digest, mod [[BloomBits]] — k positions per shingle for
     * one hash computation (the 128-bit digest holds 4×28 independent
@@ -816,8 +810,11 @@ object TextAnalysis {
     * cache. Batch c35 keeps the memoized path. */
   private[graft] def docShingles8Direct(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(array_distinct(transform(TextFns.shingles3(col("text")),
-        s => TextFns.h8(s)))).as("sh8"))
+      // distinct RAW shingles, then hash — docShingles8's convention:
+      // an in-doc h8 collision keeps BOTH rows (dedup-after-hash
+      // would merge them and diverge from the batch probe)
+      explode(array_distinct(TextFns.shingles3(col("text")))).as("s"))
+      .select(col("doc_id"), TextFns.h8(col("s")).as("sh8"))
 
   // ---- c37: BM25 retrieval --------------------------------------------
 
