@@ -632,6 +632,21 @@ object OraclesC {
       group by d.source order by d.source
     """,
 
+    "c40_bpe_pairs" -> """
+      with tf as (
+        select doc_id, term, count(*) as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      words as (select term, sum(tf)::bigint as n from tf group by term),
+      pairs as (
+        select term, n, substr(term, i::int, 2) as pair
+        from words, unnest(range(1, length(term))) as t(i)
+        where length(term) >= 2)
+      select pair, sum(n)::bigint as total, count(distinct term) as n_words
+      from pairs group by pair
+      order by total desc, pair limit 50
+    """,
+
     "c39_dsir" -> """
       with tf as (
         select doc_id, term, count(*) as tf

@@ -103,6 +103,7 @@ object SparkEntry {
     "c37_bm25" -> ((s, dir) => TextAnalysis.c37Bm25(Tables.documents(s, dir))),
     "c38_temperature_mix" -> ((s, dir) => Sampling.c38TemperatureMix(Tables.documents(s, dir))),
     "c39_dsir" -> ((s, dir) => TextAnalysis.c39DsirSelection(Tables.documents(s, dir))),
+    "c40_bpe_pairs" -> ((s, dir) => TextAnalysis.c40BpePairs(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

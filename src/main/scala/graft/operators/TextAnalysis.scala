@@ -919,6 +919,42 @@ object TextAnalysis {
       docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))))
 
+  // ---- c40: BPE pair statistics ---------------------------------------
+
+  /** c40: byte-pair merge statistics — the counting step a BPE
+    * tokenizer trainer iterates (Sennrich et al. 2016): for every
+    * adjacent CHARACTER pair inside a word, its corpus-weighted
+    * occurrence count (weight = the word's total term frequency) and
+    * how many distinct words carry it; the top pair is the next
+    * merge. One iteration only — the declared contract is the
+    * merge-candidate table, not the trained vocab (the loop is a
+    * driver-side fold over vocabulary-sized frames, c26's pattern).
+    *
+    * Scale shape: the ONLY corpus-grain work is the shared [[tfRows]]
+    * memo; everything here reduces that to a VOCABULARY-sized word
+    * frequency table first and then explodes ~|word| pairs per
+    * DISTINCT word — at 100 TB the vocabulary is millions of rows
+    * where the corpus is billions, which is why real BPE trainers
+    * count on the vocab histogram, never the raw text. The pair
+    * explode uses transform/sequence (interpreted, not codegen) —
+    * acceptable exactly BECAUSE the input is vocabulary-sized; the
+    * corpus-grain kernels deliberately avoid that spelling. */
+  def c40BpePairs(docs: DataFrame, k: Int = 50): DataFrame = {
+    val words = tfRows(docs).groupBy("term").agg(sum(col("tf")).as("n"))
+    words
+      .filter(length(col("term")) >= 2)
+      .select(col("term"), col("n"),
+        explode(transform(sequence(lit(1), length(col("term")) - 1),
+          i => col("term").substr(i, lit(2)))).as("pair"))
+      // total counts every occurrence (a pair twice inside one word
+      // contributes 2n — BPE's merge objective); n_words counts the
+      // distinct words carrying it
+      .groupBy("pair")
+      .agg(sum(col("n")).as("total"), countDistinct(col("term")).as("n_words"))
+      .orderBy(col("total").desc, col("pair"))
+      .limit(k)
+  }
+
   // ---- c39: DSIR importance scoring -----------------------------------
 
   /** c39: data selection via importance resampling (DSIR, Xie et al.

@@ -269,6 +269,22 @@ class Round8Spec extends AnyFunSuite {
     assert(byDoc(1L) == expect1, s"doc 1 llr ${byDoc(1L)} != $expect1")
   }
 
+  // ---- c40: BPE pair stats --------------------------------------------
+
+  test("c40 counts weighted char pairs, in-word repeats included, hand-checked") {
+    // corpus: "aaa" ×3 docs (pair "aa" twice per word → total 6),
+    // "ab" ×2 within one doc (total 2), "b" too short to pair
+    val docs = docsDF(Seq(
+      (1L, "aaa b", "en", "s"),
+      (2L, "aaa ab ab", "en", "s"),
+      (3L, "aaa", "en", "s")))
+    val got = TextAnalysis.c40BpePairs(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "aa": n("aaa") = 3, two in-word occurrences → 6; one distinct word
+    // "ab": n("ab") = 2 → 2; "aaa" has no "ab"
+    assert(got.toSeq == Seq(("aa", 6L, 1L), ("ab", 2L, 1L)), s"got ${got.toSeq}")
+  }
+
   test("c38 single source caps at mille 1000 (keep everything within budget rule)") {
     // one source: mille = min(1000, floor(1000·floor(n/2)·√n/(√n·n)))
     // = floor(1000·(n/2)/n) = 500 for even n — exactly the budget
