@@ -632,6 +632,47 @@ object OraclesC {
       group by d.source order by d.source
     """,
 
+    // c41: the Gopher §A1.1 battery at (doc, term) grain — thresholds
+    // interpolated from the operator constants; rules compare the
+    // ROUNDED signals (round-then-compare, c17's discipline); the //3
+    // is exact (replace removes whole '...' occurrences)
+    "c41_gopher_rules" -> s"""
+      with tf as (
+        select doc_id, term, count(*)::bigint as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      sig as (
+        select doc_id,
+               sum(tf)::bigint as n_words,
+               round(sum(tf * length(term))::double / sum(tf), 4) as mean_word_len,
+               round(sum(case when regexp_matches(term, '^[a-z]+$$') then tf else 0 end)::double
+                     / sum(tf), 4) as alpha_frac,
+               round(sum(tf * ((length(term) - length(replace(term, '#', '')))
+                               + (length(term) - length(replace(term, '...', ''))) // 3))::double
+                     / sum(tf), 4) as symbol_ratio,
+               sum(case when list_contains($markers, term) then tf else 0 end)::bigint as stop_hits
+        from tf group by doc_id)
+      select doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, stop_hits,
+             (case when fail_reasons = '' then 1 else 0 end)::bigint as keep, fail_reasons
+      from (
+        select *,
+               concat_ws(',',
+                 case when n_words < ${graft.operators.TextAnalysis.GopherMinWords}
+                        or n_words > ${graft.operators.TextAnalysis.GopherMaxWords}
+                      then 'word_count' end,
+                 case when mean_word_len < ${graft.operators.TextAnalysis.GopherMinMeanLen}
+                        or mean_word_len > ${graft.operators.TextAnalysis.GopherMaxMeanLen}
+                      then 'mean_word_len' end,
+                 case when alpha_frac < ${graft.operators.TextAnalysis.GopherMinAlphaFrac}
+                      then 'alpha' end,
+                 case when symbol_ratio > ${graft.operators.TextAnalysis.GopherMaxSymbolRatio}
+                      then 'symbol' end,
+                 case when stop_hits < ${graft.operators.TextAnalysis.GopherMinStopHits}
+                      then 'stopword' end) as fail_reasons
+        from sig)
+      order by doc_id
+    """,
+
     "c40_bpe_pairs" -> """
       with tf as (
         select doc_id, term, count(*) as tf

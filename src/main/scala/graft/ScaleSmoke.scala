@@ -129,7 +129,11 @@ object ScaleSmoke {
       // pair-sized), and the pruned inverted-index probe (fan-out
       // capped per (query, term))
       "c35_bloom_contamination", "c36_cluster_split", "c37_bm25", "c39_dsir",
-      "d7_cluster_manifest")
+      "d7_cluster_manifest",
+      // r8b: the CDC chunk kernel (payload-linear, boundary rate
+      // data-dependent — the measured row proves the cut rate holds
+      // off the synthetic alphabet) and the tf-memo rule battery
+      "d8_cdc_chunks", "c41_gopher_rules")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -104,6 +104,7 @@ object SparkEntry {
     "c38_temperature_mix" -> ((s, dir) => Sampling.c38TemperatureMix(Tables.documents(s, dir))),
     "c39_dsir" -> ((s, dir) => TextAnalysis.c39DsirSelection(Tables.documents(s, dir))),
     "c40_bpe_pairs" -> ((s, dir) => TextAnalysis.c40BpePairs(Tables.documents(s, dir))),
+    "c41_gopher_rules" -> ((s, dir) => TextAnalysis.c41GopherRules(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),
@@ -112,6 +113,7 @@ object SparkEntry {
     "d5_media_manifest"  -> ((s, dir) => Multimodal.d5MediaManifest(Tables.documents(s, dir))),
     "d6_media_neardup"   -> ((s, dir) => Multimodal.d6MediaNearDup(Tables.documents(s, dir))),
     "d7_cluster_manifest" -> ((s, dir) => Multimodal.d7ClusterManifest(Tables.documents(s, dir))),
+    "d8_cdc_chunks"      -> ((s, dir) => Multimodal.d8CdcChunks(Tables.documents(s, dir))),
 
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
     "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
@@ -136,6 +138,8 @@ object SparkEntry {
   // multimodal tunables shared with the oracle SQL below
   private val CHUNK = operators.Multimodal.DefaultChunkBytes
   private val STRIDE = operators.Multimodal.DefaultStride
+  private val CDC_W = operators.Multimodal.CdcWindow
+  private val CDC_M = operators.Multimodal.CdcModulus
 
   /** d6's phash → bands → verified pairs → component-label CTE list
     * (no WITH keyword; needs `recursive`) — shared by the d6 report
@@ -534,6 +538,46 @@ object SparkEntry {
       from cl join sz using (doc_id)
       group by cluster, media_type
       order by cluster
+    """,
+
+    // d8: content-defined chunking — the oracle spells the kernel's
+    // rolling rule declaratively: per-byte gear values (exact int
+    // math both engines share), a 16-row window sum, cut after byte
+    // p when the full-window sum ≡ 0 (mod 64), chunks between
+    // consecutive cuts with d2's hex-domain checksum. Geometry
+    // constants interpolated from the operator (CdcWindow/CdcModulus).
+    "d8_cdc_chunks" -> s"""
+      with c as (
+        select doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
+               hex(encode(text)) as hx,
+               octet_length(encode(text)) as n_bytes
+        from documents),
+      g as (
+        select doc_id, p,
+               ((('0x' || substring(hx, (2 * p + 1)::int, 2))::bigint + 1) * 40503) % 65521 as gv
+        from (select doc_id, hx, unnest(range(0, n_bytes)) as p from c)),
+      s as (
+        select doc_id, p,
+               sum(gv) over (partition by doc_id order by p
+                             rows between ${CDC_W - 1} preceding and current row) as ws
+        from g),
+      starts as (
+        select doc_id, 0::bigint as start from c
+        union all
+        select s.doc_id, (s.p + 1)::bigint as start
+        from s join c on s.doc_id = c.doc_id
+        where s.p >= ${CDC_W - 1} and s.p < c.n_bytes - 1 and s.ws % $CDC_M = 0),
+      ch as (
+        select st.doc_id, c.media_type, c.hx, st.start,
+               row_number() over (partition by st.doc_id order by st.start) - 1 as chunk_idx,
+               coalesce(lead(st.start) over (partition by st.doc_id order by st.start),
+                        c.n_bytes) as fin
+        from starts st join c on st.doc_id = c.doc_id)
+      select doc_id, media_type, chunk_idx::bigint as chunk_idx,
+             (fin - start)::bigint as chunk_len,
+             md5(substring(hx, (2 * start + 1)::int, (2 * (fin - start))::int)) as chunk_md5
+      from ch order by doc_id, chunk_idx
     """,
 
     "e1_stream_hourly" -> """

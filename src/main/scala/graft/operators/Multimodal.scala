@@ -366,6 +366,95 @@ object Multimodal {
       .orderBy("cluster")
   }
 
+  /** d8 CDC geometry — all oracle-interpolated contract constants.
+    * Rolling window of [[CdcWindow]] bytes; a cut lands after byte p
+    * when the window's gear-sum ≡ 0 (mod [[CdcModulus]]), so the
+    * expected chunk is ≈ CdcModulus bytes — d2's framing size, for a
+    * like-for-like dedup comparison. The modulus is deliberately NOT
+    * a power of two: sums over a small alphabet live on a lattice
+    * whose low bits are structured (measured here: mod-64 leaves
+    * residue 0 nearly unreachable on the lowercase-word corpus — 5
+    * cuts corpus-wide — while mod-63 cuts at the designed ~1/64
+    * rate). Real CDC gear tables are random 64-bit for the same
+    * reason; 63 is the engine-portable spelling of that lesson. */
+  val CdcWindow = 16
+  val CdcModulus = 63
+
+  /** Per-byte gear value: a small-prime affine hash whose arithmetic
+    * ((b+1)·40503 mod 65521) is exact int math in BOTH engines — the
+    * c38 discipline (pick the spelling the engines compute
+    * identically). Window sums stay < 2²⁰, nowhere near overflow. */
+  private[operators] val GearTable: Array[Int] =
+    Array.tabulate(256)(b => ((b + 1) * 40503) % 65521)
+
+  /** d8: content-defined chunking over the binary payload — the
+    * boundary rule d2 cannot express: d2 cuts every `chunkBytes`
+    * bytes, so ONE inserted byte shifts every later cut and the
+    * content-addressed store (d4/d5) sees a 100%-new asset. d8 cuts
+    * where the CONTENT says to (rolling-hash boundary, the
+    * LBFS/rsync/FastCDC family), so after an insertion the cut
+    * stream re-synchronizes at the first content boundary and every
+    * later chunk hashes identically — the property that makes CDC
+    * the framing layer of every dedup store.
+    *
+    * Kernel: a true O(1)-per-byte rolling update (add the entering
+    * gear value, drop the leaving one) — one pass per payload, one
+    * hex encoding per payload, chunk checksums digested straight off
+    * hex slices (d2's byte-exact hex-domain contract). The oracle
+    * spells the SAME math declaratively (per-byte grain + a
+    * 16-row window sum); the kernel exists because at 100 TB the
+    * per-byte explode is exactly the payload-widening shuffle the
+    * D-tier payload diet removed — payload bytes enter here once and
+    * only (doc_id, idx, len, md5) rows leave.
+    *
+    * Production notes, kernel-local by design: FastCDC's min/max
+    * chunk caps are a sequential-dependence knob (a suppressed cut
+    * moves every later one), so the DECLARED contract is the uncapped
+    * rule — cap enforcement belongs in this kernel, where it is a
+    * two-line change that no longer needs an oracle twin. The gear
+    * table likewise swaps for a cryptographic one without touching
+    * the plan shape. */
+  def d8CdcChunks(docs: DataFrame): DataFrame =
+    cdcChunkRows(docs).orderBy("doc_id", "chunk_idx")
+
+  private def cdcChunkRows(docs: DataFrame): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    graft.sources.Tables.parallelKernelInput(
+        attachBinary(docs).select(col("doc_id"), col("media"), col("media_type")))
+      .as[(Long, Array[Byte], String)]
+      .flatMap { case (id, bytes, mt) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // one hex pass per payload; every chunk digests a slice of it
+        val hx = new Array[Byte](bytes.length * 2)
+        var i = 0
+        while (i < bytes.length) {
+          hx(i * 2) = HexDigits((bytes(i) >> 4) & 0xf).toByte
+          hx(i * 2 + 1) = HexDigits(bytes(i) & 0xf).toByte
+          i += 1
+        }
+        // cut after byte p (full window only, never after the last
+        // byte — a zero-length tail chunk frames nothing)
+        val starts = scala.collection.mutable.ArrayBuffer(0)
+        var ws = 0
+        var p = 0
+        while (p < bytes.length) {
+          ws += GearTable(bytes(p) & 0xff)
+          if (p >= CdcWindow) ws -= GearTable(bytes(p - CdcWindow) & 0xff)
+          if (p >= CdcWindow - 1 && p < bytes.length - 1 && ws % CdcModulus == 0)
+            starts += p + 1
+          p += 1
+        }
+        starts.iterator.zipWithIndex.map { case (from, idx) =>
+          val until = if (idx + 1 < starts.length) starts(idx + 1) else bytes.length
+          md.reset()
+          md.update(hx, from * 2, (until - from) * 2)
+          (id, mt, idx.toLong, (until - from).toLong, hexLower(md.digest()))
+        }
+      }
+      .toDF("doc_id", "media_type", "chunk_idx", "chunk_len", "chunk_md5")
+  }
+
   private val HexDigits = "0123456789ABCDEF".toCharArray
   private val HexLowerDigits = "0123456789abcdef".toCharArray
 }

@@ -919,6 +919,70 @@ object TextAnalysis {
       docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))))
 
+  // ---- c41: Gopher rule battery ---------------------------------------
+
+  /** c41 thresholds — the Gopher quality-rule battery (Rae et al.
+    * 2021, §A1.1), the literature's canonical *named* rule set, kept
+    * at the paper's constants. All oracle-interpolated. (c9 scores a
+    * continuous quality signal, c23 cascades graft's own gate; c41
+    * is the published battery a reviewer can check against the
+    * paper, rule for rule.) The two line-grain rules — bullet-start
+    * and ellipsis-end line fractions — are out of scope for this
+    * corpus by construction: documents are single-line
+    * space-separated words, so the line grain doesn't exist here;
+    * the symbol-ratio rule carries the ellipsis signal instead. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMinAlphaFrac = 0.8
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinStopHits = 2L
+
+  /** c41: per-document Gopher rules with full signal disclosure —
+    * every signal, every rule verdict, and the keep decision, so a
+    * curation run can be audited per rule (which rule fired, at what
+    * measured value) rather than per boolean.
+    *
+    * Scale shape: everything reduces off the shared [[tfRows]] memo
+    * at (doc, term) grain — word length, alpha membership, symbol
+    * counts, and stopword hits are all functions of the TERM, so the
+    * per-doc aggregate is one map-side-combinable groupBy with zero
+    * additional corpus passes and no interpreted higher-order
+    * functions (the per-doc lambda spelling would be the slow path
+    * at 100 TB). Rules compare the ROUNDED signals in both engines —
+    * the c17 round-then-compare discipline that keeps the keep bit
+    * hash-stable. */
+  def c41GopherRules(docs: DataFrame): DataFrame = {
+    val isAlpha = col("term").rlike("^[a-z]+$")
+    val hashes = length(col("term")) - length(regexp_replace(col("term"), "#", ""))
+    val ellipses = ((length(col("term"))
+      - length(regexp_replace(col("term"), "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val sig = tfRows(docs).groupBy("doc_id").agg(
+      sum(col("tf")).as("n_words"),
+      round(sum(col("tf") * length(col("term"))).cast("double") / sum(col("tf")), 4)
+        .as("mean_word_len"),
+      round(sum(when(isAlpha, col("tf")).otherwise(0L)).cast("double") / sum(col("tf")), 4)
+        .as("alpha_frac"),
+      round(sum(col("tf") * (hashes + ellipses)).cast("double") / sum(col("tf")), 4)
+        .as("symbol_ratio"),
+      sum(when(col("term").isin(TextFns.EnMarkers: _*), col("tf")).otherwise(0L))
+        .as("stop_hits"))
+    val fails = concat_ws(",",
+      when(col("n_words") < GopherMinWords || col("n_words") > GopherMaxWords,
+        lit("word_count")),
+      when(col("mean_word_len") < GopherMinMeanLen
+        || col("mean_word_len") > GopherMaxMeanLen, lit("mean_word_len")),
+      when(col("alpha_frac") < GopherMinAlphaFrac, lit("alpha")),
+      when(col("symbol_ratio") > GopherMaxSymbolRatio, lit("symbol")),
+      when(col("stop_hits") < GopherMinStopHits, lit("stopword")))
+    sig.withColumn("fail_reasons", fails)
+      .withColumn("keep", when(col("fail_reasons") === "", 1L).otherwise(0L))
+      .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
+        "symbol_ratio", "stop_hits", "keep", "fail_reasons")
+      .orderBy("doc_id")
+  }
+
   // ---- c40: BPE pair statistics ---------------------------------------
 
   /** c40: byte-pair merge statistics — the counting step a BPE

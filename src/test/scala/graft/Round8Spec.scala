@@ -294,4 +294,90 @@ class Round8Spec extends AnyFunSuite {
     assert(got.length == 1)
     assert(got.head.getLong(2) == 500L, s"single-source mille: ${got.head}")
   }
+
+  // ---- c41: Gopher rule battery ---------------------------------------
+
+  test("c41 fires each Gopher rule at its measured signal, hand-checked") {
+    import graft.operators.TextAnalysis
+    val stops = Seq("the", "of")
+    def w(n: Int, word: String) = (stops ++ Seq.fill(n - 2)(word)).mkString(" ")
+    val docs = docsDF(Seq(
+      // 50 words (boundary), mean (3+2+48·5)/50 = 4.9, all-alpha,
+      // no symbols, 2 stop hits → keeps
+      (1L, w(50, "world"), "en", "s"),
+      // 3 words → word_count; mean 8/3 = 2.6667 → mean_word_len
+      (2L, "the of aaa", "en", "s"),
+      // "abc1" non-alpha: alpha_frac 2/50 = 0.04 → alpha (mean 3.94 ok)
+      (3L, w(50, "abc1"), "en", "s"),
+      // one '...' per token: symbol_ratio 48/50 = 0.96 → symbol
+      // (and '...' breaks the alpha rule too — by the paper's rules)
+      (4L, w(50, "abc..."), "en", "s"),
+      // alpha and length fine, zero stopword hits → stopword
+      (5L, ("apple " * 50).trim, "en", "s")))
+    val got = TextAnalysis.c41GopherRules(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    assert(got(1L) == ((50L, 4.9, 1.0, 0.0, 2L, 1L, "")), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((3L, 2.6667, 1.0, 0.0, 2L, 0L, "word_count,mean_word_len")),
+      s"doc2 ${got(2L)}")
+    assert(got(3L) == ((50L, 3.94, 0.04, 0.0, 2L, 0L, "alpha")), s"doc3 ${got(3L)}")
+    assert(got(4L) == ((50L, 5.86, 0.04, 0.96, 2L, 0L, "alpha,symbol")),
+      s"doc4 ${got(4L)}")
+    assert(got(5L) == ((50L, 5.0, 1.0, 0.0, 0L, 0L, "stopword")), s"doc5 ${got(5L)}")
+  }
+
+  // ---- d8: content-defined chunking -----------------------------------
+
+  test("d8 chunks tile every payload exactly (dense idx, lengths sum to bytes)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ch = graft.operators.Multimodal.d8CdcChunks(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("chunk_idx")).as("mx"),
+        sum(col("chunk_len")).as("bytes"), min(col("chunk_len")).as("mn"))
+    val sizes = docs.select(col("doc_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("want"))
+    val bad = ch.join(sizes, Seq("doc_id"))
+      .filter(col("bytes") =!= col("want") || col("mx") =!= col("n") - 1
+        || col("mn") < 1)
+      .count()
+    assert(bad == 0, s"$bad documents mis-tiled")
+    // geometry sanity: the modulus choice actually cuts (~1/63 rate);
+    // a degenerate predicate (the mod-64 lattice trap) would leave
+    // nearly every doc a single chunk
+    val perDoc = ch.agg(avg(col("n"))).head().getDouble(0)
+    assert(perDoc > 2.0, s"cut rate degenerate: avg $perDoc chunks/doc")
+  }
+
+  test("d8 re-synchronizes after an insertion where d2's fixed grid cannot") {
+    import graft.operators.Multimodal
+    // B = 3 inserted bytes + A. CDC cut positions are a function of a
+    // 16-byte window, so every cut of A recurs in B shifted by 3, and
+    // each A-chunk from the first cut onward hashes identically in B.
+    val textA = Seq.tabulate(400)(i => s"w${(i * 7) % 97}x${(i * 13) % 89}").mkString(" ")
+    val docs = docsDF(Seq((1L, textA, "en", "s"), (2L, "zz " + textA, "en", "s")))
+    def chunks(id: Long, df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("doc_id") === id)
+        .select("chunk_idx", "chunk_md5").collect()
+        .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+    val cdc = Multimodal.d8CdcChunks(docs)
+    val (a, b) = (chunks(1L, cdc), chunks(2L, cdc))
+    assert(a.length >= 4, s"planted payload too smooth: ${a.length} chunks")
+    // all of A's chunks except the head (whose B twin carries the
+    // inserted prefix) survive the shift byte-for-byte
+    val shared = a.tail.count(b.toSet)
+    assert(shared == a.length - 1, s"resync lost chunks: $shared of ${a.length - 1}")
+    // the fixed grid shares nothing: a 3-byte shift misaligns every
+    // 64-byte slice (payload lengths differ, so even tails differ)
+    val fix = Multimodal.d2MediaChunks(docs)
+    val fixShared = chunks(1L, fix).toSet.intersect(chunks(2L, fix).toSet)
+    assert(fixShared.isEmpty, s"fixed grid unexpectedly shared $fixShared")
+  }
+
+  test("d8 empty payload still frames one zero-length chunk") {
+    val docs = docsDF(Seq((3L, "", "en", "s")))
+    val got = graft.operators.Multimodal.d8CdcChunks(docs).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(3) == 0L)
+    assert(got.head.getString(4) == "d41d8cd98f00b204e9800998ecf8427e")
+  }
 }
