@@ -207,6 +207,31 @@ object OraclesC {
       order by jaccard desc, doc_a, doc_b limit 50
     """,
 
+    // c42: same df-capped evidence as c2, asymmetric containment
+    // orientation (smaller capped set = doc_in; ties keep doc_a,
+    // which is already the lower id); bar compares the ROUNDED value
+    "c42_containment" -> s"""
+      with sh as ($SH8),
+      keep as (select sh8 from sh group by sh8 having count(*) <= ${graft.operators.Dedup.DfCap}),
+      shk as (select sh.* from sh join keep using (sh8)),
+      sizes as (select doc_id, count(*) as n_sh from shk group by doc_id),
+      inter as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+        from shk a join shk b on a.sh8 = b.sh8 and a.doc_id < b.doc_id
+        group by 1, 2),
+      sc as (
+        select case when sa.n_sh <= sb.n_sh then doc_a else doc_b end as doc_in,
+               case when sa.n_sh <= sb.n_sh then doc_b else doc_a end as doc_of,
+               n_inter,
+               round(n_inter / least(sa.n_sh, sb.n_sh), 4) as containment,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) as jaccard
+        from inter
+        join sizes sa on inter.doc_a = sa.doc_id
+        join sizes sb on inter.doc_b = sb.doc_id)
+      select * from sc where containment >= ${graft.operators.Dedup.ContainmentBar}
+      order by containment desc, doc_in, doc_of limit 50
+    """,
+
     "c3_dedup_minhash" -> s"""
       with $C3_CHAIN
       select doc_a, doc_b, jaccard from vpairs

@@ -132,8 +132,9 @@ object ScaleSmoke {
       "d7_cluster_manifest",
       // r8b: the CDC chunk kernel (payload-linear, boundary rate
       // data-dependent — the measured row proves the cut rate holds
-      // off the synthetic alphabet) and the tf-memo rule battery
-      "d8_cdc_chunks", "c41_gopher_rules")
+      // off the synthetic alphabet), the tf-memo rule battery, and
+      // the containment twin of c2's posting chain
+      "d8_cdc_chunks", "c41_gopher_rules", "c42_containment")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

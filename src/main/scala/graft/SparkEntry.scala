@@ -105,6 +105,7 @@ object SparkEntry {
     "c39_dsir" -> ((s, dir) => TextAnalysis.c39DsirSelection(Tables.documents(s, dir))),
     "c40_bpe_pairs" -> ((s, dir) => TextAnalysis.c40BpePairs(Tables.documents(s, dir))),
     "c41_gopher_rules" -> ((s, dir) => TextAnalysis.c41GopherRules(Tables.documents(s, dir))),
+    "c42_containment" -> ((s, dir) => Dedup.c42Containment(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

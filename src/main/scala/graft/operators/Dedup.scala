@@ -79,15 +79,40 @@ object Dedup {
     * spelling rebuilt the df filter three times and broadcast-built
     * the whole shingle frame. */
   def c2NgramJaccard(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
-    val byShingle = docShingles8(docs)
-      .groupBy("sh8").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= dfCap)
-      // two consumers: pair generation + per-doc sizes; ~|distinct
-      // shingles| rows. localCheckpoint (not persist): blocks are
-      // freed by the ContextCleaner when the result frame is dropped,
-      // instead of accumulating in the CacheManager for the life of a
-      // shared session.
-      .localCheckpoint()
+    val (inter, sizes) = overlapFrames(docs, dfCap)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  /** df-capped inverted-index posting lists (sh8 → sorted doc ids) —
+    * session-memoized at the default cap (the d6Assets pattern: a
+    * memo keyed only on the input plan must not serve another
+    * geometry's rows), so c2 and c42 share one checkpointed build. */
+  private def ngramPostings(docs: DataFrame, dfCap: Int): DataFrame = {
+    def build =
+      docShingles8(docs)
+        .groupBy("sh8").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= dfCap)
+        // consumers: pair generation + per-doc sizes, for two queries;
+        // ~|distinct shingles| rows. localCheckpoint (not persist):
+        // blocks are freed by the ContextCleaner when the result frame
+        // is dropped, instead of accumulating in the CacheManager for
+        // the life of a shared session.
+        .localCheckpoint()
+    if (dfCap == DfCap) CorpusPrep.memo("ngram_postings", docs)(build) else build
+  }
+
+  /** The shared overlap chain: per-pair shared-shingle counts + the
+    * per-doc (capped) set sizes every set-similarity measure derives
+    * from — c2's Jaccard and c42's containment read the same two
+    * frames, so their evidence cannot drift. */
+  private def overlapFrames(docs: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
+    val byShingle = ngramPostings(docs, dfCap)
     val sizes = byShingle.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // Quadratic-in-group pair generation is imperative by nature; a
@@ -109,13 +134,44 @@ object Dedup {
         } yield (ds(i), ds(j))
       }
       .toDF("doc_a", "doc_b")
-    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    (pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter")), sizes)
+  }
+
+  /** c42 admission bar — the containment share above which the
+    * contained side is dup-shaped (Broder 1997's C(A,B) ≥ 0.8 is the
+    * classic "roughly contained" line). Oracle-interpolated. */
+  val ContainmentBar = 0.8
+
+  /** c42: asymmetric containment dedup (Broder 1997's second
+    * resemblance measure — the one Jaccard is NOT): C(A→B) =
+    * |Sh(A)∩Sh(B)| / |Sh(A)|. A short doc quoted or wrapped inside a
+    * longer one (boilerplate frames, quote-expansions, page-of-pages
+    * aggregators) has near-total containment but tiny Jaccard — |A∪B|
+    * is dominated by the big side — so c2/c3 never surface it; the
+    * containment report is how a curation run finds subsumed docs to
+    * drop while keeping the superset carrier.
+    *
+    * Report: per candidate pair, the direction of MAX containment
+    * (doc_in = the side with fewer capped shingles; equal sizes keep
+    * the lower id — deterministic because the pair frame is already
+    * doc_a < doc_b), its containment and the symmetric jaccard for
+    * contrast, bar-filtered. Same df-capped evidence as c2
+    * ([[overlapFrames]]): candidate volume ∝ shared-shingle mass,
+    * never n², and the memoized posting build is shared. */
+  def c42Containment(docs: DataFrame, dfCap: Int = DfCap,
+      bar: Double = ContainmentBar): DataFrame = {
+    val (inter, sizes) = overlapFrames(docs, dfCap)
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")).as("doc_in"),
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a")).as("doc_of"),
+        col("n_inter"),
+        round(col("n_inter") / least(col("n_a"), col("n_b")), 4).as("containment"),
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .filter(col("containment") >= bar)
+      .orderBy(col("containment").desc, col("doc_in"), col("doc_of"))
       .limit(50)
   }
 
@@ -175,22 +231,45 @@ object Dedup {
     * bounds per-band-bucket fan-out (see BucketCap); the window count
     * shares the band-key shuffle the self-join needs anyway, so both
     * join sides reuse one exchange. */
-  def minhashCandidatePairs(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sets = sharedShingleSets(docs)
-    // The signature input is the materialized sets exploded back to
-    // (doc_id, shingle) rows — the tokenize+shingle kernel never runs
-    // a second time (and, via CorpusPrep, not even a second time
-    // ACROSS queries in the same session).
+  def minhashCandidatePairs(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame =
+    candidatePairsFromSets(sharedShingleSets(docs), bucketCap)
+
+  /** The un-memoized shingle kernel, for callers whose input frame is
+    * transient (each streaming micro-batch is a NEW plan, so the
+    * session memo would grow one dead entry per batch — the cache
+    * leak DecontamStream's direct-projection note records). */
+  private[graft] def directShingleSets(docs: DataFrame): DataFrame = shingleSets(docs)
+
+  /** Pair generation + exact-Jaccard verify off an explicit sets
+    * frame — the memoized batch path ([[minhashCandidatePairs]]) and
+    * the streaming gate (NearDupStream, batch-sized per-micro-batch
+    * sets) share this one spelling so their evidence cannot drift.
+    * Callers pass a materialized/checkpointed frame: both the band
+    * derivation and the two verify joins read it. */
+  /** Raw (doc_id, band_key) rows off a sets frame — the signature
+    * input is the sets exploded back to (doc_id, shingle) rows, so
+    * the tokenize+shingle kernel never runs a second time (and, via
+    * CorpusPrep, not even a second time ACROSS queries in the same
+    * session). Uncapped: the batch path applies the bucket cap on
+    * top; the streaming gate probes/stores these directly (its
+    * keeper-side buckets are self-bounding — kept docs are mutually
+    * non-duplicate, so only hash collisions share a band key). */
+  private[graft] def bandKeyRows(sets: DataFrame): DataFrame = {
     val sig = minhashSigs(sets.select(col("doc_id"), explode(col("sh")).as("s")))
-    // both sides of the candidate self-join read this; persist the
-    // |docs|×8-row frame instead of running the md5+agg pipeline twice
     val rowsPerBand = MinhashK / Bands
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
         explode(sequence(lit(0), lit(Bands - 1))).as("j"), col("sig"))
       .select(col("doc_id"),
         md5(concat_ws(":", col("j") +: (1 to rowsPerBand).map(r =>
           element_at(col("sig"), col("j") * rowsPerBand + r)): _*)).as("band_key"))
+  }
+
+  private[graft] def candidatePairsFromSets(sets: DataFrame,
+      bucketCap: Int = BucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // both sides of the candidate self-join read this; persist the
+    // |docs|×8-row frame instead of running the md5+agg pipeline twice
+    val bands = bandKeyRows(sets)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_key"))))
       .filter(col("bsz") <= bucketCap)
       .select(col("doc_id"), col("band_key"))

@@ -326,6 +326,26 @@ class Round8Spec extends AnyFunSuite {
     assert(got(5L) == ((50L, 5.0, 1.0, 0.0, 0L, 0L, "stopword")), s"doc5 ${got(5L)}")
   }
 
+  // ---- c42: asymmetric containment ------------------------------------
+
+  test("c42 surfaces a contained quote that jaccard ranking buries, hand-checked") {
+    import graft.operators.Dedup
+    // long doc: 60 words → 58 shingles; short doc = its first 12
+    // words → 10 shingles, every one shared. Containment 10/10 = 1.0;
+    // jaccard 10/58 = 0.1724 — far below any symmetric dup bar, which
+    // is exactly the mass c42 exists to surface.
+    val words = (1 to 60).map(i => s"w$i")
+    val docs = docsDF(Seq(
+      (1L, words.mkString(" "), "en", "s"),
+      (2L, words.take(12).mkString(" "), "en", "s"),
+      (3L, "x y z q", "en", "s")))
+    val got = Dedup.c42Containment(docs).collect()
+    assert(got.length == 1, s"expected one containment row, got ${got.toSeq}")
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      == ((2L, 1L, 10L, 1.0, 0.1724)), s"row ${r.toSeq}")
+  }
+
   // ---- d8: content-defined chunking -----------------------------------
 
   test("d8 chunks tile every payload exactly (dense idx, lengths sum to bytes)") {

@@ -296,6 +296,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotDecisions() == got, "replayed micro-batches changed decisions")
   }
 
+  test("streaming near-dup gate: keep-one per cluster, cross-batch drop, replay-safe") {
+    import graft.streaming.NearDupStream
+    import org.apache.spark.sql.Row
+    // two staged micro-batches; exact copies make the verified
+    // jaccard 1.0, so every planted dup is above any sane bar
+    val base = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val uniq1 = (1 to 12).map(i => s"beta$i").mkString(" ")
+    val uniq2 = (1 to 12).map(i => s"gamma$i").mkString(" ")
+    val batch1 = Seq((1L, base), (2L, base), (3L, uniq1))
+    val batch2 = Seq((4L, base), (5L, uniq2), (6L, uniq2))
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-nd-in-").toString
+    batch1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    batch2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val decisionStore = java.nio.file.Files.createTempDirectory("graft-nd-d-").toString + "/store"
+    val keepStore = java.nio.file.Files.createTempDirectory("graft-nd-k-").toString + "/store"
+    val bandStore = java.nio.file.Files.createTempDirectory("graft-nd-b-").toString + "/store"
+    def runGate(): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string"))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = NearDupStream.nearDupGate(src, decisionStore, keepStore, bandStore)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runGate()
+    def gotDecisions() = NearDupStream.decisions(spark, decisionStore)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    val got = gotDecisions()
+    // batch 1: {1,2} one cluster → 1 keeps, 2 drops citing 1; 3 unique
+    assert(got(1L) == ((true, -1L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((false, 1L)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((true, -1L)), s"doc3 ${got(3L)}")
+    // batch 2: 4 duplicates the CROSS-BATCH keeper 1; {5,6} cluster
+    assert(got(4L) == ((false, 1L)), s"cross-batch dup not caught: ${got(4L)}")
+    assert(got(5L) == ((true, -1L)), s"doc5 ${got(5L)}")
+    assert(got(6L) == ((false, 5L)), s"doc6 ${got(6L)}")
+    // the keep store holds exactly the admitted docs; the band store
+    // only ever carries keepers
+    assert(spark.read.parquet(keepStore).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+    assert(spark.read.parquet(bandStore).select("doc_id").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+    // at-least-once replay: re-offering both files changes nothing
+    runGate()
+    assert(gotDecisions() == got, "replayed micro-batches changed decisions")
+    assert(spark.read.parquet(keepStore).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L), "replay grew the keep store")
+  }
+
+  test("near-dup gate on ONE batch equals c12's keep-one-per-cluster decision") {
+    import graft.streaming.NearDupStream
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val in = java.nio.file.Files.createTempDirectory("graft-nd1-in-").toString
+    docs.select("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val decisionStore = java.nio.file.Files.createTempDirectory("graft-nd1-d-").toString + "/store"
+    val keepStore = java.nio.file.Files.createTempDirectory("graft-nd1-k-").toString + "/store"
+    val bandStore = java.nio.file.Files.createTempDirectory("graft-nd1-b-").toString + "/store"
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string"))
+      .parquet(in)
+    val q = NearDupStream.nearDupGate(src, decisionStore, keepStore, bandStore)
+    try q.processAllAvailable() finally q.stop()
+    // batch twin: the same pair evidence → the same labeler → keep the
+    // component minimum (c12/c32's keep-one decision)
+    val labels = Dedup.labelComponents(
+        Dedup.minhashCandidatePairs(docs)
+          .filter(col("jaccard") >= NearDupStream.JaccardThreshold)
+          .select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.select("doc_id").collect().map(_.getLong(0)).map { id =>
+      val lab = labels.getOrElse(id, id)
+      id -> ((lab == id, if (lab == id) -1L else lab))
+    }.toMap
+    val got = NearDupStream.decisions(spark, decisionStore)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got == want, "single-batch gate diverged from the batch keep-one decision")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventsStream.purchaseClickJoin(streamingEvents(), streaming = true)
       .writeStream.outputMode("append")
