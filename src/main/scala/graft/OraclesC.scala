@@ -904,6 +904,118 @@ object OraclesC {
       group by doc_id order by doc_id
     """,
 
+    // c43: c5's bucket CTE + both pair directions + a k-bounded rank
+    // window — knn depth interpolated from the operator constant
+    "c43_knn_graph" -> s"""
+      with $SIGN_BUCKETS,
+      p as (
+        select a.vec_id as va, b.vec_id as vb,
+               round(${cosine("a.embedding", "b.embedding")}, 4) as cos
+        from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id),
+      e as (select va as vec_id, vb as nbr, cos from p
+            union all
+            select vb as vec_id, va as nbr, cos from p),
+      r as (select vec_id, nbr, cos,
+                   row_number() over (partition by vec_id order by cos desc, nbr)::bigint as rank
+            from e)
+      select vec_id, rank, nbr, cos from r
+      where rank <= ${graft.operators.Similarity.KnnK}
+      order by vec_id, rank
+    """,
+
+    // c44: (source, term) frequency grain off the same tokenization;
+    // head depth interpolated; regr_slope = both engines' shared
+    // population-OLS definition, rounded after the aggregate
+    "c44_zipf_diversity" -> s"""
+      with t as (select doc_id, unnest(string_split(text, ' ')) as term from documents),
+      tf as (select doc_id, term, count(*) as tf from t group by 1, 2),
+      st as (select d.source, tf.term, sum(tf.tf)::bigint as freq
+             from tf join documents d using (doc_id) group by 1, 2),
+      base as (select source, sum(freq)::bigint as n_tokens, count(*)::bigint as vocab,
+                      sum(case when freq = 1 then 1 else 0 end)::bigint as hapax
+               from st group by source),
+      head as (select source, term, freq,
+                      row_number() over (partition by source order by freq desc, term) as rank
+               from st qualify rank <= ${graft.operators.TextAnalysis.ZipfTopK}),
+      hh as (select source, sum(freq)::bigint as head_mass,
+                    regr_slope(log10(freq::double), log10(rank::double)) as slope
+             from head group by source),
+      nd as (select source, count(*)::bigint as n_docs from documents group by source)
+      select nd.source, n_docs, n_tokens, vocab,
+             round(vocab::double / n_tokens, 4) as ttr,
+             round(hapax::double / vocab, 4) as hapax_frac,
+             round(head_mass::double / n_tokens, 4) as head_mass_frac,
+             round(slope, 4) as zipf_slope
+      from nd join base using (source) join hh using (source)
+      order by source
+    """,
+
+    // c45: c13's md5 percent cut + c1's exact-hash join + c2's
+    // df-capped evidence, oriented delta←base; split/bar interpolated
+    "c45_delta_dedup" -> s"""
+      with sh as ($SH8),
+      keep as (select sh8 from sh group by sh8 having count(*) <= ${graft.operators.Dedup.DfCap}),
+      shk as (select sh.* from sh join keep using (sh8)),
+      sizes as (select doc_id, count(*) as n_sh from shk group by doc_id),
+      bk as (select doc_id,
+                    ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100
+                      < ${graft.operators.Dedup.DeltaBasePct} as is_base
+             from documents),
+      delta as (select doc_id from bk where not is_base),
+      bh as (select md5(d.text) as h, min(d.doc_id) as exact_doc
+             from documents d join bk using (doc_id) where bk.is_base group by 1),
+      ex as (select dd.doc_id, bh.exact_doc
+             from documents dd join delta using (doc_id)
+             left join bh on md5(dd.text) = bh.h),
+      inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+                from shk a join shk b on a.sh8 = b.sh8 and a.doc_id < b.doc_id
+                group by 1, 2),
+      jac as (select * from (
+                select doc_a, doc_b,
+                       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) as jac
+                from inter join sizes sa on inter.doc_a = sa.doc_id
+                           join sizes sb on inter.doc_b = sb.doc_id)
+              where jac >= ${graft.operators.Dedup.DeltaNearBar}),
+      orient as (select case when ba.is_base then doc_b else doc_a end as doc_id,
+                        case when ba.is_base then doc_a else doc_b end as near_doc, jac
+                 from jac join bk ba on jac.doc_a = ba.doc_id),
+      near0 as (select o.* from orient o
+                join bk nb on o.near_doc = nb.doc_id
+                join bk db on o.doc_id = db.doc_id
+                where nb.is_base and not db.is_base),
+      best as (select doc_id, near_doc, jac
+               from near0
+               qualify row_number() over (partition by doc_id order by jac desc, near_doc) = 1)
+      select ex.doc_id,
+             case when exact_doc is not null then 'dup_exact'
+                  when near_doc is not null then 'dup_near'
+                  else 'new' end as decision,
+             coalesce(exact_doc, near_doc) as match_doc,
+             case when exact_doc is null then jac end as jaccard
+      from ex left join best using (doc_id)
+      order by ex.doc_id
+    """,
+
+    // c46: c19's bigram extraction; conditional add-1 estimates with
+    // the context marginal reduced off the bigram table
+    "c46_bigram_logprob" -> """
+      with t as (
+        select doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) as bigram
+        from (select doc_id, string_split(text, ' ') as w from documents)),
+      db as (select doc_id, bigram, count(*) as k from t group by 1, 2),
+      cb as (select bigram, sum(k)::bigint as cab,
+                    string_split(bigram, ' ')[1] as ctx
+             from db group by bigram),
+      cx as (select ctx, sum(cab)::bigint as cctx from cb group by ctx),
+      v as (select count(distinct term)::bigint as vsz
+            from (select unnest(string_split(text, ' ')) as term from documents)),
+      s as (select db.doc_id, db.k, cb.cab, cx.cctx
+            from db join cb using (bigram) join cx using (ctx))
+      select doc_id, sum(k)::bigint as n_bigrams,
+             round(sum(k * log10((cab + 1)::double / (cctx + vsz))) / sum(k), 4) as mean_logprob
+      from s, v group by doc_id order by doc_id
+    """,
+
     "c24_source_stats" -> """
       select source, count(*) as n_docs,
              count(distinct md5(text)) as n_uniq,

@@ -134,7 +134,12 @@ object ScaleSmoke {
       // data-dependent — the measured row proves the cut rate holds
       // off the synthetic alphabet), the tf-memo rule battery, and
       // the containment twin of c2's posting chain
-      "d8_cdc_chunks", "c41_gopher_rules", "c42_containment")
+      "d8_cdc_chunks", "c41_gopher_rules", "c42_containment",
+      // r9: the knn window over LSH pair volume, the (source, term)
+      // report grain, the cross-snapshot posting reuse, and the
+      // bigram-grain LM join — each bounded by evidence/vocabulary,
+      // and the measured row proves it
+      "c43_knn_graph", "c44_zipf_diversity", "c45_delta_dedup", "c46_bigram_logprob")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -106,6 +106,10 @@ object SparkEntry {
     "c40_bpe_pairs" -> ((s, dir) => TextAnalysis.c40BpePairs(Tables.documents(s, dir))),
     "c41_gopher_rules" -> ((s, dir) => TextAnalysis.c41GopherRules(Tables.documents(s, dir))),
     "c42_containment" -> ((s, dir) => Dedup.c42Containment(Tables.documents(s, dir))),
+    "c43_knn_graph" -> ((s, dir) => Similarity.c43KnnGraph(Tables.embeddings(s, dir))),
+    "c44_zipf_diversity" -> ((s, dir) => TextAnalysis.c44ZipfDiversity(Tables.documents(s, dir))),
+    "c45_delta_dedup" -> ((s, dir) => Dedup.c45DeltaDedup(Tables.documents(s, dir))),
+    "c46_bigram_logprob" -> ((s, dir) => TextAnalysis.c46BigramLogprob(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

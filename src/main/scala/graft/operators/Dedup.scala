@@ -175,6 +175,76 @@ object Dedup {
       .limit(50)
   }
 
+  /** c45 snapshot geometry: the base|delta percent cut (md5(doc_id)
+    * bucket < 80 ⇒ base) and the near-dup admission bar on the
+    * ROUNDED n-gram Jaccard. Oracle-interpolated. */
+  val DeltaBasePct = 80
+  val DeltaNearBar = 0.5
+
+  /** c45: cross-snapshot incremental dedup — the decision an ingest
+    * pipeline executes on every NEW batch: is this document already
+    * in the accumulated corpus, exactly or nearly? (c1/c2 dedup a
+    * corpus against itself; a growing 100 TB corpus dedups each
+    * delta against the base without rescanning base-vs-base pairs.)
+    * The snapshot split is a content-independent md5(doc_id) percent
+    * cut (c13's reproducibility spelling) standing in for the real
+    * batch boundary.
+    *
+    * Per DELTA doc, first match wins: `dup_exact` (text md5 present
+    * in base — carrier = min base doc, c1's keep-first), else
+    * `dup_near` (a base doc shares df-capped shingle evidence with
+    * rounded Jaccard ≥ bar — carrier = the max-Jaccard base doc, ties
+    * to the min id), else `new`. Every delta doc is reported.
+    *
+    * Scale shape: exact matching is one hash join on md5(text); near
+    * evidence REUSES the session-memoized posting chain
+    * ([[overlapFrames]] — c2/c42/c45 pay one inverted-index build),
+    * then keeps only base↔delta pairs, so the added cost over c2 is
+    * report-sized. The base side in production is the stored
+    * hash/posting state, not a rescan — the same store the streaming
+    * near-dup gate accumulates. */
+  def c45DeltaDedup(docs: DataFrame, dfCap: Int = DfCap,
+      bar: Double = DeltaNearBar): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def isBase(id: org.apache.spark.sql.Column) =
+      (conv(substring(md5(id.cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100) < DeltaBasePct
+    val delta = docs.filter(!isBase(col("doc_id")))
+    val baseHash = docs.filter(isBase(col("doc_id")))
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("exact_doc"))
+    val exact = delta.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(baseHash, Seq("h"), "left")
+      .select(col("doc_id"), col("exact_doc"))
+    val (inter, sizes) = overlapFrames(docs, dfCap)
+    val jac = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
+      .filter(col("jac") >= bar)
+    // orient each verified pair delta←base; base↔base and delta↔delta
+    // evidence is not this operator's question
+    val near = jac
+      .select(
+        when(isBase(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_id"),
+        when(isBase(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("near_doc"),
+        col("jac"))
+      .filter(isBase(col("near_doc")) && !isBase(col("doc_id")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("jac").desc, col("near_doc"))
+    val bestNear = near.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    exact.join(bestNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_doc").isNotNull, lit("dup_exact"))
+          .when(col("near_doc").isNotNull, lit("dup_near"))
+          .otherwise(lit("new")).as("decision"),
+        when(col("exact_doc").isNotNull, col("exact_doc"))
+          .otherwise(col("near_doc")).as("match_doc"),
+        when(col("exact_doc").isNull, col("jac")).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash geometry: K slices from 2 md5 digests (K is structural —
     * tied to the 8×4-hex-char split of each digest), banded as
     * `Bands` bands of K/Bands rows. The oracle interpolates both. */

@@ -182,6 +182,46 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** c43's neighbor-list depth. A k-NN graph feeds the clustering /
+    * manifold steps of embedding curation (SemDeDup's cluster pass,
+    * label propagation, UMAP-style neighborhoods); k is small by
+    * design — the graph is O(n·k), never O(n²). */
+  val KnnK = 5
+
+  /** c43: blocked k-NN graph over the embedding corpus — each
+    * vector's top-k nearest neighbors BY COSINE among its LSH
+    * candidates. The difference from c6 (query-set top-k against the
+    * whole corpus) is grain: here every corpus vector gets a neighbor
+    * list, which brute force cannot do at scale (n² scores); the
+    * LSH-blocked spelling scores only candidate pairs (volume bounded
+    * by the banding/cap math [[c5Candidates]]' spec pins), then ranks
+    * per node with a k-bounded window (plans as WindowGroupLimit).
+    *
+    * The graph is approximate exactly where LSH is: a true neighbor
+    * in no shared bucket is missed — the standard recall/cost dial
+    * (`nTables` up = recall up), same contract as c5/c7. Each
+    * verified pair feeds BOTH endpoints' lists (one union, no second
+    * scoring pass); per-node degree is bounded by bucketCap·nTables
+    * so the window never sees an unbounded partition. Zero-norm
+    * vectors have no direction: their cosine is NULL ([[pairCos]])
+    * and they rank after every real neighbor, vanishing under the
+    * k-cut rather than polluting it. */
+  def c43KnnGraph(emb: DataFrame, nBits: Int = DefaultSignBits, nTables: Int = 1,
+      k: Int = KnnK, bucketCap: Int = Dedup.BucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = c5Candidates(emb, nBits, nTables, bucketCap)
+      .select(col("vec_a"), col("vec_b"),
+        pairCos("emb_a", "nrm_a", "emb_b", "nrm_b").as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+    val edges = pairs.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"), col("cos"))
+      .unionAll(pairs.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr"), col("cos")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr"))
+    edges.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("nbr"), col("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** c6: brute-force cosine top-k — the exact ANN baseline. The query
     * side is an explicit bounded DataFrame (q_id, q_emb[, q_nrm]),
     * broadcast against the corpus scan; ranking is per-query via

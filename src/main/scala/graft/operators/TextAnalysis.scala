@@ -1066,4 +1066,91 @@ object TextAnalysis {
       .orderBy(col("mean_llr").desc, col("doc_id"))
       .limit(k)
   }
+
+  // ---- c44: Zipf / lexical-diversity report ---------------------------
+
+  /** c44's head depth: the per-source frequency ranks the Zipf fit
+    * and head-mass share read. Oracle-interpolated. */
+  val ZipfTopK = 100
+
+  /** c44: per-source lexical-diversity report — the corpus-health
+    * view a data-mixing decision reads BEFORE committing a source to
+    * the training mix: token/vocabulary volume, type-token ratio,
+    * hapax share (high = rich/noisy tail, low = templated), the mass
+    * concentrated in the top-[[ZipfTopK]] terms, and the Zipf
+    * exponent — the OLS slope of log₁₀(freq) on log₁₀(rank) over the
+    * head (natural text sits near −1; templated/generated text bends
+    * far off it — Zipf 1949, the classic corpus-QA diagnostic).
+    *
+    * Shape: one (doc→source) join off the shared [[tfRows]] memo,
+    * then everything lives at (source, term) grain — vocabulary-
+    * sized, ≪ corpus at 100 TB. The head ranking is a k-bounded
+    * window (WindowGroupLimit) and the report is |sources| rows.
+    * Doubles are rounded (4dp) AFTER the aggregate, the b20
+    * discipline for cross-engine float parity; the slope uses the
+    * shared regr_slope definition both engines implement. */
+  def c44ZipfDiversity(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = tfRows(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source", "term").agg(sum(col("tf")).as("freq"))
+    val base = st.groupBy("source").agg(
+      sum(col("freq")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("hapax"))
+    val w = Window.partitionBy(col("source")).orderBy(col("freq").desc, col("term"))
+    val head = st.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfTopK)
+      .groupBy("source").agg(
+        sum(col("freq")).as("head_mass"),
+        regr_slope(log10(col("freq")), log10(col("rank"))).as("slope"))
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    nDocs.join(base, Seq("source")).join(head, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        round(col("vocab") / col("n_tokens"), 4).as("ttr"),
+        round(col("hapax") / col("vocab"), 4).as("hapax_frac"),
+        round(col("head_mass") / col("n_tokens"), 4).as("head_mass_frac"),
+        round(col("slope"), 4).as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  // ---- c46: bigram LM scoring -----------------------------------------
+
+  /** c46: conditional bigram log-probability scoring — c31's fluency
+    * filter one Markov order up: per document, the mean
+    * log₁₀ p(wᵢ | wᵢ₋₁) under add-1-smoothed conditional estimates
+    * counted from the corpus itself (p(b|a) = (C(ab)+1)/(C(a·)+V)).
+    * A unigram model scores vocabulary; the bigram model scores word
+    * ORDER — shuffled or templated text that c31 cannot tell from
+    * fluent prose drops here (the CCNet/KenLM filter family's actual
+    * signal). Scoring the counting corpus means every scored bigram
+    * is seen; add-1 keeps the model proper (and is what makes the
+    * held-out spelling of the same operator well-defined).
+    *
+    * Shape: the corpus-grain work is the shared bigram memo (c19/
+    * c21's kernel, paid once per session); counts live at bigram
+    * grain (vocabulary-bounded), the context marginal C(a·) reduces
+    * off the bigram table (never a second corpus pass), V rides a
+    * 1-row broadcast with the totals, and scoring is one bigram join
+    * + one per-doc aggregate. Docs with <2 tokens have no bigram
+    * evidence and are absent by construction (c31 covers the
+    * unigram grain for those). */
+  def c46BigramLogprob(docs: DataFrame): DataFrame = {
+    val db = bigramRows(docs).groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+    val cb = Materialize.frame(
+      db.groupBy("bigram").agg(sum(col("k")).as("cab"))
+        .withColumn("ctx", substring_index(col("bigram"), " ", 1)))
+    val cx = cb.groupBy("ctx").agg(sum(col("cab")).as("cctx"))
+    val v = tfRows(docs).agg(countDistinct(col("term")).as("vsz"))
+    db.join(cb, Seq("bigram"))
+      .join(cx, Seq("ctx"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        round(sum(col("k").cast("double")
+            * log10((col("cab") + 1).cast("double") / (col("cctx") + col("vsz"))))
+          / sum(col("k")), 4).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
 }
