@@ -923,6 +923,44 @@ object OraclesC {
       order by vec_id, rank
     """,
 
+    // c47: PQ geometry interpolated from the operator constants; the
+    // lut reuses the vd frame (same cell math the operator computes
+    // twice by symmetry); per-cell round-then-argmin / round-then-sum
+    // is the operator's determinism contract
+    "c47_pq_adc" -> s"""
+      with cb as (
+        select e.vec_id as k, t.m,
+               [e.embedding[t.m*${graft.operators.Similarity.PqSubDim}+i]::double
+                for i in range(1,${graft.operators.Similarity.PqSubDim + 1})] as csub
+        from embeddings e, unnest(range(0,${graft.operators.Similarity.PqSubspaces})) t(m)
+        where e.vec_id < ${graft.operators.Similarity.PqCodebookK}),
+      vm as (
+        select e.vec_id, t.m,
+               [e.embedding[t.m*${graft.operators.Similarity.PqSubDim}+i]::double
+                for i in range(1,${graft.operators.Similarity.PqSubDim + 1})] as sub
+        from embeddings e, unnest(range(0,${graft.operators.Similarity.PqSubspaces})) t(m)),
+      vd as (
+        select vm.vec_id, vm.m, cb.k,
+               round(list_sum([(sub[i]-csub[i])*(sub[i]-csub[i])
+                 for i in range(1,${graft.operators.Similarity.PqSubDim + 1})]), 4) as d2
+        from vm join cb using (m)),
+      codes as (
+        select vec_id, m, k as code from vd
+        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
+      lut as (select vec_id as q_id, m, k, d2 from vd where vec_id < $NQ),
+      sc as (
+        select l.q_id, c.vec_id, round(sum(l.d2), 4) as adist
+        from codes c join lut l on l.m = c.m and l.k = c.code
+        where c.vec_id <> l.q_id
+        group by 1, 2),
+      r as (select q_id, vec_id, adist,
+              row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
+            from sc)
+      select q_id, rank, vec_id, adist from r
+      where rank <= ${graft.operators.Similarity.PqTopK}
+      order by q_id, rank
+    """,
+
     // c44: (source, term) frequency grain off the same tokenization;
     // head depth interpolated; regr_slope = both engines' shared
     // population-OLS definition, rounded after the aggregate

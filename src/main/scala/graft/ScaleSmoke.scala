@@ -139,7 +139,10 @@ object ScaleSmoke {
       // report grain, the cross-snapshot posting reuse, and the
       // bigram-grain LM join — each bounded by evidence/vocabulary,
       // and the measured row proves it
-      "c43_knn_graph", "c44_zipf_diversity", "c45_delta_dedup", "c46_bigram_logprob")
+      "c43_knn_graph", "c44_zipf_diversity", "c45_delta_dedup", "c46_bigram_logprob",
+      // r9b: the PQ encode (corpus × M·K broadcast) + ADC join —
+      // the |Q|-bounded contract keeps it linear in corpus
+      "c47_pq_adc")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -110,6 +110,7 @@ object SparkEntry {
     "c44_zipf_diversity" -> ((s, dir) => TextAnalysis.c44ZipfDiversity(Tables.documents(s, dir))),
     "c45_delta_dedup" -> ((s, dir) => Dedup.c45DeltaDedup(Tables.documents(s, dir))),
     "c46_bigram_logprob" -> ((s, dir) => TextAnalysis.c46BigramLogprob(Tables.documents(s, dir))),
+    "c47_pq_adc" -> ((s, dir) => Similarity.c47PqAdc(Tables.embeddings(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -109,9 +109,25 @@ object Dedup {
 
   /** The shared overlap chain: per-pair shared-shingle counts + the
     * per-doc (capped) set sizes every set-similarity measure derives
-    * from — c2's Jaccard and c42's containment read the same two
-    * frames, so their evidence cannot drift. */
+    * from — c2's Jaccard, c42's containment, and c45's cross-snapshot
+    * evidence read the same two frames, so their evidence cannot
+    * drift. Both frames are session-memoized at the default cap (the
+    * ngramPostings discipline): the pair-generation shuffle is the
+    * dominant cost of every consumer, and it is IDENTICAL across
+    * them — three queries, one build. Size note: the pair frame is
+    * ∝ shared-shingle mass (the df-cap bounds it), not corpus size. */
   private def overlapFrames(docs: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
+    def build = overlapFramesBuild(docs, dfCap)
+    if (dfCap == DfCap) {
+      val inter = CorpusPrep.memo("overlap_inter", docs)(
+        Materialize.frame(overlapFramesBuild(docs, dfCap)._1))
+      val sizes = CorpusPrep.memo("overlap_sizes", docs)(
+        Materialize.frame(overlapFramesBuild(docs, dfCap)._2))
+      (inter, sizes)
+    } else build
+  }
+
+  private def overlapFramesBuild(docs: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
     val byShingle = ngramPostings(docs, dfCap)
     val sizes = byShingle.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -151,8 +151,17 @@ object Marts {
     // for JVM-exit cleanup so repeated Verify/Bench invocations leave
     // no orphan copies behind
     fs.deleteOnExit(storePath)
+    // The local events table is ONE parquet split, so without an
+    // explicit exchange the staging kernel (4 md5 keys + JSON
+    // extract per row) would run single-threaded inside each merge's
+    // write job — the measured majority of the merge cost. A real
+    // ingest batch arrives in many partitions; the round-robin
+    // repartition restores that shape for the price of moving the
+    // RAW columns once (the sink's own key exchange follows either
+    // way, so the merge stays at one keyed exchange).
+    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def batch(pred: org.apache.spark.sql.Column): DataFrame =
-      fctProjection(Staging.stgEvents(events.filter(pred)))
+      fctProjection(Staging.stgEvents(events.filter(pred).repartition(par)))
     // deterministic overlapping slices (events 5,6 mod 10 arrive twice
     // — the reference's overlapping-poll reality, a8's split)
     graft.streaming.EventsStream.upsertSink(batch(col("event_id") % 10 < 7), store, "play_id")

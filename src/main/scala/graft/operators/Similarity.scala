@@ -213,13 +213,172 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         pairCos("emb_a", "nrm_a", "emb_b", "nrm_b").as("cos"))
       .filter(col("cos").isNotNull && !isnan(col("cos")))
-    val edges = pairs.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"), col("cos"))
-      .unionAll(pairs.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr"), col("cos")))
+    // both directions via ONE explode, not a self-union — a union's
+    // two branches would each re-run the candidate join and the
+    // cosine fold (the pair frame isn't materialized), doubling the
+    // dominant cost for identical rows
+    val edges = pairs
+      .select(explode(array(
+        struct(col("vec_a").as("vec_id"), col("vec_b").as("nbr")),
+        struct(col("vec_b").as("vec_id"), col("vec_a").as("nbr")))).as("e"), col("cos"))
+      .select(col("e.vec_id"), col("e.nbr"), col("cos"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr"))
     edges.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank"), col("nbr"), col("cos"))
       .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** c47 PQ geometry: 8 subspaces × 8 dims over the 64-dim corpus,
+    * 16 codewords per subspace, top-10 served. Codebooks are the
+    * first [[PqCodebookK]] vectors' sub-slices — the deterministic
+    * SEED the oracle pins (c7's centroid discipline); a production
+    * run swaps in [[trainCentroidsQuantized]] per subspace.
+    * All oracle-interpolated. */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodebookK = 16
+  val PqTopK = 10
+
+  /** c47: product-quantization ANN serving (Jégou et al. 2011) — the
+    * compressed-domain search family c7/c26 (IVF) and c14 (scalar
+    * quantization) don't cover: each vector is encoded as
+    * [[PqSubspaces]] codeword ids (argmin L2 per sub-slice against a
+    * 16-entry codebook), and a query scores the WHOLE corpus through
+    * an asymmetric-distance lookup table — per (query, subspace,
+    * codeword) distances computed once (|Q|·M·K rows, broadcast),
+    * then every corpus code row is a table lookup + an 8-term sum.
+    * Per-query work drops from |corpus|·64 multiplies (c6) to
+    * |corpus|·8 lookups — the PQ speedup, expressed as a broadcast
+    * join instead of a per-row kernel.
+    *
+    * Determinism contract: float dims are cast to double BEFORE
+    * arithmetic (exact), per-cell distances are ROUNDED (4dp) before
+    * the argmin and before the ADC sum — round-then-compare/
+    * round-then-sum keeps codes and scores hash-stable across
+    * engines (grid-valued cell sums are orders of magnitude above
+    * double noise). Ties: codeword → min k, rank → min vec_id.
+    *
+    * Scale shape: the codebook (K rows) and query set (|Q| rows,
+    * an explicit bounded input — c6/c7's contract) are collected,
+    * the |Q|·M·K lookup table is built driver-side, and ONE typed
+    * kernel pass streams the corpus: encode + ADC + a topK-bounded
+    * heap per query per partition, emitting ≤ partitions·|Q|·topK
+    * rows for the exact rank window. Zero corpus-grain shuffles.
+    * (The declarative join spelling — encode via a M·K broadcast
+    * join, score via a (m, code) lookup join — materializes
+    * |corpus|·M·K then |corpus|·|Q| intermediate rows and measured
+    * 3-4× slower; the in-register loop with k-bounded state is the
+    * mapPartitions escape hatch's textbook case, FAISS's own serving
+    * shape.) */
+  def c47PqAdc(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      topK: Int = PqTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val need = PqSubspaces * PqSubDim
+    val guarded = emb.filter(assert_true(size(col("embedding")) >= need,
+      concat(lit(s"c47: $PqSubspaces×$PqSubDim subspaces need ≥$need dims, embedding has "),
+        size(col("embedding")))).isNull)
+    def round4(v: Double): Double =
+      BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // codebook and query embeddings collected — BOTH bounded by
+    // construction (K = 16 codebook rows, |Q| = an explicit bounded
+    // input; c7/c26's centroid contract) — and the |Q|·M·K lookup
+    // table built driver-side in plain arithmetic: per cell,
+    // float→double (exact), left-to-right 8-term sum, HALF_UP 4dp —
+    // exactly the oracle's list_sum + round spelling
+    def collectVecs(pred: org.apache.spark.sql.Column): Array[(Long, Array[Double])] =
+      guarded.filter(pred)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+    val cbLocal = collectVecs(col("vec_id") < PqCodebookK).map(_._2)
+    require(cbLocal.length == PqCodebookK,
+      s"c47: corpus has ${cbLocal.length} vectors below id $PqCodebookK — codebook incomplete")
+    def cellD2(v: Array[Double], k: Int, m: Int): Double = {
+      var s = 0.0
+      var i = 0
+      val base = m * PqSubDim
+      while (i < PqSubDim) {
+        val d = v(base + i) - cbLocal(k)(base + i)
+        s += d * d
+        i += 1
+      }
+      round4(s)
+    }
+    val qVecs = collectVecs(col("vec_id") < nQueries)
+    val qArr = qVecs.map(_._1)
+    val lut3 = Array.tabulate(qArr.length, PqSubspaces, PqCodebookK)(
+      (qi, m, k) => cellD2(qVecs(qi)._2, k, m))
+    val spark0 = emb.sparkSession
+    val bc = spark0.sparkContext.broadcast((qArr, lut3, cbLocal))
+    import spark0.implicits._
+    val kLocal = topK
+    // ONE corpus pass: encode (argmin codeword per subspace, rounded
+    // d2, ties to min k) and ADC-score against every query through
+    // the lookup table, keeping a topK-bounded heap per query per
+    // partition — imperative by nature (FAISS's serving loop), the
+    // same mapPartitions justification as the posting-pair kernels
+    val topLocal = guarded
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (qs, lut, cb) = bc.value
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        val codes = new Array[Int](PqSubspaces)
+        it.foreach { case (vec, v) =>
+          var m = 0
+          while (m < PqSubspaces) {
+            var bestK = 0
+            var bestD = Double.MaxValue
+            var k = 0
+            while (k < cb.length) {
+              var s = 0.0
+              var i = 0
+              val base = m * PqSubDim
+              while (i < PqSubDim) {
+                val d = v(base + i) - cb(k)(base + i)
+                s += d * d
+                i += 1
+              }
+              val sr = BigDecimal.valueOf(s)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (sr < bestD) { bestD = sr; bestK = k } // strict: ties keep min k
+              k += 1
+            }
+            codes(m) = bestK
+            m += 1
+          }
+          var qi = 0
+          while (qi < qs.length) {
+            if (qs(qi) != vec) {
+              var s = 0.0
+              var mm = 0
+              while (mm < PqSubspaces) { s += lut(qi)(mm)(codes(mm)); mm += 1 }
+              val cand = (BigDecimal.valueOf(s)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, vec)
+              val h = heaps(qi)
+              if (h.size < kLocal) h.enqueue(cand)
+              else if (ord.lt(cand, h.head)) { h.dequeue(); h.enqueue(cand) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, v) => (qs(qi), v, d) }
+        }
+      }.toDF("q_id", "vec_id", "adist")
+    // the per-partition heaps keep a SUPERSET of the global top-k
+    // under the same (adist, vec_id) total order — the exact window
+    // below reads ≤ partitions·|Q|·topK rows
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    topLocal
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adist"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** c6: brute-force cosine top-k — the exact ANN baseline. The query

@@ -162,6 +162,47 @@ class Round9Spec extends AnyFunSuite {
       && col("jaccard") < Dedup.DeltaNearBar).count() == 0)
   }
 
+  // ---- c47: product-quantization ADC ----------------------------------
+
+  test("c47 planted: a codeword clone encodes onto its codeword and its query ranks it first") {
+    import spark.implicits._
+    val dim = 64
+    // 16 well-separated codebook seeds (vec_ids 0..15), one exact
+    // clone of codeword 5 (id 100), and background noise
+    def seed(k: Int) = Array.tabulate(dim)(d =>
+      (math.sin(k * 101 + d * 13) * 10).toFloat)
+    val cbs = (0 until 16).map(k => (k.toLong, seed(k)))
+    val clone = Seq((100L, seed(5)))
+    val noise = (101L to 140L).map(i =>
+      (i, Array.tabulate(dim)(d => (math.sin(i * 17 + d * 29) * 10).toFloat)))
+    val out = graft.operators.Similarity.c47PqAdc((cbs ++ clone ++ noise).toDF("vec_id", "embedding"),
+      nQueries = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // query 5 (the codeword itself) must rank its exact clone first
+    // with ADC distance 0 — the clone's every sub-slice encodes onto
+    // codeword 5, and the query's lut row for its own codeword is 0
+    val q5 = out.filter(_._1 == 5L).sortBy(_._2)
+    assert(q5.head._3 == 100L && q5.head._4 == 0.0,
+      s"codeword clone not first for its own query: ${q5.take(3).toSeq}")
+    // ranks dense, adist non-decreasing, k-bounded — for every query
+    for ((q, rows0) <- out.groupBy(_._1)) {
+      val rows = rows0.sortBy(_._2)
+      assert(rows.length <= graft.operators.Similarity.PqTopK)
+      assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq, s"q $q ranks not dense")
+      val ds = rows.map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, s"q $q adist not monotone")
+    }
+  }
+
+  test("c47 narrow-embedding corpus fails loudly, not silently") {
+    import spark.implicits._
+    val bad = Seq((0L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.operators.Similarity.c47PqAdc(bad, nQueries = 1).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   // ---- c46: bigram LM scoring -----------------------------------------
 
   test("c46 hand-computed add-1 conditional scores; order is the signal") {
