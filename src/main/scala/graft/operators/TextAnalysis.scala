@@ -404,7 +404,7 @@ object TextAnalysis {
     * definition so c19 and c21 can never diverge on tokenization.
     * limit -1 keeps trailing empty tokens (= the oracle's
     * string_split / Spark SQL's split builtin). */
-  private def bigramRowsKernel(docs: DataFrame): DataFrame = {
+  private def bigramCountsKernel(docs: DataFrame): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
     graft.sources.Tables.parallelKernelInput(docs.select(col("doc_id"), col("text")))
@@ -412,27 +412,42 @@ object TextAnalysis {
       .flatMap { case (id, text) =>
         val w = text.split(" ", -1)
         if (w.length < 2) Iterator.empty
-        else w.iterator.sliding(2).withPartial(false).map(p => (id, p.mkString(" ")))
+        else {
+          val m = new java.util.LinkedHashMap[String, Long]()
+          var i = 0
+          while (i < w.length - 1) {
+            m.merge(w(i) + " " + w(i + 1), 1L, (a, b) => a + b)
+            i += 1
+          }
+          import scala.jdk.CollectionConverters._
+          m.entrySet().iterator().asScala.map(e => (id, e.getKey, e.getValue))
+        }
       }
-      .toDF("doc_id", "bigram")
+      .toDF("doc_id", "bigram", "k")
   }
 
-  /** Shared materialized bigram frame: the kernel runs once per
-    * (session, corpus); c19 and c21 both read the same blocks. */
-  private def bigramRows(docs: DataFrame): DataFrame =
-    CorpusPrep.memo("bigram_rows", docs)(Materialize.frame(bigramRowsKernel(docs)))
+  /** Shared materialized per-doc bigram COUNTS — every consumer
+    * (c19's corpus stats, c21's repetition signal, c46's LM scoring)
+    * reduces the bigram stream to (doc_id, bigram, k) first, so the
+    * memo holds that grain directly. Counting happens INSIDE the
+    * kernel (a per-doc hash map): the grouping key never spans rows,
+    * so the build needs zero shuffles and the materialized frame is
+    * distinct-bigram-sized, not token-sized. */
+  private def bigramCounts(docs: DataFrame): DataFrame =
+    CorpusPrep.memo("bigram_counts", docs)(Materialize.frame(bigramCountsKernel(docs)))
 
   /** c19: corpus n-gram statistics — top-k word bigrams by total
     * occurrences with document frequency: the vocabulary/phrase
     * analytics pass of corpus curation. The bigram kernel is a narrow
     * typed flatMap (same rationale as the shingle kernels: higher-
-    * order-function spellings evaluate interpreted); counting is one
-    * map-side-combined shuffle on the bigram, and the top-k keeps
-    * only report-sized output. */
+    * order-function spellings evaluate interpreted); off the shared
+    * counts memo, n = Σk and n_docs = the row count per bigram (each
+    * (doc, bigram) appears once at counts grain) — one map-side-
+    * combined shuffle on the bigram, top-k output. */
   def c19NgramStats(docs: DataFrame, k: Int = 50): DataFrame = {
-    bigramRows(docs)
+    bigramCounts(docs)
       .groupBy("bigram")
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("k")).as("n"), count(lit(1)).as("n_docs"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
   }
@@ -477,7 +492,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    val counts = bigramRows(docs).groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+    val counts = bigramCounts(docs).withColumnRenamed("k", "cnt")
     val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bigram"))
     counts
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy("doc_id")))
@@ -1136,7 +1151,7 @@ object TextAnalysis {
     * evidence and are absent by construction (c31 covers the
     * unigram grain for those). */
   def c46BigramLogprob(docs: DataFrame): DataFrame = {
-    val db = bigramRows(docs).groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+    val db = bigramCounts(docs)
     val cb = Materialize.frame(
       db.groupBy("bigram").agg(sum(col("k")).as("cab"))
         .withColumn("ctx", substring_index(col("bigram"), " ", 1)))
