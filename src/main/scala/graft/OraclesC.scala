@@ -961,6 +961,67 @@ object OraclesC {
       order by q_id, rank
     """,
 
+    // c48: c41's signal spellings + the pinned logistic model; every
+    // signal rounded before the one fixed-order dot product, score
+    // rounded before the threshold
+    "c48_quality_classifier" -> s"""
+      with tf as (
+        select doc_id, term, count(*)::bigint as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      sig as (
+        select doc_id,
+               sum(tf)::bigint as n_words,
+               round(sum(tf * length(term))::double / sum(tf), 4) as mean_word_len,
+               round(sum(case when regexp_matches(term, '^[a-z]+$$') then tf else 0 end)::double
+                     / sum(tf), 4) as alpha_frac,
+               round(sum(case when list_contains($markers, term) then tf else 0 end)::double
+                     / sum(tf), 4) as stop_frac,
+               round(count(*)::double / sum(tf), 4) as distinct_ratio
+        from tf group by doc_id),
+      sc as (
+        select *,
+               round(1.0 / (1.0 + exp(-(
+                 ${graft.operators.TextAnalysis.QcWLogWords} * round(log10(n_words::double), 4)
+                 + ${graft.operators.TextAnalysis.QcWMeanLen} * mean_word_len
+                 + ${graft.operators.TextAnalysis.QcWAlpha} * alpha_frac
+                 + ${graft.operators.TextAnalysis.QcWStop} * stop_frac
+                 + ${graft.operators.TextAnalysis.QcWDistinct} * distinct_ratio
+                 + ${graft.operators.TextAnalysis.QcBias}))), 4) as score
+        from sig)
+      select doc_id, n_words, mean_word_len, alpha_frac, stop_frac, distinct_ratio, score,
+             (case when score >= ${graft.operators.TextAnalysis.QcThreshold}
+               then 1 else 0 end)::bigint as keep
+      from sc order by doc_id
+    """,
+
+    // c49: integer-exact feature hashing — bucket and sign are md5
+    // slices of the term, sums are bigints, the vector checksum is
+    // c14's hex-domain contract; dim interpolated
+    "c49_feature_hash" -> s"""
+      with tf as (
+        select doc_id, term, count(*)::bigint as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      b as (
+        select doc_id,
+               ('0x' || substr(md5(term), 1, 7))::bigint % ${graft.operators.TextAnalysis.FhDim} as j,
+               case when ('0x' || substr(md5(term), 8, 1))::bigint % 2 = 0
+                 then tf else -tf end as sv
+        from tf),
+      d as (select doc_id, j, sum(sv)::bigint as s from b group by 1, 2),
+      v as (
+        select dd.doc_id, i.i, coalesce(d.s, 0) as s
+        from (select distinct doc_id from tf) dd
+        cross join unnest(range(0, ${graft.operators.TextAnalysis.FhDim})) i(i)
+        left join d on d.doc_id = dd.doc_id and d.j = i.i)
+      select doc_id,
+             sum(case when s != 0 then 1 else 0 end)::bigint as nnz,
+             sum(abs(s))::bigint as l1,
+             md5(array_to_string(list(s order by i), ',')) as vec_md5
+      from v group by doc_id order by doc_id
+    """,
+
     // c44: (source, term) frequency grain off the same tokenization;
     // head depth interpolated; regr_slope = both engines' shared
     // population-OLS definition, rounded after the aggregate

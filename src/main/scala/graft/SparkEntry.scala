@@ -111,6 +111,8 @@ object SparkEntry {
     "c45_delta_dedup" -> ((s, dir) => Dedup.c45DeltaDedup(Tables.documents(s, dir))),
     "c46_bigram_logprob" -> ((s, dir) => TextAnalysis.c46BigramLogprob(Tables.documents(s, dir))),
     "c47_pq_adc" -> ((s, dir) => Similarity.c47PqAdc(Tables.embeddings(s, dir))),
+    "c48_quality_classifier" -> ((s, dir) => TextAnalysis.c48QualityClassifier(Tables.documents(s, dir))),
+    "c49_feature_hash" -> ((s, dir) => TextAnalysis.c49FeatureHash(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -1168,4 +1168,103 @@ object TextAnalysis {
           / sum(col("k")), 4).as("mean_logprob"))
       .orderBy("doc_id")
   }
+
+  // ---- c48: model-based quality classifier ----------------------------
+
+  /** c48's logistic weights over the five signals (log-words, mean
+    * word length, alpha fraction, stopword fraction, distinct
+    * ratio) and the admission threshold. Pinned constants standing
+    * in for an offline-trained model (the GPT-3/LLaMA-family
+    * quality classifier is a linear model over exactly this kind of
+    * signal vector); the oracle interpolates all of them. */
+  val QcWLogWords = 0.8
+  val QcWMeanLen = 0.35
+  val QcWAlpha = 2.0
+  val QcWStop = 3.0
+  val QcWDistinct = 1.5
+  val QcBias = -4.0
+  val QcThreshold = 0.5
+
+  /** c48: model-based quality filtering — the third member of the
+    * quality family: c9 scores a hand-tuned composite, c41 fires a
+    * published rule battery, c48 runs the CLASSIFIER shape the
+    * GPT-3/LLaMA pipelines actually deploy (a logistic model over
+    * per-doc signals, admission by calibrated threshold). Weights
+    * are pinned constants (the offline trainer is deployment
+    * machinery); the operator's contract is the signal extraction +
+    * deterministic scoring, with every signal disclosed for audit
+    * (c41's discipline).
+    *
+    * Shape: all five signals are functions of the TERM, so the whole
+    * feature vector reduces off the shared [[tfRows]] memo in one
+    * map-side-combinable aggregate — zero extra corpus passes.
+    * Determinism: each signal is ROUNDED (4dp) before the dot
+    * product, the dot product is spelled in one fixed order, and the
+    * score is rounded before the threshold — the branch taken is
+    * engine-exact (exp noise lives ~10 orders below the 4dp grid). */
+  def c48QualityClassifier(docs: DataFrame): DataFrame = {
+    val isAlpha = col("term").rlike("^[a-z]+$")
+    val sig = tfRows(docs).groupBy("doc_id").agg(
+      sum(col("tf")).as("n_words"),
+      round(sum(col("tf") * length(col("term"))).cast("double") / sum(col("tf")), 4)
+        .as("mean_word_len"),
+      round(sum(when(isAlpha, col("tf")).otherwise(0L)).cast("double") / sum(col("tf")), 4)
+        .as("alpha_frac"),
+      round(sum(when(col("term").isin(TextFns.EnMarkers: _*), col("tf")).otherwise(0L))
+        .cast("double") / sum(col("tf")), 4).as("stop_frac"),
+      round(count(lit(1)).cast("double") / sum(col("tf")), 4).as("distinct_ratio"))
+    val z = lit(QcWLogWords) * round(log10(col("n_words")), 4) +
+      lit(QcWMeanLen) * col("mean_word_len") +
+      lit(QcWAlpha) * col("alpha_frac") +
+      lit(QcWStop) * col("stop_frac") +
+      lit(QcWDistinct) * col("distinct_ratio") +
+      lit(QcBias)
+    sig
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 4))
+      .withColumn("keep", when(col("score") >= QcThreshold, 1L).otherwise(0L))
+      .select("doc_id", "n_words", "mean_word_len", "alpha_frac", "stop_frac",
+        "distinct_ratio", "score", "keep")
+      .orderBy("doc_id")
+  }
+
+  // ---- c49: feature-hashing document vectors --------------------------
+
+  /** c49 geometry: 64 hash buckets. Oracle-interpolated. */
+  val FhDim = 64
+
+  /** c49: feature-hashed document vectors (the hashing trick,
+    * Weinberger et al. 2009) — the deterministic text→vector bridge:
+    * every term contributes sign·tf to bucket md5(term) mod
+    * [[FhDim]] (sign from an independent md5 bit), giving each doc a
+    * fixed-width integer vector with no trained model and no
+    * vocabulary table — the cheap embedding that feeds the c5/c43/
+    * c47 machinery when model embeddings don't exist yet, and the
+    * classic featurizer for c48-style linear classifiers. Integer
+    * arithmetic end-to-end ⇒ EXACT cross-engine parity (no rounding
+    * contract needed, unlike every float-scoring operator).
+    *
+    * Shape: bucket/sign are functions of the term — one map off the
+    * shared [[tfRows]] memo, one (doc, bucket) map-side-combined
+    * aggregate, then the dense 64-lane vector assembles in a single
+    * conditional-sum aggregate per doc (no explode, no pivot
+    * shuffle). Report: the vector's md5 (c14's checksum contract),
+    * plus nnz and l1 mass for the audit eye. */
+  def c49FeatureHash(docs: DataFrame): DataFrame = {
+    val j = (conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long") % FhDim).as("j")
+    val sv = (when(conv(substring(md5(col("term")), 8, 1), 16, 10) % 2 === 0, col("tf"))
+      .otherwise(-col("tf"))).as("sv")
+    val bucketSums = tfRows(docs)
+      .select(col("doc_id"), j, sv)
+      .groupBy("doc_id", "j").agg(sum(col("sv")).as("s"))
+    val lanes = (0 until FhDim).map(i =>
+      coalesce(sum(when(col("j") === i, col("s"))), lit(0L)).as(s"v$i"))
+    bucketSums.groupBy("doc_id")
+      .agg(lanes.head, lanes.tail: _*)
+      .select(col("doc_id"),
+        (0 until FhDim).map(i => when(col(s"v$i") =!= 0L, 1L).otherwise(0L)).reduce(_ + _)
+          .as("nnz"),
+        (0 until FhDim).map(i => abs(col(s"v$i"))).reduce(_ + _).as("l1"),
+        md5(concat_ws(",", (0 until FhDim).map(i => col(s"v$i")): _*)).as("vec_md5"))
+      .orderBy("doc_id")
+  }
 }

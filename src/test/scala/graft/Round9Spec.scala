@@ -203,6 +203,76 @@ class Round9Spec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  // ---- c48: model-based quality classifier ----------------------------
+
+  test("c48 hand-computed logistic score; signal disclosure matches the features") {
+    import graft.operators.TextAnalysis._
+    val docs = docsDF(Seq(
+      (1L, "the cat ran", "en", "s"),        // fluent-ish: stopword + alpha
+      (2L, "zz9 zz9 zz9 zz9", "en", "s")))   // repetitive, no stopwords, non-alpha
+    val out = TextAnalysis.c48QualityClassifier(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def r4(v: Double) = round4(v)
+    // doc 1: n=3, mwl=3.0, alpha=1.0, stop=1/3, distinct=1.0
+    val z1 = QcWLogWords * r4(math.log10(3.0)) + QcWMeanLen * 3.0 + QcWAlpha * 1.0 +
+      QcWStop * r4(1.0 / 3.0) + QcWDistinct * 1.0 + QcBias
+    val s1 = r4(1.0 / (1.0 + math.exp(-z1)))
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 3L && d1.getDouble(2) == 3.0 && d1.getDouble(3) == 1.0)
+    assert(d1.getDouble(4) == r4(1.0 / 3.0) && d1.getDouble(5) == 1.0)
+    assert(d1.getDouble(6) == s1, s"doc1 score ${d1.getDouble(6)} vs $s1")
+    assert(d1.getLong(7) == (if (s1 >= QcThreshold) 1L else 0L))
+    // doc 2: alpha=0 (digits), stop=0, distinct=1/4 — must score
+    // BELOW doc 1 and be dropped while doc 1 is kept
+    val d2 = out(2L)
+    assert(d2.getDouble(3) == 0.0 && d2.getDouble(4) == 0.0)
+    assert(d2.getDouble(6) < d1.getDouble(6), "garbage doc outscored fluent doc")
+    assert(d1.getLong(7) == 1L && d2.getLong(7) == 0L,
+      s"keep bits: fluent=${d1.getLong(7)} garbage=${d2.getLong(7)}")
+  }
+
+  // ---- c49: feature-hashing document vectors --------------------------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("c49 hand-built vector, checksum, and bag-of-words invariance") {
+    import graft.operators.TextAnalysis.FhDim
+    val docs = docsDF(Seq(
+      (1L, "x x y", "en", "s"),
+      (2L, "y x x", "en", "s"),    // same bag, different order
+      (3L, "x y z w", "en", "s")))
+    val out = TextAnalysis.c49FeatureHash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // expected vector for {x:2, y:1} via the same md5 slices
+    val v = Array.fill(FhDim)(0L)
+    def add(term: String, tf: Long): Unit = {
+      val hex = md5Hex(term)
+      val j = (java.lang.Long.parseLong(hex.substring(0, 7), 16) % FhDim).toInt
+      val sign = if (java.lang.Long.parseLong(hex.substring(7, 8), 16) % 2 == 0) 1L else -1L
+      v(j) += sign * tf
+    }
+    add("x", 2L); add("y", 1L)
+    val expMd5 = md5Hex(v.mkString(","))
+    val expNnz = v.count(_ != 0L).toLong
+    val expL1 = v.map(math.abs).sum
+    assert(byDoc(1L) == ((1L, expNnz, expL1, expMd5)), s"doc1: ${byDoc(1L)}")
+    // bag-of-words invariance: word order cannot change the vector
+    assert(byDoc(2L)._4 == byDoc(1L)._4 && byDoc(2L)._2 == byDoc(1L)._2)
+    // doc3 replicated the same way (collisions, if any, included)
+    val v3 = Array.fill(FhDim)(0L)
+    def add3(term: String): Unit = {
+      val hex = md5Hex(term)
+      val j = (java.lang.Long.parseLong(hex.substring(0, 7), 16) % FhDim).toInt
+      v3(j) += (if (java.lang.Long.parseLong(hex.substring(7, 8), 16) % 2 == 0) 1L else -1L)
+    }
+    Seq("x", "y", "z", "w").foreach(add3)
+    assert(byDoc(3L) == ((3L, v3.count(_ != 0L).toLong, v3.map(math.abs).sum,
+      md5Hex(v3.mkString(",")))), s"doc3: ${byDoc(3L)}")
+  }
+
   // ---- c46: bigram LM scoring -----------------------------------------
 
   test("c46 hand-computed add-1 conditional scores; order is the signal") {
