@@ -961,6 +961,54 @@ object OraclesC {
       order by q_id, rank
     """,
 
+    // c50: c1's keep-first + c20's overlap + c23's cascade composed
+    // first-fail over the non-benchmark population; bar interpolated
+    "c50_curation_funnel" -> s"""
+      with pop as (select * from documents where doc_id % 97 <> 0),
+      kd as (select md5(text) as h, min(doc_id) as keep_doc from pop group by 1),
+      sh as ($SH8),
+      bench as (select distinct sh8 from sh where doc_id % 97 = 0),
+      ct as (
+        select sh.doc_id, round(count(bench.sh8)::double / count(*), 4) as contam
+        from sh left join bench on sh.sh8 = bench.sh8
+        where sh.doc_id % 97 <> 0
+        group by sh.doc_id),
+      sig as (
+        select doc_id,
+               len(w) as n_tokens,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
+               round(((length(text) - length(replace(text, 'th', ''))) / 2
+                    + (length(text) - length(replace(text, 'he', ''))) / 2
+                    + (length(text) - length(replace(text, 'in', ''))) / 2
+                    + (length(text) - length(replace(text, 'er', ''))) / 2
+                     )::double / length(text), 4) as en_ngram_score,
+               round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                 + len(regexp_extract_all(text, '[0-9]+')) as n_pii
+        from (select doc_id, text, string_split(text, ' ') as w from pop)),
+      dec as (
+        select p.doc_id,
+               case when p.doc_id <> kd.keep_doc then 'duplicate'
+                    when coalesce(ct.contam, 0) >= ${graft.operators.TextAnalysis.FunnelContamBar}
+                      then 'contaminated'
+                    when n_tokens < 5 then 'too_short'
+                    when not (en_score > 0.01 or en_ngram_score > 0.02) then 'non_en'
+                    when distinct_ratio < 0.3 then 'repetitive'
+                    when n_pii > 20 then 'pii_heavy'
+                    else 'keep' end as stage
+        from pop p
+        join kd on md5(p.text) = kd.h
+        left join ct on ct.doc_id = p.doc_id
+        join sig on sig.doc_id = p.doc_id),
+      t as (select count(*) as total from pop)
+      select (case stage when 'duplicate' then 1 when 'contaminated' then 2
+                when 'too_short' then 3 when 'non_en' then 4 when 'repetitive' then 5
+                when 'pii_heavy' then 6 else 7 end)::bigint as stage_order,
+             stage, count(*) as n_docs,
+             round(count(*)::double / t.total, 4) as share
+      from dec, t group by stage, t.total order by stage_order
+    """,
+
     // c48: c41's signal spellings + the pinned logistic model; every
     // signal rounded before the one fixed-order dot product, score
     // rounded before the threshold

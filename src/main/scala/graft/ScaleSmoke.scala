@@ -142,7 +142,8 @@ object ScaleSmoke {
       "c43_knn_graph", "c44_zipf_diversity", "c45_delta_dedup", "c46_bigram_logprob",
       // r9b: the PQ serving kernel and the two tf-memo featurizers —
       // |Q|-bounded / term-derived, linear in corpus by construction
-      "c47_pq_adc", "c48_quality_classifier", "c49_feature_hash")
+      "c47_pq_adc", "c48_quality_classifier", "c49_feature_hash",
+      "c50_curation_funnel")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

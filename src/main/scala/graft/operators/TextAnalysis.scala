@@ -1169,6 +1169,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- c50: the batch curation funnel ---------------------------------
+
+  /** c50's contamination drop bar (fraction of a doc's distinct
+    * shingles found in the benchmark set, rounded before comparison).
+    * Oracle-interpolated. */
+  val FunnelContamBar = 0.2
+
+  /** Per-doc funnel decision, first-fail in gate order — the ONE
+    * spelling the report aggregates and specs compare against the
+    * chained streaming gates. Population = non-benchmark docs (the
+    * ~1% doc_id slice is the EVAL set, never training data). */
+  private[graft] def funnelDecisions(docs: DataFrame): DataFrame = {
+    val pop = docs.filter(col("doc_id") % 97 =!= 0)
+    val keepDoc = pop.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_doc"))
+    val sh = Dedup.docShingles8(docs)
+    val bench = sh.filter(col("doc_id") % 97 === 0).select(col("sh8")).distinct()
+    val contam = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(bench.withColumn("hit", lit(1L)), Seq("sh8"), "left")
+      .groupBy("doc_id")
+      .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 4)
+        .as("contam"))
+    pop.select(col("doc_id"), md5(col("text")).as("h"),
+        curationReasonOf(col("text")).as("qreason"))
+      .join(keepDoc, Seq("h"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_doc"), lit("duplicate"))
+          .when(coalesce(col("contam"), lit(0.0)) >= FunnelContamBar, lit("contaminated"))
+          .otherwise(col("qreason")).as("stage"))
+  }
+
+  /** c50: the composed batch curation FUNNEL — the end-to-end
+    * decision a training-data pipeline executes per document, in the
+    * exact order the three live gates run it (NearDupStream /
+    * DecontamStream / CurationStream's quality cascade): benchmark
+    * slice excluded from the population → `duplicate` (c1's exact
+    * keep-first loses) → `contaminated` (c20's shingle-overlap
+    * fraction ≥ bar; docs with no shingle evidence can't be flagged)
+    * → the c23 cascade (`too_short`/`non_en`/`repetitive`/
+    * `pii_heavy`) → `keep`. First failure wins, so every doc is
+    * counted exactly once and the report reads as the funnel's
+    * narrowing: (stage_order, stage, n_docs, share).
+    *
+    * Shape: one hash aggregate for keep-first, the shared shingle
+    * memo for the overlap stage, the narrow cascade expression for
+    * quality — three report-sized joins at doc grain, no new corpus
+    * kernels; share via the 1-row broadcast total ([[shareOfTotal]]),
+    * never a second scan. */
+  def c50CurationFunnel(docs: DataFrame): DataFrame = {
+    val order = when(col("stage") === "duplicate", 1L)
+      .when(col("stage") === "contaminated", 2L)
+      .when(col("stage") === "too_short", 3L)
+      .when(col("stage") === "non_en", 4L)
+      .when(col("stage") === "repetitive", 5L)
+      .when(col("stage") === "pii_heavy", 6L)
+      .otherwise(7L)
+    shareOfTotal(
+      funnelDecisions(docs).groupBy("stage").agg(count(lit(1)).as("n_docs")),
+      "n_docs", "share")
+      .withColumn("stage_order", order)
+      .select("stage_order", "stage", "n_docs", "share")
+      .orderBy("stage_order")
+  }
+
   // ---- c48: model-based quality classifier ----------------------------
 
   /** c48's logistic weights over the five signals (log-words, mean

@@ -203,6 +203,49 @@ class Round9Spec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  // ---- c50: the batch curation funnel ---------------------------------
+
+  test("c50 planted: one doc per stage, first failure wins, benchmark excluded") {
+    val bench = (1 to 12).map(i => s"w$i").mkString(" ")
+    val fluent = "the cat and the dog run in the park today now"
+    val piiText = "the a of to and is in it " + (100 to 120).map(_.toString).mkString(" ")
+    val docs = docsDF(Seq(
+      (0L, bench, "en", "s"),                    // benchmark slice — not in the report
+      (1L, bench, "en", "s"),                    // contaminated (NOT duplicate: the twin is eval-side)
+      (2L, fluent, "en", "s"),                   // keep (first copy wins)
+      (3L, fluent, "en", "s"),                   // duplicate
+      (4L, "a b c", "en", "s"),                  // too_short
+      (5L, "zxq vbn qwp olm akz pfu", "en", "s"),// non_en
+      (6L, "the the the the the the", "en", "s"),// repetitive
+      (7L, piiText, "en", "s")))                 // pii_heavy
+    val out = TextAnalysis.c50CurationFunnel(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getLong(2), r.getDouble(3))).toMap
+    val expShare = round4(1.0 / 7.0)
+    val expected = Map(
+      "duplicate" -> 1L, "contaminated" -> 2L, "too_short" -> 3L,
+      "non_en" -> 4L, "repetitive" -> 5L, "pii_heavy" -> 6L, "keep" -> 7L)
+    assert(out.keySet == expected.keySet, s"stages: ${out.keySet}")
+    for ((stage, ord) <- expected)
+      assert(out(stage) == ((ord, 1L, expShare)), s"$stage: ${out(stage)}")
+    // the per-doc decisions behind the report (the frame the chained
+    // streaming gates are held to)
+    val dec = TextAnalysis.funnelDecisions(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec == Map(1L -> "contaminated", 2L -> "keep", 3L -> "duplicate",
+      4L -> "too_short", 5L -> "non_en", 6L -> "repetitive", 7L -> "pii_heavy"))
+  }
+
+  test("c50 real corpus: decisions partition the population, shares sum to ~1") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pop = docs.filter(col("doc_id") % 97 =!= 0).count()
+    val rows = TextAnalysis.c50CurationFunnel(docs).collect()
+    assert(rows.map(_.getLong(2)).sum == pop, "every population doc counted once")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.01)
+    val allowed = Set("duplicate", "contaminated", "too_short", "non_en",
+      "repetitive", "pii_heavy", "keep")
+    assert(rows.map(_.getString(1)).toSet.subsetOf(allowed))
+  }
+
   // ---- c48: model-based quality classifier ----------------------------
 
   test("c48 hand-computed logistic score; signal disclosure matches the features") {
