@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.{Materialize, TextAnalysis}
+
+/** The THREE live gates composed into ONE ingest funnel — quality
+  * (CurationStream's cascade), then leakage (DecontamStream's Bloom
+  * probe), then novelty (NearDupStream's keep-one admission) — per
+  * micro-batch, cheapest-first: the cascade is a narrow projection,
+  * the probe reads a bounded static bit table, and only the
+  * survivors of both pay the store-probing near-dup stage. Each doc
+  * gets ONE first-fail decision, so the decision store reads as the
+  * live funnel's narrowing — the streaming counterpart of the batch
+  * c50 report. (Deliberate policy differences from c50, documented
+  * rather than papered over: the at-rest funnel runs dedup FIRST —
+  * cheap there, since the whole corpus hashes in one pass — and its
+  * dedup is EXACT; the live funnel defers the expensive store-backed
+  * near-dup stage to last and refuses NEAR-duplicates, which
+  * subsumes exact ones.)
+  *
+  * Exactly-once shape (the house pattern): foreachBatch is
+  * at-least-once; decision, keep, and band stores are all keep-first
+  * keyed merges; the near-dup stage re-derives identical decisions
+  * on replay because batch-resident keepers are excluded from the
+  * probe (NearDupStream's guard — ONE shared spelling via
+  * [[NearDupStream.batchDecisions]], so the standalone gate and the
+  * funnel cannot drift).
+  *
+  * Scale shape: per trigger, one narrow cascade pass + k broadcast
+  * Bloom lookups + a batch-sized×matched band probe; every store
+  * merge touches only the buckets the micro-batch lands in. Nothing
+  * is proportional to the accumulated corpus except the keyed joins
+  * into it. */
+object FunnelStream {
+
+  /** Start the composed funnel over a streaming `docs` frame
+    * (doc_id, text). `bits` is the static benchmark bit table
+    * (TextAnalysis.bloomBitsFromKeys, built once outside the
+    * stream); `decisionStore` accumulates (doc_id, stage, dup_of),
+    * `keepStore` the admitted corpus, `bandStore` the admitted docs'
+    * LSH band keys for the novelty probe. */
+  def funnelGate(docs: DataFrame, bits: DataFrame, decisionStore: String,
+      keepStore: String, bandStore: String,
+      maxFrac: Double = DecontamStream.MaxFlaggedFrac,
+      threshold: Double = NearDupStream.JaccardThreshold,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // stage 1 — quality: decide once, carry the reason
+        val b = Materialize.frame(batch.select(col("doc_id"), col("text"),
+          TextAnalysis.curationReasonOf(col("text")).as("qreason")))
+        val qualityDrops = b.filter(col("qreason") =!= "keep")
+          .select(col("doc_id"), col("qreason").as("stage"),
+            lit(null).cast("long").as("dup_of"))
+        val s1 = b.filter(col("qreason") === "keep").select(col("doc_id"), col("text"))
+        // stage 2 — leakage: survivors probe the bounded bit table;
+        // docs with no shingles have nothing to leak (n_sh = 0 admit,
+        // DecontamStream's documented stance)
+        val scored = Materialize.frame(
+          s1.join(TextAnalysis.bloomProbeRows(
+              TextAnalysis.docShingles8Direct(s1), bits), Seq("doc_id"), "left")
+            .select(col("doc_id"), col("text"),
+              coalesce(col("flagged_frac"), lit(0.0)).as("flagged_frac")))
+        val contamDrops = scored.filter(col("flagged_frac") > maxFrac)
+          .select(col("doc_id"), lit("contaminated").as("stage"),
+            lit(null).cast("long").as("dup_of"))
+        val s2 = Materialize.frame(
+          scored.filter(col("flagged_frac") <= maxFrac).select(col("doc_id"), col("text")))
+        // stage 3 — novelty: the shared near-dup admission over the
+        // double-survivors
+        val (nd, bandsB) = NearDupStream.batchDecisions(s2, bandStore, keepStore, threshold)
+        val ndStages = nd.select(col("doc_id"),
+          when(col("admitted"), lit("keep")).otherwise(lit("duplicate")).as("stage"),
+          col("dup_of"))
+        val decisions = Materialize.frame(
+          qualityDrops.unionByName(contamDrops).unionByName(ndStages))
+        EventsStream.upsertSink(decisions, decisionStore, "doc_id")
+        val kept = decisions.filter(col("stage") === "keep").select("doc_id")
+        EventsStream.upsertSink(s2.join(kept, Seq("doc_id")), keepStore, "doc_id")
+        EventsStream.upsertSink(
+          NearDupStream.keptBandRows(bandsB, kept), bandStore, "bk_doc")
+        ()
+      }
+      .start()
+
+  /** Every funnel decision taken so far — derived from the decision
+    * STORE (decisions, not counters: replays cannot double-count). */
+  def decisions(spark: SparkSession, decisionStore: String): DataFrame =
+    spark.read.parquet(decisionStore)
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_id", "stage", "dup_of")
+
+  /** The funnel-narrowing report over everything ingested: (stage,
+    * n_docs, share), in live-gate order — quality reasons, then
+    * contaminated, then duplicate, then keep. */
+  def report(spark: SparkSession, decisionStore: String): DataFrame = {
+    val order = when(col("stage") === "too_short", 1L)
+      .when(col("stage") === "non_en", 2L)
+      .when(col("stage") === "repetitive", 3L)
+      .when(col("stage") === "pii_heavy", 4L)
+      .when(col("stage") === "contaminated", 5L)
+      .when(col("stage") === "duplicate", 6L)
+      .otherwise(7L)
+    val counts = decisions(spark, decisionStore)
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("_t"))))
+      .withColumn("share", round(col("n_docs").cast("double") / col("_t"), 4))
+      .drop("_t")
+      .withColumn("stage_order", order)
+      .select("stage_order", "stage", "n_docs", "share")
+      .orderBy("stage_order")
+  }
+}

@@ -57,70 +57,84 @@ object NearDupStream {
     checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
         val b = Materialize.frame(batch.select(col("doc_id"), col("text")))
-        val sets = Materialize.frame(Dedup.directShingleSets(b))
-        val bandsB = Materialize.frame(Dedup.bandKeyRows(sets))
-
-        // cross-batch candidates: batch bands ⋈ kept-doc bands; a
-        // keeper that is itself in this batch is a replay echo of our
-        // own writes — excluded so replays re-derive the original
-        // decisions
-        val crossCand = bandsB
-          .join(readOrEmpty(spark, bandStore, "band_key string, doc_id long")
-            .withColumnRenamed("doc_id", "keeper_id"), Seq("band_key"))
-          .select(col("doc_id"), col("keeper_id")).distinct()
-          .join(b.select(col("doc_id").as("keeper_id")), Seq("keeper_id"), "left_anti")
-        // verify against the matched keepers only: keyed join into the
-        // keep store for their texts, one shingle pass over that slice
-        val keeperSets = Dedup.directShingleSets(
-          readOrEmpty(spark, keepStore, "doc_id long, text string")
-            .join(crossCand.select(col("keeper_id").as("doc_id")).distinct(), Seq("doc_id")))
-        val crossPairs = crossCand
-          .join(sets.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
-          .join(keeperSets.select(col("doc_id").as("keeper_id"), col("sh").as("sh_b")),
-            Seq("keeper_id"))
-          .select(col("doc_id").as("doc_a"), col("keeper_id").as("doc_b"),
-            round((size(col("sh_a")) + size(col("sh_b"))
-                - size(array_union(col("sh_a"), col("sh_b")))).cast("double")
-              / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
-        // within-batch pairs: the one shared pair spelling
-        val pairs = Dedup.candidatePairsFromSets(sets)
-          .unionByName(crossPairs)
-          .filter(col("jaccard") >= threshold)
-          .select(col("doc_a"), col("doc_b"))
-
-        // component labels over batch ∪ keepers; keepers win clusters
-        val keepers = crossPairs.select(col("doc_b").as("doc_id")).distinct()
-          .withColumn("is_keeper", lit(true))
-        val labeled = Dedup.labelComponents(pairs)
-          .withColumnRenamed("label", "comp")
-          .join(keepers, Seq("doc_id"), "left")
-        val perComp = labeled.groupBy("comp").agg(
-          min(when(col("is_keeper"), col("doc_id"))).as("min_keeper"),
-          min(when(col("is_keeper").isNull, col("doc_id"))).as("anchor"))
-        val decisions = Materialize.frame(b.select(col("doc_id"))
-          .join(labeled.filter(col("is_keeper").isNull)
-            .join(perComp, Seq("comp"))
-            .select(col("doc_id"), col("min_keeper"), col("anchor")), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("min_keeper").isNotNull, lit(false))
-              .when(col("anchor").isNotNull && col("anchor") =!= col("doc_id"), lit(false))
-              .otherwise(lit(true)).as("admitted"),
-            coalesce(col("min_keeper"),
-              when(col("anchor") =!= col("doc_id"), col("anchor"))).as("dup_of")))
-
+        val (decisions, bandsB) = batchDecisions(b, bandStore, keepStore, threshold)
         EventsStream.upsertSink(decisions, decisionStore, "doc_id")
         val kept = decisions.filter(col("admitted")).select("doc_id")
         EventsStream.upsertSink(b.join(kept, Seq("doc_id")), keepStore, "doc_id")
-        EventsStream.upsertSink(
-          bandsB.join(kept, Seq("doc_id"))
-            .select(concat_ws(":", col("band_key"), col("doc_id")).as("bk_doc"),
-              col("band_key"), col("doc_id")),
-          bandStore, "bk_doc")
+        EventsStream.upsertSink(keptBandRows(bandsB, kept), bandStore, "bk_doc")
         ()
       }
       .start()
+
+  /** The kept docs' band rows, keyed for the band store's keep-first
+    * merge — shared by this gate and the composed funnel gate. */
+  private[streaming] def keptBandRows(bandsB: DataFrame, kept: DataFrame): DataFrame =
+    bandsB.join(kept, Seq("doc_id"))
+      .select(concat_ws(":", col("band_key"), col("doc_id")).as("bk_doc"),
+        col("band_key"), col("doc_id"))
+
+  /** The per-batch admission decision — ONE spelling shared by the
+    * standalone gate and the composed funnel gate ([[FunnelStream]]),
+    * so the novelty policy cannot drift between them. Input `b` must
+    * be a materialized (doc_id, text) frame; returns (decisions
+    * (doc_id, admitted, dup_of) — materialized, and the batch's band
+    * rows for the store sink). */
+  private[streaming] def batchDecisions(b: DataFrame, bandStore: String,
+      keepStore: String, threshold: Double): (DataFrame, DataFrame) = {
+    val spark = b.sparkSession
+    val sets = Materialize.frame(Dedup.directShingleSets(b))
+    val bandsB = Materialize.frame(Dedup.bandKeyRows(sets))
+
+    // cross-batch candidates: batch bands ⋈ kept-doc bands; a
+    // keeper that is itself in this batch is a replay echo of our
+    // own writes — excluded so replays re-derive the original
+    // decisions
+    val crossCand = bandsB
+      .join(readOrEmpty(spark, bandStore, "band_key string, doc_id long")
+        .withColumnRenamed("doc_id", "keeper_id"), Seq("band_key"))
+      .select(col("doc_id"), col("keeper_id")).distinct()
+      .join(b.select(col("doc_id").as("keeper_id")), Seq("keeper_id"), "left_anti")
+    // verify against the matched keepers only: keyed join into the
+    // keep store for their texts, one shingle pass over that slice
+    val keeperSets = Dedup.directShingleSets(
+      readOrEmpty(spark, keepStore, "doc_id long, text string")
+        .join(crossCand.select(col("keeper_id").as("doc_id")).distinct(), Seq("doc_id")))
+    val crossPairs = crossCand
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
+      .join(keeperSets.select(col("doc_id").as("keeper_id"), col("sh").as("sh_b")),
+        Seq("keeper_id"))
+      .select(col("doc_id").as("doc_a"), col("keeper_id").as("doc_b"),
+        round((size(col("sh_a")) + size(col("sh_b"))
+            - size(array_union(col("sh_a"), col("sh_b")))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+    // within-batch pairs: the one shared pair spelling
+    val pairs = Dedup.candidatePairsFromSets(sets)
+      .unionByName(crossPairs)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+
+    // component labels over batch ∪ keepers; keepers win clusters
+    val keepers = crossPairs.select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_keeper", lit(true))
+    val labeled = Dedup.labelComponents(pairs)
+      .withColumnRenamed("label", "comp")
+      .join(keepers, Seq("doc_id"), "left")
+    val perComp = labeled.groupBy("comp").agg(
+      min(when(col("is_keeper"), col("doc_id"))).as("min_keeper"),
+      min(when(col("is_keeper").isNull, col("doc_id"))).as("anchor"))
+    val decisions = Materialize.frame(b.select(col("doc_id"))
+      .join(labeled.filter(col("is_keeper").isNull)
+        .join(perComp, Seq("comp"))
+        .select(col("doc_id"), col("min_keeper"), col("anchor")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("min_keeper").isNotNull, lit(false))
+          .when(col("anchor").isNotNull && col("anchor") =!= col("doc_id"), lit(false))
+          .otherwise(lit(true)).as("admitted"),
+        coalesce(col("min_keeper"),
+          when(col("anchor") =!= col("doc_id"), col("anchor"))).as("dup_of")))
+    (decisions, bandsB)
+  }
 
   /** Every admission decision the gate has taken — derived from the
     * decision STORE (decisions, not counters: replays cannot

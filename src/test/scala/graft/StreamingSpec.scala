@@ -377,6 +377,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "single-batch gate diverged from the batch keep-one decision")
   }
 
+  test("composed funnel gate: first-fail stages, cross-batch novelty, replay-safe") {
+    import graft.streaming.FunnelStream
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // static benchmark = one doc the funnel must refuse copies of
+    val benchText = "the quick brown fox jumps over the lazy dog and then it runs far away"
+    val bits = TextAnalysis.bloomBitsFromKeys(TextAnalysis.docShingles8Direct(
+      Seq((999000L, benchText)).toDF("doc_id", "text")))
+    val fluent1 = "the cat and the dog run in the park today now"
+    val fluent2 = "a bird is up on the roof and it sings to me often"
+    // batch 1: quality-fail, contaminated, near-dup pair, unique
+    val batch1 = Seq(
+      (1L, "a b c"),                 // too_short — quality fires FIRST
+      (2L, benchText),               // contaminated (quality-clean copy of the benchmark)
+      (3L, fluent1), (4L, fluent1),  // within-batch near-dups → 3 keeps, 4 drops
+      (5L, fluent2))                 // keep
+    // batch 2: a cross-batch near-dup of keeper 3, plus a replay echo
+    val batch2 = Seq(
+      (6L, fluent1),                 // duplicate citing keeper 3 (cross-batch)
+      (7L, "the sun was warm and the sea lay flat under it all day"))
+    val in = java.nio.file.Files.createTempDirectory("graft-fn-in-").toString
+    batch1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    batch2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val dS = java.nio.file.Files.createTempDirectory("graft-fn-d-").toString + "/store"
+    val kS = java.nio.file.Files.createTempDirectory("graft-fn-k-").toString + "/store"
+    val bS = java.nio.file.Files.createTempDirectory("graft-fn-b-").toString + "/store"
+    def runGate(): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string"))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = FunnelStream.funnelGate(src, bits, dS, kS, bS)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runGate()
+    def got() = FunnelStream.decisions(spark, dS)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    val d = got()
+    assert(d(1L) == (("too_short", -1L)), s"doc1 ${d(1L)}")
+    assert(d(2L) == (("contaminated", -1L)), s"doc2 ${d(2L)}")
+    assert(d(3L) == (("keep", -1L)) && d(4L) == (("duplicate", 3L)), s"3/4: ${d(3L)} ${d(4L)}")
+    assert(d(5L) == (("keep", -1L)), s"doc5 ${d(5L)}")
+    assert(d(6L) == (("duplicate", 3L)), s"cross-batch novelty: ${d(6L)}")
+    assert(d(7L) == (("keep", -1L)), s"doc7 ${d(7L)}")
+    // the keep store holds exactly the admitted docs; dropped docs
+    // never leave bands behind
+    assert(spark.read.parquet(kS).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 7L))
+    assert(spark.read.parquet(bS).select("doc_id").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 7L))
+    // the report reads as the funnel narrowing with every doc counted once
+    val rep = FunnelStream.report(spark, dS).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rep == Map("too_short" -> 1L, "contaminated" -> 1L,
+      "duplicate" -> 2L, "keep" -> 3L), s"report: $rep")
+    // at-least-once replay: re-offering everything changes nothing
+    runGate()
+    assert(got() == d, "replayed micro-batches changed funnel decisions")
+    assert(spark.read.parquet(kS).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 7L), "replay grew the keep store")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventsStream.purchaseClickJoin(streamingEvents(), streaming = true)
       .writeStream.outputMode("append")
