@@ -909,9 +909,14 @@ object OraclesC {
     "c43_knn_graph" -> s"""
       with $SIGN_BUCKETS,
       p as (
-        select a.vec_id as va, b.vec_id as vb,
-               round(${cosine("a.embedding", "b.embedding")}, 4) as cos
-        from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id),
+        select * from (
+          select a.vec_id as va, b.vec_id as vb,
+                 round(${cosine("a.embedding", "b.embedding")}, 4) as cos
+          from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id)
+        -- no-evidence pairs never rank (zero-norm cosine is NULL):
+        -- the operator's stance, mirrored so a corpus with zero-norm
+        -- vectors cannot diverge
+        where cos is not null),
       e as (select va as vec_id, vb as nbr, cos from p
             union all
             select vb as vec_id, va as nbr, cos from p),

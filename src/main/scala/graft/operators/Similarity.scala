@@ -271,6 +271,27 @@ object Similarity {
     * 3-4× slower; the in-register loop with k-bounded state is the
     * mapPartitions escape hatch's textbook case, FAISS's own serving
     * shape.) */
+  /** HALF_UP 4-decimal rounding — Spark's Round-on-double semantics,
+    * the ONE spelling c47's driver LUT and executor kernel share. */
+  private def pqRound4(v: Double): Double =
+    BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Rounded squared L2 between subspace-`m` slices of `v` and
+    * codeword `cb(k)` — called by BOTH the driver-side LUT build and
+    * the executor encode loop, so the determinism contract (cast,
+    * sum order, rounding) cannot desynchronize between them. */
+  private def pqCellD2(v: Array[Double], cb: Array[Array[Double]], k: Int, m: Int): Double = {
+    var s = 0.0
+    var i = 0
+    val base = m * PqSubDim
+    while (i < PqSubDim) {
+      val d = v(base + i) - cb(k)(base + i)
+      s += d * d
+      i += 1
+    }
+    pqRound4(s)
+  }
+
   def c47PqAdc(emb: DataFrame, nQueries: Int = DefaultQueryCount,
       topK: Int = PqTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -278,38 +299,28 @@ object Similarity {
     val guarded = emb.filter(assert_true(size(col("embedding")) >= need,
       concat(lit(s"c47: $PqSubspaces×$PqSubDim subspaces need ≥$need dims, embedding has "),
         size(col("embedding")))).isNull)
-    def round4(v: Double): Double =
-      BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     // codebook and query embeddings collected — BOTH bounded by
     // construction (K = 16 codebook rows, |Q| = an explicit bounded
-    // input; c7/c26's centroid contract) — and the |Q|·M·K lookup
-    // table built driver-side in plain arithmetic: per cell,
+    // input; c7/c26's centroid contract), in ONE scan job since the
+    // codebook ids are a prefix of (or overlap) the query ids — and
+    // the |Q|·M·K lookup table built driver-side via the SAME
+    // [[pqCellD2]] the executor encode loop calls: per cell,
     // float→double (exact), left-to-right 8-term sum, HALF_UP 4dp —
-    // exactly the oracle's list_sum + round spelling
-    def collectVecs(pred: org.apache.spark.sql.Column): Array[(Long, Array[Double])] =
-      guarded.filter(pred)
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1)
-    val cbLocal = collectVecs(col("vec_id") < PqCodebookK).map(_._2)
+    // exactly the oracle's list_sum + round spelling, one shared
+    // implementation so the two sides cannot drift
+    val bound = math.max(PqCodebookK, nQueries)
+    val all = guarded.filter(col("vec_id") < bound)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cbLocal = all.filter(_._1 < PqCodebookK).map(_._2)
     require(cbLocal.length == PqCodebookK,
       s"c47: corpus has ${cbLocal.length} vectors below id $PqCodebookK — codebook incomplete")
-    def cellD2(v: Array[Double], k: Int, m: Int): Double = {
-      var s = 0.0
-      var i = 0
-      val base = m * PqSubDim
-      while (i < PqSubDim) {
-        val d = v(base + i) - cbLocal(k)(base + i)
-        s += d * d
-        i += 1
-      }
-      round4(s)
-    }
-    val qVecs = collectVecs(col("vec_id") < nQueries)
+    val qVecs = all.filter(_._1 < nQueries)
     val qArr = qVecs.map(_._1)
     val lut3 = Array.tabulate(qArr.length, PqSubspaces, PqCodebookK)(
-      (qi, m, k) => cellD2(qVecs(qi)._2, k, m))
+      (qi, m, k) => pqCellD2(qVecs(qi)._2, cbLocal, k, m))
     val spark0 = emb.sparkSession
     val bc = spark0.sparkContext.broadcast((qArr, lut3, cbLocal))
     import spark0.implicits._
@@ -335,16 +346,7 @@ object Similarity {
             var bestD = Double.MaxValue
             var k = 0
             while (k < cb.length) {
-              var s = 0.0
-              var i = 0
-              val base = m * PqSubDim
-              while (i < PqSubDim) {
-                val d = v(base + i) - cb(k)(base + i)
-                s += d * d
-                i += 1
-              }
-              val sr = BigDecimal.valueOf(s)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val sr = pqCellD2(v, cb, k, m)
               if (sr < bestD) { bestD = sr; bestK = k } // strict: ties keep min k
               k += 1
             }
@@ -357,8 +359,7 @@ object Similarity {
               var s = 0.0
               var mm = 0
               while (mm < PqSubspaces) { s += lut(qi)(mm)(codes(mm)); mm += 1 }
-              val cand = (BigDecimal.valueOf(s)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, vec)
+              val cand = (pqRound4(s), vec)
               val h = heaps(qi)
               if (h.size < kLocal) h.enqueue(cand)
               else if (ord.lt(cand, h.head)) { h.dequeue(); h.enqueue(cand) }

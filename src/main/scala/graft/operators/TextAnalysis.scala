@@ -535,7 +535,7 @@ object TextAnalysis {
     * partition keys), and WindowExec's "No Partition Defined" WARN in
     * a driver log is indistinguishable from a real scale bug —
     * driver logs should carry signal only. */
-  private def shareOfTotal(counts: DataFrame, countCol: String, shareCol: String): DataFrame =
+  private[graft] def shareOfTotal(counts: DataFrame, countCol: String, shareCol: String): DataFrame =
     counts.crossJoin(broadcast(counts.agg(sum(col(countCol)).as("_graft_total"))))
       .withColumn(shareCol,
         round(col(countCol).cast("double") / col("_graft_total"), 4))

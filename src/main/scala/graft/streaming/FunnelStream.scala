@@ -104,11 +104,9 @@ object FunnelStream {
       .when(col("stage") === "contaminated", 5L)
       .when(col("stage") === "duplicate", 6L)
       .otherwise(7L)
-    val counts = decisions(spark, decisionStore)
-      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
-    counts.crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("_t"))))
-      .withColumn("share", round(col("n_docs").cast("double") / col("_t"), 4))
-      .drop("_t")
+    TextAnalysis.shareOfTotal(
+        decisions(spark, decisionStore).groupBy("stage").agg(count(lit(1)).as("n_docs")),
+        "n_docs", "share")
       .withColumn("stage_order", order)
       .select("stage_order", "stage", "n_docs", "share")
       .orderBy("stage_order")
