@@ -1148,6 +1148,38 @@ object OraclesC {
       order by ex.doc_id
     """,
 
+    // c51: the c2 evidence chain swept across the bar list (all
+    // interpolated; bars forced to double so both engines bind the
+    // same binary64 literals)
+    "c51_dedup_sweep" -> s"""
+      with sh as ($SH8),
+      keep as (select sh8 from sh group by sh8 having count(*) <= ${graft.operators.Dedup.DfCap}),
+      shk as (select sh.* from sh join keep using (sh8)),
+      sizes as (select doc_id, count(*) as n_sh from shk group by doc_id),
+      inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+                from shk a join shk b on a.sh8 = b.sh8 and a.doc_id < b.doc_id
+                group by 1, 2),
+      j2 as (select * from (
+               select doc_a, doc_b,
+                      round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) as jac
+               from inter join sizes sa on inter.doc_a = sa.doc_id
+                          join sizes sb on inter.doc_b = sb.doc_id)
+             where jac >= ${graft.operators.Dedup.SweepBars.min}),
+      e as (select doc_a as doc_id, jac from j2
+            union all select doc_b as doc_id, jac from j2),
+      dm as (select doc_id, max(jac) as mx from e group by 1),
+      bars as (select unnest(${graft.operators.Dedup.SweepBars
+        .map(b => s"$b::double").mkString("[", ",", "]")}) as bar),
+      pc as (select b.bar, count(*)::bigint as n_pairs
+             from bars b join j2 on j2.jac >= b.bar group by 1),
+      dc as (select b.bar, count(*)::bigint as n_docs
+             from bars b join dm on dm.mx >= b.bar group by 1)
+      select b.bar, coalesce(pc.n_pairs, 0)::bigint as n_pairs,
+             coalesce(dc.n_docs, 0)::bigint as n_docs
+      from bars b left join pc using (bar) left join dc using (bar)
+      order by bar
+    """,
+
     // c46: c19's bigram extraction; conditional add-1 estimates with
     // the context marginal reduced off the bigram table
     "c46_bigram_logprob" -> """

@@ -143,7 +143,7 @@ object ScaleSmoke {
       // r9b: the PQ serving kernel and the two tf-memo featurizers —
       // |Q|-bounded / term-derived, linear in corpus by construction
       "c47_pq_adc", "c48_quality_classifier", "c49_feature_hash",
-      "c50_curation_funnel")
+      "c50_curation_funnel", "c51_dedup_sweep")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -114,6 +114,7 @@ object SparkEntry {
     "c48_quality_classifier" -> ((s, dir) => TextAnalysis.c48QualityClassifier(Tables.documents(s, dir))),
     "c49_feature_hash" -> ((s, dir) => TextAnalysis.c49FeatureHash(Tables.documents(s, dir))),
     "c50_curation_funnel" -> ((s, dir) => TextAnalysis.c50CurationFunnel(Tables.documents(s, dir))),
+    "c51_dedup_sweep" -> ((s, dir) => Dedup.c51DedupSweep(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -261,6 +261,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** c51's sweep bars — the candidate thresholds a dedup-policy
+    * decision prices. Oracle-interpolated. */
+  val SweepBars = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+
+  /** c51: dedup-threshold sensitivity sweep — the report a curation
+    * team reads BEFORE pinning a near-dup bar: at each candidate
+    * threshold, how many verified pairs fire and how many documents
+    * are touched by at least one such pair (the removal upper bound
+    * under any keep-one policy). c2 ranks the top pairs at one bar;
+    * the sweep prices the POLICY CURVE, which is what actually gets
+    * debated (a bar at 0.8 vs 0.6 can differ by half the corpus on
+    * templated data).
+    *
+    * Shape: the pair evidence is the session-memoized overlap chain
+    * (c2/c42/c45's build, paid once); per-doc max-Jaccard reduces it
+    * to doc grain; both sweep aggregates are single rows of
+    * conditional counts (one pass each, map-side combined) and the
+    * 6-row report assembles with an explode — no per-bar rescans, no
+    * joins against the evidence. Bars compare the ROUNDED jaccard
+    * (both engines bind the same binary64 literals). */
+  def c51DedupSweep(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
+    val (inter, sizes) = overlapFrames(docs, dfCap)
+    val jac = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
+      .filter(col("jac") >= SweepBars.min)
+    val docMax = jac
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("jac")),
+        struct(col("doc_b").as("doc_id"), col("jac")))).as("e"))
+      .select(col("e.doc_id"), col("e.jac"))
+      .groupBy("doc_id").agg(max(col("jac")).as("mx"))
+    val bars = SweepBars.zipWithIndex
+    val pairRow = jac.agg(
+      bars.map { case (b, i) => sum(when(col("jac") >= b, 1L).otherwise(0L)).as(s"p$i") }.head,
+      bars.map { case (b, i) => sum(when(col("jac") >= b, 1L).otherwise(0L)).as(s"p$i") }.tail: _*)
+    val docRow = docMax.agg(
+      bars.map { case (b, i) => sum(when(col("mx") >= b, 1L).otherwise(0L)).as(s"d$i") }.head,
+      bars.map { case (b, i) => sum(when(col("mx") >= b, 1L).otherwise(0L)).as(s"d$i") }.tail: _*)
+    pairRow.crossJoin(docRow)
+      .select(explode(array(bars.map { case (b, i) => struct(
+        lit(b).as("bar"),
+        coalesce(col(s"p$i"), lit(0L)).as("n_pairs"),
+        coalesce(col(s"d$i"), lit(0L)).as("n_docs")) }: _*)).as("r"))
+      .select(col("r.bar"), col("r.n_pairs"), col("r.n_docs"))
+      .orderBy("bar")
+  }
+
   /** MinHash geometry: K slices from 2 md5 digests (K is structural —
     * tied to the 8×4-hex-char split of each digest), banded as
     * `Bands` bands of K/Bands rows. The oracle interpolates both. */

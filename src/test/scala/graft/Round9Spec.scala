@@ -246,6 +246,40 @@ class Round9Spec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSet.subsetOf(allowed))
   }
 
+  // ---- c51: dedup-threshold sweep -------------------------------------
+
+  test("c51 planted pairs land in exactly the bars their jaccard clears") {
+    val words = (1 to 11).map(i => s"s$i")
+    val twinA = words.mkString(" ")
+    val nearA = (words.dropRight(1) :+ "CHANGED").mkString(" ")  // jac 0.8 vs twinA
+    val other = (1 to 11).map(i => s"t$i").mkString(" ")
+    val docs = docsDF(Seq(
+      (1L, twinA, "en", "s"), (2L, twinA, "en", "s"),   // jac 1.0 pair
+      (3L, nearA, "en", "s"),                            // 0.8 vs 1 and vs 2
+      (4L, other, "en", "s")))                           // untouched
+    val out = Dedup.c51DedupSweep(docs).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // pairs: (1,2) at 1.0; (1,3) and (2,3) at 0.8
+    assert(out(0.5) == ((3L, 3L)) && out(0.8) == ((3L, 3L)), s"low bars: $out")
+    assert(out(0.9) == ((1L, 2L)) && out(1.0) == ((1L, 2L)), s"high bars: $out")
+    // curves are monotone non-increasing in the bar
+    val sorted = out.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case ((p1, d1), (p2, d2)) => p1 >= p2 && d1 >= d2 })
+    assert(!out.contains(0.4) && out.size == Dedup.SweepBars.size)
+  }
+
+  test("c51 real corpus: monotone curves, doc 4 never appears, bars complete") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = Dedup.c51DedupSweep(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Dedup.SweepBars)
+    val ps = rows.map(_._2); val ds = rows.map(_._3)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    // a doc can't be touched by more pairs than exist: n_docs ≤ 2·n_pairs
+    rows.foreach { case (b, p, d) => assert(d <= 2 * p, s"bar $b: $d docs from $p pairs") }
+  }
+
   // ---- c48: model-based quality classifier ----------------------------
 
   test("c48 hand-computed logistic score; signal disclosure matches the features") {
