@@ -116,6 +116,38 @@ object OraclesC {
   private val CSZ = graft.operators.Sampling.ChunkTokens
   private val CST = CSZ - graft.operators.Sampling.ChunkOverlap // stride
   private val TRAIN = graft.operators.Sampling.SplitTrainPct
+
+  /** c47's full PQ chain up to the ranked ADC scores (CTE list,
+    * no WITH keyword) — shared by c47 and c55. */
+  private val C47_CHAIN = s"""cb as (
+        select e.vec_id as k, t.m,
+               [e.embedding[t.m*${graft.operators.Similarity.PqSubDim}+i]::double
+                for i in range(1,${graft.operators.Similarity.PqSubDim + 1})] as csub
+        from embeddings e, unnest(range(0,${graft.operators.Similarity.PqSubspaces})) t(m)
+        where e.vec_id < ${graft.operators.Similarity.PqCodebookK}),
+      vm as (
+        select e.vec_id, t.m,
+               [e.embedding[t.m*${graft.operators.Similarity.PqSubDim}+i]::double
+                for i in range(1,${graft.operators.Similarity.PqSubDim + 1})] as sub
+        from embeddings e, unnest(range(0,${graft.operators.Similarity.PqSubspaces})) t(m)),
+      vd as (
+        select vm.vec_id, vm.m, cb.k,
+               round(list_sum([(sub[i]-csub[i])*(sub[i]-csub[i])
+                 for i in range(1,${graft.operators.Similarity.PqSubDim + 1})]), 4) as d2
+        from vm join cb using (m)),
+      codes as (
+        select vec_id, m, k as code from vd
+        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
+      lut as (select vec_id as q_id, m, k, d2 from vd where vec_id < $NQ),
+      sc as (
+        select l.q_id, c.vec_id, round(sum(l.d2), 4) as adist
+        from codes c join lut l on l.m = c.m and l.k = c.code
+        where c.vec_id <> l.q_id
+        group by 1, 2),
+      r47 as (select q_id, vec_id, adist,
+              row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
+            from sc)"""
+
   private val VAL = graft.operators.Sampling.SplitValPct
   private val BUDGET = graft.operators.Sampling.DefaultTokenBudget
   private val SHARDS = graft.operators.Sampling.PackShards
@@ -933,37 +965,115 @@ object OraclesC {
     // twice by symmetry); per-cell round-then-argmin / round-then-sum
     // is the operator's determinism contract
     "c47_pq_adc" -> s"""
-      with cb as (
-        select e.vec_id as k, t.m,
-               [e.embedding[t.m*${graft.operators.Similarity.PqSubDim}+i]::double
-                for i in range(1,${graft.operators.Similarity.PqSubDim + 1})] as csub
-        from embeddings e, unnest(range(0,${graft.operators.Similarity.PqSubspaces})) t(m)
-        where e.vec_id < ${graft.operators.Similarity.PqCodebookK}),
-      vm as (
-        select e.vec_id, t.m,
-               [e.embedding[t.m*${graft.operators.Similarity.PqSubDim}+i]::double
-                for i in range(1,${graft.operators.Similarity.PqSubDim + 1})] as sub
-        from embeddings e, unnest(range(0,${graft.operators.Similarity.PqSubspaces})) t(m)),
-      vd as (
-        select vm.vec_id, vm.m, cb.k,
-               round(list_sum([(sub[i]-csub[i])*(sub[i]-csub[i])
-                 for i in range(1,${graft.operators.Similarity.PqSubDim + 1})]), 4) as d2
-        from vm join cb using (m)),
-      codes as (
-        select vec_id, m, k as code from vd
-        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
-      lut as (select vec_id as q_id, m, k, d2 from vd where vec_id < $NQ),
-      sc as (
-        select l.q_id, c.vec_id, round(sum(l.d2), 4) as adist
-        from codes c join lut l on l.m = c.m and l.k = c.code
-        where c.vec_id <> l.q_id
-        group by 1, 2),
-      r as (select q_id, vec_id, adist,
-              row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
-            from sc)
-      select q_id, rank, vec_id, adist from r
+      with $C47_CHAIN
+      select q_id, rank, vec_id, adist from r47
       where rank <= ${graft.operators.Similarity.PqTopK}
       order by q_id, rank
+    """,
+
+    // c55: c47's ranked chain ∩ c6's exact chain at (q_id, vec_id)
+    // grain; denominator = the requested k on both engines
+    "c55_pq_recall" -> s"""
+      with $C47_CHAIN,
+      a as (select q_id, vec_id from r47
+            where rank <= ${graft.operators.Similarity.PqTopK}),
+      q6 as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
+      sc6 as (
+        select q6.q_id, e.vec_id,
+               round(${cosine("q6.q_emb", "e.embedding")}, 4) as cos
+        from embeddings e cross join q6
+        where e.vec_id <> q6.q_id),
+      ex as (select q_id, vec_id from (
+               select q_id, vec_id,
+                      row_number() over (partition by q_id order by cos desc, vec_id) as rk
+               from sc6)
+             where rk <= ${graft.operators.Similarity.PqTopK}),
+      h as (select a.q_id, count(ex.vec_id)::bigint as n_hits
+            from a left join ex on a.q_id = ex.q_id and a.vec_id = ex.vec_id
+            group by a.q_id)
+      select q_id, n_hits,
+             round(n_hits::double / ${graft.operators.Similarity.PqTopK}, 4) as recall
+      from h order by q_id
+    """,
+
+    // c52: H = log2(n) − Σ tf·log2(tf)/n off the same tokenization;
+    // single-term docs have zero entropy and no defined ratio
+    "c52_token_entropy" -> """
+      with tf as (
+        select doc_id, term, count(*)::bigint as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      sig as (
+        select doc_id, sum(tf)::bigint as n_tokens, count(*)::bigint as vocab,
+               sum(tf::double * log2(tf::double)) as tlt
+        from tf group by doc_id)
+      select doc_id, n_tokens, vocab,
+             round(log2(n_tokens::double) - tlt / n_tokens, 4) as entropy,
+             case when vocab > 1
+               then round((log2(n_tokens::double) - tlt / n_tokens)
+                          / log2(vocab::double), 4) end as entropy_ratio
+      from sig order by doc_id
+    """,
+
+    // c53: the c2 evidence chain at source grain — canonical
+    // (min, max) source ordering, pair + touched-doc counts
+    "c53_cross_source_dup" -> s"""
+      with sh as ($SH8),
+      keep as (select sh8 from sh group by sh8 having count(*) <= ${graft.operators.Dedup.DfCap}),
+      shk as (select sh.* from sh join keep using (sh8)),
+      sizes as (select doc_id, count(*) as n_sh from shk group by doc_id),
+      inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+                from shk a join shk b on a.sh8 = b.sh8 and a.doc_id < b.doc_id
+                group by 1, 2),
+      j2 as (select * from (
+               select doc_a, doc_b,
+                      round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) as jac
+               from inter join sizes sa on inter.doc_a = sa.doc_id
+                          join sizes sb on inter.doc_b = sb.doc_id)
+             where jac >= ${graft.operators.Dedup.DeltaNearBar}),
+      o as (select least(sa.source, sb.source) as source_a,
+                   greatest(sa.source, sb.source) as source_b,
+                   j2.doc_a, j2.doc_b
+            from j2 join documents sa on j2.doc_a = sa.doc_id
+                    join documents sb on j2.doc_b = sb.doc_id),
+      pc as (select source_a, source_b, count(*)::bigint as n_pairs
+             from o group by 1, 2),
+      e as (select source_a, source_b, doc_a as d from o
+            union all select source_a, source_b, doc_b from o),
+      dc as (select source_a, source_b, count(distinct d)::bigint as n_docs
+             from e group by 1, 2)
+      select source_a, source_b, n_pairs, n_docs
+      from pc join dc using (source_a, source_b)
+      order by source_a, source_b
+    """,
+
+    // c54: c43's bucket+rank chain with two label joins; consistency
+    // rounded before the mean, mean rounded after
+    "c54_label_consistency" -> s"""
+      with $SIGN_BUCKETS,
+      p as (
+        select * from (
+          select a.vec_id as va, b.vec_id as vb,
+                 round(${cosine("a.embedding", "b.embedding")}, 4) as cos
+          from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id)
+        where cos is not null),
+      ek as (select va as vec_id, vb as nbr, cos from p
+             union all
+             select vb as vec_id, va as nbr, cos from p),
+      rk as (select vec_id, nbr from (
+               select vec_id, nbr,
+                      row_number() over (partition by vec_id order by cos desc, nbr) as rank
+               from ek)
+             where rank <= ${graft.operators.Similarity.KnnK}),
+      pv as (select rk.vec_id, la.label,
+                    round(sum(case when la.label = lb.label then 1 else 0 end)::double
+                          / count(*), 4) as consistency
+             from rk join embeddings la on rk.vec_id = la.vec_id
+                     join embeddings lb on rk.nbr = lb.vec_id
+             group by rk.vec_id, la.label)
+      select label, count(*)::bigint as n_vecs,
+             round(avg(consistency), 4) as mean_consistency
+      from pv group by label order by label
     """,
 
     // c50: c1's keep-first + c20's overlap + c23's cascade composed

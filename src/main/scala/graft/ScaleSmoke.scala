@@ -143,7 +143,12 @@ object ScaleSmoke {
       // r9b: the PQ serving kernel and the two tf-memo featurizers —
       // |Q|-bounded / term-derived, linear in corpus by construction
       "c47_pq_adc", "c48_quality_classifier", "c49_feature_hash",
-      "c50_curation_funnel", "c51_dedup_sweep")
+      "c50_curation_funnel", "c51_dedup_sweep",
+      // r9c: entropy off the tf memo, the source matrix off the
+      // overlap evidence, label consistency at graph grain, recall
+      // at report grain — each inherits an already-measured chain
+      "c52_token_entropy", "c53_cross_source_dup",
+      "c54_label_consistency", "c55_pq_recall")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -115,6 +115,10 @@ object SparkEntry {
     "c49_feature_hash" -> ((s, dir) => TextAnalysis.c49FeatureHash(Tables.documents(s, dir))),
     "c50_curation_funnel" -> ((s, dir) => TextAnalysis.c50CurationFunnel(Tables.documents(s, dir))),
     "c51_dedup_sweep" -> ((s, dir) => Dedup.c51DedupSweep(Tables.documents(s, dir))),
+    "c52_token_entropy" -> ((s, dir) => TextAnalysis.c52TokenEntropy(Tables.documents(s, dir))),
+    "c53_cross_source_dup" -> ((s, dir) => Dedup.c53CrossSourceDup(Tables.documents(s, dir))),
+    "c54_label_consistency" -> ((s, dir) => Similarity.c54LabelConsistency(Tables.embeddings(s, dir))),
+    "c55_pq_recall" -> ((s, dir) => Similarity.c55PqRecall(Tables.embeddings(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -311,6 +311,44 @@ object Dedup {
       .orderBy("bar")
   }
 
+  /** c53: cross-source duplication matrix — corpus forensics at
+    * SOURCE grain: for every (unordered) source pair, how many
+    * verified near-dup pairs straddle it and how many documents they
+    * touch. Off-diagonal mass is the "which sources copy from which"
+    * signal that decides scrape-order and per-source dedup budgets
+    * (a mirror site shows up as one hot off-diagonal cell before any
+    * doc-grain report would surface it); the diagonal is each
+    * source's internal duplication, c24's dup_rate at pair grain.
+    *
+    * Shape: the same memoized overlap evidence as c2/c42/c45/c51
+    * (one build per session), two doc→source joins at EVIDENCE grain
+    * (∝ verified-pair volume, not corpus), canonical (min, max)
+    * source ordering, one matrix-sized aggregate. */
+  def c53CrossSourceDup(docs: DataFrame, dfCap: Int = DfCap,
+      bar: Double = DeltaNearBar): DataFrame = {
+    val (inter, sizes) = overlapFrames(docs, dfCap)
+    val jac = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
+      .filter(col("jac") >= bar)
+    val src = docs.select(col("doc_id"), col("source"))
+    val oriented = jac
+      .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_a"), Seq("doc_a"))
+      .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "src_b"), Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("doc_a"), col("doc_b"))
+    val pairs = oriented.groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+    val docsTouched = oriented
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("source_a", "source_b").agg(countDistinct(col("d")).as("n_docs"))
+    pairs.join(docsTouched, Seq("source_a", "source_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** MinHash geometry: K slices from 2 md5 digests (K is structural —
     * tied to the 8×4-hex-char split of each digest), banded as
     * `Bands` bands of K/Bands rows. The oracle interpolates both. */

@@ -229,6 +229,37 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** c54: neighborhood label consistency — the standard embedding-
+    * quality probe: for each vector with k-NN evidence, the fraction
+    * of its [[c43KnnGraph]] neighbors sharing its label, reported
+    * per label (n_vecs with evidence, mean consistency). An
+    * embedding space whose neighborhoods agree with labels is one
+    * SemDeDup/clustering can trust; a label whose consistency sits
+    * at chance says its vectors are not separable at this geometry —
+    * the measure-don't-guess gate before any embedding-driven
+    * curation decision.
+    *
+    * Shape: the k-NN graph is the LSH-blocked c43 (never all-pairs);
+    * two label joins at GRAPH grain (O(n·k) rows), one per-vec
+    * aggregate, one label-sized report. Consistency is rounded
+    * before the mean and the mean rounded after (b20's float
+    * discipline). */
+  def c54LabelConsistency(emb: DataFrame, nBits: Int = DefaultSignBits,
+      nTables: Int = 1, k: Int = KnnK): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val perVec = c43KnnGraph(emb, nBits, nTables, k)
+      .join(labels, Seq("vec_id"))
+      .join(labels.withColumnRenamed("vec_id", "nbr").withColumnRenamed("label", "nbr_label"),
+        Seq("nbr"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 4).as("consistency"))
+    perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("consistency")), 4).as("mean_consistency"))
+      .orderBy("label")
+  }
+
   /** c47 PQ geometry: 8 subspaces × 8 dims over the 64-dim corpus,
     * 16 codewords per subspace, top-10 served. Codebooks are the
     * first [[PqCodebookK]] vectors' sub-slices — the deterministic
@@ -380,6 +411,32 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("adist"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** c55: PQ serving recall against the exact baseline — the
+    * measure-don't-guess report for the compressed-domain path: per
+    * query, how many of [[c47PqAdc]]'s top-k ids appear in
+    * [[c6AnnTopK]]'s exact top-k (recall@k). This is the number an
+    * ANN deployment tunes against — a PQ geometry is not "done" at
+    * any speed until its recall is measured, and the report makes
+    * the trade auditable per query, not just on average.
+    *
+    * Shape: both sides are the existing bounded-|Q| operators; the
+    * comparison is a (q_id, vec_id) join at REPORT grain (|Q|·k
+    * rows) — the corpus is touched only by the two underlying
+    * scans. Denominator is the REQUESTED k on both engines, so a
+    * query with fewer hits than k reads as the recall loss it is. */
+  def c55PqRecall(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      k: Int = PqTopK): DataFrame = {
+    val approx = c47PqAdc(emb, nQueries, k)
+    val exact = c6AnnTopK(emb, Some(defaultQueries(emb, nQueries)), k)
+      .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+    approx.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 4).as("recall"))
+      .orderBy("q_id")
   }
 
   /** c6: brute-force cosine top-k — the exact ANN baseline. The query

@@ -1234,6 +1234,35 @@ object TextAnalysis {
       .orderBy("stage_order")
   }
 
+  // ---- c52: token-entropy signal --------------------------------------
+
+  /** c52: per-document token-distribution entropy — the information-
+    * theoretic quality probe the heuristic family (c9/c21/c41)
+    * approximates from the other side: H = −Σ p·log₂p over the doc's
+    * term distribution, plus its ratio to the maximum possible
+    * (log₂ vocab). Near-zero normalized entropy = a few terms
+    * dominate (boilerplate/spam, c21's signal at distribution
+    * grain); ≈1 with a large vocab = natural prose or pure noise —
+    * the standard compression-proxy filter cut from both ends.
+    *
+    * Shape: one map-side-combinable per-doc aggregate off the shared
+    * [[tfRows]] memo — H = log₂n − (Σ tf·log₂tf)/n, so the whole
+    * signal is two sums, no per-term probability column. Rounded
+    * AFTER the aggregate (4dp); single-term docs have zero entropy
+    * and a NULL ratio (log₂1 = 0 denominator — no defined scale). */
+  def c52TokenEntropy(docs: DataFrame): DataFrame = {
+    val sig = tfRows(docs).groupBy("doc_id").agg(
+      sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(col("tf").cast("double") * log2(col("tf"))).as("tlt"))
+    sig.select(col("doc_id"), col("n_tokens"), col("vocab"),
+        round(log2(col("n_tokens")) - col("tlt") / col("n_tokens"), 4).as("entropy"),
+        when(col("vocab") > 1L,
+          round((log2(col("n_tokens")) - col("tlt") / col("n_tokens")) / log2(col("vocab")), 4))
+          .as("entropy_ratio"))
+      .orderBy("doc_id")
+  }
+
   // ---- c48: model-based quality classifier ----------------------------
 
   /** c48's logistic weights over the five signals (log-words, mean
