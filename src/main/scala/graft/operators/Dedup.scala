@@ -197,6 +197,33 @@ object Dedup {
   val DeltaBasePct = 80
   val DeltaNearBar = 0.5
 
+  /** The floor of every near-dup policy bar in the tier (c45's
+    * admission, c51's lowest sweep bar, c53's matrix bar) — the
+    * verified-pair frame is memoized AT this floor, so the three
+    * consumers share one jaccard computation over the shared
+    * overlap evidence instead of re-joining sizes each. */
+  val NearBarFloor = 0.5
+
+  /** Verified pairs with rounded Jaccard ≥ `bar` — served from the
+    * session memo when the bar is at or above [[NearBarFloor]] and
+    * the cap is the default (the memo-geometry discipline); computed
+    * direct otherwise. */
+  private def jacAtLeast(docs: DataFrame, dfCap: Int, bar: Double): DataFrame = {
+    def jacFrame(floor: Double) = {
+      val (inter, sizes) = overlapFrames(docs, dfCap)
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
+        .filter(col("jac") >= floor)
+    }
+    if (dfCap == DfCap && bar >= NearBarFloor)
+      CorpusPrep.memo("verified_jac", docs)(Materialize.frame(jacFrame(NearBarFloor)))
+        .filter(col("jac") >= bar)
+    else jacFrame(bar)
+  }
+
   /** c45: cross-snapshot incremental dedup — the decision an ingest
     * pipeline executes on every NEW batch: is this document already
     * in the accumulated corpus, exactly or nearly? (c1/c2 dedup a
@@ -232,13 +259,7 @@ object Dedup {
     val exact = delta.select(col("doc_id"), md5(col("text")).as("h"))
       .join(baseHash, Seq("h"), "left")
       .select(col("doc_id"), col("exact_doc"))
-    val (inter, sizes) = overlapFrames(docs, dfCap)
-    val jac = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
-      .filter(col("jac") >= bar)
+    val jac = jacAtLeast(docs, dfCap, bar)
     // orient each verified pair delta←base; base↔base and delta↔delta
     // evidence is not this operator's question
     val near = jac
@@ -282,13 +303,7 @@ object Dedup {
     * joins against the evidence. Bars compare the ROUNDED jaccard
     * (both engines bind the same binary64 literals). */
   def c51DedupSweep(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
-    val (inter, sizes) = overlapFrames(docs, dfCap)
-    val jac = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
-      .filter(col("jac") >= SweepBars.min)
+    val jac = jacAtLeast(docs, dfCap, SweepBars.min)
     val docMax = jac
       .select(explode(array(
         struct(col("doc_a").as("doc_id"), col("jac")),
@@ -326,13 +341,7 @@ object Dedup {
     * source ordering, one matrix-sized aggregate. */
   def c53CrossSourceDup(docs: DataFrame, dfCap: Int = DfCap,
       bar: Double = DeltaNearBar): DataFrame = {
-    val (inter, sizes) = overlapFrames(docs, dfCap)
-    val jac = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
-      .filter(col("jac") >= bar)
+    val jac = jacAtLeast(docs, dfCap, bar)
     val src = docs.select(col("doc_id"), col("source"))
     val oriented = jac
       .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_a"), Seq("doc_a"))
