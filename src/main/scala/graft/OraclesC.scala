@@ -117,6 +117,25 @@ object OraclesC {
   private val CST = CSZ - graft.operators.Sampling.ChunkOverlap // stride
   private val TRAIN = graft.operators.Sampling.SplitTrainPct
 
+  /** The df-capped jaccard evidence chain up to verified pairs at a
+    * given bar (CTE list, no WITH keyword; final CTE = j2(doc_a,
+    * doc_b, jac)) — ONE spelling for the c45/c51/c53 oracles,
+    * mirroring the single memoized `jacAtLeast` frame their Spark
+    * sides share. */
+  private def J2_CHAIN(bar: Double) = s"""sh as ($SH8),
+      keep as (select sh8 from sh group by sh8 having count(*) <= ${graft.operators.Dedup.DfCap}),
+      shk as (select sh.* from sh join keep using (sh8)),
+      sizes as (select doc_id, count(*) as n_sh from shk group by doc_id),
+      inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+                from shk a join shk b on a.sh8 = b.sh8 and a.doc_id < b.doc_id
+                group by 1, 2),
+      j2 as (select * from (
+               select doc_a, doc_b,
+                      round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) as jac
+               from inter join sizes sa on inter.doc_a = sa.doc_id
+                          join sizes sb on inter.doc_b = sb.doc_id)
+             where jac >= $bar)"""
+
   /** c47's full PQ chain up to the ranked ADC scores (CTE list,
     * no WITH keyword) — shared by c47 and c55. */
   private val C47_CHAIN = s"""cb as (
@@ -1008,7 +1027,9 @@ object OraclesC {
                sum(tf::double * log2(tf::double)) as tlt
         from tf group by doc_id)
       select doc_id, n_tokens, vocab,
-             round(log2(n_tokens::double) - tlt / n_tokens, 4) as entropy,
+             case when vocab = 1 then 0.0
+               else round(log2(n_tokens::double) - tlt / n_tokens, 4)
+               end as entropy,
              case when vocab > 1
                then round((log2(n_tokens::double) - tlt / n_tokens)
                           / log2(vocab::double), 4) end as entropy_ratio
@@ -1018,19 +1039,7 @@ object OraclesC {
     // c53: the c2 evidence chain at source grain — canonical
     // (min, max) source ordering, pair + touched-doc counts
     "c53_cross_source_dup" -> s"""
-      with sh as ($SH8),
-      keep as (select sh8 from sh group by sh8 having count(*) <= ${graft.operators.Dedup.DfCap}),
-      shk as (select sh.* from sh join keep using (sh8)),
-      sizes as (select doc_id, count(*) as n_sh from shk group by doc_id),
-      inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
-                from shk a join shk b on a.sh8 = b.sh8 and a.doc_id < b.doc_id
-                group by 1, 2),
-      j2 as (select * from (
-               select doc_a, doc_b,
-                      round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) as jac
-               from inter join sizes sa on inter.doc_a = sa.doc_id
-                          join sizes sb on inter.doc_b = sb.doc_id)
-             where jac >= ${graft.operators.Dedup.DeltaNearBar}),
+      with ${J2_CHAIN(graft.operators.Dedup.DeltaNearBar)},
       o as (select least(sa.source, sb.source) as source_a,
                    greatest(sa.source, sb.source) as source_b,
                    j2.doc_a, j2.doc_b
@@ -1215,10 +1224,7 @@ object OraclesC {
     // c45: c13's md5 percent cut + c1's exact-hash join + c2's
     // df-capped evidence, oriented delta←base; split/bar interpolated
     "c45_delta_dedup" -> s"""
-      with sh as ($SH8),
-      keep as (select sh8 from sh group by sh8 having count(*) <= ${graft.operators.Dedup.DfCap}),
-      shk as (select sh.* from sh join keep using (sh8)),
-      sizes as (select doc_id, count(*) as n_sh from shk group by doc_id),
+      with ${J2_CHAIN(graft.operators.Dedup.DeltaNearBar)},
       bk as (select doc_id,
                     ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100
                       < ${graft.operators.Dedup.DeltaBasePct} as is_base
@@ -1229,18 +1235,9 @@ object OraclesC {
       ex as (select dd.doc_id, bh.exact_doc
              from documents dd join delta using (doc_id)
              left join bh on md5(dd.text) = bh.h),
-      inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
-                from shk a join shk b on a.sh8 = b.sh8 and a.doc_id < b.doc_id
-                group by 1, 2),
-      jac as (select * from (
-                select doc_a, doc_b,
-                       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) as jac
-                from inter join sizes sa on inter.doc_a = sa.doc_id
-                           join sizes sb on inter.doc_b = sb.doc_id)
-              where jac >= ${graft.operators.Dedup.DeltaNearBar}),
       orient as (select case when ba.is_base then doc_b else doc_a end as doc_id,
                         case when ba.is_base then doc_a else doc_b end as near_doc, jac
-                 from jac join bk ba on jac.doc_a = ba.doc_id),
+                 from j2 join bk ba on j2.doc_a = ba.doc_id),
       near0 as (select o.* from orient o
                 join bk nb on o.near_doc = nb.doc_id
                 join bk db on o.doc_id = db.doc_id
@@ -1262,19 +1259,7 @@ object OraclesC {
     // interpolated; bars forced to double so both engines bind the
     // same binary64 literals)
     "c51_dedup_sweep" -> s"""
-      with sh as ($SH8),
-      keep as (select sh8 from sh group by sh8 having count(*) <= ${graft.operators.Dedup.DfCap}),
-      shk as (select sh.* from sh join keep using (sh8)),
-      sizes as (select doc_id, count(*) as n_sh from shk group by doc_id),
-      inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
-                from shk a join shk b on a.sh8 = b.sh8 and a.doc_id < b.doc_id
-                group by 1, 2),
-      j2 as (select * from (
-               select doc_a, doc_b,
-                      round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) as jac
-               from inter join sizes sa on inter.doc_a = sa.doc_id
-                          join sizes sb on inter.doc_b = sb.doc_id)
-             where jac >= ${graft.operators.Dedup.SweepBars.min}),
+      with ${J2_CHAIN(graft.operators.Dedup.SweepBars.min)},
       e as (select doc_a as doc_id, jac from j2
             union all select doc_b as doc_id, jac from j2),
       dm as (select doc_id, max(jac) as mx from e group by 1),

@@ -311,12 +311,10 @@ object Dedup {
       .select(col("e.doc_id"), col("e.jac"))
       .groupBy("doc_id").agg(max(col("jac")).as("mx"))
     val bars = SweepBars.zipWithIndex
-    val pairRow = jac.agg(
-      bars.map { case (b, i) => sum(when(col("jac") >= b, 1L).otherwise(0L)).as(s"p$i") }.head,
-      bars.map { case (b, i) => sum(when(col("jac") >= b, 1L).otherwise(0L)).as(s"p$i") }.tail: _*)
-    val docRow = docMax.agg(
-      bars.map { case (b, i) => sum(when(col("mx") >= b, 1L).otherwise(0L)).as(s"d$i") }.head,
-      bars.map { case (b, i) => sum(when(col("mx") >= b, 1L).otherwise(0L)).as(s"d$i") }.tail: _*)
+    val ps = bars.map { case (b, i) => sum(when(col("jac") >= b, 1L).otherwise(0L)).as(s"p$i") }
+    val ds = bars.map { case (b, i) => sum(when(col("mx") >= b, 1L).otherwise(0L)).as(s"d$i") }
+    val pairRow = jac.agg(ps.head, ps.tail: _*)
+    val docRow = docMax.agg(ds.head, ds.tail: _*)
     pairRow.crossJoin(docRow)
       .select(explode(array(bars.map { case (b, i) => struct(
         lit(b).as("bar"),
@@ -343,18 +341,19 @@ object Dedup {
       bar: Double = DeltaNearBar): DataFrame = {
     val jac = jacAtLeast(docs, dfCap, bar)
     val src = docs.select(col("doc_id"), col("source"))
-    val oriented = jac
+    // explode the endpoints FIRST so one aggregate yields both
+    // counts (every pair contributes exactly two rows to its cell —
+    // n_pairs = rows/2 exactly); a pairs/docs two-branch spelling
+    // would re-execute the un-materialized join subtree per branch
+    jac
       .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_a"), Seq("doc_a"))
       .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "src_b"), Seq("doc_b"))
       .select(least(col("src_a"), col("src_b")).as("source_a"),
         greatest(col("src_a"), col("src_b")).as("source_b"),
-        col("doc_a"), col("doc_b"))
-    val pairs = oriented.groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
-    val docsTouched = oriented
-      .select(col("source_a"), col("source_b"),
         explode(array(col("doc_a"), col("doc_b"))).as("d"))
-      .groupBy("source_a", "source_b").agg(countDistinct(col("d")).as("n_docs"))
-    pairs.join(docsTouched, Seq("source_a", "source_b"))
+      .groupBy("source_a", "source_b")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
       .orderBy("source_a", "source_b")
   }
 

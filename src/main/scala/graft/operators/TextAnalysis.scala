@@ -1255,8 +1255,15 @@ object TextAnalysis {
       sum(col("tf")).as("n_tokens"),
       count(lit(1)).as("vocab"),
       sum(col("tf").cast("double") * log2(col("tf"))).as("tlt"))
+    // vocab = 1 is pinned to literal 0.0 on BOTH engines: the raw
+    // binary64 H is a ~1e-16 residual whose SIGN the engines round
+    // differently (Spark round gives +0.0, DuckDB -0.0 — hash-
+    // distinct values); every vocab ≥ 2 doc has true H ≥ ~log₂n/n,
+    // orders above the residual, so only the degenerate needs the pin
     sig.select(col("doc_id"), col("n_tokens"), col("vocab"),
-        round(log2(col("n_tokens")) - col("tlt") / col("n_tokens"), 4).as("entropy"),
+        when(col("vocab") === 1L, lit(0.0))
+          .otherwise(round(log2(col("n_tokens")) - col("tlt") / col("n_tokens"), 4))
+          .as("entropy"),
         when(col("vocab") > 1L,
           round((log2(col("n_tokens")) - col("tlt") / col("n_tokens")) / log2(col("vocab")), 4))
           .as("entropy_ratio"))

@@ -29,11 +29,17 @@ class Round10Spec extends AnyFunSuite {
       (1L, "a a a a", "en", "s"),     // H = 0, ratio undefined
       (2L, "a b c d", "en", "s"),     // H = 2, ratio 1
       (3L, "a a b b", "en", "s"),     // H = 1, ratio 1
-      (4L, "a a a b", "en", "s")))    // H = 2 - (3·log2 3)/4
+      (4L, "a a a b", "en", "s"),     // H = 2 - (3·log2 3)/4
+      // n=10 single-vocab: raw binary64 H is a NEGATIVE ~1e-16
+      // residual that Spark rounds to +0.0 and DuckDB to -0.0 —
+      // the vocab=1 pin makes both emit literal 0.0
+      (5L, Seq.fill(10)("a").mkString(" "), "en", "s")))
     val out = TextAnalysis.c52TokenEntropy(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
         if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
     assert(out(1L)._3 == 0.0 && out(1L)._4.isNaN, s"degenerate: ${out(1L)}")
+    assert(out(5L)._3 == 0.0 && (1.0 / out(5L)._3) > 0, // +0.0, not -0.0
+      s"n=10 degenerate must pin to +0.0: ${out(5L)}")
     assert(out(2L) == ((4L, 4L, 2.0, 1.0)), s"uniform-4: ${out(2L)}")
     assert(out(3L) == ((4L, 2L, 1.0, 1.0)), s"uniform-2: ${out(3L)}")
     val h4 = round4(2.0 - 3.0 * (math.log(3.0) / math.log(2.0)) / 4.0)
