@@ -66,6 +66,46 @@ class Round10Spec extends AnyFunSuite {
     assert(out.size == 2, s"clean source leaked into the matrix: $out")
   }
 
+  test("c51 equals a brute-force threshold sweep on random small corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](gen: Gen[A], n: Int): Seq[A] =
+      (1 to n).flatMap(i => gen.apply(Gen.Parameters.default.withSize(30), Seed(100 + i.toLong)))
+    // tiny vocab makes trigram overlap common; ≤25 docs keeps every
+    // df far below the cap, so the capped operator and the uncapped
+    // brute reference see identical evidence
+    val corpus = for {
+      n <- Gen.choose(2, 25)
+      docs <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 999L)
+        len <- Gen.choose(0, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield (id, ws.mkString(" ")))
+    } yield docs.distinctBy(_._1)
+    for ((docs, i) <- samples(corpus, 4).zipWithIndex if docs.nonEmpty) {
+      val df = docsDF(docs.map { case (id, t) => (id, t, "en", "s") })
+      val got = Dedup.c51DedupSweep(df).collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+      def tri(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> tri(t) }.filter(_._2.nonEmpty)
+      val jacs = for {
+        (a, sa) <- sets
+        (b, sb) <- sets if a < b
+        inter = (sa & sb).size if inter > 0
+        j = round4(inter.toDouble / (sa.size + sb.size - inter))
+        if j >= Dedup.SweepBars.min
+      } yield (a, b, j)
+      val want = Dedup.SweepBars.map { bar =>
+        val sel = jacs.filter(_._3 >= bar)
+        (bar, sel.size.toLong, sel.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
+      }
+      assert(got == want, s"corpus#$i (${docs.size} docs): got ${got.toList} want $want")
+    }
+  }
+
   // ---- c54: neighborhood label consistency ----------------------------
 
   test("c54 separable planted clusters are perfectly consistent; a mislabel degrades its label only") {
