@@ -964,10 +964,11 @@ object OraclesC {
           select a.vec_id as va, b.vec_id as vb,
                  round(${cosine("a.embedding", "b.embedding")}, 4) as cos
           from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id)
-        -- no-evidence pairs never rank (zero-norm cosine is NULL):
-        -- the operator's stance, mirrored so a corpus with zero-norm
-        -- vectors cannot diverge
-        where cos is not null),
+        -- no-evidence pairs never rank (zero-norm cosine is NULL,
+        -- NaN elements make it NaN — which is NOT null in either
+        -- engine): the operator's full stance, mirrored so neither a
+        -- zero-norm nor a NaN-element corpus can diverge
+        where cos is not null and not isnan(cos)),
       e as (select va as vec_id, vb as nbr, cos from p
             union all
             select vb as vec_id, va as nbr, cos from p),
@@ -1065,7 +1066,7 @@ object OraclesC {
           select a.vec_id as va, b.vec_id as vb,
                  round(${cosine("a.embedding", "b.embedding")}, 4) as cos
           from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id)
-        where cos is not null),
+        where cos is not null and not isnan(cos)),
       ek as (select va as vec_id, vb as nbr, cos from p
              union all
              select vb as vec_id, va as nbr, cos from p),

@@ -117,14 +117,17 @@ object Dedup {
     * them — three queries, one build. Size note: the pair frame is
     * ∝ shared-shingle mass (the df-cap bounds it), not corpus size. */
   private def overlapFrames(docs: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
-    def build = overlapFramesBuild(docs, dfCap)
     if (dfCap == DfCap) {
-      val inter = CorpusPrep.memo("overlap_inter", docs)(
-        Materialize.frame(overlapFramesBuild(docs, dfCap)._1))
-      val sizes = CorpusPrep.memo("overlap_sizes", docs)(
-        Materialize.frame(overlapFramesBuild(docs, dfCap)._2))
+      // ONE lineage feeds both memo entries: building the pair per
+      // memo key planned the posting→pair chain twice on a cold
+      // session (masked only because ngramPostings is itself
+      // memoized — a duplicate-lineage regression waiting to fire);
+      // lazy so a double memo HIT never constructs the plan at all
+      lazy val built = overlapFramesBuild(docs, dfCap)
+      val inter = CorpusPrep.memo("overlap_inter", docs)(Materialize.frame(built._1))
+      val sizes = CorpusPrep.memo("overlap_sizes", docs)(Materialize.frame(built._2))
       (inter, sizes)
-    } else build
+    } else overlapFramesBuild(docs, dfCap)
   }
 
   private def overlapFramesBuild(docs: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {

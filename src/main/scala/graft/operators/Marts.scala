@@ -159,7 +159,11 @@ object Marts {
     // repartition restores that shape for the price of moving the
     // RAW columns once (the sink's own key exchange follows either
     // way, so the merge stays at one keyed exchange).
-    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // the conf is not numeric on every platform (e.g. "auto" under
+    // adaptive defaults) — fall back to the cluster's parallelism
+    // instead of NumberFormatException-ing the merge path
+    val par = scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     def batch(pred: org.apache.spark.sql.Column): DataFrame =
       fctProjection(Staging.stgEvents(events.filter(pred).repartition(par)))
     // deterministic overlapping slices (events 5,6 mod 10 arrive twice

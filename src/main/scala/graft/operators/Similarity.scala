@@ -583,13 +583,22 @@ object Similarity {
       centroids: Option[DataFrame] = None, k: Int = 10, nprobe: Int = DefaultNProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cent = broadcast(centroids.getOrElse(defaultCentroids(emb)))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    // nearest-centroid assignment as a map-side-combinable struct-max
+    // aggregate, NOT a row_number window: the window spelling sorted a
+    // corpus×k frame CARRYING the embedding array through an exchange;
+    // max_by collapses the k scored rows per vector before any shuffle
+    // (the trainer's own spelling, and c47's "codes via struct-min —
+    // no window sort"). Tie-break struct(c_cos, -c_id) == the window's
+    // `c_cos DESC, c_id ASC` (desc ranks NULLs last; a null struct
+    // field sorts smallest under max, so no-evidence rows lose the
+    // same way, and an all-null vector keeps the min c_id).
     val assigned = withNorm(emb).crossJoin(cent)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
         pairCos("embedding", "nrm", "c_emb", "c_nrm").as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cluster"))
+      .groupBy("vec_id")
+      .agg(expr("max_by(struct(c_id, embedding, nrm), struct(c_cos, -c_id))").as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.c_id").as("cluster"))
     val q = withQueryNorm(queries.getOrElse(defaultQueries(emb)))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
     val probes = q.crossJoin(cent)
