@@ -410,6 +410,43 @@ object OraclesC {
       order by doc_a, doc_b, a_start, b_start
     """,
 
+    // c56: c33's positional-shingle chain with pairs restricted to
+    // base×delta (c45's md5 percent cut) and orientation fixed by
+    // role — base keeps, delta cuts
+    "c56_delta_spans" -> s"""
+      with d56 as (select doc_id, string_split(text, ' ') as w0 from documents),
+      bk56 as (select doc_id,
+                      ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100
+                        < ${graft.operators.Dedup.DeltaBasePct} as b
+               from documents),
+      sh56 as (
+        select doc_id, p as pos,
+               substr(md5(array_to_string(w0[p+1:p+${graft.operators.Dedup.SpanShingleW}], ' ')), 1, 16) as key
+        from d56, lateral (select unnest(range(0, len(w0) - ${graft.operators.Dedup.SpanShingleW - 1})) as p) t),
+      keyed56 as (
+        select key from sh56 group by key
+        having count(*) between 2 and ${graft.operators.Dedup.SpanOccCap}),
+      pr56 as (
+        select kb.doc_id as doc_keep, kb.pos as pos_keep,
+               dl.doc_id as doc_cut, dl.pos as pos_cut
+        from sh56 kb join keyed56 using (key) join sh56 dl using (key)
+        join bk56 b1 on kb.doc_id = b1.doc_id
+        join bk56 b2 on dl.doc_id = b2.doc_id
+        where b1.b and not b2.b),
+      runs56 as (
+        select doc_keep, doc_cut, pos_cut - pos_keep as diag, pos_keep, pos_cut,
+               pos_cut - row_number() over (
+                 partition by doc_keep, doc_cut, pos_cut - pos_keep order by pos_cut) as grp
+        from pr56),
+      spans56 as (
+        select doc_keep, doc_cut, min(pos_keep) as keep_start, min(pos_cut) as cut_start,
+               count(*) + ${graft.operators.Dedup.SpanShingleW - 1} as n_tokens
+        from runs56 group by doc_keep, doc_cut, diag, grp
+        having count(*) + ${graft.operators.Dedup.SpanShingleW - 1} >= ${graft.operators.Dedup.SpanMinTokens})
+      select doc_cut, doc_keep, cut_start, keep_start, n_tokens from spans56
+      order by doc_cut, doc_keep, cut_start, keep_start
+    """,
+
     // c34's island merge over c33's b-side intervals — the running
     // max uses a strict ROWS frame, the island id the default RANGE
     // cumulative frame; tied intervals share an island in both

@@ -249,12 +249,18 @@ object Dedup {
     * report-sized. The base side in production is the stored
     * hash/posting state, not a rescan — the same store the streaming
     * near-dup gate accumulates. */
+  /** The snapshot-boundary test c45 and c56 share: md5(doc_id)
+    * percent bucket below [[DeltaBasePct]] ⇒ the doc belongs to the
+    * accumulated BASE corpus; content-independent (c13's
+    * reproducibility spelling), so every engine cuts identically. */
+  private[graft] def isBaseDoc(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(id.cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100) < DeltaBasePct
+
   def c45DeltaDedup(docs: DataFrame, dfCap: Int = DfCap,
       bar: Double = DeltaNearBar): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def isBase(id: org.apache.spark.sql.Column) =
-      (conv(substring(md5(id.cast("string")), 1, 7), 16, 10)
-        .cast("long") % 100) < DeltaBasePct
+    def isBase(id: org.apache.spark.sql.Column) = isBaseDoc(id)
     val delta = docs.filter(!isBase(col("doc_id")))
     val baseHash = docs.filter(isBase(col("doc_id")))
       .groupBy(md5(col("text")).as("h"))
@@ -863,5 +869,70 @@ object Dedup {
       .agg(count(lit(1)).as("n_cut_ranges"),
         sum(col("ce") - col("cs")).as("cut_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** c56: INCREMENTAL substring-span dedup — c33's evidence at the
+    * ingest boundary, c45's snapshot discipline applied to the one
+    * dedup tier that still re-derived everything per snapshot: span
+    * evidence between the accumulated BASE corpus and the DELTA
+    * batch ONLY. The base/delta boundary is [[isBaseDoc]]'s
+    * content-independent md5(doc_id) percent cut (c45's stand-in for
+    * the real batch boundary).
+    *
+    * The incremental claim is structural, not a filter at the end:
+    * pairs are generated base×delta INSIDE each capped posting list,
+    * so base↔base evidence (last snapshot's already-settled
+    * question) and delta↔delta evidence (the batch's own c33 run) are
+    * never enumerated — per-key pair volume is n_base·n_delta ≤
+    * (occCap/2)², zero for every key the delta never touches, and
+    * total volume ∝ base↔delta shared-shingle mass alone. In
+    * production the base side of the posting lists is the STORED
+    * inverted index the ingest gate accumulates (the span-grain twin
+    * of the band store NearDupStream keeps), not a base rescan.
+    *
+    * Orientation is fixed by ROLE, not id order (c33 keeps the lower
+    * doc_id; here the stored corpus always keeps): base = keep side,
+    * delta = cut side — the online keep-first rule. Diagonal-run
+    * collapse is c33's verbatim, on (keep, cut) coordinates: runs of
+    * consecutive shared positions per (doc_keep, doc_cut, diag =
+    * pos_cut − pos_keep) become maximal spans via pos − row_number;
+    * spans ≥ minSpan reported as the delta doc's cut instruction
+    * [cut_start, cut_start + n_tokens). */
+  def c56DeltaSpans(docs: DataFrame, w: Int = SpanShingleW,
+      minSpan: Int = SpanMinTokens, occCap: Int = SpanOccCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1 && minSpan >= w, "minSpan must be at least the shingle width")
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val pairs = posShingles(docs, w)
+      .withColumn("b", isBaseDoc(col("doc_id")))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"), col("b")))).as("occ"))
+      // the combined-occurrence cap is the stored index's own
+      // boilerplate rule (SpanOccCap), applied before any pairing
+      .filter(size(col("occ")).between(2, occCap))
+      .select(col("occ")).as[Seq[(Long, Long, Boolean)]]
+      .flatMap { occ =>
+        val (base, delta) = occ.partition(_._3)
+        for {
+          k <- base.iterator
+          d <- delta.iterator
+        } yield (k._1, k._2, d._1, d._2)
+      }
+      .toDF("doc_keep", "pos_keep", "doc_cut", "pos_cut")
+    // diag as a COLUMN so the span aggregate reuses the run window's
+    // exchange (c33's plan-pinned discipline)
+    val run = Window.partitionBy(col("doc_keep"), col("doc_cut"), col("diag"))
+      .orderBy(col("pos_cut"))
+    pairs
+      .withColumn("diag", col("pos_cut") - col("pos_keep"))
+      .withColumn("grp", col("pos_cut") - row_number().over(run))
+      .groupBy(col("doc_keep"), col("doc_cut"), col("diag"), col("grp"))
+      .agg(min(col("pos_keep")).as("keep_start"), min(col("pos_cut")).as("cut_start"),
+        (count(lit(1)) + (w - 1)).as("n_tokens"))
+      .filter(col("n_tokens") >= minSpan)
+      .select(col("doc_cut"), col("doc_keep"), col("cut_start"),
+        col("keep_start"), col("n_tokens"))
+      .orderBy("doc_cut", "doc_keep", "cut_start", "keep_start")
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Round-11 contracts: the incremental span tier only ever reports
+  * base↔delta evidence (planted base↔base and delta↔delta spans must
+  * vanish), its rows equal c33's evidence re-oriented to the
+  * snapshot roles on the same corpus, and the cut instruction lands
+  * at the exact planted coordinates. */
+class Round11Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** Partition candidate ids by the operator's OWN boundary test —
+    * the spec must not re-derive the md5 cut by hand. */
+  private def splitIds(ids: Seq[Long]): (Seq[Long], Seq[Long]) = {
+    import spark.implicits._
+    val flags = ids.toDF("id").select(col("id"), Dedup.isBaseDoc(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    ids.partition(flags)
+  }
+
+  private def toks(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$prefix$i")
+
+  // ---- c56: incremental substring-span dedup --------------------------
+
+  test("c56 reports exactly the planted base→delta span; base↔base and delta↔delta vanish") {
+    val (baseIds, deltaIds) = splitIds(1L to 40L)
+    assert(baseIds.size >= 3 && deltaIds.size >= 3, "need ids on both sides of the cut")
+    val Seq(bA, bC, bF) = baseIds.take(3)
+    val Seq(dB, dD, dE) = deltaIds.take(3)
+    val span = toks("sp", 20) // the planted 20-token shared span
+    val docs = docsDF(Seq(
+      // base doc A carries the span at positions 5..24
+      bA -> (toks("a", 5) ++ span ++ toks("az", 5)).mkString(" "),
+      // delta doc B re-uses it at positions 3..22 → the one expected cut
+      dB -> (toks("b", 3) ++ span ++ toks("bz", 7)).mkString(" "),
+      // base↔base evidence: C shares a DIFFERENT 20-token span with F
+      bC -> (toks("c", 4) ++ toks("cf", 20)).mkString(" "),
+      bF -> (toks("f", 6) ++ toks("cf", 20)).mkString(" "),
+      // delta↔delta evidence: D and E share their own span
+      dD -> (toks("d", 2) ++ toks("de", 20)).mkString(" "),
+      dE -> (toks("e", 8) ++ toks("de", 20)).mkString(" ")))
+    val rows = Dedup.c56DeltaSpans(docs).collect()
+    assert(rows.length == 1, rows.mkString("\n"))
+    val r = rows.head
+    assert(r.getLong(0) == dB && r.getLong(1) == bA) // doc_cut, doc_keep
+    assert(r.getLong(2) == 3L && r.getLong(3) == 5L) // cut_start, keep_start
+    assert(r.getLong(4) == 20L) // maximal, not per-shingle
+  }
+
+  test("c56 equals c33's span evidence re-oriented to the snapshot roles") {
+    // on a corpus where every cross-boundary pair happens to have the
+    // base doc as c33's keep side, c56 must be exactly c33 restricted
+    // to boundary-straddling pairs — the incremental spelling may not
+    // invent or lose evidence relative to the full rebuild
+    val (baseIds, deltaIds) = splitIds(1L to 60L)
+    val shared = toks("q", 24)
+    val lowBase = baseIds.filter(b => deltaIds.forall(b < _))
+    assume(lowBase.nonEmpty, "need a base id below every delta id")
+    val docs = docsDF(
+      (lowBase.take(2).map(b => b -> (toks(s"u$b", 3) ++ shared).mkString(" ")) ++
+        deltaIds.take(3).map(d => d -> (toks(s"v$d", 6) ++ shared ++ toks(s"w$d", 2)).mkString(" "))))
+    val full = Dedup.c33SubstringDedup(docs)
+      .withColumn("ka", Dedup.isBaseDoc(col("doc_a")))
+      .withColumn("kb", Dedup.isBaseDoc(col("doc_b")))
+      .filter(col("ka") =!= col("kb"))
+      // by construction doc_a (the lower id) is the base side
+      .select(col("doc_b").as("doc_cut"), col("doc_a").as("doc_keep"),
+        col("b_start").as("cut_start"), col("a_start").as("keep_start"), col("n_tokens"))
+    val incr = Dedup.c56DeltaSpans(docs)
+    assert(incr.collect().toSet == full.collect().toSet)
+    assert(incr.count() > 0, "planted cross-boundary spans must surface")
+  }
+}
