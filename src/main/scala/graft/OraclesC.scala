@@ -58,6 +58,42 @@ object OraclesC {
         from runs33 group by doc_a, doc_b, diag, grp
         having count(*) + ${graft.operators.Dedup.SpanShingleW - 1} >= ${graft.operators.Dedup.SpanMinTokens})"""
 
+  /** One BPE merge-application step (CTE list, no leading comma):
+    * greedy non-overlapping left-to-right collapse of merge `k` over
+    * the symbol table `sIn(term, pos, sym)` → `sOut` (positions
+    * re-densified). Match runs are consecutive only when a = b; the
+    * even offsets of each run are exactly the greedy picks (the
+    * operator kernel's left-to-right scan). The merge frame joins
+    * `on true` (NOT a cross join): past the learned list's end the
+    * step must be a no-op, and an empty cross join would erase the
+    * symbol table. */
+  private def bpeStep(k: Int, sIn: String, sOut: String): String = s"""
+      m$k as (select a, b from bpe_merges where rank = $k),
+      x$k as (
+        select s.term, s.pos,
+               case when m.a is not null and s.sym = m.a and nx.sym = m.b
+                 then 1 else 0 end as hit
+        from $sIn s
+        left join m$k m on true
+        left join $sIn nx on nx.term = s.term and nx.pos = s.pos + 1),
+      i$k as (select term, pos,
+                     pos - row_number() over (partition by term order by pos) as grp
+              from x$k where hit = 1),
+      t$k as materialized (select term, pos from (
+                select term, pos, min(pos) over (partition by term, grp) as g0
+                from i$k)
+              where (pos - g0) % 2 = 0),
+      $sOut as materialized (
+        select term, row_number() over (partition by term order by pos) - 1 as pos, sym
+        from (
+          select s.term, s.pos,
+                 case when tk.pos is not null then s.sym || nx.sym else s.sym end as sym
+          from $sIn s
+          left join t$k tk on tk.term = s.term and tk.pos = s.pos
+          left join t$k tp on tp.term = s.term and tp.pos = s.pos - 1
+          left join $sIn nx on nx.term = s.term and nx.pos = s.pos + 1
+          where tp.pos is null))"""
+
   /** c3's MinHash-LSH chain up to verified candidate pairs (CTE list,
     * no WITH keyword) — shared by c3 and c12. */
   private val C3_CHAIN = s"""
@@ -784,6 +820,42 @@ object OraclesC {
                       then 'stopword' end) as fail_reasons
         from sig)
       order by doc_id
+    """,
+
+    // c57: c40's ranked merge list applied greedily, CTE-for-CTE —
+    // one generated block per merge (see bpeStep); doc counts reduce
+    // off the same tf table under the learned segmentation
+    "c57_bpe_encode" -> s"""
+      with tf as materialized (
+        select doc_id, term, count(*)::bigint as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      words as (select term, sum(tf)::bigint as n from tf group by term),
+      cand57 as (
+        select term, n, substr(term, i::int, 2) as pair
+        from words, unnest(range(1, length(term))) as t(i)
+        where length(term) >= 2),
+      bpe_merges as (
+        select substr(pair, 1, 1) as a, substr(pair, 2, 1) as b,
+               row_number() over (order by total desc, pair) as rank
+        from (select pair, sum(n)::bigint as total from cand57 group by pair)
+        qualify rank <= ${graft.operators.TextAnalysis.BpeMerges}),
+      s0 as materialized (
+        select term, i - 1 as pos, substr(term, i::int, 1) as sym
+        from (select distinct term from tf) v,
+             lateral (select unnest(range(1, length(term) + 1)) as i) t),
+      ${(1 to graft.operators.TextAnalysis.BpeMerges)
+        .map(k => bpeStep(k, s"s${k - 1}", s"s$k")).mkString(",")},
+      nsy as (select term, count(*)::bigint as n_syms
+              from s${graft.operators.TextAnalysis.BpeMerges} group by term)
+      select tf.doc_id, sum(tf.tf)::bigint as n_words,
+             sum(tf.tf * length(tf.term))::bigint as n_chars,
+             sum(tf.tf * coalesce(nsy.n_syms, 0))::bigint as n_bpe_tokens,
+             case when sum(tf.tf * length(tf.term)) > 0
+               then round(sum(tf.tf * coalesce(nsy.n_syms, 0))::double
+                          / sum(tf.tf * length(tf.term)), 4) end as compression
+      from tf left join nsy on tf.term = nsy.term
+      group by tf.doc_id order by tf.doc_id
     """,
 
     "c40_bpe_pairs" -> """

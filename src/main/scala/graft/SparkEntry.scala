@@ -120,6 +120,7 @@ object SparkEntry {
     "c54_label_consistency" -> ((s, dir) => Similarity.c54LabelConsistency(Tables.embeddings(s, dir))),
     "c55_pq_recall" -> ((s, dir) => Similarity.c55PqRecall(Tables.embeddings(s, dir))),
     "c56_delta_spans" -> ((s, dir) => Dedup.c56DeltaSpans(Tables.documents(s, dir))),
+    "c57_bpe_encode" -> ((s, dir) => TextAnalysis.c57BpeEncode(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

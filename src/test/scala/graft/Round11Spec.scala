@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Round-11 contracts: the incremental span tier only ever reports
   * base↔delta evidence (planted base↔base and delta↔delta spans must
@@ -81,5 +81,34 @@ class Round11Spec extends AnyFunSuite {
     val incr = Dedup.c56DeltaSpans(docs)
     assert(incr.collect().toSet == full.collect().toSet)
     assert(incr.count() > 0, "planted cross-boundary spans must surface")
+  }
+
+  // ---- c57: BPE merge application -------------------------------------
+
+  test("bpe kernel: greedy left-to-right, non-overlapping, rank order") {
+    def n(term: String, merges: (String, String)*): Int =
+      TextAnalysis.bpeSymbolCount(term, merges.toArray)
+    assert(n("abab", ("a", "b")) == 2)            // both occurrences in one pass
+    assert(n("aaaa", ("a", "a")) == 2)            // run of 4 → [aa, aa]
+    assert(n("aaaaa", ("a", "a")) == 3)           // odd run → [aa, aa, a]
+    assert(n("abab", ("b", "a"), ("a", "b")) == 3) // order matters: [a, ba, b]
+    assert(n("the", ("t", "h"), ("h", "e")) == 2) // th consumed h → [th, e]
+    assert(n("", ("a", "b")) == 0)                // empty token: zero symbols
+    assert(n("x") == 1)                           // no merges → chars
+  }
+
+  test("c57: the planted frequent pair merges first and compresses its carrier") {
+    // "abab" carries pair ab twice per occurrence and ba once — ab
+    // must win rank 1, so the word packs to 2 BPE units, not 3
+    val docs = docsDF(Seq(
+      1L -> "abab abab",
+      2L -> "cd cd cd"))
+    val rows = TextAnalysis.c57BpeEncode(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // doc 1: 2 words × 4 chars; ab merged first ⇒ [ab, ab] per word
+    assert(rows(1L) == ((2L, 8L, 4L, 0.5)))
+    // doc 2: cd merges to one unit per word
+    assert(rows(2L) == ((3L, 6L, 3L, 0.5)))
   }
 }
