@@ -130,6 +130,7 @@ object SparkEntry {
     "d6_media_neardup"   -> ((s, dir) => Multimodal.d6MediaNearDup(Tables.documents(s, dir))),
     "d7_cluster_manifest" -> ((s, dir) => Multimodal.d7ClusterManifest(Tables.documents(s, dir))),
     "d8_cdc_chunks"      -> ((s, dir) => Multimodal.d8CdcChunks(Tables.documents(s, dir))),
+    "d9_frame_neardup"   -> ((s, dir) => Multimodal.d9FrameNearDup(Tables.documents(s, dir))),
 
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
     "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
@@ -594,6 +595,61 @@ object SparkEntry {
              (fin - start)::bigint as chunk_len,
              md5(substring(hx, (2 * start + 1)::int, (2 * (fin - start))::int)) as chunk_md5
       from ch order by doc_id, chunk_idx
+    """,
+
+    // d9: frame-grain perceptual near-dup — d3's stride sampling +
+    // d6's stripe hash at FRAME geometry (32 stripes over each
+    // sampled chunk's hex), 4×8-bit pigeonhole bands, xor-popcount
+    // verify, then the c42-shaped containment report per video pair
+    "d9_frame_neardup" -> s"""
+      with fm as (
+        select doc_id, hex(encode(text)) as hx
+        from documents where doc_id % 3 = 2),
+      fgeo as (
+        select doc_id, hx,
+               greatest(ceil(strlen(hx) / ${2 * CHUNK}.0)::bigint, 1) as nc
+        from fm),
+      fr as (
+        select doc_id, (i / $STRIDE)::bigint as frame_idx,
+               substr(hx, (i * ${2 * CHUNK} + 1)::int, ${2 * CHUNK}) as fhx
+        from fgeo, lateral (select unnest(range(0, nc)) as i) t
+        where i % $STRIDE = 0),
+      frw as (
+        select doc_id, frame_idx, fhx,
+               greatest(ceil(strlen(fhx) / ${operators.Multimodal.FrameStripes}.0)::bigint, 1) as w
+        from fr),
+      fp as (
+        select doc_id, frame_idx,
+               bit_or(case when substr(md5(substr(fhx, (s*w+1)::int, w::int)),1,1) >= '8'
+                           then 1::bigint << s else 0::bigint end) as fhash
+        from frw, lateral (select unnest(range(0, ${operators.Multimodal.FrameStripes})) as s) t
+        group by doc_id, frame_idx),
+      nf as (select doc_id, count(*)::bigint as n_frames from fp group by doc_id),
+      fbands as (
+        select doc_id, frame_idx, fhash, j, (fhash >> (8*j)::int) & 255 as band
+        from fp, lateral (select unnest(range(0, ${operators.Multimodal.FrameBands})) as j) t
+        qualify count(*) over (partition by j, band) <= ${operators.Dedup.BucketCap}),
+      mp as (
+        select distinct a.doc_id as doc_a, a.frame_idx as fa,
+                        b.doc_id as doc_b, b.frame_idx as fb
+        from fbands a join fbands b
+          on a.j = b.j and a.band = b.band and a.doc_id < b.doc_id
+        where bit_count(xor(a.fhash, b.fhash)) <= ${operators.Multimodal.FrameMaxHamming}),
+      agg as (
+        select doc_a, doc_b, count(*)::bigint as n_frame_pairs,
+               count(distinct fa)::bigint as ma, count(distinct fb)::bigint as mb
+        from mp group by doc_a, doc_b),
+      rep as (
+        select case when na.n_frames <= nb.n_frames then doc_a else doc_b end as doc_in,
+               case when na.n_frames <= nb.n_frames then doc_b else doc_a end as doc_of,
+               n_frame_pairs,
+               least(na.n_frames, nb.n_frames) as n_frames_in,
+               round((case when na.n_frames <= nb.n_frames then ma else mb end)::double
+                     / least(na.n_frames, nb.n_frames), 4) as coverage
+        from agg join nf na on agg.doc_a = na.doc_id
+                 join nf nb on agg.doc_b = nb.doc_id)
+      select doc_in, doc_of, n_frame_pairs, n_frames_in, coverage
+      from rep order by coverage desc, doc_in, doc_of limit 50
     """,
 
     "e1_stream_hourly" -> """

@@ -249,15 +249,27 @@ object Multimodal {
       hx(i * 2 + 1) = HexDigits(bytes(i) & 0xf).toByte
       i += 1
     }
-    val w = math.max(math.ceil(hx.length / PhashStripes.toDouble).toLong, 1L).toInt
+    stubPhashHex(hx, 0, hx.length, PhashStripes)
+  }
+
+  /** The stripe→bit core over a HEX slice [from, until) — shared by
+    * the asset-grain hash (d6, [[PhashStripes]] stripes over the
+    * whole payload) and the frame-grain hash (d9, [[FrameStripes]]
+    * stripes over one sampled chunk's slice, the payload hexed once
+    * per asset). Stripe width is slice-relative; past-end stripes
+    * digest the empty slice (a constant bit — identical on every
+    * frame, so it never contributes hamming distance). */
+  private def stubPhashHex(hx: Array[Byte], from: Int, until: Int, stripes: Int): Long = {
+    val len = until - from
+    val w = math.max(math.ceil(len / stripes.toDouble).toLong, 1L).toInt
     val md = java.security.MessageDigest.getInstance("MD5")
     var phash = 0L
     var s = 0
-    while (s < PhashStripes) {
-      val from = math.min(s * w, hx.length)
-      val until = math.min(from + w, hx.length)
+    while (s < stripes) {
+      val f = from + math.min(s * w, len)
+      val u = from + math.min(s * w + w, len)
       md.reset()
-      md.update(hx, from, until - from)
+      md.update(hx, f, u - f)
       // top bit of the digest = first md5 hex char >= '8'
       if ((md.digest()(0) & 0x80) != 0) phash |= 1L << s
       s += 1
@@ -453,6 +465,105 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "media_type", "chunk_idx", "chunk_len", "chunk_md5")
+  }
+
+  /** d9 FRAME geometry: 32 stripes over each sampled chunk's 128 hex
+    * chars (width 4 — exact cover, no dead stripes), banded 4×8 bits
+    * for the pigeonhole join (hamming ≤ 3 ⇒ ≥1 band agrees, complete
+    * because maxHamming < bands). d6's 60-stripe grid is
+    * payload-relative and would leave every stripe past a short
+    * chunk's end constant — a degenerate always-agreeing band; the
+    * frame grid is sized to the chunk. All oracle-interpolated. */
+  val FrameStripes = 32
+  val FrameBands = 4
+  val FrameMaxHamming = 3
+
+  /** d9: frame-grain perceptual near-dup (d3 ∘ d6) — the containment
+    * gap d6's asset-grain hash leaves open: a re-encoded SEGMENT
+    * inside a longer video moves most asset stripes, so the
+    * whole-asset hamming is large and d6 never pairs them (c42's
+    * argument, at media grain). d9 runs the perceptual hash over
+    * d3's SAMPLED frames instead: matched frame pairs (banded
+    * pigeonhole join + xor-popcount verify, d6's machinery at frame
+    * grain) aggregate to a per-video-pair report oriented like c42 —
+    * doc_in = the side with fewer sampled frames, coverage = the
+    * fraction of its frames with a perceptual match in doc_of. A
+    * shared segment reads as high coverage of the shorter side; the
+    * report is the top-50 coverage ranking.
+    *
+    * Scale shape: payload bytes are hexed ONCE per asset inside the
+    * kernel and every sampled frame phashes a slice (d8's one-hex
+    * discipline) — only (doc, frame, 64-bit hash) rows leave. The
+    * band join is frame-grain but bucket-capped ([[Dedup.BucketCap]]
+    * — a degenerate black-frame bucket is dropped, d4's
+    * content-addressed job); pair volume ∝ perceptual-match mass.
+    * Frame sampling (stride [[DefaultStride]]) is the d3 contract:
+    * sample-then-hash, never the reverse, so the kernel reads
+    * 1/stride of the frames a full pass would. Decode stays stubbed
+    * (d1's discipline): swap [[stubPhashHex]]'s input for decoded
+    * frame pixels on a real cluster and everything downstream holds. */
+  def d9FrameNearDup(docs: DataFrame, maxHamming: Int = FrameMaxHamming,
+      bucketCap: Int = Dedup.BucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxHamming < FrameBands,
+      "pigeonhole banding is only complete for hamming < band count")
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val fp = Materialize.frame(
+      graft.sources.Tables.parallelKernelInput(
+          attachBinary(docs).filter(col("media_type") === "video")
+            .select(col("doc_id"), col("media")))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val hx = new Array[Byte](bytes.length * 2)
+          var i = 0
+          while (i < bytes.length) {
+            hx(i * 2) = HexDigits((bytes(i) >> 4) & 0xf).toByte
+            hx(i * 2 + 1) = HexDigits(bytes(i) & 0xf).toByte
+            i += 1
+          }
+          val nChunks = math.max(
+            math.ceil(bytes.length.toDouble / DefaultChunkBytes).toInt, 1)
+          (0 until nChunks).iterator.filter(_ % DefaultStride == 0).map { c =>
+            val from = c * DefaultChunkBytes * 2
+            val until = math.min(from + DefaultChunkBytes * 2, hx.length)
+            (id, (c / DefaultStride).toLong, stubPhashHex(hx, from, until, FrameStripes))
+          }
+        }
+        .toDF("doc_id", "frame_idx", "fhash"))
+    val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val bands = fp.select(col("doc_id"), col("frame_idx"), col("fhash"),
+        explode(sequence(lit(0), lit(FrameBands - 1))).as("j"))
+      .withColumn("band", expr("(fhash >> (8 * j)) & 255"))
+      // degenerate-bucket cap shares the join's own (j, band) shuffle
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("j"), col("band"))))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
+    val mp = bands.as("a").join(bands.as("b"),
+        col("a.j") === col("b.j") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.fhash ^ b.fhash)") <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("a.frame_idx").as("fa"),
+        col("b.doc_id").as("doc_b"), col("b.frame_idx").as("fb"))
+      .distinct()
+    val agg = mp.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        countDistinct(col("fa")).as("ma"), countDistinct(col("fb")).as("mb"))
+    // contained side = fewer sampled frames; equal sizes keep the
+    // lower id (doc_a < doc_b already) — c42's deterministic rule
+    val isIn = col("na") <= col("nb")
+    agg
+      .join(nf.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_frames", "na"), Seq("doc_a"))
+      .join(nf.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_frames", "nb"), Seq("doc_b"))
+      .select(
+        when(isIn, col("doc_a")).otherwise(col("doc_b")).as("doc_in"),
+        when(isIn, col("doc_b")).otherwise(col("doc_a")).as("doc_of"),
+        col("n_frame_pairs"),
+        when(isIn, col("na")).otherwise(col("nb")).as("n_frames_in"),
+        round(when(isIn, col("ma")).otherwise(col("mb")).cast("double")
+          / when(isIn, col("na")).otherwise(col("nb")), 4).as("coverage"))
+      .orderBy(col("coverage").desc, col("doc_in"), col("doc_of"))
+      .limit(50)
   }
 
   private val HexDigits = "0123456789ABCDEF".toCharArray

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 
 /** Round-11 contracts: the incremental span tier only ever reports
   * base↔delta evidence (planted base↔base and delta↔delta spans must
@@ -110,5 +110,28 @@ class Round11Spec extends AnyFunSuite {
     assert(rows(1L) == ((2L, 8L, 4L, 0.5)))
     // doc 2: cd merges to one unit per word
     assert(rows(2L) == ((3L, 6L, 3L, 0.5)))
+  }
+
+  // ---- d9: frame-grain perceptual near-dup ----------------------------
+
+  test("d9: a re-encoded segment inside a longer video surfaces at full coverage") {
+    // A (12 chunks) contains the chunk-aligned segment [256, 640);
+    // B is that segment with ONE byte re-encoded inside a sampled
+    // frame (perturbs ≤2 stripes — hamming stays under the bar,
+    // the perceptual-robustness property byte-exact d4 lacks);
+    // C is unrelated video (expected frame hamming ≈ 16 ≫ 3)
+    val base = (0 until 768).map(i => ('a' + (i * 7 + i / 13) % 26).toChar).mkString
+    val seg = base.substring(256, 640)
+    val tweaked = seg.updated(130, 'z')
+    assert(seg(130) != 'z')
+    val distract = (0 until 384).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    // ids ≡ 2 (mod 3) ⇒ video media type
+    val docs = docsDF(Seq(2L -> base, 5L -> tweaked, 8L -> distract))
+    val rows = Multimodal.d9FrameNearDup(docs).collect()
+    assert(rows.length == 1, rows.mkString("\n"))
+    val r = rows.head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L) // short side contained in long
+    assert(r.getLong(3) == 3L)    // the segment samples 3 frames
+    assert(r.getDouble(4) == 1.0) // every one of them matched — incl. the re-encoded frame
   }
 }
