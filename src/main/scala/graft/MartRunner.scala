@@ -160,6 +160,55 @@ object MartRunner {
   def spotifyDag(spark: SparkSession, sfDir: String): Seq[Mart] =
     spotifyDagFrom(graft.sources.Tables.events(spark, sfDir))
 
+  /** The DOCUMENT-tier pipeline as a DAG instance — the 100 TB
+    * curation job in the same harness the reference pipeline ships
+    * in ([[spotifyDagFrom]]'s C-tier twin): c50's funnel decides,
+    * c36's cluster split partitions, c38's temperature mix prices —
+    * one [[run]] (or one [[Pipeline.runOnce]]) per corpus snapshot,
+    * replay-idempotent end to end.
+    *
+    * Materialization split, the a12 cost contract applied to
+    * curation: `quality_reasons` is the ROW-LOCAL leg (a pure
+    * function of each doc's text — no later ingest can change it),
+    * so it is the mart to key on doc_id through the incremental
+    * store ([[curationKeys]]): a daily run pays the cascade for NEW
+    * docs only. Every other mart is corpus-grain by nature (exact
+    * dup = min doc over the full history, contamination = the
+    * benchmark's current shingle set, split/mix = functions of the
+    * kept corpus) and rebuilds per run as dbt `table` models — cheap
+    * joins and report-sized aggregates off the stored reasons and
+    * the session kernels, never a re-run of the per-doc cascade.
+    * The live twin is FunnelStream (same decision spelling, online);
+    * this DAG is the at-rest replay/audit job a deployment runs
+    * beside it. Memo note: each run's store read is a fresh plan, so
+    * the shingle-kernel session memo adds one entry per run — the
+    * DecontamStream caveat, bounded by runs per session. */
+  def curationDagFrom(docs: DataFrame): Seq[Mart] = {
+    import graft.operators._
+    import org.apache.spark.sql.functions._
+    Seq(
+      Mart("quality_reasons", Nil, _ => TextAnalysis.qualityReasons(docs)),
+      Mart("funnel_decisions", Seq("quality_reasons"),
+        d => TextAnalysis.funnelDecisionsFrom(docs, d("quality_reasons"))),
+      // the deliverable: the curated training corpus itself
+      Mart("kept_docs", Seq("funnel_decisions"),
+        d => docs.join(
+          d("funnel_decisions").filter(col("stage") === "keep").select("doc_id"),
+          Seq("doc_id"))),
+      Mart("split_assign", Seq("kept_docs"),
+        d => Sampling.c36Assignments(d("kept_docs"))),
+      Mart("mix_report", Seq("kept_docs"),
+        d => Sampling.c38TemperatureMix(d("kept_docs"))),
+      Mart("funnel_report", Seq("funnel_decisions"),
+        d => TextAnalysis.shareOfTotal(
+          d("funnel_decisions").groupBy("stage").agg(count(lit(1)).as("n_docs")),
+          "n_docs", "share")))
+  }
+
+  /** The curation DAG's incremental-sink key map: exactly the
+    * row-local mart merges; pass to [[incrementalSink]]. */
+  val curationKeys: Map[String, String] = Map("quality_reasons" -> "doc_id")
+
   /** Same DAG over a caller-supplied events frame — the shape the
     * end-to-end [[Pipeline]] needs, where events come from the ingest
     * store rather than a test directory. */

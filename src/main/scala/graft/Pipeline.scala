@@ -39,7 +39,8 @@ object Pipeline {
       warehouseRoot: String,
       external: ExternalStore,
       exportKeys: Map[String, Seq[String]],
-      maxPages: Int = 1000): PipelineReport = {
+      maxPages: Int = 1000,
+      save: Option[(String, DataFrame) => DataFrame] = None): PipelineReport = {
     val fetched = PollingIngest.ingest(
       spark, source, pageSchema, ingestStore, key, tsCol, maxPages)
     // a first run against a not-yet-populated API legitimately
@@ -56,7 +57,13 @@ object Pipeline {
     require(exportKeys.keySet.subsetOf(dag.map(_.name).toSet),
       s"exportKeys name(s) not in the DAG: " +
         s"${exportKeys.keySet -- dag.map(_.name)}")
-    val status = MartRunner.run(dag, MartRunner.parquetSink(spark, warehouseRoot))
+    // `save` overrides the default parquet warehouse (e.g.
+    // MartRunner.incrementalSink for keyed-merge marts — the curation
+    // DAG's quality_reasons). Exported tables are read back from the
+    // warehouse root, so names in exportKeys should be
+    // overwrite-materialized marts (reports), not keyed stores.
+    val status = MartRunner.run(dag,
+      save.getOrElse(MartRunner.parquetSink(spark, warehouseRoot)))
     // export ONLY marts that built this run — a failed mart must not
     // overwrite the store with stale or partial rows; its last good
     // load simply stands (the keyed store makes that safe)

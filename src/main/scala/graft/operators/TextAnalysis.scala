@@ -1251,7 +1251,24 @@ object TextAnalysis {
     * spelling the report aggregates and specs compare against the
     * chained streaming gates. Population = non-benchmark docs (the
     * ~1% doc_id slice is the EVAL set, never training data). */
-  private[graft] def funnelDecisions(docs: DataFrame): DataFrame = {
+  private[graft] def funnelDecisions(docs: DataFrame): DataFrame =
+    funnelDecisionsFrom(docs, qualityReasons(docs))
+
+  /** The ROW-LOCAL leg of the funnel: each doc's quality-cascade
+    * verdict, a pure per-row function of its text — the one stage a
+    * warehouse can materialize incrementally (pay per doc ONCE,
+    * [[graft.MartRunner.curationDagFrom]]'s keyed mart) because no
+    * later ingest can change it, unlike the duplicate/contaminated
+    * stages, which are corpus-grain by nature. */
+  private[graft] def qualityReasons(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), curationReasonOf(col("text")).as("qreason"))
+
+  /** [[funnelDecisions]] over an INJECTED reasons frame — the
+    * curation DAG passes its materialized `quality_reasons` mart here
+    * so the stored row-local verdicts are never recomputed; `reasons`
+    * may cover more docs than the population (the benchmark slice is
+    * stored too), the inner join scopes it. */
+  private[graft] def funnelDecisionsFrom(docs: DataFrame, reasons: DataFrame): DataFrame = {
     val pop = docs.filter(col("doc_id") % 97 =!= 0)
     val keepDoc = pop.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_doc"))
@@ -1262,8 +1279,8 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 4)
         .as("contam"))
-    pop.select(col("doc_id"), md5(col("text")).as("h"),
-        curationReasonOf(col("text")).as("qreason"))
+    pop.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(reasons, Seq("doc_id"))
       .join(keepDoc, Seq("h"))
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),

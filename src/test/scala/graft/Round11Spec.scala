@@ -134,4 +134,89 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getLong(3) == 3L)    // the segment samples 3 frames
     assert(r.getDouble(4) == 1.0) // every one of them matched — incl. the re-encoded frame
   }
+
+  // ---- document-tier pipeline (curation DAG end to end) ---------------
+
+  test("curation pipeline: overlapping polls + replay ≡ one full build; reasons merge incrementally") {
+    import org.apache.spark.sql.types._
+    import graft.sources.PageSource
+    import graft.operators.{Sampling, TextAnalysis}
+    EmbeddedStore.clear()
+    val ingest = java.nio.file.Files.createTempDirectory("graft-cur-in-").toString + "/store"
+    val wh = java.nio.file.Files.createTempDirectory("graft-cur-wh-").toString
+    val pageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts_us", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    // planted corpus: doc 0 is the benchmark slice; every funnel
+    // stage has members (exact dups of earlier docs, contaminated
+    // docs quoting the benchmark, too-short docs, clean keeps)
+    val m = graft.functions.TextFns.EnMarkers
+    val bench = (0 until 40).map(k => s"b$k")
+    // letters-only filler (digit runs would trip the PII rule and
+    // leave the funnel with no keeps at all)
+    def al(n: Long): String =
+      if (n < 26) ('a' + n).toChar.toString else al(n / 26) + ('a' + n % 26).toChar
+    def textOf(i: Long): String =
+      if (i == 0L) bench.mkString(" ")
+      else if (i % 17 == 2) "tiny doc"
+      else if (i % 13 == 1) (bench.take(20) ++ (0 until 20).map(k => s"c${i}x$k")).mkString(" ")
+      else if (i % 11 == 5 && i >= 16) textOf(i - 16)
+      else (0 until 60).map(k => s"${m(k % 8)} u${al(i)}x${al(k)}").mkString(" ")
+    class DocApi(upTo: Long) extends PageSource {
+      def fetchPage(cursorUs: Long, page: Int): Seq[String] = {
+        val from = math.max(0L, cursorUs / 1000000L - 5) + page * 10
+        (from until math.min(from + 10, upTo)).map { i =>
+          s"""{"doc_id": $i, "ts_us": ${i * 1000000L}, "text": "${textOf(i)}", """ +
+            s""""lang": "en", "source": "s${i % 4}"}"""
+        }.toSeq
+      }
+    }
+    val docsFrom = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("n_chars", length(col("text"))).drop("ts_us")
+    def run(upTo: Long) = Pipeline.runOnce(
+      spark, new DocApi(upTo), pageSchema, ingest, "doc_id", "ts_us",
+      eventsFrom = docsFrom,
+      dagFor = MartRunner.curationDagFrom,
+      warehouseRoot = wh,
+      external = new EmbeddedExternalStore,
+      exportKeys = Map("funnel_report" -> Seq("stage"), "mix_report" -> Seq("source")),
+      save = Some(MartRunner.incrementalSink(spark, wh, MartRunner.curationKeys)))
+    val r1 = run(40)
+    assert(r1.fetchedRows == 40)
+    assert(r1.martStatus.values.forall(_ == MartStatus.Built), s"${r1.martStatus}")
+    assert(r1.loadedTables == Seq("funnel_report", "mix_report"))
+    // second poll overlaps the first; replay fetches nothing
+    val r2 = run(60)
+    assert(r2.fetchedRows < 40, s"poll was not incremental: ${r2.fetchedRows}")
+    // exact replay: only the API's overlap window re-fetches, the
+    // keep-first store absorbs it (size asserted below), marts rebuild
+    val r3 = run(60)
+    assert(r3.fetchedRows <= 6, s"replay refetched history: ${r3.fetchedRows}")
+    assert(r3.martStatus.values.forall(_ == MartStatus.Built), s"${r3.martStatus}")
+    // every mart over the incrementally-assembled history must equal
+    // the one-shot full build over the same corpus
+    val stored = docsFrom(spark.read.parquet(ingest)
+      .drop(graft.streaming.EventsStream.KeyBucketCol))
+    assert(stored.count() == 60)
+    val decisions = TextAnalysis.funnelDecisions(stored)
+    val kept = stored.join(
+      decisions.filter(col("stage") === "keep").select("doc_id"), Seq("doc_id"))
+    def mart(name: String) = spark.read.parquet(s"$wh/$name")
+    assert(mart("quality_reasons").drop(graft.streaming.EventsStream.KeyBucketCol)
+      .collect().toSet == TextAnalysis.qualityReasons(stored).collect().toSet)
+    assert(mart("funnel_decisions").collect().toSet == decisions.collect().toSet)
+    assert(mart("kept_docs").collect().toSet == kept.collect().toSet)
+    assert(mart("split_assign").collect().toSet ==
+      Sampling.c36Assignments(kept).collect().toSet)
+    assert(mart("mix_report").collect().toSet ==
+      Sampling.c38TemperatureMix(kept).collect().toSet)
+    // the funnel actually narrowed: all four planted stage families fired
+    val stages = mart("funnel_decisions").select("stage").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(Set("keep", "duplicate", "contaminated", "too_short").subsetOf(stages), stages)
+    // keyed export re-load is idempotent: one row per stage/source
+    assert(EmbeddedStore.tables.get("funnel_report").size ==
+      mart("funnel_report").count())
+  }
 }
