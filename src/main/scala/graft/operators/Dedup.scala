@@ -227,6 +227,18 @@ object Dedup {
     else jacFrame(bar)
   }
 
+  /** Evidence-mass probe for ScaleSmoke: the size of the verified-
+    * pair frame at the policy floor plus the capped posting-key
+    * count — the ACTUAL input of the c2/c36/c42/c45/c51/c53 family.
+    * A scale row for those queries is a plan finding only when its
+    * time ratio outruns THIS ratio; replication that multiplies
+    * duplication mass shows up here first. */
+  private[graft] def evidenceMass(docs: DataFrame, dfCap: Int = DfCap): (Long, Long) = {
+    val pairs = jacAtLeast(docs, dfCap, NearBarFloor).count()
+    val keys = ngramPostings(docs, dfCap).count()
+    (pairs, keys)
+  }
+
   /** c45: cross-snapshot incremental dedup — the decision an ingest
     * pipeline executes on every NEW batch: is this document already
     * in the accumulated corpus, exactly or nearly? (c1/c2 dedup a
