@@ -822,6 +822,43 @@ object OraclesC {
       order by doc_id
     """,
 
+    // c58: c31's scoring chain + the CCNet per-source ntile cut;
+    // bucket count interpolated from the operator constant
+    "c58_ppl_buckets" -> s"""
+      with tf as (
+        select doc_id, term, count(*) as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      uni as (select term, sum(tf)::bigint as cnt from tf group by term),
+      tot as (select sum(cnt)::bigint as n_total from uni),
+      sc as (
+        select doc_id, sum(tf)::bigint as n_tokens,
+               round(sum(tf::double * log10(cnt::double / n_total)) / sum(tf), 4) as mean_logprob
+        from tf join uni using (term), tot
+        group by doc_id),
+      b as (
+        select sc.doc_id, d.source, sc.n_tokens, sc.mean_logprob,
+               ntile(${graft.operators.TextAnalysis.PplBuckets}) over (
+                 partition by d.source order by sc.mean_logprob desc, sc.doc_id)::bigint as bucket
+        from sc join documents d on sc.doc_id = d.doc_id)
+      select source, bucket, count(*) as n_docs, sum(n_tokens)::bigint as sum_tokens,
+             min(mean_logprob) as min_logprob, max(mean_logprob) as max_logprob
+      from b group by source, bucket
+      order by source, bucket
+    """,
+
+    // c59: df over the shared shingle spelling, unique-share per doc
+    "c59_novelty" -> s"""
+      with sh as ($SH8),
+      dfq as (select sh8, count(*) as df from sh group by sh8)
+      select sh.doc_id, count(*) as n_sh,
+             sum(case when df = 1 then 1 else 0 end)::bigint as n_unique,
+             round(sum(case when df = 1 then 1 else 0 end)::double / count(*), 4) as novelty
+      from sh join dfq using (sh8)
+      group by sh.doc_id
+      order by doc_id
+    """,
+
     // c57: c40's ranked merge list applied greedily, CTE-for-CTE —
     // one generated block per merge (see bpeStep); doc counts reduce
     // off the same tf table under the learned segmentation

@@ -208,7 +208,10 @@ object ScaleSmoke {
       // r10: the incremental span tier (base↔delta posting pairs),
       // the vocabulary-grain BPE apply, and the frame-grain phash
       // banding — evidence-/vocabulary-bounded by construction
-      "c56_delta_spans", "c57_bpe_encode", "d9_frame_neardup")
+      "c56_delta_spans", "c57_bpe_encode", "d9_frame_neardup",
+      // r10b: the per-source ntile cut, the shingle-df novelty join,
+      // and the CDC-grain checksum dedup
+      "c58_ppl_buckets", "c59_novelty", "d10_cdc_dedup")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

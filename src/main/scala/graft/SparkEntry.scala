@@ -121,6 +121,8 @@ object SparkEntry {
     "c55_pq_recall" -> ((s, dir) => Similarity.c55PqRecall(Tables.embeddings(s, dir))),
     "c56_delta_spans" -> ((s, dir) => Dedup.c56DeltaSpans(Tables.documents(s, dir))),
     "c57_bpe_encode" -> ((s, dir) => TextAnalysis.c57BpeEncode(Tables.documents(s, dir))),
+    "c58_ppl_buckets" -> ((s, dir) => TextAnalysis.c58PerplexityBuckets(Tables.documents(s, dir))),
+    "c59_novelty" -> ((s, dir) => TextAnalysis.c59Novelty(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),
@@ -131,6 +133,7 @@ object SparkEntry {
     "d7_cluster_manifest" -> ((s, dir) => Multimodal.d7ClusterManifest(Tables.documents(s, dir))),
     "d8_cdc_chunks"      -> ((s, dir) => Multimodal.d8CdcChunks(Tables.documents(s, dir))),
     "d9_frame_neardup"   -> ((s, dir) => Multimodal.d9FrameNearDup(Tables.documents(s, dir))),
+    "d10_cdc_dedup"      -> ((s, dir) => Multimodal.d10CdcDedup(Tables.documents(s, dir))),
 
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
     "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
@@ -196,6 +199,36 @@ object SparkEntry {
         union
         select r.a, e.b from reach r join edges e on r.b = e.a where e.b <> r.a),
       lab as (select a as doc_id, least(a, min(b)) as cluster from reach group by a)"""
+
+  /** d8's CDC chunk chain up to `ch(doc_id, media_type, hx, start,
+    * chunk_idx, fin)` (CTE list, no WITH) — shared by d8 and d10. */
+  private val D8_CHAIN = s"""c as (
+        select doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
+               hex(encode(text)) as hx,
+               octet_length(encode(text)) as n_bytes
+        from documents),
+      g as (
+        select doc_id, p,
+               ((('0x' || substring(hx, (2 * p + 1)::int, 2))::bigint + 1) * 40503) % 65521 as gv
+        from (select doc_id, hx, unnest(range(0, n_bytes)) as p from c)),
+      s as (
+        select doc_id, p,
+               sum(gv) over (partition by doc_id order by p
+                             rows between ${CDC_W - 1} preceding and current row) as ws
+        from g),
+      starts as (
+        select doc_id, 0::bigint as start from c
+        union all
+        select s.doc_id, (s.p + 1)::bigint as start
+        from s join c on s.doc_id = c.doc_id
+        where s.p >= ${CDC_W - 1} and s.p < c.n_bytes - 1 and s.ws % $CDC_M = 0),
+      ch as (
+        select st.doc_id, c.media_type, c.hx, st.start,
+               row_number() over (partition by st.doc_id order by st.start) - 1 as chunk_idx,
+               coalesce(lead(st.start) over (partition by st.doc_id order by st.start),
+                        c.n_bytes) as fin
+        from starts st join c on st.doc_id = c.doc_id)"""
 
   /** DuckDB spelling of Marts.dimTrack (internal columns). */
   private val DIM_TRACK = """
@@ -564,37 +597,27 @@ object SparkEntry {
     // consecutive cuts with d2's hex-domain checksum. Geometry
     // constants interpolated from the operator (CdcWindow/CdcModulus).
     "d8_cdc_chunks" -> s"""
-      with c as (
-        select doc_id,
-               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
-               hex(encode(text)) as hx,
-               octet_length(encode(text)) as n_bytes
-        from documents),
-      g as (
-        select doc_id, p,
-               ((('0x' || substring(hx, (2 * p + 1)::int, 2))::bigint + 1) * 40503) % 65521 as gv
-        from (select doc_id, hx, unnest(range(0, n_bytes)) as p from c)),
-      s as (
-        select doc_id, p,
-               sum(gv) over (partition by doc_id order by p
-                             rows between ${CDC_W - 1} preceding and current row) as ws
-        from g),
-      starts as (
-        select doc_id, 0::bigint as start from c
-        union all
-        select s.doc_id, (s.p + 1)::bigint as start
-        from s join c on s.doc_id = c.doc_id
-        where s.p >= ${CDC_W - 1} and s.p < c.n_bytes - 1 and s.ws % $CDC_M = 0),
-      ch as (
-        select st.doc_id, c.media_type, c.hx, st.start,
-               row_number() over (partition by st.doc_id order by st.start) - 1 as chunk_idx,
-               coalesce(lead(st.start) over (partition by st.doc_id order by st.start),
-                        c.n_bytes) as fin
-        from starts st join c on st.doc_id = c.doc_id)
+      with $D8_CHAIN
       select doc_id, media_type, chunk_idx::bigint as chunk_idx,
              (fin - start)::bigint as chunk_len,
              md5(substring(hx, (2 * start + 1)::int, (2 * (fin - start))::int)) as chunk_md5
       from ch order by doc_id, chunk_idx
+    """,
+
+    // d10: d4's content-addressed dedup aggregate over d8's CDC
+    // chunk stream — same report contract as d4
+    "d10_cdc_dedup" -> s"""
+      with $D8_CHAIN,
+      cc as (
+        select doc_id, (fin - start)::bigint as chunk_len,
+               md5(substring(hx, (2 * start + 1)::int, (2 * (fin - start))::int)) as chunk_md5
+        from ch)
+      select chunk_md5, count(*) as n_copies, count(distinct doc_id) as n_docs,
+             min(doc_id) as canonical_doc, max(chunk_len) as chunk_len,
+             (count(*) - 1) * max(chunk_len) as dup_bytes
+      from cc group by chunk_md5
+      having count(*) > 1
+      order by n_copies desc, chunk_md5
     """,
 
     // d9: frame-grain perceptual near-dup — d3's stride sampling +

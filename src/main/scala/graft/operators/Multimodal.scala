@@ -467,6 +467,30 @@ object Multimodal {
       .toDF("doc_id", "media_type", "chunk_idx", "chunk_len", "chunk_md5")
   }
 
+  /** d10: content-addressed dedup at CDC-chunk grain (d8 ∘ d4) — the
+    * measured PAYOFF of content-defined chunking: d4 collapses
+    * byte-identical FIXED-grid segments, so one inserted byte shifts
+    * every later boundary and an edited asset re-uploads ~whole; over
+    * d8's content-defined chunks the cut stream re-synchronizes at
+    * the next boundary and everything after the edit dedups again.
+    * Same report contract as d4 (copies, carriers, canonical,
+    * reclaimable bytes), same one map-side-combinable checksum
+    * shuffle — the delta between d4's reclaim and this one is the
+    * storage line item CDC buys, and the spec pins it on the planted
+    * insertion (CDC reclaims the shared tail, the fixed grid
+    * reclaims none of it). */
+  def d10CdcDedup(docs: DataFrame): DataFrame =
+    cdcChunkRows(docs)
+      .groupBy(col("chunk_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"),
+        max(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_copies") > 1)
+      .withColumn("dup_bytes", (col("n_copies") - 1) * col("chunk_len"))
+      .orderBy(col("n_copies").desc, col("chunk_md5"))
+
   /** d9 FRAME geometry: 32 stripes over each sampled chunk's 128 hex
     * chars (width 4 — exact cover, no dead stripes), banded 4×8 bits
     * for the pigeonhole join (hamming ≤ 3 ⇒ ≥1 band agrees, complete

@@ -305,6 +305,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c58's bucket count — CCNet's head/middle/tail (Wenzek et al.
+    * 2020 §4.3: rank by LM perplexity per language, cut in thirds,
+    * train on the head/middle). Oracle-interpolated. */
+  val PplBuckets = 3
+
+  /** c58: perplexity buckets — the CCNet selection view over c31's
+    * LM score: per SOURCE (standing in for CCNet's per-language
+    * grouping), docs rank by mean log-probability and split into
+    * [[PplBuckets]] equal-count buckets (1 = head, most
+    * in-distribution); the report prices each bucket's doc count and
+    * token mass, which is exactly the table a CCNet-style run reads
+    * before deciding head+middle vs head-only. c31 scores; c58 turns
+    * the score into the published CUT.
+    *
+    * Shape: the per-doc score frame is c31's (one tf-memo reduce +
+    * term join), the source attach is one doc-grain join, and the
+    * ntile is a per-source window — c29's exact-spelling stance: the
+    * ORACLE contract is the exact ntile; at 100 TB swap the window
+    * for c29QualityBinsApprox's sketch-cutpoint assignment (same
+    * report schema, no per-source sort) and keep this spelling as
+    * the correctness twin. Docs with no tokens have no score and no
+    * bucket (absent from the tf memo, mirrored by the oracle). */
+  def c58PerplexityBuckets(docs: DataFrame, buckets: Int = PplBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = c31UnigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(col("mean_logprob").desc, col("doc_id"))
+    scored.withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("mean_logprob")).as("min_logprob"),
+        max(col("mean_logprob")).as("max_logprob"))
+      .orderBy("source", "bucket")
+  }
+
+  /** c59: corpus-novelty score — the diversity signal dual to the
+    * whole dedup tier: per document, the fraction of its distinct
+    * shingles occurring NOWHERE else in the corpus (df = 1). Low
+    * novelty flags templated/boilerplate-adjacent text even when no
+    * single pair clears a dedup bar (mass duplication spread across
+    * many partners — c53's matrix at doc grain); high novelty is
+    * what a diversity-seeking selection run keeps. The standard
+    * companion number to a dedup sweep: c51 prices what a bar
+    * REMOVES, c59 prices how much of each surviving doc is actually
+    * new text.
+    *
+    * Shape: the df table is shingle-vocabulary-grain derived from
+    * the session shingle memo (c17's derive-don't-rescan trick —
+    * zero extra corpus passes), the join back is term-keyed with
+    * c31's skew stance (unhinted — AQE broadcasts a small
+    * vocabulary, skew-splits a hot one), one map-side-combinable
+    * per-doc aggregate. Docs with <3 words have no shingles and no
+    * row (the memo's grain, mirrored by the oracle). */
+  def c59Novelty(docs: DataFrame): DataFrame = {
+    val sh = Dedup.docShingles8(docs)
+    val df = sh.groupBy("sh8").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("sh8"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", round(col("n_unique").cast("double") / col("n_sh"), 4))
+      .orderBy("doc_id")
+  }
+
   /** c10: token counting — whitespace tokens plus a BPE-ish regex
     * lexer count (letters runs / digit runs / single punctuation). */
   def c10TokenCount(docs: DataFrame): DataFrame = {

@@ -135,6 +135,62 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getDouble(4) == 1.0) // every one of them matched — incl. the re-encoded frame
   }
 
+  // ---- d10: CDC-grain dedup -------------------------------------------
+
+  test("d10: CDC dedup survives the insertion that defeats fixed-grid dedup") {
+    // B = A with 3 bytes inserted at byte 40: every fixed-grid chunk
+    // shifts (d4 finds NO shared chunk), while the CDC stream
+    // re-synchronizes at the next content boundary and the whole
+    // shared tail dedups — the storage win CDC exists for, asserted
+    // at the dedup report grain (d8's spec pins it at chunk identity)
+    val base = (0 until 600).map(i => ('a' + (i * 5 + i / 17) % 26).toChar).mkString
+    val edited = base.substring(0, 40) + "xyz" + base.substring(40)
+    val docs = docsDF(Seq(1L -> base, 2L -> edited))
+    val cdcShared = Multimodal.d10CdcDedup(docs).filter(col("n_docs") === 2).count()
+    val fixedShared = Multimodal.d4ChunkDedup(docs).filter(col("n_docs") === 2).count()
+    assert(cdcShared > 0, "post-insertion chunks must re-align under CDC")
+    assert(fixedShared == 0, "the fixed grid must share nothing after the insertion")
+  }
+
+  // ---- c58: perplexity buckets ----------------------------------------
+
+  test("c58: per-source thirds follow the LM score order, counts ntile-shaped") {
+    // source A: 9 docs spanning frequent→rare vocabulary; source B: 4
+    val m = graft.functions.TextFns.EnMarkers
+    val aDocs = (0 until 9).map { i =>
+      val freq = Seq.fill(9 - i)(m(i % 8))
+      val rare = (0 until i + 1).map(k => s"r${i}q$k")
+      (i + 1).toLong -> (freq ++ rare).mkString(" ")
+    }
+    val bDocs = (0 until 4).map(i => (100 + i).toLong -> s"${m(i % 8)} z${i}a z${i}b")
+    import org.apache.spark.sql.functions.lit
+    val docs = docsDF(aDocs) // source "s"
+      .unionByName(docsDF(bDocs).withColumn("source", lit("t")))
+    val rep = TextAnalysis.c58PerplexityBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+    // ntile counts: 9 → 3/3/3, 4 → 2/1/1
+    assert(Seq(1L, 2L, 3L).map(b => rep(("s", b))._1) == Seq(3L, 3L, 3L))
+    assert(Seq(1L, 2L, 3L).map(b => rep(("t", b))._1) == Seq(2L, 1L, 1L))
+    // head buckets hold the highest scores: min of bucket k ≥ max of k+1
+    for (src <- Seq("s", "t"); b <- 1L to 2L)
+      assert(rep((src, b))._2 >= rep((src, b + 1))._3,
+        s"$src bucket $b not above bucket ${b + 1}: $rep")
+  }
+
+  // ---- c59: corpus novelty --------------------------------------------
+
+  test("c59: unique docs score 1, exact copies score 0") {
+    val unique = (0 until 10).map(k => s"u$k").mkString(" ")
+    val copied = (0 until 10).map(k => s"c$k").mkString(" ")
+    val docs = docsDF(Seq(1L -> unique, 2L -> copied, 3L -> copied))
+    val rows = TextAnalysis.c59Novelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) == ((8L, 8L, 1.0)))  // 10 tokens → 8 distinct shingles, all unique
+    assert(rows(2L) == ((8L, 0L, 0.0)))  // every shingle shared with doc 3
+    assert(rows(3L) == ((8L, 0L, 0.0)))
+  }
+
   // ---- document-tier pipeline (curation DAG end to end) ---------------
 
   test("curation pipeline: overlapping polls + replay ≡ one full build; reasons merge incrementally") {
