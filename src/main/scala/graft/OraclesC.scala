@@ -174,7 +174,10 @@ object OraclesC {
 
   /** c47's full PQ chain up to the ranked ADC scores (CTE list,
     * no WITH keyword) — shared by c47 and c55. */
-  private val C47_CHAIN = s"""cb as (
+  /** c47's PQ cell machinery up to per-vector codes + the query
+    * lookup table (CTE list, no WITH) — shared by c47/c55 (via
+    * C47_CHAIN) and c60's IVF-pruned serving. */
+  private val C47_CELLS = s"""cb as (
         select e.vec_id as k, t.m,
                [e.embedding[t.m*${graft.operators.Similarity.PqSubDim}+i]::double
                 for i in range(1,${graft.operators.Similarity.PqSubDim + 1})] as csub
@@ -193,7 +196,9 @@ object OraclesC {
       codes as (
         select vec_id, m, k as code from vd
         qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
-      lut as (select vec_id as q_id, m, k, d2 from vd where vec_id < $NQ),
+      lut as (select vec_id as q_id, m, k, d2 from vd where vec_id < $NQ)"""
+
+  private val C47_CHAIN = s"""$C47_CELLS,
       sc as (
         select l.q_id, c.vec_id, round(sum(l.d2), 4) as adist
         from codes c join lut l on l.m = c.m and l.k = c.code
@@ -1133,6 +1138,35 @@ object OraclesC {
     "c47_pq_adc" -> s"""
       with $C47_CHAIN
       select q_id, rank, vec_id, adist from r47
+      where rank <= ${graft.operators.Similarity.PqTopK}
+      order by q_id, rank
+    """,
+
+    // c60: c7's assignment/probe ranking composed with c47's PQ
+    // cells — ADC restricted to (query, probed-cluster) members
+    "c60_ivf_pq" -> s"""
+      with $C47_CELLS,
+      cc as (select vec_id as c_id, embedding as c_emb from embeddings where vec_id < $NC),
+      ranked_assign as (
+        select e.vec_id, cc.c_id,
+               row_number() over (partition by e.vec_id
+                 order by round(${cosine("e.embedding", "cc.c_emb")}, 4) desc, cc.c_id) as rn
+        from embeddings e cross join cc),
+      assigned60 as (select vec_id, c_id as cluster from ranked_assign where rn = 1),
+      probes60 as (select vec_id as q_id, c_id as cluster
+                   from ranked_assign where vec_id < $NQ and rn <= $NPROBE),
+      sc60 as (
+        select l.q_id, c.vec_id, round(sum(l.d2), 4) as adist
+        from codes c
+        join assigned60 a on a.vec_id = c.vec_id
+        join probes60 p on p.cluster = a.cluster
+        join lut l on l.q_id = p.q_id and l.m = c.m and l.k = c.code
+        where c.vec_id <> l.q_id
+        group by 1, 2),
+      r60 as (select q_id, vec_id, adist,
+              row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
+              from sc60)
+      select q_id, rank, vec_id, adist from r60
       where rank <= ${graft.operators.Similarity.PqTopK}
       order by q_id, rank
     """,

@@ -211,7 +211,9 @@ object ScaleSmoke {
       "c56_delta_spans", "c57_bpe_encode", "d9_frame_neardup",
       // r10b: the per-source ntile cut, the shingle-df novelty join,
       // and the CDC-grain checksum dedup
-      "c58_ppl_buckets", "c59_novelty", "d10_cdc_dedup")
+      "c58_ppl_buckets", "c59_novelty", "d10_cdc_dedup",
+      // r10c: the pruned IVFADC kernel — |Q|- and probe-bounded
+      "c60_ivf_pq")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

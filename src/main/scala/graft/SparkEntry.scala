@@ -123,6 +123,7 @@ object SparkEntry {
     "c57_bpe_encode" -> ((s, dir) => TextAnalysis.c57BpeEncode(Tables.documents(s, dir))),
     "c58_ppl_buckets" -> ((s, dir) => TextAnalysis.c58PerplexityBuckets(Tables.documents(s, dir))),
     "c59_novelty" -> ((s, dir) => TextAnalysis.c59Novelty(Tables.documents(s, dir))),
+    "c60_ivf_pq" -> ((s, dir) => Similarity.c60IvfPqAdc(Tables.embeddings(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -413,6 +413,147 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** 64-dim left-to-right dot — the kernel spelling of the oracle's
+    * `list_sum([a[i]*b[i] for i in 1..64])` (fixed width, summation
+    * order identical). */
+  private def dot64(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < 64) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Top-`n` centroids of `v` by HALF_UP-rounded cosine (ties → min
+    * centroid id) — the kernel spelling of c7's
+    * `round(cosine, 4) desc, c_id` ranking; zero-norm cosines have no
+    * evidence and rank last (the Spark tier's established stance). */
+  private def ivfTopClusters(v: Array[Double], cent: Array[Array[Double]],
+      centNorm: Array[Double], n: Int): Array[Int] = {
+    val vn = math.sqrt(dot64(v, v))
+    cent.indices.map { c =>
+      val denom = vn * centNorm(c)
+      val cos = if (denom > 0) pqRound4(dot64(v, cent(c)) / denom)
+        else Double.NegativeInfinity
+      (-cos, c)
+    }.sorted.take(n).map(_._2).toArray
+  }
+
+  /** c60: IVF + PQ composed serving — FAISS's IVFADC shape (Jégou et
+    * al. 2011 §V): the coarse quantizer prunes WHERE to look (each
+    * query scans only its `nprobe` clusters' members — c7's cost
+    * shape), and PQ compresses HOW each member is scored (8 table
+    * lookups instead of 64 multiplies — c47's cost shape). Composed,
+    * per-query work drops from |corpus|·64 multiplies to
+    * ≈ (nprobe/k)·|corpus|·8 lookups — the trade every production
+    * ANN deployment actually ships, and the recall dial is
+    * two-dimensional (nprobe × code budget; c55's audit pattern
+    * prices both).
+    *
+    * This is the NON-RESIDUAL variant (codes over raw vectors, the
+    * same codes c47 serves): residual encoding (v − centroid into
+    * the subquantizer) is the one-line kernel swap at [[pqCellD2]]'s
+    * call site plus per-cluster LUTs — mechanical, same determinism
+    * contract; the oracle'd contract here is the compose itself.
+    *
+    * Determinism: assignment/probes use c7's exact ranking spelling
+    * (rounded cosine desc, min c_id ties — [[ivfTopClusters]], one
+    * shared implementation for corpus assignment and query probes);
+    * encode/score inherit c47's round-then-argmin/round-then-sum
+    * cells. Scale shape: centroids (16), codebook (16), and the
+    * bounded query set collect in ONE scan job; the corpus pass is
+    * one kernel — assign, encode (skipped entirely for vectors in
+    * clusters no query probes), ADC against the probing queries
+    * only, per-partition topK heaps; ≤ partitions·|Q|·topK rows
+    * reach the exact rank window. Zero corpus-grain shuffles. */
+  def c60IvfPqAdc(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      topK: Int = PqTopK, nprobe: Int = DefaultNProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = 64 // the oracle dot is fixed 64-wide; PQ needs 8×8
+    val guarded = emb.filter(assert_true(size(col("embedding")) >= dims,
+      concat(lit(s"c60: IVFADC needs ≥$dims dims, embedding has "),
+        size(col("embedding")))).isNull)
+    val bound = math.max(PqCodebookK, math.max(DefaultCentroidCount, nQueries))
+    val all = guarded.filter(col("vec_id") < bound)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cbLocal = all.filter(_._1 < PqCodebookK).map(_._2)
+    require(cbLocal.length == PqCodebookK,
+      s"c60: corpus has ${cbLocal.length} vectors below id $PqCodebookK — codebook incomplete")
+    val centLocal = all.filter(_._1 < DefaultCentroidCount).map(_._2)
+    require(centLocal.length == DefaultCentroidCount,
+      s"c60: corpus has ${centLocal.length} vectors below id $DefaultCentroidCount — centroids incomplete")
+    val centNorm = centLocal.map(c => math.sqrt(dot64(c, c)))
+    val qVecs = all.filter(_._1 < nQueries)
+    val qArr = qVecs.map(_._1)
+    val lut3 = Array.tabulate(qArr.length, PqSubspaces, PqCodebookK)(
+      (qi, m, k) => pqCellD2(qVecs(qi)._2, cbLocal, k, m))
+    // per-query probe masks + the "any query probes this cluster"
+    // mask — vectors in never-probed clusters skip encode entirely
+    val probeSets = qVecs.map { case (_, qv) =>
+      val flags = new Array[Boolean](DefaultCentroidCount)
+      ivfTopClusters(qv, centLocal, centNorm, nprobe).foreach(flags(_) = true)
+      flags
+    }
+    val anyProbe = Array.tabulate(DefaultCentroidCount)(c => probeSets.exists(_(c)))
+    val spark0 = emb.sparkSession
+    val bc = spark0.sparkContext.broadcast(
+      (qArr, lut3, cbLocal, centLocal, centNorm, probeSets, anyProbe))
+    import spark0.implicits._
+    val kLocal = topK
+    val topLocal = guarded
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (qs, lut, cb, cent, cn, probes, anyP) = bc.value
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        val codes = new Array[Int](PqSubspaces)
+        it.foreach { case (vec, v) =>
+          val cluster = ivfTopClusters(v, cent, cn, 1)(0)
+          if (anyP(cluster)) {
+            var m = 0
+            while (m < PqSubspaces) {
+              var bestK = 0
+              var bestD = Double.MaxValue
+              var k = 0
+              while (k < cb.length) {
+                val sr = pqCellD2(v, cb, k, m)
+                if (sr < bestD) { bestD = sr; bestK = k } // strict: ties keep min k
+                k += 1
+              }
+              codes(m) = bestK
+              m += 1
+            }
+            var qi = 0
+            while (qi < qs.length) {
+              if (qs(qi) != vec && probes(qi)(cluster)) {
+                var s = 0.0
+                var mm = 0
+                while (mm < PqSubspaces) { s += lut(qi)(mm)(codes(mm)); mm += 1 }
+                val cand = (pqRound4(s), vec)
+                val h = heaps(qi)
+                if (h.size < kLocal) h.enqueue(cand)
+                else if (ord.lt(cand, h.head)) { h.dequeue(); h.enqueue(cand) }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, v) => (qs(qi), v, d) }
+        }
+      }.toDF("q_id", "vec_id", "adist")
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    topLocal
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** c55: PQ serving recall against the exact baseline — the
     * measure-don't-guess report for the compressed-domain path: per
     * query, how many of [[c47PqAdc]]'s top-k ids appear in

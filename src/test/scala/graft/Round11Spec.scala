@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Round-11 contracts: the incremental span tier only ever reports
   * base↔delta evidence (planted base↔base and delta↔delta spans must
@@ -133,6 +133,51 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getLong(0) == 5L && r.getLong(1) == 2L) // short side contained in long
     assert(r.getLong(3) == 3L)    // the segment samples 3 frames
     assert(r.getDouble(4) == 1.0) // every one of them matched — incl. the re-encoded frame
+  }
+
+  // ---- c60: IVF + PQ composed serving ---------------------------------
+
+  test("c60 equals an independent IVFADC recomputation on the full corpus") {
+    // naive single-machine reimplementation of the whole contract
+    // (c55's proof pattern): c7's rounded-cosine assignment/probes +
+    // c47's rounded cells, full sort — every row, rank, and tie must
+    // match the distributed kernel exactly
+    val emb = sources.Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def r4(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      (0 until 64).map(i => a(i) * b(i)).sum
+    val cent = emb.filter(_._1 < Similarity.DefaultCentroidCount).map(_._2)
+    val cb = emb.filter(_._1 < Similarity.PqCodebookK).map(_._2)
+    def cellD2(v: Array[Double], k: Int, m: Int): Double =
+      r4((0 until Similarity.PqSubDim).map { i =>
+        val d = v(m * Similarity.PqSubDim + i) - cb(k)(m * Similarity.PqSubDim + i); d * d
+      }.sum)
+    def topClusters(v: Array[Double], n: Int): Seq[Int] =
+      cent.indices.sortBy { c =>
+        val denom = math.sqrt(dot(v, v)) * math.sqrt(dot(cent(c), cent(c)))
+        val cos = if (denom > 0) r4(dot(v, cent(c)) / denom) else Double.NegativeInfinity
+        (-cos, c)
+      }.take(n)
+    val cluster = emb.map { case (id, v) => id -> topClusters(v, 1).head }.toMap
+    val codes = emb.map { case (id, v) =>
+      id -> (0 until Similarity.PqSubspaces).map(m =>
+        (0 until Similarity.PqCodebookK).minBy(k => (cellD2(v, k, m), k))).toArray
+    }.toMap
+    val expected = emb.filter(_._1 < Similarity.DefaultQueryCount).flatMap { case (qid, qv) =>
+      val probed = topClusters(qv, Similarity.DefaultNProbe).toSet
+      emb.collect { case (vid, _) if vid != qid && probed(cluster(vid)) =>
+          (vid, r4((0 until Similarity.PqSubspaces).map(m => cellD2(qv, codes(vid)(m), m)).sum))
+        }
+        .sortBy { case (vid, d) => (d, vid) }.take(Similarity.PqTopK).zipWithIndex
+        .map { case ((vid, d), i) => (qid, (i + 1).toLong, vid, d) }
+    }.toSet
+    val got = Similarity.c60IvfPqAdc(sources.Tables.embeddings(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
   }
 
   // ---- d10: CDC-grain dedup -------------------------------------------
