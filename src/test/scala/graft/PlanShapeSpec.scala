@@ -36,7 +36,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("no query plans a broadcast nested loop or cartesian product") {
     for (name <- Seq("c2_dedup_ngram", "c3_dedup_minhash", "c4_dedup_simhash", "c5_embed_neardup",
-      "b13_range_join", "c33_substring_dedup", "c34_span_cuts", "d6_media_neardup")) {
+      "b13_range_join", "c33_substring_dedup", "c34_span_cuts", "d6_media_neardup",
+      "c56_delta_spans", "c59_novelty", "d9_frame_neardup", "d10_cdc_dedup")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop join")
@@ -201,6 +202,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1,
       s"c52 plans $exchanges hash exchanges (one doc-grain agg expected):\n$p")
+  }
+
+  test("c60 keeps c47's kernel shape: one rank window, no join, one hash exchange") {
+    // the IVF pruning must not reintroduce a corpus-grain join or
+    // window: assignment/probe/encode all live inside the kernel
+    val p = plan("c60_ivf_pq")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"c60 plans more than the one report-sized rank window:\n$p")
+    assert(!p.contains("Join"), s"c60's serving path plans a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"c60 plans $exchanges hash exchanges (only the rank window's expected):\n$p")
   }
 
   test("c7's centroid assignment is a map-side struct-max aggregate, not a corpus window") {

@@ -97,6 +97,46 @@ class Round11Spec extends AnyFunSuite {
     assert(n("x") == 1)                           // no merges → chars
   }
 
+  test("bpe kernel fuzz: greedy scan ≡ the oracle's island spelling") {
+    // the oracle applies each merge via match-islands (consecutive
+    // match runs only exist for a=b; keep even offsets) — an
+    // independent reimplementation of that spelling must agree with
+    // the kernel's left-to-right scan on adversarial inputs
+    def islandApply(syms0: Array[String], a: String, b: String): Array[String] = {
+      val matches = syms0.indices.dropRight(1)
+        .filter(i => syms0(i) == a && syms0(i + 1) == b)
+      // islands of consecutive match positions; keep even offsets
+      val take = scala.collection.mutable.Set.empty[Int]
+      var run = List.empty[Int]
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[Int]]
+      matches.foreach { i =>
+        if (run.nonEmpty && run.head == i - 1) run = i :: run
+        else { if (run.nonEmpty) runs += run.reverse; run = List(i) }
+      }
+      if (run.nonEmpty) runs += run.reverse
+      runs.foreach(r => r.zipWithIndex.foreach { case (pos, off) =>
+        if (off % 2 == 0) take += pos })
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms0.length) {
+        if (take(i)) { out += a + b; i += 2 } else { out += syms0(i); i += 1 }
+      }
+      out.toArray
+    }
+    val rnd = new scala.util.Random(421100)
+    val alphabet = "ab".toCharArray
+    for (_ <- 1 to 400) {
+      val term = (0 until 1 + rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(2))).mkString
+      val merges = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        (alphabet(rnd.nextInt(2)).toString, alphabet(rnd.nextInt(2)).toString)
+      }.toArray
+      var syms: Array[String] = term.map(_.toString).toArray
+      merges.foreach { case (a, b) => syms = islandApply(syms, a, b) }
+      assert(syms.length == TextAnalysis.bpeSymbolCount(term, merges),
+        s"term=$term merges=${merges.mkString(",")} island=${syms.mkString("|")}")
+    }
+  }
+
   test("c57: the planted frequent pair merges first and compresses its carrier") {
     // "abab" carries pair ab twice per occurrence and ba once — ab
     // must win rank 1, so the word packs to 2 BPE units, not 3
