@@ -171,8 +171,10 @@ object MartRunner {
     * curation: `quality_reasons` is the ROW-LOCAL leg (a pure
     * function of each doc's text — no later ingest can change it),
     * so it is the mart to key on doc_id through the incremental
-    * store ([[curationKeys]]): a daily run pays the cascade for NEW
-    * docs only. Every other mart is corpus-grain by nature (exact
+    * store ([[curationKeys]]); with [[curationScope]]'s anti-join
+    * hook wired, a daily run COMPUTES the cascade for new docs only
+    * (the scope pushes below the cascade projection) and merges only
+    * their buckets. Every other mart is corpus-grain by nature (exact
     * dup = min doc over the full history, contamination = the
     * benchmark's current shingle set, split/mix = functions of the
     * kept corpus) and rebuilds per run as dbt `table` models — cheap
@@ -208,6 +210,22 @@ object MartRunner {
   /** The curation DAG's incremental-sink key map: exactly the
     * row-local mart merges; pass to [[incrementalSink]]. */
   val curationKeys: Map[String, String] = Map("quality_reasons" -> "doc_id")
+
+  /** The matching scope hook: offer only docs NOT already in the
+    * reasons store (an anti-join on the store's pruned doc_id
+    * column). This is what makes the cascade COMPUTE incremental,
+    * not just the write — the reasons build is a projection over the
+    * stored corpus, so Catalyst pushes the anti-join below the
+    * cascade expression and old docs never evaluate it; without the
+    * hook each run recomputes every historical doc's cascade and the
+    * keyed merge merely discards the old keys. Needs no external
+    * batch tracking: the store itself is the batch boundary. */
+  def curationScope(spark: SparkSession, root: String): Map[String, DataFrame => DataFrame] =
+    Map("quality_reasons" -> { df =>
+      val path = s"$root/quality_reasons"
+      if (!graft.streaming.EventsStream.hasCommittedData(spark, path)) df
+      else df.join(spark.read.parquet(path).select("doc_id"), Seq("doc_id"), "left_anti")
+    })
 
   /** Same DAG over a caller-supplied events frame — the shape the
     * end-to-end [[Pipeline]] needs, where events come from the ingest

@@ -1147,10 +1147,15 @@ object OraclesC {
     "c60_ivf_pq" -> s"""
       with $C47_CELLS,
       cc as (select vec_id as c_id, embedding as c_emb from embeddings where vec_id < $NC),
+      -- no-evidence cosines (zero norm → 0/0 = NaN in DuckDB, NaN
+      -- elements likewise) rank LAST, mirroring the kernel's stance
       ranked_assign as (
         select e.vec_id, cc.c_id,
                row_number() over (partition by e.vec_id
-                 order by round(${cosine("e.embedding", "cc.c_emb")}, 4) desc, cc.c_id) as rn
+                 order by (case when isnan(round(${cosine("e.embedding", "cc.c_emb")}, 4))
+                             then null
+                             else round(${cosine("e.embedding", "cc.c_emb")}, 4) end)
+                   desc nulls last, cc.c_id) as rn
         from embeddings e cross join cc),
       assigned60 as (select vec_id, c_id as cluster from ranked_assign where rn = 1),
       probes60 as (select vec_id as q_id, c_id as cluster

@@ -88,6 +88,13 @@ object ScaleSmoke {
         .orderBy(col("cnt").desc, col("t"))
         .collect().map(_.getString(0))
       val v = vocabArr.length
+      // shifts repeat mod |vocab|: with n ≥ v some replica's cipher is
+      // the identity again and its docs are EXACT copies of replica 0
+      // — quadratic dup mass with no warning, the artifact this tool
+      // exists to keep out of measurements (the embedding rotation's
+      // own guard, applied to text)
+      require(n <= v,
+        s"ScaleSmoke controlled mode: replica count $n exceeds vocabulary size $v — cipher shifts would collide")
       val stepPer = math.max(v / n, 1)
       val sc = spark.sparkContext
       val bcVocab = sc.broadcast(vocabArr)

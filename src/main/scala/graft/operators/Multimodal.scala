@@ -242,13 +242,7 @@ object Multimodal {
     * STUB, not the plumbing — swap `stubPhash` for the codec call
     * and everything downstream holds.) */
   private def stubPhash(bytes: Array[Byte]): Long = {
-    val hx = new Array[Byte](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      hx(i * 2) = HexDigits((bytes(i) >> 4) & 0xf).toByte
-      hx(i * 2 + 1) = HexDigits(bytes(i) & 0xf).toByte
-      i += 1
-    }
+    val hx = toHexUpper(bytes)
     stubPhashHex(hx, 0, hx.length, PhashStripes)
   }
 
@@ -438,13 +432,7 @@ object Multimodal {
       .flatMap { case (id, bytes, mt) =>
         val md = java.security.MessageDigest.getInstance("MD5")
         // one hex pass per payload; every chunk digests a slice of it
-        val hx = new Array[Byte](bytes.length * 2)
-        var i = 0
-        while (i < bytes.length) {
-          hx(i * 2) = HexDigits((bytes(i) >> 4) & 0xf).toByte
-          hx(i * 2 + 1) = HexDigits(bytes(i) & 0xf).toByte
-          i += 1
-        }
+        val hx = toHexUpper(bytes)
         // cut after byte p (full window only, never after the last
         // byte — a zero-length tail chunk frames nothing)
         val starts = scala.collection.mutable.ArrayBuffer(0)
@@ -539,13 +527,7 @@ object Multimodal {
             .select(col("doc_id"), col("media")))
         .as[(Long, Array[Byte])]
         .flatMap { case (id, bytes) =>
-          val hx = new Array[Byte](bytes.length * 2)
-          var i = 0
-          while (i < bytes.length) {
-            hx(i * 2) = HexDigits((bytes(i) >> 4) & 0xf).toByte
-            hx(i * 2 + 1) = HexDigits(bytes(i) & 0xf).toByte
-            i += 1
-          }
+          val hx = toHexUpper(bytes)
           val nChunks = math.max(
             math.ceil(bytes.length.toDouble / DefaultChunkBytes).toInt, 1)
           (0 until nChunks).iterator.filter(_ % DefaultStride == 0).map { c =>
@@ -588,6 +570,21 @@ object Multimodal {
           / when(isIn, col("na")).otherwise(col("nb")), 4).as("coverage"))
       .orderBy(col("coverage").desc, col("doc_in"), col("doc_of"))
       .limit(50)
+  }
+
+  /** Whole-payload uppercase hex — the ONE spelling of the D-tier's
+    * hex-domain contract, shared by the asset phash (d6), the CDC
+    * kernel (d8), and the frame phash (d9); chunkRows keeps its own
+    * reused per-chunk buffer (a different allocation pattern). */
+  private def toHexUpper(bytes: Array[Byte]): Array[Byte] = {
+    val hx = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      hx(i * 2) = HexDigits((bytes(i) >> 4) & 0xf).toByte
+      hx(i * 2 + 1) = HexDigits(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    hx
   }
 
   private val HexDigits = "0123456789ABCDEF".toCharArray

@@ -425,14 +425,19 @@ object Similarity {
 
   /** Top-`n` centroids of `v` by HALF_UP-rounded cosine (ties → min
     * centroid id) — the kernel spelling of c7's
-    * `round(cosine, 4) desc, c_id` ranking; zero-norm cosines have no
-    * evidence and rank last (the Spark tier's established stance). */
+    * `round(cosine, 4) desc, c_id` ranking, with the c43 degenerate
+    * stance on BOTH sides: a cosine with no evidence (zero norm OR a
+    * NaN element) ranks LAST, and the c60 oracle mirrors it with
+    * `case when isnan(…) then null end … desc nulls last` — so a
+    * degenerate corpus cannot split assignment between engines (the
+    * divergence class the round-7 ADVICE fixed in c43/c54). */
   private def ivfTopClusters(v: Array[Double], cent: Array[Array[Double]],
       centNorm: Array[Double], n: Int): Array[Int] = {
     val vn = math.sqrt(dot64(v, v))
     cent.indices.map { c =>
       val denom = vn * centNorm(c)
-      val cos = if (denom > 0) pqRound4(dot64(v, cent(c)) / denom)
+      val c0 = dot64(v, cent(c)) / denom
+      val cos = if (denom > 0 && !c0.isNaN) pqRound4(c0)
         else Double.NegativeInfinity
       (-cos, c)
     }.sorted.take(n).map(_._2).toArray

@@ -1315,9 +1315,15 @@ object TextAnalysis {
   /** Per-doc funnel decision, first-fail in gate order — the ONE
     * spelling the report aggregates and specs compare against the
     * chained streaming gates. Population = non-benchmark docs (the
-    * ~1% doc_id slice is the EVAL set, never training data). */
+    * ~1% doc_id slice is the EVAL set, never training data).
+    * qreason computes INLINE in the population projection (the
+    * benched c50 path stays one corpus pass); the DAG's
+    * stored-reasons variant is [[funnelDecisionsFrom]]. */
   private[graft] def funnelDecisions(docs: DataFrame): DataFrame =
-    funnelDecisionsFrom(docs, qualityReasons(docs))
+    funnelStages(docs,
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          curationReasonOf(col("text")).as("qreason")))
 
   /** The ROW-LOCAL leg of the funnel: each doc's quality-cascade
     * verdict, a pure per-row function of its text — the one stage a
@@ -1332,8 +1338,17 @@ object TextAnalysis {
     * curation DAG passes its materialized `quality_reasons` mart here
     * so the stored row-local verdicts are never recomputed; `reasons`
     * may cover more docs than the population (the benchmark slice is
-    * stored too), the inner join scopes it. */
-  private[graft] def funnelDecisionsFrom(docs: DataFrame, reasons: DataFrame): DataFrame = {
+    * stored too), the inner join scopes it. Only this variant pays a
+    * doc_id join for the reasons — the inline path doesn't. */
+  private[graft] def funnelDecisionsFrom(docs: DataFrame, reasons: DataFrame): DataFrame =
+    funnelStages(docs,
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(reasons, Seq("doc_id")))
+
+  /** The corpus-grain stages over a prepared population frame
+    * (doc_id, h, qreason) — one spelling for both reason sources. */
+  private def funnelStages(docs: DataFrame, popReasons: DataFrame): DataFrame = {
     val pop = docs.filter(col("doc_id") % 97 =!= 0)
     val keepDoc = pop.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_doc"))
@@ -1344,8 +1359,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 4)
         .as("contam"))
-    pop.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(reasons, Seq("doc_id"))
+    popReasons
       .join(keepDoc, Seq("h"))
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),

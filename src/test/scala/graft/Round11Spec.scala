@@ -322,7 +322,8 @@ class Round11Spec extends AnyFunSuite {
       warehouseRoot = wh,
       external = new EmbeddedExternalStore,
       exportKeys = Map("funnel_report" -> Seq("stage"), "mix_report" -> Seq("source")),
-      save = Some(MartRunner.incrementalSink(spark, wh, MartRunner.curationKeys)))
+      save = Some(MartRunner.incrementalSink(spark, wh, MartRunner.curationKeys,
+        scopeOf = MartRunner.curationScope(spark, wh))))
     val r1 = run(40)
     assert(r1.fetchedRows == 40)
     assert(r1.martStatus.values.forall(_ == MartStatus.Built), s"${r1.martStatus}")
