@@ -126,6 +126,15 @@ object OraclesC {
     s"list_sum(list_transform(range(1,65), i -> $a[i]::double * $b[i]::double))"
   private def cosine(a: String, b: String) =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** NULL-on-degenerate rounded cosine — the oracle twin of the
+    * operator tier's pairCos (r10 unification): zero norms make the
+    * raw cosine 0/0 = NaN in DuckDB (double division never errors)
+    * and NaN elements propagate; both are "no evidence" and must
+    * rank LAST and compare FALSE, exactly as Spark's NULL does.
+    * Orderings over it spell `desc nulls last` explicitly. */
+  private def cosN(a: String, b: String) =
+    s"(case when isnan(round(${cosine(a, b)}, 4)) then null else round(${cosine(a, b)}, 4) end)"
   private val markers = "['the','a','of','to','and','is','in','it']"
   private val SEMTH = graft.operators.Similarity.SemDedupThreshold
 
@@ -226,7 +235,7 @@ object OraclesC {
       asg$i as (
         select e.vec_id, e.embedding, c.c_id,
                row_number() over (partition by e.vec_id
-                 order by round(${cosine("e.embedding", "c.c_emb")}, 4) desc, c.c_id) as rn
+                 order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
         from embeddings e cross join $prev c),
       a$i as (select vec_id, embedding, c_id from asg$i where rn = 1),
       upd$i as (
@@ -414,9 +423,9 @@ object OraclesC {
     "c5_embed_neardup" -> s"""
       with $SIGN_BUCKETS
       select a.vec_id as vec_a, b.vec_id as vec_b,
-             round(${cosine("a.embedding", "b.embedding")}, 4) as cos
+             ${cosN("a.embedding", "b.embedding")} as cos
       from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
-      order by cos desc, vec_a, vec_b limit 50
+      order by cos desc nulls last, vec_a, vec_b limit 50
     """,
 
     // c12's recursive-reach components over c5's verified pair graph
@@ -426,7 +435,7 @@ object OraclesC {
       vp as (
         select a.vec_id as va, b.vec_id as vb
         from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
-        where round(${cosine("a.embedding", "b.embedding")}, 4) >= $SEMTH),
+        where ${cosN("a.embedding", "b.embedding")} >= $SEMTH),
       edges as (
         select va as a, vb as b from vp
         union
@@ -514,12 +523,12 @@ object OraclesC {
       with q as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
       scored as (
         select q.q_id, e.vec_id,
-               round(${cosine("q.q_emb", "e.embedding")}, 4) as cos
+               ${cosN("q.q_emb", "e.embedding")} as cos
         from embeddings e cross join q
         where e.vec_id <> q.q_id),
       ranked as (
         select q_id, vec_id, cos,
-               row_number() over (partition by q_id order by cos desc, vec_id)::bigint as rank
+               row_number() over (partition by q_id order by cos desc nulls last, vec_id)::bigint as rank
         from scored)
       select q_id, vec_id, cos, rank from ranked where rank <= 10 order by q_id, rank
     """,
@@ -529,16 +538,16 @@ object OraclesC {
       ranked_assign as (
         select e.vec_id, e.embedding, c.c_id,
                row_number() over (partition by e.vec_id
-                 order by round(${cosine("e.embedding", "c.c_emb")}, 4) desc, c.c_id) as rn
+                 order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
         from embeddings e cross join c),
       assigned as (select vec_id, embedding, c_id as cluster from ranked_assign where rn = 1),
       probes as (select vec_id as q_id, embedding as q_emb, c_id as cluster
                  from ranked_assign where vec_id < $NQ and rn <= $NPROBE),
       ranked as (
         select p.q_id, a.vec_id, a.cluster,
-               round(${cosine("p.q_emb", "a.embedding")}, 4) as cos,
+               ${cosN("p.q_emb", "a.embedding")} as cos,
                row_number() over (partition by p.q_id
-                 order by round(${cosine("p.q_emb", "a.embedding")}, 4) desc, a.vec_id)::bigint as rank
+                 order by ${cosN("p.q_emb", "a.embedding")} desc nulls last, a.vec_id)::bigint as rank
         from assigned a join probes p on a.cluster = p.cluster
         where a.vec_id <> p.q_id)
       select q_id, vec_id, cluster, cos, rank from ranked where rank <= 10 order by q_id, rank
@@ -550,16 +559,16 @@ object OraclesC {
       ranked_assign as (
         select e.vec_id, e.embedding, c.c_id,
                row_number() over (partition by e.vec_id
-                 order by round(${cosine("e.embedding", "c.c_emb")}, 4) desc, c.c_id) as rn
+                 order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
         from embeddings e cross join c),
       assigned as (select vec_id, embedding, c_id as cluster from ranked_assign where rn = 1),
       probes as (select vec_id as q_id, embedding as q_emb, c_id as cluster
                  from ranked_assign where vec_id < $NQ and rn <= $NPROBE),
       ranked as (
         select p.q_id, a.vec_id, a.cluster,
-               round(${cosine("p.q_emb", "a.embedding")}, 4) as cos,
+               ${cosN("p.q_emb", "a.embedding")} as cos,
                row_number() over (partition by p.q_id
-                 order by round(${cosine("p.q_emb", "a.embedding")}, 4) desc, a.vec_id)::bigint as rank
+                 order by ${cosN("p.q_emb", "a.embedding")} desc nulls last, a.vec_id)::bigint as rank
         from assigned a join probes p on a.cluster = p.cluster
         where a.vec_id <> p.q_id)
       select q_id, vec_id, cluster, cos, rank from ranked where rank <= 10 order by q_id, rank
@@ -1152,10 +1161,7 @@ object OraclesC {
       ranked_assign as (
         select e.vec_id, cc.c_id,
                row_number() over (partition by e.vec_id
-                 order by (case when isnan(round(${cosine("e.embedding", "cc.c_emb")}, 4))
-                             then null
-                             else round(${cosine("e.embedding", "cc.c_emb")}, 4) end)
-                   desc nulls last, cc.c_id) as rn
+                 order by ${cosN("e.embedding", "cc.c_emb")} desc nulls last, cc.c_id) as rn
         from embeddings e cross join cc),
       assigned60 as (select vec_id, c_id as cluster from ranked_assign where rn = 1),
       probes60 as (select vec_id as q_id, c_id as cluster
@@ -1185,12 +1191,12 @@ object OraclesC {
       q6 as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
       sc6 as (
         select q6.q_id, e.vec_id,
-               round(${cosine("q6.q_emb", "e.embedding")}, 4) as cos
+               ${cosN("q6.q_emb", "e.embedding")} as cos
         from embeddings e cross join q6
         where e.vec_id <> q6.q_id),
       ex as (select q_id, vec_id from (
                select q_id, vec_id,
-                      row_number() over (partition by q_id order by cos desc, vec_id) as rk
+                      row_number() over (partition by q_id order by cos desc nulls last, vec_id) as rk
                from sc6)
              where rk <= ${graft.operators.Similarity.PqTopK}),
       h as (select a.q_id, count(ex.vec_id)::bigint as n_hits

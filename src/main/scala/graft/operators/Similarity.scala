@@ -74,17 +74,23 @@ object Similarity {
     if (q.columns.contains("q_nrm")) q
     else q.withColumn("q_nrm", VectorFns.norm(col("q_emb")))
 
-  /** Cosine between two pre-normed vectors — NULL when either norm
-    * is zero. A zero-norm embedding has no direction, so its cosine
-    * is undefined; the plain division is a query-killing ANSI
-    * DIVIDE_BY_ZERO on ONE corrupt row (and NaN with ANSI off, which
-    * Spark orders ABOVE every real cosine — even worse, it would WIN
-    * top-k ranks and pass thresholds). Null does the right thing in
-    * every consumer for free: it compares false against thresholds,
-    * sorts after real cosines, and drops out of max_by. */
+  /** Cosine between two pre-normed vectors — NULL when the cosine has
+    * no EVIDENCE: a zero norm (no direction; the plain division is a
+    * query-killing ANSI DIVIDE_BY_ZERO on ONE corrupt row) or a NaN
+    * element (Spark's `NaN > 0` is TRUE, so a NaN norm slips the
+    * denominator guard and the raw NaN cosine would then rank ABOVE
+    * every real cosine — winning top-k ranks and passing thresholds).
+    * NULL does the right thing in every consumer for free: it
+    * compares false against thresholds, sorts after real cosines
+    * (desc = NULLS LAST), and loses max_by struct ties. r10: the
+    * isnan leg moved INTO this one spelling (was per-consumer belts
+    * in c32/c43) and every similarity oracle mirrors it with
+    * `case isnan → null … desc nulls last` — the whole tier now
+    * shares the c43 degenerate stance on both engines. */
   private def pairCos(aEmb: String, aNrm: String, bEmb: String, bNrm: String) = {
     val denom = col(aNrm) * col(bNrm)
-    when(denom > 0, round(VectorFns.dot(col(aEmb), col(bEmb)) / denom, 4))
+    val c = round(VectorFns.dot(col(aEmb), col(bEmb)) / denom, 4)
+    when(denom > 0 && !isnan(c), c)
   }
 
   /** Candidate pairs for c5 before cosine verification — exposed so
@@ -303,9 +309,17 @@ object Similarity {
     * mapPartitions escape hatch's textbook case, FAISS's own serving
     * shape.) */
   /** HALF_UP 4-decimal rounding — Spark's Round-on-double semantics,
-    * the ONE spelling c47's driver LUT and executor kernel share. */
+    * the ONE spelling c47's driver LUT and executor kernel share.
+    * NaN passes through (BigDecimal.valueOf would throw): a
+    * NaN-element vector then has all-NaN cells in the touched
+    * subspace, the strict `<` argmin keeps code 0 — exactly DuckDB's
+    * `order by d2, k` pick, since NaN orders last there — and NaN
+    * ADC scores rank last under both engines' ascending NaN-greatest
+    * order. Degenerate vectors stay deterministic, never crash the
+    * kernel, and never win a rank. */
   private def pqRound4(v: Double): Double =
-    BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (v.isNaN) v
+    else BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Rounded squared L2 between subspace-`m` slices of `v` and
     * codeword `cb(k)` — called by BOTH the driver-side LUT build and

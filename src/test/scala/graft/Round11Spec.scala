@@ -175,6 +175,35 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getDouble(4) == 1.0) // every one of them matched — incl. the re-encoded frame
   }
 
+  // ---- degenerate-embedding stance (r10 tier unification) -------------
+
+  test("degenerate embeddings (zero-norm, NaN element) never win similarity ranks") {
+    import spark.implicits._
+    val rows = (0L to 19L).map(i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 64 + d + 1).toFloat), "a")) ++
+      Seq(
+        (20L, Array.fill(64)(0f), "a"),                                   // zero norm
+        (21L, { val a = Array.tabulate(64)(d => (d + 1).toFloat); a(3) = Float.NaN; a }, "a"))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    // c6: 21 candidates per query, top-10 — the two no-evidence
+    // vectors must rank last and never enter the report
+    val c6ids = Similarity.c6AnnTopK(emb, Some(Similarity.defaultQueries(emb, 5)), 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!c6ids.contains(20L) && !c6ids.contains(21L), c6ids)
+    // c5: a pair touching a degenerate endpoint may appear only with
+    // a NULL cosine (no evidence is never a similarity claim)
+    val c5bad = Similarity.c5EmbedNearDup(emb).collect()
+      .filter(r => Set(r.getLong(0), r.getLong(1)).exists(Set(20L, 21L)))
+    assert(c5bad.forall(_.isNullAt(2)), c5bad.mkString("\n"))
+    // c7 and the PQ kernels must run (no ANSI divide / BigDecimal-NaN
+    // crash) and report no non-null cosine for a degenerate vector
+    val c7bad = Similarity.c7AnnIvf(emb, Some(Similarity.defaultQueries(emb, 5)))
+      .collect().filter(r => r.getLong(1) == 20L || r.getLong(1) == 21L)
+    assert(c7bad.forall(_.isNullAt(3)), c7bad.mkString("\n"))
+    assert(Similarity.c47PqAdc(emb, nQueries = 5).count() > 0)
+    assert(Similarity.c60IvfPqAdc(emb, nQueries = 5).count() > 0)
+  }
+
   // ---- c60: IVF + PQ composed serving ---------------------------------
 
   test("c60 equals an independent IVFADC recomputation on the full corpus") {
