@@ -795,6 +795,42 @@ object OraclesC {
       group by d.source order by d.source
     """,
 
+    // c61: c8's language verdict keys c38's p ∝ √n admission at
+    // (pred_lang, source) grain — both spellings verbatim
+    "c61_lang_mix" -> s"""
+      with pl as (
+        select doc_id, source,
+               case when round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) > 0.01
+                      or round((
+                        (length(text) - length(replace(text, 'th', ''))) / 2
+                      + (length(text) - length(replace(text, 'he', ''))) / 2
+                      + (length(text) - length(replace(text, 'in', ''))) / 2
+                      + (length(text) - length(replace(text, 'er', ''))) / 2
+                        )::double / length(text), 4) > 0.02
+                 then 'en' else 'und' end as pred_lang
+        from (select doc_id, source, text, string_split(text, ' ') as w from documents)),
+      counts as (select pred_lang, source, count(*) as n_total from pl group by 1, 2),
+      tot as (
+        select sum(n_total)::bigint as n_corpus,
+               round(sum(sqrt(n_total)), 6) as z
+        from counts),
+      rates as (
+        select pred_lang, source,
+               least(1000, floor(1000.0 * floor(n_corpus * $MIXSHARE)
+                 * sqrt(n_total) / (z * n_total))::bigint) as mille
+        from counts, tot),
+      d as (
+        select pred_lang, source,
+               ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 1000 as bucket
+        from pl)
+      select d.pred_lang, d.source, count(*) as n_docs, min(mille) as keep_mille,
+             (count(*) filter (where bucket < mille))::bigint as n_kept,
+             round((count(*) filter (where bucket < mille))::double / count(*), 4) as kept_frac
+      from d join rates on d.pred_lang = rates.pred_lang and d.source = rates.source
+      group by d.pred_lang, d.source
+      order by d.pred_lang, d.source
+    """,
+
     // c41: the Gopher §A1.1 battery at (doc, term) grain — thresholds
     // interpolated from the operator constants; rules compare the
     // ROUNDED signals (round-then-compare, c17's discipline); the //3

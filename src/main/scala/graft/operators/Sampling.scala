@@ -346,8 +346,17 @@ object Sampling {
     * shape: one report-sized count aggregate, broadcast back over
     * the corpus scan, one narrow filter + report aggregation — no
     * corpus shuffle at all. */
-  def c38TemperatureMix(docs: DataFrame): DataFrame = {
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+  def c38TemperatureMix(docs: DataFrame): DataFrame =
+    temperatureMixOver(docs.select(col("doc_id"), col("source")), Seq("source"))
+
+  /** The temperature-mix machinery over ARBITRARY grouping keys —
+    * ONE spelling for c38 (by source) and c61 (by detected language
+    * × source), so the p ∝ √n math and the per-mille admission can
+    * never drift between the two reports. `docs` must carry doc_id +
+    * the key columns. */
+  private[operators] def temperatureMixOver(docs: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val counts = docs.groupBy(keyCols: _*).agg(count(lit(1)).as("n_total"))
     val tot = counts.agg(
       sum(col("n_total")).as("n_corpus"),
       round(sum(sqrt(col("n_total").cast("double"))), 6).as("z"))
@@ -356,16 +365,16 @@ object Sampling {
         floor(lit(1000.0) * floor(col("n_corpus") * lit(MixBudgetShare))
           * sqrt(col("n_total").cast("double"))
           / (col("z") * col("n_total")))))
-      .select(col("source"), col("mille"))
-    docs.select(col("source"),
+      .select(keyCols :+ col("mille"): _*)
+    docs.select(keyCols :+
         (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-          .cast("long") % 1000).as("bucket"))
-      .join(broadcast(rates), Seq("source"))
-      .groupBy("source")
+          .cast("long") % 1000).as("bucket"): _*)
+      .join(broadcast(rates), keys)
+      .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("n_docs"),
         min(col("mille")).as("keep_mille"),
         sum(when(col("bucket") < col("mille"), 1L).otherwise(0L)).as("n_kept"))
       .withColumn("kept_frac", round(col("n_kept").cast("double") / col("n_docs"), 4))
-      .orderBy("source")
+      .orderBy(keyCols: _*)
   }
 }

@@ -52,6 +52,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c61: temperature mix at (DETECTED language × source) grain —
+    * the grouping mT5/XLM-R actually mix by (§3.1: sampling rates
+    * are per LANGUAGE, not per provenance), composed from shipped
+    * parts: c8's language verdict (the shared marker/bigram signal
+    * spellings — detector and report cannot drift) keys c38's
+    * p ∝ √n admission ([[Sampling.temperatureMixOver]], the one
+    * mixture spelling). The report prices every (pred_lang, source)
+    * cell's keep rate — CCNet's layout: language first, then
+    * provenance within it. Cost over c38: one narrow projection
+    * computing the verdict (no join — the detector is a per-row
+    * expression); everything downstream is the same two report-sized
+    * broadcast aggregates. */
+  def c61LangMix(docs: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Sampling.temperatureMixOver(
+      docs.select(col("doc_id"), col("source"),
+        when(enScoreOf(toks) > 0.01 || enNgramScoreOf(col("text")) > 0.02, lit("en"))
+          .otherwise(lit("und")).as("pred_lang")),
+      Seq("pred_lang", "source"))
+  }
+
   /** c9: quality scoring from length / repetition / stopword-rate
     * signals, composed into a bounded [0,1] score. */
   def c9Quality(docs: DataFrame): DataFrame = {

@@ -305,6 +305,27 @@ class Round11Spec extends AnyFunSuite {
     assert(rows(3L) == ((8L, 0L, 0.0)))
   }
 
+  // ---- c61: language × source temperature mix -------------------------
+
+  test("c61: cells split by DETECTED language and flatten by √n") {
+    val m = graft.functions.TextFns.EnMarkers
+    val enText = (0 until 20).map(k => m(k % 8)).mkString(" ")
+    val undText = (0 until 20).map(k => s"xq${('a' + k % 26).toChar}").mkString(" ")
+    import org.apache.spark.sql.functions.lit
+    // source s: 90 en + 10 und; source t: 20 en — one source, two
+    // language cells with DIFFERENT rates is the point c38 can't see
+    val docs = docsDF(
+      (1L to 90L).map(i => i -> enText) ++ (91L to 100L).map(i => i -> undText))
+      .unionByName(docsDF((101L to 120L).map(i => i -> enText)).withColumn("source", lit("t")))
+    val rep = TextAnalysis.c61LangMix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rep.keySet == Set(("en", "s"), ("und", "s"), ("en", "t")), rep)
+    assert(rep(("en", "s"))._1 == 90L && rep(("und", "s"))._1 == 10L && rep(("en", "t"))._1 == 20L)
+    // √n flattening: smaller cells keep a strictly larger per-mille
+    assert(rep(("und", "s"))._2 > rep(("en", "t"))._2, rep)
+    assert(rep(("en", "t"))._2 > rep(("en", "s"))._2, rep)
+  }
+
   // ---- document-tier pipeline (curation DAG end to end) ---------------
 
   test("curation pipeline: overlapping polls + replay ≡ one full build; reasons merge incrementally") {
