@@ -752,6 +752,14 @@ object Dedup {
       .select(col("doc_id"), col("pos"), substring(md5(col("s")), 1, 16).as("key"))
   }
 
+  /** The positional-shingle kernel for transient frames (each
+    * streaming micro-batch is a NEW plan — [[directShingleSets]]'s
+    * memo-leak discipline): (doc_id, pos, 64-bit key) rows, the
+    * input grain of the span tier and of SpanStream's stored
+    * inverted index. */
+  private[graft] def posShingleRows(docs: DataFrame, w: Int = SpanShingleW): DataFrame =
+    posShingles(docs, w)
+
   /** c33: exact repeated-SPAN dedup across documents — the Lee et
     * al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better") family: find maximal token ranges that occur verbatim

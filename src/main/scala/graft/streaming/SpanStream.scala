@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.{Dedup, Materialize}
+
+/** Substring-SPAN dedup as a LIVE ingest stage — the streaming twin
+  * of c56 (the way NearDupStream is c3/c12's): the posting store IS
+  * the "stored inverted index" c56's scaladoc promises, accumulated
+  * batch by batch, and every arriving document's positional shingles
+  * probe it for verbatim spans already in the corpus. The emitted cut
+  * instructions ([doc_cut, doc_keep, cut_start, keep_start,
+  * n_tokens]) are exactly c33/c56's evidence rows — a downstream
+  * consumer executes them with c34's island merge before
+  * tokenization.
+  *
+  * Decision semantics, the online keep-first rule: the STORED corpus
+  * always keeps, the arriving doc always cuts (c56's role
+  * orientation). Within-batch spans are deliberately NOT emitted —
+  * the batch's own c33 run is the at-rest compaction's question
+  * (c56's exact stance), and the gate's job is the door. Temporal
+  * order is made explicit: every stored posting carries the batch id
+  * that admitted it, and a probe only reads postings with
+  * batch_id < its own — which is ALSO the replay guard (an
+  * at-least-once replay of batch N sees its own echoed postings at
+  * batch_id = N and ignores them, re-deriving the original spans;
+  * the keep-first stores absorb the rewrites).
+  *
+  * Scale shape: the probe is a key-equi-join of batch postings
+  * against the store — batch-sized × matched, never store-sized on
+  * the batch side; the combined-occurrence cap ([[Dedup.SpanOccCap]],
+  * the stored index's boilerplate rule) bounds per-key fan-out
+  * before any pairing, so cross pair volume is ∝ cross-boundary
+  * shared-shingle mass (c56's bound, online). The diagonal-run
+  * collapse is c33's verbatim window + exchange-sharing groupBy on
+  * evidence-sized rows. */
+object SpanStream {
+
+  def spanGate(docs: DataFrame, spanStore: String, postingStore: String,
+      w: Int = Dedup.SpanShingleW, minSpan: Int = Dedup.SpanMinTokens,
+      occCap: Int = Dedup.SpanOccCap,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((wr, dir) => wr.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = Materialize.frame(batch.select(col("doc_id"), col("text")))
+        val (spans, postB) = batchSpans(b, postingStore, batchId, w, minSpan, occCap)
+        // span_key needs all four coordinates: one cut position can
+        // match several keep positions (distinct diagonals)
+        EventsStream.upsertSink(
+          spans.withColumn("span_key", concat_ws(":",
+            col("doc_cut"), col("doc_keep"), col("cut_start"), col("keep_start"))),
+          spanStore, "span_key")
+        EventsStream.upsertSink(
+          postB.withColumn("batch_id", lit(batchId))
+            .withColumn("kdp", concat_ws(":", col("key"), col("doc_id"), col("pos"))),
+          postingStore, "kdp")
+        ()
+      }
+      .start()
+
+  /** The per-batch span derivation — exposed so replay idempotence is
+    * testable directly (the house batchDecisions pattern). Input `b`
+    * must be a materialized (doc_id, text) frame; returns the cut
+    * instructions and the batch's posting rows for the store sink. */
+  private[streaming] def batchSpans(b: DataFrame, postingStore: String, batchId: Long,
+      w: Int, minSpan: Int, occCap: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = b.sparkSession
+    val postB = Materialize.frame(Dedup.posShingleRows(b, w))
+    // only postings admitted by EARLIER batches: temporal keep-first
+    // orientation AND the replay guard in one predicate
+    val stored = readOrEmpty(spark, postingStore,
+        "kdp string, doc_id long, pos long, key string, batch_id long")
+      .filter(col("batch_id") < batchId)
+    // combined-occurrence cap before any pairing (the stored index's
+    // boilerplate rule — c56's [2, occCap] on the merged list)
+    val storeCnt = stored.groupBy("key").agg(count(lit(1)).as("ns"))
+    val okKeys = postB.groupBy("key").agg(count(lit(1)).as("nb"))
+      .join(storeCnt, Seq("key"))
+      .filter(col("nb") + col("ns") <= occCap)
+      .select("key")
+    val cross = postB.join(okKeys, Seq("key"))
+      .select(col("key"), col("doc_id").as("doc_cut"), col("pos").as("pos_cut"))
+      .join(stored.select(col("key"), col("doc_id").as("doc_keep"), col("pos").as("pos_keep")),
+        Seq("key"))
+      // a re-sent doc probing its own earlier postings is not a span
+      .filter(col("doc_keep") =!= col("doc_cut"))
+    val run = Window.partitionBy(col("doc_keep"), col("doc_cut"), col("diag"))
+      .orderBy(col("pos_cut"))
+    val spans = cross
+      .withColumn("diag", col("pos_cut") - col("pos_keep"))
+      .withColumn("grp", col("pos_cut") - row_number().over(run))
+      .groupBy(col("doc_keep"), col("doc_cut"), col("diag"), col("grp"))
+      .agg(min(col("pos_keep")).as("keep_start"), min(col("pos_cut")).as("cut_start"),
+        (count(lit(1)) + (w - 1)).as("n_tokens"))
+      .filter(col("n_tokens") >= minSpan)
+      .select(col("doc_cut"), col("doc_keep"), col("cut_start"),
+        col("keep_start"), col("n_tokens"))
+    (Materialize.frame(spans), postB)
+  }
+
+  // test-only entry (the round spec lives outside this package)
+  private[graft] def testBatchSpans(b: DataFrame, postingStore: String, batchId: Long,
+      w: Int = Dedup.SpanShingleW, minSpan: Int = Dedup.SpanMinTokens,
+      occCap: Int = Dedup.SpanOccCap): (DataFrame, DataFrame) =
+    batchSpans(b, postingStore, batchId, w, minSpan, occCap)
+
+  /** Every cut instruction the gate has emitted — from the span STORE
+    * (decisions, not counters: replays cannot double-count). */
+  def cuts(spark: SparkSession, spanStore: String): DataFrame =
+    spark.read.parquet(spanStore)
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_cut", "doc_keep", "cut_start", "keep_start", "n_tokens")
+
+  private def readOrEmpty(spark: SparkSession, store: String, schema: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(store).drop(EventsStream.KeyBucketCol)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+}

@@ -305,6 +305,54 @@ class Round11Spec extends AnyFunSuite {
     assert(rows(3L) == ((8L, 0L, 0.0)))
   }
 
+  // ---- SpanStream: the live span-dedup gate ---------------------------
+
+  test("streaming span gate: cross-batch cuts emitted, within-batch deferred, replay-safe") {
+    import graft.streaming.{EventsStream, SpanStream}
+    import spark.implicits._
+    val span = toks("sp", 24)
+    val batch1 = Seq(
+      1L -> (toks("a", 5) ++ span ++ toks("az", 5)).mkString(" "), // span at 5..28
+      2L -> toks("b", 30).mkString(" "))
+    val batch2 = Seq(
+      3L -> (toks("c", 3) ++ span ++ toks("cz", 1)).mkString(" "), // re-uses it at 3..26
+      4L -> (toks("d", 2) ++ toks("de", 24)).mkString(" "),        // within-batch pair —
+      5L -> (toks("e", 4) ++ toks("de", 24)).mkString(" "))        // the compaction's question
+    val in = java.nio.file.Files.createTempDirectory("graft-sp-in-").toString
+    batch1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    batch2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val spanStore = java.nio.file.Files.createTempDirectory("graft-sp-s-").toString + "/store"
+    val postStore = java.nio.file.Files.createTempDirectory("graft-sp-p-").toString + "/store"
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string"))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = SpanStream.spanGate(src, spanStore, postStore)
+    try q.processAllAvailable() finally q.stop()
+    def gotCuts() = SpanStream.cuts(spark, spanStore).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // exactly the planted cross-batch span: stored doc 1 keeps, the
+    // arriving doc 3 cuts [3, 27); the {4, 5} within-batch pair emits
+    // nothing (the at-rest c33/c56 run owns it)
+    assert(gotCuts() == Set((3L, 1L, 3L, 5L, 24L)), gotCuts())
+    // replay batch 2 directly (the at-least-once path): its own
+    // echoed postings sit at batch_id 1 and are ignored — the same
+    // single span re-derives and the keep-first stores absorb it
+    val b2 = graft.operators.Materialize.frame(batch2.toDF("doc_id", "text"))
+    val (respans, _) = SpanStream.testBatchSpans(b2, postStore, 1L)
+    assert(respans.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet ==
+      Set((3L, 1L, 3L, 5L, 24L)))
+    EventsStream.upsertSink(
+      respans.withColumn("span_key", concat_ws(":",
+        col("doc_cut"), col("doc_keep"), col("cut_start"), col("keep_start"))),
+      spanStore, "span_key")
+    assert(gotCuts() == Set((3L, 1L, 3L, 5L, 24L)), "replay grew the span store")
+    // the posting store accumulated every batch's rows under its batch id
+    val bids = spark.read.parquet(postStore).groupBy("batch_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bids.keySet == Set(0L, 1L), bids)
+  }
+
   // ---- c61: language × source temperature mix -------------------------
 
   test("c61: cells split by DETECTED language and flatten by √n") {
