@@ -460,6 +460,33 @@ object OraclesC {
       order by doc_a, doc_b, a_start, b_start
     """,
 
+    // c62: c34's island-merged cut totals left-joined onto the
+    // whitespace token counts — uncut docs bill zero
+    "c62_eff_tokens" -> s"""
+      with $C33_CHAIN,
+      iv62 as (select doc_b as doc_id, b_start as s, b_start + n_tokens as e from spans),
+      m62 as (
+        select doc_id, s, e,
+               max(e) over (partition by doc_id order by s, e
+                 rows between unbounded preceding and 1 preceding) as maxe
+        from iv62),
+      isl62 as (
+        select doc_id, s, e,
+               sum(case when maxe is null or s > maxe then 1 else 0 end)
+                 over (partition by doc_id order by s, e) as island
+        from m62),
+      r62 as (select doc_id, island, min(s) as cs, max(e) as ce
+              from isl62 group by doc_id, island),
+      cut62 as (select doc_id, sum(ce - cs)::bigint as cut_tokens
+                from r62 group by doc_id)
+      select d.doc_id, len(string_split(d.text, ' '))::bigint as n_tokens,
+             coalesce(cut62.cut_tokens, 0)::bigint as cut_tokens,
+             len(string_split(d.text, ' '))::bigint
+               - coalesce(cut62.cut_tokens, 0)::bigint as eff_tokens
+      from documents d left join cut62 on d.doc_id = cut62.doc_id
+      order by d.doc_id
+    """,
+
     // c56: c33's positional-shingle chain with pairs restricted to
     // base×delta (c45's md5 percent cut) and orientation fixed by
     // role — base keeps, delta cuts

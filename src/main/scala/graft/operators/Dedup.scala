@@ -891,6 +891,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** c62: EFFECTIVE token counts after span cuts — the number a
+    * packing budget actually spends once span dedup has run: per
+    * document, whitespace tokens, the tokens c34's disjoint cut
+    * ranges remove, and what remains. Closes the span tier's loop
+    * the way c57 closes c40's: c33 finds the evidence, c34 derives
+    * the cut decision, c62 prices what the corpus costs AFTER
+    * executing it — the input c22/c25's budgets should bill against
+    * (billing raw counts double-pays every duplicated span).
+    *
+    * Shape: token counts are a narrow projection; the cut side is
+    * c34's report (span-evidence-sized, riding the session-memoized
+    * span frame) left-joined at doc grain — uncut docs coalesce to
+    * zero. One report per doc, ordered. */
+  def c62EffectiveTokens(docs: DataFrame, w: Int = SpanShingleW,
+      minSpan: Int = SpanMinTokens, occCap: Int = SpanOccCap): DataFrame =
+    docs.select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(c34SpanCuts(docs, w, minSpan, occCap)
+        .select(col("doc_id"), col("cut_tokens")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
+      .withColumn("eff_tokens", col("n_tokens") - col("cut_tokens"))
+      .orderBy("doc_id")
+
   /** c56: INCREMENTAL substring-span dedup — c33's evidence at the
     * ingest boundary, c45's snapshot discipline applied to the one
     * dedup tier that still re-derived everything per snapshot: span

@@ -83,6 +83,21 @@ class Round11Spec extends AnyFunSuite {
     assert(incr.count() > 0, "planted cross-boundary spans must surface")
   }
 
+  // ---- c62: effective tokens after span cuts --------------------------
+
+  test("c62: packing bills effective tokens — cuts subtract, uncut docs bill full") {
+    val span = toks("sp", 24)
+    val docs = docsDF(Seq(
+      1L -> (toks("a", 4) ++ span).mkString(" "),              // keeps (lower id)
+      2L -> (toks("b", 6) ++ span ++ toks("bz", 2)).mkString(" "), // cuts the 24-token span
+      3L -> toks("u", 10).mkString(" ")))                      // untouched
+    val rows = Dedup.c62EffectiveTokens(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((28L, 0L, 28L)))
+    assert(rows(2L) == ((32L, 24L, 8L)))
+    assert(rows(3L) == ((10L, 0L, 10L)))
+  }
+
   // ---- c57: BPE merge application -------------------------------------
 
   test("bpe kernel: greedy left-to-right, non-overlapping, rank order") {
