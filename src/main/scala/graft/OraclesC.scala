@@ -58,6 +58,32 @@ object OraclesC {
         from runs33 group by doc_a, doc_b, diag, grp
         having count(*) + ${graft.operators.Dedup.SpanShingleW - 1} >= ${graft.operators.Dedup.SpanMinTokens})"""
 
+  /** The full BPE learn-and-apply chain (CTE list, no WITH): the tf
+    * table, c40's ranked merge list, and the symbol tables s0..sN
+    * after each greedy application step — shared by c57 (final-depth
+    * counts) and c63 (per-budget counts off the SAME intermediate
+    * tables). */
+  private val BPE_CHAIN = s"""tf as materialized (
+        select doc_id, term, count(*)::bigint as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      words as (select term, sum(tf)::bigint as n from tf group by term),
+      cand57 as (
+        select term, n, substr(term, i::int, 2) as pair
+        from words, unnest(range(1, length(term))) as t(i)
+        where length(term) >= 2),
+      bpe_merges as (
+        select substr(pair, 1, 1) as a, substr(pair, 2, 1) as b,
+               row_number() over (order by total desc, pair) as rank
+        from (select pair, sum(n)::bigint as total from cand57 group by pair)
+        qualify rank <= ${graft.operators.TextAnalysis.BpeMerges}),
+      s0 as materialized (
+        select term, i - 1 as pos, substr(term, i::int, 1) as sym
+        from (select distinct term from tf) v,
+             lateral (select unnest(range(1, length(term) + 1)) as i) t),
+      ${(1 to graft.operators.TextAnalysis.BpeMerges)
+        .map(k => bpeStep(k, s"s${k - 1}", s"s$k")).mkString(",")}"""
+
   /** One BPE merge-application step (CTE list, no leading comma):
     * greedy non-overlapping left-to-right collapse of merge `k` over
     * the symbol table `sIn(term, pos, sym)` → `sOut` (positions
@@ -939,27 +965,26 @@ object OraclesC {
     // c57: c40's ranked merge list applied greedily, CTE-for-CTE —
     // one generated block per merge (see bpeStep); doc counts reduce
     // off the same tf table under the learned segmentation
+    // c63: per-budget aggregates off the SAME symbol tables the c57
+    // chain materializes (s0, s2, …) — budgets interpolated
+    "c63_bpe_sweep" -> s"""
+      with $BPE_CHAIN,
+      ${graft.operators.TextAnalysis.BpeSweepBudgets.map(b =>
+        s"""nb$b as (select term, count(*)::bigint as n_syms from s$b group by term)""")
+        .mkString(",")}
+      ${graft.operators.TextAnalysis.BpeSweepBudgets.map(b => s"""
+      select $b::bigint as budget,
+             sum(tf.tf * coalesce(nb.n_syms, 0))::bigint as n_units,
+             sum(tf.tf * length(tf.term))::bigint as n_chars,
+             case when sum(tf.tf * length(tf.term)) > 0
+               then round(sum(tf.tf * coalesce(nb.n_syms, 0))::double
+                          / sum(tf.tf * length(tf.term)), 4) end as compression
+      from tf left join nb$b nb on tf.term = nb.term""").mkString("\n      union all")}
+      order by budget
+    """,
+
     "c57_bpe_encode" -> s"""
-      with tf as materialized (
-        select doc_id, term, count(*)::bigint as tf
-        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
-        group by 1, 2),
-      words as (select term, sum(tf)::bigint as n from tf group by term),
-      cand57 as (
-        select term, n, substr(term, i::int, 2) as pair
-        from words, unnest(range(1, length(term))) as t(i)
-        where length(term) >= 2),
-      bpe_merges as (
-        select substr(pair, 1, 1) as a, substr(pair, 2, 1) as b,
-               row_number() over (order by total desc, pair) as rank
-        from (select pair, sum(n)::bigint as total from cand57 group by pair)
-        qualify rank <= ${graft.operators.TextAnalysis.BpeMerges}),
-      s0 as materialized (
-        select term, i - 1 as pos, substr(term, i::int, 1) as sym
-        from (select distinct term from tf) v,
-             lateral (select unnest(range(1, length(term) + 1)) as i) t),
-      ${(1 to graft.operators.TextAnalysis.BpeMerges)
-        .map(k => bpeStep(k, s"s${k - 1}", s"s$k")).mkString(",")},
+      with $BPE_CHAIN,
       nsy as (select term, count(*)::bigint as n_syms
               from s${graft.operators.TextAnalysis.BpeMerges} group by term)
       select tf.doc_id, sum(tf.tf)::bigint as n_words,

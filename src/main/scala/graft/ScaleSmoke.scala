@@ -220,7 +220,7 @@ object ScaleSmoke {
       // and the CDC-grain checksum dedup
       "c58_ppl_buckets", "c59_novelty", "d10_cdc_dedup",
       // r10c: the pruned IVFADC kernel — |Q|- and probe-bounded
-      "c60_ivf_pq", "c61_lang_mix", "c62_eff_tokens")
+      "c60_ivf_pq", "c61_lang_mix", "c62_eff_tokens", "c63_bpe_sweep")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -126,6 +126,7 @@ object SparkEntry {
     "c60_ivf_pq" -> ((s, dir) => Similarity.c60IvfPqAdc(Tables.embeddings(s, dir))),
     "c61_lang_mix" -> ((s, dir) => TextAnalysis.c61LangMix(Tables.documents(s, dir))),
     "c62_eff_tokens" -> ((s, dir) => Dedup.c62EffectiveTokens(Tables.documents(s, dir))),
+    "c63_bpe_sweep" -> ((s, dir) => TextAnalysis.c63BpeSweep(Tables.documents(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

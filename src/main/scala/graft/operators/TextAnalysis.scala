@@ -1133,21 +1133,41 @@ object TextAnalysis {
     * positions are consecutive only when a = b (a run of the same
     * char), and a run's greedy picks are exactly its even offsets —
     * isolated matches are all taken on both spellings. */
+  private def bpeApplyOne(syms: Array[String], a: String, b: String): Array[String] = {
+    if (syms.length < 2) syms
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+  }
+
   private[graft] def bpeSymbolCount(term: String, merges: Array[(String, String)]): Int = {
     var syms: Array[String] = term.map(_.toString).toArray
-    merges.foreach { case (a, b) =>
-      if (syms.length >= 2) {
-        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += a + b; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.toArray
-      }
-    }
+    merges.foreach { case (a, b) => syms = bpeApplyOne(syms, a, b) }
     syms.length
+  }
+
+  /** Symbol counts after each PREFIX of the merge list named in
+    * `budgets` (ascending) — one greedy pass per merge total, shared
+    * across all budget points (c63's kernel). */
+  private[graft] def bpeSymbolCounts(term: String,
+      merges: Array[(String, String)], budgets: Seq[Int]): Seq[Int] = {
+    var syms: Array[String] = term.map(_.toString).toArray
+    var applied = 0
+    budgets.map { bgt =>
+      while (applied < bgt) {
+        val (a, b) = merges(applied)
+        syms = bpeApplyOne(syms, a, b)
+        applied += 1
+      }
+      syms.length
+    }
   }
 
   /** c57: BPE merge APPLICATION — the encode step c40's statistics
@@ -1189,6 +1209,50 @@ object TextAnalysis {
         when(col("n_chars") > 0,
           round(col("n_bpe_tokens").cast("double") / col("n_chars"), 4)))
       .orderBy("doc_id")
+  }
+
+  /** c63's budget points — prefixes of the ranked merge list
+    * (ascending; 0 = character grain, [[BpeMerges]] = c57's full
+    * budget). Oracle-interpolated. */
+  val BpeSweepBudgets: Seq[Int] = Seq(0, 2, 4, BpeMerges)
+
+  /** c63: BPE merge-budget sweep — the policy curve behind c57's one
+    * pinned budget (c51's sensitivity pattern applied to
+    * tokenization): corpus-wide unit counts and chars-per-unit
+    * compression at each PREFIX of the ranked merge list, the table
+    * a tokenizer-budget decision actually reads (where the
+    * compression curve flattens is where merges stop paying).
+    *
+    * Shape: ONE vocabulary kernel pass computes every budget point
+    * (the greedy passes are shared — budget k's state is budget
+    * k−1's plus one merge), the per-doc mass reduces off the tf memo
+    * through a (term × |budgets|)-sized join, and the report is
+    * |budgets| rows. The oracle reads the SAME intermediate symbol
+    * tables c57's generated chain already materializes (s0, s2, …),
+    * one aggregate per budget — CTE-for-CTE, no second derivation. */
+  def c63BpeSweep(docs: DataFrame, budgets: Seq[Int] = BpeSweepBudgets): DataFrame = {
+    require(budgets.nonEmpty && budgets == budgets.sorted && budgets.head >= 0,
+      s"budgets must be ascending and non-negative: $budgets")
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val merges = c40BpePairs(docs, budgets.max).select(col("pair")).collect()
+      .map { r => val p = r.getString(0); (p.substring(0, 1), p.substring(1, 2)) }
+    val bc = spark0.sparkContext.broadcast((merges, budgets))
+    val vocabSyms = tfRows(docs).select(col("term")).distinct().as[String]
+      .flatMap { t =>
+        val (m, bs) = bc.value
+        bs.zip(bpeSymbolCounts(t, m, bs)).map { case (b, n) => (t, b.toLong, n.toLong) }
+      }
+      .toDF("term", "budget", "n_syms")
+    tfRows(docs).join(vocabSyms, Seq("term"))
+      .groupBy("budget")
+      .agg(sum(col("tf") * length(col("term"))).as("n_chars"),
+        sum(col("tf") * col("n_syms")).as("n_units"))
+      .withColumn("compression",
+        when(col("n_chars") > 0,
+          round(col("n_units").cast("double") / col("n_chars"), 4)))
+      .select(col("budget"), col("n_units"), col("n_chars"), col("compression"))
+      .orderBy("budget")
   }
 
   // ---- c39: DSIR importance scoring -----------------------------------

@@ -167,6 +167,20 @@ class Round11Spec extends AnyFunSuite {
     assert(rows(2L) == ((3L, 6L, 3L, 0.5)))
   }
 
+  // ---- c63: BPE merge-budget sweep ------------------------------------
+
+  test("c63: units fall as merges apply and the curve flattens when merges stop paying") {
+    // ranking on this corpus: ab (weight 4), cd (3), ba (2)
+    val docs = docsDF(Seq(1L -> "abab abab", 2L -> "cd cd cd"))
+    val rows = TextAnalysis.c63BpeSweep(docs, budgets = Seq(0, 1, 2, 3)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.values.forall(_._2 == 14L))      // char mass is budget-invariant
+    assert(rows(0L)._1 == 14L && rows(0L)._3 == 1.0) // budget 0 = character grain
+    assert(rows(1L)._1 == 10L)                   // ab merged: abab → [ab, ab]
+    assert(rows(2L)._1 == 7L)                    // +cd: cd → one unit
+    assert(rows(3L)._1 == 7L)                    // +ba: nothing left to merge — flat
+  }
+
   // ---- d9: frame-grain perceptual near-dup ----------------------------
 
   test("d9: a re-encoded segment inside a longer video surfaces at full coverage") {
