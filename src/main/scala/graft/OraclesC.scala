@@ -250,6 +250,129 @@ object OraclesC {
   private val QS = graft.operators.Similarity.QuantScale
   private val QITERS = graft.operators.Similarity.QuantIters
 
+  // PQ geometry, from the operator constants
+  private val PSUB = graft.operators.Similarity.PqSubDim
+  private val PM = graft.operators.Similarity.PqSubspaces
+  private val PQK = graft.operators.Similarity.PqCodebookK
+  private val PTOPK = graft.operators.Similarity.PqTopK
+
+  /** (vec_id, m, sub) subspace slices — C47_CELLS' vm, standalone (CTE
+    * body) so the trained/residual chains can slice arbitrary vector
+    * CTEs the same way. */
+  private val PQ_VM = s"""
+        select e.vec_id, t.m,
+               [e.embedding[t.m*$PSUB+i]::double
+                for i in range(1,${PSUB + 1})] as sub
+        from embeddings e, unnest(range(0,$PM)) t(m)"""
+
+  /** One per-subspace fixed-point k-means iteration (the PQ
+    * subquantizer trainer's loop body, trainPqCodebooks) — the
+    * CTE-for-CTE replay: round-then-argmin assignment on the 4dp cell
+    * (ties to min k), exact int64 fixed-point update, empty codewords
+    * keep their previous centroid. `vmCte` is the (vec_id, m, sub)
+    * slice CTE, `prev` the incoming codebook CTE (m, k, csub). */
+  private def pqTrainIter(pfx: String, vmCte: String, prev: String, i: Int): String = s"""
+      ${pfx}d$i as (
+        select v.vec_id, v.m, cb.k, v.sub,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from $vmCte v join $prev cb using (m)),
+      ${pfx}a$i as (
+        select m, k as code, sub from ${pfx}d$i
+        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
+      ${pfx}u$i as (
+        select m, code, j as dim,
+               sum(floor(sub[j] * $QS + 0.5)::bigint) as s, count(*) as n
+        from ${pfx}a$i, unnest(range(1,${PSUB + 1})) as t(j)
+        group by m, code, j),
+      ${pfx}m$i as (
+        select m, code as k, list(s::double / (n * $QS)::double order by dim) as csub
+        from ${pfx}u$i group by m, code),
+      ${pfx}cb$i as (
+        select c.m, c.k, coalesce(u.csub, c.csub) as csub
+        from $prev c left join ${pfx}m$i u on u.m = c.m and u.k = c.k)"""
+
+  /** The full per-subspace trainer chain: seed = first-PQK rows'
+    * slices of `vmCte`, then QITERS unrolled iterations; the final
+    * codebook CTE is `{pfx}cb{QITERS}`. */
+  private def pqTrainChain(pfx: String, vmCte: String): String = s"""
+      ${pfx}cb0 as (
+        select m, vec_id as k, sub as csub from $vmCte where vec_id < $PQK),""" +
+    (1 to QITERS).map(i => pqTrainIter(pfx, vmCte, s"${pfx}cb${i - 1}", i)).mkString(",")
+
+  /** The PQ serving chain (encode → LUT → ADC → rank) over an
+    * arbitrary codebook CTE `cb(m, k, csub)` — C47_CHAIN generalized;
+    * the ranked CTE is `r{sfx}`. */
+  private def pqServeCtes(cbCte: String, sfx: String, vmCte: String): String = s"""
+      vd$sfx as (
+        select v.vec_id, v.m, cb.k,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from $vmCte v join $cbCte cb using (m)),
+      codes$sfx as (
+        select vec_id, m, k as code from vd$sfx
+        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
+      lut$sfx as (select vec_id as q_id, m, k, d2 from vd$sfx where vec_id < $NQ),
+      sc$sfx as (
+        select l.q_id, c.vec_id, round(sum(l.d2), 4) as adist
+        from codes$sfx c join lut$sfx l on l.m = c.m and l.k = c.code
+        where c.vec_id <> l.q_id
+        group by 1, 2),
+      r$sfx as (select q_id, vec_id, adist,
+              row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
+            from sc$sfx)"""
+
+  /** c60's coarse-quantizer CTEs (cc / ranked_assign / assigned60),
+    * shared by the c65 residual chain and the c66 audit — the exact
+    * ranking spelling the kernels' ivfTopClusters pins. */
+  private val IVF_ASSIGN = s"""
+      cc as (select vec_id as c_id, embedding as c_emb from embeddings where vec_id < $NC),
+      ranked_assign as (
+        select e.vec_id, cc.c_id,
+               row_number() over (partition by e.vec_id
+                 order by ${cosN("e.embedding", "cc.c_emb")} desc nulls last, cc.c_id) as rn
+        from embeddings e cross join cc),
+      assigned60 as (select vec_id, c_id as cluster from ranked_assign where rn = 1)"""
+
+  /** c66's per-cell CTEs: probes at this cell's nprobe, truncated-code
+    * ADC (rounded sum over m < budget — the kernel's running-sum
+    * round point), top-k rank, per-query hits vs the exact `ex` CTE
+    * (0 for queries the cell surfaces nothing for). */
+  private def c66Cell(np: Int, mb: Int): String = s"""
+      p${np}x$mb as (select vec_id as q_id, c_id as cluster
+           from ranked_assign where vec_id < $NQ and rn <= $np),
+      s${np}x$mb as (
+        select l.q_id, c.vec_id,
+               round(sum(l.d2) filter (where c.m < $mb), 4) as adist
+        from codes c
+        join assigned60 a on a.vec_id = c.vec_id
+        join p${np}x$mb p on p.cluster = a.cluster
+        join lut l on l.q_id = p.q_id and l.m = c.m and l.k = c.code
+        where c.vec_id <> l.q_id
+        group by 1, 2),
+      k${np}x$mb as (
+        select q_id, vec_id from (
+          select q_id, vec_id,
+                 row_number() over (partition by q_id order by adist, vec_id) as rk
+          from s${np}x$mb)
+        where rk <= $PTOPK),
+      h${np}x$mb as (
+        select q6.q_id, count(ex.vec_id)::bigint as n_hits
+        from q6
+        left join k${np}x$mb a on a.q_id = q6.q_id
+        left join ex on ex.q_id = a.q_id and ex.vec_id = a.vec_id
+        group by q6.q_id)"""
+
+  private val c66Grid: Seq[(Int, Int)] =
+    for {
+      np <- graft.operators.Similarity.RecallNprobes
+      mb <- graft.operators.Similarity.RecallMBudgets
+    } yield (np, mb)
+  private def c66Cells: Seq[String] = c66Grid.map { case (np, mb) => c66Cell(np, mb) }
+  private def c66CellSelects: Seq[String] = c66Grid.map { case (np, mb) =>
+    s"select $np::int as nprobe, $mb::int as m_budget, q_id, n_hits from h${np}x$mb"
+  }
+
   /** One spherical-k-means iteration in DuckDB — the CTE-for-CTE
     * replay of trainCentroidsQuantized's loop body. Exact int64 sums
     * of floor(v·scale + 0.5) make the update order-independent, so
@@ -1268,6 +1391,104 @@ object OraclesC {
       select q_id, rank, vec_id, adist from r60
       where rank <= ${graft.operators.Similarity.PqTopK}
       order by q_id, rank
+    """,
+
+    // c64: the per-subspace fixed-point trainer replayed CTE-for-CTE
+    // (c26's discipline at subquantizer grain), then c47's serving
+    // chain over the TRAINED codebook
+    "c64_pq_trained" -> s"""
+      with vm64 as ($PQ_VM),
+      ${pqTrainChain("t", "vm64")},
+      ${pqServeCtes(s"tcb$QITERS", "64", "vm64")}
+      select q_id, rank, vec_id, adist from r64
+      where rank <= $PTOPK
+      order by q_id, rank
+    """,
+
+    // c65: residual IVFADC — residuals v − centroid(assigned) under
+    // c60's exact assignment ranking, subquantizer TRAINED ON
+    // RESIDUALS (seed = first-16 residuals), per-(query, probed
+    // cluster) LUTs built from the query's own residual
+    "c65_ivfpq_residual" -> s"""
+      with $IVF_ASSIGN,
+      probes65 as (select vec_id as q_id, c_id as cluster
+                   from ranked_assign where vec_id < $NQ and rn <= $NPROBE),
+      res65 as (
+        select e.vec_id,
+               [e.embedding[i]::double - cc.c_emb[i]::double
+                for i in range(1,65)] as rv
+        from embeddings e
+        join assigned60 a on a.vec_id = e.vec_id
+        join cc on cc.c_id = a.cluster),
+      rvm as (
+        select vec_id, t.m,
+               [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
+        from res65, unnest(range(0,$PM)) t(m)),
+      ${pqTrainChain("r", "rvm")},
+      rvd as (
+        select v.vec_id, v.m, cb.k,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from rvm v join rcb$QITERS cb using (m)),
+      rcodes as (
+        select vec_id, m, k as code from rvd
+        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
+      qres as (
+        select p.q_id, p.cluster,
+               [e.embedding[i]::double - cc.c_emb[i]::double
+                for i in range(1,65)] as rv
+        from probes65 p
+        join embeddings e on e.vec_id = p.q_id
+        join cc on cc.c_id = p.cluster),
+      qrm as (
+        select q_id, cluster, t.m,
+               [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
+        from qres, unnest(range(0,$PM)) t(m)),
+      rlut as (
+        select q.q_id, q.cluster, q.m, cb.k,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from qrm q join rcb$QITERS cb using (m)),
+      sc65 as (
+        select l.q_id, c.vec_id, round(sum(l.d2), 4) as adist
+        from rcodes c
+        join assigned60 a on a.vec_id = c.vec_id
+        join rlut l on l.cluster = a.cluster and l.m = c.m and l.k = c.code
+        where c.vec_id <> l.q_id
+        group by 1, 2),
+      r65 as (select q_id, vec_id, adist,
+              row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
+              from sc65)
+      select q_id, rank, vec_id, adist from r65
+      where rank <= $PTOPK
+      order by q_id, rank
+    """,
+
+    // c66: the IVFADC recall audit — one cell per (nprobe, m_budget),
+    // each replaying c60's pruned serving at that dial setting
+    // (truncated-code adist = rounded sum over m < budget), recall
+    // against c6's exact chain; queries a cell surfaces nothing for
+    // read recall 0 via the query grid
+    "c66_ivfpq_recall" -> s"""
+      with $C47_CELLS,
+      $IVF_ASSIGN,
+      q6 as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
+      sc6 as (
+        select q6.q_id, e.vec_id,
+               ${cosN("q6.q_emb", "e.embedding")} as cos
+        from embeddings e cross join q6
+        where e.vec_id <> q6.q_id),
+      ex as (select q_id, vec_id from (
+               select q_id, vec_id,
+                      row_number() over (partition by q_id order by cos desc nulls last, vec_id) as rk
+               from sc6)
+             where rk <= $PTOPK),
+      ${c66Cells.mkString(",")},
+      cells as (${c66CellSelects.mkString(" union all ")})
+      select nprobe, m_budget, count(*) as n_queries,
+             round(avg(round(n_hits::double / $PTOPK, 4)), 4) as mean_recall
+      from cells group by nprobe, m_budget
+      order by nprobe, m_budget
     """,
 
     // c55: c47's ranked chain ∩ c6's exact chain at (q_id, vec_id)

@@ -127,6 +127,9 @@ object SparkEntry {
     "c61_lang_mix" -> ((s, dir) => TextAnalysis.c61LangMix(Tables.documents(s, dir))),
     "c62_eff_tokens" -> ((s, dir) => Dedup.c62EffectiveTokens(Tables.documents(s, dir))),
     "c63_bpe_sweep" -> ((s, dir) => TextAnalysis.c63BpeSweep(Tables.documents(s, dir))),
+    "c64_pq_trained" -> ((s, dir) => Similarity.c64PqTrained(Tables.embeddings(s, dir))),
+    "c65_ivfpq_residual" -> ((s, dir) => Similarity.c65IvfPqResidual(Tables.embeddings(s, dir))),
+    "c66_ivfpq_recall" -> ((s, dir) => Similarity.c66IvfPqRecall(Tables.embeddings(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

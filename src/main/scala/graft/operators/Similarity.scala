@@ -321,24 +321,71 @@ object Similarity {
     if (v.isNaN) v
     else BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Rounded squared L2 between subspace-`m` slices of `v` and
-    * codeword `cb(k)` — called by BOTH the driver-side LUT build and
-    * the executor encode loop, so the determinism contract (cast,
-    * sum order, rounding) cannot desynchronize between them. */
-  private def pqCellD2(v: Array[Double], cb: Array[Array[Double]], k: Int, m: Int): Double = {
+  /** Rounded squared L2 between the subspace-`m` slice of `v` and
+    * codeword `cb(m)(k)` — called by BOTH the driver-side LUT build
+    * and the executor encode loop, so the determinism contract (cast,
+    * sum order, rounding) cannot desynchronize between them.
+    * Codebooks are laid out per-subspace ([m][k][0..PqSubDim)) so the
+    * SEED books (first-16-vector slices), the TRAINED books
+    * ([[trainPqCodebooks]]), and the residual books all serve through
+    * this one cell. */
+  private def pqCellD2(v: Array[Double], cb: Array[Array[Array[Double]]],
+      k: Int, m: Int): Double = {
     var s = 0.0
     var i = 0
     val base = m * PqSubDim
+    val cw = cb(m)(k)
     while (i < PqSubDim) {
-      val d = v(base + i) - cb(k)(base + i)
+      val d = v(base + i) - cw(i)
       s += d * d
       i += 1
     }
     pqRound4(s)
   }
 
+  /** The deterministic SEED codebooks: the first [[PqCodebookK]]
+    * vectors' sub-slices, in the [m][k][i] layout (c7's centroid
+    * discipline — the oracle pins the same slices). */
+  private def seedBooks(vecs: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    require(vecs.length == PqCodebookK,
+      s"PQ codebook seed needs $PqCodebookK vectors, got ${vecs.length}")
+    Array.tabulate(PqSubspaces, PqCodebookK)((m, k) =>
+      vecs(k).slice(m * PqSubDim, (m + 1) * PqSubDim))
+  }
+
   def c47PqAdc(emb: DataFrame, nQueries: Int = DefaultQueryCount,
-      topK: Int = PqTopK): DataFrame = {
+      topK: Int = PqTopK): DataFrame = pqAdcServe(emb, None, nQueries, topK)
+
+  /** c64: c47's ADC serving over TRAINED per-subspace codebooks —
+    * the round-8 verdict's "the shipped operator is a stand-in for
+    * what production would run" gap: the codebook is no longer the
+    * first-16-vector SEED but [[trainPqCodebooks]]'s fixed-point
+    * per-subspace k-means output (Jégou §II's actual subquantizer
+    * training), and the oracle replays every training iteration
+    * CTE-for-CTE (c26's discipline applied per subspace) before
+    * replaying the serving chain. Same output contract as c47; the
+    * spec prices the payoff (trained recall ≥ seed recall on a
+    * clustered corpus at equal code budget). */
+  def c64PqTrained(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      topK: Int = PqTopK): DataFrame =
+    pqAdcServe(emb, Some(collectBooks(trainPqCodebooks(doubleVecs(emb)))), nQueries, topK)
+
+  /** (vec_id, v: array<double>) — the trainer's input projection. */
+  private def doubleVecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Collect a trained codebook frame (m, k, csub) into the [m][k][i]
+    * serving layout — M·K rows, bounded by construction. */
+  private[graft] def collectBooks(cbFrame: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = cbFrame.select(col("m"), col("k"), col("csub")).collect()
+      .map(r => ((r.getInt(0), r.getLong(1).toInt), r.getSeq[Double](2).toArray)).toMap
+    require(rows.size == PqSubspaces * PqCodebookK,
+      s"trained codebook has ${rows.size} cells, expected ${PqSubspaces * PqCodebookK}")
+    Array.tabulate(PqSubspaces, PqCodebookK)((m, k) => rows((m, k)))
+  }
+
+  private def pqAdcServe(emb: DataFrame, books: Option[Array[Array[Array[Double]]]],
+      nQueries: Int, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val need = PqSubspaces * PqSubDim
     val guarded = emb.filter(assert_true(size(col("embedding")) >= need,
@@ -359,9 +406,10 @@ object Similarity {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
-    val cbLocal = all.filter(_._1 < PqCodebookK).map(_._2)
-    require(cbLocal.length == PqCodebookK,
-      s"c47: corpus has ${cbLocal.length} vectors below id $PqCodebookK — codebook incomplete")
+    val seedVecs = all.filter(_._1 < PqCodebookK).map(_._2)
+    require(seedVecs.length == PqCodebookK,
+      s"c47: corpus has ${seedVecs.length} vectors below id $PqCodebookK — codebook incomplete")
+    val cbLocal = books.getOrElse(seedBooks(seedVecs))
     val qVecs = all.filter(_._1 < nQueries)
     val qArr = qVecs.map(_._1)
     val lut3 = Array.tabulate(qArr.length, PqSubspaces, PqCodebookK)(
@@ -390,7 +438,7 @@ object Similarity {
             var bestK = 0
             var bestD = Double.MaxValue
             var k = 0
-            while (k < cb.length) {
+            while (k < cb(m).length) {
               val sr = pqCellD2(v, cb, k, m)
               if (sr < bestD) { bestD = sr; bestK = k } // strict: ties keep min k
               k += 1
@@ -497,9 +545,10 @@ object Similarity {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
-    val cbLocal = all.filter(_._1 < PqCodebookK).map(_._2)
-    require(cbLocal.length == PqCodebookK,
-      s"c60: corpus has ${cbLocal.length} vectors below id $PqCodebookK — codebook incomplete")
+    val seedVecs = all.filter(_._1 < PqCodebookK).map(_._2)
+    require(seedVecs.length == PqCodebookK,
+      s"c60: corpus has ${seedVecs.length} vectors below id $PqCodebookK — codebook incomplete")
+    val cbLocal = seedBooks(seedVecs)
     val centLocal = all.filter(_._1 < DefaultCentroidCount).map(_._2)
     require(centLocal.length == DefaultCentroidCount,
       s"c60: corpus has ${centLocal.length} vectors below id $DefaultCentroidCount — centroids incomplete")
@@ -538,7 +587,7 @@ object Similarity {
               var bestK = 0
               var bestD = Double.MaxValue
               var k = 0
-              while (k < cb.length) {
+              while (k < cb(m).length) {
                 val sr = pqCellD2(v, cb, k, m)
                 if (sr < bestD) { bestD = sr; bestK = k } // strict: ties keep min k
                 k += 1
@@ -571,6 +620,406 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("adist"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Per-subspace L2 k-means — the PQ SUBQUANTIZER trainer (Jégou et
+    * al. 2011 §II: each of the [[PqSubspaces]] sub-vector spaces gets
+    * its own [[PqCodebookK]]-entry codebook minimizing squared L2),
+    * with [[trainCentroidsQuantized]]'s fixed-point determinism
+    * contract so the whole iterative loop is cross-engine replayable:
+    * assignment = argmin of the ROUNDED cell distance ([[pqCellD2]]'s
+    * exact spelling — round-then-argmin, ties to min k), update =
+    * exact int64 sums of floor(x·scale + 0.5) then one IEEE division.
+    * Empty codewords keep their previous centroid.
+    *
+    * Input `vecs` is (vec_id, v: array<double>) — the raw corpus for
+    * c64's plain books, the residual frame for c65's residual books
+    * (the seed is the first-[[PqCodebookK]] rows' slices either way,
+    * so the residual trainer seeds from residuals, never raw
+    * vectors). Distributed shape: ONE slicing pass materialized and
+    * reused per iteration (corpus·M rows), broadcast M·K codebook,
+    * map-side-combinable min_by assignment, one (m, code, dim)
+    * shuffle per update — the corpus never collects; the output is
+    * the M·K-row codebook frame (m, k, csub). */
+  def trainPqCodebooks(vecs: DataFrame, iters: Int = QuantIters,
+      scale: Long = QuantScale): DataFrame = {
+    val slices = (0 until PqSubspaces).map(m =>
+      struct(lit(m).as("m"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sub")))
+    val vm = vecs
+      .select(col("vec_id"), explode(array(slices: _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+      .localCheckpoint() // read once per iteration, not re-sliced per lineage step
+    var cb = vm.filter(col("vec_id") < PqCodebookK)
+      .select(col("m"), col("vec_id").as("k"), col("sub").as("csub"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // round-then-argmin on the SAME 4dp cell the serving kernels
+      // use; min_by struct ties keep min k — the kernel's strict `<`
+      val assigned = vm.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sub"), col("k"),
+          round(aggregate(zip_with(col("sub"), col("csub"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 4).as("d2"))
+        .groupBy("vec_id", "m")
+        .agg(expr("min_by(struct(k, sub), struct(d2, k))").as("best"))
+        .select(col("m"), col("best.k").as("code"), col("best.sub").as("sub"))
+      val updated = assigned
+        .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
+        .groupBy("m", "code", "dim")
+        .agg(sum(floor(col("x") * scale + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("m"), col("code").as("k"), col("dim"),
+          (col("s").cast("double") / (col("n") * scale).cast("double")).as("c"))
+        .groupBy("m", "k")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("csub"))
+      val kept = cb.join(updated.select("m", "k"), Seq("m", "k"), "left_anti")
+      cb = updated.unionByName(kept).localCheckpoint() // M·K rows; cut lineage
+    }
+    cb
+  }
+
+  /** Per-vector RESIDUAL v − centroid(assigned) over the seed coarse
+    * centroids — the quantity Jégou §V's subquantizer actually
+    * encodes. Assignment is c7's exact map-side-combinable max_by
+    * ranking (rounded cosine desc, min c_id ties — the same decision
+    * [[ivfTopClusters]] makes in the serving kernel, so train-side
+    * and serve-side residuals agree vector-for-vector). */
+  private[graft] def residualFrame(emb: DataFrame): DataFrame = {
+    val cent = broadcast(defaultCentroids(emb)
+      .select(col("c_id"), VectorFns.toDoubles(col("c_emb")).as("c_emb"), col("c_nrm")))
+    withNorm(emb).crossJoin(cent)
+      .select(col("vec_id"), col("embedding"), col("c_id"), col("c_emb"),
+        pairCos("embedding", "nrm", "c_emb", "c_nrm").as("c_cos"))
+      .groupBy("vec_id")
+      .agg(expr("max_by(struct(embedding, c_emb), struct(c_cos, -c_id))").as("best"))
+      .select(col("vec_id"),
+        zip_with(VectorFns.toDoubles(col("best.embedding")), col("best.c_emb"),
+          (a, b) => a - b).as("v"))
+  }
+
+  /** c65: RESIDUAL IVFADC — the complete Jégou §V serving stack
+    * ([[c60IvfPqAdc]] ships the non-residual compose; this closes the
+    * round-8 verdict's "residual encode is the documented one-line
+    * swap" into a shipped, oracle-checked operator): each corpus
+    * vector is encoded as its RESIDUAL v − centroid(assigned cluster)
+    * under codebooks TRAINED ON RESIDUALS ([[trainPqCodebooks]] over
+    * [[residualFrame]] — Jégou trains the subquantizer on residuals,
+    * not raw vectors), and each query scores a probed cluster's
+    * members through a PER-CLUSTER lookup table built from the
+    * query's own residual against that cluster's centroid — the
+    * residual trick: the LUT absorbs the centroid subtraction, so
+    * the per-member cost stays 8 lookups while the quantizer only
+    * has to cover the (much tighter) residual distribution.
+    *
+    * Determinism: assignment/probes are [[ivfTopClusters]] (c60's
+    * pinned ranking); residuals are exact double subtractions on
+    * both engines; training and cells inherit the fixed-point /
+    * round-then-argmin contract. Scale shape: centroids, codebooks
+    * (M·K rows), query set, and the |Q|·nprobe·M·K per-cluster LUTs
+    * are all bounded by construction; the corpus pass is ONE kernel —
+    * assign, residual, encode (skipped for never-probed clusters),
+    * per-cluster-LUT ADC, per-partition topK heaps. Zero corpus-grain
+    * shuffles (the training job's two shuffles run offline, once). */
+  def c65IvfPqResidual(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      topK: Int = PqTopK, nprobe: Int = DefaultNProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = 64
+    val guarded = emb.filter(assert_true(size(col("embedding")) >= dims,
+      concat(lit(s"c65: residual IVFADC needs ≥$dims dims, embedding has "),
+        size(col("embedding")))).isNull)
+    val rBooks = collectBooks(trainPqCodebooks(residualFrame(emb)))
+    val bound = math.max(DefaultCentroidCount, nQueries)
+    val all = guarded.filter(col("vec_id") < bound)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val centLocal = all.filter(_._1 < DefaultCentroidCount).map(_._2)
+    require(centLocal.length == DefaultCentroidCount,
+      s"c65: corpus has ${centLocal.length} vectors below id $DefaultCentroidCount — centroids incomplete")
+    val centNorm = centLocal.map(c => math.sqrt(dot64(c, c)))
+    val qVecs = all.filter(_._1 < nQueries)
+    val qArr = qVecs.map(_._1)
+    // per-query probe list + per-(query, probed-cluster) residual LUT:
+    // lut(qi)(c) is null for clusters qi never probes — the residual
+    // trick's cost is |Q|·nprobe LUTs, not |Q|·k
+    val probeSets = qVecs.map { case (_, qv) =>
+      val flags = new Array[Boolean](DefaultCentroidCount)
+      ivfTopClusters(qv, centLocal, centNorm, nprobe).foreach(flags(_) = true)
+      flags
+    }
+    val anyProbe = Array.tabulate(DefaultCentroidCount)(c => probeSets.exists(_(c)))
+    val lutR = Array.tabulate(qArr.length, DefaultCentroidCount) { (qi, c) =>
+      if (!probeSets(qi)(c)) null
+      else {
+        val qres = new Array[Double](dims)
+        var i = 0
+        while (i < dims) { qres(i) = qVecs(qi)._2(i) - centLocal(c)(i); i += 1 }
+        Array.tabulate(PqSubspaces, PqCodebookK)((m, k) => pqCellD2(qres, rBooks, k, m))
+      }
+    }
+    val spark0 = emb.sparkSession
+    val bc = spark0.sparkContext.broadcast(
+      (qArr, lutR, rBooks, centLocal, centNorm, probeSets, anyProbe))
+    import spark0.implicits._
+    val kLocal = topK
+    val topLocal = guarded
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (qs, lut, cb, cent, cn, probes, anyP) = bc.value
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        val codes = new Array[Int](PqSubspaces)
+        val res = new Array[Double](64)
+        it.foreach { case (vec, v) =>
+          val cluster = ivfTopClusters(v, cent, cn, 1)(0)
+          if (anyP(cluster)) {
+            var i = 0
+            while (i < 64) { res(i) = v(i) - cent(cluster)(i); i += 1 }
+            var m = 0
+            while (m < PqSubspaces) {
+              var bestK = 0
+              var bestD = Double.MaxValue
+              var k = 0
+              while (k < cb(m).length) {
+                val sr = pqCellD2(res, cb, k, m)
+                if (sr < bestD) { bestD = sr; bestK = k } // strict: ties keep min k
+                k += 1
+              }
+              codes(m) = bestK
+              m += 1
+            }
+            var qi = 0
+            while (qi < qs.length) {
+              if (qs(qi) != vec && probes(qi)(cluster)) {
+                val l = lut(qi)(cluster)
+                var s = 0.0
+                var mm = 0
+                while (mm < PqSubspaces) { s += l(mm)(codes(mm)); mm += 1 }
+                val cand = (pqRound4(s), vec)
+                val h = heaps(qi)
+                if (h.size < kLocal) h.enqueue(cand)
+                else if (ord.lt(cand, h.head)) { h.dequeue(); h.enqueue(cand) }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, v) => (qs(qi), v, d) }
+        }
+      }.toDF("q_id", "vec_id", "adist")
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    topLocal
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The seed codebooks of a corpus (first-16-vector slices) in the
+    * serving layout — spec hook for trained-vs-seed comparisons. */
+  private[graft] def seedBooksOf(emb: DataFrame): Array[Array[Array[Double]]] =
+    seedBooks(emb.filter(col("vec_id") < PqCodebookK)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2))
+
+  /** Mean PQ quantization distortion of a codebook over a corpus —
+    * mean over vectors of Σ_m min_k cell d2, the objective the
+    * per-subspace trainer descends (spec hook: trained ≤ seed). */
+  private[graft] def pqDistortion(emb: DataFrame,
+      books: Array[Array[Array[Double]]]): Double = {
+    val spark0 = emb.sparkSession
+    val bc = spark0.sparkContext.broadcast(books)
+    import spark0.implicits._
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (_, v) =>
+        val cb = bc.value
+        var tot = 0.0
+        var m = 0
+        while (m < PqSubspaces) {
+          var best = Double.MaxValue
+          var k = 0
+          while (k < cb(m).length) {
+            val d = pqCellD2(v, cb, k, m)
+            if (d < best) best = d
+            k += 1
+          }
+          tot += best
+          m += 1
+        }
+        tot
+      }.agg(avg(col("value"))).head.getDouble(0)
+  }
+
+  /** c66's audit grid — the two serving dials, oracle-interpolated:
+    * nprobe (how many clusters a query scans) × code budget (how
+    * many of the 8 subspace codes the ADC sum reads — truncated-code
+    * scoring, the storage/accuracy trade at fixed index layout). */
+  val RecallNprobes: Seq[Int] = Seq(1, 2, 4)
+  val RecallMBudgets: Seq[Int] = Seq(4, PqSubspaces)
+
+  /** c66: IVFADC recall audit — c55's measure-don't-guess pattern
+    * over [[c60IvfPqAdc]]'s TWO-dimensional dial (the round-8
+    * verdict: "the nprobe×code trade ships unmeasured"): for every
+    * (nprobe, m_budget) cell, mean recall@k of IVFADC serving against
+    * the exact c6 baseline over the bounded query set. One corpus
+    * kernel pass serves EVERY cell — clusters are ranked once per
+    * query at max(nprobe) and a cell just reads a prefix; codes are
+    * encoded once and a budget reads a prefix of the running ADC sum
+    * (rounded at each budget point, c47's round-then-sum contract
+    * per cell). Queries with no surfaced neighbors in a cell count
+    * recall 0 (the loss is real), via the cell×query grid.
+    *
+    * Report grain: |cells| rows; the corpus is touched once by the
+    * kernel and once by the exact baseline. */
+  def c66IvfPqRecall(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      k: Int = PqTopK, nprobes: Seq[Int] = RecallNprobes,
+      mBudgets: Seq[Int] = RecallMBudgets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobes.nonEmpty && nprobes == nprobes.distinct.sorted,
+      s"nprobes must be strictly ascending: $nprobes")
+    require(mBudgets.nonEmpty && mBudgets == mBudgets.distinct.sorted
+        && mBudgets.last <= PqSubspaces,
+      s"m budgets must be strictly ascending and ≤ $PqSubspaces: $mBudgets")
+    val dims = 64
+    val guarded = emb.filter(assert_true(size(col("embedding")) >= dims,
+      concat(lit(s"c66: IVFADC needs ≥$dims dims, embedding has "),
+        size(col("embedding")))).isNull)
+    val bound = math.max(PqCodebookK, math.max(DefaultCentroidCount, nQueries))
+    val all = guarded.filter(col("vec_id") < bound)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val seedVecs = all.filter(_._1 < PqCodebookK).map(_._2)
+    require(seedVecs.length == PqCodebookK,
+      s"c66: corpus has ${seedVecs.length} vectors below id $PqCodebookK — codebook incomplete")
+    val cbLocal = seedBooks(seedVecs)
+    val centLocal = all.filter(_._1 < DefaultCentroidCount).map(_._2)
+    require(centLocal.length == DefaultCentroidCount,
+      s"c66: corpus has ${centLocal.length} vectors below id $DefaultCentroidCount — centroids incomplete")
+    val centNorm = centLocal.map(c => math.sqrt(dot64(c, c)))
+    val qVecs = all.filter(_._1 < nQueries)
+    val qArr = qVecs.map(_._1)
+    val lut3 = Array.tabulate(qArr.length, PqSubspaces, PqCodebookK)(
+      (qi, m, k2) => pqCellD2(qVecs(qi)._2, cbLocal, k2, m))
+    val npMax = nprobes.max
+    // ranked probe PREFIX per query at the largest nprobe — cell np
+    // reads ranks [0, np)
+    val probesRanked = qVecs.map { case (_, qv) =>
+      ivfTopClusters(qv, centLocal, centNorm, npMax)
+    }
+    val anyProbe = Array.tabulate(DefaultCentroidCount)(c =>
+      probesRanked.exists(_.contains(c)))
+    val spark0 = emb.sparkSession
+    val npArr = nprobes.toArray
+    val mbArr = mBudgets.toArray
+    val bc = spark0.sparkContext.broadcast(
+      (qArr, lut3, cbLocal, centLocal, centNorm, probesRanked, anyProbe, npArr, mbArr))
+    import spark0.implicits._
+    val kLocal = k
+    val topLocal = guarded
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (qs, lut, cb, cent, cn, ranked, anyP, nps, mbs) = bc.value
+        val ord = Ordering.Tuple2[Double, Long]
+        // heap per (np, mb, query) cell
+        val heaps = Array.fill(nps.length * mbs.length * qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        val codes = new Array[Int](PqSubspaces)
+        val sums = new Array[Double](mbs.length)
+        it.foreach { case (vec, v) =>
+          val cluster = ivfTopClusters(v, cent, cn, 1)(0)
+          if (anyP(cluster)) {
+            var m = 0
+            while (m < PqSubspaces) {
+              var bestK = 0
+              var bestD = Double.MaxValue
+              var k2 = 0
+              while (k2 < cb(m).length) {
+                val sr = pqCellD2(v, cb, k2, m)
+                if (sr < bestD) { bestD = sr; bestK = k2 } // strict: ties keep min k
+                k2 += 1
+              }
+              codes(m) = bestK
+              m += 1
+            }
+            var qi = 0
+            while (qi < qs.length) {
+              if (qs(qi) != vec) {
+                // probe rank of this vector's cluster for query qi
+                val pr = ranked(qi)
+                var r = -1
+                var t = 0
+                while (t < pr.length) { if (r < 0 && pr(t) == cluster) r = t; t += 1 }
+                if (r >= 0) {
+                  // running ADC sum, rounded at each budget point
+                  var s = 0.0
+                  var mi = 0
+                  var mm = 0
+                  while (mm < PqSubspaces && mi < mbs.length) {
+                    s += lut(qi)(mm)(codes(mm))
+                    mm += 1
+                    if (mm == mbs(mi)) { sums(mi) = pqRound4(s); mi += 1 }
+                  }
+                  var npi = 0
+                  while (npi < nps.length) {
+                    if (r < nps(npi)) {
+                      var mbi = 0
+                      while (mbi < mbs.length) {
+                        val cand = (sums(mbi), vec)
+                        val h = heaps((npi * mbs.length + mbi) * qs.length + qi)
+                        if (h.size < kLocal) h.enqueue(cand)
+                        else if (ord.lt(cand, h.head)) { h.dequeue(); h.enqueue(cand) }
+                        mbi += 1
+                      }
+                    }
+                    npi += 1
+                  }
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, idx) =>
+          val qi = idx % qs.length
+          val cell = idx / qs.length
+          val npi = cell / mbs.length
+          val mbi = cell % mbs.length
+          h.iterator.map { case (d, v) => (nps(npi), mbs(mbi), qs(qi), v, d) }
+        }
+      }.toDF("nprobe", "m_budget", "q_id", "vec_id", "adist")
+    val wRank = Window.partitionBy(col("nprobe"), col("m_budget"), col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val approx = topLocal
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("m_budget"), col("q_id"), col("vec_id"))
+    val exact = c6AnnTopK(emb, Some(defaultQueries(emb, nQueries)), k)
+      .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+    val perQ = approx.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy("nprobe", "m_budget", "q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    // the cell×query grid: a query a cell surfaces nothing for reads
+    // recall 0, not a missing row
+    val grid = spark0.createDataFrame(
+      (for { np <- nprobes; mb <- mBudgets; q <- qArr } yield (np, mb, q)))
+      .toDF("nprobe", "m_budget", "q_id")
+    grid.join(perQ, Seq("nprobe", "m_budget", "q_id"), "left")
+      .withColumn("recall",
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4))
+      .groupBy("nprobe", "m_budget")
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("mean_recall"))
+      .orderBy("nprobe", "m_budget")
   }
 
   /** c55: PQ serving recall against the exact baseline — the

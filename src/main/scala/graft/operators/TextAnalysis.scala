@@ -1133,6 +1133,31 @@ object TextAnalysis {
     * positions are consecutive only when a = b (a run of the same
     * char), and a run's greedy picks are exactly its even offsets —
     * isolated matches are all taken on both spellings. */
+  /** Split a string into CODE-POINT symbols (not UTF-16 units) — the
+    * character grain Spark's `substr`/`length` and DuckDB's
+    * `substr`/`length` both operate on, so on non-BMP text (emoji,
+    * supplementary CJK) the kernel's symbols match c40's pair
+    * extraction and the oracle's replay instead of splitting a
+    * surrogate pair (r8 ADVICE). */
+  private[graft] def codePointSymbols(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      out += s.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Parse a 2-code-point merge pair into its (left, right) symbols
+    * at code-point grain — the ONE spelling c57 and c63 share. */
+  private def splitMergePair(p: String): (String, String) = {
+    val cps = codePointSymbols(p)
+    require(cps.length == 2, s"merge pair must be 2 code points: '$p'")
+    (cps(0), cps(1))
+  }
+
   private def bpeApplyOne(syms: Array[String], a: String, b: String): Array[String] = {
     if (syms.length < 2) syms
     else {
@@ -1148,7 +1173,7 @@ object TextAnalysis {
   }
 
   private[graft] def bpeSymbolCount(term: String, merges: Array[(String, String)]): Int = {
-    var syms: Array[String] = term.map(_.toString).toArray
+    var syms: Array[String] = codePointSymbols(term)
     merges.foreach { case (a, b) => syms = bpeApplyOne(syms, a, b) }
     syms.length
   }
@@ -1158,7 +1183,7 @@ object TextAnalysis {
     * across all budget points (c63's kernel). */
   private[graft] def bpeSymbolCounts(term: String,
       merges: Array[(String, String)], budgets: Seq[Int]): Seq[Int] = {
-    var syms: Array[String] = term.map(_.toString).toArray
+    var syms: Array[String] = codePointSymbols(term)
     var applied = 0
     budgets.map { bgt =>
       while (applied < bgt) {
@@ -1193,7 +1218,7 @@ object TextAnalysis {
     val spark0 = docs.sparkSession
     import spark0.implicits._
     val merges = c40BpePairs(docs, nMerges).select(col("pair")).collect()
-      .map { r => val p = r.getString(0); (p.substring(0, 1), p.substring(1, 2)) }
+      .map(r => splitMergePair(r.getString(0)))
     val bc = spark0.sparkContext.broadcast(merges)
     val vocabSyms = tfRows(docs).select(col("term")).distinct().as[String]
       .map(t => (t, bpeSymbolCount(t, bc.value).toLong))
@@ -1231,12 +1256,12 @@ object TextAnalysis {
     * tables c57's generated chain already materializes (s0, s2, …),
     * one aggregate per budget — CTE-for-CTE, no second derivation. */
   def c63BpeSweep(docs: DataFrame, budgets: Seq[Int] = BpeSweepBudgets): DataFrame = {
-    require(budgets.nonEmpty && budgets == budgets.sorted && budgets.head >= 0,
-      s"budgets must be ascending and non-negative: $budgets")
+    require(budgets.nonEmpty && budgets == budgets.distinct.sorted && budgets.head >= 0,
+      s"budgets must be strictly ascending and non-negative: $budgets")
     val spark0 = docs.sparkSession
     import spark0.implicits._
     val merges = c40BpePairs(docs, budgets.max).select(col("pair")).collect()
-      .map { r => val p = r.getString(0); (p.substring(0, 1), p.substring(1, 2)) }
+      .map(r => splitMergePair(r.getString(0)))
     val bc = spark0.sparkContext.broadcast((merges, budgets))
     val vocabSyms = tfRows(docs).select(col("term")).distinct().as[String]
       .flatMap { t =>

@@ -108,10 +108,14 @@ object SpanStream {
     batchSpans(b, postingStore, batchId, w, minSpan, occCap)
 
   /** Every cut instruction the gate has emitted — from the span STORE
-    * (decisions, not counters: replays cannot double-count). */
+    * (decisions, not counters: replays cannot double-count). Routed
+    * through the same existence guard as the posting-store read: a
+    * gate that processed batches but never emitted a span has no
+    * store directory yet, and the query must read as "no cuts", not
+    * throw (r8 ADVICE). */
   def cuts(spark: SparkSession, spanStore: String): DataFrame =
-    spark.read.parquet(spanStore)
-      .drop(EventsStream.KeyBucketCol)
+    readOrEmpty(spark, spanStore,
+        "span_key string, doc_cut long, doc_keep long, cut_start long, keep_start long, n_tokens long")
       .select("doc_cut", "doc_keep", "cut_start", "keep_start", "n_tokens")
 
   private def readOrEmpty(spark: SparkSession, store: String, schema: String): DataFrame = {
