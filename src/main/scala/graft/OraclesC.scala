@@ -334,6 +334,197 @@ object OraclesC {
         from embeddings e cross join cc),
       assigned60 as (select vec_id, c_id as cluster from ranked_assign where rn = 1)"""
 
+  /** One unrolled batch of c67's novelty replay (CTE list, no leading
+    * comma): batch survivors' bands, capped within-batch candidates +
+    * uncapped cross probes against the keepers accumulated through
+    * batch i−1, verified-Jaccard pairs, per-batch connected
+    * components (its own recursive CTE — the keeper set feeding batch
+    * i+1 depends on batch i's components, so the closure cannot be
+    * shared), keepers-win-clusters decisions, and the grown keeper
+    * set. Mirrors NearDupStream.batchDecisions clause for clause. */
+  private def c67Batch(i: Int, nBatches: Int): String = {
+    val prev = if (i == 0) "keepset_m1" else s"keepset${i - 1}"
+    val bar = graft.streaming.NearDupStream.JaccardThreshold
+    s"""
+      s2b$i as materialized (select doc_id from s2 where doc_id % $nBatches = $i),
+      bb$i as materialized (select b.doc_id, b.band_key from bandsS b join s2b$i using (doc_id)),
+      cb$i as materialized (select doc_id, band_key from bb$i
+               qualify count(*) over (partition by band_key) <= $CAP),
+      wc$i as (select distinct a.doc_id as doc_a, b.doc_id as doc_b
+               from cb$i a join cb$i b on a.band_key = b.band_key and a.doc_id < b.doc_id),
+      xc$i as (select distinct bb.doc_id, kb.doc_id as keeper_id
+               from bb$i bb
+               join (select b2.band_key, b2.doc_id from bandsS b2 join $prev using (doc_id)) kb
+                 on bb.band_key = kb.band_key),
+      vp$i as materialized (
+        select doc_a, doc_b from (
+          select w.doc_a, w.doc_b,
+                 round((len(sa.sh) + len(sb.sh) - u.uni)::double / u.uni, 4) as jac
+          from wc$i w
+          join setsS sa on w.doc_a = sa.doc_id
+          join setsS sb on w.doc_b = sb.doc_id,
+          lateral (select len(list_distinct(list_concat(sa.sh, sb.sh))) as uni) u)
+        where jac >= $bar
+        union all
+        select doc_a, doc_b from (
+          select x.doc_id as doc_a, x.keeper_id as doc_b,
+                 round((len(sa.sh) + len(sb.sh) - u.uni)::double / u.uni, 4) as jac
+          from xc$i x
+          join setsS sa on x.doc_id = sa.doc_id
+          join setsS sb on x.keeper_id = sb.doc_id,
+          lateral (select len(list_distinct(list_concat(sa.sh, sb.sh))) as uni) u)
+        where jac >= $bar),
+      ed$i as materialized (select doc_a as a, doc_b as b from vp$i
+               union select doc_b as a, doc_a as b from vp$i),
+      reach$i(a, b) as (
+        select a, b from ed$i
+        union
+        select r.a, e.b from reach$i r join ed$i e on r.b = e.a where e.b <> r.a),
+      lab$i as materialized (select a as node, least(a, min(b)) as comp from reach$i group by a),
+      perc$i as materialized (
+        select l.comp,
+               min(case when kp.doc_id is not null then l.node end) as min_keeper,
+               min(case when kp.doc_id is null then l.node end) as anchor
+        from lab$i l left join $prev kp on kp.doc_id = l.node
+        group by l.comp),
+      nd$i as materialized (
+        select s.doc_id,
+               case when l.node is null then 'keep'
+                    when p.min_keeper is not null then 'duplicate'
+                    when p.anchor <> s.doc_id then 'duplicate'
+                    else 'keep' end as stage,
+               cast(case when l.node is null then null
+                    when p.min_keeper is not null then p.min_keeper
+                    when p.anchor <> s.doc_id then p.anchor
+                    else null end as bigint) as dup_of
+        from s2b$i s
+        left join lab$i l on l.node = s.doc_id
+        left join perc$i p on p.comp = l.comp),
+      keepset$i as materialized (select doc_id from $prev union all
+                    select doc_id from nd$i where stage = 'keep')"""
+  }
+
+  /** c67's full oracle: the two stateless gates decided per doc (c50's
+    * cascade spelling, c35's Bloom probe), then the stateful novelty
+    * gate unrolled batch-for-batch. */
+  private def c67Sql(nBatches: Int): String = {
+    val maxFrac = graft.streaming.DecontamStream.MaxFlaggedFrac
+    s"""
+      with recursive
+      pop as materialized (select doc_id, text from documents where doc_id % 97 <> 0),
+      sig as materialized (
+        select doc_id,
+               len(w) as n_tokens,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
+               round(((length(text) - length(replace(text, 'th', ''))) / 2
+                    + (length(text) - length(replace(text, 'he', ''))) / 2
+                    + (length(text) - length(replace(text, 'in', ''))) / 2
+                    + (length(text) - length(replace(text, 'er', ''))) / 2
+                     )::double / length(text), 4) as en_ngram_score,
+               round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                 + len(regexp_extract_all(text, '[0-9]+')) as n_pii
+        from (select doc_id, text, string_split(text, ' ') as w from pop)),
+      q as materialized (
+        select doc_id,
+               case when n_tokens < 5 then 'too_short'
+                    when not (en_score > 0.01 or en_ngram_score > 0.02) then 'non_en'
+                    when distinct_ratio < 0.3 then 'repetitive'
+                    when n_pii > 20 then 'pii_heavy'
+                    else 'keep' end as qreason
+        from sig),
+      shs as materialized (
+        select doc_id, s, substr(md5(s), 1, 8) as sh8
+        from (select distinct doc_id, s from ($SHINGLES))),
+      bench as materialized (select distinct sh8 from shs where doc_id % 97 = 0),
+      bits as materialized (
+        select distinct ('0x' || substr(md5(sh8), 1 + 7*i, 7))::bigint % $BLOOM_M as pos
+        from bench, unnest(range(0,$BLOOM_K)) as t(i)),
+      probe as materialized (
+        select shs.doc_id, shs.s,
+               ('0x' || substr(md5(sh8), 1 + 7*i, 7))::bigint % $BLOOM_M as pos
+        from shs join q on q.doc_id = shs.doc_id and q.qreason = 'keep'
+        , unnest(range(0,$BLOOM_K)) as t(i)),
+      per_sh as materialized (
+        select probe.doc_id, probe.s,
+               count(*) as n_pos, count(bits.pos) as n_hit
+        from probe left join bits on probe.pos = bits.pos
+        group by probe.doc_id, probe.s),
+      ff as materialized (
+        select doc_id,
+               round((count(*) filter (where n_hit = n_pos))::double / count(*), 4) as flagged_frac
+        from per_sh group by doc_id),
+      contam as materialized (
+        select q.doc_id from q join ff using (doc_id)
+        where q.qreason = 'keep' and ff.flagged_frac > $maxFrac),
+      s2 as materialized (
+        select q.doc_id from q left join ff using (doc_id)
+        where q.qreason = 'keep' and coalesce(ff.flagged_frac, 0) <= $maxFrac),
+      dS as materialized (select p.doc_id, p.text from pop p join s2 using (doc_id)),
+      shdS as materialized (select distinct doc_id, s from (
+        select doc_id, unnest([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) as s
+        from (select doc_id, string_split(text, ' ') as w from dS))),
+      mhS as materialized (
+        select doc_id, i,
+               min(case when i < ${MHK / 2} then substr(md5('0' || '|' || s), i*4 + 1, 4)
+                        else substr(md5('1' || '|' || s), (i-${MHK / 2})*4 + 1, 4) end) as v
+        from shdS, unnest(range(0,$MHK)) as t(i)
+        group by doc_id, i),
+      sigS as materialized (select doc_id, list(v order by i) as sig from mhS group by doc_id),
+      bandsS as materialized (
+        select doc_id, md5($BAND_KEY) as band_key
+        from sigS, unnest(range(0,$BANDS)) as t(j)),
+      setsS as materialized (select doc_id, list(s) as sh from shdS group by doc_id),
+      keepset_m1 as (select cast(null as bigint) as doc_id where 1 = 0),
+      ${(0 until nBatches).map(i => c67Batch(i, nBatches)).mkString(",")},
+      alldec as (
+        select doc_id, qreason as stage, cast(null as bigint) as dup_of
+        from q where qreason <> 'keep'
+        union all
+        select doc_id, 'contaminated', cast(null as bigint) from contam
+        ${(0 until nBatches).map(i =>
+          s"union all select doc_id, stage, dup_of from nd$i").mkString(" ")})
+      select doc_id, stage, dup_of from alldec order by doc_id
+    """
+  }
+
+  /** c56's incremental-span SQL — also the c68 oracle verbatim: the
+    * store-backed run's contract is exactly "equals the at-rest c56
+    * rebuild". */
+  private val C56_SQL = s"""
+      with d56 as (select doc_id, string_split(text, ' ') as w0 from documents),
+      bk56 as (select doc_id,
+                      ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100
+                        < ${graft.operators.Dedup.DeltaBasePct} as b
+               from documents),
+      sh56 as (
+        select doc_id, p as pos,
+               substr(md5(array_to_string(w0[p+1:p+${graft.operators.Dedup.SpanShingleW}], ' ')), 1, 16) as key
+        from d56, lateral (select unnest(range(0, len(w0) - ${graft.operators.Dedup.SpanShingleW - 1})) as p) t),
+      keyed56 as (
+        select key from sh56 group by key
+        having count(*) between 2 and ${graft.operators.Dedup.SpanOccCap}),
+      pr56 as (
+        select kb.doc_id as doc_keep, kb.pos as pos_keep,
+               dl.doc_id as doc_cut, dl.pos as pos_cut
+        from sh56 kb join keyed56 using (key) join sh56 dl using (key)
+        join bk56 b1 on kb.doc_id = b1.doc_id
+        join bk56 b2 on dl.doc_id = b2.doc_id
+        where b1.b and not b2.b),
+      runs56 as (
+        select doc_keep, doc_cut, pos_cut - pos_keep as diag, pos_keep, pos_cut,
+               pos_cut - row_number() over (
+                 partition by doc_keep, doc_cut, pos_cut - pos_keep order by pos_cut) as grp
+        from pr56),
+      spans56 as (
+        select doc_keep, doc_cut, min(pos_keep) as keep_start, min(pos_cut) as cut_start,
+               count(*) + ${graft.operators.Dedup.SpanShingleW - 1} as n_tokens
+        from runs56 group by doc_keep, doc_cut, diag, grp
+        having count(*) + ${graft.operators.Dedup.SpanShingleW - 1} >= ${graft.operators.Dedup.SpanMinTokens})
+      select doc_cut, doc_keep, cut_start, keep_start, n_tokens from spans56
+      order by doc_cut, doc_keep, cut_start, keep_start
+    """
+
   /** c66's per-cell CTEs: probes at this cell's nprobe, truncated-code
     * ADC (rounded sum over m < budget — the kernel's running-sum
     * round point), top-k rank, per-query hits vs the exact `ex` CTE
@@ -639,39 +830,17 @@ object OraclesC {
     // c56: c33's positional-shingle chain with pairs restricted to
     // base×delta (c45's md5 percent cut) and orientation fixed by
     // role — base keeps, delta cuts
-    "c56_delta_spans" -> s"""
-      with d56 as (select doc_id, string_split(text, ' ') as w0 from documents),
-      bk56 as (select doc_id,
-                      ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100
-                        < ${graft.operators.Dedup.DeltaBasePct} as b
-               from documents),
-      sh56 as (
-        select doc_id, p as pos,
-               substr(md5(array_to_string(w0[p+1:p+${graft.operators.Dedup.SpanShingleW}], ' ')), 1, 16) as key
-        from d56, lateral (select unnest(range(0, len(w0) - ${graft.operators.Dedup.SpanShingleW - 1})) as p) t),
-      keyed56 as (
-        select key from sh56 group by key
-        having count(*) between 2 and ${graft.operators.Dedup.SpanOccCap}),
-      pr56 as (
-        select kb.doc_id as doc_keep, kb.pos as pos_keep,
-               dl.doc_id as doc_cut, dl.pos as pos_cut
-        from sh56 kb join keyed56 using (key) join sh56 dl using (key)
-        join bk56 b1 on kb.doc_id = b1.doc_id
-        join bk56 b2 on dl.doc_id = b2.doc_id
-        where b1.b and not b2.b),
-      runs56 as (
-        select doc_keep, doc_cut, pos_cut - pos_keep as diag, pos_keep, pos_cut,
-               pos_cut - row_number() over (
-                 partition by doc_keep, doc_cut, pos_cut - pos_keep order by pos_cut) as grp
-        from pr56),
-      spans56 as (
-        select doc_keep, doc_cut, min(pos_keep) as keep_start, min(pos_cut) as cut_start,
-               count(*) + ${graft.operators.Dedup.SpanShingleW - 1} as n_tokens
-        from runs56 group by doc_keep, doc_cut, diag, grp
-        having count(*) + ${graft.operators.Dedup.SpanShingleW - 1} >= ${graft.operators.Dedup.SpanMinTokens})
-      select doc_cut, doc_keep, cut_start, keep_start, n_tokens from spans56
-      order by doc_cut, doc_keep, cut_start, keep_start
-    """,
+    "c56_delta_spans" -> C56_SQL,
+
+    // c67: the gate-store equivalence audit — the at-rest replay of
+    // the live funnel's whole batch history (stateless gates per doc,
+    // novelty unrolled batch-for-batch), compared at (doc_id, stage,
+    // dup_of) grain against what the stream's stores accumulated
+    "c67_gate_store" -> c67Sql(graft.streaming.FunnelStream.AuditBatches),
+
+    // c68: the store-backed run must equal the at-rest c56 rebuild —
+    // the equality IS the contract, so the oracle is c56's verbatim
+    "c68_span_store" -> C56_SQL,
 
     // c34's island merge over c33's b-side intervals — the running
     // max uses a strict ROWS frame, the island id the default RANGE

@@ -49,42 +49,98 @@ object FunnelStream {
     checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // stage 1 — quality: decide once, carry the reason
-        val b = Materialize.frame(batch.select(col("doc_id"), col("text"),
-          TextAnalysis.curationReasonOf(col("text")).as("qreason")))
-        val qualityDrops = b.filter(col("qreason") =!= "keep")
-          .select(col("doc_id"), col("qreason").as("stage"),
-            lit(null).cast("long").as("dup_of"))
-        val s1 = b.filter(col("qreason") === "keep").select(col("doc_id"), col("text"))
-        // stage 2 — leakage: survivors probe the bounded bit table;
-        // docs with no shingles have nothing to leak (n_sh = 0 admit,
-        // DecontamStream's documented stance)
-        val scored = Materialize.frame(
-          s1.join(TextAnalysis.bloomProbeRows(
-              TextAnalysis.docShingles8Direct(s1), bits), Seq("doc_id"), "left")
-            .select(col("doc_id"), col("text"),
-              coalesce(col("flagged_frac"), lit(0.0)).as("flagged_frac")))
-        val contamDrops = scored.filter(col("flagged_frac") > maxFrac)
-          .select(col("doc_id"), lit("contaminated").as("stage"),
-            lit(null).cast("long").as("dup_of"))
-        val s2 = Materialize.frame(
-          scored.filter(col("flagged_frac") <= maxFrac).select(col("doc_id"), col("text")))
-        // stage 3 — novelty: the shared near-dup admission over the
-        // double-survivors
-        val (nd, bandsB) = NearDupStream.batchDecisions(s2, bandStore, keepStore, threshold)
-        val ndStages = nd.select(col("doc_id"),
-          when(col("admitted"), lit("keep")).otherwise(lit("duplicate")).as("stage"),
-          col("dup_of"))
-        val decisions = Materialize.frame(
-          qualityDrops.unionByName(contamDrops).unionByName(ndStages))
-        EventsStream.upsertSink(decisions, decisionStore, "doc_id")
-        val kept = decisions.filter(col("stage") === "keep").select("doc_id")
-        EventsStream.upsertSink(s2.join(kept, Seq("doc_id")), keepStore, "doc_id")
-        EventsStream.upsertSink(
-          NearDupStream.keptBandRows(bandsB, kept), bandStore, "bk_doc")
+        processBatch(batch, bits, decisionStore, keepStore, bandStore, maxFrac, threshold)
         ()
       }
       .start()
+
+  /** The funnel's complete per-batch work — ONE spelling shared by
+    * the live foreachBatch above and the store-grain audit
+    * ([[c67GateStoreAudit]]), so the stores the audit reads are built
+    * by exactly the code the stream runs. */
+  private[graft] def processBatch(batch: DataFrame, bits: DataFrame, decisionStore: String,
+      keepStore: String, bandStore: String,
+      maxFrac: Double = DecontamStream.MaxFlaggedFrac,
+      threshold: Double = NearDupStream.JaccardThreshold): Unit = {
+    // stage 1 — quality: decide once, carry the reason
+    val b = Materialize.frame(batch.select(col("doc_id"), col("text"),
+      TextAnalysis.curationReasonOf(col("text")).as("qreason")))
+    val qualityDrops = b.filter(col("qreason") =!= "keep")
+      .select(col("doc_id"), col("qreason").as("stage"),
+        lit(null).cast("long").as("dup_of"))
+    val s1 = b.filter(col("qreason") === "keep").select(col("doc_id"), col("text"))
+    // stage 2 — leakage: survivors probe the bounded bit table;
+    // docs with no shingles have nothing to leak (n_sh = 0 admit,
+    // DecontamStream's documented stance)
+    val scored = Materialize.frame(
+      s1.join(TextAnalysis.bloomProbeRows(
+          TextAnalysis.docShingles8Direct(s1), bits), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("flagged_frac"), lit(0.0)).as("flagged_frac")))
+    val contamDrops = scored.filter(col("flagged_frac") > maxFrac)
+      .select(col("doc_id"), lit("contaminated").as("stage"),
+        lit(null).cast("long").as("dup_of"))
+    val s2 = Materialize.frame(
+      scored.filter(col("flagged_frac") <= maxFrac).select(col("doc_id"), col("text")))
+    // stage 3 — novelty: the shared near-dup admission over the
+    // double-survivors
+    val (nd, bandsB) = NearDupStream.batchDecisions(s2, bandStore, keepStore, threshold)
+    val ndStages = nd.select(col("doc_id"),
+      when(col("admitted"), lit("keep")).otherwise(lit("duplicate")).as("stage"),
+      col("dup_of"))
+    val decisions = Materialize.frame(
+      qualityDrops.unionByName(contamDrops).unionByName(ndStages))
+    EventsStream.upsertSink(decisions, decisionStore, "doc_id")
+    val kept = decisions.filter(col("stage") === "keep").select("doc_id")
+    EventsStream.upsertSink(s2.join(kept, Seq("doc_id")), keepStore, "doc_id")
+    EventsStream.upsertSink(
+      NearDupStream.keptBandRows(bandsB, kept), bandStore, "bk_doc")
+  }
+
+  /** How many polls [[c67GateStoreAudit]] splits the corpus into —
+    * oracle-interpolated (the oracle unrolls one novelty replay per
+    * batch). */
+  val AuditBatches = 3
+
+  /** c67: the GATE-STORE equivalence audit — the round-8 verdict's
+    * "the live gates' accumulated stores are never proven equal to
+    * the at-rest decision at STORE grain": c50's population (the
+    * benchmark slice excluded) arrives as [[AuditBatches]] disjoint
+    * polls in batch order, each driven through [[processBatch]] — the
+    * EXACT code the live funnel runs, merging the decision/keep/band
+    * stores batch by batch — and the keyed result is read back from
+    * the DECISION STORE (the store, not the stream). The oracle
+    * replays the whole history at rest: the two stateless gates
+    * (quality cascade, Bloom leakage) decide per doc, and the
+    * stateful novelty gate is unrolled batch-for-batch — within-batch
+    * capped-band candidates + cross-batch probes against exactly the
+    * keepers the earlier batches admitted, verified Jaccard,
+    * component labels, keepers-win-clusters — so every (doc_id,
+    * stage, dup_of) row in the store is hash-checked against an
+    * independent from-first-principles derivation of what the live
+    * funnel SHOULD have accumulated. */
+  def c67GateStoreAudit(spark: SparkSession, dir: String,
+      nBatches: Int = AuditBatches): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0)
+    // the static benchmark bit table — c35's build, once
+    val bits = TextAnalysis.bloomBitsFromKeys(
+      TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0)))
+    // scratch stores: a12's pattern — keyed by input dir + appId,
+    // rebuilt per invocation, reaped at JVM exit
+    val scratch = System.getProperty("java.io.tmpdir") +
+      "/graft_funnel_store_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + spark.sparkContext.applicationId
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
+    fs.deleteOnExit(scratchPath)
+    for (i <- 0 until nBatches)
+      processBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+        bits, s"$scratch/decisions", s"$scratch/keep", s"$scratch/bands")
+    decisions(spark, s"$scratch/decisions").orderBy("doc_id")
+  }
 
   /** Every funnel decision taken so far — derived from the decision
     * STORE (decisions, not counters: replays cannot double-count). */

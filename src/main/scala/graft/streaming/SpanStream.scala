@@ -44,21 +44,77 @@ object SpanStream {
     checkpoint.foldLeft(docs.writeStream)((wr, dir) => wr.option("checkpointLocation", dir))
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = Materialize.frame(batch.select(col("doc_id"), col("text")))
-        val (spans, postB) = batchSpans(b, postingStore, batchId, w, minSpan, occCap)
-        // span_key needs all four coordinates: one cut position can
-        // match several keep positions (distinct diagonals)
-        EventsStream.upsertSink(
-          spans.withColumn("span_key", concat_ws(":",
-            col("doc_cut"), col("doc_keep"), col("cut_start"), col("keep_start"))),
-          spanStore, "span_key")
-        EventsStream.upsertSink(
-          postB.withColumn("batch_id", lit(batchId))
-            .withColumn("kdp", concat_ws(":", col("key"), col("doc_id"), col("pos"))),
-          postingStore, "kdp")
+        processBatch(Materialize.frame(batch.select(col("doc_id"), col("text"))),
+          spanStore, postingStore, batchId, w, minSpan, occCap)
         ()
       }
       .start()
+
+  /** The gate's complete per-batch work (derive spans + merge both
+    * stores) — ONE spelling shared by the live foreachBatch above and
+    * the store-backed batch audit ([[c68SpanStoreAudit]]), so the
+    * store the audit reads is built by exactly the code the stream
+    * runs. */
+  private[graft] def processBatch(b: DataFrame, spanStore: String, postingStore: String,
+      batchId: Long, w: Int = Dedup.SpanShingleW, minSpan: Int = Dedup.SpanMinTokens,
+      occCap: Int = Dedup.SpanOccCap): DataFrame = {
+    val (spans, postB) = batchSpans(b, postingStore, batchId, w, minSpan, occCap)
+    // span_key needs all four coordinates: one cut position can
+    // match several keep positions (distinct diagonals)
+    EventsStream.upsertSink(
+      spans.withColumn("span_key", concat_ws(":",
+        col("doc_cut"), col("doc_keep"), col("cut_start"), col("keep_start"))),
+      spanStore, "span_key")
+    EventsStream.upsertSink(
+      postB.withColumn("batch_id", lit(batchId))
+        .withColumn("kdp", concat_ws(":", col("key"), col("doc_id"), col("pos"))),
+      postingStore, "kdp")
+    spans
+  }
+
+  /** c68: STORE-BACKED incremental span dedup — c56 with the live
+    * gate's accumulated posting store as its base side (the batch
+    * operator reading the stream's state: a12's batch/stream closure
+    * applied to the span tier; the posting store IS the "stored
+    * inverted index" c56's scaladoc promises). The base corpus
+    * ([[Dedup.isBaseDoc]]'s cut — c56's own boundary) arrives as TWO
+    * polls through [[processBatch]] (the store accumulates across
+    * batches, each batch probing only earlier postings), then the
+    * delta batch probes the accumulated store with the SAME per-batch
+    * derivation the gate runs live. The result must equal — and is
+    * oracle-checked against — the full at-rest c56 rebuild: the
+    * store-grain proof that live accumulation ≡ batch recompute.
+    *
+    * Scale shape: each merge is the upsert sink's bucket-pruned
+    * keyed merge (batch-sized, never store-sized); the delta probe is
+    * batchSpans' key-equi-join — c56's marginal-cost claim, now
+    * executed against a real at-rest store rather than a rescan. */
+  def c68SpanStoreAudit(spark: SparkSession, dir: String,
+      w: Int = Dedup.SpanShingleW, minSpan: Int = Dedup.SpanMinTokens,
+      occCap: Int = Dedup.SpanOccCap): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // scratch stores: a12's pattern — keyed by input dir + appId (no
+    // cross-driver races), rebuilt per invocation, reaped at JVM exit
+    val scratch = System.getProperty("java.io.tmpdir") +
+      "/graft_span_store_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + spark.sparkContext.applicationId
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
+    fs.deleteOnExit(scratchPath)
+    val postingStore = scratch + "/postings"
+    val spanStore = scratch + "/spans"
+    val base = docs.filter(Dedup.isBaseDoc(col("doc_id")))
+    // the base corpus lands as two overlapping-free polls in arrival
+    // order — the store accumulates batch by batch
+    processBatch(Materialize.frame(base.filter(col("doc_id") % 2 === 0)),
+      spanStore, postingStore, 0L, w, minSpan, occCap)
+    processBatch(Materialize.frame(base.filter(col("doc_id") % 2 =!= 0)),
+      spanStore, postingStore, 1L, w, minSpan, occCap)
+    val delta = Materialize.frame(docs.filter(!Dedup.isBaseDoc(col("doc_id"))))
+    val (spans, _) = batchSpans(delta, postingStore, 2L, w, minSpan, occCap)
+    spans.orderBy("doc_cut", "doc_keep", "cut_start", "keep_start")
+  }
 
   /** The per-batch span derivation — exposed so replay idempotence is
     * testable directly (the house batchDecisions pattern). Input `b`

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
+import graft.streaming.{FunnelStream, SpanStream}
 
 /** Round-12 contracts for the completed Jégou §V PQ stack: the
   * per-subspace trainer descends its objective, residual IVFADC
@@ -141,5 +142,32 @@ class Round12Spec extends AnyFunSuite {
       assert(byMb.zip(byMb.tail).forall { case (a, b) => b >= a - 1e-9 },
         s"recall not monotone in code budget at nprobe $np: $byMb")
     }
+  }
+
+  // ---- c67/c68: the store-grain audits --------------------------------
+
+  test("c67 store decisions partition the population and every duplicate cites a kept doc") {
+    val out = FunnelStream.c67GateStoreAudit(spark, sf)
+    val rows = out.collect()
+    val pop = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 =!= 0).count()
+    assert(rows.length == pop, s"${rows.length} decisions for $pop population docs")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one decision per doc")
+    val kept = rows.filter(_.getString(1) == "keep").map(_.getLong(0)).toSet
+    val dups = rows.filter(_.getString(1) == "duplicate")
+    // the gate's precision guarantee: every drop cites a VERIFIED
+    // near-dup that was actually kept — never a dropped doc
+    assert(dups.forall(r => !r.isNullAt(2) && kept.contains(r.getLong(2))),
+      "a duplicate cites a non-kept doc")
+    // non-novelty stages carry no dup_of
+    assert(rows.filter(r => r.getString(1) != "duplicate").forall(_.isNullAt(2)))
+  }
+
+  test("c68 store-backed spans equal the at-rest c56 rebuild on the real corpus") {
+    val fromStore = SpanStream.c68SpanStoreAudit(spark, sf).collect().toSeq
+    val atRest = Dedup.c56DeltaSpans(graft.sources.Tables.documents(spark, sf))
+      .collect().toSeq
+    assert(fromStore == atRest,
+      s"store-backed ${fromStore.length} rows != at-rest ${atRest.length} rows")
   }
 }
