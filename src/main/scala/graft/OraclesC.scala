@@ -1974,6 +1974,43 @@ object OraclesC {
       from documents group by source order by source
     """,
 
+    // c69: c11's winnow chain exploded to df-capped fingerprint
+    // postings; containment = shared/min capped-set size (c42's
+    // orientation at sketch cost), jaccard alongside; sizes count the
+    // CAPPED sets (c2's convention)
+    "c69_winnow_pairs" -> s"""
+      with h as (
+        select doc_id,
+               [substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,8) for i in range(1, len(w)-1)] as hs
+        from (select doc_id, string_split(text, ' ') as w from documents)),
+      m as (
+        select doc_id,
+               case when len(hs) >= 4
+                 then [list_min(hs[i:i+3]) for i in range(1, len(hs)-2)]
+                 else [list_min(hs)] end as mins
+        from h),
+      fpr as (
+        select doc_id, unnest(list_distinct(mins)) as fp from m),
+      fprn as (select doc_id, fp from fpr where fp is not null),
+      keep69 as (select fp from fprn group by fp
+                 having count(*) <= ${graft.operators.Dedup.DfCap}),
+      fpk as (select fprn.* from fprn join keep69 using (fp)),
+      sz69 as (select doc_id, count(*) as n_fp from fpk group by doc_id),
+      inter69 as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
+        from fpk a join fpk b on a.fp = b.fp and a.doc_id < b.doc_id
+        group by 1, 2)
+      select doc_a, doc_b, n_shared,
+             round(n_shared::double / least(sa.n_fp, sb.n_fp), 4) as containment,
+             round(n_shared::double / (sa.n_fp + sb.n_fp - n_shared), 4) as jaccard
+      from inter69
+      join sz69 sa on inter69.doc_a = sa.doc_id
+      join sz69 sb on inter69.doc_b = sb.doc_id
+      where round(n_shared::double / least(sa.n_fp, sb.n_fp), 4)
+              >= ${graft.operators.TextAnalysis.WinnowPairBar}
+      order by containment desc, doc_a, doc_b limit 50
+    """,
+
     "c11_fingerprint" -> """
       with h as (
         select doc_id,

@@ -795,7 +795,10 @@ object TextAnalysis {
     * Rabin-Karp rolling hash purely to make per-gram hashing O(1);
     * md5-per-gram gives identical selectivity with an engine-portable
     * hash, which is what the oracle compare needs.) */
-  def c11Fingerprint(docs: DataFrame): DataFrame = {
+  /** The winnowed window-minima per doc — c11's derivation up to
+    * (doc_id, n_shingles, mins), ONE spelling shared by the c11
+    * report and the c69 pair tier. */
+  private def winnowMins(docs: DataFrame): DataFrame = {
     val hashes = transform(TextFns.shingles3(col("text")), s => TextFns.h8(s))
     val mins = when(size(col("hs")) >= 4,
         transform(sequence(lit(1), size(col("hs")) - 3),
@@ -803,12 +806,69 @@ object TextAnalysis {
       .otherwise(array(array_min(col("hs"))))
     docs.select(col("doc_id"), hashes.as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"), mins.as("mins"))
+  }
+
+  def c11Fingerprint(docs: DataFrame): DataFrame =
+    winnowMins(docs)
       .select(col("doc_id"), col("n_shingles"),
         array_sort(array_distinct(col("mins"))).as("fp"))
       .select(col("doc_id"), col("n_shingles"),
         size(col("fp")).cast("long").as("fp_size"),
         md5(concat_ws(",", col("fp"))).as("fp_hash"))
       .orderBy("doc_id")
+
+  /** c69's admission bar on the ROUNDED containment value. */
+  val WinnowPairBar = 0.5
+
+  /** c69: the WINNOWING PAIR tier — c11's fingerprints finally feed a
+    * pairing operator (the round-8 verdict: "c11's winnowed
+    * fingerprints feed no pairing operator"): docs sharing winnowed
+    * window-minima are paired through df-capped fingerprint postings
+    * and scored by CONTAINMENT — |FP(A)∩FP(B)| / min(|FP|) — the
+    * plagiarism-grain evidence between c2's full shingle-set Jaccard
+    * and c33's exact spans: winnowing (Schleimer et al. 2003) keeps
+    * ~1/w of the shingle mass, so the posting build is ~4× lighter
+    * than c2's and a SHORT doc quoted inside a LONG one still scores
+    * ~1.0 where symmetric Jaccard dilutes toward zero (c42's
+    * argument, at sketch cost). Jaccard is reported alongside for
+    * contrast.
+    *
+    * Scale shape: fingerprint rows ∝ corpus/w; per-value df cap
+    * ([[Dedup.DfCap]]'s discipline — a fingerprint in hundreds of
+    * docs is boilerplate, not plagiarism evidence) bounds pair volume
+    * at Σ C(df,2); the pair frame is evidence-sized; sizes count the
+    * CAPPED sets on both engines (c2's convention). */
+  def c69WinnowPairs(docs: DataFrame, dfCap: Int = Dedup.DfCap,
+      bar: Double = WinnowPairBar, k: Int = 50): DataFrame = {
+    // materialized once: the sizes aggregate and BOTH self-join sides
+    // read it (3 consumers — without the checkpoint the whole winnow
+    // chain would run three times)
+    val fpk = CorpusPrep.memo("c69_fp", docs)(Materialize.frame {
+      val fpRows = winnowMins(docs)
+        .select(col("doc_id"), explode(array_distinct(col("mins"))).as("fp"))
+        // a <3-word doc has no shingles and its minima collapse to
+        // NULL — no fingerprint evidence, not a joinable key
+        .filter(col("fp").isNotNull)
+      val keep = fpRows.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("fp")
+      fpRows.join(keep, Seq("fp"))
+    })
+    val sizes = fpk.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val inter = fpk.as("a").join(fpk.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("na"), col("nb")), 4)
+          .as("containment"),
+        round(col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")), 4)
+          .as("jaccard"))
+      .filter(col("containment") >= bar)
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
   }
 
   // ---- c35: Bloom-filter decontamination ------------------------------

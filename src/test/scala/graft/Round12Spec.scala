@@ -163,6 +163,36 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.filter(r => r.getString(1) != "duplicate").forall(_.isNullAt(2)))
   }
 
+  test("c69 surfaces a quoted doc at high containment where c2's symmetric jaccard dilutes") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val quote = toks("q", 40)
+    val docs = Seq(
+      // the short original
+      1L -> quote.mkString(" "),
+      // the long doc QUOTING it verbatim inside 200 unrelated tokens
+      2L -> (toks("pre", 100) ++ quote ++ toks("post", 100)).mkString(" "),
+      // unrelated background
+      3L -> toks("z", 60).mkString(" "))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val pair = TextAnalysis.c69WinnowPairs(docs)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L).collect()
+    assert(pair.length == 1, "quoted pair not surfaced by the winnow tier")
+    assert(pair.head.getDouble(3) >= 0.8,
+      s"containment ${pair.head.getDouble(3)} — quote not near-fully contained")
+    // c2's symmetric jaccard on the same pair dilutes toward the
+    // length ratio — the evidence grain this tier exists to add
+    assert(pair.head.getDouble(4) < 0.5,
+      s"jaccard ${pair.head.getDouble(4)} — plant is not a partial overlap")
+    val c2 = Dedup.c2NgramJaccard(docs)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L).collect()
+    assert(c2.isEmpty || c2.head.getDouble(2) < 0.5,
+      "c2 already ranks the quoted pair — the plant proves nothing")
+  }
+
   test("c68 store-backed spans equal the at-rest c56 rebuild on the real corpus") {
     val fromStore = SpanStream.c68SpanStoreAudit(spark, sf).collect().toSeq
     val atRest = Dedup.c56DeltaSpans(graft.sources.Tables.documents(spark, sf))
