@@ -201,6 +201,27 @@ object MartRunner {
         d => Sampling.c36Assignments(d("kept_docs"))),
       Mart("mix_report", Seq("kept_docs"),
         d => Sampling.c38TemperatureMix(d("kept_docs"))),
+      // the span stage (r8 verdict: "curationDagFrom never runs the
+      // span cut"): exact repeated spans across the CURATED corpus →
+      // the per-doc cut decision → effective token counts — the
+      // number packing budgets bill against once span dedup has run
+      // (billing raw counts double-pays every duplicated span).
+      // span_cuts materializes ONCE; eff_tokens prices off the stored
+      // frame (each-subtree-executes-once, dbt's table semantics —
+      // corpus-grain stages rebuild per run, the documented staleness
+      // stance)
+      Mart("span_cuts", Seq("kept_docs"),
+        d => Dedup.c34SpanCuts(d("kept_docs"))),
+      Mart("eff_tokens", Seq("kept_docs", "span_cuts"),
+        d => Dedup.effectiveTokensFrom(d("kept_docs"), d("span_cuts"))),
+      // the budget line a packer/mixture spends per source: post-cut
+      // token mass, not raw counts
+      Mart("pack_budget", Seq("kept_docs", "eff_tokens"),
+        d => d("kept_docs").select(col("doc_id"), col("source"))
+          .join(d("eff_tokens").select(col("doc_id"), col("eff_tokens")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("eff_tokens")).as("eff_tokens"))
+          .orderBy("source")),
       Mart("funnel_report", Seq("funnel_decisions"),
         d => TextAnalysis.shareOfTotal(
           d("funnel_decisions").groupBy("stage").agg(count(lit(1)).as("n_docs")),

@@ -50,6 +50,14 @@ object Pipeline {
       return PipelineReport(fetched, Map.empty, Nil)
     val stored = spark.read.parquet(ingestStore)
       .drop(graft.streaming.EventsStream.KeyBucketCol)
+    // the ingest merge just mutated the store IN PLACE, and the marts
+    // below (and the warehouse reads dependents make) re-read the
+    // same paths — a session-memoized kernel frame keyed on the plan's
+    // semantic hash would serve the PREVIOUS run's corpus (the exact
+    // staleness CorpusPrep's scaladoc warns about; r12: the span
+    // marts surfaced it). A pipeline run is the documented
+    // invalidate() call site.
+    graft.operators.CorpusPrep.invalidate()
     val dag = dagFor(eventsFrom(stored))
     // a typo'd export name would otherwise just never load, silently,
     // run after run — malformed config is a bug, not a condition to

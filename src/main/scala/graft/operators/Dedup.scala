@@ -906,10 +906,17 @@ object Dedup {
     * zero. One report per doc, ordered. */
   def c62EffectiveTokens(docs: DataFrame, w: Int = SpanShingleW,
       minSpan: Int = SpanMinTokens, occCap: Int = SpanOccCap): DataFrame =
+    effectiveTokensFrom(docs, c34SpanCuts(docs, w, minSpan, occCap))
+
+  /** c62 over an ALREADY-MATERIALIZED cut report — the DAG spelling:
+    * the curation pipeline materializes `span_cuts` as its own mart
+    * and prices effective tokens off the stored frame instead of
+    * re-deriving the span chain (dbt's each-subtree-executes-once
+    * semantics). */
+  def effectiveTokensFrom(docs: DataFrame, cuts: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      .join(c34SpanCuts(docs, w, minSpan, occCap)
-        .select(col("doc_id"), col("cut_tokens")), Seq("doc_id"), "left")
+      .join(cuts.select(col("doc_id"), col("cut_tokens")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
       .withColumn("eff_tokens", col("n_tokens") - col("cut_tokens"))

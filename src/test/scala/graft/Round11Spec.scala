@@ -430,6 +430,13 @@ class Round11Spec extends AnyFunSuite {
       else if (i % 17 == 2) "tiny doc"
       else if (i % 13 == 1) (bench.take(20) ++ (0 until 20).map(k => s"c${i}x$k")).mkString(" ")
       else if (i % 11 == 5 && i >= 16) textOf(i - 16)
+      // span carriers: distinct keep-grade bodies that all share one
+      // 20-token verbatim phrase — they pass every funnel gate (low
+      // pairwise jaccard) but the span stage must cut the phrase from
+      // all but the lowest-id carrier (r12: the DAG's span marts)
+      else if (i % 7 == 3)
+        ((0 until 60).map(k => s"${m(k % 8)} u${al(i)}x${al(k)}")
+          ++ (0 until 20).map(k => s"spanw${al(k)}")).mkString(" ")
       else (0 until 60).map(k => s"${m(k % 8)} u${al(i)}x${al(k)}").mkString(" ")
     class DocApi(upTo: Long) extends PageSource {
       def fetchPage(cursorUs: Long, page: Int): Seq[String] = {
@@ -480,6 +487,28 @@ class Round11Spec extends AnyFunSuite {
       Sampling.c36Assignments(kept).collect().toSet)
     assert(mart("mix_report").collect().toSet ==
       Sampling.c38TemperatureMix(kept).collect().toSet)
+    // the span stage (r12): cut evidence + effective tokens + the
+    // per-source packing budget all equal the one-shot build, and the
+    // planted shared phrase actually fired
+    val cuts = Dedup.c34SpanCuts(kept)
+    val eff = Dedup.effectiveTokensFrom(kept, cuts)
+    assert(mart("span_cuts").collect().toSet == cuts.collect().toSet)
+    assert(mart("span_cuts").count() > 0, "planted span carriers produced no cuts")
+    assert(mart("eff_tokens").collect().toSet == eff.collect().toSet)
+    assert(mart("pack_budget").collect().toSet ==
+      kept.select(col("doc_id"), col("source"))
+        .join(eff.select(col("doc_id"), col("eff_tokens")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("eff_tokens")).as("eff_tokens"))
+        .collect().toSet)
+    // every carrier except the keep-first survivor pays a cut
+    val cutDocs = cuts.select("doc_id").collect().map(_.getLong(0)).toSet
+    val carriers = kept.select("doc_id").collect().map(_.getLong(0))
+      .filter(i => i % 7 == 3 && i % 17 != 2 && i % 13 != 1 && !(i % 11 == 5 && i >= 16))
+      .toSet
+    assert(carriers.size >= 2, s"plant needs ≥2 surviving carriers: $carriers")
+    assert((carriers - carriers.min).subsetOf(cutDocs),
+      s"non-canonical carriers uncut: ${carriers - carriers.min} vs $cutDocs")
     // the funnel actually narrowed: all four planted stage families fired
     val stages = mart("funnel_decisions").select("stage").distinct()
       .collect().map(_.getString(0)).toSet
