@@ -181,6 +181,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"c47 plans $exchanges hash exchanges (only the rank window's expected):\n$p")
   }
 
+  test("c60/c64/c65 serve through one corpus kernel pass + one rank window (zero corpus shuffles)") {
+    // the r8 verdict: c47's pin existed but c60's zero-corpus-shuffle
+    // claim was prose — pin the whole ADC serving family. c64's
+    // trained and c65's residual variants run their TRAINING jobs
+    // eagerly (bounded collects) before the serving plan is built, so
+    // the served plan must look exactly like c47's: one q_id rank
+    // window over heap rows, no join, at most that window's exchange.
+    for (name <- Seq("c60_ivf_pq", "c64_pq_trained", "c65_ivfpq_residual")) {
+      val p = plan(name)
+      assert("Window \\[".r.findAllIn(p).size == 1,
+        s"$name plans more than the one report-sized rank window:\n$p")
+      assert(!p.contains("Join"), s"$name's serving path plans a join:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1,
+        s"$name plans $exchanges hash exchanges (only the rank window's expected):\n$p")
+    }
+  }
+
   test("c49 assembles the hashed vectors in aggregates alone off the tf memo") {
     // scaladoc claims "one conditional-sum aggregate, no explode, no
     // pivot shuffle": no join anywhere, input is the materialized tf
