@@ -322,6 +322,70 @@ object OraclesC {
               row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
             from sc$sfx)"""
 
+  /** The complete residual-IVFADC chain over an arbitrary coarse-
+    * centroid CTE `centCte(c_id, c_emb)` (CTE list, no WITH): ranked
+    * assignment (c60's exact spelling), probes at NPROBE, per-vector
+    * residuals, the per-subspace trainer replayed over residual
+    * slices ([[pqTrainChain]]), residual encode, per-(query, probed
+    * cluster) LUTs from the query's own residual, ADC, rank. Final
+    * ranked CTE = `{pfx}r`. Shared by c65 (seed centroids), c70 (the
+    * variants report), and c71 (trained centroids). */
+  private def residualServeChain(pfx: String, centCte: String): String = s"""
+      ${pfx}ra as (
+        select e.vec_id, c.c_id,
+               row_number() over (partition by e.vec_id
+                 order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
+        from embeddings e cross join $centCte c),
+      ${pfx}asg as materialized (select vec_id, c_id as cluster from ${pfx}ra where rn = 1),
+      ${pfx}pr as (select vec_id as q_id, c_id as cluster
+                   from ${pfx}ra where vec_id < $NQ and rn <= $NPROBE),
+      ${pfx}res as (
+        select e.vec_id,
+               [e.embedding[i]::double - c.c_emb[i]::double
+                for i in range(1,65)] as rv
+        from embeddings e
+        join ${pfx}asg a on a.vec_id = e.vec_id
+        join $centCte c on c.c_id = a.cluster),
+      ${pfx}vm as materialized (
+        select vec_id, t.m,
+               [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
+        from ${pfx}res, unnest(range(0,$PM)) t(m)),
+      ${pqTrainChain(s"${pfx}t", s"${pfx}vm")},
+      ${pfx}vd as (
+        select v.vec_id, v.m, cb.k,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from ${pfx}vm v join ${pfx}tcb$QITERS cb using (m)),
+      ${pfx}codes as (
+        select vec_id, m, k as code from ${pfx}vd
+        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
+      ${pfx}qres as (
+        select p.q_id, p.cluster,
+               [e.embedding[i]::double - c.c_emb[i]::double
+                for i in range(1,65)] as rv
+        from ${pfx}pr p
+        join embeddings e on e.vec_id = p.q_id
+        join $centCte c on c.c_id = p.cluster),
+      ${pfx}qrm as (
+        select q_id, cluster, t.m,
+               [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
+        from ${pfx}qres, unnest(range(0,$PM)) t(m)),
+      ${pfx}lut as (
+        select q.q_id, q.cluster, q.m, cb.k,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from ${pfx}qrm q join ${pfx}tcb$QITERS cb using (m)),
+      ${pfx}sc as (
+        select l.q_id, c.vec_id, round(sum(l.d2), 4) as adist
+        from ${pfx}codes c
+        join ${pfx}asg a on a.vec_id = c.vec_id
+        join ${pfx}lut l on l.cluster = a.cluster and l.m = c.m and l.k = c.code
+        where c.vec_id <> l.q_id
+        group by 1, 2),
+      ${pfx}r as (select q_id, vec_id, adist,
+              row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
+              from ${pfx}sc)"""
+
   /** c60's coarse-quantizer CTEs (cc / ranked_assign / assigned60),
     * shared by the c65 residual chain and the c66 audit — the exact
     * ranking spelling the kernels' ivfTopClusters pins. */
@@ -1579,58 +1643,58 @@ object OraclesC {
     // RESIDUALS (seed = first-16 residuals), per-(query, probed
     // cluster) LUTs built from the query's own residual
     "c65_ivfpq_residual" -> s"""
-      with $IVF_ASSIGN,
-      probes65 as (select vec_id as q_id, c_id as cluster
-                   from ranked_assign where vec_id < $NQ and rn <= $NPROBE),
-      res65 as (
-        select e.vec_id,
-               [e.embedding[i]::double - cc.c_emb[i]::double
-                for i in range(1,65)] as rv
-        from embeddings e
-        join assigned60 a on a.vec_id = e.vec_id
-        join cc on cc.c_id = a.cluster),
-      rvm as (
-        select vec_id, t.m,
-               [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
-        from res65, unnest(range(0,$PM)) t(m)),
-      ${pqTrainChain("r", "rvm")},
-      rvd as (
-        select v.vec_id, v.m, cb.k,
-               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
-                 for j in range(1,${PSUB + 1})]), 4) as d2
-        from rvm v join rcb$QITERS cb using (m)),
-      rcodes as (
-        select vec_id, m, k as code from rvd
-        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
-      qres as (
-        select p.q_id, p.cluster,
-               [e.embedding[i]::double - cc.c_emb[i]::double
-                for i in range(1,65)] as rv
-        from probes65 p
-        join embeddings e on e.vec_id = p.q_id
-        join cc on cc.c_id = p.cluster),
-      qrm as (
-        select q_id, cluster, t.m,
-               [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
-        from qres, unnest(range(0,$PM)) t(m)),
-      rlut as (
-        select q.q_id, q.cluster, q.m, cb.k,
-               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
-                 for j in range(1,${PSUB + 1})]), 4) as d2
-        from qrm q join rcb$QITERS cb using (m)),
-      sc65 as (
-        select l.q_id, c.vec_id, round(sum(l.d2), 4) as adist
-        from rcodes c
-        join assigned60 a on a.vec_id = c.vec_id
-        join rlut l on l.cluster = a.cluster and l.m = c.m and l.k = c.code
-        where c.vec_id <> l.q_id
-        group by 1, 2),
-      r65 as (select q_id, vec_id, adist,
-              row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
-              from sc65)
-      select q_id, rank, vec_id, adist from r65
+      with cc as (select vec_id as c_id, embedding as c_emb from embeddings where vec_id < $NC),
+      ${residualServeChain("z", "cc")}
+      select q_id, rank, vec_id, adist from zr
       where rank <= $PTOPK
       order by q_id, rank
+    """,
+
+    // c71: the fully trained IVFPQ — c26's fixed-point coarse trainer
+    // AND the per-subspace residual trainer replayed CTE-for-CTE in
+    // one query, then the per-cluster-LUT serving chain
+    "c71_ivfpq_trained" -> s"""
+      with $TRAINED_CENTROIDS,
+      ${residualServeChain("y", s"cent$QITERS")}
+      select q_id, rank, vec_id, adist from yr
+      where rank <= $PTOPK
+      order by q_id, rank
+    """,
+
+    // c70: residual-vs-plain recall at the default dial — the seed
+    // variant is c66's (NPROBE, full-code) cell machinery, the
+    // residual variant the c65 chain; per-query hits vs the exact
+    // baseline, missing queries at recall 0
+    "c70_adc_variants" -> s"""
+      with $C47_CELLS,
+      $IVF_ASSIGN,
+      q6 as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
+      sc6 as (
+        select q6.q_id, e.vec_id,
+               ${cosN("q6.q_emb", "e.embedding")} as cos
+        from embeddings e cross join q6
+        where e.vec_id <> q6.q_id),
+      ex as (select q_id, vec_id from (
+               select q_id, vec_id,
+                      row_number() over (partition by q_id order by cos desc nulls last, vec_id) as rk
+               from sc6)
+             where rk <= $PTOPK),
+      ${c66Cell(NPROBE, PM)},
+      ${residualServeChain("z", "cc")},
+      kz as (select q_id, vec_id from zr where rank <= $PTOPK),
+      hz as (
+        select q6.q_id, count(ex.vec_id)::bigint as n_hits
+        from q6
+        left join kz a on a.q_id = q6.q_id
+        left join ex on ex.q_id = a.q_id and ex.vec_id = a.vec_id
+        group by q6.q_id),
+      cells70 as (
+        select 'ivfadc' as variant, q_id, n_hits from h${NPROBE}x$PM
+        union all
+        select 'ivfadc_residual' as variant, q_id, n_hits from hz)
+      select variant, count(*) as n_queries,
+             round(avg(round(n_hits::double / $PTOPK, 4)), 4) as mean_recall
+      from cells70 group by variant order by variant
     """,
 
     // c66: the IVFADC recall audit — one cell per (nprobe, m_budget),

@@ -132,6 +132,8 @@ object SparkEntry {
     "c66_ivfpq_recall" -> ((s, dir) => Similarity.c66IvfPqRecall(Tables.embeddings(s, dir))),
     "c67_gate_store" -> ((s, dir) => graft.streaming.FunnelStream.c67GateStoreAudit(s, dir)),
     "c69_winnow_pairs" -> ((s, dir) => TextAnalysis.c69WinnowPairs(Tables.documents(s, dir))),
+    "c70_adc_variants" -> ((s, dir) => Similarity.c70AdcVariants(Tables.embeddings(s, dir))),
+    "c71_ivfpq_trained" -> ((s, dir) => Similarity.c71IvfPqTrained(Tables.embeddings(s, dir))),
     "c68_span_store" -> ((s, dir) => graft.streaming.SpanStream.c68SpanStoreAudit(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

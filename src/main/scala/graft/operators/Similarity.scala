@@ -678,15 +678,15 @@ object Similarity {
     cb
   }
 
-  /** Per-vector RESIDUAL v − centroid(assigned) over the seed coarse
-    * centroids — the quantity Jégou §V's subquantizer actually
-    * encodes. Assignment is c7's exact map-side-combinable max_by
-    * ranking (rounded cosine desc, min c_id ties — the same decision
-    * [[ivfTopClusters]] makes in the serving kernel, so train-side
-    * and serve-side residuals agree vector-for-vector). */
-  private[graft] def residualFrame(emb: DataFrame): DataFrame = {
-    val cent = broadcast(defaultCentroids(emb)
-      .select(col("c_id"), VectorFns.toDoubles(col("c_emb")).as("c_emb"), col("c_nrm")))
+  /** Per-vector RESIDUAL v − centroid(assigned) over an arbitrary
+    * coarse-centroid frame (c_id, c_emb double, c_nrm) — the quantity
+    * Jégou §V's subquantizer actually encodes. Assignment is c7's
+    * exact map-side-combinable max_by ranking (rounded cosine desc,
+    * min c_id ties — the same decision [[ivfTopClusters]] makes in
+    * the serving kernel, so train-side and serve-side residuals agree
+    * vector-for-vector). */
+  private[graft] def residualFrameOver(emb: DataFrame, centFrame: DataFrame): DataFrame = {
+    val cent = broadcast(centFrame)
     withNorm(emb).crossJoin(cent)
       .select(col("vec_id"), col("embedding"), col("c_id"), col("c_emb"),
         pairCos("embedding", "nrm", "c_emb", "c_nrm").as("c_cos"))
@@ -721,35 +721,62 @@ object Similarity {
     * per-cluster-LUT ADC, per-partition topK heaps. Zero corpus-grain
     * shuffles (the training job's two shuffles run offline, once). */
   def c65IvfPqResidual(emb: DataFrame, nQueries: Int = DefaultQueryCount,
-      topK: Int = PqTopK, nprobe: Int = DefaultNProbe): DataFrame = {
+      topK: Int = PqTopK, nprobe: Int = DefaultNProbe): DataFrame =
+    ivfPqResidualServe(emb, None, nQueries, topK, nprobe)
+
+  /** c71: the FULLY TRAINED IVFPQ index — what a production FAISS
+    * build actually ships (every piece of c60's compose upgraded from
+    * its deterministic seed to its trained artifact): coarse
+    * centroids from [[trainCentroidsQuantized]] (c26's fixed-point
+    * spherical k-means — the oracle replays the loop), residuals
+    * against THOSE centroids, subquantizer codebooks from
+    * [[trainPqCodebooks]] over those residuals, per-cluster LUT
+    * serving. c64 proved the trained subquantizer, c65 the residual
+    * path, c26 the trained coarse quantizer — this is the three-way
+    * compose, end-to-end oracle-replayed (both trainers CTE-for-CTE
+    * inside one query). Same serving kernel and cost shape as c65. */
+  def c71IvfPqTrained(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      topK: Int = PqTopK, nprobe: Int = DefaultNProbe): DataFrame =
+    ivfPqResidualServe(emb, Some(trainCentroidsQuantized(emb)), nQueries, topK, nprobe)
+
+  private def ivfPqResidualServe(emb: DataFrame, centroids: Option[DataFrame],
+      nQueries: Int, topK: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dims = 64
     val guarded = emb.filter(assert_true(size(col("embedding")) >= dims,
       concat(lit(s"c65: residual IVFADC needs ≥$dims dims, embedding has "),
         size(col("embedding")))).isNull)
-    val rBooks = collectBooks(trainPqCodebooks(residualFrame(emb)))
-    val bound = math.max(DefaultCentroidCount, nQueries)
-    val all = guarded.filter(col("vec_id") < bound)
+    val centFrame = centroids.getOrElse(defaultCentroids(emb))
+      .select(col("c_id"), VectorFns.toDoubles(col("c_emb")).as("c_emb"), col("c_nrm"))
+    val rBooks = collectBooks(trainPqCodebooks(residualFrameOver(emb, centFrame)))
+    // centroid pull is a bounded k-row collect (c7's contract); the
+    // kernel indexes clusters by c_id, so the sorted ids must be the
+    // dense prefix 0..k-1 (defaultCentroids and the trainer both
+    // preserve them)
+    val centRows = centFrame.select(col("c_id"), col("c_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(centRows.map(_._1).sameElements(0L until centRows.length),
+      s"c65/c71: centroid ids not the dense prefix: ${centRows.map(_._1).mkString(",")}")
+    val centLocal = centRows.map(_._2)
+    val centNorm = centLocal.map(c => math.sqrt(dot64(c, c)))
+    val qVecs = guarded.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
-    val centLocal = all.filter(_._1 < DefaultCentroidCount).map(_._2)
-    require(centLocal.length == DefaultCentroidCount,
-      s"c65: corpus has ${centLocal.length} vectors below id $DefaultCentroidCount — centroids incomplete")
-    val centNorm = centLocal.map(c => math.sqrt(dot64(c, c)))
-    val qVecs = all.filter(_._1 < nQueries)
     val qArr = qVecs.map(_._1)
     // per-query probe list + per-(query, probed-cluster) residual LUT:
     // lut(qi)(c) is null for clusters qi never probes — the residual
     // trick's cost is |Q|·nprobe LUTs, not |Q|·k
+    val nCent = centLocal.length
     val probeSets = qVecs.map { case (_, qv) =>
-      val flags = new Array[Boolean](DefaultCentroidCount)
+      val flags = new Array[Boolean](nCent)
       ivfTopClusters(qv, centLocal, centNorm, nprobe).foreach(flags(_) = true)
       flags
     }
-    val anyProbe = Array.tabulate(DefaultCentroidCount)(c => probeSets.exists(_(c)))
-    val lutR = Array.tabulate(qArr.length, DefaultCentroidCount) { (qi, c) =>
+    val anyProbe = Array.tabulate(nCent)(c => probeSets.exists(_(c)))
+    val lutR = Array.tabulate(qArr.length, nCent) { (qi, c) =>
       if (!probeSets(qi)(c)) null
       else {
         val qres = new Array[Double](dims)
@@ -1020,6 +1047,53 @@ object Similarity {
       .agg(count(lit(1)).as("n_queries"),
         round(avg(col("recall")), 4).as("mean_recall"))
       .orderBy("nprobe", "m_budget")
+  }
+
+  /** c70: residual-vs-plain IVFADC recall — the r11 spec proves the
+    * residual win on a planted clustered corpus; this prices it on
+    * the REAL corpus at the default serving dial (c55's audit
+    * pattern, one row per variant): mean recall@k vs the exact c6
+    * baseline for [[c60IvfPqAdc]] (seed books, raw codes) and
+    * [[c65IvfPqResidual]] (residual-trained books, per-cluster LUTs)
+    * at the same nprobe and code budget — the apples-to-apples number
+    * a deployment reads before paying the residual path's extra
+    * training and LUT cost. Queries a variant surfaces nothing for
+    * read recall 0 via the variant×query grid (c66's stance).
+    *
+    * Measured on the driver's corpus (near-uniform random vectors,
+    * sf0.01): residual LOSES — 0.126 vs 0.172 — because without
+    * cluster structure the residual distribution is no tighter than
+    * the raw one and the first-16-residual seeds start the
+    * subquantizer degenerate; on the clustered plant the spec pins
+    * the opposite. That asymmetry is the point of shipping the
+    * report instead of a folklore default (c66's truncated-budget
+    * lesson again). */
+  def c70AdcVariants(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      k: Int = PqTopK, nprobe: Int = DefaultNProbe): DataFrame = {
+    val spark0 = emb.sparkSession
+    val exact = c6AnnTopK(emb, Some(defaultQueries(emb, nQueries)), k)
+      .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+    val variants = Seq(
+      "ivfadc" -> c60IvfPqAdc(emb, nQueries, k, nprobe),
+      "ivfadc_residual" -> c65IvfPqResidual(emb, nQueries, k, nprobe))
+    val perQ = variants.map { case (label, approx) =>
+      approx.join(exact, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("variant", lit(label))
+    }.reduce(_ unionByName _)
+    val qIds = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id")).distinct()
+    val grid = variants.map { case (label, _) =>
+      qIds.withColumn("variant", lit(label))
+    }.reduce(_ unionByName _)
+    grid.join(perQ, Seq("variant", "q_id"), "left")
+      .withColumn("recall",
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("mean_recall"))
+      .orderBy("variant")
   }
 
   /** c55: PQ serving recall against the exact baseline — the

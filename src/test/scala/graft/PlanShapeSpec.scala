@@ -188,7 +188,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // eagerly (bounded collects) before the serving plan is built, so
     // the served plan must look exactly like c47's: one q_id rank
     // window over heap rows, no join, at most that window's exchange.
-    for (name <- Seq("c60_ivf_pq", "c64_pq_trained", "c65_ivfpq_residual")) {
+    for (name <- Seq("c60_ivf_pq", "c64_pq_trained", "c65_ivfpq_residual",
+        "c71_ivfpq_trained")) {
       val p = plan(name)
       assert("Window \\[".r.findAllIn(p).size == 1,
         s"$name plans more than the one report-sized rank window:\n$p")

@@ -144,6 +144,37 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("c71 fully-trained IVFPQ keeps the serving contract and beats seed-residual on the plant") {
+    val emb = clusteredCorpus
+    val k = Similarity.PqTopK
+    val out = Similarity.c71IvfPqTrained(emb, nQueries = 16)
+    val rows = out.collect()
+    for ((q, rs0) <- rows.groupBy(_.getLong(0))) {
+      val rs = rs0.sortBy(_.getLong(1))
+      assert(rs.length <= k)
+      assert(rs.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq, s"q $q ranks not dense")
+    }
+    // trained coarse + residual books resolve the planted offsets at
+    // least as well as the seed-centroid residual path
+    val seedCent = recallOf(Similarity.c65IvfPqResidual(emb, nQueries = 16), emb, 5L, k)
+    val trained = recallOf(out, emb, 5L, k)
+    assert(trained >= seedCent - 1e-9, s"trained-coarse $trained < seed-coarse $seedCent")
+  }
+
+  test("c70 variant report is consistent with c66's matching cell") {
+    val real = graft.sources.Tables.embeddings(spark, sf)
+    val v70 = Similarity.c70AdcVariants(real).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val c66cell = Similarity.c66IvfPqRecall(real).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    // the 'ivfadc' variant at the default dial IS c66's
+    // (DefaultNProbe, full-code) cell — two spellings, one number
+    assert(math.abs(v70("ivfadc")
+        - c66cell((Similarity.DefaultNProbe, Similarity.PqSubspaces))) <= 1e-9,
+      s"c70 ivfadc ${v70("ivfadc")} != c66 cell")
+    assert(v70.contains("ivfadc_residual") && v70.size == 2)
+  }
+
   // ---- c67/c68: the store-grain audits --------------------------------
 
   test("c67 store decisions partition the population and every duplicate cites a kept doc") {
