@@ -220,7 +220,12 @@ object ScaleSmoke {
       // and the CDC-grain checksum dedup
       "c58_ppl_buckets", "c59_novelty", "d10_cdc_dedup",
       // r10c: the pruned IVFADC kernel — |Q|- and probe-bounded
-      "c60_ivf_pq", "c61_lang_mix", "c62_eff_tokens", "c63_bpe_sweep")
+      "c60_ivf_pq", "c61_lang_mix", "c62_eff_tokens", "c63_bpe_sweep",
+      // r12: the trained/residual PQ stack, the recall audits, the
+      // winnow pair tier, and the two store-grain audits
+      "c64_pq_trained", "c65_ivfpq_residual", "c66_ivfpq_recall",
+      "c67_gate_store", "c68_span_store", "c69_winnow_pairs",
+      "c70_adc_variants", "c71_ivfpq_trained")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:
