@@ -552,6 +552,177 @@ object OraclesC {
     """
   }
 
+  /** One c73 cell: probes at this nprobe (a prefix of the ranked
+    * clusters), truncated-code ADC over the per-cluster residual
+    * LUTs, top-k, per-query hits. */
+  private def c73Cell(np: Int, mb: Int): String = s"""
+      s73_${np}x$mb as (
+        select l.q_id, c.vec_id,
+               round(sum(l.d2) filter (where c.m < $mb), 4) as adist
+        from c73codes c
+        join c73asg a on a.vec_id = c.vec_id
+        join c73pr p on p.cluster = a.cluster and p.rn <= $np
+        join c73lut l on l.q_id = p.q_id and l.cluster = a.cluster
+                     and l.m = c.m and l.k = c.code
+        where c.vec_id <> l.q_id
+        group by 1, 2),
+      k73_${np}x$mb as (
+        select q_id, vec_id from (
+          select q_id, vec_id,
+                 row_number() over (partition by q_id order by adist, vec_id) as rk
+          from s73_${np}x$mb)
+        where rk <= $PTOPK),
+      h73_${np}x$mb as (
+        select q6.q_id, count(ex.vec_id)::bigint as n_hits
+        from q6
+        left join k73_${np}x$mb a on a.q_id = q6.q_id
+        left join ex on ex.q_id = a.q_id and ex.vec_id = a.vec_id
+        group by q6.q_id)"""
+
+  /** c73's full oracle: c26's coarse trainer + the residual
+    * subquantizer trainer replayed, then one serving cell per
+    * (nprobe, code budget), recall vs the exact chain. */
+  private def c73Sql: String = {
+    val npMax = graft.operators.Similarity.RecallNprobes.max
+    s"""
+      with $TRAINED_CENTROIDS,
+      c73ra as (
+        select e.vec_id, c.c_id,
+               row_number() over (partition by e.vec_id
+                 order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
+        from embeddings e cross join cent$QITERS c),
+      c73asg as materialized (select vec_id, c_id as cluster from c73ra where rn = 1),
+      c73pr as materialized (select vec_id as q_id, c_id as cluster, rn
+                   from c73ra where vec_id < $NQ and rn <= $npMax),
+      c73res as (
+        select e.vec_id,
+               [e.embedding[i]::double - c.c_emb[i]::double
+                for i in range(1,65)] as rv
+        from embeddings e
+        join c73asg a on a.vec_id = e.vec_id
+        join cent$QITERS c on c.c_id = a.cluster),
+      c73vm as materialized (
+        select vec_id, t.m,
+               [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
+        from c73res, unnest(range(0,$PM)) t(m)),
+      ${pqTrainChain("u", "c73vm")},
+      c73vd as (
+        select v.vec_id, v.m, cb.k,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from c73vm v join ucb$QITERS cb using (m)),
+      c73codes as materialized (
+        select vec_id, m, k as code from c73vd
+        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
+      c73qres as (
+        select p.q_id, p.cluster,
+               [e.embedding[i]::double - c.c_emb[i]::double
+                for i in range(1,65)] as rv
+        from c73pr p
+        join embeddings e on e.vec_id = p.q_id
+        join cent$QITERS c on c.c_id = p.cluster),
+      c73qrm as (
+        select q_id, cluster, t.m,
+               [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
+        from c73qres, unnest(range(0,$PM)) t(m)),
+      c73lut as materialized (
+        select q.q_id, q.cluster, q.m, cb.k,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from c73qrm q join ucb$QITERS cb using (m)),
+      q6 as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
+      sc6 as (
+        select q6.q_id, e.vec_id,
+               ${cosN("q6.q_emb", "e.embedding")} as cos
+        from embeddings e cross join q6
+        where e.vec_id <> q6.q_id),
+      ex as (select q_id, vec_id from (
+               select q_id, vec_id,
+                      row_number() over (partition by q_id order by cos desc nulls last, vec_id) as rk
+               from sc6)
+             where rk <= $PTOPK),
+      ${c66Grid.map { case (np, mb) => c73Cell(np, mb) }.mkString(",")},
+      cells73 as (${c66Grid.map { case (np, mb) =>
+        s"select $np::int as nprobe, $mb::int as m_budget, q_id, n_hits from h73_${np}x$mb"
+      }.mkString(" union all ")})
+      select nprobe, m_budget, count(*) as n_queries,
+             round(avg(round(n_hits::double / $PTOPK, 4)), 4) as mean_recall
+      from cells73 group by nprobe, m_budget
+      order by nprobe, m_budget
+    """
+  }
+
+  /** c72's at-rest replay of the whole SpanStream batch history: the
+    * batch-DEPENDENT combined-occurrence cap is modeled with
+    * cumulative per-(key, batch) posting counts (a probe at batch g
+    * saw ns = Σ counts of batches < g in the store and nb = its own
+    * batch's count — a key can pass early and fail late exactly as
+    * the gate's okKeys join decides), pairs orient stored-keeps /
+    * arrival-cuts, the diagonal collapse is c56's, and the cut
+    * decision is c34's island spelling over the accumulated spans. */
+  private def c72Sql(nBatches: Int): String = {
+    val w = graft.operators.Dedup.SpanShingleW
+    val occ = graft.operators.Dedup.SpanOccCap
+    val minSpan = graft.operators.Dedup.SpanMinTokens
+    s"""
+      with d72 as materialized (
+        select doc_id, doc_id % $nBatches as g, string_split(text, ' ') as w0
+        from documents),
+      sh72 as materialized (
+        select doc_id, g, p as pos,
+               substr(md5(array_to_string(w0[p+1:p+$w], ' ')), 1, 16) as key
+        from d72, lateral (select unnest(range(0, len(w0) - ${w - 1})) as p) t),
+      kc72 as materialized (select key, g, count(*) as n from sh72 group by key, g),
+      kcum72 as (
+        select key, g, n,
+               coalesce(sum(n) over (partition by key order by g
+                 rows between unbounded preceding and 1 preceding), 0) as ns
+        from kc72),
+      okk72 as materialized (
+        select key, g from kcum72 where ns >= 1 and n + ns <= $occ),
+      pr72 as (
+        select kb.doc_id as doc_keep, kb.pos as pos_keep,
+               dl.doc_id as doc_cut, dl.pos as pos_cut
+        from okk72 k
+        join sh72 dl on dl.key = k.key and dl.g = k.g
+        join sh72 kb on kb.key = k.key and kb.g < k.g
+        where kb.doc_id <> dl.doc_id),
+      runs72 as (
+        select doc_keep, doc_cut, pos_cut - pos_keep as diag, pos_keep, pos_cut,
+               pos_cut - row_number() over (
+                 partition by doc_keep, doc_cut, pos_cut - pos_keep order by pos_cut) as grp
+        from pr72),
+      spans72 as (
+        select doc_cut, min(pos_cut) as cut_start,
+               count(*) + ${w - 1} as n_tokens
+        from runs72 group by doc_keep, doc_cut, diag, grp
+        having count(*) + ${w - 1} >= $minSpan),
+      iv72 as (select doc_cut as doc_id, cut_start as s, cut_start + n_tokens as e
+               from spans72),
+      m72 as (
+        select doc_id, s, e,
+               max(e) over (partition by doc_id order by s, e
+                 rows between unbounded preceding and 1 preceding) as maxe
+        from iv72),
+      isl72 as (
+        select doc_id, s, e,
+               sum(case when maxe is null or s > maxe then 1 else 0 end)
+                 over (partition by doc_id order by s, e) as island
+        from m72),
+      r72 as (select doc_id, island, min(s) as cs, max(e) as ce
+              from isl72 group by doc_id, island),
+      cut72 as (select doc_id, sum(ce - cs)::bigint as cut_tokens
+                from r72 group by doc_id),
+      tok72 as (select doc_id, len(string_split(text, ' '))::bigint as n_tokens
+                from documents)
+      select t.doc_id, t.n_tokens,
+             coalesce(c.cut_tokens, 0)::bigint as cut_tokens,
+             (t.n_tokens - coalesce(c.cut_tokens, 0))::bigint as eff_tokens
+      from tok72 t left join cut72 c using (doc_id)
+      order by t.doc_id
+    """
+  }
+
   /** c56's incremental-span SQL — also the c68 oracle verbatim: the
     * store-backed run's contract is exactly "equals the at-rest c56
     * rebuild". */
@@ -588,6 +759,40 @@ object OraclesC {
       select doc_cut, doc_keep, cut_start, keep_start, n_tokens from spans56
       order by doc_cut, doc_keep, cut_start, keep_start
     """
+
+  /** c69's winnow-pair chain (CTE list, no WITH) + its report SELECT
+    * — split so c74 can consume the report as a candidate CTE. */
+  private val C69_CTES = s"""h as (
+        select doc_id,
+               [substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,8) for i in range(1, len(w)-1)] as hs
+        from (select doc_id, string_split(text, ' ') as w from documents)),
+      m as (
+        select doc_id,
+               case when len(hs) >= 4
+                 then [list_min(hs[i:i+3]) for i in range(1, len(hs)-2)]
+                 else [list_min(hs)] end as mins
+        from h),
+      fpr as (
+        select doc_id, unnest(list_distinct(mins)) as fp from m),
+      fprn as (select doc_id, fp from fpr where fp is not null),
+      keep69 as (select fp from fprn group by fp
+                 having count(*) <= ${graft.operators.Dedup.DfCap}),
+      fpk as materialized (select fprn.* from fprn join keep69 using (fp)),
+      sz69 as (select doc_id, count(*) as n_fp from fpk group by doc_id),
+      inter69 as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
+        from fpk a join fpk b on a.fp = b.fp and a.doc_id < b.doc_id
+        group by 1, 2)"""
+
+  private val C69_SELECT = s"""select doc_a, doc_b, n_shared,
+             round(n_shared::double / least(sa.n_fp, sb.n_fp), 4) as containment,
+             round(n_shared::double / (sa.n_fp + sb.n_fp - n_shared), 4) as jaccard
+      from inter69
+      join sz69 sa on inter69.doc_a = sa.doc_id
+      join sz69 sb on inter69.doc_b = sb.doc_id
+      where round(n_shared::double / least(sa.n_fp, sb.n_fp), 4)
+              >= ${graft.operators.TextAnalysis.WinnowPairBar}
+      order by containment desc, doc_a, doc_b limit 50"""
 
   /** c66's per-cell CTEs: probes at this cell's nprobe, truncated-code
     * ADC (rounded sum over m < budget — the kernel's running-sum
@@ -905,6 +1110,14 @@ object OraclesC {
     // c68: the store-backed run must equal the at-rest c56 rebuild —
     // the equality IS the contract, so the oracle is c56's verbatim
     "c68_span_store" -> C56_SQL,
+
+    // c72: the live span gate's accumulated cuts EXECUTED — at-rest
+    // replay of the batch history incl. the batch-dependent cap
+    "c72_span_exec" -> c72Sql(graft.streaming.SpanStream.SpanAuditBatches),
+
+    // c73: c66's recall grid over the fully trained index (both
+    // trainers replayed, per-cluster residual LUTs per cell)
+    "c73_trained_recall" -> c73Sql,
 
     // c34's island merge over c33's b-side intervals — the running
     // max uses a strict ROWS frame, the island id the default RANGE
@@ -2043,36 +2256,47 @@ object OraclesC {
     // orientation at sketch cost), jaccard alongside; sizes count the
     // CAPPED sets (c2's convention)
     "c69_winnow_pairs" -> s"""
-      with h as (
-        select doc_id,
-               [substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,8) for i in range(1, len(w)-1)] as hs
-        from (select doc_id, string_split(text, ' ') as w from documents)),
-      m as (
-        select doc_id,
-               case when len(hs) >= 4
-                 then [list_min(hs[i:i+3]) for i in range(1, len(hs)-2)]
-                 else [list_min(hs)] end as mins
-        from h),
-      fpr as (
-        select doc_id, unnest(list_distinct(mins)) as fp from m),
-      fprn as (select doc_id, fp from fpr where fp is not null),
-      keep69 as (select fp from fprn group by fp
-                 having count(*) <= ${graft.operators.Dedup.DfCap}),
-      fpk as (select fprn.* from fprn join keep69 using (fp)),
-      sz69 as (select doc_id, count(*) as n_fp from fpk group by doc_id),
-      inter69 as (
-        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
-        from fpk a join fpk b on a.fp = b.fp and a.doc_id < b.doc_id
-        group by 1, 2)
-      select doc_a, doc_b, n_shared,
-             round(n_shared::double / least(sa.n_fp, sb.n_fp), 4) as containment,
-             round(n_shared::double / (sa.n_fp + sb.n_fp - n_shared), 4) as jaccard
-      from inter69
-      join sz69 sa on inter69.doc_a = sa.doc_id
-      join sz69 sb on inter69.doc_b = sb.doc_id
-      where round(n_shared::double / least(sa.n_fp, sb.n_fp), 4)
-              >= ${graft.operators.TextAnalysis.WinnowPairBar}
-      order by containment desc, doc_a, doc_b limit 50
+      with $C69_CTES
+      $C69_SELECT
+    """,
+
+    // c74: the two-tier plagiarism pipeline — c69's report pairs get
+    // exact c33-style span evidence (positional shingles over ONLY
+    // the surfaced docs; occurrence cap on the restricted lists —
+    // the subset index's own rule; spans semijoined to the report)
+    "c74_winnow_spans" -> s"""
+      with $C69_CTES,
+      cand74 as materialized ($C69_SELECT),
+      docs74 as (select distinct doc_id from (
+        select doc_a as doc_id from cand74
+        union all select doc_b as doc_id from cand74)),
+      d74 as (select d.doc_id, string_split(d.text, ' ') as w0
+              from documents d join docs74 using (doc_id)),
+      sh74 as materialized (
+        select doc_id, p as pos,
+               substr(md5(array_to_string(w0[p+1:p+${graft.operators.Dedup.SpanShingleW}], ' ')), 1, 16) as key
+        from d74, lateral (select unnest(range(0, len(w0) - ${graft.operators.Dedup.SpanShingleW - 1})) as p) t),
+      keyed74 as (
+        select key from sh74 group by key
+        having count(*) between 2 and ${graft.operators.Dedup.SpanOccCap}),
+      pr74 as (
+        select a.doc_id as doc_a, a.pos as pos_a, b.doc_id as doc_b, b.pos as pos_b
+        from sh74 a join keyed74 using (key) join sh74 b using (key)
+        where a.doc_id < b.doc_id),
+      runs74 as (
+        select doc_a, doc_b, pos_a - pos_b as diag, pos_a, pos_b,
+               pos_a - row_number() over (
+                 partition by doc_a, doc_b, pos_a - pos_b order by pos_a) as grp
+        from pr74),
+      spans74 as (
+        select doc_a, doc_b, min(pos_a) as a_start, min(pos_b) as b_start,
+               count(*) + ${graft.operators.Dedup.SpanShingleW - 1} as n_tokens
+        from runs74 group by doc_a, doc_b, diag, grp
+        having count(*) + ${graft.operators.Dedup.SpanShingleW - 1} >= ${graft.operators.Dedup.SpanMinTokens})
+      select s.doc_a, s.doc_b, s.a_start, s.b_start, s.n_tokens,
+             c.containment, c.jaccard
+      from spans74 s join cand74 c using (doc_a, doc_b)
+      order by s.doc_a, s.doc_b, s.a_start, s.b_start
     """,
 
     "c11_fingerprint" -> """

@@ -134,6 +134,9 @@ object SparkEntry {
     "c69_winnow_pairs" -> ((s, dir) => TextAnalysis.c69WinnowPairs(Tables.documents(s, dir))),
     "c70_adc_variants" -> ((s, dir) => Similarity.c70AdcVariants(Tables.embeddings(s, dir))),
     "c71_ivfpq_trained" -> ((s, dir) => Similarity.c71IvfPqTrained(Tables.embeddings(s, dir))),
+    "c72_span_exec" -> ((s, dir) => graft.streaming.SpanStream.c72SpanExec(s, dir)),
+    "c73_trained_recall" -> ((s, dir) => Similarity.c73TrainedRecallGrid(Tables.embeddings(s, dir))),
+    "c74_winnow_spans" -> ((s, dir) => TextAnalysis.c74WinnowSpans(Tables.documents(s, dir))),
     "c68_span_store" -> ((s, dir) => graft.streaming.SpanStream.c68SpanStoreAudit(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

@@ -867,11 +867,19 @@ object Dedup {
     * the budget line item "how much of this doc is someone else's
     * text". */
   def c34SpanCuts(docs: DataFrame, w: Int = SpanShingleW,
-      minSpan: Int = SpanMinTokens, occCap: Int = SpanOccCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val iv = spanFrame(docs, w, minSpan, occCap)
+      minSpan: Int = SpanMinTokens, occCap: Int = SpanOccCap): DataFrame =
+    islandCuts(spanFrame(docs, w, minSpan, occCap)
       .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
-        (col("b_start") + col("n_tokens")).as("e"))
+        (col("b_start") + col("n_tokens")).as("e")))
+      .orderBy("doc_id")
+
+  /** The running-max island merge over an arbitrary interval frame
+    * (doc_id, s, e) → (doc_id, n_cut_ranges, cut_tokens) — c34's
+    * decision step factored out so the STORE-fed path (c72: the live
+    * gate's accumulated cut instructions) executes through the one
+    * spelling the at-rest operator uses. */
+  private[graft] def islandCuts(iv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     // ROWS frame for the running max (strictly-prior intervals);
     // island id via the default RANGE cumulative frame — tied
@@ -888,7 +896,6 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_cut_ranges"),
         sum(col("ce") - col("cs")).as("cut_tokens"))
-      .orderBy("doc_id")
   }
 
   /** c62: EFFECTIVE token counts after span cuts — the number a

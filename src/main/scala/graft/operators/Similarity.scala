@@ -1049,6 +1049,164 @@ object Similarity {
       .orderBy("nprobe", "m_budget")
   }
 
+  /** c73: the recall grid over the FULLY TRAINED index — c66's audit
+    * re-run on c71's artifacts (the r12 queue: "the recall grid
+    * audits the seed-book IVFADC; the trained index's surface is one
+    * parameterization away"): mean recall@k vs the exact baseline
+    * per (nprobe × code budget) cell, served from trained coarse
+    * centroids + residual-trained subquantizer with per-cluster
+    * LUTs. One corpus kernel pass for every cell: clusters ranked
+    * once per query at max nprobe, residual encoded once, budgets
+    * round prefixes of the running per-cluster-LUT sum. */
+  def c73TrainedRecallGrid(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      k: Int = PqTopK, nprobes: Seq[Int] = RecallNprobes,
+      mBudgets: Seq[Int] = RecallMBudgets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobes.nonEmpty && nprobes == nprobes.distinct.sorted,
+      s"nprobes must be strictly ascending: $nprobes")
+    require(mBudgets.nonEmpty && mBudgets == mBudgets.distinct.sorted
+        && mBudgets.last <= PqSubspaces,
+      s"m budgets must be strictly ascending and ≤ $PqSubspaces: $mBudgets")
+    val dims = 64
+    val guarded = emb.filter(assert_true(size(col("embedding")) >= dims,
+      concat(lit(s"c73: IVFADC needs ≥$dims dims, embedding has "),
+        size(col("embedding")))).isNull)
+    val centFrame = trainCentroidsQuantized(emb)
+      .select(col("c_id"), VectorFns.toDoubles(col("c_emb")).as("c_emb"), col("c_nrm"))
+    val rBooks = collectBooks(trainPqCodebooks(residualFrameOver(emb, centFrame)))
+    val centRows = centFrame.select(col("c_id"), col("c_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(centRows.map(_._1).sameElements(0L until centRows.length),
+      s"c73: centroid ids not the dense prefix: ${centRows.map(_._1).mkString(",")}")
+    val centLocal = centRows.map(_._2)
+    val centNorm = centLocal.map(c => math.sqrt(dot64(c, c)))
+    val nCent = centLocal.length
+    val qVecs = guarded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val qArr = qVecs.map(_._1)
+    val npMax = nprobes.max
+    val probesRanked = qVecs.map { case (_, qv) =>
+      ivfTopClusters(qv, centLocal, centNorm, npMax)
+    }
+    val anyProbe = Array.tabulate(nCent)(c => probesRanked.exists(_.contains(c)))
+    // per-(query, cluster-probed-at-npMax) residual LUT
+    val lutR = Array.tabulate(qArr.length, nCent) { (qi, c) =>
+      if (!probesRanked(qi).contains(c)) null
+      else {
+        val qres = new Array[Double](dims)
+        var i = 0
+        while (i < dims) { qres(i) = qVecs(qi)._2(i) - centLocal(c)(i); i += 1 }
+        Array.tabulate(PqSubspaces, PqCodebookK)((m, k2) => pqCellD2(qres, rBooks, k2, m))
+      }
+    }
+    val spark0 = emb.sparkSession
+    val npArr = nprobes.toArray
+    val mbArr = mBudgets.toArray
+    val bc = spark0.sparkContext.broadcast(
+      (qArr, lutR, rBooks, centLocal, centNorm, probesRanked, anyProbe, npArr, mbArr))
+    import spark0.implicits._
+    val kLocal = k
+    val topLocal = guarded
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (qs, lut, cb, cent, cn, ranked, anyP, nps, mbs) = bc.value
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(nps.length * mbs.length * qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        val codes = new Array[Int](PqSubspaces)
+        val sums = new Array[Double](mbs.length)
+        val res = new Array[Double](64)
+        it.foreach { case (vec, v) =>
+          val cluster = ivfTopClusters(v, cent, cn, 1)(0)
+          if (anyP(cluster)) {
+            var i = 0
+            while (i < 64) { res(i) = v(i) - cent(cluster)(i); i += 1 }
+            var m = 0
+            while (m < PqSubspaces) {
+              var bestK = 0
+              var bestD = Double.MaxValue
+              var k2 = 0
+              while (k2 < cb(m).length) {
+                val sr = pqCellD2(res, cb, k2, m)
+                if (sr < bestD) { bestD = sr; bestK = k2 } // strict: ties keep min k
+                k2 += 1
+              }
+              codes(m) = bestK
+              m += 1
+            }
+            var qi = 0
+            while (qi < qs.length) {
+              if (qs(qi) != vec) {
+                val pr = ranked(qi)
+                var r = -1
+                var t = 0
+                while (t < pr.length) { if (r < 0 && pr(t) == cluster) r = t; t += 1 }
+                if (r >= 0) {
+                  val l = lut(qi)(cluster)
+                  var s = 0.0
+                  var mi = 0
+                  var mm = 0
+                  while (mm < PqSubspaces && mi < mbs.length) {
+                    s += l(mm)(codes(mm))
+                    mm += 1
+                    if (mm == mbs(mi)) { sums(mi) = pqRound4(s); mi += 1 }
+                  }
+                  var npi = 0
+                  while (npi < nps.length) {
+                    if (r < nps(npi)) {
+                      var mbi = 0
+                      while (mbi < mbs.length) {
+                        val cand = (sums(mbi), vec)
+                        val h = heaps((npi * mbs.length + mbi) * qs.length + qi)
+                        if (h.size < kLocal) h.enqueue(cand)
+                        else if (ord.lt(cand, h.head)) { h.dequeue(); h.enqueue(cand) }
+                        mbi += 1
+                      }
+                    }
+                    npi += 1
+                  }
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, idx) =>
+          val qi = idx % qs.length
+          val cell = idx / qs.length
+          val npi = cell / mbs.length
+          val mbi = cell % mbs.length
+          h.iterator.map { case (d, v) => (nps(npi), mbs(mbi), qs(qi), v, d) }
+        }
+      }.toDF("nprobe", "m_budget", "q_id", "vec_id", "adist")
+    val wRank = Window.partitionBy(col("nprobe"), col("m_budget"), col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val approx = topLocal
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("m_budget"), col("q_id"), col("vec_id"))
+    val exact = c6AnnTopK(emb, Some(defaultQueries(emb, nQueries)), k)
+      .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+    val perQ = approx.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy("nprobe", "m_budget", "q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    val grid = spark0.createDataFrame(
+      (for { np <- nprobes; mb <- mBudgets; q <- qArr } yield (np, mb, q)))
+      .toDF("nprobe", "m_budget", "q_id")
+    grid.join(perQ, Seq("nprobe", "m_budget", "q_id"), "left")
+      .withColumn("recall",
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4))
+      .groupBy("nprobe", "m_budget")
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("mean_recall"))
+      .orderBy("nprobe", "m_budget")
+  }
+
   /** c70: residual-vs-plain IVFADC recall — the r11 spec proves the
     * residual win on a planted clustered corpus; this prices it on
     * the REAL corpus at the default serving dial (c55's audit

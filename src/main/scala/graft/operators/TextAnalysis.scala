@@ -871,6 +871,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** c74: EXACT span evidence for the winnow report's pairs — the
+    * r12 queue's compose ("c69's candidate pairs restricted into
+    * c33's span derivation"): the plagiarism report (c69's top-50
+    * containment pairs) answers WHICH docs share material; this
+    * answers WHERE, verbatim — c33's positional-shingle diagonal
+    * collapse run over ONLY the docs the winnow tier surfaced, spans
+    * semijoined back to the reported pairs. The full c33 pays
+    * posting mass ∝ the whole corpus's duplication; this pays
+    * winnowing cost for discovery and exact-span cost only for the
+    * ≤50-pair report — the standard two-tier plagiarism pipeline
+    * (sketch to find, exact to prove).
+    *
+    * The occurrence cap applies to the RESTRICTED posting lists (the
+    * subset index's own boilerplate rule — mirrored in the oracle).
+    * Output: c33's (doc_a, doc_b, a_start, b_start, n_tokens) with
+    * c69's (containment, jaccard) carried per span row. */
+  def c74WinnowSpans(docs: DataFrame, dfCap: Int = Dedup.DfCap,
+      bar: Double = WinnowPairBar): DataFrame = {
+    val cand = Materialize.frame(c69WinnowPairs(docs, dfCap, bar))
+      .select(col("doc_a"), col("doc_b"), col("containment"), col("jaccard"))
+    val docsIn = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sub = docs.join(broadcast(docsIn), Seq("doc_id"))
+    Dedup.spanChain(sub)
+      .join(broadcast(cand), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("n_tokens"), col("containment"), col("jaccard"))
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+  }
+
   // ---- c35: Bloom-filter decontamination ------------------------------
 
   /** Bloom geometry. Part of the operator's OUTPUT contract: a Bloom

@@ -157,6 +157,58 @@ object SpanStream {
     (Materialize.frame(spans), postB)
   }
 
+  /** How many polls [[c72SpanExec]] splits the corpus into —
+    * oracle-interpolated (the replay models the per-batch
+    * combined-occurrence cap, which depends on the boundary). */
+  val SpanAuditBatches = 3
+
+  /** c72: EXECUTING the live span gate's accumulated cut
+    * instructions — the consumer the r12 plan queued ("SpanStream
+    * emits cut instructions but nothing executes them"): the whole
+    * corpus arrives as [[SpanAuditBatches]] polls through
+    * [[processBatch]] (each batch probing only earlier batches'
+    * postings — within-batch spans stay deferred to the at-rest
+    * c33/c56 run, the gate's documented stance), then the SPAN
+    * STORE's cut instructions are merged to disjoint ranges with
+    * c34's own island spelling ([[Dedup.islandCuts]] — one
+    * implementation for the at-rest and store-fed paths) and priced
+    * as effective token counts (c62's report, derived from the LIVE
+    * store instead of a batch rebuild).
+    *
+    * The oracle replays the batch history at rest, including the
+    * BATCH-DEPENDENT occurrence cap (a key can pass the cap at an
+    * early poll and fail it later as the store grows — cumulative
+    * posting counts model exactly what each probe saw). Store grain:
+    * the keyed result reads [[cuts]], not the stream. */
+  def c72SpanExec(spark: SparkSession, dir: String,
+      nBatches: Int = SpanAuditBatches, w: Int = Dedup.SpanShingleW,
+      minSpan: Int = Dedup.SpanMinTokens, occCap: Int = Dedup.SpanOccCap): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val scratch = System.getProperty("java.io.tmpdir") +
+      "/graft_span_exec_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + spark.sparkContext.applicationId
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
+    fs.deleteOnExit(scratchPath)
+    val postingStore = s"$scratch/postings"
+    val spanStore = s"$scratch/spans"
+    for (i <- 0 until nBatches)
+      processBatch(Materialize.frame(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)),
+        spanStore, postingStore, i.toLong, w, minSpan, occCap)
+    val iv = cuts(spark, spanStore)
+      .select(col("doc_cut").as("doc_id"), col("cut_start").as("s"),
+        (col("cut_start") + col("n_tokens")).as("e"))
+    docs.select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(Dedup.islandCuts(iv).select(col("doc_id"), col("cut_tokens")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
+      .withColumn("eff_tokens", col("n_tokens") - col("cut_tokens"))
+      .orderBy("doc_id")
+  }
+
   // test-only entry (the round spec lives outside this package)
   private[graft] def testBatchSpans(b: DataFrame, postingStore: String, batchId: Long,
       w: Int = Dedup.SpanShingleW, minSpan: Int = Dedup.SpanMinTokens,
