@@ -93,8 +93,10 @@ object OraclesC {
     * `on true` (NOT a cross join): past the learned list's end the
     * step must be a no-op, and an empty cross join would erase the
     * symbol table. */
-  private def bpeStep(k: Int, sIn: String, sOut: String): String = s"""
-      m$k as (select a, b from bpe_merges where rank = $k),
+  private def bpeStep(k: Int, sIn: String, sOut: String,
+      mDef: String = ""): String = s"""
+      m$k as (${if (mDef.isEmpty) s"select a, b from bpe_merges where rank = $k"
+        else mDef}),
       x$k as (
         select s.term, s.pos,
                case when m.a is not null and s.sym = m.a and nx.sym = m.b
@@ -760,6 +762,39 @@ object OraclesC {
       order by doc_cut, doc_keep, cut_start, keep_start
     """
 
+  /** c75's full iterative-BPE oracle: per iteration, pair counts off
+    * the CURRENT symbol table (adjacent positions weighted by word
+    * frequency), the argmax merge (total desc, a, b — engine-exact
+    * integer totals + binary string order), then the SAME greedy
+    * application step the c57 chain uses ([[bpeStep]], its learned-
+    * merge parameterization). The report is the learned merge list
+    * with each pair's total AT SELECTION TIME. */
+  private def c75Sql(iters: Int): String = s"""
+      with tf75 as materialized (
+        select doc_id, term, count(*)::bigint as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      words as materialized (select term, sum(tf)::bigint as n from tf75 group by term),
+      s0 as materialized (
+        select term, i - 1 as pos, substr(term, i::int, 1) as sym
+        from (select term from words) v,
+             lateral (select unnest(range(1, length(term) + 1)) as i) t),
+      ${(1 to iters).map { k =>
+        s"""cnt$k as materialized (
+        select s.sym as a, nx.sym as b, sum(w.n)::bigint as total
+        from s${k - 1} s
+        join s${k - 1} nx on nx.term = s.term and nx.pos = s.pos + 1
+        join words w on w.term = s.term
+        group by 1, 2),""" +
+        bpeStep(k, s"s${k - 1}", s"s$k",
+          mDef = s"select a, b from cnt$k order by total desc, a, b limit 1")
+      }.mkString(",")},
+      rep75 as (${(1 to iters).map(k =>
+        s"select $k::int as rank, m.a, m.b, c.total from m$k m join cnt$k c using (a, b)")
+        .mkString(" union all ")})
+      select rank, a, b, total from rep75 order by rank
+    """
+
   /** c69's winnow-pair chain (CTE list, no WITH) + its report SELECT
     * — split so c74 can consume the report as a candidate CTE. */
   private val C69_CTES = s"""h as (
@@ -1118,6 +1153,10 @@ object OraclesC {
     // c73: c66's recall grid over the fully trained index (both
     // trainers replayed, per-cluster residual LUTs per cell)
     "c73_trained_recall" -> c73Sql,
+
+    // c75: true iterative BPE training — count, argmax, apply,
+    // recount, replayed step-for-step
+    "c75_bpe_train" -> c75Sql(graft.operators.TextAnalysis.BpeMerges),
 
     // c34's island merge over c33's b-side intervals — the running
     // max uses a strict ROWS frame, the island id the default RANGE

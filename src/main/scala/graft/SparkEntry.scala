@@ -137,6 +137,7 @@ object SparkEntry {
     "c72_span_exec" -> ((s, dir) => graft.streaming.SpanStream.c72SpanExec(s, dir)),
     "c73_trained_recall" -> ((s, dir) => Similarity.c73TrainedRecallGrid(Tables.embeddings(s, dir))),
     "c74_winnow_spans" -> ((s, dir) => TextAnalysis.c74WinnowSpans(Tables.documents(s, dir))),
+    "c75_bpe_train" -> ((s, dir) => TextAnalysis.c75BpeTrain(Tables.documents(s, dir))),
     "c68_span_store" -> ((s, dir) => graft.streaming.SpanStream.c68SpanStoreAudit(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

@@ -1371,6 +1371,60 @@ object TextAnalysis {
       .orderBy("budget")
   }
 
+  /** c75: TRUE iterative BPE training (Sennrich et al. 2016's actual
+    * loop — c40/c57 rank ONE counting pass and apply the top-8, the
+    * standard first-order approximation): at each step the pair
+    * counts are RE-derived from the current symbol tables, the argmax
+    * pair merges, and the next step counts the post-merge world — so
+    * a merge like t+h can create th+e mass that did not exist at step
+    * one. The report is the learned merge list with each pair's total
+    * AT SELECTION TIME — genuinely different from c40's static
+    * ranking from the second step on, which is the whole point.
+    *
+    * Scale shape, per Sennrich: the loop never touches raw text —
+    * symbols live as an array column on the VOCABULARY frame (|vocab|
+    * ≪ corpus at any scale), each iteration is one vocabulary-grain
+    * pair aggregate (map-side combined) + one 1-row collect (the
+    * argmax — bounded by construction) + one vocabulary map applying
+    * [[bpeApplyOne]] (the same greedy kernel c57 serves with), with
+    * lineage cut per step. Determinism: integer totals, argmax ties
+    * broken (total desc, a, b) under the binary string order both
+    * engines share; the oracle replays every count-pick-apply step
+    * CTE-for-CTE. Training stops early if no adjacent pair remains. */
+  def c75BpeTrain(docs: DataFrame, iters: Int = BpeMerges): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    var vocab = Materialize.frame(
+      tfRows(docs).groupBy("term").agg(sum(col("tf")).as("n"))
+        .as[(String, Long)]
+        .map { case (t, n) => (t, n, codePointSymbols(t).toSeq) }
+        .toDF("term", "n", "syms"))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (!exhausted && k <= iters) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("total"))
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, tot) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((k, a, b, tot))
+        vocab = Materialize.frame(vocab.as[(String, Long, Seq[String])]
+          .map { case (t, n, syms) => (t, n, bpeApplyOne(syms.toArray, a, b).toSeq) }
+          .toDF("term", "n", "syms"))
+        k += 1
+      }
+    }
+    learned.toSeq.toDF("rank", "a", "b", "total").orderBy("rank")
+  }
+
   // ---- c39: DSIR importance scoring -----------------------------------
 
   /** c39: data selection via importance resampling (DSIR, Xie et al.

@@ -246,6 +246,32 @@ class Round12Spec extends AnyFunSuite {
       && r.get.getLong(4) == 40L, s"wrong span coordinates: ${r.get}")
   }
 
+  test("c75 learns second-order merges the static ranking cannot see") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // a corpus dominated by one word: the only way to 1 symbol is
+    // chained merges through symbols created by EARLIER steps
+    val docs = Seq(
+      1L -> Seq.fill(50)("the").mkString(" "),
+      2L -> "a b c d e f g h i j")
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val learned = TextAnalysis.c75BpeTrain(docs, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(learned.length == 2, learned.mkString(";"))
+    // step 1: t+h or h+e (both total 50; ties break (a, b) asc → h+e)
+    assert(learned(0) == ((1, "h", "e", 50L)), learned(0))
+    // step 2 merges t with the CREATED symbol "he" — a pair that did
+    // not exist in the step-1 counts; c40's one-shot ranking can
+    // never emit a multi-char merge
+    assert(learned(1) == ((2, "t", "he", 50L)), learned(1))
+    // and its step-1 pick agrees with c40's top pair on the same corpus
+    val c40top = TextAnalysis.c40BpePairs(docs, 1).collect().head.getString(0)
+    assert(c40top == learned(0)._2 + learned(0)._3,
+      s"step-1 merge ${learned(0)} disagrees with c40 top '$c40top'")
+  }
+
   // ---- c67/c68: the store-grain audits --------------------------------
 
   test("c67 store decisions partition the population and every duplicate cites a kept doc") {
