@@ -769,8 +769,8 @@ object OraclesC {
     * application step the c57 chain uses ([[bpeStep]], its learned-
     * merge parameterization). The report is the learned merge list
     * with each pair's total AT SELECTION TIME. */
-  private def c75Sql(iters: Int): String = s"""
-      with tf75 as materialized (
+  private def c75Chain(iters: Int): String = s"""
+      tf75 as materialized (
         select doc_id, term, count(*)::bigint as tf
         from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
         group by 1, 2),
@@ -788,7 +788,10 @@ object OraclesC {
         group by 1, 2),""" +
         bpeStep(k, s"s${k - 1}", s"s$k",
           mDef = s"select a, b from cnt$k order by total desc, a, b limit 1")
-      }.mkString(",")},
+      }.mkString(",")}"""
+
+  private def c75Sql(iters: Int): String = s"""
+      with ${c75Chain(iters)},
       rep75 as (${(1 to iters).map(k =>
         s"select $k::int as rank, m.a, m.b, c.total from m$k m join cnt$k c using (a, b)")
         .mkString(" union all ")})
@@ -1157,6 +1160,22 @@ object OraclesC {
     // c75: true iterative BPE training — count, argmax, apply,
     // recount, replayed step-for-step
     "c75_bpe_train" -> c75Sql(graft.operators.TextAnalysis.BpeMerges),
+
+    // c76: c57's encode over the LEARNED list — the per-term symbol
+    // counts ARE the training chain's final symbol tables
+    "c76_bpe_trained_encode" -> s"""
+      with ${c75Chain(graft.operators.TextAnalysis.BpeMerges)},
+      nsy76 as (select term, count(*)::bigint as n_syms
+                from s${graft.operators.TextAnalysis.BpeMerges} group by term)
+      select tf.doc_id, sum(tf.tf)::bigint as n_words,
+             sum(tf.tf * length(tf.term))::bigint as n_chars,
+             sum(tf.tf * coalesce(nsy76.n_syms, 0))::bigint as n_bpe_tokens,
+             case when sum(tf.tf * length(tf.term)) > 0
+               then round(sum(tf.tf * coalesce(nsy76.n_syms, 0))::double
+                          / sum(tf.tf * length(tf.term)), 4) end as compression
+      from tf75 tf left join nsy76 on tf.term = nsy76.term
+      group by tf.doc_id order by tf.doc_id
+    """,
 
     // c34's island merge over c33's b-side intervals — the running
     // max uses a strict ROWS frame, the island id the default RANGE

@@ -226,7 +226,8 @@ object ScaleSmoke {
       "c64_pq_trained", "c65_ivfpq_residual", "c66_ivfpq_recall",
       "c67_gate_store", "c68_span_store", "c69_winnow_pairs",
       "c70_adc_variants", "c71_ivfpq_trained", "c72_span_exec",
-      "c73_trained_recall", "c74_winnow_spans", "c75_bpe_train")
+      "c73_trained_recall", "c74_winnow_spans", "c75_bpe_train",
+      "c76_bpe_trained_encode")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -1425,6 +1425,35 @@ object TextAnalysis {
     learned.toSeq.toDF("rank", "a", "b", "total").orderBy("rank")
   }
 
+  /** c76: c57's encode under c75's LEARNED merge list — what true
+    * training buys in compression, priced per doc: the greedy apply
+    * kernel is c57's verbatim ([[bpeSymbolCount]] handles multi-char
+    * merge symbols natively), the merge list is the iterative
+    * trainer's (so step 6's "m"+"er" compresses where the static
+    * list's "me" cannot compose), and the report schema is c57's —
+    * the two encodes are directly comparable row-for-row. Oracle:
+    * the training chain's FINAL symbol tables already are the
+    * applied state, so per-term counts come straight off them. */
+  def c76BpeTrainedEncode(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val merges = c75BpeTrain(docs, nMerges).select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bc = spark0.sparkContext.broadcast(merges)
+    val vocabSyms = tfRows(docs).select(col("term")).distinct().as[String]
+      .map(t => (t, bpeSymbolCount(t, bc.value).toLong))
+      .toDF("term", "n_syms")
+    tfRows(docs).join(vocabSyms, Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * length(col("term"))).as("n_chars"),
+        sum(col("tf") * col("n_syms")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        when(col("n_chars") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_chars"), 4)))
+      .orderBy("doc_id")
+  }
+
   // ---- c39: DSIR importance scoring -----------------------------------
 
   /** c39: data selection via importance resampling (DSIR, Xie et al.

@@ -272,6 +272,27 @@ class Round12Spec extends AnyFunSuite {
       s"step-1 merge ${learned(0)} disagrees with c40 top '$c40top'")
   }
 
+  test("c76 learned-list encode beats the static-list encode where merges chain") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      1L -> Seq.fill(50)("the").mkString(" "),
+      2L -> "a b c d e f g h i j")
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    def bpeOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val static = bpeOf(TextAnalysis.c57BpeEncode(docs, nMerges = 2))
+    val learned = bpeOf(TextAnalysis.c76BpeTrainedEncode(docs, nMerges = 2))
+    // static top-2 from ONE count: h+e and t+h — but after h+e
+    // applies, t·h is never adjacent, so "the" stays 2 symbols;
+    // the trainer's step 2 picks t+he instead and reaches 1
+    assert(learned(1L) == 50L, s"learned encode ${learned(1L)} — chain merge not applied")
+    assert(static(1L) == 100L, s"static encode ${static(1L)} — plant assumption broken")
+    assert(learned(1L) < static(1L))
+  }
+
   // ---- c67/c68: the store-grain audits --------------------------------
 
   test("c67 store decisions partition the population and every duplicate cites a kept doc") {
