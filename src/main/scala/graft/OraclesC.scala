@@ -473,10 +473,13 @@ object OraclesC {
   /** c67's full oracle: the two stateless gates decided per doc (c50's
     * cascade spelling, c35's Bloom probe), then the stateful novelty
     * gate unrolled batch-for-batch. */
-  private def c67Sql(nBatches: Int): String = {
+  /** c67's complete decision chain (CTE list incl. the leading
+    * `recursive` keyword is supplied by the caller) — shared by the
+    * c67 audit and the c77 four-gate pipeline, which extends it with
+    * the span gate over each batch's admitted docs. */
+  private def c67Chain(nBatches: Int): String = {
     val maxFrac = graft.streaming.DecontamStream.MaxFlaggedFrac
     s"""
-      with recursive
       pop as materialized (select doc_id, text from documents where doc_id % 97 <> 0),
       sig as materialized (
         select doc_id,
@@ -549,8 +552,82 @@ object OraclesC {
         union all
         select doc_id, 'contaminated', cast(null as bigint) from contam
         ${(0 until nBatches).map(i =>
-          s"union all select doc_id, stage, dup_of from nd$i").mkString(" ")})
+          s"union all select doc_id, stage, dup_of from nd$i").mkString(" ")})"""
+  }
+
+  private def c67Sql(nBatches: Int): String = s"""
+      with recursive
+      ${c67Chain(nBatches)}
       select doc_id, stage, dup_of from alldec order by doc_id
+    """
+
+  /** c77's oracle: c67's full funnel replay EXTENDED with the span
+    * gate over each batch's ADMITTED docs — postings only ever come
+    * from kept docs (the real pipeline's shape: refused docs never
+    * enter the index), the batch-dependent cap runs over the KEPT
+    * posting history (c72's cumulative spelling on the kept slice),
+    * and the accumulated cuts island-merge onto the decision rows. */
+  private def c77Sql(nBatches: Int): String = {
+    val w = graft.operators.Dedup.SpanShingleW
+    val occ = graft.operators.Dedup.SpanOccCap
+    val minSpan = graft.operators.Dedup.SpanMinTokens
+    s"""
+      with recursive
+      ${c67Chain(nBatches)},
+      kdoc as materialized (
+        ${(0 until nBatches).map(i =>
+          s"select doc_id, $i as g from nd$i where stage = 'keep'").mkString(" union all ")}),
+      d77 as (select p.doc_id, k.g, string_split(p.text, ' ') as w0
+              from pop p join kdoc k using (doc_id)),
+      sh77 as materialized (
+        select doc_id, g, p as pos,
+               substr(md5(array_to_string(w0[p+1:p+$w], ' ')), 1, 16) as key
+        from d77, lateral (select unnest(range(0, len(w0) - ${w - 1})) as p) t),
+      kc77 as materialized (select key, g, count(*) as n from sh77 group by key, g),
+      kcum77 as (
+        select key, g, n,
+               coalesce(sum(n) over (partition by key order by g
+                 rows between unbounded preceding and 1 preceding), 0) as ns
+        from kc77),
+      okk77 as materialized (
+        select key, g from kcum77 where ns >= 1 and n + ns <= $occ),
+      pr77 as (
+        select kb.doc_id as doc_keep, kb.pos as pos_keep,
+               dl.doc_id as doc_cut, dl.pos as pos_cut
+        from okk77 k
+        join sh77 dl on dl.key = k.key and dl.g = k.g
+        join sh77 kb on kb.key = k.key and kb.g < k.g
+        where kb.doc_id <> dl.doc_id),
+      runs77 as (
+        select doc_keep, doc_cut, pos_cut - pos_keep as diag, pos_keep, pos_cut,
+               pos_cut - row_number() over (
+                 partition by doc_keep, doc_cut, pos_cut - pos_keep order by pos_cut) as grp
+        from pr77),
+      spans77 as (
+        select doc_cut, min(pos_cut) as cut_start,
+               count(*) + ${w - 1} as n_tokens
+        from runs77 group by doc_keep, doc_cut, diag, grp
+        having count(*) + ${w - 1} >= $minSpan),
+      iv77 as (select doc_cut as doc_id, cut_start as s, cut_start + n_tokens as e
+               from spans77),
+      m77 as (
+        select doc_id, s, e,
+               max(e) over (partition by doc_id order by s, e
+                 rows between unbounded preceding and 1 preceding) as maxe
+        from iv77),
+      isl77 as (
+        select doc_id, s, e,
+               sum(case when maxe is null or s > maxe then 1 else 0 end)
+                 over (partition by doc_id order by s, e) as island
+        from m77),
+      r77 as (select doc_id, island, min(s) as cs, max(e) as ce
+              from isl77 group by doc_id, island),
+      cut77 as (select doc_id, sum(ce - cs)::bigint as cut_tokens
+                from r77 group by doc_id)
+      select d.doc_id, d.stage, d.dup_of,
+             coalesce(c.cut_tokens, 0)::bigint as cut_tokens
+      from alldec d left join cut77 c using (doc_id)
+      order by d.doc_id
     """
   }
 
@@ -1144,6 +1221,10 @@ object OraclesC {
     // novelty unrolled batch-for-batch), compared at (doc_id, stage,
     // dup_of) grain against what the stream's stores accumulated
     "c67_gate_store" -> c67Sql(graft.streaming.FunnelStream.AuditBatches),
+
+    // c77: the four-gate pipeline — c67's replay + the span gate over
+    // each batch's admissions, one hash over both stores
+    "c77_gate_pipeline" -> c77Sql(graft.streaming.FunnelStream.AuditBatches),
 
     // c68: the store-backed run must equal the at-rest c56 rebuild —
     // the equality IS the contract, so the oracle is c56's verbatim

@@ -227,7 +227,7 @@ object ScaleSmoke {
       "c67_gate_store", "c68_span_store", "c69_winnow_pairs",
       "c70_adc_variants", "c71_ivfpq_trained", "c72_span_exec",
       "c73_trained_recall", "c74_winnow_spans", "c75_bpe_train",
-      "c76_bpe_trained_encode")
+      "c76_bpe_trained_encode", "c77_gate_pipeline")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -146,6 +146,57 @@ object FunnelStream {
     decisions(spark, s"$scratch/decisions").orderBy("doc_id")
   }
 
+  /** c77: the FOUR-gate live pipeline at STORE grain — c67's funnel
+    * audit extended with the span gate running where a real ingest
+    * pipeline runs it, AFTER admission: each poll flows through
+    * [[processBatch]] (quality → leakage → near-dup, stores merged),
+    * then the batch's ADMITTED docs flow through
+    * [[SpanStream.processBatch]] — refused docs never enter the
+    * posting index, and the cap history is the KEPT corpus's. The
+    * keyed result reads BOTH stores: every doc's funnel decision plus
+    * the island-merged verbatim-span cut total the span store
+    * accumulated against it. Hash-checked against an at-rest replay
+    * of the entire four-gate batch history in one DuckDB query. */
+  def c77GatePipeline(spark: SparkSession, dir: String,
+      nBatches: Int = AuditBatches): DataFrame = {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0)
+    // same memo as c67 — one bits build per session per corpus
+    val bits = graft.operators.CorpusPrep.memo("c67_bits", docs)(
+      TextAnalysis.bloomBitsFromKeys(
+        TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0))))
+    val scratch = System.getProperty("java.io.tmpdir") +
+      "/graft_gate4_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + spark.sparkContext.applicationId
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
+    fs.deleteOnExit(scratchPath)
+    val (dec, keep, bands) = (s"$scratch/decisions", s"$scratch/keep", s"$scratch/bands")
+    val (spanStore, postingStore) = (s"$scratch/spans", s"$scratch/postings")
+    for (i <- 0 until nBatches) {
+      val batch = Materialize.frame(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i))
+      processBatch(batch, bits, dec, keep, bands)
+      // the span gate consumes this batch's admissions — read back
+      // from the DECISION STORE (the store is the interface between
+      // the gates, exactly as deployed)
+      val keptBatch = Materialize.frame(batch.join(
+        decisions(spark, dec).filter(col("stage") === "keep").select("doc_id"),
+        Seq("doc_id")))
+      SpanStream.processBatch(keptBatch, spanStore, postingStore, i.toLong)
+    }
+    val cut = Dedup.islandCuts(SpanStream.cuts(spark, spanStore)
+      .select(col("doc_cut").as("doc_id"), col("cut_start").as("s"),
+        (col("cut_start") + col("n_tokens")).as("e")))
+    decisions(spark, dec)
+      .join(cut.select(col("doc_id"), col("cut_tokens")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("stage"), col("dup_of"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Every funnel decision taken so far — derived from the decision
     * STORE (decisions, not counters: replays cannot double-count). */
   def decisions(spark: SparkSession, decisionStore: String): DataFrame =

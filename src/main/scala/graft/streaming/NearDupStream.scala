@@ -147,13 +147,12 @@ object NearDupStream {
   /** A keyed store's rows, or an empty frame with the given schema
     * before the store's first write (the first micro-batch probes a
     * world with no keepers yet). */
-  private def readOrEmpty(spark: SparkSession, store: String, schema: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(store)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+  private def readOrEmpty(spark: SparkSession, store: String, schema: String): DataFrame =
+    // committed-data check, not bare existence (SpanStream's r12
+    // lesson: an all-empty-merge store directory breaks inference)
+    if (EventsStream.hasCommittedData(spark, store))
       spark.read.parquet(store).drop(EventsStream.KeyBucketCol)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
-  }
 }

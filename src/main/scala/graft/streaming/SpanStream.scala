@@ -226,13 +226,15 @@ object SpanStream {
         "span_key string, doc_cut long, doc_keep long, cut_start long, keep_start long, n_tokens long")
       .select("doc_cut", "doc_keep", "cut_start", "keep_start", "n_tokens")
 
-  private def readOrEmpty(spark: SparkSession, store: String, schema: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(store)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+  private def readOrEmpty(spark: SparkSession, store: String, schema: String): DataFrame =
+    // COMMITTED-data check, not bare existence: a gate that merged
+    // only EMPTY batches (e.g. admitted docs with no spans) leaves a
+    // store directory with no bucket partitions, and a bare
+    // spark.read.parquet on it dies on schema inference (r12: the
+    // four-gate pipeline's span store at small SF)
+    if (EventsStream.hasCommittedData(spark, store))
       spark.read.parquet(store).drop(EventsStream.KeyBucketCol)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
-  }
 }

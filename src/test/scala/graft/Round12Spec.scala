@@ -342,6 +342,42 @@ class Round12Spec extends AnyFunSuite {
       "c2 already ranks the quoted pair — the plant proves nothing")
   }
 
+  test("c77 four-gate pipeline: funnel decisions + span cuts from both stores, one read") {
+    import spark.implicits._
+    import graft.streaming.FunnelStream
+    val m = graft.functions.TextFns.EnMarkers
+    def al(n: Long): String =
+      if (n < 26) ('a' + n).toChar.toString else al(n / 26) + ('a' + n % 26).toChar
+    // funnel-grade bodies (marker-rich, letters-only uniques — digits
+    // would trip the PII rule) with a 20-token shared phrase
+    def body(i: Long) = (0 until 60).map(k => s"${m(k % 8)} u${al(i)}x${al(k)}")
+    val span = (0 until 20).map(k => s"spanw${al(k)}")
+    val docs = Seq(
+      3L -> "tiny doc", // quality drop
+      // cross-batch carriers: 4 (batch 1) keeps, 8 (batch 2) is cut
+      4L -> (body(4) ++ span).mkString(" "),
+      8L -> (body(8) ++ span).mkString(" "),
+      // same-batch carriers (5 % 3 == 11 % 3 == 2): span deferred
+      5L -> (body(5) ++ span.map(s => s + "b")).mkString(" "),
+      11L -> (body(11) ++ span.map(s => s + "b")).mkString(" "))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-c77-").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = FunnelStream.c77GatePipeline(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out.keySet == Set(3L, 4L, 5L, 8L, 11L))
+    assert(out(3L)._1 == "too_short" && out(3L)._2 == 0L)
+    // all four carriers pass every funnel gate (distinct bodies)...
+    for (id <- Seq(4L, 5L, 8L, 11L))
+      assert(out(id)._1 == "keep", s"doc $id: ${out(id)}")
+    // ...and only the CROSS-batch arrival pays a span cut
+    assert(out(8L)._2 == 20L, s"cross-batch span not cut: ${out(8L)}")
+    assert(out(4L)._2 == 0L && out(5L)._2 == 0L && out(11L)._2 == 0L,
+      s"unexpected cuts: $out")
+  }
+
   test("c68 store-backed spans equal the at-rest c56 rebuild on the real corpus") {
     val fromStore = SpanStream.c68SpanStoreAudit(spark, sf).collect().toSeq
     val atRest = Dedup.c56DeltaSpans(graft.sources.Tables.documents(spark, sf))
