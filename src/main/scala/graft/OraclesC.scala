@@ -1009,7 +1009,65 @@ object OraclesC {
   private val PCAP = graft.operators.TextAnalysis.Bm25PostingCap
   private val MIXSHARE = graft.operators.Sampling.MixBudgetShare
 
+  /** c70's full SQL — factored so c78 can run the IDENTICAL report
+    * over the derived clustered corpus (table name rewritten below).
+    * The seed variant is c66's (NPROBE, full-code) cell machinery,
+    * the residual variant the c65 chain; per-query hits vs the exact
+    * baseline, missing queries at recall 0. */
+  private val C70_SQL = s"""
+      with $C47_CELLS,
+      $IVF_ASSIGN,
+      q6 as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
+      sc6 as (
+        select q6.q_id, e.vec_id,
+               ${cosN("q6.q_emb", "e.embedding")} as cos
+        from embeddings e cross join q6
+        where e.vec_id <> q6.q_id),
+      ex as (select q_id, vec_id from (
+               select q_id, vec_id,
+                      row_number() over (partition by q_id order by cos desc nulls last, vec_id) as rk
+               from sc6)
+             where rk <= $PTOPK),
+      ${c66Cell(NPROBE, PM)},
+      ${residualServeChain("z", "cc")},
+      kz as (select q_id, vec_id from zr where rank <= $PTOPK),
+      hz as (
+        select q6.q_id, count(ex.vec_id)::bigint as n_hits
+        from q6
+        left join kz a on a.q_id = q6.q_id
+        left join ex on ex.q_id = a.q_id and ex.vec_id = a.vec_id
+        group by q6.q_id),
+      cells70 as (
+        select 'ivfadc' as variant, q_id, n_hits from h${NPROBE}x$PM
+        union all
+        select 'ivfadc_residual' as variant, q_id, n_hits from hz)
+      select variant, count(*) as n_queries,
+             round(avg(round(n_hits::double / $PTOPK, 4)), 4) as mean_recall
+      from cells70 group by variant order by variant
+    """
+
+  /** c78's oracle: the clustered-corpus derivation (the exact twin of
+    * Similarity.clusteredCorpus — double math, float round-trip) as a
+    * CTE, then c70's ENTIRE report verbatim with every corpus
+    * reference rewritten onto it. One spelling of the report; two
+    * corpora. */
+  private val C78_SQL = {
+    val body = C70_SQL.trim.stripPrefix("with")
+    s"""
+      with embc as (
+        select vec_id,
+               list_transform(range(1, 65), i ->
+                 ((case when (i - 1) // 8 = vec_id % 8 then 4.0::double else 0.0::double end)
+                  + embedding[i]::double * 0.25)::real) as embedding,
+               label
+        from embeddings),
+      ${body.replaceAll("\\bembeddings\\b", "embc")}
+    """
+  }
+
   val sql: Map[String, String] = Map(
+    "c78_clustered_recall" -> C78_SQL,
+
     "c1_dedup_exact" -> """
       select md5(text) as content_hash, count(*) as n_copies, min(doc_id) as keep_doc_id
       from documents group by 1 order by content_hash
@@ -2013,41 +2071,10 @@ object OraclesC {
       order by q_id, rank
     """,
 
-    // c70: residual-vs-plain recall at the default dial — the seed
-    // variant is c66's (NPROBE, full-code) cell machinery, the
-    // residual variant the c65 chain; per-query hits vs the exact
-    // baseline, missing queries at recall 0
-    "c70_adc_variants" -> s"""
-      with $C47_CELLS,
-      $IVF_ASSIGN,
-      q6 as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
-      sc6 as (
-        select q6.q_id, e.vec_id,
-               ${cosN("q6.q_emb", "e.embedding")} as cos
-        from embeddings e cross join q6
-        where e.vec_id <> q6.q_id),
-      ex as (select q_id, vec_id from (
-               select q_id, vec_id,
-                      row_number() over (partition by q_id order by cos desc nulls last, vec_id) as rk
-               from sc6)
-             where rk <= $PTOPK),
-      ${c66Cell(NPROBE, PM)},
-      ${residualServeChain("z", "cc")},
-      kz as (select q_id, vec_id from zr where rank <= $PTOPK),
-      hz as (
-        select q6.q_id, count(ex.vec_id)::bigint as n_hits
-        from q6
-        left join kz a on a.q_id = q6.q_id
-        left join ex on ex.q_id = a.q_id and ex.vec_id = a.vec_id
-        group by q6.q_id),
-      cells70 as (
-        select 'ivfadc' as variant, q_id, n_hits from h${NPROBE}x$PM
-        union all
-        select 'ivfadc_residual' as variant, q_id, n_hits from hz)
-      select variant, count(*) as n_queries,
-             round(avg(round(n_hits::double / $PTOPK, 4)), 4) as mean_recall
-      from cells70 group by variant order by variant
-    """,
+    // c70: residual-vs-plain recall at the default dial — factored
+    // above (C70_SQL) so c78 serves the same report over the
+    // clustered derivation
+    "c70_adc_variants" -> C70_SQL,
 
     // c66: the IVFADC recall audit — one cell per (nprobe, m_budget),
     // each replaying c60's pruned serving at that dial setting

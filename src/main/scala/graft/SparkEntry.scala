@@ -140,6 +140,7 @@ object SparkEntry {
     "c75_bpe_train" -> ((s, dir) => TextAnalysis.c75BpeTrain(Tables.documents(s, dir))),
     "c76_bpe_trained_encode" -> ((s, dir) => TextAnalysis.c76BpeTrainedEncode(Tables.documents(s, dir))),
     "c77_gate_pipeline" -> ((s, dir) => graft.streaming.FunnelStream.c77GatePipeline(s, dir)),
+    "c78_clustered_recall" -> ((s, dir) => Similarity.c78ClusteredRecall(Tables.embeddings(s, dir))),
     "c68_span_store" -> ((s, dir) => graft.streaming.SpanStream.c68SpanStoreAudit(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

@@ -1254,6 +1254,42 @@ object Similarity {
       .orderBy("variant")
   }
 
+  /** The deterministic CLUSTERED corpus derivation under c78 — the
+    * planted cluster structure the residual-vs-plain question needs
+    * (c70 measures the real corpus, which is near-uniform random;
+    * the r11 spec proves the residual win only at toy scale). Every
+    * vector snaps toward one of 8 block centroids (cluster g =
+    * vec_id % 8 concentrates 4.0 on dimension block [8g, 8g+8)) and
+    * keeps a 0.25-scaled copy of its original coordinates as the
+    * intra-cluster offset — so residuals against any reasonable
+    * coarse centroid are ~4× tighter than the raw vectors, exactly
+    * the distribution PQ-on-residuals is built for (Jégou §V).
+    *
+    * Cross-engine exactness: the map is elementwise
+    * float(4.0·[block==g] + 0.25·x) computed in double — the product
+    * by 0.25 is exact, the add and the float round-trip are the same
+    * IEEE operations in both engines, and NaN elements propagate
+    * identically. A narrow projection over the scan; no shuffle. */
+  def clusteredCorpus(emb: DataFrame): DataFrame =
+    emb.withColumn("embedding",
+      transform(col("embedding"), (x, i) =>
+        (when(floor(i / lit(8)).cast("long") === col("vec_id") % 8, lit(4.0))
+          .otherwise(lit(0.0)) + x.cast("double") * lit(0.25)).cast("float")))
+
+  /** c78: the residual-vs-plain IVFADC report on a corpus WITH
+    * cluster structure — the other half of c70's honest measurement
+    * (r12 queue item). c70 shows the residual path LOSING on the
+    * driver's near-uniform vectors; this runs the identical report
+    * over [[clusteredCorpus]]'s planted 8-cluster derivation of the
+    * same table, where the residual distribution is genuinely
+    * tighter than the raw one. Together the two rows bracket the
+    * deployment decision: pay the residual path's training + LUT
+    * cost only when the corpus actually clusters. Same plan shape as
+    * c70 (the derivation is a narrow map over the scan). */
+  def c78ClusteredRecall(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      k: Int = PqTopK, nprobe: Int = DefaultNProbe): DataFrame =
+    c70AdcVariants(clusteredCorpus(emb), nQueries, k, nprobe)
+
   /** c55: PQ serving recall against the exact baseline — the
     * measure-don't-guess report for the compressed-domain path: per
     * query, how many of [[c47PqAdc]]'s top-k ids appear in
