@@ -242,6 +242,7 @@ object ScaleSmoke {
       spark.conf.set("spark.sql.shuffle.partitions",
         if (dir == work) scaledPartitions else basePartitions)
       operators.CorpusPrep.invalidate()
+      streaming.StoreMemo.invalidate()
       sources.Tables.invalidate()
       spark.sharedState.cacheManager.clearCache()
       // localCheckpoint blocks are reclaimed by the ContextCleaner
@@ -281,6 +282,7 @@ object ScaleSmoke {
     {
       def mass(dir: String): (Long, Long) = {
         operators.CorpusPrep.invalidate()
+        streaming.StoreMemo.invalidate()
         sources.Tables.invalidate()
         spark.sharedState.cacheManager.clearCache()
         operators.Dedup.evidenceMass(sources.Tables.documents(spark, dir))

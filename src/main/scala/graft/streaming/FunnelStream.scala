@@ -35,33 +35,66 @@ import graft.operators.{Materialize, TextAnalysis}
   * into it. */
 object FunnelStream {
 
-  /** Start the composed funnel over a streaming `docs` frame
-    * (doc_id, text). `bits` is the static benchmark bit table
+  /** Start the composed FOUR-gate funnel over a streaming `docs`
+    * frame (doc_id, text). `bits` is the static benchmark bit table
     * (TextAnalysis.bloomBitsFromKeys, built once outside the
     * stream); `decisionStore` accumulates (doc_id, stage, dup_of),
     * `keepStore` the admitted corpus, `bandStore` the admitted docs'
-    * LSH band keys for the novelty probe. */
+    * LSH band keys for the novelty probe; `spanStore`/`postingStore`
+    * are the span gate's state ([[SpanStream]]) — each micro-batch's
+    * ADMITTED docs flow through the span gate after admission, so
+    * refused docs never enter the posting index (c77's deployment
+    * shape, now the live stream's own wiring rather than an
+    * audit-only compose). */
   def funnelGate(docs: DataFrame, bits: DataFrame, decisionStore: String,
       keepStore: String, bandStore: String,
+      spanStore: String, postingStore: String,
       maxFrac: Double = DecontamStream.MaxFlaggedFrac,
       threshold: Double = NearDupStream.JaccardThreshold,
       checkpoint: Option[String] = None): StreamingQuery =
     checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, bits, decisionStore, keepStore, bandStore, maxFrac, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch4(batch, bits, decisionStore, keepStore, bandStore,
+          spanStore, postingStore, batchId, maxFrac, threshold)
         ()
       }
       .start()
 
-  /** The funnel's complete per-batch work — ONE spelling shared by
-    * the live foreachBatch above and the store-grain audit
-    * ([[c67GateStoreAudit]]), so the stores the audit reads are built
-    * by exactly the code the stream runs. */
+  /** One micro-batch through all FOUR gates — ONE spelling shared by
+    * the live foreachBatch above and the store-grain pipeline audit
+    * ([[c77GatePipeline]]): the three-gate funnel decides, then the
+    * batch's admitted docs flow through the span gate. The kept set
+    * is read from the batch's own decision frame — for this batch's
+    * docs that IS the store's content (keep-first merges preserve the
+    * first decision, and an at-least-once replay re-derives the
+    * identical decisions via the batch-resident-keeper guard), so no
+    * per-batch store read-back is needed. */
+  private[graft] def processBatch4(batch: DataFrame, bits: DataFrame,
+      decisionStore: String, keepStore: String, bandStore: String,
+      spanStore: String, postingStore: String, batchId: Long,
+      maxFrac: Double = DecontamStream.MaxFlaggedFrac,
+      threshold: Double = NearDupStream.JaccardThreshold): Unit = {
+    val b = Materialize.frame(batch.select(col("doc_id"), col("text")))
+    val decisions = processBatch(b, bits, decisionStore, keepStore, bandStore,
+      maxFrac, threshold)
+    val keptBatch = Materialize.frame(b.join(
+      decisions.filter(col("stage") === "keep").select("doc_id"), Seq("doc_id")))
+    SpanStream.processBatch(keptBatch, spanStore, postingStore, batchId)
+    ()
+  }
+
+  /** The three-gate funnel's complete per-batch work — ONE spelling
+    * shared by [[processBatch4]] (live stream + pipeline audit) and
+    * the store-grain funnel audit ([[c67GateStoreAudit]]), so the
+    * stores the audits read are built by exactly the code the stream
+    * runs. Returns the batch's materialized decision frame (doc_id,
+    * stage, dup_of) so callers can route the admitted docs onward
+    * without re-reading the store. */
   private[graft] def processBatch(batch: DataFrame, bits: DataFrame, decisionStore: String,
       keepStore: String, bandStore: String,
       maxFrac: Double = DecontamStream.MaxFlaggedFrac,
-      threshold: Double = NearDupStream.JaccardThreshold): Unit = {
+      threshold: Double = NearDupStream.JaccardThreshold): DataFrame = {
     // stage 1 — quality: decide once, carry the reason
     val b = Materialize.frame(batch.select(col("doc_id"), col("text"),
       TextAnalysis.curationReasonOf(col("text")).as("qreason")))
@@ -95,12 +128,42 @@ object FunnelStream {
     EventsStream.upsertSink(s2.join(kept, Seq("doc_id")), keepStore, "doc_id")
     EventsStream.upsertSink(
       NearDupStream.keptBandRows(bandsB, kept), bandStore, "bk_doc")
+    decisions
   }
 
-  /** How many polls [[c67GateStoreAudit]] splits the corpus into —
+  /** How many polls the store-grain audits split the corpus into —
     * oracle-interpolated (the oracle unrolls one novelty replay per
-    * batch). */
-  val AuditBatches = 3
+    * batch). Two polls carry the same store-grain guarantee (stores
+    * accumulate ACROSS a batch boundary; every cross-batch code path
+    * fires) at ~2/3 the keyed-merge count of three — the r9 verdict's
+    * audit-cost dial. */
+  val AuditBatches = 2
+
+  /** ONE four-gate store build per (session, corpus, batch count) —
+    * [[c77GatePipeline]]'s replay, shared: c77 reads BOTH stores, and
+    * [[c67GateStoreAudit]] reads the decision store of the SAME build
+    * (the span gate never touches funnel decisions, so the decision
+    * store is bit-identical to a three-gate replay's — c77 subsumes
+    * c67's store construction instead of duplicating it). Each poll
+    * runs [[processBatch4]], the exact code the live stream runs. */
+  private def gate4Stores(spark: SparkSession, dir: String, nBatches: Int): String = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0)
+    // the static benchmark bit table — c35's build; session-memoized
+    // (a deployment builds it once and broadcasts it for the life of
+    // the stream — rebuilding it per audit invocation would charge
+    // the audit for the gate's setup cost on every run)
+    val bits = graft.operators.CorpusPrep.memo("c67_bits", docs)(
+      TextAnalysis.bloomBitsFromKeys(
+        TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0))))
+    StoreMemo.memo(spark, s"gate4_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processBatch4(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i), bits,
+          s"$scratch/decisions", s"$scratch/keep", s"$scratch/bands",
+          s"$scratch/spans", s"$scratch/postings", i.toLong)
+    }
+  }
 
   /** c67: the GATE-STORE equivalence audit — the round-8 verdict's
     * "the live gates' accumulated stores are never proven equal to
@@ -120,31 +183,9 @@ object FunnelStream {
     * independent from-first-principles derivation of what the live
     * funnel SHOULD have accumulated. */
   def c67GateStoreAudit(spark: SparkSession, dir: String,
-      nBatches: Int = AuditBatches): DataFrame = {
-    val docs = graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-    val pop = docs.filter(col("doc_id") % 97 =!= 0)
-    // the static benchmark bit table — c35's build; session-memoized
-    // (a deployment builds it once and broadcasts it for the life of
-    // the stream — rebuilding it per audit invocation would charge
-    // the audit for the gate's setup cost on every run)
-    val bits = graft.operators.CorpusPrep.memo("c67_bits", docs)(
-      TextAnalysis.bloomBitsFromKeys(
-        TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0))))
-    // scratch stores: a12's pattern — keyed by input dir + appId,
-    // rebuilt per invocation, reaped at JVM exit
-    val scratch = System.getProperty("java.io.tmpdir") +
-      "/graft_funnel_store_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + spark.sparkContext.applicationId
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
-    fs.deleteOnExit(scratchPath)
-    for (i <- 0 until nBatches)
-      processBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
-        bits, s"$scratch/decisions", s"$scratch/keep", s"$scratch/bands")
-    decisions(spark, s"$scratch/decisions").orderBy("doc_id")
-  }
+      nBatches: Int = AuditBatches): DataFrame =
+    decisions(spark, s"${gate4Stores(spark, dir, nBatches)}/decisions")
+      .orderBy("doc_id")
 
   /** c77: the FOUR-gate live pipeline at STORE grain — c67's funnel
     * audit extended with the span gate running where a real ingest
@@ -160,37 +201,11 @@ object FunnelStream {
   def c77GatePipeline(spark: SparkSession, dir: String,
       nBatches: Int = AuditBatches): DataFrame = {
     import graft.operators.Dedup
-    val docs = graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-    val pop = docs.filter(col("doc_id") % 97 =!= 0)
-    // same memo as c67 — one bits build per session per corpus
-    val bits = graft.operators.CorpusPrep.memo("c67_bits", docs)(
-      TextAnalysis.bloomBitsFromKeys(
-        TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0))))
-    val scratch = System.getProperty("java.io.tmpdir") +
-      "/graft_gate4_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + spark.sparkContext.applicationId
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
-    fs.deleteOnExit(scratchPath)
-    val (dec, keep, bands) = (s"$scratch/decisions", s"$scratch/keep", s"$scratch/bands")
-    val (spanStore, postingStore) = (s"$scratch/spans", s"$scratch/postings")
-    for (i <- 0 until nBatches) {
-      val batch = Materialize.frame(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i))
-      processBatch(batch, bits, dec, keep, bands)
-      // the span gate consumes this batch's admissions — read back
-      // from the DECISION STORE (the store is the interface between
-      // the gates, exactly as deployed)
-      val keptBatch = Materialize.frame(batch.join(
-        decisions(spark, dec).filter(col("stage") === "keep").select("doc_id"),
-        Seq("doc_id")))
-      SpanStream.processBatch(keptBatch, spanStore, postingStore, i.toLong)
-    }
-    val cut = Dedup.islandCuts(SpanStream.cuts(spark, spanStore)
+    val scratch = gate4Stores(spark, dir, nBatches)
+    val cut = Dedup.islandCuts(SpanStream.cuts(spark, s"$scratch/spans")
       .select(col("doc_cut").as("doc_id"), col("cut_start").as("s"),
         (col("cut_start") + col("n_tokens")).as("e")))
-    decisions(spark, dec)
+    decisions(spark, s"$scratch/decisions")
       .join(cut.select(col("doc_id"), col("cut_tokens")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("stage"), col("dup_of"),
         coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))

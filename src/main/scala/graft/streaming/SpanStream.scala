@@ -93,24 +93,21 @@ object SpanStream {
       w: Int = Dedup.SpanShingleW, minSpan: Int = Dedup.SpanMinTokens,
       occCap: Int = Dedup.SpanOccCap): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    // scratch stores: a12's pattern — keyed by input dir + appId (no
-    // cross-driver races), rebuilt per invocation, reaped at JVM exit
-    val scratch = System.getProperty("java.io.tmpdir") +
-      "/graft_span_store_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + spark.sparkContext.applicationId
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
-    fs.deleteOnExit(scratchPath)
+    // ONE base-store accumulation per (session, corpus, geometry) —
+    // the StoreMemo discipline: a deployment's posting store is
+    // accumulated once and probed many times, so only the DELTA probe
+    // below is per-invocation cost (c56's marginal-cost claim)
+    val scratch = StoreMemo.memo(spark,
+        s"c68_span_${dir}_${w}_${minSpan}_$occCap") { root =>
+      val base = docs.filter(Dedup.isBaseDoc(col("doc_id")))
+      // the base corpus lands as two overlapping-free polls in arrival
+      // order — the store accumulates batch by batch
+      processBatch(Materialize.frame(base.filter(col("doc_id") % 2 === 0)),
+        s"$root/spans", s"$root/postings", 0L, w, minSpan, occCap)
+      processBatch(Materialize.frame(base.filter(col("doc_id") % 2 =!= 0)),
+        s"$root/spans", s"$root/postings", 1L, w, minSpan, occCap)
+    }
     val postingStore = scratch + "/postings"
-    val spanStore = scratch + "/spans"
-    val base = docs.filter(Dedup.isBaseDoc(col("doc_id")))
-    // the base corpus lands as two overlapping-free polls in arrival
-    // order — the store accumulates batch by batch
-    processBatch(Materialize.frame(base.filter(col("doc_id") % 2 === 0)),
-      spanStore, postingStore, 0L, w, minSpan, occCap)
-    processBatch(Materialize.frame(base.filter(col("doc_id") % 2 =!= 0)),
-      spanStore, postingStore, 1L, w, minSpan, occCap)
     val delta = Materialize.frame(docs.filter(!Dedup.isBaseDoc(col("doc_id"))))
     val (spans, _) = batchSpans(delta, postingStore, 2L, w, minSpan, occCap)
     spans.orderBy("doc_cut", "doc_keep", "cut_start", "keep_start")
@@ -159,8 +156,11 @@ object SpanStream {
 
   /** How many polls [[c72SpanExec]] splits the corpus into —
     * oracle-interpolated (the replay models the per-batch
-    * combined-occurrence cap, which depends on the boundary). */
-  val SpanAuditBatches = 3
+    * combined-occurrence cap, which depends on the boundary). Two
+    * polls exercise every cross-batch code path — accumulation,
+    * earlier-batch-only probing, the cumulative cap — at ~2/3 the
+    * keyed-merge count of three (the r9 verdict's audit-cost dial). */
+  val SpanAuditBatches = 2
 
   /** c72: EXECUTING the live span gate's accumulated cut
     * instructions — the consumer the r12 plan queued ("SpanStream
@@ -184,18 +184,17 @@ object SpanStream {
       nBatches: Int = SpanAuditBatches, w: Int = Dedup.SpanShingleW,
       minSpan: Int = Dedup.SpanMinTokens, occCap: Int = Dedup.SpanOccCap): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val scratch = System.getProperty("java.io.tmpdir") +
-      "/graft_span_exec_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + spark.sparkContext.applicationId
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
-    fs.deleteOnExit(scratchPath)
-    val postingStore = s"$scratch/postings"
+    // ONE gate-history replay per (session, corpus, geometry) — the
+    // StoreMemo discipline: the accumulated span store is the gate's
+    // state, built once; this query's own cost is executing the
+    // stored cut instructions (island merge + token pricing)
+    val scratch = StoreMemo.memo(spark,
+        s"c72_exec_${dir}_${nBatches}_${w}_${minSpan}_$occCap") { root =>
+      for (i <- 0 until nBatches)
+        processBatch(Materialize.frame(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)),
+          s"$root/spans", s"$root/postings", i.toLong, w, minSpan, occCap)
+    }
     val spanStore = s"$scratch/spans"
-    for (i <- 0 until nBatches)
-      processBatch(Materialize.frame(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)),
-        spanStore, postingStore, i.toLong, w, minSpan, occCap)
     val iv = cuts(spark, spanStore)
       .select(col("doc_cut").as("doc_id"), col("cut_start").as("s"),
         (col("cut_start") + col("n_tokens")).as("e"))

@@ -207,13 +207,15 @@ class Round12Spec extends AnyFunSuite {
     def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i")
     val span1 = toks("x", 20)
     val span2 = toks("y", 20)
-    // ids 3 (batch 0) and 7 (batch 1) share span1 → batch-1 arrival
-    // is cut; ids 6 and 9 are BOTH batch 0 → their shared span2 is
-    // within-batch, deferred to the at-rest run, never in the store
+    // batch geometry at SpanAuditBatches = 2: even doc_ids poll
+    // first. ids 4 (batch 0) and 7 (batch 1) share span1 → the
+    // batch-1 arrival is cut; ids 5 and 9 are BOTH batch 1 → their
+    // shared span2 is within-batch, deferred to the at-rest run,
+    // never in the store
     val docs = Seq(
-      3L -> (toks("a", 5) ++ span1).mkString(" "),
+      4L -> (toks("a", 5) ++ span1).mkString(" "),
       7L -> (toks("b", 2) ++ span1 ++ toks("bz", 3)).mkString(" "),
-      6L -> (toks("c", 4) ++ span2).mkString(" "),
+      5L -> (toks("c", 4) ++ span2).mkString(" "),
       9L -> (toks("d", 6) ++ span2).mkString(" "))
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
@@ -224,11 +226,11 @@ class Round12Spec extends AnyFunSuite {
     docs.write.parquet(s"$dir/documents.parquet")
     val out = SpanStream.c72SpanExec(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(out.keySet == Set(3L, 6L, 7L, 9L))
+    assert(out.keySet == Set(4L, 5L, 7L, 9L))
     assert(out(7L)._2 == 20L, s"cross-batch span not cut: ${out(7L)}")
     assert(out(7L)._3 == out(7L)._1 - 20L)
-    assert(out(3L)._2 == 0L, "the stored keeper was cut")
-    assert(out(6L)._2 == 0L && out(9L)._2 == 0L,
+    assert(out(4L)._2 == 0L, "the stored keeper was cut")
+    assert(out(5L)._2 == 0L && out(9L)._2 == 0L,
       "a within-batch span leaked into the store")
   }
 
@@ -359,12 +361,14 @@ class Round12Spec extends AnyFunSuite {
     // would trip the PII rule) with a 20-token shared phrase
     def body(i: Long) = (0 until 60).map(k => s"${m(k % 8)} u${al(i)}x${al(k)}")
     val span = (0 until 20).map(k => s"spanw${al(k)}")
+    // batch geometry at AuditBatches = 2: even doc_ids poll first,
+    // odd second
     val docs = Seq(
       3L -> "tiny doc", // quality drop
-      // cross-batch carriers: 4 (batch 1) keeps, 8 (batch 2) is cut
+      // cross-batch carriers: 4 (batch 0) keeps, 9 (batch 1) is cut
       4L -> (body(4) ++ span).mkString(" "),
-      8L -> (body(8) ++ span).mkString(" "),
-      // same-batch carriers (5 % 3 == 11 % 3 == 2): span deferred
+      9L -> (body(9) ++ span).mkString(" "),
+      // same-batch carriers (5 % 2 == 11 % 2 == 1): span deferred
       5L -> (body(5) ++ span.map(s => s + "b")).mkString(" "),
       11L -> (body(11) ++ span.map(s => s + "b")).mkString(" "))
       .toDF("doc_id", "text")
@@ -374,13 +378,13 @@ class Round12Spec extends AnyFunSuite {
     docs.write.parquet(s"$dir/documents.parquet")
     val out = FunnelStream.c77GatePipeline(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
-    assert(out.keySet == Set(3L, 4L, 5L, 8L, 11L))
+    assert(out.keySet == Set(3L, 4L, 5L, 9L, 11L))
     assert(out(3L)._1 == "too_short" && out(3L)._2 == 0L)
     // all four carriers pass every funnel gate (distinct bodies)...
-    for (id <- Seq(4L, 5L, 8L, 11L))
+    for (id <- Seq(4L, 5L, 9L, 11L))
       assert(out(id)._1 == "keep", s"doc $id: ${out(id)}")
     // ...and only the CROSS-batch arrival pays a span cut
-    assert(out(8L)._2 == 20L, s"cross-batch span not cut: ${out(8L)}")
+    assert(out(9L)._2 == 20L, s"cross-batch span not cut: ${out(9L)}")
     assert(out(4L)._2 == 0L && out(5L)._2 == 0L && out(11L)._2 == 0L,
       s"unexpected cuts: $out")
   }

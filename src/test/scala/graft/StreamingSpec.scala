@@ -403,11 +403,13 @@ class StreamingSpec extends AnyFunSuite {
     val dS = java.nio.file.Files.createTempDirectory("graft-fn-d-").toString + "/store"
     val kS = java.nio.file.Files.createTempDirectory("graft-fn-k-").toString + "/store"
     val bS = java.nio.file.Files.createTempDirectory("graft-fn-b-").toString + "/store"
+    val sS = java.nio.file.Files.createTempDirectory("graft-fn-s-").toString + "/store"
+    val pS = java.nio.file.Files.createTempDirectory("graft-fn-p-").toString + "/store"
     def runGate(): Unit = {
       val src = spark.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string"))
         .option("maxFilesPerTrigger", "1").parquet(in)
-      val q = FunnelStream.funnelGate(src, bits, dS, kS, bS)
+      val q = FunnelStream.funnelGate(src, bits, dS, kS, bS, sS, pS)
       try q.processAllAvailable() finally q.stop()
     }
     runGate()
@@ -432,11 +434,59 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(rep == Map("too_short" -> 1L, "contaminated" -> 1L,
       "duplicate" -> 2L, "keep" -> 3L), s"report: $rep")
+    // the span gate ran on every admitted batch: these docs are all
+    // shorter than the minimum span, so the store must read as "no
+    // cuts" (not throw — the committed-data guard), and no refused
+    // doc may have left postings behind
+    assert(graft.streaming.SpanStream.cuts(spark, sS).count() == 0L)
     // at-least-once replay: re-offering everything changes nothing
     runGate()
     assert(got() == d, "replayed micro-batches changed funnel decisions")
     assert(spark.read.parquet(kS).select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 7L), "replay grew the keep store")
+  }
+
+  test("four-gate live stream accumulates the same stores as the c77 audit replay") {
+    import graft.streaming.{FunnelStream, SpanStream}
+    import graft.operators.{Dedup, TextAnalysis}
+    // the audit's exact population and batch geometry, driven through
+    // the REAL streaming query (foreachBatch over a file source, one
+    // poll per micro-batch) — pins live four-gate accumulation ≡ the
+    // c77 store-grain replay, the batch/stream closure at store grain
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0)
+    val bits = TextAnalysis.bloomBitsFromKeys(TextAnalysis.docShingles8Direct(
+      docs.filter(col("doc_id") % 97 === 0)))
+    val n = FunnelStream.AuditBatches
+    val in = java.nio.file.Files.createTempDirectory("graft-g4-in-").toString
+    for (i <- 0 until n) {
+      pop.filter(pmod(col("doc_id"), lit(n)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50) // distinct mtimes → file-source batch order = poll order
+    }
+    def store(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-g4-$tag-").toString + "/store"
+    val (dS, kS, bS, sS, pS) =
+      (store("d"), store("k"), store("b"), store("s"), store("p"))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string"))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = FunnelStream.funnelGate(src, bits, dS, kS, bS, sS, pS)
+    try q.processAllAvailable() finally q.stop()
+    // read the LIVE stores back in c77's own report shape
+    val cut = Dedup.islandCuts(SpanStream.cuts(spark, sS)
+      .select(col("doc_cut").as("doc_id"), col("cut_start").as("s"),
+        (col("cut_start") + col("n_tokens")).as("e")))
+    val live = FunnelStream.decisions(spark, dS)
+      .join(cut.select(col("doc_id"), col("cut_tokens")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("stage"), col("dup_of"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
+      .orderBy("doc_id").collect()
+    val audit = FunnelStream.c77GatePipeline(spark, sf).collect()
+    assert(live.length == audit.length,
+      s"live ${live.length} rows vs audit ${audit.length}")
+    assert(live.sameElements(audit), "live four-gate stores diverge from the audit replay")
   }
 
   test("stream-stream interval join matches the batch join") {
