@@ -1051,19 +1051,47 @@ object OraclesC {
     * CTE, then c70's ENTIRE report verbatim with every corpus
     * reference rewritten onto it. One spelling of the report; two
     * corpora. */
-  private val C78_SQL = {
-    val body = C70_SQL.trim.stripPrefix("with")
-    s"""
-      with embc as (
+  /** c71's oracle, factored: the fully trained IVFPQ — c26's
+    * fixed-point coarse trainer AND the per-subspace residual trainer
+    * replayed CTE-for-CTE in one query, then the per-cluster-LUT
+    * serving chain. Shared verbatim by c79 (stored-index serving is
+    * defined to reproduce c71's output from persisted artifacts). */
+  private val C71_SQL = s"""
+      with $TRAINED_CENTROIDS,
+      ${residualServeChain("y", s"cent$QITERS")}
+      select q_id, rank, vec_id, adist from yr
+      where rank <= $PTOPK
+      order by q_id, rank
+    """
+
+  /** The clustered-derivation CTE (the exact twin of
+    * Similarity.clusteredCorpus — double math, float round-trip),
+    * shared by the c78 and c80 oracles: one spelling of the
+    * derivation, two reports rewritten onto it. */
+  private val CLUSTERED_CTE = """
+      embc as (
         select vec_id,
                list_transform(range(1, 65), i ->
                  ((case when (i - 1) // 8 = vec_id % 8 then 4.0::double else 0.0::double end)
                   + embedding[i]::double * 0.25)::real) as embedding,
                label
-        from embeddings),
+        from embeddings)"""
+
+  private def onClustered(sql: String): String = {
+    val body = sql.trim.stripPrefix("with")
+    s"""
+      with $CLUSTERED_CTE,
       ${body.replaceAll("\\bembeddings\\b", "embc")}
     """
   }
+
+  private val C78_SQL = onClustered(C70_SQL)
+
+  /** c80's oracle: c73's ENTIRE trained-grid replay (both trainers
+    * CTE-for-CTE) with every corpus reference rewritten onto the
+    * clustered derivation — c78's factoring applied to the trained
+    * tier. */
+  private def c80Sql: String = onClustered(c73Sql)
 
   val sql: Map[String, String] = Map(
     "c78_clustered_recall" -> C78_SQL,
@@ -1295,6 +1323,7 @@ object OraclesC {
     // c73: c66's recall grid over the fully trained index (both
     // trainers replayed, per-cluster residual LUTs per cell)
     "c73_trained_recall" -> c73Sql,
+    "c80_clustered_trained" -> c80Sql,
 
     // c75: true iterative BPE training — count, argmax, apply,
     // recount, replayed step-for-step
@@ -2063,13 +2092,14 @@ object OraclesC {
     // c71: the fully trained IVFPQ — c26's fixed-point coarse trainer
     // AND the per-subspace residual trainer replayed CTE-for-CTE in
     // one query, then the per-cluster-LUT serving chain
-    "c71_ivfpq_trained" -> s"""
-      with $TRAINED_CENTROIDS,
-      ${residualServeChain("y", s"cent$QITERS")}
-      select q_id, rank, vec_id, adist from yr
-      where rank <= $PTOPK
-      order by q_id, rank
-    """,
+    "c71_ivfpq_trained" -> C71_SQL,
+
+    // c79: stored-index serving ≡ c71 row-for-row (same training
+    // contract, same rounded cells, same ranking) — the oracle
+    // replays the training chain into the same logical artifacts, so
+    // the persisted-index path is hash-checked against the exact SQL
+    // the per-invocation compose already passes
+    "c79_stored_serving" -> C71_SQL,
 
     // c70: residual-vs-plain recall at the default dial — factored
     // above (C70_SQL) so c78 serves the same report over the

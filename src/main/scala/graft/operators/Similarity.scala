@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
 
@@ -368,11 +368,27 @@ object Similarity {
     * clustered corpus at equal code budget). */
   def c64PqTrained(emb: DataFrame, nQueries: Int = DefaultQueryCount,
       topK: Int = PqTopK): DataFrame =
-    pqAdcServe(emb, Some(collectBooks(trainPqCodebooks(doubleVecs(emb)))), nQueries, topK)
+    pqAdcServe(emb, Some(collectBooks(trainedBooksOver(doubleVecs(emb)))), nQueries, topK)
 
   /** (vec_id, v: array<double>) — the trainer's input projection. */
   private def doubleVecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Session-memoized TRAINED index artifacts — the CorpusPrep
+    * discipline at the index tier (the r9 verdict's "a production
+    * index trains once, stores its artifacts, and serves many
+    * times"): each trainer runs once per (session, corpus plan)
+    * and every consumer (c64/c65/c71/c73, the c79 artifact build,
+    * c80's clustered grid) reads the memoized frame. Keys are
+    * plan-semantic, so the raw corpus, the clustered derivation, and
+    * residual frames against DIFFERENT coarse centroids all get their
+    * own entry; the trainers' fixed-point determinism means a memo
+    * hit is indistinguishable from a re-run. */
+  private def trainedCentFrame(emb: DataFrame): DataFrame =
+    CorpusPrep.memo("pq_cent_trained", emb)(trainCentroidsQuantized(emb))
+
+  private def trainedBooksOver(vecs: DataFrame): DataFrame =
+    CorpusPrep.memo("pq_books", vecs)(trainPqCodebooks(vecs))
 
   /** Collect a trained codebook frame (m, k, csub) into the [m][k][i]
     * serving layout — M·K rows, bounded by construction. */
@@ -737,7 +753,7 @@ object Similarity {
     * inside one query). Same serving kernel and cost shape as c65. */
   def c71IvfPqTrained(emb: DataFrame, nQueries: Int = DefaultQueryCount,
       topK: Int = PqTopK, nprobe: Int = DefaultNProbe): DataFrame =
-    ivfPqResidualServe(emb, Some(trainCentroidsQuantized(emb)), nQueries, topK, nprobe)
+    ivfPqResidualServe(emb, Some(trainedCentFrame(emb)), nQueries, topK, nprobe)
 
   private def ivfPqResidualServe(emb: DataFrame, centroids: Option[DataFrame],
       nQueries: Int, topK: Int, nprobe: Int): DataFrame = {
@@ -748,7 +764,7 @@ object Similarity {
         size(col("embedding")))).isNull)
     val centFrame = centroids.getOrElse(defaultCentroids(emb))
       .select(col("c_id"), VectorFns.toDoubles(col("c_emb")).as("c_emb"), col("c_nrm"))
-    val rBooks = collectBooks(trainPqCodebooks(residualFrameOver(emb, centFrame)))
+    val rBooks = collectBooks(trainedBooksOver(residualFrameOver(emb, centFrame)))
     // centroid pull is a bounded k-row collect (c7's contract); the
     // kernel indexes clusters by c_id, so the sorted ids must be the
     // dense prefix 0..k-1 (defaultCentroids and the trainer both
@@ -1071,9 +1087,9 @@ object Similarity {
     val guarded = emb.filter(assert_true(size(col("embedding")) >= dims,
       concat(lit(s"c73: IVFADC needs ≥$dims dims, embedding has "),
         size(col("embedding")))).isNull)
-    val centFrame = trainCentroidsQuantized(emb)
+    val centFrame = trainedCentFrame(emb)
       .select(col("c_id"), VectorFns.toDoubles(col("c_emb")).as("c_emb"), col("c_nrm"))
-    val rBooks = collectBooks(trainPqCodebooks(residualFrameOver(emb, centFrame)))
+    val rBooks = collectBooks(trainedBooksOver(residualFrameOver(emb, centFrame)))
     val centRows = centFrame.select(col("c_id"), col("c_emb")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
@@ -1289,6 +1305,181 @@ object Similarity {
   def c78ClusteredRecall(emb: DataFrame, nQueries: Int = DefaultQueryCount,
       k: Int = PqTopK, nprobe: Int = DefaultNProbe): DataFrame =
     c70AdcVariants(clusteredCorpus(emb), nQueries, k, nprobe)
+
+  /** c80: c73's trained recall grid over the CLUSTERED derivation —
+    * the r9 verdict's "c73's trained grid on clustered data is the
+    * measurement a deployment would actually read": c70/c78 bracket
+    * the residual-vs-plain decision at SEED grain only; this runs the
+    * fully TRAINED index (coarse + residual subquantizer, both
+    * trainers) over [[clusteredCorpus]]'s planted structure, per
+    * (nprobe × code budget) cell against the exact baseline on the
+    * same derivation. Same plan shape as c73 — the derivation is a
+    * narrow projection over the scan, so the one-kernel-pass /
+    * report-grain contract carries over unchanged. */
+  def c80ClusteredTrainedGrid(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      k: Int = PqTopK, nprobes: Seq[Int] = RecallNprobes,
+      mBudgets: Seq[Int] = RecallMBudgets): DataFrame =
+    c73TrainedRecallGrid(clusteredCorpus(emb), nQueries, k, nprobes, mBudgets)
+
+  /** c79: the PERSISTED trained index — closing the one batch/stream
+    * loop the r9 verdict left open ("the trained ANN index is never
+    * persisted; a production index trains once, stores its artifacts,
+    * and serves many times"): [[buildIndexArtifacts]] runs both
+    * trainers ONCE per (session, corpus) and writes the three
+    * FAISS-shaped artifacts as parquet — coarse centroids (k rows),
+    * residual-trained codebooks (M·K rows), and the WHOLE corpus
+    * PQ-ENCODED (vec_id, assigned cluster, M codes — the compressed
+    * corpus, ~M bytes a vector). Serving then reads the STORED index:
+    * per-cluster LUTs come from the centroid/codebook artifacts and
+    * the corpus pass scans the CODES table — never the raw
+    * embeddings (the 100 TB point of PQ: the serving scan reads M
+    * bytes per vector, not 4·d; the only raw-embedding read is the
+    * bounded query set). Output ≡ [[c71IvfPqTrained]] row-for-row —
+    * same training contract, same rounded cells, same ranking — so
+    * the oracle replays the training chain into the same logical
+    * artifacts (c71's own SQL), and the spec pins stored-index
+    * serving against the per-invocation compose. */
+  def c79StoredIndexServe(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultQueryCount, topK: Int = PqTopK,
+      nprobe: Int = DefaultNProbe): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = graft.streaming.StoreMemo.memo(spark, s"c79_index_$dir")(
+      buildIndexArtifacts(emb, _))
+    serveStoredIndex(spark, emb, root, nQueries, topK, nprobe)
+  }
+
+  /** Train-once → write the centroid/codebook/code artifacts under
+    * `root` (the upsert store's at-rest discipline applied to the
+    * index): one corpus kernel pass assigns, residual-encodes, and
+    * codes EVERY vector — an index stores the whole corpus, unlike
+    * the serving kernels' probed-cluster skip. */
+  private[graft] def buildIndexArtifacts(emb: DataFrame, root: String): Unit = {
+    val dims = PqSubspaces * PqSubDim
+    val guarded = emb.filter(assert_true(size(col("embedding")) >= dims,
+      concat(lit(s"c79: the index needs ≥$dims dims, embedding has "),
+        size(col("embedding")))).isNull)
+    val centFrame = trainedCentFrame(emb)
+      .select(col("c_id"), VectorFns.toDoubles(col("c_emb")).as("c_emb"), col("c_nrm"))
+    val books = trainedBooksOver(residualFrameOver(emb, centFrame))
+    centFrame.write.mode("overwrite").parquet(s"$root/centroids")
+    books.select(col("m"), col("k"), col("csub"))
+      .write.mode("overwrite").parquet(s"$root/codebooks")
+    val rBooks = collectBooks(books)
+    val centRows = centFrame.select(col("c_id"), col("c_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(centRows.map(_._1).sameElements(0L until centRows.length),
+      s"c79: centroid ids not the dense prefix: ${centRows.map(_._1).mkString(",")}")
+    val centLocal = centRows.map(_._2)
+    val centNorm = centLocal.map(c => math.sqrt(dot64(c, c)))
+    val spark0 = emb.sparkSession
+    val bc = spark0.sparkContext.broadcast((rBooks, centLocal, centNorm))
+    import spark0.implicits._
+    val codes = guarded
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (cb, cent, cn) = bc.value
+        it.map { case (vec, v) =>
+          val cluster = ivfTopClusters(v, cent, cn, 1)(0)
+          val res = new Array[Double](v.length)
+          var i = 0
+          while (i < res.length) { res(i) = v(i) - cent(cluster)(i); i += 1 }
+          val cs = new Array[Int](PqSubspaces)
+          var m = 0
+          while (m < PqSubspaces) {
+            var bestK = 0
+            var bestD = Double.MaxValue
+            var k = 0
+            while (k < cb(m).length) {
+              val d = pqCellD2(res, cb, k, m)
+              if (d < bestD) { bestD = d; bestK = k } // strict: ties keep min k
+              k += 1
+            }
+            cs(m) = bestK
+            m += 1
+          }
+          (vec, cluster.toLong, cs)
+        }
+      }.toDF("vec_id", "cluster", "codes")
+    codes.write.mode("overwrite").parquet(s"$root/codes")
+  }
+
+  /** Serve top-k from the STORED artifacts: LUTs from the artifact
+    * centroids/codebooks, candidates from the CODES scan. The raw
+    * corpus is touched only for the bounded query rows. */
+  private def serveStoredIndex(spark: SparkSession, emb: DataFrame, root: String,
+      nQueries: Int, topK: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = PqSubspaces * PqSubDim
+    val rBooks = collectBooks(spark.read.parquet(s"$root/codebooks"))
+    val centRows = spark.read.parquet(s"$root/centroids")
+      .select(col("c_id"), col("c_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(centRows.map(_._1).sameElements(0L until centRows.length),
+      s"c79: stored centroid ids not the dense prefix")
+    val centLocal = centRows.map(_._2)
+    val centNorm = centLocal.map(c => math.sqrt(dot64(c, c)))
+    val nCent = centLocal.length
+    val qVecs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val qArr = qVecs.map(_._1)
+    val probeSets = qVecs.map { case (_, qv) =>
+      val flags = new Array[Boolean](nCent)
+      ivfTopClusters(qv, centLocal, centNorm, nprobe).foreach(flags(_) = true)
+      flags
+    }
+    val lutR = Array.tabulate(qArr.length, nCent) { (qi, c) =>
+      if (!probeSets(qi)(c)) null
+      else {
+        val qres = new Array[Double](dims)
+        var i = 0
+        while (i < dims) { qres(i) = qVecs(qi)._2(i) - centLocal(c)(i); i += 1 }
+        Array.tabulate(PqSubspaces, PqCodebookK)((m, k) => pqCellD2(qres, rBooks, k, m))
+      }
+    }
+    val bc = spark.sparkContext.broadcast((qArr, lutR, probeSets))
+    import spark.implicits._
+    val kLocal = topK
+    val topLocal = spark.read.parquet(s"$root/codes")
+      .select(col("vec_id"), col("cluster").cast("int"), col("codes"))
+      .as[(Long, Int, Array[Int])]
+      .mapPartitions { it =>
+        val (qs, lut, probes) = bc.value
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (vec, cluster, cs) =>
+          var qi = 0
+          while (qi < qs.length) {
+            if (qs(qi) != vec && probes(qi)(cluster)) {
+              val l = lut(qi)(cluster)
+              var s = 0.0
+              var mm = 0
+              while (mm < PqSubspaces) { s += l(mm)(cs(mm)); mm += 1 }
+              val cand = (pqRound4(s), vec)
+              val h = heaps(qi)
+              if (h.size < kLocal) h.enqueue(cand)
+              else if (ord.lt(cand, h.head)) { h.dequeue(); h.enqueue(cand) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, v) => (qs(qi), v, d) }
+        }
+      }.toDF("q_id", "vec_id", "adist")
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    topLocal
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   /** c55: PQ serving recall against the exact baseline — the
     * measure-don't-guess report for the compressed-domain path: per

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Round-14 contracts: the persisted trained index (c79) and the
+  * trained recall grid over the clustered derivation (c80). */
+class Round14Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("c79 stored-index serving equals the per-invocation c71 compose row-for-row") {
+    // the whole point of the artifact store: train once, persist,
+    // serve from the STORED index — and lose nothing. Same corpus,
+    // same training contract, so every (q_id, rank, vec_id, adist)
+    // row must match the in-memory compose exactly.
+    val live = Similarity.c71IvfPqTrained(
+      graft.sources.Tables.embeddings(spark, sf)).collect()
+    val stored = Similarity.c79StoredIndexServe(spark, sf).collect()
+    assert(stored.length == live.length,
+      s"stored ${stored.length} rows vs live ${live.length}")
+    assert(stored.sameElements(live), "stored-index serving diverged from c71")
+  }
+
+  test("c79 artifacts have the index shape: dense centroids, full codebook, whole corpus coded") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.c79StoredIndexServe(spark, sf).count() // ensure built
+    val root = System.getProperty("java.io.tmpdir")
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.getName.startsWith("graft_store_c79_index_") &&
+        f.getName.contains(spark.sparkContext.applicationId))
+    assert(dirs.length == 1, s"expected one c79 artifact root, got ${dirs.length}")
+    val idx = dirs.head.getPath
+    val cent = spark.read.parquet(s"$idx/centroids").collect()
+    assert(cent.map(_.getLong(0)).sorted.toSeq ==
+      (0L until Similarity.DefaultCentroidCount).toSeq, "centroid ids not dense")
+    val books = spark.read.parquet(s"$idx/codebooks")
+    assert(books.count() == Similarity.PqSubspaces.toLong * Similarity.PqCodebookK,
+      "codebook cell count")
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.count() == emb.count(), "every corpus vector must be coded")
+    // every code is a valid codebook row; every cluster a real centroid
+    val bad = codes.filter(exists(col("codes"),
+        c => c < 0 || c >= Similarity.PqCodebookK) ||
+      col("cluster") < 0 || col("cluster") >= Similarity.DefaultCentroidCount)
+    assert(bad.count() == 0L, "out-of-range code or cluster in the artifact store")
+  }
+
+  test("c80 trained grid on the clustered derivation: grid contract, monotone nprobe") {
+    // structural asserts only — the trained-residual-vs-trained-plain
+    // ORDERING on a driver-scaled corpus is a measurement, reported
+    // not asserted (the r9 c78 lesson, applied before shipping).
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val cells = Similarity.c80ClusteredTrainedGrid(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(cells.keySet == (for {
+      np <- Similarity.RecallNprobes; mb <- Similarity.RecallMBudgets
+    } yield (np, mb)).toSet, s"grid keys: ${cells.keySet}")
+    val nQs = cells.values.map(_._1).toSet
+    assert(nQs.size == 1, s"cells price different query counts: $nQs")
+    assert(cells.values.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    // recall is monotone in nprobe at full code budget (prefix
+    // property of the probe ranking — structural, scale-free)
+    val byNp = Similarity.RecallNprobes.map(np =>
+      cells((np, Similarity.PqSubspaces))._2)
+    assert(byNp.zip(byNp.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"not monotone in nprobe: $byNp")
+    info(s"c80 cells: ${cells.toSeq.sortBy(_._1).mkString(", ")}")
+  }
+}
