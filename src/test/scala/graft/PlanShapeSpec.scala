@@ -188,8 +188,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // eagerly (bounded collects) before the serving plan is built, so
     // the served plan must look exactly like c47's: one q_id rank
     // window over heap rows, no join, at most that window's exchange.
+    // c79 serves the same contract off the STORED codes scan — the
+    // artifact read must not cost a plan shape the live compose
+    // doesn't pay
     for (name <- Seq("c60_ivf_pq", "c64_pq_trained", "c65_ivfpq_residual",
-        "c71_ivfpq_trained")) {
+        "c71_ivfpq_trained", "c79_stored_serving")) {
       val p = plan(name)
       assert("Window \\[".r.findAllIn(p).size == 1,
         s"$name plans more than the one report-sized rank window:\n$p")
