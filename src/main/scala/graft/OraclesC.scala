@@ -332,7 +332,8 @@ object OraclesC {
     * cluster) LUTs from the query's own residual, ADC, rank. Final
     * ranked CTE = `{pfx}r`. Shared by c65 (seed centroids), c70 (the
     * variants report), and c71 (trained centroids). */
-  private def residualServeChain(pfx: String, centCte: String): String = s"""
+  private def residualServeChain(pfx: String, centCte: String,
+      trainFilter: Option[String] = None): String = s"""
       ${pfx}ra as (
         select e.vec_id, c.c_id,
                row_number() over (partition by e.vec_id
@@ -351,8 +352,9 @@ object OraclesC {
       ${pfx}vm as materialized (
         select vec_id, t.m,
                [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
-        from ${pfx}res, unnest(range(0,$PM)) t(m)),
-      ${pqTrainChain(s"${pfx}t", s"${pfx}vm")},
+        from ${pfx}res, unnest(range(0,$PM)) t(m)),${trainFilter.map(f => s"""
+      ${pfx}tvm as (select * from ${pfx}vm where $f),""").getOrElse("")}
+      ${pqTrainChain(s"${pfx}t", trainFilter.map(_ => s"${pfx}tvm").getOrElse(s"${pfx}vm"))},
       ${pfx}vd as (
         select v.vec_id, v.m, cb.k,
                round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
@@ -955,12 +957,12 @@ object OraclesC {
     * operator's Scaladoc). `prev` is the incoming centroid CTE name,
     * `i` the iteration suffix. Empty clusters keep their previous
     * centroid (coalesce on the left join). */
-  private def kmeansIter(prev: String, i: Int): String = s"""
+  private def kmeansIter(prev: String, i: Int, tbl: String = "embeddings"): String = s"""
       asg$i as (
         select e.vec_id, e.embedding, c.c_id,
                row_number() over (partition by e.vec_id
                  order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
-        from embeddings e cross join $prev c),
+        from $tbl e cross join $prev c),
       a$i as (select vec_id, embedding, c_id from asg$i where rn = 1),
       upd$i as (
         select c_id, i as dim,
@@ -976,13 +978,16 @@ object OraclesC {
         from $prev c left join cm$i u using (c_id))"""
 
   /** The full trained-centroid CTE chain: cent0 = the seed (first NC
-    * vectors as doubles), then QITERS unrolled iterations. */
-  private val TRAINED_CENTROIDS = s"""
+    * vectors as doubles), then QITERS unrolled iterations — over an
+    * arbitrary corpus CTE (c81 trains on the BASE slice only). */
+  private def trainedCentroidsOver(tbl: String): String = s"""
       cent0 as (
         select vec_id as c_id,
                list_transform(embedding, x -> x::double) as c_emb
-        from embeddings where vec_id < $NC),""" +
-    (1 to QITERS).map(i => kmeansIter(s"cent${i - 1}", i)).mkString(",")
+        from $tbl where vec_id < $NC),""" +
+    (1 to QITERS).map(i => kmeansIter(s"cent${i - 1}", i, tbl)).mkString(",")
+
+  private val TRAINED_CENTROIDS = trainedCentroidsOver("embeddings")
 
   /** c18's keep-rate CASE, derived from the operator's rate map. */
   private val KEEP_MILLE = graft.operators.Sampling.DefaultRates
@@ -1059,6 +1064,21 @@ object OraclesC {
   private val C71_SQL = s"""
       with $TRAINED_CENTROIDS,
       ${residualServeChain("y", s"cent$QITERS")}
+      select q_id, rank, vec_id, adist from yr
+      where rank <= $PTOPK
+      order by q_id, rank
+    """
+
+  /** c81's oracle: the base-vs-delta asymmetry replayed in one query
+    * — trainers over the base slice, everything else over the whole
+    * corpus (the boundary predicate is the operator constant). */
+  private val BASE_VEC_PRED =
+    s"not (vec_id % 5 = 0 and vec_id >= ${graft.operators.Similarity.IndexBaseBoundary})"
+
+  private val C81_SQL = s"""
+      with bemb as (select * from embeddings where $BASE_VEC_PRED),
+      ${trainedCentroidsOver("bemb")},
+      ${residualServeChain("y", s"cent$QITERS", trainFilter = Some(BASE_VEC_PRED))}
       select q_id, rank, vec_id, adist from yr
       where rank <= $PTOPK
       order by q_id, rank
@@ -2100,6 +2120,13 @@ object OraclesC {
     // the persisted-index path is hash-checked against the exact SQL
     // the per-invocation compose already passes
     "c79_stored_serving" -> C71_SQL,
+
+    // c81: incremental append — BOTH trainers read only the base
+    // slice (the index c79 would have built before the delta
+    // arrived), while assignment, encode, and serving read the whole
+    // corpus: exactly the asymmetry of appending under stored
+    // artifacts without retraining
+    "c81_index_append" -> C81_SQL,
 
     // c70: residual-vs-plain recall at the default dial — factored
     // above (C70_SQL) so c78 serves the same report over the

@@ -144,6 +144,7 @@ object SparkEntry {
     "c68_span_store" -> ((s, dir) => graft.streaming.SpanStream.c68SpanStoreAudit(s, dir)),
     "c79_stored_serving" -> ((s, dir) => Similarity.c79StoredIndexServe(s, dir)),
     "c80_clustered_trained" -> ((s, dir) => Similarity.c80ClusteredTrainedGrid(Tables.embeddings(s, dir))),
+    "c81_index_append" -> ((s, dir) => Similarity.c81IndexAppendServe(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

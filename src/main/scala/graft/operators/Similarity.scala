@@ -1372,10 +1372,21 @@ object Similarity {
       s"c79: centroid ids not the dense prefix: ${centRows.map(_._1).mkString(",")}")
     val centLocal = centRows.map(_._2)
     val centNorm = centLocal.map(c => math.sqrt(dot64(c, c)))
-    val spark0 = emb.sparkSession
+    encodeWithArtifacts(guarded, rBooks, centLocal, centNorm)
+      .write.mode("overwrite").parquet(s"$root/codes")
+  }
+
+  /** The index ENCODE kernel — assign, residual, code — over an
+    * arbitrary vector frame, against in-memory artifacts. One
+    * spelling shared by the initial build and the incremental append
+    * (c81), so the delta path cannot drift from the base path. */
+  private def encodeWithArtifacts(vecs: DataFrame,
+      rBooks: Array[Array[Array[Double]]], centLocal: Array[Array[Double]],
+      centNorm: Array[Double]): DataFrame = {
+    val spark0 = vecs.sparkSession
     val bc = spark0.sparkContext.broadcast((rBooks, centLocal, centNorm))
     import spark0.implicits._
-    val codes = guarded
+    vecs
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -1402,7 +1413,61 @@ object Similarity {
           (vec, cluster.toLong, cs)
         }
       }.toDF("vec_id", "cluster", "codes")
-    codes.write.mode("overwrite").parquet(s"$root/codes")
+  }
+
+  /** Load a stored index root's (codebooks, centroids, norms) — the
+    * bounded artifact pull the serve/append paths share. */
+  private def loadArtifacts(spark: SparkSession, root: String)
+      : (Array[Array[Array[Double]]], Array[Array[Double]], Array[Double]) = {
+    val rBooks = collectBooks(spark.read.parquet(s"$root/codebooks"))
+    val centRows = spark.read.parquet(s"$root/centroids")
+      .select(col("c_id"), col("c_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(centRows.map(_._1).sameElements(0L until centRows.length),
+      s"stored centroid ids not the dense prefix: ${centRows.map(_._1).mkString(",")}")
+    val centLocal = centRows.map(_._2)
+    (rBooks, centLocal, centLocal.map(c => math.sqrt(dot64(c, c))))
+  }
+
+  /** The base/delta boundary for the incremental index (c81):
+    * vectors below the boundary are always base (the seed prefix and
+    * the query set must exist when the index is TRAINED — a deployment
+    * trains on its initial corpus, which by definition contains
+    * whatever the serving contract needs); above it, every 5th vector
+    * is the later-arriving delta. Deterministic and SQL-replayable. */
+  val IndexBaseBoundary: Long = DefaultQueryCount.toLong
+
+  private[graft] def isBaseVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    !(c % 5 === 0 && c >= IndexBaseBoundary)
+
+  /** c81: INCREMENTAL APPEND to the persisted index — a12's
+    * incremental ≡ contract applied to the ANN artifact store (the
+    * production loop after c79's train-once: new vectors arrive and
+    * the index must grow WITHOUT retraining): the base corpus trains
+    * and encodes as c79 does; the delta is then encoded UNDER THE
+    * STORED centroids/codebooks ([[encodeWithArtifacts]] — the same
+    * kernel the build ran, fed from [[loadArtifacts]]) and APPENDED
+    * to the codes table. Serving reads the unified codes store. The
+    * oracle replays exactly that asymmetry in one query — both
+    * trainers read ONLY the base slice, assignment/encode/serving
+    * read the whole corpus — so the keyed result hash-checks that
+    * append-without-retrain produces the same index a from-scratch
+    * encode under base-trained artifacts would. Quantization drift
+    * is the measured trade: the spec compares against the
+    * full-retrain index (c79/c71) where they differ. */
+  def c81IndexAppendServe(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultQueryCount, topK: Int = PqTopK,
+      nprobe: Int = DefaultNProbe): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = graft.streaming.StoreMemo.memo(spark, s"c81_index_$dir") { r =>
+      buildIndexArtifacts(emb.filter(isBaseVec(col("vec_id"))), r)
+      val (rBooks, centLocal, centNorm) = loadArtifacts(spark, r)
+      encodeWithArtifacts(emb.filter(!isBaseVec(col("vec_id"))),
+          rBooks, centLocal, centNorm)
+        .write.mode("append").parquet(s"$r/codes")
+    }
+    serveStoredIndex(spark, emb, root, nQueries, topK, nprobe)
   }
 
   /** Serve top-k from the STORED artifacts: LUTs from the artifact
@@ -1412,15 +1477,7 @@ object Similarity {
       nQueries: Int, topK: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dims = PqSubspaces * PqSubDim
-    val rBooks = collectBooks(spark.read.parquet(s"$root/codebooks"))
-    val centRows = spark.read.parquet(s"$root/centroids")
-      .select(col("c_id"), col("c_emb")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1)
-    require(centRows.map(_._1).sameElements(0L until centRows.length),
-      s"c79: stored centroid ids not the dense prefix")
-    val centLocal = centRows.map(_._2)
-    val centNorm = centLocal.map(c => math.sqrt(dot64(c, c)))
+    val (rBooks, centLocal, centNorm) = loadArtifacts(spark, root)
     val nCent = centLocal.length
     val qVecs = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding").cast("array<double>"))

@@ -46,6 +46,56 @@ class Round14Spec extends AnyFunSuite {
     assert(bad.count() == 0L, "out-of-range code or cluster in the artifact store")
   }
 
+  test("c81 append encodes the delta under BASE-trained artifacts, whole corpus coded") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.c81IndexAppendServe(spark, sf).count() // ensure built
+    val root = System.getProperty("java.io.tmpdir")
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.getName.startsWith("graft_store_c81_index_") &&
+        f.getName.contains(spark.sparkContext.applicationId))
+    assert(dirs.length == 1, s"expected one c81 artifact root, got ${dirs.length}")
+    val idx = dirs.head.getPath
+    // every vector coded exactly once — base from the build, delta
+    // from the append — and the delta really is in the codes store
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.count() == emb.count(), "append must complete the corpus")
+    assert(codes.select("vec_id").distinct().count() == emb.count(), "duplicate codes")
+    val nDelta = codes.filter(!Similarity.isBaseVec(col("vec_id"))).count()
+    assert(nDelta == emb.filter(!Similarity.isBaseVec(col("vec_id"))).count()
+      && nDelta > 0, s"delta rows in store: $nDelta")
+    // the stored centroids are the BASE corpus's training output —
+    // proof no retrain happened when the delta arrived
+    val base = emb.filter(Similarity.isBaseVec(col("vec_id")))
+    val want = Similarity.trainCentroidsQuantized(base)
+      .select(col("c_id"), col("c_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val stored = spark.read.parquet(s"$idx/centroids")
+      .select(col("c_id"), col("c_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(stored == want, "stored centroids are not the base-corpus training output")
+  }
+
+  test("c81 serves appended vectors: a planted delta twin surfaces as its query's top hit") {
+    import spark.implicits._
+    // 16 one-hot-block centers (ids 0–15 = seeds AND queries, all
+    // base); ONE delta vector (id 100: every-5th ≥ the boundary) just
+    // off center 5. Cluster 5 has no other member, so if the append
+    // path serves at all, query 5's rank-1 must be the delta vector.
+    def vec(j: Int, eps: Float): Array[Float] =
+      Array.tabulate(64)(i => (if (i / 4 == j) 8.0f else 0.0f) +
+        (if (i == 20) eps else 0.0f))
+    val rows = (0 until 16).map(j => (j.toLong, vec(j, 0.0f), "x")) :+
+      ((100L, vec(5, 0.1f), "x"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-c81-").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.c81IndexAppendServe(spark, dir, nQueries = 16).collect()
+    val top5 = out.filter(r => r.getLong(0) == 5L && r.getLong(1) == 1L)
+    assert(top5.length == 1, "query 5 has no rank-1 row")
+    assert(top5.head.getLong(2) == 100L,
+      s"query 5's top hit is ${top5.head.getLong(2)}, not the appended twin")
+  }
+
   test("c80 trained grid on the clustered derivation: grid contract, monotone nprobe") {
     // structural asserts only — the trained-residual-vs-trained-plain
     // ORDERING on a driver-scaled corpus is a measurement, reported
