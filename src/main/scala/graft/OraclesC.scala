@@ -333,12 +333,41 @@ object OraclesC {
     * ranked CTE = `{pfx}r`. Shared by c65 (seed centroids), c70 (the
     * variants report), and c71 (trained centroids). */
   private def residualServeChain(pfx: String, centCte: String,
-      trainFilter: Option[String] = None): String = s"""
+      trainFilter: Option[String] = None, corpus: String = "embeddings",
+      trainCorpus: Option[String] = None): String = {
+    // the subquantizer's training slices: by default the served
+    // corpus's own residual rows (optionally filtered — c81's
+    // base-only training); with trainCorpus, a SEPARATE residual
+    // derivation over that corpus (c82: the index was trained on the
+    // pre-churn corpus, which is not a subset of what is served)
+    val trainVm = trainCorpus.map(_ => s"${pfx}uvm")
+      .orElse(trainFilter.map(_ => s"${pfx}tvm")).getOrElse(s"${pfx}vm")
+    val trainCtes = trainCorpus.map(tc => s"""
+      ${pfx}ura as (
+        select e.vec_id, c.c_id,
+               row_number() over (partition by e.vec_id
+                 order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
+        from $tc e cross join $centCte c),
+      ${pfx}ures as (
+        select e.vec_id,
+               [e.embedding[i]::double - c.c_emb[i]::double
+                for i in range(1,65)] as rv
+        from $tc e
+        join (select vec_id, c_id as cluster from ${pfx}ura where rn = 1) a
+          on a.vec_id = e.vec_id
+        join $centCte c on c.c_id = a.cluster),
+      ${pfx}uvm as materialized (
+        select vec_id, t.m,
+               [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
+        from ${pfx}ures, unnest(range(0,$PM)) t(m)),""").getOrElse(
+      trainFilter.map(f => s"""
+      ${pfx}tvm as (select * from ${pfx}vm where $f),""").getOrElse(""))
+    s"""
       ${pfx}ra as (
         select e.vec_id, c.c_id,
                row_number() over (partition by e.vec_id
                  order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
-        from embeddings e cross join $centCte c),
+        from $corpus e cross join $centCte c),
       ${pfx}asg as materialized (select vec_id, c_id as cluster from ${pfx}ra where rn = 1),
       ${pfx}pr as (select vec_id as q_id, c_id as cluster
                    from ${pfx}ra where vec_id < $NQ and rn <= $NPROBE),
@@ -346,15 +375,14 @@ object OraclesC {
         select e.vec_id,
                [e.embedding[i]::double - c.c_emb[i]::double
                 for i in range(1,65)] as rv
-        from embeddings e
+        from $corpus e
         join ${pfx}asg a on a.vec_id = e.vec_id
         join $centCte c on c.c_id = a.cluster),
       ${pfx}vm as materialized (
         select vec_id, t.m,
                [rv[t.m*$PSUB+i] for i in range(1,${PSUB + 1})] as sub
-        from ${pfx}res, unnest(range(0,$PM)) t(m)),${trainFilter.map(f => s"""
-      ${pfx}tvm as (select * from ${pfx}vm where $f),""").getOrElse("")}
-      ${pqTrainChain(s"${pfx}t", trainFilter.map(_ => s"${pfx}tvm").getOrElse(s"${pfx}vm"))},
+        from ${pfx}res, unnest(range(0,$PM)) t(m)),$trainCtes
+      ${pqTrainChain(s"${pfx}t", trainVm)},
       ${pfx}vd as (
         select v.vec_id, v.m, cb.k,
                round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
@@ -368,7 +396,7 @@ object OraclesC {
                [e.embedding[i]::double - c.c_emb[i]::double
                 for i in range(1,65)] as rv
         from ${pfx}pr p
-        join embeddings e on e.vec_id = p.q_id
+        join $corpus e on e.vec_id = p.q_id
         join $centCte c on c.c_id = p.cluster),
       ${pfx}qrm as (
         select q_id, cluster, t.m,
@@ -389,6 +417,7 @@ object OraclesC {
       ${pfx}r as (select q_id, vec_id, adist,
               row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
               from ${pfx}sc)"""
+  }
 
   /** c60's coarse-quantizer CTEs (cc / ranked_assign / assigned60),
     * shared by the c65 residual chain and the c66 audit — the exact
@@ -1079,6 +1108,31 @@ object OraclesC {
       with bemb as (select * from embeddings where $BASE_VEC_PRED),
       ${trainedCentroidsOver("bemb")},
       ${residualServeChain("y", s"cent$QITERS", trainFilter = Some(BASE_VEC_PRED))}
+      select q_id, rank, vec_id, adist from yr
+      where rank <= $PTOPK
+      order by q_id, rank
+    """
+
+  /** c82's oracle: the churn asymmetry in one query — coarse +
+    * residual trainers over the PRE-churn corpus (the index's
+    * training vintage; `trainCorpus = embeddings`), while
+    * assignment, encode, queries, and serving read the CHURNED
+    * derivation (`uemb`: deletes + exact in-place updates). The
+    * touched-only maintenance the Scala side performs must equal this
+    * full logical re-encode because the encode kernel is per-vector
+    * pure — the hash check IS that proof. */
+  private val C82_SQL = s"""
+      with uemb as (
+        select vec_id,
+               case when vec_id % 7 = 3
+                    then list_transform(embedding, x -> (x::double * 0.5 + 0.25)::real)
+                    else embedding end as embedding,
+               label
+        from embeddings
+        where vec_id % 11 <> 4),
+      $TRAINED_CENTROIDS,
+      ${residualServeChain("y", s"cent$QITERS", corpus = "uemb",
+        trainCorpus = Some("embeddings"))}
       select q_id, rank, vec_id, adist from yr
       where rank <= $PTOPK
       order by q_id, rank
@@ -2127,6 +2181,7 @@ object OraclesC {
     // corpus: exactly the asymmetry of appending under stored
     // artifacts without retraining
     "c81_index_append" -> C81_SQL,
+    "c82_index_churn" -> C82_SQL,
 
     // c70: residual-vs-plain recall at the default dial — factored
     // above (C70_SQL) so c78 serves the same report over the

@@ -227,7 +227,12 @@ object ScaleSmoke {
       "c67_gate_store", "c68_span_store", "c69_winnow_pairs",
       "c70_adc_variants", "c71_ivfpq_trained", "c72_span_exec",
       "c73_trained_recall", "c74_winnow_spans", "c75_bpe_train",
-      "c76_bpe_trained_encode", "c77_gate_pipeline")
+      "c76_bpe_trained_encode", "c77_gate_pipeline",
+      // r13: the artifact-store index tier — codes-scan serving
+      // (M bytes/vector), the clustered trained grid, and the
+      // append-without-retrain path
+      "c78_clustered_recall", "c79_stored_serving",
+      "c80_clustered_trained", "c81_index_append", "c82_index_churn")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -1470,11 +1470,61 @@ object Similarity {
     serveStoredIndex(spark, emb, root, nQueries, topK, nprobe)
   }
 
+  /** The corpus-CHURN derivation under c82 — what the live corpus
+    * looks like after a maintenance window: every (vec_id % 11 == 4)
+    * vector was DELETED, every remaining (vec_id % 7 == 3) vector was
+    * UPDATED in place (elementwise float(0.5·x + 0.25) — both ops
+    * exact in double, identical float round-trip both engines).
+    * Deterministic and SQL-replayable (the oracle's `uemb` CTE). */
+  private[graft] def isDroppedVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % 11 === 4
+  private[graft] def isUpdatedVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % 7 === 3
+  def churnedCorpus(emb: DataFrame): DataFrame =
+    emb.filter(!isDroppedVec(col("vec_id")))
+      .withColumn("embedding",
+        when(isUpdatedVec(col("vec_id")),
+          transform(col("embedding"), x => (x.cast("double") * 0.5 + 0.25).cast("float")))
+        .otherwise(col("embedding")))
+
+  /** c82: index CHURN — the versioned-artifact maintenance loop
+    * (PLANS' r14 candidate #3, the remaining lifecycle piece after
+    * c79 train-once and c81 append): the corpus mutates (deletes +
+    * in-place updates, [[churnedCorpus]]), and the codes artifact is
+    * brought current by touching ONLY the churned rows — dropped
+    * vectors tombstoned out, updated vectors re-encoded under the
+    * UNCHANGED stored centroids/codebooks, untouched rows carried
+    * over byte-for-byte — written as a new VERSION of the codes
+    * table (the versioned-artifact path DEPLOY.md prescribes).
+    * Because the encode kernel is per-vector pure, touched-only
+    * maintenance must produce exactly the index a full re-encode of
+    * the live corpus would — and that is what the oracle hash-checks:
+    * trainers over the PRE-churn corpus (the index's training
+    * vintage), assignment/encode/serving over the churned one. */
+  def c82IndexChurnServe(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultQueryCount, topK: Int = PqTopK,
+      nprobe: Int = DefaultNProbe): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = graft.streaming.StoreMemo.memo(spark, s"c82_index_$dir") { r =>
+      buildIndexArtifacts(emb, r) // v1: the pre-churn index
+      val (rBooks, centLocal, centNorm) = loadArtifacts(spark, r)
+      val v1 = spark.read.parquet(s"$r/codes")
+      val untouched = v1.filter(!isDroppedVec(col("vec_id")) && !isUpdatedVec(col("vec_id")))
+      val reencoded = encodeWithArtifacts(
+        churnedCorpus(emb).filter(isUpdatedVec(col("vec_id"))),
+        rBooks, centLocal, centNorm)
+      untouched.unionByName(reencoded)
+        .write.mode("overwrite").parquet(s"$r/codes_v2")
+    }
+    serveStoredIndex(spark, churnedCorpus(emb), root, nQueries, topK, nprobe,
+      codesDir = "codes_v2")
+  }
+
   /** Serve top-k from the STORED artifacts: LUTs from the artifact
     * centroids/codebooks, candidates from the CODES scan. The raw
     * corpus is touched only for the bounded query rows. */
   private def serveStoredIndex(spark: SparkSession, emb: DataFrame, root: String,
-      nQueries: Int, topK: Int, nprobe: Int): DataFrame = {
+      nQueries: Int, topK: Int, nprobe: Int, codesDir: String = "codes"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dims = PqSubspaces * PqSubDim
     val (rBooks, centLocal, centNorm) = loadArtifacts(spark, root)
@@ -1502,7 +1552,7 @@ object Similarity {
     val bc = spark.sparkContext.broadcast((qArr, lutR, probeSets))
     import spark.implicits._
     val kLocal = topK
-    val topLocal = spark.read.parquet(s"$root/codes")
+    val topLocal = spark.read.parquet(s"$root/$codesDir")
       .select(col("vec_id"), col("cluster").cast("int"), col("codes"))
       .as[(Long, Int, Array[Int])]
       .mapPartitions { it =>

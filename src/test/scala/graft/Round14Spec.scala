@@ -96,6 +96,39 @@ class Round14Spec extends AnyFunSuite {
       s"query 5's top hit is ${top5.head.getLong(2)}, not the appended twin")
   }
 
+  test("c82 churn: touched-only maintenance equals a full re-encode of the live corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.c82IndexChurnServe(spark, sf).count() // ensure built
+    val root = System.getProperty("java.io.tmpdir")
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.getName.startsWith("graft_store_c82_index_") &&
+        f.getName.contains(spark.sparkContext.applicationId))
+    assert(dirs.length == 1, s"expected one c82 artifact root, got ${dirs.length}")
+    val idx = dirs.head.getPath
+    val live = Similarity.churnedCorpus(emb)
+    val v1 = spark.read.parquet(s"$idx/codes")
+    val v2 = spark.read.parquet(s"$idx/codes_v2")
+    // tombstones really removed, row count tracks the live corpus
+    assert(v2.count() == live.count(), "v2 row count != live corpus")
+    assert(v2.filter(Similarity.isDroppedVec(col("vec_id"))).count() == 0L,
+      "dropped vectors still in v2")
+    // untouched rows carried over EXACTLY (no silent re-encode)
+    val untouchedDrift = v2
+      .filter(!Similarity.isDroppedVec(col("vec_id")) &&
+        !Similarity.isUpdatedVec(col("vec_id")))
+      .exceptAll(v1.filter(!Similarity.isDroppedVec(col("vec_id")) &&
+        !Similarity.isUpdatedVec(col("vec_id"))))
+    assert(untouchedDrift.count() == 0L, "untouched codes drifted across the churn")
+    // updated rows really changed cluster-or-codes where the content
+    // moved them (the churn map rescales toward 0.25·1s — at least
+    // one vector must re-encode differently, else the plant is dead)
+    val changed = v2.join(v1.withColumnRenamed("cluster", "cl1")
+        .withColumnRenamed("codes", "co1"), Seq("vec_id"))
+      .filter(Similarity.isUpdatedVec(col("vec_id")))
+      .filter(col("cluster") =!= col("cl1") || col("codes") =!= col("co1"))
+    assert(changed.count() > 0L, "no updated vector re-encoded differently")
+  }
+
   test("c80 trained grid on the clustered derivation: grid contract, monotone nprobe") {
     // structural asserts only — the trained-residual-vs-trained-plain
     // ORDERING on a driver-scaled corpus is a measurement, reported
