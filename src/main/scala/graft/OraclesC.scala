@@ -1167,7 +1167,9 @@ object OraclesC {
     * tier. */
   private def c80Sql: String = onClustered(c73Sql)
 
-  val sql: Map[String, String] = Map(
+  lazy val sql: Map[String, String] = sql1 ++ sql2
+
+  private lazy val sql1: Map[String, String] = Map(
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """
@@ -1404,8 +1406,15 @@ object OraclesC {
     "c75_bpe_train" -> c75Sql(graft.operators.TextAnalysis.BpeMerges),
 
     // c76: c57's encode over the LEARNED list — the per-term symbol
-    // counts ARE the training chain's final symbol tables
-    "c76_bpe_trained_encode" -> s"""
+    // counts ARE the training chain's final symbol tables.
+    // c83 (stored tokenizer) maps to the SAME SQL: encoding from the
+    // persisted merge artifact is DEFINED to equal the in-session
+    // learned-list encode, and the hash check proves it.
+    "c83_stored_tokenizer" -> C76_SQL,
+    "c76_bpe_trained_encode" -> C76_SQL,
+  )
+
+  private lazy val C76_SQL: String = s"""
       with ${c75Chain(graft.operators.TextAnalysis.BpeMerges)},
       nsy76 as (select term, count(*)::bigint as n_syms
                 from s${graft.operators.TextAnalysis.BpeMerges} group by term)
@@ -1417,8 +1426,9 @@ object OraclesC {
                           / sum(tf.tf * length(tf.term)), 4) end as compression
       from tf75 tf left join nsy76 on tf.term = nsy76.term
       group by tf.doc_id order by tf.doc_id
-    """,
+    """
 
+  private lazy val sql2: Map[String, String] = Map(
     // c34's island merge over c33's b-side intervals — the running
     // max uses a strict ROWS frame, the island id the default RANGE
     // cumulative frame; tied intervals share an island in both

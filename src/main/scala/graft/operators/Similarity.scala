@@ -1734,7 +1734,7 @@ object Similarity {
     * in SQL). Same output contract as c7. */
   def c26AnnIvfTrained(emb: DataFrame, k: Int = 10,
       nprobe: Int = DefaultNProbe): DataFrame =
-    c7AnnIvf(emb, centroids = Some(trainCentroidsQuantized(emb)), k = k, nprobe = nprobe)
+    c7AnnIvf(emb, centroids = Some(trainedCentFrame(emb)), k = k, nprobe = nprobe)
 
   /** Mean best-assignment cosine — the (spherical) k-means objective,
     * for convergence checks. One pass over the corpus; the per-vector

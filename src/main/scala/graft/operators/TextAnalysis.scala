@@ -1434,11 +1434,19 @@ object TextAnalysis {
     * the two encodes are directly comparable row-for-row. Oracle:
     * the training chain's FINAL symbol tables already are the
     * applied state, so per-term counts come straight off them. */
-  def c76BpeTrainedEncode(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+  def c76BpeTrainedEncode(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame =
+    encodeUnderMerges(docs,
+      c75BpeTrain(docs, nMerges).select(col("a"), col("b")).collect()
+        .map(r => (r.getString(0), r.getString(1))))
+
+  /** c57/c76's per-doc pricing under an explicit RANK-ORDERED merge
+    * list — one spelling shared by the in-session encode (c76) and
+    * the stored-artifact encode (c83), so the shipped tokenizer
+    * cannot drift from the trainer's. */
+  private def encodeUnderMerges(docs: DataFrame,
+      merges: Array[(String, String)]): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    val merges = c75BpeTrain(docs, nMerges).select(col("a"), col("b")).collect()
-      .map(r => (r.getString(0), r.getString(1)))
     val bc = spark0.sparkContext.broadcast(merges)
     val vocabSyms = tfRows(docs).select(col("term")).distinct().as[String]
       .map(t => (t, bpeSymbolCount(t, bc.value).toLong))
@@ -1452,6 +1460,31 @@ object TextAnalysis {
         when(col("n_chars") > 0,
           round(col("n_bpe_tokens").cast("double") / col("n_chars"), 4)))
       .orderBy("doc_id")
+  }
+
+  /** c83: the STORED tokenizer — c79's artifact discipline applied to
+    * the trained BPE (DEPLOY.md's standing prescription "a production
+    * tokenizer ships its merge table as a broadcast file", now a
+    * keyed operator instead of prose): c75's iterative trainer runs
+    * ONCE per (session, corpus) and writes its rank-ordered merge
+    * list as a parquet artifact; encoding then reads the STORED
+    * list — the bounded artifact collect replaces the in-session
+    * training run, and the greedy kernel is [[encodeUnderMerges]],
+    * the exact spelling c76 prices. Output ≡ c76 row-for-row (same
+    * corpus, same learned list, same kernel), so the oracle is c76's
+    * SQL verbatim — the hash check proves the persisted tokenizer
+    * loses nothing against the in-session one. */
+  def c83StoredTokenizer(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nMerges: Int = BpeMerges): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val root = graft.streaming.StoreMemo.memo(spark, s"c83_tokenizer_$dir") { r =>
+      c75BpeTrain(docs, nMerges)
+        .write.mode("overwrite").parquet(s"$r/merges")
+    }
+    val merges = spark.read.parquet(s"$root/merges")
+      .orderBy("rank").select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    encodeUnderMerges(docs, merges)
   }
 
   // ---- c39: DSIR importance scoring -----------------------------------

@@ -129,6 +129,25 @@ class Round14Spec extends AnyFunSuite {
     assert(changed.count() > 0L, "no updated vector re-encoded differently")
   }
 
+  test("c83 stored tokenizer equals the in-session learned-list encode row-for-row") {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val live = TextAnalysis.c76BpeTrainedEncode(docs).collect()
+    val stored = TextAnalysis.c83StoredTokenizer(spark, sf).collect()
+    assert(stored.length == live.length)
+    assert(stored.sameElements(live), "stored-tokenizer encode diverged from c76")
+    // the artifact is the rank-ordered merge list, dense from 1
+    val root = System.getProperty("java.io.tmpdir")
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.getName.startsWith("graft_store_c83_tokenizer_") &&
+        f.getName.contains(spark.sparkContext.applicationId))
+    assert(dirs.length == 1)
+    val ranks = spark.read.parquet(s"${dirs.head.getPath}/merges")
+      .select("rank").collect().map(_.getInt(0)).sorted
+    assert(ranks.headOption.contains(1) && ranks.toSeq == (1 to ranks.length),
+      s"merge ranks not dense from 1: ${ranks.mkString(",")}")
+  }
+
   test("c80 trained grid on the clustered derivation: grid contract, monotone nprobe") {
     // structural asserts only — the trained-residual-vs-trained-plain
     // ORDERING on a driver-scaled corpus is a measurement, reported
