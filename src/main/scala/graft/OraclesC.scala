@@ -419,6 +419,85 @@ object OraclesC {
               from ${pfx}sc)"""
   }
 
+  /** One unrolled batch of c84's embedding-gate replay (CTE list,
+    * no leading comma) — c67Batch's novelty structure at VECTOR
+    * grain: capped within-batch bucket candidates + uncapped cross
+    * probes against the keepers accumulated through batch i−1,
+    * verified rounded cosine (the cosN spelling the whole similarity
+    * tier pins), per-batch connected components, keepers-win
+    * clusters, the grown keeper set. Mirrors
+    * EmbedDupStream.batchDecisions clause for clause. */
+  private def c84Batch(i: Int, nBatches: Int): String = {
+    val prev = if (i == 0) "ekeep_m1" else s"ekeep${i - 1}"
+    s"""
+      vb$i as materialized (select vec_id from embeddings where vec_id % $nBatches = $i),
+      ebb$i as materialized (select s.vec_id, s.bucket from sigv s join vb$i using (vec_id)),
+      ecb$i as (select vec_id, bucket from ebb$i
+                qualify count(*) over (partition by bucket) <= $CAP),
+      ewc$i as (select a.vec_id as va, b.vec_id as vb from ecb$i a join ecb$i b
+                on a.bucket = b.bucket and a.vec_id < b.vec_id),
+      exc$i as (select distinct bb.vec_id as va, kb.vec_id as vb
+                from ebb$i bb
+                join (select s2.bucket, s2.vec_id from sigv s2 join $prev using (vec_id)) kb
+                  on bb.bucket = kb.bucket),
+      evp$i as materialized (
+        select va, vb from (
+          select c.va, c.vb, ${cosN("ea.embedding", "eb.embedding")} as cos
+          from (select va, vb from ewc$i union select va, vb from exc$i) c
+          join embeddings ea on ea.vec_id = c.va
+          join embeddings eb on eb.vec_id = c.vb)
+        where cos >= $SEMTH),
+      eed$i as materialized (select va as a, vb as b from evp$i
+               union select vb as a, va as b from evp$i),
+      ereach$i(a, b) as (
+        select a, b from eed$i
+        union
+        select r.a, e.b from ereach$i r join eed$i e on r.b = e.a where e.b <> r.a),
+      elab$i as materialized (select a as node, least(a, min(b)) as comp from ereach$i group by a),
+      eperc$i as materialized (
+        select l.comp,
+               min(case when kp.vec_id is not null then l.node end) as min_keeper,
+               min(case when kp.vec_id is null then l.node end) as anchor
+        from elab$i l left join $prev kp on kp.vec_id = l.node
+        group by l.comp),
+      edec$i as materialized (
+        select s.vec_id,
+               case when l.node is null then true
+                    when p.min_keeper is not null then false
+                    when p.anchor <> s.vec_id then false
+                    else true end as admitted,
+               cast(case when l.node is null then null
+                    when p.min_keeper is not null then p.min_keeper
+                    when p.anchor <> s.vec_id then p.anchor
+                    else null end as bigint) as dup_of
+        from vb$i s
+        left join elab$i l on l.node = s.vec_id
+        left join eperc$i p on p.comp = l.comp),
+      ekeep$i as materialized (select vec_id from $prev union all
+                    select vec_id from edec$i where admitted)"""
+  }
+
+  /** c84's full oracle: the live embedding gate's admission history
+    * replayed batch-for-batch at rest. The bucket CTE is c5's sign
+    * arithmetic WITHOUT the corpus-level cap (the gate caps within
+    * the batch only; ecb applies that per poll). */
+  private def c84Sql(nBatches: Int): String = {
+    val bits = (0 until graft.streaming.EmbedDupStream.SignBits)
+      .map(d => s"(case when embedding[${d + 1}] >= 0 then ${1L << d} else 0 end)")
+      .mkString("\n          + ")
+    s"""
+      with recursive
+      sigv as materialized (
+        select vec_id, $bits as bucket
+        from embeddings),
+      ekeep_m1 as (select cast(null as bigint) as vec_id where 1 = 0),
+      ${(0 until nBatches).map(i => c84Batch(i, nBatches)).mkString(",")}
+      select vec_id, admitted, dup_of
+      from (${(0 until nBatches).map(i => s"select * from edec$i").mkString(" union all ")})
+      order by vec_id
+    """
+  }
+
   /** c60's coarse-quantizer CTEs (cc / ranked_assign / assigned60),
     * shared by the c65 residual chain and the c66 audit — the exact
     * ranking spelling the kernels' ivfTopClusters pins. */
@@ -1383,6 +1462,12 @@ object OraclesC {
     // novelty unrolled batch-for-batch), compared at (doc_id, stage,
     // dup_of) grain against what the stream's stores accumulated
     "c67_gate_store" -> c67Sql(graft.streaming.FunnelStream.AuditBatches),
+
+    // c84: the embedding gate's store-grain audit — the live
+    // admission history (capped within-batch candidates, cross
+    // probes vs accumulated keepers, verified cosine, components,
+    // keepers-win) unrolled batch-for-batch
+    "c84_embed_gate" -> c84Sql(graft.streaming.EmbedDupStream.EmbedAuditBatches),
 
     // c77: the four-gate pipeline — c67's replay + the span gate over
     // each batch's admissions, one hash over both stores

@@ -232,7 +232,8 @@ object ScaleSmoke {
       // (M bytes/vector), the clustered trained grid, and the
       // append-without-retrain path
       "c78_clustered_recall", "c79_stored_serving",
-      "c80_clustered_trained", "c81_index_append", "c82_index_churn")
+      "c80_clustered_trained", "c81_index_append", "c82_index_churn",
+      "c84_embed_gate")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -147,6 +147,7 @@ object SparkEntry {
     "c81_index_append" -> ((s, dir) => Similarity.c81IndexAppendServe(s, dir)),
     "c82_index_churn" -> ((s, dir) => Similarity.c82IndexChurnServe(s, dir)),
     "c83_stored_tokenizer" -> ((s, dir) => TextAnalysis.c83StoredTokenizer(s, dir)),
+    "c84_embed_gate" -> ((s, dir) => graft.streaming.EmbedDupStream.c84EmbedGateAudit(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -66,7 +66,7 @@ object Similarity {
     math.min(62, math.max(DefaultSignBits, bits))
   }
 
-  private def withNorm(emb: DataFrame): DataFrame =
+  private[graft] def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", VectorFns.norm(col("embedding")))
 
   /** Attach q_nrm if the caller's query frame doesn't carry one. */
@@ -87,7 +87,7 @@ object Similarity {
     * in c32/c43) and every similarity oracle mirrors it with
     * `case isnan → null … desc nulls last` — the whole tier now
     * shares the c43 degenerate stance on both engines. */
-  private def pairCos(aEmb: String, aNrm: String, bEmb: String, bNrm: String) = {
+  private[graft] def pairCos(aEmb: String, aNrm: String, bEmb: String, bNrm: String) = {
     val denom = col(aNrm) * col(bNrm)
     val c = round(VectorFns.dot(col(aEmb), col(bEmb)) / denom, 4)
     when(denom > 0 && !isnan(c), c)
