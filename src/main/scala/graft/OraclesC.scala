@@ -426,11 +426,22 @@ object OraclesC {
     * verified rounded cosine (the cosN spelling the whole similarity
     * tier pins), per-batch connected components, keepers-win
     * clusters, the grown keeper set. Mirrors
-    * EmbedDupStream.batchDecisions clause for clause. */
-  private def c84Batch(i: Int, nBatches: Int): String = {
-    val prev = if (i == 0) "ekeep_m1" else s"ekeep${i - 1}"
+    * EmbedDupStream.batchDecisions clause for clause.
+    *
+    * `membership` swaps the batch-membership SQL (default: the
+    * mod-slice of the embeddings corpus); `prevOverride` swaps the
+    * keeper-chain CTE probed. The five-gate replay (c85) feeds the
+    * LEXICAL gate's batch keeps in as membership and chains keepers
+    * through the semantic admissions — this CTE list is reused
+    * verbatim (one oracle spelling for the standalone gate and the
+    * composed pipeline). */
+  private def c84Batch(i: Int, nBatches: Int,
+      membership: Option[String] = None, prevOverride: Option[String] = None): String = {
+    val prev = prevOverride.getOrElse(if (i == 0) "ekeep_m1" else s"ekeep${i - 1}")
+    val member = membership.getOrElse(
+      s"select vec_id from embeddings where vec_id % $nBatches = $i")
     s"""
-      vb$i as materialized (select vec_id from embeddings where vec_id % $nBatches = $i),
+      vb$i as materialized ($member),
       ebb$i as materialized (select s.vec_id, s.bucket from sigv s join vb$i using (vec_id)),
       ecb$i as (select vec_id, bucket from ebb$i
                 qualify count(*) over (partition by bucket) <= $CAP),
@@ -517,9 +528,16 @@ object OraclesC {
     * components (its own recursive CTE — the keeper set feeding batch
     * i+1 depends on batch i's components, so the closure cannot be
     * shared), keepers-win-clusters decisions, and the grown keeper
-    * set. Mirrors NearDupStream.batchDecisions clause for clause. */
-  private def c67Batch(i: Int, nBatches: Int): String = {
-    val prev = if (i == 0) "keepset_m1" else s"keepset${i - 1}"
+    * set. Mirrors NearDupStream.batchDecisions clause for clause.
+    *
+    * `prevOverride` swaps the keeper-set CTE the batch probes
+    * (default: the lexical gate's own keepset chain); `emitKeepset`
+    * false suppresses the keepset$i CTE — the five-gate replay (c85)
+    * grows its keeper chain from the SEMANTIC gate's admissions, not
+    * the lexical gate's. */
+  private def c67Batch(i: Int, nBatches: Int,
+      prevOverride: Option[String] = None, emitKeepset: Boolean = true): String = {
+    val prev = prevOverride.getOrElse(if (i == 0) "keepset_m1" else s"keepset${i - 1}")
     val bar = graft.streaming.NearDupStream.JaccardThreshold
     s"""
       s2b$i as materialized (select doc_id from s2 where doc_id % $nBatches = $i),
@@ -575,9 +593,9 @@ object OraclesC {
                     else null end as bigint) as dup_of
         from s2b$i s
         left join lab$i l on l.node = s.doc_id
-        left join perc$i p on p.comp = l.comp),
+        left join perc$i p on p.comp = l.comp)${if (emitKeepset) s""",
       keepset$i as materialized (select doc_id from $prev union all
-                    select doc_id from nd$i where stage = 'keep')"""
+                    select doc_id from nd$i where stage = 'keep')""" else ""}"""
   }
 
   /** c67's full oracle: the two stateless gates decided per doc (c50's
@@ -587,10 +605,24 @@ object OraclesC {
     * `recursive` keyword is supplied by the caller) — shared by the
     * c67 audit and the c77 four-gate pipeline, which extends it with
     * the span gate over each batch's admitted docs. */
-  private def c67Chain(nBatches: Int): String = {
+  private def c67Chain(nBatches: Int): String = s"""
+      ${c67Stateless()},
+      keepset_m1 as (select cast(null as bigint) as doc_id where 1 = 0),
+      ${(0 until nBatches).map(i => c67Batch(i, nBatches)).mkString(",")},
+      ${c67Alldec((0 until nBatches).map(i =>
+        s"union all select doc_id, stage, dup_of from nd$i").mkString(" "))}"""
+
+  /** The funnel's batch-independent CTEs — the two stateless gates
+    * (quality cascade, Bloom leakage) decided per doc, plus the
+    * shingle/signature/band tables every novelty batch reads. Shared
+    * by the c67/c77 replays and the five-gate c85, whose population
+    * additionally requires an embedding (the door embeds on arrival —
+    * only docs WITH a vector can contest the semantic gate). */
+  private def c67Stateless(
+      pop: String = "select doc_id, text from documents where doc_id % 97 <> 0"): String = {
     val maxFrac = graft.streaming.DecontamStream.MaxFlaggedFrac
     s"""
-      pop as materialized (select doc_id, text from documents where doc_id % 97 <> 0),
+      pop as materialized ($pop),
       sig as materialized (
         select doc_id,
                len(w) as n_tokens,
@@ -653,17 +685,18 @@ object OraclesC {
       bandsS as materialized (
         select doc_id, md5($BAND_KEY) as band_key
         from sigS, unnest(range(0,$BANDS)) as t(j)),
-      setsS as materialized (select doc_id, list(s) as sh from shdS group by doc_id),
-      keepset_m1 as (select cast(null as bigint) as doc_id where 1 = 0),
-      ${(0 until nBatches).map(i => c67Batch(i, nBatches)).mkString(",")},
+      setsS as materialized (select doc_id, list(s) as sh from shdS group by doc_id)"""
+  }
+
+  /** The funnel's decision union — stateless drops + the per-batch
+    * novelty/semantic rows supplied by the caller. */
+  private def c67Alldec(batchRows: String): String = s"""
       alldec as (
         select doc_id, qreason as stage, cast(null as bigint) as dup_of
         from q where qreason <> 'keep'
         union all
         select doc_id, 'contaminated', cast(null as bigint) from contam
-        ${(0 until nBatches).map(i =>
-          s"union all select doc_id, stage, dup_of from nd$i").mkString(" ")})"""
-  }
+        $batchRows)"""
 
   private def c67Sql(nBatches: Int): String = s"""
       with recursive
@@ -677,16 +710,29 @@ object OraclesC {
     * enter the index), the batch-dependent cap runs over the KEPT
     * posting history (c72's cumulative spelling on the kept slice),
     * and the accumulated cuts island-merge onto the decision rows. */
-  private def c77Sql(nBatches: Int): String = {
+  private def c77Sql(nBatches: Int): String = s"""
+      with recursive
+      ${c67Chain(nBatches)},
+      ${spanBlock((0 until nBatches).map(i =>
+        s"select doc_id, $i as g from nd$i where stage = 'keep'").mkString(" union all "))}
+      select d.doc_id, d.stage, d.dup_of,
+             coalesce(c.cut_tokens, 0)::bigint as cut_tokens
+      from alldec d left join cut77 c using (doc_id)
+      order by d.doc_id
+    """
+
+  /** The span gate's at-rest replay (CTE list ending with cut77, no
+    * trailing comma) over a caller-supplied admitted-docs-per-batch
+    * table (doc_id, g) — c77's lower half, shared with the five-gate
+    * c85: positional shingles of the kept docs, the batch-dependent
+    * cumulative occurrence cap, earlier-batch-only probes, diagonal
+    * run collapse, island merge, per-doc cut totals. */
+  private def spanBlock(kdocSql: String): String = {
     val w = graft.operators.Dedup.SpanShingleW
     val occ = graft.operators.Dedup.SpanOccCap
     val minSpan = graft.operators.Dedup.SpanMinTokens
     s"""
-      with recursive
-      ${c67Chain(nBatches)},
-      kdoc as materialized (
-        ${(0 until nBatches).map(i =>
-          s"select doc_id, $i as g from nd$i where stage = 'keep'").mkString(" union all ")}),
+      kdoc as materialized ($kdocSql),
       d77 as (select p.doc_id, k.g, string_split(p.text, ' ') as w0
               from pop p join kdoc k using (doc_id)),
       sh77 as materialized (
@@ -733,7 +779,49 @@ object OraclesC {
       r77 as (select doc_id, island, min(s) as cs, max(e) as ce
               from isl77 group by doc_id, island),
       cut77 as (select doc_id, sum(ce - cs)::bigint as cut_tokens
-                from r77 group by doc_id)
+                from r77 group by doc_id)"""
+  }
+
+  /** c85's oracle: the FIVE-gate live pipeline replayed at rest —
+    * c67's stateless gates, then per batch: the lexical novelty
+    * replay (c67Batch) probing the FINAL keeper chain, the embedding
+    * admission replay (c84Batch) whose membership is exactly that
+    * batch's lexical keeps, and the keeper chain grown from the
+    * SEMANTIC admissions (only docs every gate admitted are corpus);
+    * the span tier (c77's spanBlock) runs over the final keeps. One
+    * oracle spelling per gate — each block is the standalone audit's
+    * own CTE generator, parameterized, so the composed replay cannot
+    * drift from the per-gate ones. */
+  private def c85Sql(nBatches: Int): String = {
+    val bits = (0 until graft.streaming.EmbedDupStream.SignBits)
+      .map(d => s"(case when embedding[${d + 1}] >= 0 then ${1L << d} else 0 end)")
+      .mkString("\n          + ")
+    val batches = (0 until nBatches).map { i =>
+      val prevFk = if (i == 0) "fk_m1" else s"fk${i - 1}"
+      s"""
+      ${c67Batch(i, nBatches, Some(prevFk), emitKeepset = false)},
+      ${c84Batch(i, nBatches,
+        Some(s"select doc_id as vec_id from nd$i where stage = 'keep'"))},
+      fk$i as (select vec_id as doc_id from ekeep$i)"""
+    }.mkString(",")
+    s"""
+      with recursive
+      ${c67Stateless("""select d.doc_id, d.text from documents d
+        join embeddings e on e.vec_id = d.doc_id where d.doc_id % 97 <> 0""")},
+      sigv as materialized (
+        select vec_id, $bits as bucket
+        from embeddings),
+      fk_m1 as (select cast(null as bigint) as doc_id where 1 = 0),
+      ekeep_m1 as (select cast(null as bigint) as vec_id where 1 = 0),
+      $batches,
+      ${c67Alldec((0 until nBatches).map(i =>
+        s"""union all select doc_id, stage, dup_of from nd$i where stage <> 'keep'
+            union all select vec_id as doc_id,
+                             case when admitted then 'keep' else 'semantic_dup' end,
+                             dup_of from edec$i""").mkString(" "))},
+      ${spanBlock((0 until nBatches).map(i =>
+        s"select vec_id as doc_id, $i as g from edec$i where admitted")
+        .mkString(" union all "))}
       select d.doc_id, d.stage, d.dup_of,
              coalesce(c.cut_tokens, 0)::bigint as cut_tokens
       from alldec d left join cut77 c using (doc_id)
@@ -1217,6 +1305,45 @@ object OraclesC {
       order by q_id, rank
     """
 
+  // c87: the churned index's health report — c82's replay chain (the
+  // index's pre-churn training vintage, the churned corpus served),
+  // then per-vector reconstruction error = the encode's own chosen
+  // cell distances (yvd at ycodes' argmin), accumulated in exact e4
+  // integer units per cluster
+  private val C87_SQL = s"""
+      with uemb as (
+        select vec_id,
+               case when vec_id % 7 = 3
+                    then list_transform(embedding, x -> (x::double * 0.5 + 0.25)::real)
+                    else embedding end as embedding,
+               label
+        from embeddings
+        where vec_id % 11 <> 4),
+      $TRAINED_CENTROIDS,
+      ${residualServeChain("y", s"cent$QITERS", corpus = "uemb",
+        trainCorpus = Some("embeddings"))},
+      qe87 as (
+        select v.vec_id, sum(round(v.d2 * 10000)::bigint) as qerr_e4
+        from yvd v join ycodes c on c.vec_id = v.vec_id and c.m = v.m and c.code = v.k
+        group by v.vec_id),
+      h87 as (
+        select a.cluster, q.vec_id, q.qerr_e4, (q.vec_id % 7 = 3) as upd
+        from qe87 q join yasg a using (vec_id)),
+      g87 as (
+        select cluster,
+               count(*)::bigint as n_vecs,
+               (count(*) filter (where upd))::bigint as n_updated,
+               round(sum(qerr_e4) / (10000.0 * count(*)), 4) as mean_qerr,
+               case when count(*) filter (where upd) > 0
+                 then round((sum(qerr_e4) filter (where upd))
+                            / (10000.0 * count(*) filter (where upd)), 4)
+               end as upd_mean_qerr
+        from h87 group by cluster)
+      select cluster, n_vecs, n_updated, mean_qerr, upd_mean_qerr,
+             coalesce(upd_mean_qerr > mean_qerr, false) as degraded
+      from g87 order by cluster
+    """
+
   /** The clustered-derivation CTE (the exact twin of
     * Similarity.clusteredCorpus — double math, float round-trip),
     * shared by the c78 and c80 oracles: one spelling of the
@@ -1246,9 +1373,131 @@ object OraclesC {
     * tier. */
   private def c80Sql: String = onClustered(c73Sql)
 
+  /** c88's training replay: the shared CTE chain — c48's feature
+    * extraction + c41's battery as the teacher label, then every
+    * score-gradient-update step unrolled CTE-for-CTE (the c26/c64/c75
+    * trainer-replay discipline). Per step i: p{i} scores every doc
+    * under the e6-integer weights w{i} (4dp-rounded probability),
+    * a{i} reduces the six exact-integer gradient sums + the
+    * teacher-agreement count, w{i+1} applies the half-away rounded
+    * lr·mean update in bigint units. */
+  private def c88Chain(steps: Int): String = {
+    import graft.operators.TextAnalysis._
+    val sb = new StringBuilder
+    sb ++= s"""
+      with tf as materialized (
+        select doc_id, term, count(*)::bigint as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      sig as materialized (
+        select doc_id,
+               sum(tf)::bigint as n_words,
+               round(sum(tf * length(term))::double / sum(tf), 4) as mean_word_len,
+               round(sum(case when regexp_matches(term, '^[a-z]+$$') then tf else 0 end)::double
+                     / sum(tf), 4) as alpha_frac,
+               round(sum(case when list_contains($markers, term) then tf else 0 end)::double
+                     / sum(tf), 4) as stop_frac,
+               round(count(*)::double / sum(tf), 4) as distinct_ratio,
+               round(sum(tf * ((length(term) - length(replace(term, '#', '')))
+                               + (length(term) - length(replace(term, '...', ''))) // 3))::double
+                     / sum(tf), 4) as symbol_ratio,
+               sum(case when list_contains($markers, term) then tf else 0 end)::bigint as stop_hits
+        from tf group by doc_id),
+      t as materialized (
+        select doc_id,
+               round(log10(n_words::double), 4) as x0,
+               mean_word_len as x1, alpha_frac as x2,
+               stop_frac as x3, distinct_ratio as x4,
+               (case when n_words >= $GopherMinWords and n_words <= $GopherMaxWords
+                      and mean_word_len >= $GopherMinMeanLen
+                      and mean_word_len <= $GopherMaxMeanLen
+                      and alpha_frac >= $GopherMinAlphaFrac
+                      and symbol_ratio <= $GopherMaxSymbolRatio
+                      and stop_hits >= $GopherMinStopHits
+                 then 1 else 0 end)::double as y
+        from sig),
+      w0 as materialized (select 0::bigint as w0, 0::bigint as w1, 0::bigint as w2,
+                    0::bigint as w3, 0::bigint as w4, 0::bigint as w5)"""
+    for (i <- 0 to steps) {
+      sb ++= s""",
+      p$i as materialized (
+        select t.*,
+               round(1.0 / (1.0 + exp(-((w.w0 / 1000000.0) * x0 + (w.w1 / 1000000.0) * x1
+                 + (w.w2 / 1000000.0) * x2 + (w.w3 / 1000000.0) * x3
+                 + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as p
+        from t cross join w$i w),
+      a$i as materialized (
+        select sum(cast(round((p - y) * x0 * 1000000.0, 0) as bigint))::bigint as g0,
+               sum(cast(round((p - y) * x1 * 1000000.0, 0) as bigint))::bigint as g1,
+               sum(cast(round((p - y) * x2 * 1000000.0, 0) as bigint))::bigint as g2,
+               sum(cast(round((p - y) * x3 * 1000000.0, 0) as bigint))::bigint as g3,
+               sum(cast(round((p - y) * x4 * 1000000.0, 0) as bigint))::bigint as g4,
+               sum(cast(round((p - y) * 1.0 * 1000000.0, 0) as bigint))::bigint as g5,
+               sum(case when (p >= 0.5) = (y = 1.0) then 1 else 0 end)::bigint as ok,
+               count(*)::bigint as n
+        from p$i)"""
+      if (i < steps) sb ++= s""",
+      w${i + 1} as materialized (
+        select w.w0 - cast(round($QcTrainLr * (a.g0 / (a.n)::double), 0) as bigint) as w0,
+               w.w1 - cast(round($QcTrainLr * (a.g1 / (a.n)::double), 0) as bigint) as w1,
+               w.w2 - cast(round($QcTrainLr * (a.g2 / (a.n)::double), 0) as bigint) as w2,
+               w.w3 - cast(round($QcTrainLr * (a.g3 / (a.n)::double), 0) as bigint) as w3,
+               w.w4 - cast(round($QcTrainLr * (a.g4 / (a.n)::double), 0) as bigint) as w4,
+               w.w5 - cast(round($QcTrainLr * (a.g5 / (a.n)::double), 0) as bigint) as w5
+        from w$i w cross join a$i a)"""
+    }
+    sb.toString
+  }
+
+  /** c88: the trajectory — per step, weights (6dp read-back of the
+    * e6 integers) + teacher-agreement count. */
+  private def c88Sql: String = {
+    val steps = graft.operators.TextAnalysis.QcTrainSteps
+    val rows = (0 to steps).map { i =>
+      s"""select $i::bigint as step, w.w0, w.w1, w.w2, w.w3, w.w4, w.w5,
+                 a.ok as n_correct
+          from w$i w cross join a$i a"""
+    }.mkString("\n          union all\n          ")
+    s"""${c88Chain(steps)}
+      select step,
+             round(w0 / 1000000.0, 6) as w_log_words,
+             round(w1 / 1000000.0, 6) as w_mean_len,
+             round(w2 / 1000000.0, 6) as w_alpha,
+             round(w3 / 1000000.0, 6) as w_stop,
+             round(w4 / 1000000.0, 6) as w_distinct,
+             round(w5 / 1000000.0, 6) as bias,
+             n_correct
+      from ($rows)
+      order by step
+    """
+  }
+
+  /** c89: serve under the FINAL trained weights — same chain, scored
+    * once, with the per-doc teacher-agreement audit. */
+  private def c89Sql: String = {
+    val steps = graft.operators.TextAnalysis.QcTrainSteps
+    s"""${c88Chain(steps)}
+      select doc_id, score,
+             (case when score >= 0.5 then 1 else 0 end)::bigint as keep,
+             teacher_keep,
+             (case when (case when score >= 0.5 then 1 else 0 end) = teacher_keep
+               then 1 else 0 end)::bigint as agree
+      from (
+        select t.doc_id,
+               round(1.0 / (1.0 + exp(-((w.w0 / 1000000.0) * x0 + (w.w1 / 1000000.0) * x1
+                 + (w.w2 / 1000000.0) * x2 + (w.w3 / 1000000.0) * x3
+                 + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as score,
+               y::bigint as teacher_keep
+        from t cross join w$steps w)
+      order by doc_id
+    """
+  }
+
   lazy val sql: Map[String, String] = sql1 ++ sql2
 
   private lazy val sql1: Map[String, String] = Map(
+    "c88_classifier_train" -> c88Sql,
+    "c89_stored_classifier" -> c89Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """
@@ -1469,6 +1718,12 @@ object OraclesC {
     // keepers-win) unrolled batch-for-batch
     "c84_embed_gate" -> c84Sql(graft.streaming.EmbedDupStream.EmbedAuditBatches),
 
+    // c85: the five-gate pipeline — the c67 funnel replay probing the
+    // FINAL keeper chain, the c84 embedding admission over each
+    // batch's lexical keeps, the span tier over the final keeps; every
+    // block is the standalone audit's own generator, parameterized
+    "c85_gate5" -> c85Sql(graft.streaming.FunnelStream.AuditBatches),
+
     // c77: the four-gate pipeline — c67's replay + the span gate over
     // each batch's admissions, one hash over both stores
     "c77_gate_pipeline" -> c77Sql(graft.streaming.FunnelStream.AuditBatches),
@@ -1496,6 +1751,7 @@ object OraclesC {
     // persisted merge artifact is DEFINED to equal the in-session
     // learned-list encode, and the hash check proves it.
     "c83_stored_tokenizer" -> C76_SQL,
+    "c86_pack_tokenized" -> C86_SQL,
     "c76_bpe_trained_encode" -> C76_SQL,
   )
 
@@ -1511,6 +1767,30 @@ object OraclesC {
                           / sum(tf.tf * length(tf.term)), 4) end as compression
       from tf75 tf left join nsy76 on tf.term = nsy76.term
       group by tf.doc_id order by tf.doc_id
+    """
+
+  // c86: c76's trained-encode chain producing the per-doc BPE token
+  // counts, then c22's packing window verbatim over those counts —
+  // the two composed oracles are the standalone queries' own SQL
+  private lazy val C86_SQL: String = s"""
+      with ${c75Chain(graft.operators.TextAnalysis.BpeMerges)},
+      nsy86 as (select term, count(*)::bigint as n_syms
+                from s${graft.operators.TextAnalysis.BpeMerges} group by term),
+      enc86 as (
+        select tf.doc_id,
+               sum(tf.tf * coalesce(nsy86.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy86 on tf.term = nsy86.term
+        group by tf.doc_id),
+      d86 as (select doc_id, doc_id % $SHARDS as shard, n_tok from enc86),
+      c86 as (
+        select doc_id, shard, n_tok,
+               sum(n_tok) over (partition by shard order by doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from d86)
+      select shard, ((cum - n_tok) // $BUDGET)::bigint as seq_id,
+             count(*) as n_docs, sum(n_tok)::bigint as sum_tok,
+             min(doc_id) as first_doc, max(doc_id) as last_doc
+      from c86 group by 1, 2 order by shard, seq_id
     """
 
   private lazy val sql2: Map[String, String] = Map(
@@ -1853,11 +2133,11 @@ object OraclesC {
     // ROUNDED signals (round-then-compare, c17's discipline); the //3
     // is exact (replace removes whole '...' occurrences)
     "c41_gopher_rules" -> s"""
-      with tf as (
+      with tf as materialized (
         select doc_id, term, count(*)::bigint as tf
         from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
         group by 1, 2),
-      sig as (
+      sig as materialized (
         select doc_id,
                sum(tf)::bigint as n_words,
                round(sum(tf * length(term))::double / sum(tf), 4) as mean_word_len,
@@ -2277,6 +2557,7 @@ object OraclesC {
     // artifacts without retraining
     "c81_index_append" -> C81_SQL,
     "c82_index_churn" -> C82_SQL,
+    "c87_index_health" -> C87_SQL,
 
     // c70: residual-vs-plain recall at the default dial — factored
     // above (C70_SQL) so c78 serves the same report over the
@@ -2338,11 +2619,11 @@ object OraclesC {
     // c52: H = log2(n) − Σ tf·log2(tf)/n off the same tokenization;
     // single-term docs have zero entropy and no defined ratio
     "c52_token_entropy" -> """
-      with tf as (
+      with tf as materialized (
         select doc_id, term, count(*)::bigint as tf
         from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
         group by 1, 2),
-      sig as (
+      sig as materialized (
         select doc_id, sum(tf)::bigint as n_tokens, count(*)::bigint as vocab,
                sum(tf::double * log2(tf::double)) as tlt
         from tf group by doc_id)
@@ -2457,11 +2738,11 @@ object OraclesC {
     // signal rounded before the one fixed-order dot product, score
     // rounded before the threshold
     "c48_quality_classifier" -> s"""
-      with tf as (
+      with tf as materialized (
         select doc_id, term, count(*)::bigint as tf
         from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
         group by 1, 2),
-      sig as (
+      sig as materialized (
         select doc_id,
                sum(tf)::bigint as n_words,
                round(sum(tf * length(term))::double / sum(tf), 4) as mean_word_len,

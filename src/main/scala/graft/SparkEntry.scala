@@ -148,6 +148,11 @@ object SparkEntry {
     "c82_index_churn" -> ((s, dir) => Similarity.c82IndexChurnServe(s, dir)),
     "c83_stored_tokenizer" -> ((s, dir) => TextAnalysis.c83StoredTokenizer(s, dir)),
     "c84_embed_gate" -> ((s, dir) => graft.streaming.EmbedDupStream.c84EmbedGateAudit(s, dir)),
+    "c85_gate5" -> ((s, dir) => graft.streaming.FunnelStream.c85Gate5Pipeline(s, dir)),
+    "c86_pack_tokenized" -> ((s, dir) => Sampling.c86PackTokenized(s, dir)),
+    "c87_index_health" -> ((s, dir) => Similarity.c87IndexHealth(s, dir)),
+    "c88_classifier_train" -> ((s, dir) => TextAnalysis.c88ClassifierTrain(s, dir)),
+    "c89_stored_classifier" -> ((s, dir) => TextAnalysis.c89StoredClassifier(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -123,13 +123,21 @@ object Sampling {
     * driver-checked default is [[PackShards]], which the oracle SQL
     * interpolates so the two can't drift. */
   def c22SequencePack(docs: DataFrame, budget: Long = DefaultTokenBudget,
-      shards: Int = PackShards): DataFrame = {
+      shards: Int = PackShards): DataFrame =
+    packCounts(docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok")), budget, shards)
+
+  /** The packing window itself over an explicit per-doc token-count
+    * frame (doc_id, n_tok) — ONE spelling shared by c22 (whitespace
+    * counts) and c86 (the stored tokenizer's BPE counts), so the
+    * packing discipline cannot drift between the two pricings. */
+  private[graft] def packCounts(counts: DataFrame, budget: Long,
+      shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards > 0, "shards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    docs.select(col("doc_id"), (col("doc_id") % shards).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    counts.select(col("doc_id"), (col("doc_id") % shards).as("shard"), col("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
       .groupBy("shard", "seq_id")
@@ -140,6 +148,25 @@ object Sampling {
         max(col("doc_id")).as("last_doc"))
       .orderBy("shard", "seq_id")
   }
+
+  /** c86: sequence packing priced in REAL tokenizer tokens — c22's
+    * shard-prefix-sum packing with the per-doc count swapped from the
+    * whitespace proxy to the STORED tokenizer's BPE token count
+    * (c83's artifact encode): the two persisted-artifact tiers
+    * composed the way a training pipeline actually runs them —
+    * tokenize under the shipped merge table, THEN pack to the context
+    * budget. Whitespace packing under- or over-fills every sequence
+    * by the corpus's compression ratio; this is the fill a trainer
+    * sees. Plan shape: the tokenizer artifact is a bounded collect
+    * (vocabulary-grain), the encode reduces off the shared tfRows
+    * memo, and the packing adds ONE window shuffle on the shard key —
+    * identical to c22's, at any corpus size. */
+  def c86PackTokenized(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, shards: Int = PackShards): DataFrame =
+    packCounts(
+      graft.operators.TextAnalysis.c83StoredTokenizer(spark, dir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok")),
+      budget, shards)
 
   /** c25: context-window chunking — split each document's token
     * stream into fixed-size windows with overlap (stride = size −

@@ -1505,7 +1505,19 @@ object Similarity {
       nQueries: Int = DefaultQueryCount, topK: Int = PqTopK,
       nprobe: Int = DefaultNProbe): DataFrame = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val root = graft.streaming.StoreMemo.memo(spark, s"c82_index_$dir") { r =>
+    serveStoredIndex(spark, churnedCorpus(emb),
+      churnedIndexRoot(spark, emb, dir), nQueries, topK, nprobe,
+      codesDir = "codes_v2")
+  }
+
+  /** ONE churned-index build per (session, corpus) — v1 artifacts
+    * (the pre-churn training vintage) plus the touched-only codes_v2
+    * rewrite. Shared memo between c82 (serving) and c87 (health
+    * monitoring): a deployment maintains one index and runs many
+    * consumers against it. */
+  private def churnedIndexRoot(spark: SparkSession, emb: DataFrame,
+      dir: String): String =
+    graft.streaming.StoreMemo.memo(spark, s"c82_index_$dir") { r =>
       buildIndexArtifacts(emb, r) // v1: the pre-churn index
       val (rBooks, centLocal, centNorm) = loadArtifacts(spark, r)
       val v1 = spark.read.parquet(s"$r/codes")
@@ -1516,8 +1528,74 @@ object Similarity {
       untouched.unionByName(reencoded)
         .write.mode("overwrite").parquet(s"$r/codes_v2")
     }
-    serveStoredIndex(spark, churnedCorpus(emb), root, nQueries, topK, nprobe,
-      codesDir = "codes_v2")
+
+  /** c87: index HEALTH after churn — the monitoring report a
+    * deployment reads to decide when the stored index needs
+    * RETRAINING (the operational consumer of the c79/c81/c82
+    * lifecycle: train-once → append → churn → watch the quantization
+    * error drift). Per cluster of the LIVE index (codes_v2 over the
+    * churned corpus): occupancy, how many members were churn-updated,
+    * the mean reconstruction error of the stored codes against the
+    * live vectors, and the updated members' own mean — with a
+    * `degraded` flag when the updated slice quantizes worse than the
+    * cluster at large (updated vectors were encoded under codebooks
+    * trained on their PRE-churn distribution; growing error there is
+    * exactly the retrain signal).
+    *
+    * Decode-side spelling: per vector, error = Σ_m d²(residual_m,
+    * codebook[m][stored code_m]) — each subspace cell distance
+    * rounded to 4 (the tier's pinned grain) and accumulated in exact
+    * e4 integer units, so per-cluster sums are order-independent and
+    * the means are single rounded divisions (no double-sum
+    * nondeterminism at any corpus size). Plan shape: one codes-scan ⋈
+    * corpus join (the only raw-embedding read — monitoring must
+    * compare against live vectors), one kernel pass, one cluster-key
+    * aggregate. */
+  def c87IndexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = churnedIndexRoot(spark, emb, dir)
+    val (rBooks, centLocal, _) = loadArtifacts(spark, root)
+    val bc = spark.sparkContext.broadcast((rBooks, centLocal))
+    import spark.implicits._
+    val dims = PqSubspaces * PqSubDim
+    val live = churnedCorpus(emb)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val perVec = spark.read.parquet(s"$root/codes_v2")
+      .select(col("vec_id"), col("cluster").cast("int"), col("codes"))
+      .join(live, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("codes"), col("v"))
+      .as[(Long, Int, Array[Int], Array[Double])]
+      .mapPartitions { it =>
+        val (cb, cent) = bc.value
+        it.map { case (vec, cluster, codes, v) =>
+          val res = new Array[Double](dims)
+          var i = 0
+          while (i < dims) { res(i) = v(i) - cent(cluster)(i); i += 1 }
+          var e4 = 0L
+          var m = 0
+          while (m < PqSubspaces) {
+            e4 += math.round(pqCellD2(res, cb, codes(m), m) * 1e4)
+            m += 1
+          }
+          (vec, cluster.toLong, e4)
+        }
+      }.toDF("vec_id", "cluster", "qerr_e4")
+    perVec
+      .withColumn("upd", isUpdatedVec(col("vec_id")))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("upd"), 1L).otherwise(0L)).as("n_updated"),
+        sum(col("qerr_e4")).as("sum_e4"),
+        sum(when(col("upd"), col("qerr_e4"))).as("upd_sum_e4"))
+      .select(col("cluster"), col("n_vecs"), col("n_updated"),
+        round(col("sum_e4") / (lit(10000.0) * col("n_vecs")), 4).as("mean_qerr"),
+        when(col("n_updated") > 0,
+          round(col("upd_sum_e4") / (lit(10000.0) * col("n_updated")), 4))
+          .as("upd_mean_qerr"))
+      .withColumn("degraded",
+        coalesce(col("upd_mean_qerr") > col("mean_qerr"), lit(false)))
+      .orderBy("cluster")
   }
 
   /** Serve top-k from the STORED artifacts: LUTs from the artifact

@@ -1145,7 +1145,13 @@ object TextAnalysis {
     * at 100 TB). Rules compare the ROUNDED signals in both engines —
     * the c17 round-then-compare discipline that keeps the keep bit
     * hash-stable. */
-  def c41GopherRules(docs: DataFrame): DataFrame = {
+  def c41GopherRules(docs: DataFrame): DataFrame =
+    gopherFrame(docs).orderBy("doc_id")
+
+  /** c41's battery without the report ordering — the spelling shared
+    * with the c88 trainer, whose teacher labels must be EXACTLY the
+    * shipped battery's verdicts (one spelling, no drift). */
+  private[operators] def gopherFrame(docs: DataFrame): DataFrame = {
     val isAlpha = col("term").rlike("^[a-z]+$")
     val hashes = length(col("term")) - length(regexp_replace(col("term"), "#", ""))
     val ellipses = ((length(col("term"))
@@ -1172,7 +1178,6 @@ object TextAnalysis {
       .withColumn("keep", when(col("fail_reasons") === "", 1L).otherwise(0L))
       .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
         "symbol_ratio", "stop_hits", "keep", "fail_reasons")
-      .orderBy("doc_id")
   }
 
   // ---- c40: BPE pair statistics ---------------------------------------
@@ -1788,16 +1793,7 @@ object TextAnalysis {
     * score is rounded before the threshold — the branch taken is
     * engine-exact (exp noise lives ~10 orders below the 4dp grid). */
   def c48QualityClassifier(docs: DataFrame): DataFrame = {
-    val isAlpha = col("term").rlike("^[a-z]+$")
-    val sig = tfRows(docs).groupBy("doc_id").agg(
-      sum(col("tf")).as("n_words"),
-      round(sum(col("tf") * length(col("term"))).cast("double") / sum(col("tf")), 4)
-        .as("mean_word_len"),
-      round(sum(when(isAlpha, col("tf")).otherwise(0L)).cast("double") / sum(col("tf")), 4)
-        .as("alpha_frac"),
-      round(sum(when(col("term").isin(TextFns.EnMarkers: _*), col("tf")).otherwise(0L))
-        .cast("double") / sum(col("tf")), 4).as("stop_frac"),
-      round(count(lit(1)).cast("double") / sum(col("tf")), 4).as("distinct_ratio"))
+    val sig = qcSignals(docs)
     val z = lit(QcWLogWords) * round(log10(col("n_words")), 4) +
       lit(QcWMeanLen) * col("mean_word_len") +
       lit(QcWAlpha) * col("alpha_frac") +
@@ -1809,6 +1805,193 @@ object TextAnalysis {
       .withColumn("keep", when(col("score") >= QcThreshold, 1L).otherwise(0L))
       .select("doc_id", "n_words", "mean_word_len", "alpha_frac", "stop_frac",
         "distinct_ratio", "score", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** c48's five-signal extraction — ONE spelling shared by the
+    * shipped classifier (pinned weights), the c88 trainer, and the
+    * c89 stored-classifier scorer, so the feature definition cannot
+    * drift between training and serving (the classic deployment
+    * skew). One map-side-combinable aggregate off the [[tfRows]]
+    * memo. */
+  private[operators] def qcSignals(docs: DataFrame): DataFrame = {
+    val isAlpha = col("term").rlike("^[a-z]+$")
+    tfRows(docs).groupBy("doc_id").agg(
+      sum(col("tf")).as("n_words"),
+      round(sum(col("tf") * length(col("term"))).cast("double") / sum(col("tf")), 4)
+        .as("mean_word_len"),
+      round(sum(when(isAlpha, col("tf")).otherwise(0L)).cast("double") / sum(col("tf")), 4)
+        .as("alpha_frac"),
+      round(sum(when(col("term").isin(TextFns.EnMarkers: _*), col("tf")).otherwise(0L))
+        .cast("double") / sum(col("tf")), 4).as("stop_frac"),
+      round(count(lit(1)).cast("double") / sum(col("tf")), 4).as("distinct_ratio"))
+  }
+
+  // ---- c88/c89: classifier TRAINING + the stored-classifier artifact --
+
+  /** c88 training schedule: full-batch logistic gradient descent,
+    * [[QcTrainSteps]] steps at learning rate [[QcTrainLr]]. The rate
+    * sits under the logistic stability bound 2/(0.25·max‖x‖²) for
+    * this feature scale (mean word length ~6 dominates: bound ≈ 0.22),
+    * so the loss is monotone-stable rather than oscillating. Both
+    * constants oracle-interpolated. */
+  val QcTrainSteps = 10
+  val QcTrainLr = 0.1
+
+  /** Feature/weight order — the fixed dot-product spelling every
+    * scorer and both engines share. */
+  private[operators] val QcFeatNames: Seq[String] =
+    Seq("w_log_words", "w_mean_len", "w_alpha", "w_stop", "w_distinct", "bias")
+
+  /** The (features, teacher) training frame: c48's five signals
+    * (log-words pre-rounded like c48's dot product) joined to the
+    * Gopher battery's keep verdict — the standard distillation move
+    * (GPT-3/LLaMA-family pipelines train their quality classifier on
+    * labels a cheaper heuristic produced; here the published rule
+    * battery is the teacher and the logistic model the student).
+    * Materialized once per (session, corpus): the trainer re-scans a
+    * doc-grain frame of 7 narrow columns per step, never the corpus. */
+  private def qcTrainFrame(docs: DataFrame): DataFrame =
+    CorpusPrep.memo("qc_train", docs)(Materialize.frame(
+      qcSignals(docs)
+        .select(col("doc_id"),
+          round(log10(col("n_words")), 4).as("x0"),
+          col("mean_word_len").as("x1"),
+          col("alpha_frac").as("x2"),
+          col("stop_frac").as("x3"),
+          col("distinct_ratio").as("x4"))
+        .join(gopherFrame(docs).select(col("doc_id"), col("keep").cast("double").as("y")),
+          Seq("doc_id"))))
+
+  /** The fixed-order logistic input under weights `w` (binary64,
+    * e6-exact): one spelling for trainer scoring and c89 serving. */
+  private def qcZ(w: Array[Double]): Column =
+    lit(w(0)) * col("x0") + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4") + lit(w(5))
+
+  /** Run the trainer: returns (trajectory, final weights), both in e6
+    * integer units. Trajectory row i = the weights AFTER i update
+    * steps plus how many docs those weights classify like the
+    * teacher. Determinism contract (the c26/c64/c75 discipline): the
+    * per-doc probability is rounded to the tier's 4dp grain BEFORE
+    * the gradient, each per-doc contribution (p−y)·xⱼ is rounded to
+    * an EXACT e6 integer inside the aggregate (order-independent
+    * sums at any corpus size and partitioning), and the weight update
+    * rounds lr·mean(g) back to e6 half-away-from-zero — so every
+    * weight at every step is the same 64-bit integer on any engine,
+    * and the oracle replays the loop CTE-for-CTE. Per step: ONE
+    * map-side-combinable aggregate over the memoized training frame
+    * and a 1-row collect (the c75 pattern) — at 100 TB the trainer
+    * costs [[QcTrainSteps]] scans of a 7-column doc-grain frame. */
+  private[operators] def trainQualityClassifier(docs: DataFrame,
+      steps: Int = QcTrainSteps): (Seq[(Long, Long, Long, Long, Long, Long, Long, Long)], Array[Long]) = {
+    val t = qcTrainFrame(docs)
+    val wE6 = Array.fill(6)(0L)
+    val traj = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    var step = 0
+    while (step <= steps) {
+      val w = wE6.map(_.toDouble / 1e6)
+      val p4 = round(lit(1.0) / (lit(1.0) + exp(-qcZ(w))), 4)
+      val err = p4 - col("y")
+      val xs = Seq(col("x0"), col("x1"), col("x2"), col("x3"), col("x4"), lit(1.0))
+      val row = t.select(
+          xs.zipWithIndex.map { case (x, j) =>
+            round(err * x * lit(1000000.0), 0).cast("long").as(s"g$j")
+          } :+
+          when((p4 >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L).as("ok"): _*)
+        .agg(sum(col("g0")).as("g0"),
+          (1 to 5).map(j => sum(col(s"g$j")).as(s"g$j")) :+
+            sum(col("ok")).as("ok") :+ count(lit(1)).as("n"): _*)
+        .collect()(0)
+      traj += ((step.toLong, wE6(0), wE6(1), wE6(2), wE6(3), wE6(4), wE6(5),
+        row.getLong(6)))
+      if (step < steps) {
+        val n = row.getLong(7)
+        var j = 0
+        while (j < 6) {
+          val meanStep = QcTrainLr * (row.getLong(j).toDouble / n)
+          wE6(j) -= BigDecimal(meanStep)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          j += 1
+        }
+      }
+      step += 1
+    }
+    (traj.toSeq, wE6)
+  }
+
+  /** One trainer run per (session, corpus), persisted as parquet
+    * artifacts (c79/c83's discipline applied to the classifier — the
+    * third trained component to ship its artifact): `trajectory`
+    * (step, six e6 weights, n_correct) and `weights` (idx, feature,
+    * w_e6). c88 reads the trajectory, c89 serves off the weights. */
+  private def classifierRoot(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, dir: String): String =
+    graft.streaming.StoreMemo.memo(spark, s"c88_classifier_$dir") { r =>
+      val (traj, wE6) = trainQualityClassifier(docs)
+      import spark.implicits._
+      traj.toDF("step", "w0_e6", "w1_e6", "w2_e6", "w3_e6", "w4_e6", "w5_e6",
+          "n_correct")
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/trajectory")
+      wE6.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, QcFeatNames(i), v) }
+        .toDF("idx", "feature", "w_e6")
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/weights")
+    }
+
+  /** c88: quality-classifier TRAINING — closes c48's "weights are
+    * pinned constants standing in for an offline trainer" gap the
+    * way c75 closed c40's: the logistic model is now LEARNED, by
+    * full-batch gradient descent on the c48 feature vector with the
+    * Gopher battery (c41, one shared spelling) as the teacher.
+    * Report = the training trajectory: per step, the six weights
+    * (e6-exact, read back at 6dp) and the teacher-agreement count —
+    * the curve a training run is judged by. Step 0 is the zero
+    * initialization (p = 0.5 exactly: everything predicted keep), so
+    * the trajectory shows what each step buys. Oracle replays every
+    * score-gradient-update step CTE-for-CTE off the same integer
+    * contract. */
+  def c88ClassifierTrain(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val root = classifierRoot(spark, docs, dir)
+    spark.read.parquet(s"$root/trajectory")
+      .select(col("step"),
+        round(col("w0_e6") / 1000000.0, 6).as("w_log_words"),
+        round(col("w1_e6") / 1000000.0, 6).as("w_mean_len"),
+        round(col("w2_e6") / 1000000.0, 6).as("w_alpha"),
+        round(col("w3_e6") / 1000000.0, 6).as("w_stop"),
+        round(col("w4_e6") / 1000000.0, 6).as("w_distinct"),
+        round(col("w5_e6") / 1000000.0, 6).as("bias"),
+        col("n_correct"))
+      .orderBy("step")
+  }
+
+  /** c89: the STORED classifier serving — score every document under
+    * the weights artifact c88's trainer persisted (train once, ship
+    * the artifact, serve many: the index (c79) and tokenizer (c83)
+    * discipline completing at the classifier). Per doc: the learned
+    * score (4dp, c48's grain), the admission bit at the logistic
+    * threshold 0.5, the teacher's verdict, and whether they agree —
+    * the per-doc distillation audit. Serving cost = one aggregate
+    * off the memoized training frame + a 6-row artifact read. */
+  def c89StoredClassifier(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val root = classifierRoot(spark, docs, dir)
+    val wE6 = spark.read.parquet(s"$root/weights")
+      .orderBy("idx").collect().map(_.getLong(2))
+    require(wE6.length == 6, s"classifier artifact must hold 6 weights, got ${wE6.length}")
+    val w = wE6.map(_.toDouble / 1e6)
+    qcTrainFrame(docs)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-qcZ(w))), 4).as("score"),
+        col("y"))
+      .withColumn("keep", when(col("score") >= 0.5, 1L).otherwise(0L))
+      .select(col("doc_id"), col("score"), col("keep"),
+        col("y").cast("long").as("teacher_keep"),
+        when(col("keep") === col("y").cast("long"), 1L).otherwise(0L).as("agree"))
       .orderBy("doc_id")
   }
 

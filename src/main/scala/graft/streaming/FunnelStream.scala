@@ -95,6 +95,28 @@ object FunnelStream {
       keepStore: String, bandStore: String,
       maxFrac: Double = DecontamStream.MaxFlaggedFrac,
       threshold: Double = NearDupStream.JaccardThreshold): DataFrame = {
+    val (decisions, bandsB, s2) =
+      funnelDecisions(batch, bits, bandStore, keepStore, maxFrac, threshold)
+    EventsStream.upsertSink(decisions, decisionStore, "doc_id")
+    val kept = decisions.filter(col("stage") === "keep").select("doc_id")
+    EventsStream.upsertSink(s2.join(kept, Seq("doc_id")), keepStore, "doc_id")
+    EventsStream.upsertSink(
+      NearDupStream.keptBandRows(bandsB, kept), bandStore, "bk_doc")
+    decisions
+  }
+
+  /** The three text gates' per-batch DECISION derivation, with no
+    * store writes — factored out of [[processBatch]] so the five-gate
+    * funnel ([[processBatch5]]) can interpose the semantic gate
+    * BEFORE anything is committed (a doc the embedding gate refuses
+    * must never have entered the band/keep stores as a keeper).
+    * Returns (decisions (doc_id, stage, dup_of) — materialized, the
+    * batch's band rows for the band-store sink, and the
+    * double-survivor (doc_id, text) frame the keep store merges
+    * from). */
+  private[graft] def funnelDecisions(batch: DataFrame, bits: DataFrame,
+      bandStore: String, keepStore: String,
+      maxFrac: Double, threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     // stage 1 — quality: decide once, carry the reason
     val b = Materialize.frame(batch.select(col("doc_id"), col("text"),
       TextAnalysis.curationReasonOf(col("text")).as("qreason")))
@@ -123,12 +145,92 @@ object FunnelStream {
       col("dup_of"))
     val decisions = Materialize.frame(
       qualityDrops.unionByName(contamDrops).unionByName(ndStages))
+    (decisions, bandsB, s2)
+  }
+
+  /** Start the composed FIVE-gate funnel — [[funnelGate]]'s four
+    * gates with the SEMANTIC near-dup gate ([[EmbedDupStream]])
+    * interposed between Jaccard novelty and the span gate: quality →
+    * leakage → lexical near-dup → embedding near-dup → span index.
+    * The streaming frame carries (doc_id, text, embedding) — a real
+    * ingest door embeds at (or before) arrival, so the vector rides
+    * the row. `vecStore`/`bucketStore` are the semantic gate's state
+    * (kept vectors + their sign-LSH bucket keys). */
+  def funnelGate5(docs: DataFrame, bits: DataFrame, decisionStore: String,
+      keepStore: String, bandStore: String,
+      vecStore: String, bucketStore: String,
+      spanStore: String, postingStore: String,
+      maxFrac: Double = DecontamStream.MaxFlaggedFrac,
+      threshold: Double = NearDupStream.JaccardThreshold,
+      cosThreshold: Double = EmbedDupStream.CosThreshold,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch5(batch, bits, decisionStore, keepStore, bandStore,
+          vecStore, bucketStore, spanStore, postingStore, batchId,
+          maxFrac, threshold, cosThreshold)
+        ()
+      }
+      .start()
+
+  /** One micro-batch through all FIVE gates — ONE spelling shared by
+    * the live foreachBatch above and the store-grain audit
+    * ([[c85Gate5Pipeline]]). Admission policy: a doc enters a keeper
+    * store (band, keep, vector, bucket, posting) ONLY if it survives
+    * EVERY gate — a semantically refused doc must not later win a
+    * lexical novelty contest (refused docs are not corpus). One
+    * consequence, documented rather than papered over: a
+    * within-batch 'duplicate' citation can point at a batch anchor
+    * that the SEMANTIC gate then refused — the chain still terminates
+    * in the corpus (the anchor's own `dup_of` cites an ADMITTED
+    * keeper), which is the transitive-evidence property online dedup
+    * guarantees (NearDupStream's straddle caveat, one gate deeper).
+    *
+    * Replay safety is inherited clause-for-clause: both novelty
+    * gates exclude batch-resident keepers from their probes, and
+    * every store is a keep-first keyed merge — an at-least-once
+    * replay re-derives identical decisions against stores that
+    * already contain this batch's final keeps. */
+  private[graft] def processBatch5(batch: DataFrame, bits: DataFrame,
+      decisionStore: String, keepStore: String, bandStore: String,
+      vecStore: String, bucketStore: String,
+      spanStore: String, postingStore: String, batchId: Long,
+      maxFrac: Double = DecontamStream.MaxFlaggedFrac,
+      threshold: Double = NearDupStream.JaccardThreshold,
+      cosThreshold: Double = EmbedDupStream.CosThreshold): Unit = {
+    val b = Materialize.frame(
+      batch.select(col("doc_id"), col("text"), col("embedding")))
+    // gates 1–3 decide (no commits yet — gate 4 may still refuse)
+    val (dec3, bandsB, s2) = funnelDecisions(b.select(col("doc_id"), col("text")),
+      bits, bandStore, keepStore, maxFrac, threshold)
+    // gate 4 — semantic novelty over the triple-survivors' vectors
+    val keptVecs = Materialize.frame(
+      b.join(dec3.filter(col("stage") === "keep").select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id").as("vec_id"), col("embedding")))
+    val (edec, bucketsB) =
+      EmbedDupStream.batchDecisions(keptVecs, bucketStore, vecStore, cosThreshold)
+    val decisions = Materialize.frame(
+      dec3.filter(col("stage") =!= "keep")
+        .unionByName(edec.select(col("vec_id").as("doc_id"),
+          when(col("admitted"), lit("keep")).otherwise(lit("semantic_dup")).as("stage"),
+          col("dup_of"))))
     EventsStream.upsertSink(decisions, decisionStore, "doc_id")
-    val kept = decisions.filter(col("stage") === "keep").select("doc_id")
-    EventsStream.upsertSink(s2.join(kept, Seq("doc_id")), keepStore, "doc_id")
+    // only the survivors of ALL gates become corpus, in every store
+    val finalKeep = decisions.filter(col("stage") === "keep").select("doc_id")
+    EventsStream.upsertSink(s2.join(finalKeep, Seq("doc_id")), keepStore, "doc_id")
     EventsStream.upsertSink(
-      NearDupStream.keptBandRows(bandsB, kept), bandStore, "bk_doc")
-    decisions
+      NearDupStream.keptBandRows(bandsB, finalKeep), bandStore, "bk_doc")
+    val finalVec = finalKeep.select(col("doc_id").as("vec_id"))
+    EventsStream.upsertSink(keptVecs.join(finalVec, Seq("vec_id")), vecStore, "vec_id")
+    EventsStream.upsertSink(
+      EmbedDupStream.keptBucketRows(bucketsB, finalVec), bucketStore, "bk_vec")
+    // gate 5 — the admitted docs enter the span index
+    SpanStream.processBatch(
+      Materialize.frame(b.select(col("doc_id"), col("text"))
+        .join(finalKeep, Seq("doc_id"))),
+      spanStore, postingStore, batchId)
+    ()
   }
 
   /** How many polls the store-grain audits split the corpus into —
@@ -202,6 +304,65 @@ object FunnelStream {
       nBatches: Int = AuditBatches): DataFrame = {
     import graft.operators.Dedup
     val scratch = gate4Stores(spark, dir, nBatches)
+    val cut = Dedup.islandCuts(SpanStream.cuts(spark, s"$scratch/spans")
+      .select(col("doc_cut").as("doc_id"), col("cut_start").as("s"),
+        (col("cut_start") + col("n_tokens")).as("e")))
+    decisions(spark, s"$scratch/decisions")
+      .join(cut.select(col("doc_id"), col("cut_tokens")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("stage"), col("dup_of"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** ONE five-gate store build per (session, corpus, batch count) —
+    * the [[gate4Stores]] discipline with the semantic gate in the
+    * admission path: each poll is the documents slice JOINED to its
+    * embeddings (doc_id ≡ vec_id — the door embeds on arrival) driven
+    * through [[processBatch5]], the exact code the live stream runs. */
+  private def gate5Stores(spark: SparkSession, dir: String, nBatches: Int): String = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0).join(vecs, Seq("doc_id"))
+    val bits = graft.operators.CorpusPrep.memo("c67_bits", docs)(
+      TextAnalysis.bloomBitsFromKeys(
+        TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0))))
+    StoreMemo.memo(spark, s"gate5_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processBatch5(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i), bits,
+          s"$scratch/decisions", s"$scratch/keep", s"$scratch/bands",
+          s"$scratch/vecs", s"$scratch/buckets",
+          s"$scratch/spans", s"$scratch/postings", i.toLong)
+    }
+  }
+
+  /** c85: the FIVE-gate live pipeline at STORE grain — c77's audit
+    * with the semantic near-dup gate ([[EmbedDupStream]], SemDeDup at
+    * the door) interposed before the span gate: per poll, quality →
+    * leakage → lexical near-dup decide, the triple-survivors' VECTORS
+    * contest the embedding gate against the accumulated kept-vector
+    * buckets, and only the survivors of all four decision gates enter
+    * ANY keeper store or the span index. The keyed result reads both
+    * stores: every doc's first-fail decision (now including
+    * `semantic_dup` with its cosine-verified keeper citation) plus
+    * the island-merged verbatim-span cut total. The oracle replays
+    * the whole five-gate history at rest — per batch: the c67 funnel
+    * chain against the FINAL keep set (not the lexical gate's own),
+    * the c84 embedding admission unrolled over exactly the lexical
+    * keepers, and the span tier over the final keeps — so every row
+    * is hash-checked against an independent derivation of what the
+    * live pipeline SHOULD have accumulated. */
+  def c85Gate5Pipeline(spark: SparkSession, dir: String,
+      nBatches: Int = AuditBatches): DataFrame =
+    gate5Result(spark, gate5Stores(spark, dir, nBatches))
+
+  /** The five-gate keyed result read from a store root (decision
+    * store + island-merged span cuts) — path-parameterized so the
+    * live-stream spec can read ITS OWN accumulated stores through the
+    * identical spelling and compare row-for-row with the audit's. */
+  private[graft] def gate5Result(spark: SparkSession, scratch: String): DataFrame = {
+    import graft.operators.Dedup
     val cut = Dedup.islandCuts(SpanStream.cuts(spark, s"$scratch/spans")
       .select(col("doc_cut").as("doc_id"), col("cut_start").as("s"),
         (col("cut_start") + col("n_tokens")).as("e")))
