@@ -1493,11 +1493,236 @@ object OraclesC {
     """
   }
 
+  /** c90: the teacher funnel (c50's dec chain, CTEs suffixed 90) and
+    * the student funnel (same corpus-grain stages, quality leg = the
+    * c88 chain's final-weight score) joined at doc grain into the
+    * transition matrix. */
+  private def c90Sql: String = {
+    import graft.operators.TextAnalysis._
+    val steps = QcTrainSteps
+    s"""${c88Chain(steps)},
+      scored90 as (
+        select t.doc_id,
+               round(1.0 / (1.0 + exp(-((w.w0 / 1000000.0) * x0 + (w.w1 / 1000000.0) * x1
+                 + (w.w2 / 1000000.0) * x2 + (w.w3 / 1000000.0) * x3
+                 + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as score
+        from t cross join w$steps w),
+      pop90 as (select * from documents where doc_id % 97 <> 0),
+      kd90 as (select md5(text) as h, min(doc_id) as keep_doc from pop90 group by 1),
+      sh90 as ($SH8),
+      bench90 as (select distinct sh8 from sh90 where doc_id % 97 = 0),
+      ct90 as (
+        select sh90.doc_id, round(count(bench90.sh8)::double / count(*), 4) as contam
+        from sh90 left join bench90 on sh90.sh8 = bench90.sh8
+        where sh90.doc_id % 97 <> 0
+        group by sh90.doc_id),
+      sig90 as (
+        select doc_id,
+               len(w) as n_tokens,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
+               round(((length(text) - length(replace(text, 'th', ''))) / 2
+                    + (length(text) - length(replace(text, 'he', ''))) / 2
+                    + (length(text) - length(replace(text, 'in', ''))) / 2
+                    + (length(text) - length(replace(text, 'er', ''))) / 2
+                     )::double / length(text), 4) as en_ngram_score,
+               round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                 + len(regexp_extract_all(text, '[0-9]+')) as n_pii
+        from (select doc_id, text, string_split(text, ' ') as w from pop90)),
+      dec90 as (
+        select p.doc_id,
+               case when p.doc_id <> kd90.keep_doc then 'duplicate'
+                    when coalesce(ct90.contam, 0) >= $FunnelContamBar then 'contaminated'
+                    when n_tokens < 5 then 'too_short'
+                    when not (en_score > 0.01 or en_ngram_score > 0.02) then 'non_en'
+                    when distinct_ratio < 0.3 then 'repetitive'
+                    when n_pii > 20 then 'pii_heavy'
+                    else 'keep' end as teacher_stage,
+               case when p.doc_id <> kd90.keep_doc then 'duplicate'
+                    when coalesce(ct90.contam, 0) >= $FunnelContamBar then 'contaminated'
+                    when sc.score < $QcThreshold then 'low_quality'
+                    else 'keep' end as student_stage
+        from pop90 p
+        join kd90 on md5(p.text) = kd90.h
+        left join ct90 on ct90.doc_id = p.doc_id
+        join sig90 on sig90.doc_id = p.doc_id
+        join scored90 sc on sc.doc_id = p.doc_id),
+      tot90 as (select count(*) as total from pop90)
+      select (case teacher_stage when 'duplicate' then 1 when 'contaminated' then 2
+                when 'too_short' then 3 when 'non_en' then 4 when 'repetitive' then 5
+                when 'pii_heavy' then 6 else 7 end)::bigint as t_order,
+             teacher_stage,
+             (case student_stage when 'duplicate' then 1 when 'contaminated' then 2
+                when 'low_quality' then 3 else 7 end)::bigint as s_order,
+             student_stage, count(*) as n_docs,
+             round(count(*)::double / tot90.total, 4) as share
+      from dec90, tot90 group by teacher_stage, student_stage, tot90.total
+      order by t_order, teacher_stage, s_order
+    """
+  }
+
+  /** c91: PSI per classifier feature, train-vintage vs incoming, over
+    * fixed-width bins (ranges interpolated from the operator). */
+  private def c91Sql: String = {
+    import graft.operators.TextAnalysis._
+    def bin(x: String, lo: Double, hi: Double): String =
+      s"least(greatest(floor(($x - $lo) / ${hi - lo} * $DriftBins), 0), ${DriftBins - 1})::bigint"
+    val legs = DriftRanges.zip(Seq("x0", "x1", "x2", "x3", "x4")).map {
+      case ((fname, lo, hi), x) =>
+        s"select slice, '$fname' as feature, ${bin(x, lo, hi)} as bin from t91"
+    }.mkString("\n          union all ")
+    s"""
+      with tf91 as materialized (
+        select doc_id, term, count(*)::bigint as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      sig91 as (
+        select doc_id,
+               sum(tf)::bigint as n_words,
+               round(sum(tf * length(term))::double / sum(tf), 4) as mean_word_len,
+               round(sum(case when regexp_matches(term, '^[a-z]+$$') then tf else 0 end)::double
+                     / sum(tf), 4) as alpha_frac,
+               round(sum(case when list_contains($markers, term) then tf else 0 end)::double
+                     / sum(tf), 4) as stop_frac,
+               round(count(*)::double / sum(tf), 4) as distinct_ratio
+        from tf91 group by doc_id),
+      t91 as materialized (
+        select round(log10(n_words::double), 4) as x0,
+               mean_word_len as x1, alpha_frac as x2,
+               stop_frac as x3, distinct_ratio as x4,
+               case when ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100
+                      < ${graft.operators.Sampling.SplitTrainPct}
+                 then 'train' else 'incoming' end as slice
+        from sig91),
+      fb91 as ($legs),
+      cnt91 as (select feature, bin, slice, count(*)::bigint as n
+                from fb91 group by feature, bin, slice),
+      tot91 as (select slice, count(*)::bigint as tot from t91 group by slice),
+      grid91 as (select f.feature, r.bin::bigint as bin
+                 from (select distinct feature from cnt91) f,
+                      range(0, $DriftBins) r(bin)),
+      props91 as (
+        select g.feature, g.bin,
+               round(coalesce(ctr.n, 0)::double / ttr.tot, 4) as p_tr,
+               round(coalesce(cin.n, 0)::double / tin.tot, 4) as p_in,
+               ttr.tot as tot_tr, tin.tot as tot_in
+        from grid91 g
+        left join (select feature, bin, n from cnt91 where slice = 'train') ctr
+          using (feature, bin)
+        left join (select feature, bin, n from cnt91 where slice = 'incoming') cin
+          using (feature, bin)
+        cross join (select tot from tot91 where slice = 'train') ttr
+        cross join (select tot from tot91 where slice = 'incoming') tin),
+      gaps91 as (
+        select *, row_number() over (partition by feature
+                    order by abs(p_in - p_tr) desc, bin) as gr
+        from props91)
+      select feature, max(tot_tr)::bigint as n_train, max(tot_in)::bigint as n_incoming,
+             round(sum((p_in - p_tr) * ln((p_in + $DriftEps) / (p_tr + $DriftEps))), 4) as psi,
+             max(case when gr = 1 then bin end)::bigint as max_gap_bin,
+             max(case when gr = 1 then round(p_in - p_tr, 4) end) as max_gap
+      from gaps91 group by feature order by feature
+    """
+  }
+
+  /** c92: the iterative-BPE chain with TRAINING restricted to the c13
+    * train buckets (words92 = train-slice weights; the symbol tables
+    * cover the WHOLE vocabulary so the learned merges apply to
+    * holdout terms too — exactly [[graft.operators.TextAnalysis]]'s
+    * split-trained c75 + whole-corpus encodeUnderMerges), reduced to
+    * the per-split generalization report. */
+  private def c92Sql: String = {
+    val iters = graft.operators.TextAnalysis.BpeMerges
+    val chain = (1 to iters).map { k =>
+      s"""cnt92_$k as materialized (
+        select s.sym as a, nx.sym as b, sum(w.n)::bigint as total
+        from s92_${k - 1} s
+        join s92_${k - 1} nx on nx.term = s.term and nx.pos = s.pos + 1
+        join words92 w on w.term = s.term
+        group by 1, 2),""" +
+      bpeStep(k, s"s92_${k - 1}", s"s92_$k",
+        mDef = s"select a, b from cnt92_$k order by total desc, a, b limit 1")
+    }.mkString(",")
+    s"""
+      with tf92 as materialized (
+        select doc_id, term, count(*)::bigint as tf
+        from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+        group by 1, 2),
+      lab92 as (
+        select doc_id,
+               case when ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100
+                      < ${graft.operators.Sampling.SplitTrainPct}
+                 then 'train' else 'holdout' end as split
+        from documents),
+      words92 as materialized (
+        select term, sum(tf)::bigint as n
+        from tf92 join lab92 using (doc_id)
+        where split = 'train' group by term),
+      s92_0 as materialized (
+        select term, i - 1 as pos, substr(term, i::int, 1) as sym
+        from (select distinct term from tf92) v,
+             lateral (select unnest(range(1, length(term) + 1)) as i) t),
+      $chain,
+      ns92 as (select term, count(*)::bigint as n_syms from s92_$iters group by term),
+      pd92 as (
+        select tf92.doc_id,
+               sum(tf)::bigint as n_words,
+               sum(tf * length(term))::bigint as n_chars,
+               sum(tf * n_syms)::bigint as n_bpe
+        from tf92 join ns92 using (term) group by tf92.doc_id),
+      agg92 as (
+        select split, count(*)::bigint as n_docs,
+               sum(n_words)::bigint as n_words,
+               sum(n_bpe)::bigint as n_bpe_tokens,
+               round(sum(n_bpe)::double / sum(n_words), 4) as tokens_per_word,
+               round(sum(n_bpe)::double / sum(n_chars), 4) as compression
+        from pd92 join lab92 using (doc_id) group by split),
+      oov92 as (
+        select split,
+               count(distinct case when w.term is null then tf92.term end)::bigint as n_oov_terms,
+               round(sum(case when w.term is null then tf else 0 end)::double
+                     / sum(tf), 4) as oov_token_share
+        from tf92 join lab92 using (doc_id)
+        left join (select term from words92) w on tf92.term = w.term
+        group by split)
+      select split, n_docs, n_words, n_bpe_tokens, tokens_per_word, compression,
+             n_oov_terms, oov_token_share
+      from agg92 join oov92 using (split)
+      order by split
+    """
+  }
+
+  /** c93: uncertainty top-K off the trained chain's final weights. */
+  private def c93Sql: String = {
+    import graft.operators.TextAnalysis._
+    val steps = QcTrainSteps
+    s"""${c88Chain(steps)},
+      scored93 as (
+        select t.doc_id,
+               round(1.0 / (1.0 + exp(-((w.w0 / 1000000.0) * x0 + (w.w1 / 1000000.0) * x1
+                 + (w.w2 / 1000000.0) * x2 + (w.w3 / 1000000.0) * x3
+                 + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as score,
+               y::bigint as teacher_keep
+        from t cross join w$steps w)
+      select row_number() over (order by round(abs(score - $QcThreshold), 4), doc_id) as rank,
+             doc_id, score,
+             round(abs(score - $QcThreshold), 4) as margin,
+             teacher_keep
+      from scored93
+      order by margin, doc_id
+      limit $ActiveBatchK
+    """
+  }
+
   lazy val sql: Map[String, String] = sql1 ++ sql2
 
   private lazy val sql1: Map[String, String] = Map(
     "c88_classifier_train" -> c88Sql,
     "c89_stored_classifier" -> c89Sql,
+    "c90_student_funnel" -> c90Sql,
+    "c91_feature_drift" -> c91Sql,
+    "c92_tokenizer_holdout" -> c92Sql,
+    "c93_active_batch" -> c93Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

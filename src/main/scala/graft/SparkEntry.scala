@@ -153,6 +153,10 @@ object SparkEntry {
     "c87_index_health" -> ((s, dir) => Similarity.c87IndexHealth(s, dir)),
     "c88_classifier_train" -> ((s, dir) => TextAnalysis.c88ClassifierTrain(s, dir)),
     "c89_stored_classifier" -> ((s, dir) => TextAnalysis.c89StoredClassifier(s, dir)),
+    "c90_student_funnel" -> ((s, dir) => TextAnalysis.c90StudentFunnel(s, dir)),
+    "c91_feature_drift" -> ((s, dir) => TextAnalysis.c91FeatureDrift(s, dir)),
+    "c92_tokenizer_holdout" -> ((s, dir) => TextAnalysis.c92TokenizerHoldout(s, dir)),
+    "c93_active_batch" -> ((s, dir) => TextAnalysis.c93ActiveBatch(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

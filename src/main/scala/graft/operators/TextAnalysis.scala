@@ -1995,6 +1995,228 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- c90-c93: classifier consumers + tokenizer generalization -------
+
+  /** c90 stage order for the student-gated funnel (the corpus-grain
+    * stages are c50's; the quality cascade collapses to the trained
+    * classifier's one verdict). */
+  private def c90Order(c: Column): Column =
+    when(c === "duplicate", 1L).when(c === "contaminated", 2L)
+      .when(c === "too_short", 3L).when(c === "non_en", 4L)
+      .when(c === "repetitive", 5L).when(c === "pii_heavy", 6L)
+      .when(c === "low_quality", 3L)
+      .otherwise(7L)
+
+  /** c90: the STUDENT-gated curation funnel vs the teacher's — the
+    * deployment A/B a pipeline runs before swapping its rule battery
+    * for the trained classifier: the c50 funnel twice over the same
+    * population, once with the c23 cascade as the quality gate
+    * (teacher) and once with the c89 stored classifier's verdict
+    * (student, `low_quality` on score < [[QcThreshold]]); the report
+    * is the doc-grain TRANSITION MATRIX (teacher_stage ×
+    * student_stage, n_docs, share) — the off-diagonal mass is exactly
+    * what swapping the gate changes, stage by stage. The corpus-grain
+    * stages (duplicate/contaminated) are shared spelling and land on
+    * the diagonal by construction; only the quality legs can move.
+    *
+    * Shape: both funnels ride [[funnelDecisionsFrom]]'s injected-
+    * reasons path over the SAME shingle/keep-first memos (one
+    * evidence build, two report-sized decision frames); the student's
+    * reasons come off c89's stored-artifact scoring (one aggregate
+    * over the memoized training frame). The matrix is a report-sized
+    * doc_id join — ≤ 7×4 output rows. */
+  def c90StudentFunnel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val teacher = funnelDecisions(docs)
+      .select(col("doc_id"), col("stage").as("teacher_stage"))
+    val studentReasons = c89StoredClassifier(spark, dir)
+      .select(col("doc_id"),
+        when(col("score") < QcThreshold, lit("low_quality"))
+          .otherwise(lit("keep")).as("qreason"))
+    val student = funnelDecisionsFrom(docs, studentReasons)
+      .select(col("doc_id"), col("stage").as("student_stage"))
+    shareOfTotal(
+      teacher.join(student, Seq("doc_id"))
+        .groupBy("teacher_stage", "student_stage")
+        .agg(count(lit(1)).as("n_docs")),
+      "n_docs", "share")
+      .select(c90Order(col("teacher_stage")).as("t_order"), col("teacher_stage"),
+        c90Order(col("student_stage")).as("s_order"), col("student_stage"),
+        col("n_docs"), col("share"))
+      .orderBy("t_order", "teacher_stage", "s_order")
+  }
+
+  /** c91 geometry: 10 equal-width bins per feature over DECLARED
+    * ranges (quantile bins would need a cross-engine percentile
+    * contract; fixed ranges make the bin id a pure per-row function).
+    * Values outside clamp to the edge bins. Oracle-interpolated. */
+  val DriftBins = 10
+  private[graft] val DriftRanges: Seq[(String, Double, Double)] = Seq(
+    ("x0_log_words", 0.0, 4.0), ("x1_mean_len", 0.0, 10.0),
+    ("x2_alpha", 0.0, 1.0), ("x3_stop", 0.0, 1.0), ("x4_distinct", 0.0, 1.0))
+
+  /** c91 PSI smoothing: half the 4dp proportion grain, so an empty
+    * bin never divides by zero and the contribution of a bin both
+    * slices miss is exactly 0. */
+  val DriftEps = 0.0005
+
+  /** c91: classifier FEATURE DRIFT between the training vintage and
+    * incoming data — the monitor a deployed c89 needs next to c87's
+    * index health: population stability index per input feature,
+    * train slice (c13's hash buckets < [[Sampling.SplitTrainPct]] —
+    * the vintage the classifier would retrain on) vs the rest
+    * (incoming). PSI = Σ_bins (p_in − p_tr)·ln((p_in+ε)/(p_tr+ε))
+    * over [[DriftBins]] fixed-width bins, proportions rounded to the
+    * tier's 4dp grain BEFORE the log (the round-then-compare
+    * discipline — both engines log identical doubles); the standard
+    * reading: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted. Report
+    * per feature: slice sizes, PSI, and the bin with the largest
+    * absolute gap (where to look first).
+    *
+    * Shape: one explode of the memoized 7-column training frame to
+    * (feature, bin) grain — 5 rows per doc, NOT 5 corpus passes —
+    * then one count aggregate at (feature, bin, slice) grain (≤100
+    * groups) and report-sized window/aggregate math. */
+  def c91FeatureDrift(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    def binOf(x: Column, lo: Double, hi: Double): Column =
+      least(greatest(floor((x - lit(lo)) / lit(hi - lo) * DriftBins), lit(0.0)), lit(DriftBins - 1.0))
+        .cast("long")
+    val feats = Seq("x0", "x1", "x2", "x3", "x4")
+    val sliced = qcTrainFrame(docs)
+      .withColumn("slice", when(bucket < Sampling.SplitTrainPct, lit("train"))
+        .otherwise(lit("incoming")))
+    val binned = sliced
+      .select(col("slice"), explode(array(
+        DriftRanges.zip(feats).map { case ((fname, lo, hi), x) =>
+          struct(lit(fname).as("feature"), binOf(col(x), lo, hi).as("bin"))
+        }: _*)).as("fb"))
+      .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"), col("slice"))
+      .agg(count(lit(1)).as("n"))
+    // densify to every (feature, bin) so empty bins contribute their
+    // epsilon'd term on both engines identically
+    val grid = binned.sparkSession.range(DriftBins).select(col("id").as("bin"))
+      .crossJoin(binned.select("feature").distinct())
+    // slice totals at DOC grain (the explode is 5 rows per doc)
+    val tots = sliced.groupBy("slice").agg(count(lit(1)).as("tot"))
+    val props = grid
+      .join(binned.filter(col("slice") === "train").drop("slice"), Seq("feature", "bin"), "left")
+      .withColumnRenamed("n", "n_tr")
+      .join(binned.filter(col("slice") === "incoming").drop("slice")
+        .withColumnRenamed("n", "n_in"), Seq("feature", "bin"), "left")
+      .crossJoin(broadcast(tots.filter(col("slice") === "train").select(col("tot").as("tot_tr"))))
+      .crossJoin(broadcast(tots.filter(col("slice") === "incoming").select(col("tot").as("tot_in"))))
+      .select(col("feature"), col("bin"),
+        round(coalesce(col("n_tr"), lit(0L)).cast("double") / col("tot_tr"), 4).as("p_tr"),
+        round(coalesce(col("n_in"), lit(0L)).cast("double") / col("tot_in"), 4).as("p_in"),
+        col("tot_tr"), col("tot_in"))
+    val gapRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("feature").orderBy(abs(col("p_in") - col("p_tr")).desc, col("bin"))
+    props
+      .withColumn("gap_rank", row_number().over(gapRank))
+      .groupBy("feature")
+      .agg(
+        max(col("tot_tr")).as("n_train"),
+        max(col("tot_in")).as("n_incoming"),
+        round(sum((col("p_in") - col("p_tr"))
+          * log((col("p_in") + DriftEps) / (col("p_tr") + DriftEps))), 4).as("psi"),
+        max(when(col("gap_rank") === 1, col("bin"))).as("max_gap_bin"),
+        max(when(col("gap_rank") === 1, round(col("p_in") - col("p_tr"), 4)))
+          .as("max_gap"))
+      .orderBy("feature")
+  }
+
+  /** c92: tokenizer GENERALIZATION on a held-out split — the audit a
+    * shipped tokenizer owes the training run: c75's iterative trainer
+    * learns its merges on the c13 train buckets ONLY, the stored list
+    * then encodes the WHOLE corpus through [[encodeUnderMerges]] (one
+    * kernel spelling), and the report compares train vs holdout per
+    * split: token mass, tokens/word, compression (BPE tokens per
+    * char — the metric merges are trained to minimize), plus the
+    * word-level OOV surface (distinct holdout terms the trainer never
+    * saw, and their token share). Merges that only help where they
+    * were learned show up as a train/holdout compression gap; OOV
+    * share bounds how much of the holdout the merge table can even
+    * touch. Artifact discipline: the split-trained list persists
+    * under its own StoreMemo root (it is NOT c83's corpus-trained
+    * artifact — different training corpus, different model).
+    *
+    * Shape: trainer cost is c75's (vocabulary-grain loop over the
+    * train slice); encoding is one distinct-term map + the shared
+    * [[tfRows]] join; OOV is a vocabulary-grain left join. Report =
+    * 2 rows. */
+  def c92TokenizerHoldout(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nMerges: Int = BpeMerges): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    val root = graft.streaming.StoreMemo.memo(spark, s"c92_tokenizer_$dir") { r =>
+      c75BpeTrain(docs.filter(bucket < Sampling.SplitTrainPct), nMerges)
+        .write.mode("overwrite").parquet(s"$r/merges")
+    }
+    val merges = spark.read.parquet(s"$root/merges")
+      .orderBy("rank").select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val split = when(bucket < Sampling.SplitTrainPct, lit("train"))
+      .otherwise(lit("holdout")).as("split")
+    val trainVocab = tfRows(docs.filter(bucket < Sampling.SplitTrainPct))
+      .select(col("term")).distinct().withColumn("seen", lit(1L))
+    val perDoc = encodeUnderMerges(docs, merges).select(split, col("n_words"),
+      col("n_chars"), col("n_bpe_tokens"))
+    val agg = perDoc.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("n_words"),
+      sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+      round(sum(col("n_bpe_tokens")).cast("double") / sum(col("n_words")), 4)
+        .as("tokens_per_word"),
+      round(sum(col("n_bpe_tokens")).cast("double") / sum(col("n_chars")), 4)
+        .as("compression"))
+    val oov = tfRows(docs).select(split, col("term"), col("tf"))
+      .join(trainVocab, Seq("term"), "left")
+      .groupBy("split").agg(
+        countDistinct(when(col("seen").isNull, col("term"))).as("n_oov_terms"),
+        round(sum(when(col("seen").isNull, col("tf")).otherwise(0L)).cast("double")
+          / sum(col("tf")), 4).as("oov_token_share"))
+    agg.join(oov, Seq("split")).orderBy("split")
+  }
+
+  /** c93 batch size — the labeling budget per active-learning round.
+    * Oracle-interpolated. */
+  val ActiveBatchK = 50
+
+  /** c93: ACTIVE-LEARNING batch selection off the stored classifier —
+    * uncertainty sampling, the standard next step once c88's student
+    * exists: the [[ActiveBatchK]] documents whose stored-classifier
+    * score sits closest to the decision threshold (|score − 0.5|,
+    * ties by doc_id) are the ones a labeling pass buys the most
+    * gradient from. The report carries the teacher's verdict per
+    * selected doc — in the distillation setting the teacher IS the
+    * labeler, so the batch is immediately actionable (and the share
+    * of near-threshold docs the teacher keeps is itself a calibration
+    * read).
+    *
+    * Shape: scoring is c89's one aggregate; selection is a TopK
+    * (orderBy+limit → TakeOrderedAndProject, never a global sort of
+    * the corpus); the rank window runs AFTER the limit, over
+    * [[ActiveBatchK]] rows. */
+  def c93ActiveBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val top = c89StoredClassifier(spark, dir)
+      .select(col("doc_id"), col("score"), col("teacher_keep"),
+        round(abs(col("score") - QcThreshold), 4).as("margin"))
+      .orderBy(col("margin"), col("doc_id"))
+      .limit(ActiveBatchK)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("margin"), col("doc_id"))))
+      .select("rank", "doc_id", "score", "margin", "teacher_keep")
+      .orderBy("rank")
+  }
+
   // ---- c49: feature-hashing document vectors --------------------------
 
   /** c49 geometry: 64 hash buckets. Oracle-interpolated. */

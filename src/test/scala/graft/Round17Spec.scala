@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** Round-17 contracts: the classifier-consumer tier (c90 student-
+  * gated funnel, c91 feature drift, c93 active batch) and the
+  * tokenizer generalization audit (c92). Structural assertions only
+  * at driver-chosen scales (the c78 lesson) — measured quantities
+  * (PSI magnitudes, compression gaps) are reported, not asserted. */
+class Round17Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("c90 transition matrix: mass = population, corpus-grain stages stay diagonal") {
+    val pop = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 =!= 0).count()
+    val rows = TextAnalysis.c90StudentFunnel(spark, sf).collect()
+    assert(rows.map(_.getLong(4)).sum == pop, "matrix mass != population")
+    for (r <- rows) {
+      val (t, s) = (r.getString(1), r.getString(3))
+      // duplicate/contaminated are SHARED spelling in both funnels —
+      // a doc can only disagree on the quality leg
+      if (t == "duplicate" || t == "contaminated")
+        assert(s == t, s"corpus-grain stage $t moved to $s")
+      if (s == "duplicate" || s == "contaminated")
+        assert(t == s, s"corpus-grain stage $s came from $t")
+      if (t != "duplicate" && t != "contaminated")
+        assert(s == "low_quality" || s == "keep",
+          s"quality-leg doc landed on student stage $s")
+    }
+    // share column sums to ~1 at report grain
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 0.01, "shares do not sum to 1")
+  }
+
+  test("c91 drift report: five features, doc-grain slice totals, PSI well-formed") {
+    val rows = TextAnalysis.c91FeatureDrift(spark, sf).collect()
+    assert(rows.length == TextAnalysis.DriftRanges.length, "one row per feature")
+    assert(rows.map(_.getString(0)).sorted.sameElements(
+      TextAnalysis.DriftRanges.map(_._1).sorted))
+    val nDocs = TextAnalysis.c48QualityClassifier(
+      graft.sources.Tables.documents(spark, sf)).count()
+    for (r <- rows) {
+      assert(r.getLong(1) + r.getLong(2) == nDocs,
+        s"${r.getString(0)}: slice totals != scored docs")
+      assert(r.getDouble(3) >= 0.0, s"${r.getString(0)}: negative PSI")
+      assert(r.getLong(4) >= 0 && r.getLong(4) < TextAnalysis.DriftBins,
+        s"${r.getString(0)}: max_gap_bin out of range")
+    }
+  }
+
+  test("c92 holdout audit: train OOV is zero by construction, two splits, sane ratios") {
+    val rows = TextAnalysis.c92TokenizerHoldout(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("train", "holdout"))
+    val tr = rows("train")
+    // every train term is in the trainer's vocabulary by construction
+    assert(tr.getLong(6) == 0L, "train split reports OOV terms")
+    assert(tr.getDouble(7) == 0.0, "train split reports OOV token share")
+    for ((s, r) <- rows) {
+      assert(r.getDouble(4) >= 1.0 - 1e-9, s"$s: tokens_per_word below 1 (BPE never splits words)")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, s"$s: compression out of (0,1]")
+    }
+  }
+
+  test("c93 active batch: dense ranks, margins are the global minimum K") {
+    val rows = TextAnalysis.c93ActiveBatch(spark, sf).collect()
+    assert(rows.length == TextAnalysis.ActiveBatchK, "batch size != K")
+    assert(rows.map(_.getInt(0)).sameElements(1 to TextAnalysis.ActiveBatchK),
+      "ranks not the dense 1..K prefix")
+    val margins = rows.map(_.getDouble(3))
+    assert(margins.zip(margins.tail).forall { case (a, b) => a <= b },
+      "margins not non-decreasing in rank order")
+    for (r <- rows)
+      assert(math.abs(r.getDouble(3)
+          - BigDecimal(math.abs(r.getDouble(2) - TextAnalysis.QcThreshold))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"margin of doc ${r.getLong(1)} != |score - threshold|")
+    // no unselected doc beats the worst selected margin
+    val selected = rows.map(_.getLong(1)).toSet
+    val minOutside = TextAnalysis.c89StoredClassifier(spark, sf)
+      .filter(!col("doc_id").isInCollection(selected))
+      .select(min(round(abs(col("score") - TextAnalysis.QcThreshold), 4)))
+      .collect()(0).getDouble(0)
+    assert(margins.last <= minOutside + 1e-9,
+      "an unselected doc has a smaller margin than the batch's worst")
+  }
+}
