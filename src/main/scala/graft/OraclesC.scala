@@ -1381,15 +1381,15 @@ object OraclesC {
     * a{i} reduces the six exact-integer gradient sums + the
     * teacher-agreement count, w{i+1} applies the half-away rounded
     * lr·mean update in bigint units. */
-  private def c88Chain(steps: Int): String = {
+  private def c88Chain(steps: Int, sfx: String = "", kw: String = "with"): String = {
     import graft.operators.TextAnalysis._
     val sb = new StringBuilder
     sb ++= s"""
-      with tf as materialized (
+      $kw tf$sfx as materialized (
         select doc_id, term, count(*)::bigint as tf
         from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
         group by 1, 2),
-      sig as materialized (
+      sig$sfx as materialized (
         select doc_id,
                sum(tf)::bigint as n_words,
                round(sum(tf * length(term))::double / sum(tf), 4) as mean_word_len,
@@ -1402,8 +1402,8 @@ object OraclesC {
                                + (length(term) - length(replace(term, '...', ''))) // 3))::double
                      / sum(tf), 4) as symbol_ratio,
                sum(case when list_contains($markers, term) then tf else 0 end)::bigint as stop_hits
-        from tf group by doc_id),
-      t as materialized (
+        from tf$sfx group by doc_id),
+      t$sfx as materialized (
         select doc_id,
                round(log10(n_words::double), 4) as x0,
                mean_word_len as x1, alpha_frac as x2,
@@ -1415,18 +1415,18 @@ object OraclesC {
                       and symbol_ratio <= $GopherMaxSymbolRatio
                       and stop_hits >= $GopherMinStopHits
                  then 1 else 0 end)::double as y
-        from sig),
-      w0 as materialized (select 0::bigint as w0, 0::bigint as w1, 0::bigint as w2,
+        from sig$sfx),
+      w0$sfx as materialized (select 0::bigint as w0, 0::bigint as w1, 0::bigint as w2,
                     0::bigint as w3, 0::bigint as w4, 0::bigint as w5)"""
     for (i <- 0 to steps) {
       sb ++= s""",
-      p$i as materialized (
+      p$i$sfx as materialized (
         select t.*,
                round(1.0 / (1.0 + exp(-((w.w0 / 1000000.0) * x0 + (w.w1 / 1000000.0) * x1
                  + (w.w2 / 1000000.0) * x2 + (w.w3 / 1000000.0) * x3
                  + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as p
-        from t cross join w$i w),
-      a$i as materialized (
+        from t$sfx t cross join w$i$sfx w),
+      a$i$sfx as materialized (
         select sum(cast(round((p - y) * x0 * 1000000.0, 0) as bigint))::bigint as g0,
                sum(cast(round((p - y) * x1 * 1000000.0, 0) as bigint))::bigint as g1,
                sum(cast(round((p - y) * x2 * 1000000.0, 0) as bigint))::bigint as g2,
@@ -1435,16 +1435,16 @@ object OraclesC {
                sum(cast(round((p - y) * 1.0 * 1000000.0, 0) as bigint))::bigint as g5,
                sum(case when (p >= 0.5) = (y = 1.0) then 1 else 0 end)::bigint as ok,
                count(*)::bigint as n
-        from p$i)"""
+        from p$i$sfx)"""
       if (i < steps) sb ++= s""",
-      w${i + 1} as materialized (
+      w${i + 1}$sfx as materialized (
         select w.w0 - cast(round($QcTrainLr * (a.g0 / (a.n)::double), 0) as bigint) as w0,
                w.w1 - cast(round($QcTrainLr * (a.g1 / (a.n)::double), 0) as bigint) as w1,
                w.w2 - cast(round($QcTrainLr * (a.g2 / (a.n)::double), 0) as bigint) as w2,
                w.w3 - cast(round($QcTrainLr * (a.g3 / (a.n)::double), 0) as bigint) as w3,
                w.w4 - cast(round($QcTrainLr * (a.g4 / (a.n)::double), 0) as bigint) as w4,
                w.w5 - cast(round($QcTrainLr * (a.g5 / (a.n)::double), 0) as bigint) as w5
-        from w$i w cross join a$i a)"""
+        from w$i$sfx w cross join a$i$sfx a)"""
     }
     sb.toString
   }
@@ -1714,6 +1714,77 @@ object OraclesC {
     """
   }
 
+  /** c94: c86's chain at doc grain — the packing assignment projected
+    * to boundary metadata (start offset within the sequence budget,
+    * straddle flag). */
+  private def c94Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    s"""
+      with ${c75Chain(m)},
+      nsy94 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc94 as (
+        select tf.doc_id,
+               sum(tf.tf * coalesce(nsy94.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy94 on tf.term = nsy94.term
+        group by tf.doc_id),
+      d94 as (select doc_id, doc_id % $SHARDS as shard, n_tok from enc94),
+      a94 as (
+        select doc_id, shard, n_tok,
+               sum(n_tok) over (partition by shard order by doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from d94)
+      select shard, ((cum - n_tok) // $BUDGET)::bigint as seq_id, doc_id,
+             (cum - n_tok - ((cum - n_tok) // $BUDGET) * $BUDGET)::bigint as start_offset,
+             n_tok,
+             (cum - n_tok - ((cum - n_tok) // $BUDGET) * $BUDGET + n_tok > $BUDGET)
+               as crosses_budget
+      from a94 order by doc_id
+    """
+  }
+
+  /** c95: c12's recursive component chain + the trained chain's
+    * final-weight scores, arbitrated per cluster (score desc, doc_id)
+    * — suffix `q` on the classifier chain keeps its CTE names clear
+    * of C3_CHAIN's `sig`. */
+  private def c95Sql: String = {
+    import graft.operators.TextAnalysis._
+    val steps = QcTrainSteps
+    s"""${c88Chain(steps, "q", "with recursive")},
+      scored95 as (
+        select t.doc_id,
+               round(1.0 / (1.0 + exp(-((w.w0 / 1000000.0) * x0 + (w.w1 / 1000000.0) * x1
+                 + (w.w2 / 1000000.0) * x2 + (w.w3 / 1000000.0) * x3
+                 + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as score
+        from tq t cross join w${steps}q w),
+      $C3_CHAIN,
+      vp95 as (select doc_a, doc_b from vpairs where jaccard >= 0.5),
+      edges95 as (
+        select doc_a as a, doc_b as b from vp95
+        union
+        select doc_b as a, doc_a as b from vp95),
+      reach95(a, b) as (
+        select a, b from edges95
+        union
+        select r.a, e.b from reach95 r join edges95 e on r.b = e.a where e.b <> r.a),
+      lab95 as (select a as doc_id, least(a, min(b)) as cluster from reach95 group by a),
+      mem95 as (
+        select lab95.doc_id, lab95.cluster, s.score
+        from lab95 join scored95 s on lab95.doc_id = s.doc_id),
+      rk95 as (
+        select *, row_number() over (partition by cluster
+                    order by score desc, doc_id) as rn
+        from mem95)
+      select cluster, count(*)::bigint as n_members,
+             max(case when rn = 1 then doc_id end)::bigint as keeper_doc,
+             max(case when rn = 1 then score end) as keeper_score,
+             max(case when doc_id = cluster then score end) as minid_score,
+             (max(case when rn = 1 then doc_id end) <> cluster) as changed,
+             round(max(case when rn = 1 then score end)
+                   - max(case when doc_id = cluster then score end), 4) as quality_gain
+      from rk95 group by cluster order by cluster
+    """
+  }
+
   lazy val sql: Map[String, String] = sql1 ++ sql2
 
   private lazy val sql1: Map[String, String] = Map(
@@ -1723,6 +1794,8 @@ object OraclesC {
     "c91_feature_drift" -> c91Sql,
     "c92_tokenizer_holdout" -> c92Sql,
     "c93_active_batch" -> c93Sql,
+    "c94_pack_boundaries" -> c94Sql,
+    "c95_quality_keeper" -> c95Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

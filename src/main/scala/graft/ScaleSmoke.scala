@@ -233,7 +233,15 @@ object ScaleSmoke {
       // append-without-retrain path
       "c78_clustered_recall", "c79_stored_serving",
       "c80_clustered_trained", "c81_index_append", "c82_index_churn",
-      "c84_embed_gate")
+      "c84_embed_gate",
+      // r14: the five-gate compose, the tokenized-pack pair, index
+      // health off the churned store, and the trained-classifier
+      // tier (trainer loop is step-count × doc-grain scans; every
+      // consumer is one aggregate off the memoized frame)
+      "c85_gate5", "c86_pack_tokenized", "c87_index_health",
+      "c88_classifier_train", "c89_stored_classifier",
+      "c90_student_funnel", "c91_feature_drift", "c92_tokenizer_holdout",
+      "c93_active_batch", "c94_pack_boundaries", "c95_quality_keeper")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

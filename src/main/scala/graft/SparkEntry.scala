@@ -157,6 +157,8 @@ object SparkEntry {
     "c91_feature_drift" -> ((s, dir) => TextAnalysis.c91FeatureDrift(s, dir)),
     "c92_tokenizer_holdout" -> ((s, dir) => TextAnalysis.c92TokenizerHoldout(s, dir)),
     "c93_active_batch" -> ((s, dir) => TextAnalysis.c93ActiveBatch(s, dir)),
+    "c94_pack_boundaries" -> ((s, dir) => Sampling.c94PackBoundaries(s, dir)),
+    "c95_quality_keeper" -> ((s, dir) => Dedup.c95QualityKeeper(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -509,6 +509,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** c95: QUALITY-arbitrated near-dup keepers — the min-id keep rule
+    * (c1/c12's canonical tie-break) upgraded to what a curation
+    * pipeline actually wants once a quality model exists: per c12
+    * cluster, keep the member the STORED classifier (c89) scores
+    * highest (ties by min doc_id), and report what the arbitration
+    * changed — keeper vs the min-id rule's keeper, both scores, and
+    * the quality gain. The SemDeDup-style "keep the best exemplar"
+    * move, with the trained artifact as the judge.
+    *
+    * Shape: the cluster chain is [[verifiedDupLabels]] (c12/c36's one
+    * spelling — LSH candidates, verify, components); scoring is c89's
+    * one aggregate off the memoized training frame; the arbitration is
+    * a window over CLUSTER partitions (distributed by key) on the
+    * cluster-member frame, which is pair-evidence-sized, not corpus-
+    * sized. Report = one row per cluster. */
+  def c95QualityKeeper(spark: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val scores = graft.operators.TextAnalysis.c89StoredClassifier(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val members = verifiedDupLabels(docs, threshold)
+      .select(col("doc_id"), col("label").as("cluster"))
+      .join(scores, Seq("doc_id"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("score").desc, col("doc_id"))
+    members
+      .withColumn("rn", row_number().over(rk))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("keeper_doc"),
+        max(when(col("rn") === 1, col("score"))).as("keeper_score"),
+        max(when(col("doc_id") === col("cluster"), col("score"))).as("minid_score"))
+      .select(col("cluster"), col("n_members"), col("keeper_doc"), col("keeper_score"),
+        col("minid_score"),
+        (col("keeper_doc") =!= col("cluster")).as("changed"),
+        round(col("keeper_score") - col("minid_score"), 4).as("quality_gain"))
+      .orderBy("cluster")
+  }
+
   /** (doc_id, label) for every doc in a verified near-dup pair at
     * `threshold` — the ONE chain (candidate pairs → jaccard filter →
     * component labeling) c12's cluster report and c36's leakage-safe

@@ -132,6 +132,21 @@ object Sampling {
     * counts) and c86 (the stored tokenizer's BPE counts), so the
     * packing discipline cannot drift between the two pricings. */
   private[graft] def packCounts(counts: DataFrame, budget: Long,
+      shards: Int): DataFrame =
+    packAssign(counts, budget, shards)
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "seq_id")
+
+  /** The doc-grain packing ASSIGNMENT under [[packCounts]]'s window —
+    * the one prefix-sum spelling, exposed before the per-sequence
+    * aggregate so c94 can key the boundary metadata off the exact
+    * frame c22/c86 summarize. */
+  private[graft] def packAssign(counts: DataFrame, budget: Long,
       shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards > 0, "shards must be positive")
@@ -140,13 +155,6 @@ object Sampling {
     counts.select(col("doc_id"), (col("doc_id") % shards).as("shard"), col("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
-      .groupBy("shard", "seq_id")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("sum_tok"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy("shard", "seq_id")
   }
 
   /** c86: sequence packing priced in REAL tokenizer tokens — c22's
@@ -167,6 +175,33 @@ object Sampling {
       graft.operators.TextAnalysis.c83StoredTokenizer(spark, dir)
         .select(col("doc_id"), col("n_bpe_tokens").as("n_tok")),
       budget, shards)
+
+  /** c94: packed-sequence BOUNDARY metadata — the loss-mask /
+    * attention-mask side table a trainer consumes next to c86's
+    * packing: per packed document, its sequence, the start offset
+    * WITHIN the sequence's token budget, its token count, and whether
+    * it straddles the budget boundary (start-offset packing lets a
+    * document run past the block edge; the mask builder must know).
+    * Token counts are the stored tokenizer's (c83's artifact — the
+    * counts c86 packs), the assignment is [[packAssign]], the exact
+    * frame c86 aggregates — the metadata can never disagree with the
+    * packing it annotates.
+    *
+    * Shape: identical to c86's (bounded artifact collect + the tfRows
+    * reduce + ONE window shuffle on the shard key); the report is the
+    * doc-grain assignment projected, no extra shuffle. */
+  def c94PackBoundaries(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, shards: Int = PackShards): DataFrame =
+    packAssign(
+      graft.operators.TextAnalysis.c83StoredTokenizer(spark, dir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok")),
+      budget, shards)
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (col("cum") - col("n_tok") - col("seq_id") * budget).as("start_offset"),
+        col("n_tok"),
+        (col("cum") - col("n_tok") - col("seq_id") * budget + col("n_tok") > budget)
+          .as("crosses_budget"))
+      .orderBy("doc_id")
 
   /** c25: context-window chunking — split each document's token
     * stream into fixed-size windows with overlap (stride = size −

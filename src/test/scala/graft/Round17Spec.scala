@@ -85,4 +85,48 @@ class Round17Spec extends AnyFunSuite {
     assert(margins.last <= minOutside + 1e-9,
       "an unselected doc has a smaller margin than the batch's worst")
   }
+
+  test("c94 boundaries annotate exactly c86's packing: same docs, reconciling offsets") {
+    val bounds = graft.operators.Sampling.c94PackBoundaries(spark, sf).collect()
+    val packs = graft.operators.Sampling.c86PackTokenized(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // every (shard, seq) in the metadata is a c86 sequence with the
+    // same doc count and token mass
+    for (((sh, sq), rs) <- bounds.groupBy(r => (r.getLong(0), r.getLong(1)))) {
+      val p = packs((sh, sq))
+      assert(rs.length == p.getLong(2), s"($sh,$sq): doc count != c86")
+      assert(rs.map(_.getLong(4)).sum == p.getLong(3), s"($sh,$sq): token mass != c86")
+    }
+    assert(bounds.map(r => (r.getLong(0), r.getLong(1))).distinct.length == packs.size,
+      "metadata misses a c86 sequence")
+    for (r <- bounds) {
+      val (start, n) = (r.getLong(3), r.getLong(4))
+      assert(start >= 0 && start < graft.operators.Sampling.DefaultTokenBudget,
+        s"doc ${r.getLong(2)}: start offset outside the budget window")
+      assert(r.getBoolean(5) == (start + n > graft.operators.Sampling.DefaultTokenBudget),
+        s"doc ${r.getLong(2)}: straddle flag != its own rule")
+    }
+  }
+
+  test("c95 keepers: one per c12 cluster, the argmax member, gain consistent") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val clusters = graft.operators.Dedup.c12DupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc -> cluster
+    val scores = TextAnalysis.c89StoredClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = graft.operators.Dedup.c95QualityKeeper(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == clusters.values.toSet,
+      "keeper rows != c12 cluster set")
+    for (r <- rows) {
+      val c = r.getLong(0)
+      val members = clusters.collect { case (d, cl) if cl == c => d }.toSeq
+      assert(r.getLong(1) == members.length, s"cluster $c: member count")
+      val best = members.maxBy(d => (scores(d), -d))
+      assert(r.getLong(2) == best, s"cluster $c: keeper is not the score argmax")
+      assert(math.abs(r.getDouble(3) - scores(best)) < 1e-9, s"cluster $c: keeper score")
+      assert(math.abs(r.getDouble(4) - scores(c)) < 1e-9, s"cluster $c: min-id score")
+      assert(r.getBoolean(5) == (best != c), s"cluster $c: changed flag")
+      assert(r.getDouble(6) >= -1e-9, s"cluster $c: negative quality gain")
+    }
+  }
 }
