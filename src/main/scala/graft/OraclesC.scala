@@ -605,8 +605,8 @@ object OraclesC {
     * `recursive` keyword is supplied by the caller) — shared by the
     * c67 audit and the c77 four-gate pipeline, which extends it with
     * the span gate over each batch's admitted docs. */
-  private def c67Chain(nBatches: Int): String = s"""
-      ${c67Stateless()},
+  private def c67Chain(nBatches: Int, qDef: Option[String] = None): String = s"""
+      ${c67Stateless(qDef = qDef)},
       keepset_m1 as (select cast(null as bigint) as doc_id where 1 = 0),
       ${(0 until nBatches).map(i => c67Batch(i, nBatches)).mkString(",")},
       ${c67Alldec((0 until nBatches).map(i =>
@@ -619,7 +619,8 @@ object OraclesC {
     * additionally requires an embedding (the door embeds on arrival —
     * only docs WITH a vector can contest the semantic gate). */
   private def c67Stateless(
-      pop: String = "select doc_id, text from documents where doc_id % 97 <> 0"): String = {
+      pop: String = "select doc_id, text from documents where doc_id % 97 <> 0",
+      qDef: Option[String] = None): String = {
     val maxFrac = graft.streaming.DecontamStream.MaxFlaggedFrac
     s"""
       pop as materialized ($pop),
@@ -636,14 +637,14 @@ object OraclesC {
                len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
                  + len(regexp_extract_all(text, '[0-9]+')) as n_pii
         from (select doc_id, text, string_split(text, ' ') as w from pop)),
-      q as materialized (
+      q as materialized (${qDef.getOrElse("""
         select doc_id,
                case when n_tokens < 5 then 'too_short'
                     when not (en_score > 0.01 or en_ngram_score > 0.02) then 'non_en'
                     when distinct_ratio < 0.3 then 'repetitive'
                     when n_pii > 20 then 'pii_heavy'
                     else 'keep' end as qreason
-        from sig),
+        from sig""")}),
       shs as materialized (
         select doc_id, s, substr(md5(s), 1, 8) as sh8
         from (select distinct doc_id, s from ($SHINGLES))),
@@ -1785,6 +1786,33 @@ object OraclesC {
     """
   }
 
+  /** c96: c67's funnel replay with stage 1 decided by the c88 chain's
+    * final weights (`low_quality` below threshold) — the suffixed
+    * classifier chain scores every doc, the student `q` definition
+    * swaps into the shared stateless block, and the novelty batches
+    * unroll over the student-gated survivor population. */
+  private def c96Sql: String = {
+    import graft.operators.TextAnalysis._
+    val steps = QcTrainSteps
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val studentQ = s"""
+        select sig.doc_id,
+               case when sc.score < $QcThreshold then 'low_quality'
+                    else 'keep' end as qreason
+        from sig join scored96 sc using (doc_id)"""
+    s"""
+      with recursive ${c88Chain(steps, "q", "")},
+      scored96 as materialized (
+        select t.doc_id,
+               round(1.0 / (1.0 + exp(-((w.w0 / 1000000.0) * x0 + (w.w1 / 1000000.0) * x1
+                 + (w.w2 / 1000000.0) * x2 + (w.w3 / 1000000.0) * x3
+                 + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as score
+        from tq t cross join w${steps}q w),
+      ${c67Chain(n, Some(studentQ))}
+      select doc_id, stage, dup_of from alldec order by doc_id
+    """
+  }
+
   lazy val sql: Map[String, String] = sql1 ++ sql2
 
   private lazy val sql1: Map[String, String] = Map(
@@ -1796,6 +1824,7 @@ object OraclesC {
     "c93_active_batch" -> c93Sql,
     "c94_pack_boundaries" -> c94Sql,
     "c95_quality_keeper" -> c95Sql,
+    "c96_student_gate" -> c96Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

@@ -159,6 +159,7 @@ object SparkEntry {
     "c93_active_batch" -> ((s, dir) => TextAnalysis.c93ActiveBatch(s, dir)),
     "c94_pack_boundaries" -> ((s, dir) => Sampling.c94PackBoundaries(s, dir)),
     "c95_quality_keeper" -> ((s, dir) => Dedup.c95QualityKeeper(s, dir)),
+    "c96_student_gate" -> ((s, dir) => graft.streaming.FunnelStream.c96StudentGateAudit(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -1107,9 +1107,15 @@ object TextAnalysis {
     * start from the same tokenize + (doc, term) count, so inside a
     * multi-query session the corpus is tokenized once. */
   private[operators] def tfRows(docs: DataFrame): DataFrame =
-    CorpusPrep.memo("tf_rows", docs)(Materialize.frame(
-      docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))))
+    CorpusPrep.memo("tf_rows", docs)(Materialize.frame(tfRowsDirect(docs)))
+
+  /** The tokenize + (doc, term) count WITHOUT the corpus memo — the
+    * one spelling [[tfRows]] memoizes, exposed for batch-grain
+    * consumers (the live student gate scores a micro-batch, not the
+    * corpus). */
+  private[operators] def tfRowsDirect(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   // ---- c41: Gopher rule battery ---------------------------------------
 
@@ -1814,9 +1820,15 @@ object TextAnalysis {
     * drift between training and serving (the classic deployment
     * skew). One map-side-combinable aggregate off the [[tfRows]]
     * memo. */
-  private[operators] def qcSignals(docs: DataFrame): DataFrame = {
+  private[operators] def qcSignals(docs: DataFrame): DataFrame =
+    qcSignalsFrom(tfRows(docs))
+
+  /** The five-signal aggregate over an explicit (doc, term, tf) frame
+    * — the ONE spelling [[qcSignals]] (corpus, memoized kernel) and
+    * the live student gate (micro-batch, [[tfRowsDirect]]) share. */
+  private[graft] def qcSignalsFrom(tf: DataFrame): DataFrame = {
     val isAlpha = col("term").rlike("^[a-z]+$")
-    tfRows(docs).groupBy("doc_id").agg(
+    tf.groupBy("doc_id").agg(
       sum(col("tf")).as("n_words"),
       round(sum(col("tf") * length(col("term"))).cast("double") / sum(col("tf")), 4)
         .as("mean_word_len"),
@@ -1853,15 +1865,49 @@ object TextAnalysis {
     * doc-grain frame of 7 narrow columns per step, never the corpus. */
   private def qcTrainFrame(docs: DataFrame): DataFrame =
     CorpusPrep.memo("qc_train", docs)(Materialize.frame(
-      qcSignals(docs)
-        .select(col("doc_id"),
-          round(log10(col("n_words")), 4).as("x0"),
-          col("mean_word_len").as("x1"),
-          col("alpha_frac").as("x2"),
-          col("stop_frac").as("x3"),
-          col("distinct_ratio").as("x4"))
+      qcFeaturesFrom(qcSignals(docs))
         .join(gopherFrame(docs).select(col("doc_id"), col("keep").cast("double").as("y")),
           Seq("doc_id"))))
+
+  /** The fixed x0..x4 projection off a signals frame — ONE spelling
+    * for the training frame and the live student gate (x0 pre-rounded
+    * like c48's dot product). */
+  private def qcFeaturesFrom(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      round(log10(col("n_words")), 4).as("x0"),
+      col("mean_word_len").as("x1"),
+      col("alpha_frac").as("x2"),
+      col("stop_frac").as("x3"),
+      col("distinct_ratio").as("x4"))
+
+  /** The stored classifier's six e6 weights, loaded from the c88
+    * artifact — factored out of [[c89StoredClassifier]] so the live
+    * student gate (c96) reads the SAME artifact once per session. */
+  private[graft] def storedClassifierWeights(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Long] = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val wE6 = spark.read.parquet(s"${classifierRoot(spark, docs, dir)}/weights")
+      .orderBy("idx").collect().map(_.getLong(2))
+    require(wE6.length == 6, s"classifier artifact must hold 6 weights, got ${wE6.length}")
+    wE6
+  }
+
+  /** The live STUDENT quality gate's per-batch reasons frame
+    * (doc_id, text, qreason) — the stored classifier's verdict in the
+    * funnel's stage-1 shape: score every batch doc under the artifact
+    * weights through the shared signal/feature/dot-product spellings
+    * ([[tfRowsDirect]] → [[qcSignalsFrom]] → [[qcFeaturesFrom]] →
+    * [[qcZ]] — batch-direct, no corpus memo), `low_quality` below
+    * [[QcThreshold]]. */
+  private[graft] def studentQualityReasons(batch: DataFrame,
+      wE6: Array[Long]): DataFrame = {
+    val w = wE6.map(_.toDouble / 1e6)
+    val verdict = qcFeaturesFrom(qcSignalsFrom(tfRowsDirect(batch)))
+      .select(col("doc_id"),
+        when(round(lit(1.0) / (lit(1.0) + exp(-qcZ(w))), 4) < QcThreshold,
+          lit("low_quality")).otherwise(lit("keep")).as("qreason"))
+    batch.select(col("doc_id"), col("text")).join(verdict, Seq("doc_id"))
+  }
 
   /** The fixed-order logistic input under weights `w` (binary64,
     * e6-exact): one spelling for trainer scoring and c89 serving. */
@@ -1979,11 +2025,7 @@ object TextAnalysis {
   def c89StoredClassifier(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
-    val root = classifierRoot(spark, docs, dir)
-    val wE6 = spark.read.parquet(s"$root/weights")
-      .orderBy("idx").collect().map(_.getLong(2))
-    require(wE6.length == 6, s"classifier artifact must hold 6 weights, got ${wE6.length}")
-    val w = wE6.map(_.toDouble / 1e6)
+    val w = storedClassifierWeights(spark, dir).map(_.toDouble / 1e6)
     qcTrainFrame(docs)
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-qcZ(w))), 4).as("score"),

@@ -94,9 +94,10 @@ object FunnelStream {
   private[graft] def processBatch(batch: DataFrame, bits: DataFrame, decisionStore: String,
       keepStore: String, bandStore: String,
       maxFrac: Double = DecontamStream.MaxFlaggedFrac,
-      threshold: Double = NearDupStream.JaccardThreshold): DataFrame = {
+      threshold: Double = NearDupStream.JaccardThreshold,
+      reasonsOf: DataFrame => DataFrame = teacherReasons): DataFrame = {
     val (decisions, bandsB, s2) =
-      funnelDecisions(batch, bits, bandStore, keepStore, maxFrac, threshold)
+      funnelDecisions(batch, bits, bandStore, keepStore, maxFrac, threshold, reasonsOf)
     EventsStream.upsertSink(decisions, decisionStore, "doc_id")
     val kept = decisions.filter(col("stage") === "keep").select("doc_id")
     EventsStream.upsertSink(s2.join(kept, Seq("doc_id")), keepStore, "doc_id")
@@ -114,12 +115,21 @@ object FunnelStream {
     * batch's band rows for the band-store sink, and the
     * double-survivor (doc_id, text) frame the keep store merges
     * from). */
+  /** Stage 1's default reasons provider — the c23 quality cascade as
+    * a narrow per-row projection. The live STUDENT gate (c96) swaps
+    * in [[TextAnalysis.studentQualityReasons]]; both produce
+    * (doc_id, text, qreason) with `keep` meaning pass. */
+  private[graft] def teacherReasons(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"), col("text"),
+      TextAnalysis.curationReasonOf(col("text")).as("qreason"))
+
   private[graft] def funnelDecisions(batch: DataFrame, bits: DataFrame,
       bandStore: String, keepStore: String,
-      maxFrac: Double, threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+      maxFrac: Double, threshold: Double,
+      reasonsOf: DataFrame => DataFrame = teacherReasons)
+      : (DataFrame, DataFrame, DataFrame) = {
     // stage 1 — quality: decide once, carry the reason
-    val b = Materialize.frame(batch.select(col("doc_id"), col("text"),
-      TextAnalysis.curationReasonOf(col("text")).as("qreason")))
+    val b = Materialize.frame(reasonsOf(batch))
     val qualityDrops = b.filter(col("qreason") =!= "keep")
       .select(col("doc_id"), col("qreason").as("stage"),
         lit(null).cast("long").as("dup_of"))
@@ -313,6 +323,52 @@ object FunnelStream {
         coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
       .orderBy("doc_id")
   }
+
+  /** ONE student-gated store build per (session, corpus, batch
+    * count) — [[gate4Stores]]'s discipline with the quality stage
+    * swapped to the STORED classifier ([[TextAnalysis
+    * .studentQualityReasons]]): the weights artifact loads once per
+    * session (trained offline by c88's trainer — the deployment
+    * shape: train at rest, serve at the door), each poll runs
+    * [[processBatch]] with the student reasons provider. Three gates
+    * (quality → leakage → novelty): the swap is the quality gate's,
+    * the downstream stages are shared spelling. */
+  private def gateStudentStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0)
+    val bits = graft.operators.CorpusPrep.memo("c67_bits", docs)(
+      TextAnalysis.bloomBitsFromKeys(
+        TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0))))
+    val wE6 = TextAnalysis.storedClassifierWeights(spark, dir)
+    StoreMemo.memo(spark, s"gateq_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i), bits,
+          s"$scratch/decisions", s"$scratch/keep", s"$scratch/bands",
+          reasonsOf = b => TextAnalysis.studentQualityReasons(b, wE6))
+    }
+  }
+
+  /** c96: the live STUDENT-gated funnel at STORE grain — c90's gate
+    * swap running where a deployment actually runs it, in the
+    * streaming funnel: [[AuditBatches]] polls through
+    * [[processBatch]] with the stored classifier as the quality gate
+    * (ONE artifact read per session, the c89 weights), leakage and
+    * novelty unchanged, and the keyed result read back from the
+    * DECISION store. Against c67: the stage set collapses the cascade
+    * to `low_quality`, and the downstream gates see a DIFFERENT
+    * survivor population (docs the teacher refuses but the student
+    * admits now contest novelty, and vice versa) — the store-grain
+    * proof that the swap composes with the stateful gates, which
+    * c90's at-rest matrix cannot give. The oracle replays the whole
+    * history with the c88 chain's final weights deciding stage 1 and
+    * the novelty admission unrolled batch-for-batch over the
+    * student-gated survivors. */
+  def c96StudentGateAudit(spark: SparkSession, dir: String,
+      nBatches: Int = AuditBatches): DataFrame =
+    decisions(spark, s"${gateStudentStores(spark, dir, nBatches)}/decisions")
+      .orderBy("doc_id")
 
   /** ONE five-gate store build per (session, corpus, batch count) —
     * the [[gate4Stores]] discipline with the semantic gate in the

@@ -129,4 +129,32 @@ class Round17Spec extends AnyFunSuite {
       assert(r.getDouble(6) >= -1e-9, s"cluster $c: negative quality gain")
     }
   }
+
+  test("c96 student-gated funnel: partition, student stage set, gate agreement with c89") {
+    val pop = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 =!= 0)
+    val rows = graft.streaming.FunnelStream.c96StudentGateAudit(spark, sf).collect()
+    assert(rows.length == pop.count(), "one decision per population doc")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "doc decided twice")
+    val stages = rows.map(_.getString(1)).toSet
+    assert(stages.subsetOf(Set("low_quality", "contaminated", "duplicate", "keep")),
+      s"illegal student stages: $stages")
+    // stage 1 must agree doc-for-doc with the stored classifier's
+    // serving view (same artifact, same spellings)
+    val verdict = TextAnalysis.c89StoredClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2) == 1L)).toMap
+    for (r <- rows) {
+      if (r.getString(1) == "low_quality")
+        assert(!verdict(r.getLong(0)),
+          s"doc ${r.getLong(0)} dropped low_quality but c89 keeps it")
+      else
+        assert(verdict(r.getLong(0)),
+          s"doc ${r.getLong(0)} passed stage 1 but c89 refuses it")
+      // duplicates cite an admitted keeper (keep-first store discipline)
+      if (r.getString(1) == "duplicate") assert(!r.isNullAt(2))
+      if (r.getString(1) == "keep" || r.getString(1) == "low_quality"
+          || r.getString(1) == "contaminated")
+        assert(r.isNullAt(2), s"${r.getString(1)} row carries a cite")
+    }
+  }
 }
