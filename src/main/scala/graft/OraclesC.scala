@@ -1382,8 +1382,10 @@ object OraclesC {
     * a{i} reduces the six exact-integer gradient sums + the
     * teacher-agreement count, w{i+1} applies the half-away rounded
     * lr·mean update in bigint units. */
-  private def c88Chain(steps: Int, sfx: String = "", kw: String = "with"): String = {
+  private def c88Chain(steps: Int, sfx: String = "", kw: String = "with",
+      trainWhere: String = ""): String = {
     import graft.operators.TextAnalysis._
+    val trainPred = if (trainWhere.isEmpty) "" else s" where $trainWhere"
     val sb = new StringBuilder
     sb ++= s"""
       $kw tf$sfx as materialized (
@@ -1436,7 +1438,7 @@ object OraclesC {
                sum(cast(round((p - y) * 1.0 * 1000000.0, 0) as bigint))::bigint as g5,
                sum(case when (p >= 0.5) = (y = 1.0) then 1 else 0 end)::bigint as ok,
                count(*)::bigint as n
-        from p$i$sfx)"""
+        from p$i$sfx$trainPred)"""
       if (i < steps) sb ++= s""",
       w${i + 1}$sfx as materialized (
         select w.w0 - cast(round($QcTrainLr * (a.g0 / (a.n)::double), 0) as bigint) as w0,
@@ -1813,6 +1815,108 @@ object OraclesC {
     """
   }
 
+  /** c97: two training chains — vintage (gradient sums filtered to
+    * the c13 train buckets; the symbol of the what-if) and full — both
+    * scoring every doc, joined in one projection with the flip
+    * verdict. */
+  private def c97Sql: String = {
+    import graft.operators.TextAnalysis._
+    val steps = QcTrainSteps
+    val vintage = s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100" +
+      s" < ${graft.operators.Sampling.SplitTrainPct}"
+    s"""${c88Chain(steps, "v", "with", vintage)},
+      ${c88Chain(steps, "f", "")},
+      core97 as (
+        select t.doc_id,
+               round(1.0 / (1.0 + exp(-((wv.w0 / 1000000.0) * x0 + (wv.w1 / 1000000.0) * x1
+                 + (wv.w2 / 1000000.0) * x2 + (wv.w3 / 1000000.0) * x3
+                 + (wv.w4 / 1000000.0) * x4 + (wv.w5 / 1000000.0)))), 4) as score_vintage,
+               round(1.0 / (1.0 + exp(-((wf.w0 / 1000000.0) * x0 + (wf.w1 / 1000000.0) * x1
+                 + (wf.w2 / 1000000.0) * x2 + (wf.w3 / 1000000.0) * x3
+                 + (wf.w4 / 1000000.0) * x4 + (wf.w5 / 1000000.0)))), 4) as score_full
+        from tv t
+        cross join w${steps}v wv
+        cross join w${steps}f wf)
+      select doc_id, score_vintage, score_full,
+             (case when score_vintage >= $QcThreshold then 1 else 0 end)::bigint as keep_vintage,
+             (case when score_full >= $QcThreshold then 1 else 0 end)::bigint as keep_full,
+             case when score_vintage < $QcThreshold and score_full >= $QcThreshold then 'gained'
+                  when score_vintage >= $QcThreshold and score_full < $QcThreshold then 'lost'
+                  else null end as flip
+      from core97 order by doc_id
+    """
+  }
+
+  /** c98: the manifest compose — the c75 training chain's BPE counts,
+    * c50's funnel keeps, c13's split buckets, the (split, shard)
+    * packing window, and the ordered-doc_id checksum per shard. */
+  private def c98Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val train = graft.operators.Sampling.SplitTrainPct
+    val valp = graft.operators.Sampling.SplitValPct
+    s"""
+      with ${c75Chain(m)},
+      nsy98 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc98 as (
+        select tf.doc_id,
+               sum(tf.tf * coalesce(nsy98.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy98 on tf.term = nsy98.term
+        group by tf.doc_id),
+      pop98 as (select * from documents where doc_id % 97 <> 0),
+      kd98 as (select md5(text) as h, min(doc_id) as keep_doc from pop98 group by 1),
+      sh98 as ($SH8),
+      bench98 as (select distinct sh8 from sh98 where doc_id % 97 = 0),
+      ct98 as (
+        select sh98.doc_id, round(count(bench98.sh8)::double / count(*), 4) as contam
+        from sh98 left join bench98 on sh98.sh8 = bench98.sh8
+        where sh98.doc_id % 97 <> 0
+        group by sh98.doc_id),
+      sig98 as (
+        select doc_id,
+               len(w) as n_tokens,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
+               round(((length(text) - length(replace(text, 'th', ''))) / 2
+                    + (length(text) - length(replace(text, 'he', ''))) / 2
+                    + (length(text) - length(replace(text, 'in', ''))) / 2
+                    + (length(text) - length(replace(text, 'er', ''))) / 2
+                     )::double / length(text), 4) as en_ngram_score,
+               round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                 + len(regexp_extract_all(text, '[0-9]+')) as n_pii
+        from (select doc_id, text, string_split(text, ' ') as w from pop98)),
+      keeps98 as (
+        select p.doc_id
+        from pop98 p
+        join kd98 on md5(p.text) = kd98.h
+        left join ct98 on ct98.doc_id = p.doc_id
+        join sig98 on sig98.doc_id = p.doc_id
+        where p.doc_id = kd98.keep_doc
+          and coalesce(ct98.contam, 0) < ${graft.operators.TextAnalysis.FunnelContamBar}
+          and n_tokens >= 5
+          and (en_score > 0.01 or en_ngram_score > 0.02)
+          and distinct_ratio >= 0.3
+          and n_pii <= 20),
+      cnt98 as (
+        select e.doc_id, e.n_tok,
+               case when ('0x' || substr(md5(e.doc_id::varchar), 1, 7))::bigint % 100 < $train
+                      then 'train'
+                    when ('0x' || substr(md5(e.doc_id::varchar), 1, 7))::bigint % 100 < $valp
+                      then 'val'
+                    else 'test' end as split,
+               e.doc_id % $SHARDS as shard
+        from enc98 e join keeps98 using (doc_id)),
+      asg98 as (
+        select *, sum(n_tok) over (partition by split, shard order by doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from cnt98)
+      select split, shard, count(*)::bigint as n_docs,
+             count(distinct ((cum - n_tok) // ${graft.operators.Sampling.DefaultTokenBudget}))::bigint as n_seqs,
+             sum(n_tok)::bigint as n_tokens,
+             md5(string_agg(doc_id::varchar, ',' order by doc_id)) as doc_md5
+      from asg98 group by split, shard order by split, shard
+    """
+  }
+
   lazy val sql: Map[String, String] = sql1 ++ sql2
 
   private lazy val sql1: Map[String, String] = Map(
@@ -1825,6 +1929,8 @@ object OraclesC {
     "c94_pack_boundaries" -> c94Sql,
     "c95_quality_keeper" -> c95Sql,
     "c96_student_gate" -> c96Sql,
+    "c97_classifier_refresh" -> c97Sql,
+    "c98_export_manifest" -> c98Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

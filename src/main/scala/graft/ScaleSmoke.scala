@@ -241,7 +241,8 @@ object ScaleSmoke {
       "c85_gate5", "c86_pack_tokenized", "c87_index_health",
       "c88_classifier_train", "c89_stored_classifier",
       "c90_student_funnel", "c91_feature_drift", "c92_tokenizer_holdout",
-      "c93_active_batch", "c94_pack_boundaries", "c95_quality_keeper")
+      "c93_active_batch", "c94_pack_boundaries", "c95_quality_keeper",
+      "c96_student_gate", "c97_classifier_refresh", "c98_export_manifest")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -160,6 +160,8 @@ object SparkEntry {
     "c94_pack_boundaries" -> ((s, dir) => Sampling.c94PackBoundaries(s, dir)),
     "c95_quality_keeper" -> ((s, dir) => Dedup.c95QualityKeeper(s, dir)),
     "c96_student_gate" -> ((s, dir) => graft.streaming.FunnelStream.c96StudentGateAudit(s, dir)),
+    "c97_classifier_refresh" -> ((s, dir) => TextAnalysis.c97ClassifierRefresh(s, dir)),
+    "c98_export_manifest" -> ((s, dir) => Sampling.c98ExportManifest(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

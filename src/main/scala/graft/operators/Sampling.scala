@@ -147,12 +147,21 @@ object Sampling {
     * aggregate so c94 can key the boundary metadata off the exact
     * frame c22/c86 summarize. */
   private[graft] def packAssign(counts: DataFrame, budget: Long,
-      shards: Int): DataFrame = {
+      shards: Int): DataFrame = packAssignBy(counts, budget, shards, Nil)
+
+  /** [[packAssign]] with extra partition keys AHEAD of the shard —
+    * c98 packs within (split, shard) so training sequences never mix
+    * across splits; `counts` must already carry the extra columns.
+    * Same prefix-sum spelling for every caller. */
+  private[graft] def packAssignBy(counts: DataFrame, budget: Long,
+      shards: Int, extraParts: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards > 0, "shards must be positive")
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val parts = extraParts.map(col) :+ col("shard")
+    val w = Window.partitionBy(parts: _*).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    counts.select(col("doc_id"), (col("doc_id") % shards).as("shard"), col("n_tok"))
+    counts.select((extraParts.map(col) ++ Seq(col("doc_id"),
+        (col("doc_id") % shards).as("shard"), col("n_tok"))): _*)
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
   }
@@ -202,6 +211,45 @@ object Sampling {
         (col("cum") - col("n_tok") - col("seq_id") * budget + col("n_tok") > budget)
           .as("crosses_budget"))
       .orderBy("doc_id")
+
+  /** c98: the EXPORT MANIFEST — the capstone compose, the file a
+    * training run actually reads: the at-rest funnel's kept set
+    * (c50's decisions — dedup, decontamination, quality, one
+    * spelling), split-labeled by c13's hash buckets, tokenized under
+    * the STORED tokenizer (c83's artifact), packed within (split,
+    * shard) through [[packAssignBy]] (training sequences never mix
+    * across splits), and manifested per (split, shard): doc count,
+    * sequence count, token mass, and the md5 of the ordered doc_id
+    * list — the checksum a consumer verifies before training (c14's
+    * contract at shard grain).
+    *
+    * Shape: every input is an already-audited chain (funnel memo,
+    * tokenizer artifact, tfRows reduce); this adds ONE window shuffle
+    * on (split, shard) and a report-sized aggregate. ~24 output rows
+    * at any corpus size. */
+  def c98ExportManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, shards: Int = PackShards): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val keeps = graft.operators.TextAnalysis.funnelDecisions(docs)
+      .filter(col("stage") === "keep").select("doc_id")
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100)
+    val counts = graft.operators.TextAnalysis.c83StoredTokenizer(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+      .join(keeps, Seq("doc_id"))
+      .withColumn("split",
+        when(bucket < SplitTrainPct, "train")
+          .when(bucket < SplitValPct, "val").otherwise("test"))
+    packAssignBy(counts, budget, shards, Seq("split"))
+      .groupBy("split", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("n_tok")).as("n_tokens"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",")).as("doc_md5"))
+      .orderBy("split", "shard")
+  }
 
   /** c25: context-window chunking — split each document's token
     * stream into fixed-size windows with overlap (stride = size −

@@ -2226,6 +2226,49 @@ object TextAnalysis {
     agg.join(oov, Seq("split")).orderBy("split")
   }
 
+  /** c97: the RETRAIN-WHAT-IF audit — c91 detects drift; c97 prices
+    * what retraining would change: train the classifier TWICE (the
+    * c13 train vintage only, and the full corpus — both through
+    * [[trainQualityClassifier]], both artifact-persisted under their
+    * own memo roots), score every document under both weight sets,
+    * and report the docs whose ADMISSION FLIPS — the production
+    * question behind every retrain ticket ("how many gate decisions
+    * change, and which way?"). Per doc: both scores (4dp), both keep
+    * bits, and the flip direction (`gained`/`lost`/null). The
+    * trainer's e6-integer contract makes both weight paths
+    * engine-exact, so the flip set is hash-checkable.
+    *
+    * Shape: two trainer runs (each [[QcTrainSteps]] doc-grain
+    * aggregates, session-memoized) + ONE scoring pass (both dot
+    * products in the same projection off the memoized frame). */
+  def c97ClassifierRefresh(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    val vintageRoot = graft.streaming.StoreMemo.memo(spark, s"c97_vintage_$dir") { r =>
+      val (_, wE6) = trainQualityClassifier(docs.filter(bucket < Sampling.SplitTrainPct))
+      import spark.implicits._
+      wE6.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("idx", "w_e6").coalesce(1).write.mode("overwrite").parquet(s"$r/weights")
+    }
+    val wV = spark.read.parquet(s"$vintageRoot/weights")
+      .orderBy("idx").collect().map(_.getLong(1)).map(_.toDouble / 1e6)
+    val wF = storedClassifierWeights(spark, dir).map(_.toDouble / 1e6)
+    qcTrainFrame(docs)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-qcZ(wV))), 4).as("score_vintage"),
+        round(lit(1.0) / (lit(1.0) + exp(-qcZ(wF))), 4).as("score_full"))
+      .withColumn("keep_vintage",
+        when(col("score_vintage") >= QcThreshold, 1L).otherwise(0L))
+      .withColumn("keep_full", when(col("score_full") >= QcThreshold, 1L).otherwise(0L))
+      .withColumn("flip",
+        when(col("keep_vintage") < col("keep_full"), lit("gained"))
+          .when(col("keep_vintage") > col("keep_full"), lit("lost"))
+          .otherwise(lit(null).cast("string")))
+      .orderBy("doc_id")
+  }
+
   /** c93 batch size — the labeling budget per active-learning round.
     * Oracle-interpolated. */
   val ActiveBatchK = 50

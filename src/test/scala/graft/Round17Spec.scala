@@ -157,4 +157,42 @@ class Round17Spec extends AnyFunSuite {
         assert(r.isNullAt(2), s"${r.getString(1)} row carries a cite")
     }
   }
+
+  test("c97 refresh diff: full-weights leg equals c89, flip encodes the keep delta") {
+    val rows = TextAnalysis.c97ClassifierRefresh(spark, sf).collect()
+    val c89 = TextAnalysis.c89StoredClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(rows.length == c89.size, "one row per scored doc")
+    for (r <- rows) {
+      val (sFull, kFull) = c89(r.getLong(0))
+      assert(math.abs(r.getDouble(2) - sFull) < 1e-9,
+        s"doc ${r.getLong(0)}: full-weights score drifted from c89")
+      assert(r.getLong(4) == kFull, s"doc ${r.getLong(0)}: full keep bit != c89")
+      val expected =
+        if (r.getLong(3) < r.getLong(4)) "gained"
+        else if (r.getLong(3) > r.getLong(4)) "lost" else null
+      assert(Option(r.getString(5)) == Option(expected),
+        s"doc ${r.getLong(0)}: flip != its own definition")
+    }
+  }
+
+  test("c98 manifest: mass reconciles with the kept set, packing within (split, shard)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = graft.operators.Sampling.c98ExportManifest(spark, sf).collect()
+    // total docs = the funnel's keeps
+    assert(rows.map(_.getLong(2)).sum > 0, "empty manifest")
+    val keeps = TextAnalysis.c50CurationFunnel(docs).collect()
+      .filter(_.getString(1) == "keep").map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(2)).sum == keeps,
+      "manifest doc mass != the funnel's keep count")
+    // every (split, shard) row's sequences are the dense 0..max of its
+    // own packing (start-offset blocks) and checksums are well-formed
+    for (r <- rows) {
+      assert(Set("train", "val", "test")(r.getString(0)))
+      assert(r.getLong(1) >= 0 && r.getLong(1) < graft.operators.Sampling.PackShards)
+      assert(r.getLong(3) >= 1, "a manifest row with zero sequences")
+      assert(r.getLong(4) >= r.getLong(2), "fewer tokens than docs")
+      assert(r.getString(5).length == 32, "doc_md5 not an md5")
+    }
+  }
 }
