@@ -1917,6 +1917,156 @@ object OraclesC {
     """
   }
 
+  /** c99: c29's doc-grain ntile + c28's seeded shuffle key/shard, the
+    * per-shard easy-first window. */
+  private def c99Sql: String = s"""
+      with q99 as (
+        select source, doc_id,
+               round(0.3 * least(len(w)::double / 100.0, 1.0)
+                   + 0.4 * round(len(list_distinct(w))::double / len(w), 4)
+                   + 0.3 * least(round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) * 5.0, 1.0), 5) as quality
+        from (select source, doc_id, string_split(text, ' ') as w from documents)),
+      b99 as (
+        select source, doc_id,
+               ntile(${graft.operators.TextAnalysis.QualityBins})
+                 over (partition by source order by quality, doc_id)::bigint as bin
+        from q99),
+      k99 as (
+        select doc_id, source, bin,
+               md5('${graft.operators.Sampling.ShuffleSeed}' || ':' || doc_id::varchar) as shuffle_key
+        from b99),
+      s99 as (
+        select *, ('0x' || substr(shuffle_key, 1, 7))::bigint
+                    % ${graft.operators.Sampling.ShuffleShards} as shard
+        from k99)
+      select doc_id, source, bin, shard,
+             row_number() over (partition by shard
+               order by bin desc, shuffle_key)::bigint as pos
+      from s99
+      order by shard, pos
+    """
+
+  /** c100: c35's Bloom spelling per benchmark family over one shared
+    * shingle pass; population = docs in neither slice. */
+  private def c100Sql: String = {
+    val b2 = graft.operators.TextAnalysis.Bench2Mod
+    val maxFrac = graft.streaming.DecontamStream.MaxFlaggedFrac
+    def ffBlock(tag: String, benchPred: String): String = s"""
+      bench$tag as (select distinct sh8 from shs100 where $benchPred),
+      bits$tag as (
+        select distinct ('0x' || substr(md5(sh8), 1 + 7*i, 7))::bigint % $BLOOM_M as pos
+        from bench$tag, unnest(range(0,$BLOOM_K)) as t(i)),
+      per$tag as (
+        select p.doc_id, p.s, count(*) as n_pos, count(b.pos) as n_hit
+        from probe100 p left join bits$tag b on p.pos = b.pos
+        group by p.doc_id, p.s),
+      ff$tag as (
+        select doc_id, count(*) as n_sh,
+               round((count(*) filter (where n_hit = n_pos))::double / count(*), 4) as ff
+        from per$tag group by doc_id)"""
+    s"""
+      with shs100 as materialized (
+        select doc_id, s, substr(md5(s), 1, 8) as sh8
+        from (select distinct doc_id, s from ($SHINGLES))),
+      probe100 as materialized (
+        select doc_id, s,
+               ('0x' || substr(md5(sh8), 1 + 7*i, 7))::bigint % $BLOOM_M as pos
+        from shs100, unnest(range(0,$BLOOM_K)) as t(i)
+        where doc_id % 97 <> 0 and doc_id % $b2 <> 0),
+      ${ffBlock("a", "doc_id % 97 = 0")},
+      ${ffBlock("b", s"doc_id % $b2 = 0")}
+      select ffa.doc_id, ffa.n_sh,
+             ffa.ff as ff_bench_a, ffb.ff as ff_bench_b,
+             greatest(ffa.ff, ffb.ff) as max_ff,
+             ((case when ffa.ff > $maxFrac then 1 else 0 end)
+              + (case when ffb.ff > $maxFrac then 1 else 0 end))::bigint as n_benchmarks_hit,
+             (greatest(ffa.ff, ffb.ff) > $maxFrac) as contaminated
+      from ffa join ffb using (doc_id)
+      order by ffa.doc_id
+    """
+  }
+
+  /** c101: two vintage-scoped keep chains (dedup contest and
+    * benchmark shingles are each vintage's own; per-doc signals and
+    * the shipped tokenizer's counts are vintage-independent, computed
+    * once) full-outer joined at doc grain, per-(split, shard) diff. */
+  private def c101Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val train = graft.operators.Sampling.SplitTrainPct
+    val valp = graft.operators.Sampling.SplitValPct
+    val basePred = s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100" +
+      s" < ${graft.operators.Dedup.DeltaBasePct}"
+    def vintage(t: String, pred: String): String = s"""
+      pop$t as (select * from documents where $pred and doc_id % 97 <> 0),
+      kd$t as (select md5(text) as h, min(doc_id) as keep_doc from pop$t group by 1),
+      bench$t as (select distinct sh8 from shA
+                  where ($pred) and doc_id % 97 = 0),
+      ct$t as (
+        select shA.doc_id, round(count(bench$t.sh8)::double / count(*), 4) as contam
+        from shA left join bench$t on shA.sh8 = bench$t.sh8
+        where ($pred) and shA.doc_id % 97 <> 0
+        group by shA.doc_id),
+      keeps$t as (
+        select p.doc_id
+        from pop$t p
+        join kd$t on md5(p.text) = kd$t.h
+        left join ct$t on ct$t.doc_id = p.doc_id
+        join sig101 on sig101.doc_id = p.doc_id
+        where p.doc_id = kd$t.keep_doc
+          and coalesce(ct$t.contam, 0) < ${graft.operators.TextAnalysis.FunnelContamBar}
+          and n_tokens >= 5
+          and (en_score > 0.01 or en_ngram_score > 0.02)
+          and distinct_ratio >= 0.3
+          and n_pii <= 20),
+      asg$t as (
+        select e.doc_id, e.n_tok,
+               case when ('0x' || substr(md5(e.doc_id::varchar), 1, 7))::bigint % 100 < $train
+                      then 'train'
+                    when ('0x' || substr(md5(e.doc_id::varchar), 1, 7))::bigint % 100 < $valp
+                      then 'val'
+                    else 'test' end as split,
+               e.doc_id % $SHARDS as shard
+        from enc101 e join keeps$t using (doc_id))"""
+    s"""
+      with ${c75Chain(m)},
+      nsy101 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc101 as (
+        select tf.doc_id,
+               sum(tf.tf * coalesce(nsy101.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy101 on tf.term = nsy101.term
+        group by tf.doc_id),
+      shA as materialized ($SH8),
+      sig101 as materialized (
+        select doc_id,
+               len(w) as n_tokens,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
+               round(((length(text) - length(replace(text, 'th', ''))) / 2
+                    + (length(text) - length(replace(text, 'he', ''))) / 2
+                    + (length(text) - length(replace(text, 'in', ''))) / 2
+                    + (length(text) - length(replace(text, 'er', ''))) / 2
+                     )::double / length(text), 4) as en_ngram_score,
+               round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                 + len(regexp_extract_all(text, '[0-9]+')) as n_pii
+        from (select doc_id, text, string_split(text, ' ') as w from documents)),
+      ${vintage("v1", basePred)},
+      ${vintage("v2", "1 = 1")}
+      select coalesce(a.split, b.split) as split,
+             coalesce(a.shard, b.shard) as shard,
+             sum(case when a.doc_id is not null then 1 else 0 end)::bigint as n_v1,
+             sum(case when b.doc_id is not null then 1 else 0 end)::bigint as n_v2,
+             sum(case when a.doc_id is null and b.doc_id is not null then 1 else 0 end)::bigint as n_added,
+             sum(case when a.doc_id is not null and b.doc_id is null then 1 else 0 end)::bigint as n_dropped,
+             (sum(coalesce(b.n_tok, 0)) - sum(coalesce(a.n_tok, 0)))::bigint as tok_delta,
+             (sum(case when a.doc_id is null and b.doc_id is not null then 1 else 0 end)
+              + sum(case when a.doc_id is not null and b.doc_id is null then 1 else 0 end)) > 0 as changed
+      from asgv1 a full outer join asgv2 b
+        on a.doc_id = b.doc_id and a.split = b.split and a.shard = b.shard
+      group by 1, 2
+      order by split, shard
+    """
+  }
+
   lazy val sql: Map[String, String] = sql1 ++ sql2
 
   private lazy val sql1: Map[String, String] = Map(
@@ -1931,6 +2081,9 @@ object OraclesC {
     "c96_student_gate" -> c96Sql,
     "c97_classifier_refresh" -> c97Sql,
     "c98_export_manifest" -> c98Sql,
+    "c99_curriculum" -> c99Sql,
+    "c100_multibench_contam" -> c100Sql,
+    "c101_manifest_diff" -> c101Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

@@ -162,6 +162,9 @@ object SparkEntry {
     "c96_student_gate" -> ((s, dir) => graft.streaming.FunnelStream.c96StudentGateAudit(s, dir)),
     "c97_classifier_refresh" -> ((s, dir) => TextAnalysis.c97ClassifierRefresh(s, dir)),
     "c98_export_manifest" -> ((s, dir) => Sampling.c98ExportManifest(s, dir)),
+    "c99_curriculum" -> ((s, dir) => Sampling.c99CurriculumSchedule(Tables.documents(s, dir))),
+    "c100_multibench_contam" -> ((s, dir) => TextAnalysis.c100MultiBenchContam(Tables.documents(s, dir))),
+    "c101_manifest_diff" -> ((s, dir) => Sampling.c101ManifestDiff(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

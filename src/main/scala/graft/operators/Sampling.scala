@@ -228,8 +228,27 @@ object Sampling {
     * on (split, shard) and a report-sized aggregate. ~24 output rows
     * at any corpus size. */
   def c98ExportManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
-      budget: Long = DefaultTokenBudget, shards: Int = PackShards): DataFrame = {
-    val docs = graft.sources.Tables.documents(spark, dir)
+      budget: Long = DefaultTokenBudget, shards: Int = PackShards): DataFrame =
+    manifestAssign(spark, dir,
+      graft.sources.Tables.documents(spark, dir), budget, shards)
+      .groupBy("split", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("n_tok")).as("n_tokens"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",")).as("doc_md5"))
+      .orderBy("split", "shard")
+
+  /** c98's doc-grain assignment over an explicit corpus VINTAGE —
+    * funnel keeps (computed within the vintage: dedup contests and
+    * benchmark shingles are the vintage's own), split labels, the
+    * SHIPPED tokenizer's counts (c83's full-corpus artifact — a
+    * deployment doesn't retrain the tokenizer per ingest), the
+    * (split, shard) packing window. ONE spelling for the manifest
+    * (c98) and the vintage diff (c101). */
+  private def manifestAssign(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame, budget: Long, shards: Int): DataFrame = {
     val keeps = graft.operators.TextAnalysis.funnelDecisions(docs)
       .filter(col("stage") === "keep").select("doc_id")
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
@@ -241,13 +260,43 @@ object Sampling {
         when(bucket < SplitTrainPct, "train")
           .when(bucket < SplitValPct, "val").otherwise("test"))
     packAssignBy(counts, budget, shards, Seq("split"))
+  }
+
+  /** c101: the manifest DIFF across corpus vintages — c45/c82's delta
+    * discipline applied to the export: the manifest over the BASE
+    * vintage (c45's hash-bucket slice, the corpus as it stood) vs the
+    * manifest over the full corpus, compared at doc grain and
+    * reported per (split, shard): docs carried, added, DROPPED
+    * (a base doc kept at the base vintage can lose its dup contest to
+    * a new arrival, or trip contamination against new benchmark
+    * shingles — growth is not monotone), token delta, and whether the
+    * shard's checksum moves (membership change ⇔ checksum change —
+    * per-doc counts are the shipped artifact's, fixed across
+    * vintages). The ops question this answers: WHICH shards does an
+    * ingest invalidate, before re-exporting anything.
+    *
+    * Shape: two manifest assignments (each = c98's plan) + one
+    * doc-grain full-outer join + a report-sized aggregate. */
+  def c101ManifestDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, shards: Int = PackShards): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val v1 = manifestAssign(spark, dir,
+        docs.filter(Dedup.isBaseDoc(col("doc_id"))), budget, shards)
+      .select(col("split"), col("shard"), col("doc_id"), col("n_tok").as("tok1"))
+    val v2 = manifestAssign(spark, dir, docs, budget, shards)
+      .select(col("split"), col("shard"), col("doc_id"), col("n_tok").as("tok2"))
+    v1.join(v2, Seq("split", "shard", "doc_id"), "full_outer")
       .groupBy("split", "shard")
       .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("seq_id")).as("n_seqs"),
-        sum(col("n_tok")).as("n_tokens"),
-        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
-          _.cast("string")), ",")).as("doc_md5"))
+        sum(when(col("tok1").isNotNull, 1L).otherwise(0L)).as("n_v1"),
+        sum(when(col("tok2").isNotNull, 1L).otherwise(0L)).as("n_v2"),
+        sum(when(col("tok1").isNull && col("tok2").isNotNull, 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("tok1").isNotNull && col("tok2").isNull, 1L).otherwise(0L))
+          .as("n_dropped"),
+        (sum(coalesce(col("tok2"), lit(0L))) - sum(coalesce(col("tok1"), lit(0L))))
+          .as("tok_delta"))
+      .withColumn("changed", col("n_added") + col("n_dropped") > 0)
       .orderBy("split", "shard")
   }
 
@@ -324,6 +373,39 @@ object Sampling {
         .over(Window.partitionBy(col("shard")).orderBy(col("shuffle_key")))
         .cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"), col("shuffle_key"))
+      .orderBy("shard", "pos")
+  }
+
+  /** c99: the CURRICULUM schedule — c98 fixes WHAT ships, c99 fixes
+    * the ORDER an epoch consumes it: every doc scheduled easy-first
+    * (its c29 quality ntile, DESCENDING — bin N is each source's
+    * cleanest slice, and per-source ntiles make the ordering fair
+    * across sources of different quality profiles) with c28's seeded
+    * shuffle breaking ties INSIDE a bin (deterministic, engine-exact)
+    * and assigning the shard. Position is per shard — a reader
+    * interleaves shards round-robin and sees quality decay smoothly;
+    * no global sort anywhere (both windows are per-shard /
+    * per-source, c22/c28's discipline).
+    *
+    * Output: (doc_id, source, bin, shard, pos) at doc grain — the
+    * schedule file an epoch loader reads next to c98's manifest. */
+  def c99CurriculumSchedule(docs: DataFrame, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards,
+      bins: Int = graft.operators.TextAnalysis.QualityBins): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards > 0, "shards must be positive")
+    val key = md5(concat_ws(":", lit(seed), col("doc_id")))
+    val binned = graft.operators.TextAnalysis.qualityBinned(docs, bins)
+      .select(col("doc_id"), col("source"), col("bin"))
+      .withColumn("shuffle_key", key)
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 7), 16, 10).cast("long") % shards)
+    binned
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard"))
+          .orderBy(col("bin").desc, col("shuffle_key")))
+        .cast("long"))
+      .select("doc_id", "source", "bin", "shard", "pos")
       .orderBy("shard", "pos")
   }
 

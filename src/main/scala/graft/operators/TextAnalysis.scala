@@ -114,19 +114,24 @@ object TextAnalysis {
     * size swap the exact ntile for approx_percentile cutpoints (same
     * report, sketch-derived edges); the exact spelling is the oracle
     * contract here, same discipline as c22/c28's shard parameter. */
-  def c29QualityBins(docs: DataFrame, bins: Int = QualityBins): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
-    docs.select(col("source"), col("doc_id"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
-        qualityOf(col("text")).as("quality"))
-      .withColumn("bin", ntile(bins).over(w).cast("long"))
+  def c29QualityBins(docs: DataFrame, bins: Int = QualityBins): DataFrame =
+    qualityBinned(docs, bins)
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"),
         min(col("quality")).as("min_q"),
         max(col("quality")).as("max_q"),
         sum(col("n_tok")).as("sum_tok"))
       .orderBy("source", "bin")
+
+  /** c29's doc-grain ntile assignment — the ONE spelling the bin
+    * report aggregates and the curriculum schedule (c99) orders by. */
+  private[operators] def qualityBinned(docs: DataFrame, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+        qualityOf(col("text")).as("quality"))
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
   }
 
   /** The 100 TB spelling of [[c29QualityBins]]: bin edges from a
@@ -952,6 +957,45 @@ object TextAnalysis {
     bloomProbeRows(sh.filter(col("doc_id") % 97 =!= 0), bits)
       .orderBy(col("flagged_frac").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** c100's second benchmark family — an independent ~1% doc_id
+    * slice (mod [[Bench2Mod]]); a doc in both slices belongs to both
+    * benchmarks, and the population is docs in NEITHER.
+    * Oracle-interpolated. */
+  val Bench2Mod = 89
+
+  /** c100: MULTI-benchmark decontamination — the eval-hygiene pass a
+    * real pipeline runs (one benchmark table per eval suite, not one
+    * global blob, so a hit names WHICH suite leaked): one Bloom bit
+    * table per benchmark family (c35's build, both bounded
+    * broadcasts), ONE shared shingle pass over the population (docs
+    * in neither benchmark), a per-benchmark flagged fraction, and the
+    * per-doc verdict — the max fraction, how many benchmarks the doc
+    * trips at the gate bar ([[graft.streaming.DecontamStream
+    * .MaxFlaggedFrac]]), and the drop bit. Per-benchmark columns (not
+    * rows) keep the report one-pass joinable into a funnel.
+    *
+    * Shape: the shingle memo is paid once; each benchmark adds k
+    * broadcast lookups on the same rows — cost is linear in the
+    * number of benchmark FAMILIES, never a second corpus scan. */
+  def c100MultiBenchContam(docs: DataFrame,
+      maxFrac: Double = graft.streaming.DecontamStream.MaxFlaggedFrac): DataFrame = {
+    val sh = Dedup.docShingles8(docs)
+    val pop = sh.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % Bench2Mod =!= 0)
+    val ffA = bloomProbeRows(pop,
+        bloomBitsFromKeys(sh.filter(col("doc_id") % 97 === 0)))
+      .select(col("doc_id"), col("n_sh"), col("flagged_frac").as("ff_bench_a"))
+    val ffB = bloomProbeRows(pop,
+        bloomBitsFromKeys(sh.filter(col("doc_id") % Bench2Mod === 0)))
+      .select(col("doc_id"), col("flagged_frac").as("ff_bench_b"))
+    ffA.join(ffB, Seq("doc_id"))
+      .select(col("doc_id"), col("n_sh"), col("ff_bench_a"), col("ff_bench_b"),
+        greatest(col("ff_bench_a"), col("ff_bench_b")).as("max_ff"),
+        (when(col("ff_bench_a") > maxFrac, 1L).otherwise(0L)
+          + when(col("ff_bench_b") > maxFrac, 1L).otherwise(0L)).as("n_benchmarks_hit"),
+        (greatest(col("ff_bench_a"), col("ff_bench_b")) > maxFrac).as("contaminated"))
+      .orderBy("doc_id")
   }
 
   /** The Bloom set-bit table of a (…, sh8) key frame — materialized:

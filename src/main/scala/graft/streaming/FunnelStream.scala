@@ -350,6 +350,28 @@ object FunnelStream {
     }
   }
 
+  /** Start the STUDENT-gated three-gate funnel as a real streaming
+    * query — [[funnelGate]]'s wiring with the stored classifier
+    * deciding stage 1 (`wE6` = the c88 artifact's weights, loaded
+    * once and closed over; a deployment broadcasts them for the life
+    * of the stream). The per-batch work is [[processBatch]] with
+    * [[TextAnalysis.studentQualityReasons]] — the same spelling the
+    * c96 audit polls, so live and audit cannot drift. */
+  def funnelGateStudent(docs: DataFrame, bits: DataFrame, decisionStore: String,
+      keepStore: String, bandStore: String, wE6: Array[Long],
+      maxFrac: Double = DecontamStream.MaxFlaggedFrac,
+      threshold: Double = NearDupStream.JaccardThreshold,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, bits, decisionStore, keepStore, bandStore,
+          maxFrac, threshold,
+          reasonsOf = b => TextAnalysis.studentQualityReasons(b, wE6))
+        ()
+      }
+      .start()
+
   /** c96: the live STUDENT-gated funnel at STORE grain — c90's gate
     * swap running where a deployment actually runs it, in the
     * streaming funnel: [[AuditBatches]] polls through

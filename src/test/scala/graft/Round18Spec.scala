@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Round-18 contracts: the curriculum schedule (c99), multi-benchmark
+  * decontamination (c100), and the cross-vintage manifest diff
+  * (c101). Structural assertions only at driver-chosen scales. */
+class Round18Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("c99 schedule: every doc once, dense per-shard positions, quality decays in order") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = Sampling.c99CurriculumSchedule(docs).collect()
+    assert(rows.length == docs.count(), "one schedule row per doc")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "doc scheduled twice")
+    for ((shard, rs) <- rows.groupBy(_.getLong(3))) {
+      val byPos = rs.sortBy(_.getLong(4))
+      assert(byPos.map(_.getLong(4)).sameElements(1L to rs.length),
+        s"shard $shard positions not dense 1..n")
+      val bins = byPos.map(_.getLong(2))
+      assert(bins.zip(bins.tail).forall { case (a, b) => a >= b },
+        s"shard $shard: quality bin increases along the schedule (hard before easy)")
+    }
+    assert(rows.map(_.getLong(2)).forall(b => b >= 1 && b <= TextAnalysis.QualityBins))
+  }
+
+  test("c100: population excludes both benchmark slices, verdicts follow their own rules") {
+    val rows = TextAnalysis.c100MultiBenchContam(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    val bar = graft.streaming.DecontamStream.MaxFlaggedFrac
+    for (r <- rows) {
+      val id = r.getLong(0)
+      assert(id % 97 != 0 && id % TextAnalysis.Bench2Mod != 0,
+        s"benchmark doc $id scored as population")
+      val (fa, fb) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(r.getDouble(4) - math.max(fa, fb)) < 1e-9, "max_ff != max")
+      val hits = (if (fa > bar) 1L else 0L) + (if (fb > bar) 1L else 0L)
+      assert(r.getLong(5) == hits, s"doc $id: n_benchmarks_hit != its own rule")
+      assert(r.getBoolean(6) == (math.max(fa, fb) > bar), s"doc $id: verdict != rule")
+    }
+  }
+
+  test("c101 diff: v2 leg equals the c98 manifest, membership arithmetic closes") {
+    val diff = Sampling.c101ManifestDiff(spark, sf).collect()
+    val manifest = Sampling.c98ExportManifest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // every (split, shard) present in the full manifest appears in the
+    // diff with matching v2 counts
+    for (r <- diff) {
+      val key = (r.getString(0), r.getLong(1))
+      manifest.get(key).foreach { m =>
+        assert(r.getLong(3) == m.getLong(2), s"$key: n_v2 != c98 n_docs")
+      }
+      assert(r.getLong(2) - r.getLong(5) + r.getLong(4) == r.getLong(3),
+        s"$key: v1 - dropped + added != v2")
+      assert(r.getBoolean(7) == (r.getLong(4) + r.getLong(5) > 0),
+        s"$key: changed flag != membership arithmetic")
+    }
+    assert(diff.map(r => (r.getString(0), r.getLong(1))).toSet
+      .intersect(manifest.keySet) == manifest.keySet,
+      "diff misses a manifest shard")
+  }
+}

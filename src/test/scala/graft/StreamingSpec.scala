@@ -489,6 +489,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.sameElements(audit), "live four-gate stores diverge from the audit replay")
   }
 
+  test("student-gated live stream accumulates the same store as the c96 audit replay") {
+    import graft.streaming.FunnelStream
+    import graft.operators.TextAnalysis
+    // the c96 audit's population and batch geometry driven through the
+    // REAL streaming query with the stored classifier as stage 1 —
+    // pins live student-gate accumulation ≡ the store-grain replay
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0)
+    val bits = TextAnalysis.bloomBitsFromKeys(TextAnalysis.docShingles8Direct(
+      docs.filter(col("doc_id") % 97 === 0)))
+    val wE6 = TextAnalysis.storedClassifierWeights(spark, sf)
+    val n = FunnelStream.AuditBatches
+    val in = java.nio.file.Files.createTempDirectory("graft-gq-in-").toString
+    for (i <- 0 until n) {
+      pop.filter(pmod(col("doc_id"), lit(n)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    def store(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-gq-$tag-").toString + "/store"
+    val (dS, kS, bS) = (store("d"), store("k"), store("b"))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string"))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = FunnelStream.funnelGateStudent(src, bits, dS, kS, bS, wE6)
+    try q.processAllAvailable() finally q.stop()
+    val live = FunnelStream.decisions(spark, dS).orderBy("doc_id").collect()
+    val audit = graft.streaming.FunnelStream.c96StudentGateAudit(spark, sf).collect()
+    assert(live.length == audit.length,
+      s"live ${live.length} rows vs audit ${audit.length}")
+    assert(live.sameElements(audit),
+      "live student-gate store diverges from the c96 audit replay")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventsStream.purchaseClickJoin(streamingEvents(), streaming = true)
       .writeStream.outputMode("append")
