@@ -2067,6 +2067,40 @@ object OraclesC {
     """
   }
 
+  /** c102: the trained chain scored once, unnested over the threshold
+    * grid, per-threshold confusion counts + PR. */
+  private def c102Sql: String = {
+    import graft.operators.TextAnalysis._
+    val steps = QcTrainSteps
+    val grid = SweepThresholds.mkString("[", ", ", "]")
+    s"""${c88Chain(steps)},
+      scored102 as (
+        select t.doc_id,
+               round(1.0 / (1.0 + exp(-((w.w0 / 1000000.0) * x0 + (w.w1 / 1000000.0) * x1
+                 + (w.w2 / 1000000.0) * x2 + (w.w3 / 1000000.0) * x3
+                 + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as score,
+               y::bigint as teacher_keep
+        from t cross join w$steps w),
+      sweep102 as (
+        select score, teacher_keep, unnest($grid) as threshold
+        from scored102),
+      agg102 as (
+        select threshold,
+               sum(case when score >= threshold then 1 else 0 end)::bigint as n_keep,
+               sum(case when score >= threshold and teacher_keep = 1 then 1 else 0 end)::bigint as tp,
+               sum(case when score >= threshold and teacher_keep = 0 then 1 else 0 end)::bigint as fp,
+               sum(case when score < threshold and teacher_keep = 1 then 1 else 0 end)::bigint as fn,
+               round(sum(case when (case when score >= threshold then 1 else 0 end) = teacher_keep
+                 then 1 else 0 end)::double / count(*), 4) as agreement
+        from sweep102 group by threshold)
+      select threshold, n_keep, tp, fp, fn,
+             case when tp + fp > 0 then round(tp::double / (tp + fp), 4) end as precision,
+             case when tp + fn > 0 then round(tp::double / (tp + fn), 4) end as recall,
+             agreement
+      from agg102 order by threshold
+    """
+  }
+
   lazy val sql: Map[String, String] = sql1 ++ sql2
 
   private lazy val sql1: Map[String, String] = Map(
@@ -2084,6 +2118,7 @@ object OraclesC {
     "c99_curriculum" -> c99Sql,
     "c100_multibench_contam" -> c100Sql,
     "c101_manifest_diff" -> c101Sql,
+    "c102_threshold_sweep" -> c102Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

@@ -243,7 +243,8 @@ object ScaleSmoke {
       "c90_student_funnel", "c91_feature_drift", "c92_tokenizer_holdout",
       "c93_active_batch", "c94_pack_boundaries", "c95_quality_keeper",
       "c96_student_gate", "c97_classifier_refresh", "c98_export_manifest",
-      "c99_curriculum", "c100_multibench_contam", "c101_manifest_diff")
+      "c99_curriculum", "c100_multibench_contam", "c101_manifest_diff",
+      "c102_threshold_sweep")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -2313,6 +2313,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c102's threshold grid: 0.30 to 0.70 in 0.05 steps — the
+    * operating range around the logistic midpoint. Both engines
+    * interpolate the same literals. */
+  val SweepThresholds: Seq[Double] = (6 to 14).map(_ / 20.0)
+
+  /** c102: the decision-THRESHOLD sweep — c88 fixes the weights; this
+    * prices where the cut should sit: for every threshold in
+    * [[SweepThresholds]], the stored classifier's keep count, true/
+    * false positives and false negatives against the teacher, and
+    * precision/recall/agreement (4dp) — the PR curve in rows, the
+    * evidence behind moving [[QcThreshold]] (c93's near-0.5 batch is
+    * the labeling view of the same uncertainty; this is the
+    * operating-point view).
+    *
+    * Shape: ONE scoring pass off the memoized frame, exploded 9× at
+    * doc grain (rows per doc = |grid|, not passes), one ≤9-group
+    * aggregate. */
+  def c102ThresholdSweep(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val scored = c89StoredClassifier(spark, dir)
+      .select(col("doc_id"), col("score"), col("teacher_keep"))
+    scored
+      .select(col("score"), col("teacher_keep"),
+        explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
+      .withColumn("keep", when(col("score") >= col("threshold"), 1L).otherwise(0L))
+      .groupBy("threshold")
+      .agg(
+        sum(col("keep")).as("n_keep"),
+        sum(when(col("keep") === 1L && col("teacher_keep") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("keep") === 1L && col("teacher_keep") === 0L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("keep") === 0L && col("teacher_keep") === 1L, 1L).otherwise(0L))
+          .as("fn"),
+        round(sum(when(col("keep") === col("teacher_keep"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("agreement"))
+      .select(col("threshold"), col("n_keep"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 4)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 4)).as("recall"),
+        col("agreement"))
+      .orderBy("threshold")
+  }
+
   /** c93 batch size — the labeling budget per active-learning round.
     * Oracle-interpolated. */
   val ActiveBatchK = 50

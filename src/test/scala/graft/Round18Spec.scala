@@ -62,4 +62,46 @@ class Round18Spec extends AnyFunSuite {
       .intersect(manifest.keySet) == manifest.keySet,
       "diff misses a manifest shard")
   }
+
+  test("c102 sweep: confusion counts close, monotone keeps, the 0.5 row equals c89") {
+    val rows = TextAnalysis.c102ThresholdSweep(spark, sf).collect()
+    assert(rows.length == TextAnalysis.SweepThresholds.length)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    val teacherKeeps = TextAnalysis.c89StoredClassifier(spark, sf)
+      .agg(sum(col("teacher_keep"))).collect()(0).getLong(0)
+    for (r <- rows) {
+      // tp + fp = keeps; tp + fn = the teacher's keeps (threshold-free)
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1),
+        s"t=${r.getDouble(0)}: tp+fp != n_keep")
+      assert(r.getLong(2) + r.getLong(4) == teacherKeeps,
+        s"t=${r.getDouble(0)}: tp+fn != teacher keeps")
+      assert(r.getLong(1) <= nDocs)
+    }
+    // raising the threshold can only shrink the kept set
+    val keeps = rows.sortBy(_.getDouble(0)).map(_.getLong(1))
+    assert(keeps.zip(keeps.tail).forall { case (a, b) => a >= b },
+      "n_keep not non-increasing in the threshold")
+    // the 0.5 row is exactly c89's serving verdict
+    val at05 = rows.find(r => math.abs(r.getDouble(0) - 0.5) < 1e-12).get
+    val c89Keeps = TextAnalysis.c89StoredClassifier(spark, sf)
+      .agg(sum(col("keep"))).collect()(0).getLong(0)
+    assert(at05.getLong(1) == c89Keeps, "0.5 row diverges from c89's keep count")
+  }
+
+  test("pipeline integrity: schedule covers every doc, manifest mass nests inside it") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val schedule = graft.operators.Sampling.c99CurriculumSchedule(docs).collect()
+    val scheduled = schedule.map(_.getLong(0)).toSet
+    assert(scheduled.size == docs.count(), "schedule does not cover the corpus")
+    // the manifest ships a SUBSET of what the schedule orders (keeps ⊂
+    // corpus), and c94's mask metadata covers the same doc universe the
+    // packing does — the three artifacts a run mounts agree on scope
+    val manifestDocs = graft.operators.Sampling.c98ExportManifest(spark, sf)
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(manifestDocs <= scheduled.size, "manifest ships docs the schedule never ordered")
+    val boundaryDocs = graft.operators.Sampling.c94PackBoundaries(spark, sf).count()
+    val packedDocs = graft.operators.Sampling.c86PackTokenized(spark, sf)
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(boundaryDocs == packedDocs, "mask metadata and packing disagree on doc universe")
+  }
 }
