@@ -94,17 +94,36 @@ object Dedup {
     * memo keyed only on the input plan must not serve another
     * geometry's rows), so c2 and c42 share one checkpointed build. */
   private def ngramPostings(docs: DataFrame, dfCap: Int): DataFrame = {
-    def build =
-      docShingles8(docs)
-        .groupBy("sh8").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) <= dfCap)
-        // consumers: pair generation + per-doc sizes, for two queries;
-        // ~|distinct shingles| rows. localCheckpoint (not persist):
-        // blocks are freed by the ContextCleaner when the result frame
-        // is dropped, instead of accumulating in the CacheManager for
-        // the life of a shared session.
-        .localCheckpoint()
+    // consumers: pair generation + per-doc sizes, for two queries;
+    // ~|distinct shingles| rows. localCheckpoint (not persist):
+    // blocks are freed by the ContextCleaner when the result frame
+    // is dropped, instead of accumulating in the CacheManager for
+    // the life of a shared session.
+    def build = ngramPostingsPlan(docs, dfCap).localCheckpoint()
     if (dfCap == DfCap) CorpusPrep.memo("ngram_postings", docs)(build) else build
+  }
+
+  /** The posting build as a pure plan (exposed for the plan-shape
+    * spec — the keyed path memoizes + checkpoints it, which would
+    * hide the count-first shape behind a scan).
+    *
+    * Count-first cap (SpanStream.batchSpans' spelling): the per-key
+    * df is a map-side-combined count with O(1) state, and only keys
+    * that SURVIVE the cap reach the list aggregate — so a web-scale
+    * boilerplate shingle ("all rights reserved …") occurring 10^8
+    * times costs one counter per partition, never a proportional
+    * collect_list buffer in a single task. The surviving key set is
+    * identical to filtering after the collect, so results cannot
+    * move. `sh` is consumed twice, but it derives from the
+    * MATERIALIZED shingle-set memo — the second pass re-runs only
+    * the narrow explode+md5, not the tokenize kernel. */
+  private[graft] def ngramPostingsPlan(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
+    val sh = docShingles8(docs)
+    val okKeys = sh.groupBy("sh8").agg(count(lit(1)).as("sh_df"))
+      .filter(col("sh_df") <= dfCap)
+      .select("sh8")
+    sh.join(okKeys, Seq("sh8"), "left_semi")
+      .groupBy("sh8").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
   }
 
   /** The shared overlap chain: per-pair shared-shingle counts + the
@@ -856,10 +875,22 @@ object Dedup {
     require(w >= 1 && minSpan >= w, "minSpan must be at least the shingle width")
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    val pairs = posShingles(docs, w)
+    // Count-first occurrence cap (SpanStream.batchSpans' spelling —
+    // the streaming twin had it first): per-key counts are map-side
+    // combined with O(1) state, the [2, occCap] filter fires on the
+    // COUNT, and only surviving keys' rows reach the list aggregate —
+    // a hot boilerplate shingle never materializes a proportional
+    // buffer in one task. Key set identical to the old post-collect
+    // filter, so spans cannot move. The shingle frame is materialized
+    // once (batchSpans' postB discipline) so the count branch and the
+    // semi-join probe don't each re-run the tokenize kernel.
+    val ps = Materialize.frame(posShingles(docs, w))
+    val okKeys = ps.groupBy("key").agg(count(lit(1)).as("occ_n"))
+      .filter(col("occ_n").between(2, occCap))
+      .select("key")
+    val pairs = ps.join(okKeys, Seq("key"), "left_semi")
       .groupBy(col("key"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
-      .filter(size(col("occ")).between(2, occCap))
       // posting list sorted by (doc, pos): i<j ⇒ doc_i ≤ doc_j, so
       // skipping equal docs orients every pair doc_a < doc_b
       .select(col("occ")).as[Seq[(Long, Long)]]
@@ -1002,13 +1033,19 @@ object Dedup {
     require(w >= 1 && minSpan >= w, "minSpan must be at least the shingle width")
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    val pairs = posShingles(docs, w)
-      .withColumn("b", isBaseDoc(col("doc_id")))
+    // the combined-occurrence cap is the stored index's own
+    // boilerplate rule (SpanOccCap), applied before any pairing —
+    // and count-FIRST (spanChain's spelling): the cap fires on a
+    // map-side-combined count, so a hot key's occurrences never
+    // reach the list aggregate's buffer
+    val ps = Materialize.frame(posShingles(docs, w)
+      .withColumn("b", isBaseDoc(col("doc_id"))))
+    val okKeys = ps.groupBy("key").agg(count(lit(1)).as("occ_n"))
+      .filter(col("occ_n").between(2, occCap))
+      .select("key")
+    val pairs = ps.join(okKeys, Seq("key"), "left_semi")
       .groupBy(col("key"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"), col("b")))).as("occ"))
-      // the combined-occurrence cap is the stored index's own
-      // boilerplate rule (SpanOccCap), applied before any pairing
-      .filter(size(col("occ")).between(2, occCap))
       .select(col("occ")).as[Seq[(Long, Long, Boolean)]]
       .flatMap { occ =>
         val (base, delta) = occ.partition(_._3)

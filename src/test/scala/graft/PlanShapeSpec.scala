@@ -52,10 +52,40 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     // the run-group window and the span aggregate both key on
     // (doc_a, doc_b, diag): the groupBy must reuse the window's sort
-    // order/exchange rather than plan its own hash exchange on top
+    // order/exchange rather than plan its own hash exchange on top.
+    // 3 = count agg + semi-join probe + diagonal window (the
+    // count-first cap added the first two; the collect agg and the
+    // span agg both reuse an upstream exchange)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges <= 2,
-      s"c33 plans $exchanges hash exchanges (posting-list + diagonal expected):\n$p")
+    assert(exchanges <= 3,
+      s"c33 plans $exchanges hash exchanges (count + posting-list + diagonal expected):\n$p")
+  }
+
+  test("the at-rest posting builds cap on a COUNT before any list aggregate") {
+    // the r10 verdict's scale-killer: a hot boilerplate key must be
+    // dropped by a map-side-combinable count filter BEFORE its rows
+    // reach collect_list — the buffer bound is the plan shape, so pin
+    // it. Plans print root-first: the list aggregate must sit ABOVE
+    // (earlier in the string than) the occurrence-count filter that
+    // feeds it through the semi-join.
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val span = graft.operators.Dedup.spanChain(docs)
+      .queryExecution.executedPlan.toString
+    assert(span.contains("LeftSemi"), s"c33 lost the count-first semi-join:\n$span")
+    assert(span.contains("collect_list") && span.contains("occ_n"), span)
+    assert(span.indexOf("collect_list") < span.indexOf("occ_n"),
+      s"c33 collects posting lists below the count filter:\n$span")
+    val c56 = SparkEntry.queries("c56_delta_spans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(c56.contains("LeftSemi"), s"c56 lost the count-first semi-join:\n$c56")
+    assert(c56.indexOf("collect_list") < c56.indexOf("occ_n"),
+      s"c56 collects posting lists below the count filter:\n$c56")
+    val ng = graft.operators.Dedup.ngramPostingsPlan(docs)
+      .queryExecution.executedPlan.toString
+    assert(ng.contains("LeftSemi"), s"ngramPostings lost the count-first semi-join:\n$ng")
+    assert(ng.contains("collect_list") && ng.contains("sh_df"), ng)
+    assert(ng.indexOf("collect_list") < ng.indexOf("sh_df"),
+      s"ngramPostings collects posting lists below the df filter:\n$ng")
   }
 
   test("d6's band-join sides read the materialized phash frame, never the payload kernel") {
