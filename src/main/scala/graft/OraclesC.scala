@@ -1912,7 +1912,7 @@ object OraclesC {
       select split, shard, count(*)::bigint as n_docs,
              count(distinct ((cum - n_tok) // ${graft.operators.Sampling.DefaultTokenBudget}))::bigint as n_seqs,
              sum(n_tok)::bigint as n_tokens,
-             md5(string_agg(doc_id::varchar, ',' order by doc_id)) as doc_md5
+             bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint) as doc_checksum
       from asg98 group by split, shard order by split, shard
     """
   }

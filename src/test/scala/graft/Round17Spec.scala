@@ -192,7 +192,7 @@ class Round17Spec extends AnyFunSuite {
       assert(r.getLong(1) >= 0 && r.getLong(1) < graft.operators.Sampling.PackShards)
       assert(r.getLong(3) >= 1, "a manifest row with zero sequences")
       assert(r.getLong(4) >= r.getLong(2), "fewer tokens than docs")
-      assert(r.getString(5).length == 32, "doc_md5 not an md5")
+      assert(!r.isNullAt(5), "doc_checksum null")
     }
   }
 }
