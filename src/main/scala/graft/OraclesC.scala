@@ -1948,8 +1948,11 @@ object OraclesC {
 
   /** c100: c35's Bloom spelling per benchmark family over one shared
     * shingle pass; population = docs in neither slice. */
+  /** c100's oracle is GENERATED from the same [[graft.operators
+    * .TextAnalysis.BenchRegistry]] the operator iterates — a new
+    * suite is one registry row; neither spelling is edited. */
   private def c100Sql: String = {
-    val b2 = graft.operators.TextAnalysis.Bench2Mod
+    val suites = graft.operators.TextAnalysis.BenchRegistry
     val maxFrac = graft.streaming.DecontamStream.MaxFlaggedFrac
     def ffBlock(tag: String, benchPred: String): String = s"""
       bench$tag as (select distinct sh8 from shs100 where $benchPred),
@@ -1964,6 +1967,17 @@ object OraclesC {
         select doc_id, count(*) as n_sh,
                round((count(*) filter (where n_hit = n_pos))::double / count(*), 4) as ff
         from per$tag group by doc_id)"""
+    val popPred = suites.map(s => s"not (${s.pred})").mkString(" and ")
+    val ffBlocks = suites.map(s => ffBlock(s.id, s.pred)).mkString(",\n")
+    val ffCols = suites
+      .map(s => s"ff${s.id}.ff as ff_bench_${s.id}").mkString(", ")
+    val maxExpr = s"greatest(${suites.map(s => s"ff${s.id}.ff").mkString(", ")})"
+    val hitsExpr = suites
+      .map(s => s"(case when ff${s.id}.ff > $maxFrac then 1 else 0 end)")
+      .mkString(" + ")
+    val joins = suites.tail
+      .map(s => s"join ff${s.id} using (doc_id)").mkString(" ")
+    val head = s"ff${suites.head.id}"
     s"""
       with shs100 as materialized (
         select doc_id, s, substr(md5(s), 1, 8) as sh8
@@ -1972,17 +1986,15 @@ object OraclesC {
         select doc_id, s,
                ('0x' || substr(md5(sh8), 1 + 7*i, 7))::bigint % $BLOOM_M as pos
         from shs100, unnest(range(0,$BLOOM_K)) as t(i)
-        where doc_id % 97 <> 0 and doc_id % $b2 <> 0),
-      ${ffBlock("a", "doc_id % 97 = 0")},
-      ${ffBlock("b", s"doc_id % $b2 = 0")}
-      select ffa.doc_id, ffa.n_sh,
-             ffa.ff as ff_bench_a, ffb.ff as ff_bench_b,
-             greatest(ffa.ff, ffb.ff) as max_ff,
-             ((case when ffa.ff > $maxFrac then 1 else 0 end)
-              + (case when ffb.ff > $maxFrac then 1 else 0 end))::bigint as n_benchmarks_hit,
-             (greatest(ffa.ff, ffb.ff) > $maxFrac) as contaminated
-      from ffa join ffb using (doc_id)
-      order by ffa.doc_id
+        where $popPred),
+      $ffBlocks
+      select $head.doc_id, $head.n_sh,
+             $ffCols,
+             $maxExpr as max_ff,
+             ($hitsExpr)::bigint as n_benchmarks_hit,
+             ($maxExpr > $maxFrac) as contaminated
+      from $head $joins
+      order by $head.doc_id
     """
   }
 

@@ -959,42 +959,60 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** c100's second benchmark family — an independent ~1% doc_id
-    * slice (mod [[Bench2Mod]]); a doc in both slices belongs to both
-    * benchmarks, and the population is docs in NEITHER.
-    * Oracle-interpolated. */
+  /** c100's second/third benchmark families — independent ~1% doc_id
+    * slices; a doc in several slices belongs to several benchmarks,
+    * and the population is docs in NONE. Oracle-interpolated through
+    * [[BenchRegistry]]. */
   val Bench2Mod = 89
+  val Bench3Mod = 83
+
+  /** c100's benchmark-suite REGISTRY — eval hygiene as CONFIG, not
+    * code (the r10 verdict's #3): each entry names an eval suite and
+    * the SQL predicate selecting its member docs, in a spelling BOTH
+    * engines parse — the operator applies it via `expr()`, the oracle
+    * generator interpolates the identical string, so adding a suite
+    * is one registry row and zero operator/oracle edits. The mod
+    * slices stand in for real eval-set id lists (a deployment swaps
+    * in `doc_id IN (select …)` or a manifest-join predicate). Cost
+    * stays linear in registry size: each suite adds one bounded Bloom
+    * bit table + k broadcast lookups on the ONE shared population
+    * shingle pass — never a second corpus scan. */
+  final case class BenchSuite(id: String, pred: String)
+  val BenchRegistry: Seq[BenchSuite] = Seq(
+    BenchSuite("a", "doc_id % 97 = 0"),
+    BenchSuite("b", s"doc_id % $Bench2Mod = 0"),
+    BenchSuite("c", s"doc_id % $Bench3Mod = 0"))
 
   /** c100: MULTI-benchmark decontamination — the eval-hygiene pass a
     * real pipeline runs (one benchmark table per eval suite, not one
     * global blob, so a hit names WHICH suite leaked): one Bloom bit
-    * table per benchmark family (c35's build, both bounded
-    * broadcasts), ONE shared shingle pass over the population (docs
-    * in neither benchmark), a per-benchmark flagged fraction, and the
-    * per-doc verdict — the max fraction, how many benchmarks the doc
-    * trips at the gate bar ([[graft.streaming.DecontamStream
+    * table per [[BenchRegistry]] family (c35's build, each a bounded
+    * broadcast), ONE shared shingle pass over the population (docs
+    * matching no suite predicate), a per-benchmark flagged fraction,
+    * and the per-doc verdict — the max fraction, how many benchmarks
+    * the doc trips at the gate bar ([[graft.streaming.DecontamStream
     * .MaxFlaggedFrac]]), and the drop bit. Per-benchmark columns (not
-    * rows) keep the report one-pass joinable into a funnel.
-    *
-    * Shape: the shingle memo is paid once; each benchmark adds k
-    * broadcast lookups on the same rows — cost is linear in the
-    * number of benchmark FAMILIES, never a second corpus scan. */
+    * rows) keep the report one-pass joinable into a funnel. */
   def c100MultiBenchContam(docs: DataFrame,
-      maxFrac: Double = graft.streaming.DecontamStream.MaxFlaggedFrac): DataFrame = {
+      maxFrac: Double = graft.streaming.DecontamStream.MaxFlaggedFrac,
+      suites: Seq[BenchSuite] = BenchRegistry): DataFrame = {
+    require(suites.nonEmpty, "c100 needs at least one benchmark suite")
     val sh = Dedup.docShingles8(docs)
-    val pop = sh.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % Bench2Mod =!= 0)
-    val ffA = bloomProbeRows(pop,
-        bloomBitsFromKeys(sh.filter(col("doc_id") % 97 === 0)))
-      .select(col("doc_id"), col("n_sh"), col("flagged_frac").as("ff_bench_a"))
-    val ffB = bloomProbeRows(pop,
-        bloomBitsFromKeys(sh.filter(col("doc_id") % Bench2Mod === 0)))
-      .select(col("doc_id"), col("flagged_frac").as("ff_bench_b"))
-    ffA.join(ffB, Seq("doc_id"))
-      .select(col("doc_id"), col("n_sh"), col("ff_bench_a"), col("ff_bench_b"),
-        greatest(col("ff_bench_a"), col("ff_bench_b")).as("max_ff"),
-        (when(col("ff_bench_a") > maxFrac, 1L).otherwise(0L)
-          + when(col("ff_bench_b") > maxFrac, 1L).otherwise(0L)).as("n_benchmarks_hit"),
-        (greatest(col("ff_bench_a"), col("ff_bench_b")) > maxFrac).as("contaminated"))
+    val pop = sh.filter(suites.map(s => !expr(s.pred)).reduce(_ && _))
+    val ffs = suites.map { s =>
+      bloomProbeRows(pop, bloomBitsFromKeys(sh.filter(expr(s.pred))))
+        .select(col("doc_id"), col("n_sh"), col("flagged_frac").as(s"ff_bench_${s.id}"))
+    }
+    val joined = ffs.tail.foldLeft(ffs.head) { (acc, f) =>
+      acc.join(f.drop("n_sh"), Seq("doc_id"))
+    }
+    val ffCols = suites.map(s => col(s"ff_bench_${s.id}"))
+    val maxFf = ffCols.reduce((a, b) => greatest(a, b))
+    val hits = ffCols.map(c => when(c > maxFrac, 1L).otherwise(0L)).reduce(_ + _)
+    joined
+      .select(col("doc_id") +: col("n_sh") +: ffCols :+
+        maxFf.as("max_ff") :+ hits.as("n_benchmarks_hit") :+
+        (maxFf > maxFrac).as("contaminated"): _*)
       .orderBy("doc_id")
   }
 

@@ -26,19 +26,44 @@ class Round18Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).forall(b => b >= 1 && b <= TextAnalysis.QualityBins))
   }
 
-  test("c100: population excludes both benchmark slices, verdicts follow their own rules") {
-    val rows = TextAnalysis.c100MultiBenchContam(
-      graft.sources.Tables.documents(spark, sf)).collect()
+  test("c100: population excludes every registry slice, verdicts follow their own rules") {
+    val reg = TextAnalysis.BenchRegistry
+    val n = reg.length
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = TextAnalysis.c100MultiBenchContam(docs).collect()
     val bar = graft.streaming.DecontamStream.MaxFlaggedFrac
+    // population = docs matching NO suite predicate, evaluated through
+    // the registry's own SQL strings (the single source of truth)
+    val benchIds = docs
+      .filter(reg.map(s => org.apache.spark.sql.functions.expr(s.pred)).reduce(_ || _))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     for (r <- rows) {
       val id = r.getLong(0)
-      assert(id % 97 != 0 && id % TextAnalysis.Bench2Mod != 0,
-        s"benchmark doc $id scored as population")
-      val (fa, fb) = (r.getDouble(2), r.getDouble(3))
-      assert(math.abs(r.getDouble(4) - math.max(fa, fb)) < 1e-9, "max_ff != max")
-      val hits = (if (fa > bar) 1L else 0L) + (if (fb > bar) 1L else 0L)
-      assert(r.getLong(5) == hits, s"doc $id: n_benchmarks_hit != its own rule")
-      assert(r.getBoolean(6) == (math.max(fa, fb) > bar), s"doc $id: verdict != rule")
+      assert(!benchIds(id), s"benchmark doc $id scored as population")
+      val ffs = (0 until n).map(i => r.getDouble(2 + i))
+      assert(math.abs(r.getDouble(2 + n) - ffs.max) < 1e-9, "max_ff != max")
+      val hits = ffs.count(_ > bar).toLong
+      assert(r.getLong(3 + n) == hits, s"doc $id: n_benchmarks_hit != its own rule")
+      assert(r.getBoolean(4 + n) == (ffs.max > bar), s"doc $id: verdict != rule")
+    }
+  }
+
+  test("c100: adding a suite is one registry row — no operator edit, same rules hold") {
+    val plus = TextAnalysis.BenchRegistry :+ TextAnalysis.BenchSuite("d", "doc_id % 79 = 0")
+    val rows = TextAnalysis.c100MultiBenchContam(
+      graft.sources.Tables.documents(spark, sf), suites = plus).collect()
+    val n = plus.length
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_sh") ++ plus.map(s => s"ff_bench_${s.id}") ++
+      Seq("max_ff", "n_benchmarks_hit", "contaminated"))
+    // the new slice's docs left the population, and the verdict
+    // arithmetic still closes over all four columns
+    val bar = graft.streaming.DecontamStream.MaxFlaggedFrac
+    for (r <- rows) {
+      assert(r.getLong(0) % 79 != 0, "suite-d doc scored as population")
+      val ffs = (0 until n).map(i => r.getDouble(2 + i))
+      assert(math.abs(r.getDouble(2 + n) - ffs.max) < 1e-9)
+      assert(r.getLong(3 + n) == ffs.count(_ > bar).toLong)
     }
   }
 
