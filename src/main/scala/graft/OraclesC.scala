@@ -2113,6 +2113,55 @@ object OraclesC {
     """
   }
 
+  /** c103: c99's schedule chain joined to c94's stored-tokenizer
+    * counts, the pack prefix sum running over (shard, pos) —
+    * schedule order — instead of doc_id. */
+  private def c103Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    s"""
+      with ${c75Chain(m)},
+      nsy103 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc103 as (
+        select tf.doc_id,
+               sum(tf.tf * coalesce(nsy103.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy103 on tf.term = nsy103.term
+        group by tf.doc_id),
+      q103 as (
+        select source, doc_id,
+               round(0.3 * least(len(w)::double / 100.0, 1.0)
+                   + 0.4 * round(len(list_distinct(w))::double / len(w), 4)
+                   + 0.3 * least(round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) * 5.0, 1.0), 5) as quality
+        from (select source, doc_id, string_split(text, ' ') as w from documents)),
+      b103 as (
+        select source, doc_id,
+               ntile(${graft.operators.TextAnalysis.QualityBins})
+                 over (partition by source order by quality, doc_id)::bigint as bin
+        from q103),
+      k103 as (
+        select doc_id, bin,
+               md5('${graft.operators.Sampling.ShuffleSeed}' || ':' || doc_id::varchar) as shuffle_key
+        from b103),
+      s103 as (
+        select *, ('0x' || substr(shuffle_key, 1, 7))::bigint
+                    % ${graft.operators.Sampling.ShuffleShards} as shard
+        from k103),
+      sched103 as (
+        select doc_id, bin, shard,
+               row_number() over (partition by shard
+                 order by bin desc, shuffle_key)::bigint as pos
+        from s103),
+      a103 as (
+        select sched103.doc_id, bin, shard, pos, enc103.n_tok,
+               sum(n_tok) over (partition by shard order by pos
+                 rows between unbounded preceding and current row)::bigint as cum
+        from sched103 join enc103 on sched103.doc_id = enc103.doc_id)
+      select doc_id, bin, shard, pos, ((cum - n_tok) // $BUDGET)::bigint as seq_id,
+             (cum - n_tok - ((cum - n_tok) // $BUDGET) * $BUDGET)::bigint as start_offset,
+             n_tok
+      from a103 order by shard, pos
+    """
+  }
+
   lazy val sql: Map[String, String] = sql1 ++ sql2
 
   private lazy val sql1: Map[String, String] = Map(
@@ -2131,6 +2180,7 @@ object OraclesC {
     "c100_multibench_contam" -> c100Sql,
     "c101_manifest_diff" -> c101Sql,
     "c102_threshold_sweep" -> c102Sql,
+    "c103_curriculum_pack" -> c103Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

@@ -417,6 +417,44 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  /** c103: SCHEDULE-AWARE packing — closing the gap between the
+    * curriculum and the packer (the r10 verdict's #4): c99 fixes the
+    * ORDER an epoch consumes documents, but c86/c94 run their prefix
+    * sums in doc_id order, so their sequences interleave the
+    * curriculum arbitrarily — a trainer reading c86's sequences would
+    * not see quality decay in schedule order. Here the packing window
+    * runs over c99's (shard, pos): each shard's prefix sum
+    * accumulates IN SCHEDULE ORDER, so every training sequence is a
+    * contiguous run of the curriculum (bins non-increasing within a
+    * sequence by construction — spec-pinned), priced in the stored
+    * tokenizer's tokens (c83's artifact, the counts c86/c94 pack).
+    * Output is c94's mask metadata in curriculum order: per doc its
+    * bin, schedule coordinates, sequence id, start offset within the
+    * budget, and token count.
+    *
+    * Shape: the schedule is two per-shard windows (c99's), the counts
+    * are the tokenizer-artifact reduce off the tfRows memo, and the
+    * packing adds ONE window shuffle on the schedule's shard key —
+    * shards ∝ cluster size (c22's discipline), no global sort. */
+  def c103CurriculumPack(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sched = c99CurriculumSchedule(
+      graft.sources.Tables.documents(spark, dir), seed, shards)
+    val counts = graft.operators.TextAnalysis.c83StoredTokenizer(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sched.join(counts, Seq("doc_id"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
+      .select(col("doc_id"), col("bin"), col("shard"), col("pos"), col("seq_id"),
+        (col("cum") - col("n_tok") - col("seq_id") * budget).as("start_offset"),
+        col("n_tok"))
+      .orderBy("shard", "pos")
+  }
+
   /** Chunk TEXTS — the composition-facing sibling of [[c25DocChunks]]:
     * same window geometry (size tokens, stride = size − overlap, kept
     * short tail), but each row carries the chunk's text so downstream

@@ -36,6 +36,49 @@ class Round19Spec extends AnyFunSuite {
       "boilerplate-only pairs leaked past the cap")
   }
 
+  test("c103: sequences are contiguous curriculum runs — bins non-increasing, arithmetic closes") {
+    val budget = graft.operators.Sampling.DefaultTokenBudget
+    val rows = graft.operators.Sampling.c103CurriculumPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one row per scheduled doc (the schedule covers the corpus; every
+    // doc has a stored-tokenizer count)
+    val sched = graft.operators.Sampling.c99CurriculumSchedule(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    assert(rows.length == sched.length, "packed universe != schedule universe")
+    val schedPos = sched.map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    for ((shard, rs) <- rows.groupBy(_.getLong(2))) {
+      val byPos = rs.sortBy(_.getLong(3))
+      // packing follows the schedule's exact coordinates
+      for (r <- byPos)
+        assert(schedPos(r.getLong(0)) == ((r.getLong(2), r.getLong(3))),
+          s"doc ${r.getLong(0)} packed off its schedule slot")
+      // seq ids non-decreasing along the schedule; bins non-increasing
+      // WITHIN each sequence (a sequence is a contiguous curriculum run)
+      val seqs = byPos.map(_.getLong(4))
+      assert(seqs.zip(seqs.tail).forall { case (a, b) => a <= b },
+        s"shard $shard: seq_id decreases along the schedule")
+      for ((_, seqRows) <- byPos.groupBy(_.getLong(4))) {
+        val bins = seqRows.sortBy(_.getLong(3)).map(_.getLong(1))
+        assert(bins.zip(bins.tail).forall { case (a, b) => a >= b },
+          s"shard $shard: bin increases inside a sequence")
+      }
+      // start offsets are the running prefix sum mod the budget
+      var cum = 0L
+      for (r <- byPos) {
+        val (seq, off, nTok) = (r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(seq == cum / budget, s"doc ${r.getLong(0)}: seq_id != prefix-sum block")
+        assert(off == cum - seq * budget, s"doc ${r.getLong(0)}: start_offset drifted")
+        assert(off >= 0 && off < budget)
+        cum += nTok
+      }
+    }
+    // token counts agree with c94's (same stored-tokenizer artifact)
+    val c94Tok = graft.operators.Sampling.c94PackBoundaries(spark, sf).collect()
+      .map(r => r.getLong(2) -> r.getLong(4)).toMap
+    assert(rows.forall(r => c94Tok(r.getLong(0)) == r.getLong(6)),
+      "c103 prices a doc differently than c94")
+  }
+
   test("c33 chain: a planted occ≫cap span key is cut by rule; the real span survives") {
     import spark.implicits._
     // 40 docs share a 4-token boilerplate phrase (every w=3 shingle of
