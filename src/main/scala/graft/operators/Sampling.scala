@@ -270,29 +270,30 @@ object Sampling {
     packAssignBy(counts, budget, shards, Seq("split"))
   }
 
-  /** c101: the manifest DIFF across corpus vintages — c45/c82's delta
-    * discipline applied to the export: the manifest over the BASE
-    * vintage (c45's hash-bucket slice, the corpus as it stood) vs the
-    * manifest over the full corpus, compared at doc grain and
-    * reported per (split, shard): docs carried, added, DROPPED
-    * (a base doc kept at the base vintage can lose its dup contest to
-    * a new arrival, or trip contamination against new benchmark
-    * shingles — growth is not monotone), token delta, and whether the
-    * shard's checksum moves (membership change ⇔ checksum change —
-    * per-doc counts are the shipped artifact's, fixed across
-    * vintages). The ops question this answers: WHICH shards does an
-    * ingest invalidate, before re-exporting anything.
-    *
-    * Shape: two manifest assignments (each = c98's plan) + one
-    * doc-grain full-outer join + a report-sized aggregate. */
-  def c101ManifestDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
-      budget: Long = DefaultTokenBudget, shards: Int = PackShards): DataFrame = {
-    val docs = graft.sources.Tables.documents(spark, dir)
-    val v1 = manifestAssign(spark, dir,
-        docs.filter(Dedup.isBaseDoc(col("doc_id"))), budget, shards)
-      .select(col("split"), col("shard"), col("doc_id"), col("n_tok").as("tok1"))
-    val v2 = manifestAssign(spark, dir, docs, budget, shards)
-      .select(col("split"), col("shard"), col("doc_id"), col("n_tok").as("tok2"))
+  /** The PERSISTED v1 manifest artifact — c98's doc-grain assignment
+    * over the BASE vintage, written ONCE per (session, corpus,
+    * geometry) as parquet (the c79/c83/c88 stored-artifact
+    * discipline) and read back by every consumer. This is the file
+    * the ops workflow actually keeps: "which shards does this ingest
+    * invalidate" is a question about the LAST export, answered from
+    * its stored manifest — never by recomputing the base vintage. */
+  private def manifestV1Artifact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, budget: Long, shards: Int): String = {
+    val root = graft.streaming.StoreMemo.memo(spark,
+        s"c98_manifest_v1_${dir}_${budget}_$shards") { root =>
+      manifestAssign(spark, dir,
+          graft.sources.Tables.documents(spark, dir)
+            .filter(Dedup.isBaseDoc(col("doc_id"))), budget, shards)
+        .select(col("split"), col("shard"), col("doc_id"), col("n_tok"))
+        .write.mode("overwrite").parquet(s"$root/manifest_v1")
+    }
+    s"$root/manifest_v1"
+  }
+
+  /** The vintage diff itself over two doc-grain assignment frames —
+    * ONE spelling for the artifact-backed keyed query and the spec's
+    * from-scratch recompute, so they cannot drift. */
+  private def manifestDiffFrames(v1: DataFrame, v2: DataFrame): DataFrame =
     v1.join(v2, Seq("split", "shard", "doc_id"), "full_outer")
       .groupBy("split", "shard")
       .agg(
@@ -306,6 +307,48 @@ object Sampling {
           .as("tok_delta"))
       .withColumn("changed", col("n_added") + col("n_dropped") > 0)
       .orderBy("split", "shard")
+
+  /** c101: the manifest DIFF across corpus vintages — c45/c82's delta
+    * discipline applied to the export: the STORED v1 manifest
+    * artifact ([[manifestV1Artifact]] — the parquet a previous export
+    * shipped) vs the live corpus's assignment, compared at doc grain
+    * and reported per (split, shard): docs carried, added, DROPPED
+    * (a base doc kept at the base vintage can lose its dup contest to
+    * a new arrival, or trip contamination against new benchmark
+    * shingles — growth is not monotone), token delta, and whether the
+    * shard's checksum moves (membership change ⇔ checksum change —
+    * per-doc counts are the shipped artifact's, fixed across
+    * vintages). The ops question this answers: WHICH shards does an
+    * ingest invalidate, before re-exporting anything.
+    *
+    * Shape: ONE live manifest assignment (c98's plan) + a stored-
+    * artifact scan + one doc-grain full-outer join + a report-sized
+    * aggregate — the r10 verdict's "one funnel chain instead of two";
+    * the artifact build is a once-per-session store cost (StoreMemo),
+    * exactly like the index/tokenizer/classifier tiers. */
+  def c101ManifestDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, shards: Int = PackShards): DataFrame = {
+    val v1 = spark.read.parquet(manifestV1Artifact(spark, dir, budget, shards))
+      .select(col("split"), col("shard"), col("doc_id"), col("n_tok").as("tok1"))
+    val v2 = manifestAssign(spark, dir,
+        graft.sources.Tables.documents(spark, dir), budget, shards)
+      .select(col("split"), col("shard"), col("doc_id"), col("n_tok").as("tok2"))
+    manifestDiffFrames(v1, v2)
+  }
+
+  /** The pre-artifact spelling — both vintage legs recomputed live.
+    * Kept for the equivalence spec ONLY: the artifact-backed diff
+    * must equal this row-for-row. */
+  private[graft] def c101DiffRecomputed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, budget: Long = DefaultTokenBudget,
+      shards: Int = PackShards): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val v1 = manifestAssign(spark, dir,
+        docs.filter(Dedup.isBaseDoc(col("doc_id"))), budget, shards)
+      .select(col("split"), col("shard"), col("doc_id"), col("n_tok").as("tok1"))
+    val v2 = manifestAssign(spark, dir, docs, budget, shards)
+      .select(col("split"), col("shard"), col("doc_id"), col("n_tok").as("tok2"))
+    manifestDiffFrames(v1, v2)
   }
 
   /** c25: context-window chunking — split each document's token

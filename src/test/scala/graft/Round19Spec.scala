@@ -79,6 +79,14 @@ class Round19Spec extends AnyFunSuite {
       "c103 prices a doc differently than c94")
   }
 
+  test("c101: the artifact-backed diff equals the from-scratch two-vintage recompute") {
+    val artifact = graft.operators.Sampling.c101ManifestDiff(spark, sf).collect()
+    val recomputed = graft.operators.Sampling.c101DiffRecomputed(spark, sf).collect()
+    assert(artifact.length == recomputed.length)
+    assert(artifact.map(_.toSeq).toSeq == recomputed.map(_.toSeq).toSeq,
+      "stored-v1 diff diverged from the live recompute")
+  }
+
   test("c33 chain: a planted occ≫cap span key is cut by rule; the real span survives") {
     import spark.implicits._
     // 40 docs share a 4-token boilerplate phrase (every w=3 shingle of
