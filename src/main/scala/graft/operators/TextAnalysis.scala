@@ -1322,7 +1322,46 @@ object TextAnalysis {
     (cps(0), cps(1))
   }
 
-  private def bpeApplyOne(syms: Array[String], a: String, b: String): Array[String] = {
+  /** Symbol GRAIN for the trained-BPE tier (c75/c76/c83). The merge
+    * loop, greedy apply kernel, and artifact discipline are all
+    * grain-independent — only the INITIAL segmentation of a word
+    * differs:
+    *  - [[CharGrain]] (default, oracle-checked): code points, the
+    *    grain both engines' substr/length agree on.
+    *  - [[ByteGrain]] (the production grain — GPT-2/LLaMA family):
+    *    the word's UTF-8 bytes, each rendered as a fixed 2-hex-char
+    *    symbol, so merged symbols concatenate into unambiguous
+    *    even-length hex strings and decode is hex → bytes → UTF-8
+    *    (round-trip spec-proven). The alphabet is ≤256 symbols
+    *    REGARDLESS of script — the reason production tokenizers pick
+    *    bytes: no unbounded unicode base vocabulary, no out-of-
+    *    alphabet word ever (where char grain must grow its alphabet
+    *    with every new code point the corpus surfaces). */
+  sealed trait BpeGrain extends Serializable {
+    def symbols(term: String): Array[String]
+    /** The per-term mass unit compression is priced against. */
+    def massOf(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+  }
+  case object CharGrain extends BpeGrain {
+    def symbols(t: String): Array[String] = codePointSymbols(t)
+    def massOf(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      length(term)
+  }
+  case object ByteGrain extends BpeGrain {
+    def symbols(t: String): Array[String] =
+      t.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(b => f"${b & 0xff}%02x")
+    def massOf(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      octet_length(term)
+    /** Inverse of [[symbols]] ∘ merge-apply: concatenated hex symbols
+      * back to the UTF-8 string — the round-trip proof's decode. */
+    def decode(syms: Seq[String]): String = {
+      val hex = syms.mkString
+      val bytes = hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  private[graft] def bpeApplyOne(syms: Array[String], a: String, b: String): Array[String] = {
     if (syms.length < 2) syms
     else {
       val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
@@ -1336,8 +1375,9 @@ object TextAnalysis {
     }
   }
 
-  private[graft] def bpeSymbolCount(term: String, merges: Array[(String, String)]): Int = {
-    var syms: Array[String] = codePointSymbols(term)
+  private[graft] def bpeSymbolCount(term: String, merges: Array[(String, String)],
+      grain: BpeGrain = CharGrain): Int = {
+    var syms: Array[String] = grain.symbols(term)
     merges.foreach { case (a, b) => syms = bpeApplyOne(syms, a, b) }
     syms.length
   }
@@ -1464,13 +1504,14 @@ object TextAnalysis {
     * broken (total desc, a, b) under the binary string order both
     * engines share; the oracle replays every count-pick-apply step
     * CTE-for-CTE. Training stops early if no adjacent pair remains. */
-  def c75BpeTrain(docs: DataFrame, iters: Int = BpeMerges): DataFrame = {
+  def c75BpeTrain(docs: DataFrame, iters: Int = BpeMerges,
+      grain: BpeGrain = CharGrain): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
     var vocab = Materialize.frame(
       tfRows(docs).groupBy("term").agg(sum(col("tf")).as("n"))
         .as[(String, Long)]
-        .map { case (t, n) => (t, n, codePointSymbols(t).toSeq) }
+        .map { case (t, n) => (t, n, grain.symbols(t).toSeq) }
         .toDF("term", "n", "syms"))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var k = 1
@@ -1507,27 +1548,30 @@ object TextAnalysis {
     * the two encodes are directly comparable row-for-row. Oracle:
     * the training chain's FINAL symbol tables already are the
     * applied state, so per-term counts come straight off them. */
-  def c76BpeTrainedEncode(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame =
+  def c76BpeTrainedEncode(docs: DataFrame, nMerges: Int = BpeMerges,
+      grain: BpeGrain = CharGrain): DataFrame =
     encodeUnderMerges(docs,
-      c75BpeTrain(docs, nMerges).select(col("a"), col("b")).collect()
-        .map(r => (r.getString(0), r.getString(1))))
+      c75BpeTrain(docs, nMerges, grain).select(col("a"), col("b")).collect()
+        .map(r => (r.getString(0), r.getString(1))), grain)
 
   /** c57/c76's per-doc pricing under an explicit RANK-ORDERED merge
     * list — one spelling shared by the in-session encode (c76) and
     * the stored-artifact encode (c83), so the shipped tokenizer
-    * cannot drift from the trainer's. */
-  private def encodeUnderMerges(docs: DataFrame,
-      merges: Array[(String, String)]): DataFrame = {
+    * cannot drift from the trainer's. Grain-parameterized: `n_chars`
+    * is the grain's own mass (code points / UTF-8 bytes), so
+    * `compression` is units-per-char or units-per-byte accordingly. */
+  private[graft] def encodeUnderMerges(docs: DataFrame,
+      merges: Array[(String, String)], grain: BpeGrain = CharGrain): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
     val bc = spark0.sparkContext.broadcast(merges)
     val vocabSyms = tfRows(docs).select(col("term")).distinct().as[String]
-      .map(t => (t, bpeSymbolCount(t, bc.value).toLong))
+      .map(t => (t, bpeSymbolCount(t, bc.value, grain).toLong))
       .toDF("term", "n_syms")
     tfRows(docs).join(vocabSyms, Seq("term"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_words"),
-        sum(col("tf") * length(col("term"))).as("n_chars"),
+        sum(col("tf") * grain.massOf(col("term"))).as("n_chars"),
         sum(col("tf") * col("n_syms")).as("n_bpe_tokens"))
       .withColumn("compression",
         when(col("n_chars") > 0,

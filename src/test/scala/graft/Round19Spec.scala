@@ -87,6 +87,45 @@ class Round19Spec extends AnyFunSuite {
       "stored-v1 diff diverged from the live recompute")
   }
 
+  test("byte-grain BPE: ≤256 alphabet, lossless round-trip, compression priced in bytes") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // multi-script corpus: char grain would need an open-ended unicode
+    // alphabet here; byte grain never leaves its 256 symbols
+    val docs = Seq(
+      (1L, "the thé thé cat 😀😀 naïve naïve the"),
+      (2L, "ので ので the the résumé résumé thé"),
+      (3L, "plain ascii text the the the naïve")).toDF("doc_id", "text")
+    val merges = TextAnalysis.c75BpeTrain(docs, 8, TextAnalysis.ByteGrain)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.nonEmpty, "byte-grain trainer learned nothing")
+    assert(merges.forall { case (a, b) =>
+      (a + b).matches("[0-9a-f]+") && (a + b).length % 2 == 0 },
+      "merged symbols must stay even-length hex (whole bytes)")
+    // round-trip: segment → apply every learned merge → decode == word
+    val words = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    for (w <- words) {
+      var syms = TextAnalysis.ByteGrain.symbols(w)
+      merges.foreach { case (a, b) => syms = TextAnalysis.bpeApplyOne(syms, a, b) }
+      assert(TextAnalysis.ByteGrain.decode(syms) == w, s"round-trip broke on '$w'")
+    }
+    assert(words.flatMap(TextAnalysis.ByteGrain.symbols).distinct.length <= 256)
+    // compression: byte mode prices mass in UTF-8 bytes, char mode in
+    // code points — byte mass ≥ char mass on non-ASCII text, and both
+    // encodes compress (units ≤ their own mass)
+    val byteEnc = TextAnalysis.c76BpeTrainedEncode(docs, 8, TextAnalysis.ByteGrain)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val charEnc = TextAnalysis.c76BpeTrainedEncode(docs, 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- byteEnc.keySet) {
+      val (b, c) = (byteEnc(id), charEnc(id))
+      assert(b.getLong(2) > c.getLong(2), s"doc $id: byte mass not above char mass")
+      assert(b.getLong(3) <= b.getLong(2), s"doc $id: byte units exceed byte mass")
+      assert(c.getLong(3) <= c.getLong(2), s"doc $id: char units exceed char mass")
+    }
+  }
+
   test("c33 chain: a planted occ≫cap span key is cut by rule; the real span survives") {
     import spark.implicits._
     // 40 docs share a 4-token boilerplate phrase (every w=3 shingle of
