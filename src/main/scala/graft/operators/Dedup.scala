@@ -819,6 +819,15 @@ object Dedup {
   private[graft] def posShingleRows(docs: DataFrame, w: Int = SpanShingleW): DataFrame =
     posShingles(docs, w)
 
+  /** The MATERIALIZED positional-shingle frame, session-memoized per
+    * (corpus, width) — the count-first cap consumes the rows twice
+    * (count branch + semi-join probe), and c33's chain and c56's
+    * delta chain read the SAME frame, so one kernel pass + one
+    * materialization serves all four consumers per session. */
+  private def posShinglesMat(docs: DataFrame, w: Int): DataFrame =
+    CorpusPrep.memo(s"pos_shingles_$w", docs)(
+      Materialize.frame(posShingles(docs, w)))
+
   /** c33: exact repeated-SPAN dedup across documents — the Lee et
     * al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better") family: find maximal token ranges that occur verbatim
@@ -881,10 +890,12 @@ object Dedup {
     // COUNT, and only surviving keys' rows reach the list aggregate —
     // a hot boilerplate shingle never materializes a proportional
     // buffer in one task. Key set identical to the old post-collect
-    // filter, so spans cannot move. The shingle frame is materialized
-    // once (batchSpans' postB discipline) so the count branch and the
-    // semi-join probe don't each re-run the tokenize kernel.
-    val ps = Materialize.frame(posShingles(docs, w))
+    // filter, so spans cannot move. The shingle frame is the
+    // session-memoized materialization (batchSpans' postB
+    // discipline + the CorpusPrep memo) so the count branch and the
+    // semi-join probe don't each re-run the tokenize kernel, and c56
+    // reads the same frame.
+    val ps = posShinglesMat(docs, w)
     val okKeys = ps.groupBy("key").agg(count(lit(1)).as("occ_n"))
       .filter(col("occ_n").between(2, occCap))
       .select("key")
@@ -1037,9 +1048,11 @@ object Dedup {
     // boilerplate rule (SpanOccCap), applied before any pairing —
     // and count-FIRST (spanChain's spelling): the cap fires on a
     // map-side-combined count, so a hot key's occurrences never
-    // reach the list aggregate's buffer
-    val ps = Materialize.frame(posShingles(docs, w)
-      .withColumn("b", isBaseDoc(col("doc_id"))))
+    // reach the list aggregate's buffer. The base/delta flag is a
+    // narrow projection over the SHARED memoized shingle frame
+    // (c33's), so the kernel runs once per session for both chains.
+    val ps = posShinglesMat(docs, w)
+      .withColumn("b", isBaseDoc(col("doc_id")))
     val okKeys = ps.groupBy("key").agg(count(lit(1)).as("occ_n"))
       .filter(col("occ_n").between(2, occCap))
       .select("key")
