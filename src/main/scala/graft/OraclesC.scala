@@ -2113,13 +2113,13 @@ object OraclesC {
     """
   }
 
-  /** c103: c99's schedule chain joined to c94's stored-tokenizer
-    * counts, the pack prefix sum running over (shard, pos) —
-    * schedule order — instead of doc_id. */
-  private def c103Sql: String = {
+  /** c103/c104's shared chain: c99's schedule CTEs joined to c94's
+    * stored-tokenizer counts, the pack prefix sum running over
+    * (shard, pos) — schedule order — instead of doc_id. */
+  private def c103Chain: String = {
     val m = graft.operators.TextAnalysis.BpeMerges
     s"""
-      with ${c75Chain(m)},
+      ${c75Chain(m)},
       nsy103 as (select term, count(*)::bigint as n_syms from s$m group by term),
       enc103 as (
         select tf.doc_id,
@@ -2154,13 +2154,95 @@ object OraclesC {
         select sched103.doc_id, bin, shard, pos, enc103.n_tok,
                sum(n_tok) over (partition by shard order by pos
                  rows between unbounded preceding and current row)::bigint as cum
-        from sched103 join enc103 on sched103.doc_id = enc103.doc_id)
+        from sched103 join enc103 on sched103.doc_id = enc103.doc_id)"""
+  }
+
+  private def c103Sql: String = s"""
+      with $c103Chain
       select doc_id, bin, shard, pos, ((cum - n_tok) // $BUDGET)::bigint as seq_id,
              (cum - n_tok - ((cum - n_tok) // $BUDGET) * $BUDGET)::bigint as start_offset,
              n_tok
       from a103 order by shard, pos
     """
-  }
+
+  /** c104: the per-(shard, seq) aggregate over c103's assignment. */
+  private def c104Sql: String = s"""
+      with $c103Chain,
+      asg104 as (
+        select doc_id, bin, shard, pos, n_tok,
+               ((cum - n_tok) // $BUDGET)::bigint as seq_id
+        from a103)
+      select shard, seq_id, count(*)::bigint as n_docs,
+             sum(n_tok)::bigint as sum_tok,
+             min(pos)::bigint as first_pos, max(pos)::bigint as last_pos,
+             max(bin)::bigint as max_bin, min(bin)::bigint as min_bin,
+             round(sum(n_tok)::double / $BUDGET, 4) as fill_frac
+      from asg104 group by shard, seq_id order by shard, seq_id
+    """
+
+  /** c105: the c98 keep chain (one funnel spelling) feeding c99's
+    * schedule chain — quality re-binned WITHIN the kept population. */
+  private def c105Sql: String = s"""
+      with pop105 as (select * from documents where doc_id % 97 <> 0),
+      kd105 as (select md5(text) as h, min(doc_id) as keep_doc from pop105 group by 1),
+      sh105 as ($SH8),
+      bench105 as (select distinct sh8 from sh105 where doc_id % 97 = 0),
+      ct105 as (
+        select sh105.doc_id, round(count(bench105.sh8)::double / count(*), 4) as contam
+        from sh105 left join bench105 on sh105.sh8 = bench105.sh8
+        where sh105.doc_id % 97 <> 0
+        group by sh105.doc_id),
+      sig105 as (
+        select doc_id,
+               len(w) as n_tokens,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
+               round(((length(text) - length(replace(text, 'th', ''))) / 2
+                    + (length(text) - length(replace(text, 'he', ''))) / 2
+                    + (length(text) - length(replace(text, 'in', ''))) / 2
+                    + (length(text) - length(replace(text, 'er', ''))) / 2
+                     )::double / length(text), 4) as en_ngram_score,
+               round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                 + len(regexp_extract_all(text, '[0-9]+')) as n_pii
+        from (select doc_id, text, string_split(text, ' ') as w from pop105)),
+      keeps105 as (
+        select p.doc_id
+        from pop105 p
+        join kd105 on md5(p.text) = kd105.h
+        left join ct105 on ct105.doc_id = p.doc_id
+        join sig105 on sig105.doc_id = p.doc_id
+        where p.doc_id = kd105.keep_doc
+          and coalesce(ct105.contam, 0) < ${graft.operators.TextAnalysis.FunnelContamBar}
+          and n_tokens >= 5
+          and (en_score > 0.01 or en_ngram_score > 0.02)
+          and distinct_ratio >= 0.3
+          and n_pii <= 20),
+      kept105 as (select d.* from documents d join keeps105 using (doc_id)),
+      q105 as (
+        select source, doc_id,
+               round(0.3 * least(len(w)::double / 100.0, 1.0)
+                   + 0.4 * round(len(list_distinct(w))::double / len(w), 4)
+                   + 0.3 * least(round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) * 5.0, 1.0), 5) as quality
+        from (select source, doc_id, string_split(text, ' ') as w from kept105)),
+      b105 as (
+        select source, doc_id,
+               ntile(${graft.operators.TextAnalysis.QualityBins})
+                 over (partition by source order by quality, doc_id)::bigint as bin
+        from q105),
+      k105 as (
+        select doc_id, source, bin,
+               md5('${graft.operators.Sampling.ShuffleSeed}' || ':' || doc_id::varchar) as shuffle_key
+        from b105),
+      s105 as (
+        select *, ('0x' || substr(shuffle_key, 1, 7))::bigint
+                    % ${graft.operators.Sampling.ShuffleShards} as shard
+        from k105)
+      select doc_id, source, bin, shard,
+             row_number() over (partition by shard
+               order by bin desc, shuffle_key)::bigint as pos
+      from s105
+      order by shard, pos
+    """
 
   lazy val sql: Map[String, String] = sql1 ++ sql2
 
@@ -2181,6 +2263,8 @@ object OraclesC {
     "c101_manifest_diff" -> c101Sql,
     "c102_threshold_sweep" -> c102Sql,
     "c103_curriculum_pack" -> c103Sql,
+    "c104_seq_manifest" -> c104Sql,
+    "c105_keeps_schedule" -> c105Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

@@ -167,6 +167,8 @@ object SparkEntry {
     "c101_manifest_diff" -> ((s, dir) => Sampling.c101ManifestDiff(s, dir)),
     "c102_threshold_sweep" -> ((s, dir) => TextAnalysis.c102ThresholdSweep(s, dir)),
     "c103_curriculum_pack" -> ((s, dir) => Sampling.c103CurriculumPack(s, dir)),
+    "c104_seq_manifest" -> ((s, dir) => Sampling.c104SeqManifest(s, dir)),
+    "c105_keeps_schedule" -> ((s, dir) => Sampling.c105KeepsSchedule(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

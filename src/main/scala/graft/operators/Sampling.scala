@@ -498,6 +498,58 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  /** c104: the per-SEQUENCE index of the curriculum packing — the
+    * row an epoch loader actually seeks by (c103 answers "where does
+    * doc X sit"; this answers "what is sequence S"): for every
+    * (shard, seq_id), the doc count, token mass, schedule extent
+    * (first/last pos), curriculum extent (the bin range the sequence
+    * spans — a wide range means the curriculum decays fast inside
+    * one context window), and the fill fraction against the budget
+    * (>1 when the boundary doc overhangs the block edge; the final
+    * sequence of a shard underfills).
+    *
+    * Shape: c103's assignment + ONE (shard, seq_id) aggregate that
+    * reuses the packing window's shard exchange — report-sized
+    * (corpus tokens / budget rows) at any scale. */
+  def c104SeqManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards): DataFrame =
+    c103CurriculumPack(spark, dir, budget, seed, shards)
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"),
+        max(col("bin")).as("max_bin"),
+        min(col("bin")).as("min_bin"))
+      .withColumn("fill_frac", round(col("sum_tok").cast("double") / budget, 4))
+      .orderBy("shard", "seq_id")
+
+  /** c105: the KEEPS-ONLY curriculum — the schedule a run actually
+    * mounts: c99 orders the WHOLE corpus while c98's manifest ships
+    * only the funnel's keeps, so an epoch loader walking c99 would
+    * seek documents the export dropped. Here the schedule universe
+    * is the kept set itself (c50's decisions, the one funnel
+    * spelling), with the quality ntiles RE-BINNED within the kept
+    * population — curriculum fairness applies to what a run trains
+    * on, not to documents that no longer exist; a dropped tail of
+    * low-quality docs must not compress the surviving bins.
+    * Positions are dense per shard over keeps by construction
+    * (row_number), so the loader can walk 1..n without probing.
+    *
+    * Shape: the funnel memo is paid once per session (c50's), the
+    * schedule is c99's two per-shard windows over the kept subset —
+    * no new shuffle class. */
+  def c105KeepsSchedule(spark: org.apache.spark.sql.SparkSession, dir: String,
+      seed: Long = ShuffleSeed, shards: Int = ShuffleShards,
+      bins: Int = graft.operators.TextAnalysis.QualityBins): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val keeps = graft.operators.TextAnalysis.funnelDecisions(docs)
+      .filter(col("stage") === "keep").select("doc_id")
+    c99CurriculumSchedule(docs.join(keeps, Seq("doc_id")), seed, shards, bins)
+  }
+
   /** Chunk TEXTS — the composition-facing sibling of [[c25DocChunks]]:
     * same window geometry (size tokens, stride = size − overlap, kept
     * short tail), but each row carries the chunk's text so downstream

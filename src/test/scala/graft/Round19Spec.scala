@@ -79,6 +79,49 @@ class Round19Spec extends AnyFunSuite {
       "c103 prices a doc differently than c94")
   }
 
+  test("c104: the sequence index tiles each shard contiguously and reconciles with c103") {
+    val packed = graft.operators.Sampling.c103CurriculumPack(spark, sf).collect()
+    val idx = graft.operators.Sampling.c104SeqManifest(spark, sf).collect()
+    assert(idx.map(_.getLong(2)).sum == packed.length,
+      "sequence-index doc mass != the packing's")
+    val budget = graft.operators.Sampling.DefaultTokenBudget
+    for ((shard, rs) <- idx.groupBy(_.getLong(0))) {
+      val bySeq = rs.sortBy(_.getLong(1))
+      assert(bySeq.map(_.getLong(1)).sameElements(0L until bySeq.length.toLong),
+        s"shard $shard: sequence ids not dense 0..n")
+      assert(bySeq.head.getLong(4) == 1L, s"shard $shard: first sequence skips pos 1")
+      for (pair <- bySeq.sliding(2) if pair.length == 2)
+        assert(pair(1).getLong(4) == pair(0).getLong(5) + 1,
+          s"shard $shard: sequences leave a schedule gap")
+    }
+    for (r <- idx) {
+      assert(r.getLong(5) - r.getLong(4) + 1 == r.getLong(2),
+        "pos extent != doc count (schedule not contiguous inside a sequence)")
+      assert(r.getLong(6) >= r.getLong(7), "max_bin < min_bin")
+      assert(math.abs(r.getDouble(8) - r.getLong(3).toDouble / budget) < 1e-4,
+        "fill_frac != sum_tok/budget")
+    }
+  }
+
+  test("c105: keeps-only schedule — exactly the funnel's keeps, dense easy-first shards") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val keepIds = graft.operators.TextAnalysis.funnelDecisions(docs)
+      .filter(col("stage") === "keep").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val rows = graft.operators.Sampling.c105KeepsSchedule(spark, sf).collect()
+    assert(rows.length == keepIds.size, "schedule universe != the funnel's keeps")
+    assert(rows.map(_.getLong(0)).toSet == keepIds)
+    for ((shard, rs) <- rows.groupBy(_.getLong(3))) {
+      val byPos = rs.sortBy(_.getLong(4))
+      assert(byPos.map(_.getLong(4)).sameElements(1L to rs.length.toLong),
+        s"shard $shard: positions not dense over keeps")
+      val bins = byPos.map(_.getLong(2))
+      assert(bins.zip(bins.tail).forall { case (a, b) => a >= b },
+        s"shard $shard: quality bin increases along the keeps schedule")
+    }
+  }
+
   test("c101: the artifact-backed diff equals the from-scratch two-vintage recompute") {
     val artifact = graft.operators.Sampling.c101ManifestDiff(spark, sf).collect()
     val recomputed = graft.operators.Sampling.c101DiffRecomputed(spark, sf).collect()
