@@ -2244,6 +2244,194 @@ object OraclesC {
       order by shard, pos
     """
 
+  /** c106: ONE budget-independent prefix sum over the stored-
+    * tokenizer counts (c86's enc chain), then the candidate grid
+    * exploded per doc-grain row — mirrors the operator's single-
+    * window shape. Fill fractions divide by power-of-two budgets, so
+    * every addend is an exact binary double and the averages are
+    * order-independent. */
+  private def c106Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val grid = graft.operators.Sampling.PackSweepBudgets.mkString(", ")
+    s"""
+      with ${c75Chain(m)},
+      nsy106 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc106 as (
+        select tf.doc_id,
+               sum(tf.tf * coalesce(nsy106.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy106 on tf.term = nsy106.term
+        group by tf.doc_id),
+      cum106 as (
+        select doc_id % $SHARDS as shard, n_tok,
+               sum(n_tok) over (partition by doc_id % $SHARDS order by doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from enc106),
+      x106 as (
+        select shard, n_tok, cum, unnest([$grid]::bigint[]) as budget from cum106),
+      a106 as (
+        select budget, shard, ((cum - n_tok) // budget)::bigint as seq_id, n_tok,
+               case when cum - ((cum - n_tok) // budget) * budget > budget
+                    then 1 else 0 end as crosses
+        from x106),
+      s106 as (
+        select budget, shard, seq_id, count(*)::bigint as n_docs,
+               sum(n_tok)::bigint as sum_tok, sum(crosses)::bigint as n_cross
+        from a106 group by 1, 2, 3)
+      select budget, count(*)::bigint as n_seqs, sum(n_docs)::bigint as n_docs,
+             sum(sum_tok)::bigint as sum_tok, sum(n_cross)::bigint as n_crossing,
+             round(avg(sum_tok::double / budget), 4) as avg_fill,
+             round(sum(n_docs)::double / count(*), 4) as docs_per_seq,
+             round(sum(n_cross)::double / sum(n_docs), 4) as crossing_frac
+      from s106 group by budget order by budget
+    """
+  }
+
+  /** c107: exact pairwise JS over per-source unigram distributions —
+    * shared-vocabulary inner join plus the residual one-sided masses
+    * (each one-sided term contributes exactly p/2 to JS). */
+  private def c107Sql: String = s"""
+      with toks107 as (
+        select source, unnest(string_split(text, ' ')) as term from documents),
+      st107 as (select source, term, count(*)::bigint as cnt from toks107 group by 1, 2),
+      tot107 as (select source, sum(cnt)::bigint as n_tok from st107 group by 1),
+      p107 as (
+        select st107.source, term, cnt::double / n_tok as p
+        from st107 join tot107 using (source)),
+      pr107 as (
+        select a.source as source_a, b.source as source_b, a.p as pa, b.p as pb
+        from p107 a join p107 b on a.term = b.term and a.source < b.source)
+      select source_a, source_b, count(*)::bigint as n_shared,
+             round(sum(pa), 4) as overlap_a, round(sum(pb), 4) as overlap_b,
+             round(0.5 * sum(pa * log2(2 * pa / (pa + pb)) + pb * log2(2 * pb / (pa + pb)))
+                 + 0.5 * (1 - sum(pa)) + 0.5 * (1 - sum(pb)), 4) as js_div
+      from pr107 group by 1, 2 order by source_a, source_b
+    """
+
+  /** c108: the q103 quality spelling weighting a Gumbel top-k draw;
+    * u is md5-derived exactly as the operator's conv(...,16,10). */
+  private def c108Sql: String = {
+    val k = graft.operators.TextAnalysis.GumbelSampleK
+    val eps = graft.operators.TextAnalysis.GumbelEps
+    val denom = graft.operators.TextAnalysis.GumbelDenom
+    s"""
+      with q108 as (
+        select doc_id, source,
+               round(0.3 * least(len(w)::double / 100.0, 1.0)
+                   + 0.4 * round(len(list_distinct(w))::double / len(w), 4)
+                   + 0.3 * least(round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) * 5.0, 1.0), 5) as quality
+        from (select doc_id, source, string_split(text, ' ') as w from documents)),
+      g108 as (
+        select doc_id, source, quality,
+               round(ln(quality + $eps)
+                   - ln(-ln((('0x' || substr(md5('gumbel:' || doc_id::varchar), 1, 7))::bigint + 1)::double / $denom)), 4) as gumbel_key
+        from q108),
+      r108 as (
+        select row_number() over (order by gumbel_key desc, doc_id)::bigint as rank,
+               doc_id, source, quality, gumbel_key
+        from g108)
+      select rank, doc_id, source, quality, gumbel_key
+      from r108 where rank <= $k order by rank
+    """
+  }
+
+  /** c109: c37's BM25 chain at fusion depth + c6's cosine chain over
+    * the same query slice, full-outer joined and RRF-scored; every
+    * 1/(c+rank) is the same exact integer-pair division in both
+    * engines (::double forced — DuckDB would otherwise divide in
+    * decimal). */
+  private def c109Sql: String = {
+    val c = graft.operators.Similarity.RrfC
+    val k = graft.operators.Similarity.RrfTopK
+    s"""
+      with q as (
+        select doc_id as q_id, unnest(list_distinct(w[1:$QTOK])) as term
+        from (select doc_id, string_split(text, ' ') as w
+              from documents where doc_id % 101 = 0)),
+      terms as (
+        select doc_id, unnest(string_split(text, ' ')) as term
+        from documents where doc_id % 101 <> 0),
+      tf as (select doc_id, term, count(*) as tf from terms group by 1, 2),
+      dl as (select doc_id, sum(tf)::bigint as dl from tf group by 1),
+      stats as (select sum(dl)::double / count(*) as avgdl, count(*) as n_docs from dl),
+      dfx as (select term, count(*) as df from tf group by 1),
+      capped as (select term, df from dfx, stats where df * 10 <= n_docs * 9),
+      pruned as (
+        select term, doc_id, tf from tf
+        qualify row_number() over (partition by term
+          order by tf desc, doc_id) <= $PCAP),
+      contrib as (
+        select q.q_id, p.doc_id,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf::double * $K1P1)
+                 / (tf + $K1 * ($OMB + $B25 * dl / avgdl)) as c
+        from q
+        join pruned p using (term)
+        join capped using (term)
+        join dl on p.doc_id = dl.doc_id, stats),
+      scored as (select q_id, doc_id, round(sum(c), 4) as score from contrib group by 1, 2),
+      lexr0 as (
+        select q_id, doc_id,
+               row_number() over (partition by q_id
+                 order by score desc, doc_id)::bigint as lex_rank
+        from scored),
+      lexr as (select * from lexr0 where lex_rank <= $k),
+      eq as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id % 101 = 0),
+      sems as (
+        select eq.q_id, e.vec_id as doc_id, ${cosN("eq.q_emb", "e.embedding")} as cos
+        from embeddings e cross join eq
+        where e.vec_id % 101 <> 0),
+      semr0 as (
+        select q_id, doc_id,
+               row_number() over (partition by q_id
+                 order by cos desc nulls last, doc_id)::bigint as sem_rank
+        from sems),
+      semr as (select * from semr0 where sem_rank <= $k),
+      f as (
+        select coalesce(l.q_id, s.q_id) as q_id,
+               coalesce(l.doc_id, s.doc_id) as doc_id,
+               lex_rank, sem_rank,
+               round(coalesce(1.0::double / ($c + lex_rank), 0)
+                   + coalesce(1.0::double / ($c + sem_rank), 0), 6) as rrf
+        from lexr l full outer join semr s on l.q_id = s.q_id and l.doc_id = s.doc_id),
+      r109 as (
+        select q_id, doc_id, lex_rank, sem_rank, rrf,
+               row_number() over (partition by q_id
+                 order by rrf desc, doc_id)::bigint as rank
+        from f)
+      select q_id, rank, doc_id, lex_rank, sem_rank, rrf
+      from r109 where rank <= $k order by q_id, rank
+    """
+  }
+
+  /** c110: c7's nearest-centroid assignment, even/odd vintage split,
+    * PSI term per cell with c91's round-before-log discipline. */
+  private def c110Sql: String = {
+    val eps = graft.operators.TextAnalysis.DriftEps
+    s"""
+      with c as (select vec_id as c_id, embedding as c_emb from embeddings where vec_id < $NC),
+      ra as (
+        select e.vec_id, c.c_id,
+               row_number() over (partition by e.vec_id
+                 order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
+        from embeddings e cross join c),
+      a as (select vec_id, c_id as cluster from ra where rn = 1),
+      s as (
+        select cluster,
+               sum(case when vec_id % 2 = 0 then 1 else 0 end)::bigint as n_base,
+               sum(case when vec_id % 2 = 1 then 1 else 0 end)::bigint as n_live
+        from a group by cluster),
+      t as (select sum(n_base)::bigint as tb, sum(n_live)::bigint as tl from s),
+      p as (
+        select cluster, n_base, n_live,
+               round(n_base::double / tb, 4) as p_base,
+               round(n_live::double / tl, 4) as p_live
+        from s, t)
+      select cluster, n_base, n_live, p_base, p_live,
+             round((p_live - p_base) * ln((p_live + $eps) / (p_base + $eps)), 6) as psi_term
+      from p order by cluster
+    """
+  }
+
   lazy val sql: Map[String, String] = sql1 ++ sql2
 
   private lazy val sql1: Map[String, String] = Map(
@@ -2265,6 +2453,11 @@ object OraclesC {
     "c103_curriculum_pack" -> c103Sql,
     "c104_seq_manifest" -> c104Sql,
     "c105_keeps_schedule" -> c105Sql,
+    "c106_pack_sweep" -> c106Sql,
+    "c107_source_divergence" -> c107Sql,
+    "c108_gumbel_sample" -> c108Sql,
+    "c109_rrf_fusion" -> c109Sql,
+    "c110_embed_drift" -> c110Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

@@ -169,6 +169,11 @@ object SparkEntry {
     "c103_curriculum_pack" -> ((s, dir) => Sampling.c103CurriculumPack(s, dir)),
     "c104_seq_manifest" -> ((s, dir) => Sampling.c104SeqManifest(s, dir)),
     "c105_keeps_schedule" -> ((s, dir) => Sampling.c105KeepsSchedule(s, dir)),
+    "c106_pack_sweep" -> ((s, dir) => Sampling.c106PackSweep(s, dir)),
+    "c107_source_divergence" -> ((s, dir) => TextAnalysis.c107SourceDivergence(Tables.documents(s, dir))),
+    "c108_gumbel_sample" -> ((s, dir) => TextAnalysis.c108GumbelSample(Tables.documents(s, dir))),
+    "c109_rrf_fusion" -> ((s, dir) => Similarity.c109RrfFusion(s, dir)),
+    "c110_embed_drift" -> ((s, dir) => Similarity.c110EmbedDrift(Tables.embeddings(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

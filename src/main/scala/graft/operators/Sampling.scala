@@ -649,6 +649,65 @@ object Sampling {
           .when(bucket < SplitValPct, "val").otherwise("test"))
   }
 
+  // ---- c106: context-length sweep --------------------------------------
+
+  /** c106 grid — the candidate context lengths a pretraining run
+    * prices before committing to one. Powers of two, so every
+    * per-sequence fill fraction (sum_tok / budget) is an EXACT binary
+    * double and the cross-engine average is order-independent.
+    * Oracle-interpolated. */
+  val PackSweepBudgets: Seq[Long] = Seq(256L, 512L, 1024L, 2048L)
+
+  /** c106: the CONTEXT-LENGTH SWEEP — the sizing table a run reads
+    * before fixing its sequence length: for every candidate budget,
+    * the packing outcome under c86's discipline (stored-tokenizer
+    * counts, shard prefix sums) — sequence count, average fill,
+    * docs per sequence, and the number of documents that straddle a
+    * block boundary (the attention-mask cost of a shorter context;
+    * boundary crossings scale ∝ total tokens / budget, and this
+    * query prices exactly that trade).
+    *
+    * Shape: the prefix sum is budget-INDEPENDENT, so the sweep runs
+    * ONE packing window over the memoized count frame and then a
+    * |grid|-way explode of the doc-grain assignment — never a window
+    * pass or corpus scan per candidate length. The per-(budget,
+    * shard, seq) aggregate is map-side combinable and the report is
+    * |grid| rows. */
+  def c106PackSweep(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budgets: Seq[Long] = PackSweepBudgets, shards: Int = PackShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty, "c106 needs at least one candidate budget")
+    val counts = graft.operators.TextAnalysis.c83StoredTokenizer(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"), col("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+    // a doc crosses a block edge iff its end overhangs its sequence's
+    // budget: cum - seq_id*budget > budget (c94's crosses_budget)
+    val assigned = cum
+      .select(col("shard"), col("n_tok"), col("cum"),
+        explode(array(budgets.map(lit(_)): _*)).as("budget"))
+      .withColumn("seq_id", expr("(cum - n_tok) div budget"))
+      .withColumn("crosses", col("cum") - col("seq_id") * col("budget") > col("budget"))
+    assigned
+      .groupBy("budget", "shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        sum(when(col("crosses"), 1L).otherwise(0L)).as("n_cross"))
+      .groupBy("budget")
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_tok")).as("sum_tok"),
+        sum(col("n_cross")).as("n_crossing"),
+        round(avg(col("sum_tok").cast("double") / col("budget")), 4).as("avg_fill"),
+        round(sum(col("n_docs")).cast("double") / count(lit(1)), 4).as("docs_per_seq"))
+      .withColumn("crossing_frac",
+        round(col("n_crossing").cast("double") / col("n_docs"), 4))
+      .orderBy("budget")
+  }
+
   // ---- c38: temperature-scaled source mixture -------------------------
 
   /** Temperature exponent and target budget share — oracle-

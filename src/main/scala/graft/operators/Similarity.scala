@@ -1869,4 +1869,100 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  // ---- c109: hybrid lexical+semantic retrieval fusion ------------------
+
+  /** c109 contract constants — the standard RRF discount (Cormack,
+    * Clarke & Büttcher 2009 use 60) and the per-leg / fused result
+    * depth. Oracle-interpolated. */
+  val RrfC = 60L
+  val RrfTopK = 10
+
+  /** c109: RECIPROCAL-RANK-FUSION hybrid retrieval — the two-tower
+    * serving pattern every modern retrieval stack runs (lexical BM25
+    * + dense cosine, fused by rank): for c37's query slice
+    * (doc_id % 101 = 0, the embedding with the same id as the dense
+    * query), each leg returns its top-[[RrfTopK]] and a candidate's
+    * fused score is Σ 1/([[RrfC]] + rank) over the legs that surfaced
+    * it. Rank fusion needs no score calibration between BM25 logits
+    * and cosines — that is the point of RRF — and a candidate
+    * surfaced by BOTH legs outranks single-leg candidates at similar
+    * depth. The corpus for both legs excludes the query slice (c37's
+    * held-out-benchmark discipline); each 1/(c+rank) is the same
+    * integer division in both engines, so the fused score is exact
+    * before its 6-round.
+    *
+    * Shape: the lexical leg is c37's kernel (shared tfRows memo,
+    * pruned postings); the dense leg is c6's broadcast-bounded brute
+    * force — at scale swappable for the IVF/PQ serving tier (c79)
+    * with the fusion unchanged, since RRF consumes only (q_id,
+    * doc_id, rank). The fusion itself is a full-outer join of two
+    * (queries × k)-row frames and a per-query window over ≤ 2k rows —
+    * report-sized at any corpus. */
+  def c109RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val lex = graft.operators.TextAnalysis.bm25Ranked(docs, topK = RrfTopK)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val qs = withNorm(emb).filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val sem = c6AnnTopK(emb.filter(col("vec_id") % 101 =!= 0), Some(qs), RrfTopK)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+    val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfC) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfC) + col("sem_rank")), lit(0.0)), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= RrfTopK)
+      .select("q_id", "rank", "doc_id", "lex_rank", "sem_rank", "rrf")
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- c110: embedding-distribution drift ------------------------------
+
+  /** c110: EMBEDDING-SPACE drift between two corpus vintages — the
+    * dense-side twin of c91's feature PSI, the monitor that tells an
+    * ANN/semantic-dedup deployment when its trained artifacts (c26's
+    * centroids, c64's codebooks) have gone stale: assign every vector
+    * to its nearest coarse centroid (c7's assignment kernel — the
+    * exact geometry the serving tier routes by), split the corpus
+    * into the base vintage (even vec_id) and the live one (odd), and
+    * report the population-stability term per CELL: occupancy counts,
+    * 4-rounded proportions (rounded BEFORE the log — c91's
+    * round-then-compare discipline, ε = [[graft.operators
+    * .TextAnalysis.DriftEps]]), and (p_live − p_base)·ln((p_live+ε)/
+    * (p_base+ε)). Σ psi_term is the standard PSI read (<0.1 stable,
+    * >0.25 retrain); the per-cell rows name WHERE the mass moved —
+    * exactly the cells whose codebooks to re-train first (c82's
+    * touched-only re-encode).
+    *
+    * Shape: one corpus × broadcast(centroids) assignment collapsed
+    * map-side by max_by (no window over the corpus — c7's spelling),
+    * ONE cell-grain count aggregate (≤ |centroids| rows), report math
+    * after. The slice split is a per-row parity check, not a second
+    * scan. */
+  def c110EmbedDrift(emb: DataFrame,
+      eps: Double = graft.operators.TextAnalysis.DriftEps): DataFrame = {
+    val cent = broadcast(defaultCentroids(emb))
+    val assigned = withNorm(emb).crossJoin(cent)
+      .select(col("vec_id"), col("c_id"),
+        pairCos("embedding", "nrm", "c_emb", "c_nrm").as("c_cos"))
+      .groupBy("vec_id")
+      .agg(expr("max_by(c_id, struct(c_cos, -c_id))").as("cluster"))
+    val cells = assigned.groupBy("cluster")
+      .agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_live"))
+    val tot = cells.agg(sum(col("n_base")).as("tb"), sum(col("n_live")).as("tl"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_base"), col("n_live"),
+        round(col("n_base").cast("double") / col("tb"), 4).as("p_base"),
+        round(col("n_live").cast("double") / col("tl"), 4).as("p_live"))
+      .withColumn("psi_term", round((col("p_live") - col("p_base"))
+        * log((col("p_live") + lit(eps)) / (col("p_base") + lit(eps))), 6))
+      .orderBy("cluster")
+  }
 }

@@ -1114,7 +1114,17 @@ object TextAnalysis {
     * aggregate, one q_id-partitioned WindowGroupLimit top-k. Probe
     * fan-out is ≤ queries · terms · [[Bm25PostingCap]] after
     * pruning — never n², independent of term frequency skew. */
-  def c37Bm25(docs: DataFrame, postingCap: Int = Bm25PostingCap): DataFrame = {
+  def c37Bm25(docs: DataFrame, postingCap: Int = Bm25PostingCap): DataFrame =
+    bm25Ranked(docs, postingCap, Bm25TopK)
+
+  /** The BM25 retrieval kernel with the result depth as a parameter —
+    * ONE spelling for c37 (the keyed query, [[Bm25TopK]]) and c109's
+    * lexical leg (the fusion wants [[graft.operators.Similarity
+    * .RrfTopK]] candidates per query); everything else — query slice,
+    * stopword elision, posting cap, scoring — is c37's contract
+    * verbatim. */
+  private[operators] def bm25Ranked(docs: DataFrame, postingCap: Int = Bm25PostingCap,
+      topK: Int = Bm25TopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // a doc's tf rows don't depend on other docs, so the corpus
     // restriction filters the SHARED memoized frame (one tokenize
@@ -1159,7 +1169,7 @@ object TextAnalysis {
       .agg(round(sum(col("contrib")), 4).as("score"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= Bm25TopK)
+      .filter(col("rank") <= topK)
       .select("q_id", "rank", "doc_id", "score")
       .orderBy("q_id", "rank")
   }
@@ -1178,6 +1188,54 @@ object TextAnalysis {
   private[operators] def tfRowsDirect(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  // ---- c107: source-pair distribution divergence -----------------------
+
+  /** c107: pairwise JENSEN–SHANNON divergence between per-source
+    * unigram distributions — the mixture-design read that tells a
+    * corpus assembler which sources are lexically REDUNDANT (low JS —
+    * down-weight one) and which contribute coverage (high JS): for
+    * every source pair, JS(P‖Q) in bits, plus how much of each side's
+    * probability mass lives on the SHARED vocabulary. Terms present
+    * in only one source contribute exactly p/2·log₂2 = p/2 to the
+    * divergence (the mixture M halves their mass), so the inner join
+    * over shared terms plus the residual masses is the EXACT JS —
+    * no smoothing constant, no dropped mass. Pairs sharing no term at
+    * all would score 1.0; they are absent from the report by the same
+    * inner-join contract in both engines.
+    *
+    * Shape: per-source term counts are ONE aggregate off the tfRows
+    * memo (vocabulary × sources rows, never corpus grain); the
+    * self-join on term produces at most Σ_t C(s_t, 2) ≤ |vocab|·S²/2
+    * rows — bounded by vocabulary size times source-count squared,
+    * independent of document count — and the report is C(S,2) rows.
+    * The per-source totals frame is S rows, broadcast. */
+  def c107SourceDivergence(docs: DataFrame): DataFrame = {
+    val st = tfRows(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source", "term").agg(sum(col("tf")).as("cnt"))
+    val tot = st.groupBy("source").agg(sum(col("cnt")).as("n_tok"))
+    // cnt/n_tok is an exact-integer division — both engines divide the
+    // same two longs, so every p is bit-identical cross-engine
+    val p = st.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("term"),
+        (col("cnt").cast("double") / col("n_tok")).as("p"))
+    val a = p.select(col("source").as("source_a"), col("term"), col("p").as("pa"))
+    val b = p.select(col("source").as("source_b"), col("term"), col("p").as("pb"))
+    a.join(b, Seq("term")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("pa")).as("sa"), sum(col("pb")).as("sb"),
+        sum(col("pa") * log2(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          + col("pb") * log2(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+          .as("cross_sum"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("sa"), 4).as("overlap_a"), round(col("sb"), 4).as("overlap_b"),
+        round(lit(0.5) * col("cross_sum")
+          + lit(0.5) * (lit(1.0) - col("sa"))
+          + lit(0.5) * (lit(1.0) - col("sb")), 4).as("js_div"))
+      .orderBy("source_a", "source_b")
+  }
 
   // ---- c41: Gopher rule battery ---------------------------------------
 
@@ -2492,5 +2550,50 @@ object TextAnalysis {
         (0 until FhDim).map(i => abs(col(s"v$i"))).reduce(_ + _).as("l1"),
         md5(concat_ws(",", (0 until FhDim).map(i => col(s"v$i")): _*)).as("vec_md5"))
       .orderBy("doc_id")
+  }
+
+  // ---- c108: quality-weighted sampling without replacement -------------
+
+  /** c108 contract constants — sample size, the weight floor (a
+    * zero-quality doc keeps a finite logit; same ε discipline as
+    * [[DriftEps]]), and the uniform-draw denominator (16⁷ + 1, so
+    * u ∈ (0, 1) strictly — both log legs finite). Oracle-
+    * interpolated. */
+  val GumbelSampleK = 100
+  val GumbelEps = 0.0001
+  val GumbelDenom: Double = 268435457.0 // 16^7 + 1
+
+  /** c108: QUALITY-WEIGHTED sampling WITHOUT replacement — the
+    * weighted counterpart of c13's uniform hash split, via the Gumbel
+    * top-k trick (Vieira 2014): key every doc with
+    * ln(quality + ε) − ln(−ln u) for a deterministic per-doc uniform
+    * u, and the k largest keys ARE a sample drawn proportional to
+    * quality without replacement — the "sample the good stuff, keep
+    * some tail" selection a data-constrained run uses where c13
+    * would sample boilerplate and gems at the same rate. u is
+    * md5-derived from doc_id alone (c18's content-independent
+    * admission discipline), so the draw is reproducible on any
+    * engine, rerun, or cluster size.
+    *
+    * Ranking compares the 4-rounded key (c37's round-then-rank
+    * discipline), ties by doc_id. Shape: one narrow projection over
+    * the scan — the weights are qualityOf's per-row expression, no
+    * corpus shuffle — then a TopK (orderBy+limit plans as
+    * TakeOrderedAndProject, c93's stance: never a global sort); the
+    * rank window runs AFTER the limit over k rows. */
+  def c108GumbelSample(docs: DataFrame, k: Int = GumbelSampleK): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("gumbel:"), col("doc_id").cast("string"))), 1, 7),
+      16, 10).cast("double") + 1.0) / lit(GumbelDenom)
+    val key = round(log(qualityOf(col("text")) + lit(GumbelEps)) - log(-log(u)), 4)
+    val top = docs
+      .select(col("doc_id"), col("source"), qualityOf(col("text")).as("quality"),
+        key.as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("gumbel_key").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "source", "quality", "gumbel_key")
+      .orderBy("rank")
   }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-20 contracts: the mixture/retrieval widening — context-
+  * length sweep (c106), source-pair JS divergence (c107), Gumbel
+  * weighted sampling (c108), RRF hybrid retrieval (c109), and the
+  * embedding-vintage PSI (c110). */
+class Round20Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("c106: mass conserved across budgets, sequence counts shrink as budgets grow, 512-row ≡ c86") {
+    val grid = graft.operators.Sampling.PackSweepBudgets
+    val rows = graft.operators.Sampling.c106PackSweep(spark, sf).collect()
+    assert(rows.length == grid.length, "one report row per candidate budget")
+    val byBudget = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byBudget.keySet == grid.toSet)
+    // packing conserves the corpus: every budget packs the same docs
+    // and the same token mass
+    assert(rows.map(_.getLong(2)).distinct.length == 1, "n_docs varies with budget")
+    assert(rows.map(_.getLong(3)).distinct.length == 1, "sum_tok varies with budget")
+    // a longer context can never need MORE sequences (seq_id is a
+    // floor-division of the same prefix sums)
+    val nSeqs = grid.map(b => byBudget(b).getLong(1))
+    assert(nSeqs.zip(nSeqs.tail).forall { case (a, b) => a >= b },
+      s"n_seqs not non-increasing across $grid: $nSeqs")
+    // the grid row at the default budget must agree with c86's packing
+    assert(grid.contains(graft.operators.Sampling.DefaultTokenBudget))
+    val c86 = graft.operators.Sampling.c86PackTokenized(spark, sf).collect()
+    val at = byBudget(graft.operators.Sampling.DefaultTokenBudget)
+    assert(at.getLong(1) == c86.length, "n_seqs at the default budget != c86's sequence count")
+    assert(at.getLong(3) == c86.map(_.getLong(3)).sum, "token mass at the default budget != c86's")
+  }
+
+  test("c107: JS in [0,1], full pair coverage, identical sources diverge by zero") {
+    import spark.implicits._
+    val rows = graft.operators.TextAnalysis.c107SourceDivergence(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val js = r.getDouble(5)
+      assert(js >= -1e-4 && js <= 1.0 + 1e-4, s"JS out of range: $r")
+      assert(r.getString(0) < r.getString(1), "pair not ordered source_a < source_b")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0 + 1e-4, "overlap_a out of range")
+    }
+    // every pair that shares at least one term is present exactly once
+    val nSources = graft.sources.Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(rows.length <= nSources * (nSources - 1) / 2)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+    // two sources carrying the SAME text have identical unigram
+    // distributions: shared mass 1 on both sides, JS exactly 0
+    val twin = Seq(
+      (0L, "alpha beta gamma alpha", "s1"),
+      (1L, "alpha beta gamma alpha", "s2"),
+      (2L, "delta epsilon", "s3"))
+      .toDF("doc_id", "text", "source")
+    val tw = graft.operators.TextAnalysis.c107SourceDivergence(twin).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val same = tw(("s1", "s2"))
+    assert(same.getDouble(5) == 0.0, s"identical sources diverge: $same")
+    assert(same.getDouble(3) == 1.0 && same.getDouble(4) == 1.0)
+    // s3 shares no term with s1/s2 — absent by the inner-join contract
+    assert(!tw.contains(("s1", "s3")) && !tw.contains(("s2", "s3")))
+  }
+
+  test("c108: the k-sample is exactly the prefix of the full Gumbel ranking") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val k = graft.operators.TextAnalysis.GumbelSampleK
+    val sample = graft.operators.TextAnalysis.c108GumbelSample(docs).collect()
+    assert(sample.length == k)
+    assert(sample.map(_.getLong(0)).toSeq == (1 to k).map(_.toLong), "ranks not dense 1..k")
+    val keys = sample.map(_.getDouble(4))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "keys increase down the ranking")
+    // without-replacement: no doc twice; top-k ≡ the prefix of the
+    // full ranking (the Gumbel draw is a total order over the corpus)
+    assert(sample.map(_.getLong(1)).distinct.length == k)
+    val full = graft.operators.TextAnalysis
+      .c108GumbelSample(docs, k = docs.count().toInt).collect()
+    assert(full.take(k).map(_.getLong(1)).toSeq == sample.map(_.getLong(1)).toSeq,
+      "the k-sample is not the full ranking's prefix")
+  }
+
+  test("c109: fused candidates come from the legs and the RRF arithmetic closes") {
+    val k = graft.operators.Similarity.RrfTopK
+    val c = graft.operators.Similarity.RrfC
+    val rows = graft.operators.Similarity.c109RrfFusion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for ((q, rs) <- rows.groupBy(_.getLong(0))) {
+      assert(rs.length <= k, s"query $q returned more than $k fused rows")
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1 to rs.length).map(_.toLong), s"query $q ranks not dense")
+    }
+    for (r <- rows) {
+      val lex = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val sem = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(lex.nonEmpty || sem.nonEmpty, s"candidate surfaced by neither leg: $r")
+      val expect = lex.map(x => 1.0 / (c + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (c + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(5) - expect) < 1e-6, s"rrf arithmetic broken: $r")
+      assert(lex.forall(_ <= k) && sem.forall(_ <= k), "leg rank deeper than the leg's top-k")
+    }
+    // a doc surfaced by BOTH legs at equal depth beats either single
+    // leg at that depth — the both-leg bonus is the point of RRF
+    val both = rows.filter(r => !r.isNullAt(3) && !r.isNullAt(4))
+    val single = rows.filter(r => r.isNullAt(3) ^ r.isNullAt(4))
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getDouble(5)).max > single.map(_.getDouble(5)).min)
+  }
+
+  test("c110: vintages partition the corpus, proportions close, psi terms non-negative") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = graft.operators.Similarity.c110EmbedDrift(emb).collect()
+    assert(rows.nonEmpty)
+    assert(rows.length <= graft.operators.Similarity.DefaultCentroidCount)
+    val total = emb.count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total,
+      "cell occupancies do not partition the corpus")
+    // proportions are the 4-rounded exact divisions and sum to ~1
+    val tb = rows.map(_.getLong(1)).sum.toDouble
+    val tl = rows.map(_.getLong(2)).sum.toDouble
+    for (r <- rows) {
+      assert(math.abs(r.getDouble(3) - math.rint(r.getLong(1) / tb * 1e4) / 1e4) < 1e-9)
+      assert(math.abs(r.getDouble(4) - math.rint(r.getLong(2) / tl * 1e4) / 1e4) < 1e-9)
+      // (p_live − p_base) and ln((p_live+ε)/(p_base+ε)) share a sign,
+      // so every PSI term is ≥ 0 (up to the 6-round)
+      assert(r.getDouble(5) >= -1e-6, s"negative psi term: $r")
+    }
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-2)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-2)
+  }
+}
