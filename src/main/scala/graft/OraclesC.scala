@@ -2181,9 +2181,11 @@ object OraclesC {
     """
 
   /** c105: the c98 keep chain (one funnel spelling) feeding c99's
-    * schedule chain — quality re-binned WITHIN the kept population. */
-  private def c105Sql: String = s"""
-      with pop105 as (select * from documents where doc_id % 97 <> 0),
+    * schedule chain — quality re-binned WITHIN the kept population.
+    * Factored as a CTE list (ending in `sched105`) so c111 can run
+    * the packing window over the same schedule. */
+  private def c105Chain: String = s"""
+      pop105 as (select * from documents where doc_id % 97 <> 0),
       kd105 as (select md5(text) as h, min(doc_id) as keep_doc from pop105 group by 1),
       sh105 as ($SH8),
       bench105 as (select distinct sh8 from sh105 where doc_id % 97 = 0),
@@ -2236,13 +2238,107 @@ object OraclesC {
       s105 as (
         select *, ('0x' || substr(shuffle_key, 1, 7))::bigint
                     % ${graft.operators.Sampling.ShuffleShards} as shard
-        from k105)
-      select doc_id, source, bin, shard,
-             row_number() over (partition by shard
-               order by bin desc, shuffle_key)::bigint as pos
-      from s105
+        from k105),
+      sched105 as (
+        select doc_id, source, bin, shard,
+               row_number() over (partition by shard
+                 order by bin desc, shuffle_key)::bigint as pos
+        from s105)"""
+
+  private def c105Sql: String = s"""
+      with $c105Chain
+      select doc_id, source, bin, shard, pos from sched105
       order by shard, pos
     """
+
+  /** c111: c105's schedule chain + c103's stored-tokenizer counts,
+    * the packing prefix sum over the KEPT schedule's (shard, pos). */
+  private def c111Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    s"""
+      with ${c75Chain(m)},
+      nsy111 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc111 as (
+        select tf.doc_id,
+               sum(tf.tf * coalesce(nsy111.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy111 on tf.term = nsy111.term
+        group by tf.doc_id),
+      $c105Chain,
+      a111 as (
+        select sched105.doc_id, source, bin, shard, pos, enc111.n_tok,
+               sum(n_tok) over (partition by shard order by pos
+                 rows between unbounded preceding and current row)::bigint as cum
+        from sched105 join enc111 on sched105.doc_id = enc111.doc_id)
+      select doc_id, source, bin, shard, pos,
+             ((cum - n_tok) // $BUDGET)::bigint as seq_id,
+             (cum - n_tok - ((cum - n_tok) // $BUDGET) * $BUDGET)::bigint as start_offset,
+             n_tok
+      from a111 order by shard, pos
+    """
+  }
+
+  /** c112: the √n-per-mille temperature weights (c38's quantization)
+    * at token grain, then exact integer repeat math under the epoch
+    * cap. */
+  private def c112Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val cap = graft.operators.Sampling.RepeatCap
+    s"""
+      with ${c75Chain(m)},
+      nsy112 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc112 as (
+        select tf.doc_id,
+               sum(tf.tf * coalesce(nsy112.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy112 on tf.term = nsy112.term
+        group by tf.doc_id),
+      st112 as (
+        select d.source, count(*)::bigint as n_docs, sum(enc112.n_tok)::bigint as n_tok
+        from documents d join enc112 on d.doc_id = enc112.doc_id
+        group by 1),
+      tot112 as (
+        select sum(n_tok)::bigint as budget_tok,
+               round(sum(sqrt(n_tok::double)), 6) as z
+        from st112),
+      w112 as (
+        select source, n_docs, n_tok, budget_tok,
+               floor(1000.0 * sqrt(n_tok::double) / z)::bigint as mille
+        from st112, tot112),
+      t112 as (
+        select source, n_docs, n_tok, mille,
+               ((budget_tok * mille) // 1000)::bigint as target_tok
+        from w112),
+      a112 as (
+        select *, least(n_tok * $cap, target_tok)::bigint as achieved_tok
+        from t112)
+      select source, n_docs, n_tok, mille, target_tok, achieved_tok,
+             round(achieved_tok::double / n_tok, 4) as epochs,
+             (target_tok - achieved_tok)::bigint as deficit
+      from a112 order by source
+    """
+  }
+
+  /** c113: c47's ADC chain at refine depth, exact-cosine re-rank of
+    * the candidates only. */
+  private def c113Sql: String = {
+    val depth = graft.operators.Similarity.RerankDepth
+    s"""
+      with $C47_CHAIN,
+      cand113 as (select q_id, vec_id, rank as adc_rank from r47 where rank <= $depth),
+      eq113 as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id < $NQ),
+      ex113 as (
+        select c.q_id, c.vec_id, c.adc_rank, ${cosN("eq113.q_emb", "e.embedding")} as cos
+        from cand113 c
+        join embeddings e on c.vec_id = e.vec_id
+        join eq113 on c.q_id = eq113.q_id),
+      rr113 as (
+        select q_id, vec_id, adc_rank, cos,
+               row_number() over (partition by q_id
+                 order by cos desc nulls last, vec_id)::bigint as rank
+        from ex113)
+      select q_id, rank, vec_id, adc_rank, cos from rr113
+      where rank <= $PTOPK order by q_id, rank
+    """
+  }
 
   /** c106: ONE budget-independent prefix sum over the stored-
     * tokenizer counts (c86's enc chain), then the candidate grid
@@ -2342,11 +2438,12 @@ object OraclesC {
   private def c109Sql: String = {
     val c = graft.operators.Similarity.RrfC
     val k = graft.operators.Similarity.RrfTopK
+    val qb = graft.operators.Similarity.RrfQueryBound
     s"""
       with q as (
         select doc_id as q_id, unnest(list_distinct(w[1:$QTOK])) as term
         from (select doc_id, string_split(text, ' ') as w
-              from documents where doc_id % 101 = 0)),
+              from documents where doc_id % 101 = 0 and doc_id < $qb)),
       terms as (
         select doc_id, unnest(string_split(text, ' ')) as term
         from documents where doc_id % 101 <> 0),
@@ -2375,7 +2472,8 @@ object OraclesC {
                  order by score desc, doc_id)::bigint as lex_rank
         from scored),
       lexr as (select * from lexr0 where lex_rank <= $k),
-      eq as (select vec_id as q_id, embedding as q_emb from embeddings where vec_id % 101 = 0),
+      eq as (select vec_id as q_id, embedding as q_emb
+             from embeddings where vec_id % 101 = 0 and vec_id < $qb),
       sems as (
         select eq.q_id, e.vec_id as doc_id, ${cosN("eq.q_emb", "e.embedding")} as cos
         from embeddings e cross join eq
@@ -2458,6 +2556,9 @@ object OraclesC {
     "c108_gumbel_sample" -> c108Sql,
     "c109_rrf_fusion" -> c109Sql,
     "c110_embed_drift" -> c110Sql,
+    "c111_keeps_pack" -> c111Sql,
+    "c112_repeat_mixture" -> c112Sql,
+    "c113_pq_rerank" -> c113Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

@@ -244,7 +244,15 @@ object ScaleSmoke {
       "c93_active_batch", "c94_pack_boundaries", "c95_quality_keeper",
       "c96_student_gate", "c97_classifier_refresh", "c98_export_manifest",
       "c99_curriculum", "c100_multibench_contam", "c101_manifest_diff",
-      "c102_threshold_sweep")
+      "c102_threshold_sweep",
+      // r15: the mixture/retrieval widening — the one-window grid
+      // sweep, the vocabulary-grain pair join, the TakeOrdered draw,
+      // the two-leg fusion, and the broadcast assignment pass
+      "c106_pack_sweep", "c107_source_divergence", "c108_gumbel_sample",
+      "c109_rrf_fusion", "c110_embed_drift",
+      // r15b: the mounted packing, the repeat plan, and the two-stage
+      // refine serve (candidate fetch bounded by |Q|·depth)
+      "c111_keeps_pack", "c112_repeat_mixture", "c113_pq_rerank")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -174,6 +174,9 @@ object SparkEntry {
     "c108_gumbel_sample" -> ((s, dir) => TextAnalysis.c108GumbelSample(Tables.documents(s, dir))),
     "c109_rrf_fusion" -> ((s, dir) => Similarity.c109RrfFusion(s, dir)),
     "c110_embed_drift" -> ((s, dir) => Similarity.c110EmbedDrift(Tables.embeddings(s, dir))),
+    "c111_keeps_pack" -> ((s, dir) => Sampling.c111KeepsPack(s, dir)),
+    "c112_repeat_mixture" -> ((s, dir) => Sampling.c112RepeatMixture(s, dir)),
+    "c113_pq_rerank" -> ((s, dir) => Similarity.c113PqRerank(Tables.embeddings(s, dir))),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

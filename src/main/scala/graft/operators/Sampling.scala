@@ -481,22 +481,37 @@ object Sampling {
     * shards ∝ cluster size (c22's discipline), no global sort. */
   def c103CurriculumPack(spark: org.apache.spark.sql.SparkSession, dir: String,
       budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
-      shards: Int = ShuffleShards): DataFrame = {
+      shards: Int = ShuffleShards): DataFrame =
+    packBySchedule(
+      c99CurriculumSchedule(graft.sources.Tables.documents(spark, dir), seed, shards),
+      storedTokCounts(spark, dir), budget, Seq("bin"))
+
+  /** The (shard, pos)-ordered packing window over an EXPLICIT
+    * schedule frame — ONE spelling for c103 (whole-corpus schedule)
+    * and c111 (the keeps-only schedule a run actually mounts), so the
+    * curriculum-contiguity contract cannot drift between the two.
+    * `carry` names the schedule columns echoed into the report. */
+  private[graft] def packBySchedule(sched: DataFrame, counts: DataFrame,
+      budget: Long, carry: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sched = c99CurriculumSchedule(
-      graft.sources.Tables.documents(spark, dir), seed, shards)
-    val counts = graft.operators.TextAnalysis.c83StoredTokenizer(spark, dir)
-      .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
     val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, 0)
     sched.join(counts, Seq("doc_id"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
-      .select(col("doc_id"), col("bin"), col("shard"), col("pos"), col("seq_id"),
-        (col("cum") - col("n_tok") - col("seq_id") * budget).as("start_offset"),
-        col("n_tok"))
+      .select((Seq(col("doc_id")) ++ carry.map(col) ++
+        Seq(col("shard"), col("pos"), col("seq_id"),
+          (col("cum") - col("n_tok") - col("seq_id") * budget).as("start_offset"),
+          col("n_tok"))): _*)
       .orderBy("shard", "pos")
   }
+
+  /** The stored tokenizer's per-doc counts as a (doc_id, n_tok) frame
+    * — the one count source every packing consumer prices in. */
+  private[graft] def storedTokCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.operators.TextAnalysis.c83StoredTokenizer(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
 
   /** c104: the per-SEQUENCE index of the curriculum packing — the
     * row an epoch loader actually seeks by (c103 answers "where does
@@ -548,6 +563,72 @@ object Sampling {
     val keeps = graft.operators.TextAnalysis.funnelDecisions(docs)
       .filter(col("stage") === "keep").select("doc_id")
     c99CurriculumSchedule(docs.join(keeps, Seq("doc_id")), seed, shards, bins)
+  }
+
+  /** c111: the MOUNTED packing — the last artifact gap in the
+    * manifest/schedule/packing loop: c98's manifest ships the keeps,
+    * c105 orders the keeps, but c103 packs the WHOLE-corpus schedule
+    * — a loader walking c103's sequences would still seek dropped
+    * docs. c111 runs the packing window over c105's (shard, pos), so
+    * every training sequence is a contiguous curriculum run OVER THE
+    * KEPT SET ONLY, priced in the stored tokenizer's tokens — the
+    * file set a run actually mmaps, end to end. Output is c103's
+    * schema plus the schedule's source column.
+    *
+    * Shape: c105's funnel memo + two per-shard windows, the
+    * tokenizer-artifact reduce, ONE packing window on the shard key —
+    * identical to c103's plan with the keep semi-join in front. */
+  def c111KeepsPack(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards): DataFrame =
+    packBySchedule(c105KeepsSchedule(spark, dir, seed, shards),
+      storedTokCounts(spark, dir), budget, Seq("source", "bin"))
+
+  // ---- c112: data-constrained repeat mixture ---------------------------
+
+  /** c112 repeat cap — the "repeating past ~4 epochs stops helping"
+    * reading of Muennighoff et al. 2023 (Scaling Data-Constrained
+    * LMs), the published constant for how often a source is worth
+    * replaying. Oracle-interpolated. */
+  val RepeatCap = 4L
+
+  /** c112: the DATA-CONSTRAINED repeat plan — when the target token
+    * budget exceeds what a √n-weighted mixture can draw from a source
+    * once, the assembler REPEATS sources, capped at [[RepeatCap]]
+    * epochs: per source, its token mass under the stored tokenizer,
+    * its per-mille mixture weight (p ∝ √n — c38's temperature
+    * spelling at token grain), the target mass that weight implies
+    * against a budget of one corpus-mass, the achieved mass under the
+    * epoch cap (least(cap·n, target)), the implied epoch count, and
+    * the deficit the cap leaves unfilled — the table that tells a run
+    * which sources are REPEAT-BOUND (deficit > 0: more unique data
+    * needed) vs admission-bound.
+    *
+    * Determinism: mille = floor(1000·√n/Σ√n) with Σ√n 6-rounded
+    * (c38's quantization); target = (budget·mille) div 1000 and
+    * everything after is EXACT integer arithmetic — epochs is the
+    * one final rounded division. Shape: one (source) aggregate off
+    * the tokenizer counts (S rows), a broadcast totals join, pure
+    * report math — no corpus shuffle beyond the count aggregate. */
+  def c112RepeatMixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Long = RepeatCap): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val st = docs.join(storedTokCounts(spark, dir), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+    val tot = st.agg(sum(col("n_tok")).as("budget_tok"),
+      round(sum(sqrt(col("n_tok").cast("double"))), 6).as("z"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("mille",
+        floor(lit(1000.0) * sqrt(col("n_tok").cast("double")) / col("z")).cast("long"))
+      .withColumn("target_tok", expr("(budget_tok * mille) div 1000"))
+      .withColumn("achieved_tok", least(col("n_tok") * cap, col("target_tok")))
+      .select(col("source"), col("n_docs"), col("n_tok"), col("mille"),
+        col("target_tok"), col("achieved_tok"),
+        round(col("achieved_tok").cast("double") / col("n_tok"), 4).as("epochs"),
+        (col("target_tok") - col("achieved_tok")).as("deficit"))
+      .orderBy("source")
   }
 
   /** Chunk TEXTS — the composition-facing sibling of [[c25DocChunks]]:

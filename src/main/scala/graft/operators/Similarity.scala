@@ -1873,10 +1873,17 @@ object Similarity {
   // ---- c109: hybrid lexical+semantic retrieval fusion ------------------
 
   /** c109 contract constants — the standard RRF discount (Cormack,
-    * Clarke & Büttcher 2009 use 60) and the per-leg / fused result
-    * depth. Oracle-interpolated. */
+    * Clarke & Büttcher 2009 use 60), the per-leg / fused result
+    * depth, and the query-id bound that keeps the fusion's query set
+    * a FIXED COUNT (the first 100 members of c37's % 101 slice).
+    * Without the bound the query set grows as a corpus FRACTION and
+    * the dense leg's broadcast×scan goes quadratic — the 20×
+    * ScaleSmoke measured exactly that (62.8× time ratio) before the
+    * bound; c6's fixed-count contract applied to the fusion. All
+    * oracle-interpolated. */
   val RrfC = 60L
   val RrfTopK = 10
+  val RrfQueryBound = 101L * 100
 
   /** c109: RECIPROCAL-RANK-FUSION hybrid retrieval — the two-tower
     * serving pattern every modern retrieval stack runs (lexical BM25
@@ -1903,9 +1910,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.sources.Tables.documents(spark, dir)
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val lex = graft.operators.TextAnalysis.bm25Ranked(docs, topK = RrfTopK)
+    val lex = graft.operators.TextAnalysis
+      .bm25Ranked(docs, topK = RrfTopK, queryBound = Some(RrfQueryBound))
       .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val qs = withNorm(emb).filter(col("vec_id") % 101 === 0)
+    val qs = withNorm(emb)
+      .filter(col("vec_id") % 101 === 0 && col("vec_id") < RrfQueryBound)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val sem = c6AnnTopK(emb.filter(col("vec_id") % 101 =!= 0), Some(qs), RrfTopK)
@@ -1918,6 +1927,50 @@ object Similarity {
     fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= RrfTopK)
       .select("q_id", "rank", "doc_id", "lex_rank", "sem_rank", "rrf")
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- c113: two-stage PQ serve + exact re-rank ------------------------
+
+  /** c113 candidate depth — how many ADC candidates the refine stage
+    * re-scores per query (FAISS's `k_factor·k` refinement dial; 3× the
+    * final k here). Oracle-interpolated. */
+  val RerankDepth = 30
+
+  /** c113: TWO-STAGE serving — the shape a production ANN deployment
+    * actually runs (FAISS IndexRefine, DiskANN's in-memory PQ +
+    * on-disk full vectors): stage 1 scans the COMPRESSED codes (c47's
+    * ADC kernel, M bytes/vector) for [[RerankDepth]] candidates per
+    * query, stage 2 fetches ONLY those candidates' full vectors and
+    * re-scores them with the exact cosine, returning the top
+    * [[PqTopK]]. The report carries both ranks — the ADC rank that
+    * surfaced the candidate and the exact rank that shipped it — so
+    * the reorder depth (how far the refine stage moves candidates) is
+    * readable per row; recall vs the uncompressed baseline improves
+    * over raw ADC at the cost of depth·|Q| full-vector fetches, the
+    * exact trade the depth dial prices.
+    *
+    * Shape: stage 1 is c47's one-pass kernel (zero corpus-grain
+    * shuffles); the candidate frame is |Q|·depth rows, BROADCAST
+    * against one corpus scan for the vector fetch (at 100 TB this is
+    * the random-access read of depth·|Q| rows an index serves — the
+    * broadcast-join spelling keeps it one scan here); the re-rank
+    * window orders depth rows per query. */
+  def c113PqRerank(emb: DataFrame, nQueries: Int = DefaultQueryCount,
+      depth: Int = RerankDepth, k: Int = PqTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = pqAdcServe(emb, None, nQueries, depth)
+      .select(col("q_id"), col("vec_id"), col("rank").as("adc_rank"))
+    val q = withQueryNorm(defaultQueries(emb, nQueries))
+    val exact = withNorm(emb)
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("adc_rank"),
+        pairCos("q_emb", "q_nrm", "embedding", "nrm").as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "adc_rank", "cos")
       .orderBy("q_id", "rank")
   }
 

@@ -1117,21 +1117,26 @@ object TextAnalysis {
   def c37Bm25(docs: DataFrame, postingCap: Int = Bm25PostingCap): DataFrame =
     bm25Ranked(docs, postingCap, Bm25TopK)
 
-  /** The BM25 retrieval kernel with the result depth as a parameter —
-    * ONE spelling for c37 (the keyed query, [[Bm25TopK]]) and c109's
-    * lexical leg (the fusion wants [[graft.operators.Similarity
-    * .RrfTopK]] candidates per query); everything else — query slice,
-    * stopword elision, posting cap, scoring — is c37's contract
-    * verbatim. */
+  /** The BM25 retrieval kernel with the result depth and an optional
+    * query-id bound as parameters — ONE spelling for c37 (the keyed
+    * query, [[Bm25TopK]], the whole % 101 slice: posting-cap-bounded
+    * cost, linear in queries) and c109's lexical leg (fusion depth
+    * [[graft.operators.Similarity.RrfTopK]], queries CAPPED at a
+    * fixed count so the fusion's dense leg stays a bounded
+    * broadcast); everything else — query slice, stopword elision,
+    * posting cap, scoring — is c37's contract verbatim. */
   private[operators] def bm25Ranked(docs: DataFrame, postingCap: Int = Bm25PostingCap,
-      topK: Int = Bm25TopK): DataFrame = {
+      topK: Int = Bm25TopK, queryBound: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // a doc's tf rows don't depend on other docs, so the corpus
     // restriction filters the SHARED memoized frame (one tokenize
     // pass per session, same blocks c17/c31 read) instead of keying
     // a second memo on the filtered plan
     val corpusTf = tfRows(docs).filter(col("doc_id") % 101 =!= 0)
-    val queries = docs.filter(col("doc_id") % 101 === 0)
+    val qdocs = queryBound.foldLeft(docs.filter(col("doc_id") % 101 === 0)) {
+      (d, b) => d.filter(col("doc_id") < b)
+    }
+    val queries = qdocs
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(slice(TextFns.tokens(col("text")), 1, Bm25QueryTokens)))
           .as("term"))

@@ -108,6 +108,94 @@ class Round20Spec extends AnyFunSuite {
       assert(both.map(_.getDouble(5)).max > single.map(_.getDouble(5)).min)
   }
 
+  test("c111: packs exactly the kept schedule, contiguous curriculum runs, arithmetic closes") {
+    val budget = graft.operators.Sampling.DefaultTokenBudget
+    val rows = graft.operators.Sampling.c111KeepsPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // universe ≡ c105's schedule exactly (every kept scheduled doc has
+    // a stored-tokenizer count row here and nowhere else)
+    val sched = graft.operators.Sampling.c105KeepsSchedule(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == sched.map(_.getLong(0)).toSet,
+      "packed universe != keeps schedule universe")
+    // strict subset of the whole-corpus packing when the funnel drops
+    val full = graft.operators.Sampling.c103CurriculumPack(spark, sf).collect()
+    assert(rows.length < full.length, "keeps packing did not shrink vs the full corpus")
+    // schedule coordinates respected; prefix-sum closes per shard
+    val schedPos = sched.map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    for ((_, rs) <- rows.groupBy(_.getLong(3))) {
+      val byPos = rs.sortBy(_.getLong(4))
+      var cum = 0L
+      for (r <- byPos) {
+        assert(schedPos(r.getLong(0)) == ((r.getLong(3), r.getLong(4))),
+          s"doc ${r.getLong(0)} packed off its keeps-schedule slot")
+        val (seqId, startOff, nTok) = (r.getLong(5), r.getLong(6), r.getLong(7))
+        assert(seqId == cum / budget && startOff == cum - seqId * budget,
+          s"prefix-sum arithmetic broken at doc ${r.getLong(0)}")
+        cum += nTok
+      }
+      // bins non-increasing within every sequence (contiguous
+      // curriculum runs survive the keeps filter)
+      for ((_, seqRows) <- byPos.groupBy(_.getLong(5))) {
+        val bins = seqRows.sortBy(_.getLong(4)).map(_.getLong(2))
+        assert(bins.zip(bins.tail).forall { case (a, b) => a >= b },
+          "bin increases inside a packed sequence")
+      }
+    }
+  }
+
+  test("c112: integer repeat math closes, caps bind, weights quantize to ≤ 1000 per-mille") {
+    val cap = graft.operators.Sampling.RepeatCap
+    val rows = graft.operators.Sampling.c112RepeatMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.map(_.getLong(2)).sum // Σ n_tok = the one-corpus budget
+    assert(rows.map(_.getLong(3)).sum <= 1000L, "per-mille weights overflow 1000")
+    for (r <- rows) {
+      val (nTok, mille, target, achieved) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(target == budget * mille / 1000L, s"target arithmetic broken: $r")
+      assert(achieved == math.min(nTok * cap, target), s"cap arithmetic broken: $r")
+      assert(r.getLong(7) == target - achieved && r.getLong(7) >= 0L)
+      val epochs = r.getDouble(6)
+      assert(epochs <= cap + 1e-9, s"epochs exceed the repeat cap: $r")
+      assert(math.abs(epochs - math.rint(achieved.toDouble / nTok * 1e4) / 1e4) < 1e-9)
+    }
+    // √n flattening: smaller sources get ≥ their proportional share
+    val (small, big) = (rows.minBy(_.getLong(2)), rows.maxBy(_.getLong(2)))
+    if (small.getLong(2) < big.getLong(2))
+      assert(small.getLong(3).toDouble / small.getLong(2) >=
+        big.getLong(3).toDouble / big.getLong(2),
+        "temperature weighting failed to up-weight the small source")
+  }
+
+  test("c113: refine depth bounds candidates and exact re-rank never loses recall vs raw ADC") {
+    val k = graft.operators.Similarity.PqTopK
+    val depth = graft.operators.Similarity.RerankDepth
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = graft.operators.Similarity.c113PqRerank(emb).collect()
+    assert(rows.nonEmpty)
+    val adc = graft.operators.Similarity.c47PqAdc(emb, topK = depth).collect()
+    val adcByQ = adc.groupBy(_.getLong(0))
+    val gt = graft.operators.Similarity.c6AnnTopK(emb, k = k).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    for ((q, rs) <- rows.groupBy(_.getLong(0))) {
+      assert(rs.length <= k)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq, "ranks not dense")
+      // every refined candidate came from the ADC stage at ≤ depth
+      val candSet = adcByQ(q).map(_.getLong(2)).toSet
+      assert(rs.forall(r => candSet.contains(r.getLong(2))),
+        s"query $q re-ranked a vector the ADC stage never surfaced")
+      assert(rs.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= depth))
+      // recall@k against the exact baseline: re-ranking the candidate
+      // set can only keep or improve what raw ADC@k got from it
+      for (g <- gt.get(q)) {
+        val rerankHits = rs.map(_.getLong(2)).count(g)
+        val adcHits = adcByQ(q).filter(_.getLong(1) <= k).map(_.getLong(2)).count(g)
+        assert(rerankHits >= adcHits,
+          s"query $q: exact re-rank lost recall vs raw ADC ($rerankHits < $adcHits)")
+      }
+    }
+  }
+
   test("c110: vintages partition the corpus, proportions close, psi terms non-negative") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val rows = graft.operators.Similarity.c110EmbedDrift(emb).collect()
