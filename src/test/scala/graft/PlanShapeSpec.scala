@@ -300,4 +300,43 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = "events\\.parquet".r.findAllIn(p).length
     assert(scans == 0, s"a9's check job still re-derives staging from source:\n$p")
   }
+
+  test("c106 sweeps the grid off ONE packing window (explode above, never a window per budget)") {
+    val p = plan("c106_pack_sweep")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"c106 plans $windows windows (one budget-independent prefix sum expected):\n$p")
+    assert(p.contains("Generate explode"), s"c106 lost the grid explode:\n$p")
+  }
+
+  test("c108 samples via TakeOrdered — never a global sort of the corpus") {
+    val p = plan("c108_gumbel_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"c108 lost the TakeOrdered top-k:\n$p")
+    // the rank window runs AFTER the limit, over k rows — the plan's
+    // only Sort nodes sit above the TakeOrdered's k-row output
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c110's assignment is a map-side struct-max aggregate, not a corpus window") {
+    val p = plan("c110_embed_drift")
+    assert(!p.contains("Window"), s"c110 sorts the corpus for its assignment:\n$p")
+    assert(p.contains("max_by"), s"c110 lost the struct-max assignment:\n$p")
+    assert(p.contains("BroadcastExchange"), s"c110's centroids are not broadcast:\n$p")
+  }
+
+  test("c113's stage-2 vector fetch broadcasts the candidates against one corpus scan") {
+    val p = plan("c113_pq_rerank")
+    assert(p.contains("BroadcastHashJoin"), s"c113's candidate fetch shuffles the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // ADC rank window + the ≤ depth-row re-rank window, nothing more
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows <= 2, s"c113 plans $windows windows:\n$p")
+  }
+
+  test("the fusion and the new report tier plan no cartesian products") {
+    for (name <- Seq("c107_source_divergence", "c109_rrf_fusion",
+        "c111_keeps_pack", "c112_repeat_mixture")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+    }
+  }
 }
