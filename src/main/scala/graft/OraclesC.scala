@@ -124,7 +124,9 @@ object OraclesC {
 
   /** c3's MinHash-LSH chain up to verified candidate pairs (CTE list,
     * no WITH keyword) — shared by c3 and c12. */
-  private val C3_CHAIN = s"""
+  /** The shingle-set + 16-minhash-signature CTEs (shd, mh, sig) —
+    * shared by c3's fixed-geometry chain and c114's geometry grid. */
+  private val C3_SIG_CHAIN = s"""
       shd as (select distinct doc_id, s from ($SHINGLES)),
       mh as (
         select doc_id, i,
@@ -133,7 +135,9 @@ object OraclesC {
         from shd, unnest(range(0,$MHK)) as t(i)
         group by doc_id, i),
       sig as (
-        select doc_id, list(v order by i) as sig from mh group by doc_id),
+        select doc_id, list(v order by i) as sig from mh group by doc_id)"""
+
+  private val C3_CHAIN = s"""$C3_SIG_CHAIN,
       bands as (
         select doc_id, md5($BAND_KEY) as band_key
         from sig, unnest(range(0,$BANDS)) as t(j)
@@ -2317,6 +2321,101 @@ object OraclesC {
     """
   }
 
+  /** c114: c3's signature chain once, band keys per grid geometry
+    * (geometry-prefixed so buckets never mix), bucket cap per
+    * geometry, one exact-Jaccard verify over the candidate union. */
+  private def c114Sql: String = {
+    val bar = 0.5
+    val geos = graft.operators.Dedup.LshGeometries
+    val bandCtes = geos.map { case (b, r) =>
+      val key = (1 to r).map(k => s"sig[$r*j+$k]")
+        .mkString(s"'$b' || ':' || j::varchar || ':' || ", " || ':' || ", "")
+      s"""bands$b as (
+        select $b::bigint as bands, doc_id, md5($key) as band_key
+        from sig, unnest(range(0,$b)) as t(j))"""
+    }.mkString(",\n      ")
+    val allUnion = geos.map { case (b, _) => s"select * from bands$b" }
+      .mkString(" union all ")
+    s"""
+      with $C3_SIG_CHAIN,
+      $bandCtes,
+      allbands as ($allUnion),
+      bsz114 as (
+        select bands, band_key, count(*)::bigint as bsz
+        from allbands group by 1, 2 having count(*) <= $CAP),
+      np114 as (
+        select bands, sum(bsz * (bsz - 1) // 2)::bigint as n_probes
+        from bsz114 group by bands),
+      sdoc114 as (
+        select a.bands, a.doc_id, a.band_key
+        from allbands a join bsz114 using (bands, band_key)
+        qualify row_number() over (partition by a.bands, a.band_key
+          order by md5(a.doc_id::varchar), a.doc_id)
+          <= ${graft.operators.Dedup.SweepBucketSample}),
+      cand114 as (
+        select distinct a.bands, a.doc_id as doc_a, b.doc_id as doc_b
+        from sdoc114 a join sdoc114 b
+          on a.bands = b.bands and a.band_key = b.band_key and a.doc_id < b.doc_id),
+      samp114 as (
+        select bands, doc_a, doc_b from cand114
+        qualify row_number() over (partition by bands
+          order by md5(doc_a::varchar || ':' || doc_b::varchar), doc_a, doc_b)
+          <= ${graft.operators.Dedup.SweepVerifyCap}),
+      pairs114 as (select distinct doc_a, doc_b from samp114),
+      sets114 as (select doc_id, list(s) as sh from shd group by doc_id),
+      v114 as (
+        select doc_a, doc_b,
+               round((len(sa.sh) + len(sb.sh) - u.uni)::double / u.uni, 4) as jaccard
+        from pairs114
+        join sets114 sa on pairs114.doc_a = sa.doc_id
+        join sets114 sb on pairs114.doc_b = sb.doc_id,
+        lateral (select len(list_distinct(list_concat(sa.sh, sb.sh))) as uni) u),
+      tot114 as (
+        select count(*)::bigint as n_dups_union from v114 where jaccard >= $bar),
+      g114 as (
+        select bands, count(*)::bigint as n_verified,
+               sum(case when jaccard >= $bar then 1 else 0 end)::bigint as n_dup
+        from samp114 join v114 using (doc_a, doc_b)
+        group by bands)
+      select g114.bands, ($MHK // g114.bands)::bigint as rows_per_band,
+             n_probes, n_verified, n_dup,
+             round(n_dup::double / n_verified, 4) as precision,
+             case when n_dups_union > 0
+               then round(n_dup::double / n_dups_union, 4) end as recall
+      from g114 join np114 on g114.bands = np114.bands, tot114
+      order by g114.bands
+    """
+  }
+
+  /** c115: c89's stored-weights scoring chain, fixed-width score
+    * deciles, the reliability table. */
+  private def c115Sql: String = {
+    val steps = graft.operators.TextAnalysis.QcTrainSteps
+    val bins = graft.operators.TextAnalysis.CalibBins
+    s"""${c88Chain(steps)},
+      s115 as (
+        select t.doc_id,
+               round(1.0 / (1.0 + exp(-((w.w0 / 1000000.0) * x0 + (w.w1 / 1000000.0) * x1
+                 + (w.w2 / 1000000.0) * x2 + (w.w3 / 1000000.0) * x3
+                 + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as score,
+               y::bigint as teacher_keep
+        from t cross join w$steps w),
+      b115 as (
+        select least(floor(score * $bins), ${bins - 1})::bigint as bin, score, teacher_keep
+        from s115),
+      a115 as (
+        select bin, count(*)::bigint as n_docs,
+               sum(teacher_keep)::bigint as n_teacher_keep,
+               round(avg(score), 4) as mean_score
+        from b115 group by bin),
+      k115 as (
+        select *, round(n_teacher_keep::double / n_docs, 4) as keep_rate from a115)
+      select bin, n_docs, n_teacher_keep, mean_score, keep_rate,
+             round(keep_rate - mean_score, 4) as calib_gap
+      from k115 order by bin
+    """
+  }
+
   /** c113: c47's ADC chain at refine depth, exact-cosine re-rank of
     * the candidates only. */
   private def c113Sql: String = {
@@ -2559,6 +2658,8 @@ object OraclesC {
     "c111_keeps_pack" -> c111Sql,
     "c112_repeat_mixture" -> c112Sql,
     "c113_pq_rerank" -> c113Sql,
+    "c114_lsh_geometry" -> c114Sql,
+    "c115_calibration" -> c115Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

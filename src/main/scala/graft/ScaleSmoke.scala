@@ -252,7 +252,10 @@ object ScaleSmoke {
       "c109_rrf_fusion", "c110_embed_drift",
       // r15b: the mounted packing, the repeat plan, and the two-stage
       // refine serve (candidate fetch bounded by |Q|·depth)
-      "c111_keeps_pack", "c112_repeat_mixture", "c113_pq_rerank")
+      "c111_keeps_pack", "c112_repeat_mixture", "c113_pq_rerank",
+      // r15c: the geometry grid (3× band derivations off one sig
+      // build, one union verify) and the calibration report
+      "c114_lsh_geometry", "c115_calibration")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

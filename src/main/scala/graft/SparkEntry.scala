@@ -177,6 +177,8 @@ object SparkEntry {
     "c111_keeps_pack" -> ((s, dir) => Sampling.c111KeepsPack(s, dir)),
     "c112_repeat_mixture" -> ((s, dir) => Sampling.c112RepeatMixture(s, dir)),
     "c113_pq_rerank" -> ((s, dir) => Similarity.c113PqRerank(Tables.embeddings(s, dir))),
+    "c114_lsh_geometry" -> ((s, dir) => Dedup.c114LshGeometry(Tables.documents(s, dir))),
+    "c115_calibration" -> ((s, dir) => TextAnalysis.c115Calibration(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -511,6 +511,121 @@ object Dedup {
           .cast("double") / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
   }
 
+  /** c114 geometry grid — every (bands, rows-per-band) factoring of
+    * the [[MinhashK]] signature: (16,1) fires on any single-hash
+    * collision (high recall, low precision), (4,4) needs four
+    * simultaneous matches (the opposite corner). The classic LSH
+    * S-curve P(candidate) = 1 − (1 − j^r)^b, priced on THIS corpus
+    * instead of trusted from the formula. Oracle-interpolated. */
+  val LshGeometries: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4))
+
+  /** c114's sampling dials. The permissive corner of the grid
+    * ((16,1): a single 16-bit minhash per band) saturates on any
+    * large corpus — min-of-many-draws concentrates on small hash
+    * values, so enumerating its candidate pairs is ~quadratic until
+    * the bucket cap bites (the 20× ScaleSmoke measured 120× before
+    * these budgets). The sweep therefore (a) prices each geometry's
+    * WORK analytically — Σ C(bucket_size, 2) off a count-first bucket
+    * aggregate, never a pair enumeration — and (b) estimates
+    * precision on pairs drawn from an md5-ordered per-bucket DOC
+    * sample ([[SweepBucketSample]]), with [[SweepVerifyCap]] as the
+    * per-geometry guard on the exact-Jaccard verify set. A
+    * dial-pricing report needs the probe count and an unbiased
+    * precision read, not every pair — the evidence builds stay
+    * c3/c12's job. Oracle-interpolated. */
+  val SweepBucketSample = 16
+  val SweepVerifyCap = 100000
+
+  /** c114: the LSH GEOMETRY sweep — the banding dial c3 fixes at 8×2,
+    * measured across the grid before a deployment commits: per
+    * geometry, candidate volume, verified duplicates (exact Jaccard ≥
+    * the c12 bar) on the budgeted sample, precision, and recall
+    * against the union of duplicates ANY geometry's sample surfaces —
+    * the measured S-curve that tells a run whether its banding wastes
+    * verification budget (precision low) or misses near-dups (recall
+    * low).
+    *
+    * Shape: ONE minhash signature build (the 16 min-aggregates c3
+    * pays, computed once and checkpointed), a |grid|-way union of
+    * band-key derivations off that frame — band keys are geometry-
+    * prefixed so buckets never mix — one bucket-capped self-join
+    * keyed (bands, band_key), a per-geometry [[SweepVerifyCap]]
+    * budget (md5-ordered WindowGroupLimit — pseudo-random, engine-
+    * exact), and ONE exact-Jaccard verification over the DISTINCT
+    * sampled union (a pair surfacing under all three geometries is
+    * verified once, not three times). Report = |grid| rows. */
+  def c114LshGeometry(docs: DataFrame, bucketCap: Int = BucketCap,
+      bar: Double = 0.5, geos: Seq[(Int, Int)] = LshGeometries,
+      bucketSample: Int = SweepBucketSample,
+      verifyCap: Int = SweepVerifyCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(geos.nonEmpty && geos.forall { case (b, r) => b * r == MinhashK },
+      s"every geometry must factor the $MinhashK-hash signature")
+    val sets = sharedShingleSets(docs)
+    val sig = minhashSigs(sets.select(col("doc_id"), explode(col("sh")).as("s")))
+      .localCheckpoint() // |docs| rows; read once per geometry branch
+    val bandRows = geos.map { case (b, r) =>
+      sig.select(lit(b.toLong).as("bands"), col("doc_id"),
+          explode(sequence(lit(0), lit(b - 1))).as("j"), col("sig"))
+        .select(col("bands"), col("doc_id"),
+          md5(concat_ws(":", lit(b) +: col("j") +: (1 to r).map(k =>
+            element_at(col("sig"), col("j") * r + k)): _*)).as("band_key"))
+    }.reduce(_ unionByName _).localCheckpoint() // sizes + sample both read it
+    // count-first bucket sizes (map-side combinable — the verdict's
+    // posting-cap discipline): the analytic probe count needs no pair
+    // enumeration at all
+    val bsizes = bandRows.groupBy("bands", "band_key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= bucketCap)
+      .localCheckpoint() // probe sum + the sample's semi-join both read it
+    val nProbes = bsizes.groupBy("bands")
+      .agg(sum(col("bsz") * (col("bsz") - 1) / 2).cast("long").as("n_probes"))
+    // md5-ordered per-bucket doc sample bounds pair enumeration at
+    // C(sample, 2) per bucket — the quadratic corner never enumerates
+    val wBucket = Window.partitionBy(col("bands"), col("band_key"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val sampledDocs = bandRows
+      .join(bsizes.select("bands", "band_key"), Seq("bands", "band_key"))
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= bucketSample)
+      .select(col("bands"), col("doc_id"), col("band_key"))
+      .localCheckpoint() // both self-join sides read it
+    val cand = sampledDocs.as("a")
+      .join(sampledDocs.as("b"), Seq("bands", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("bands"), col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val wBudget = Window.partitionBy(col("bands"))
+      .orderBy(md5(concat_ws(":", col("doc_a"), col("doc_b"))), col("doc_a"), col("doc_b"))
+    val sampled = cand
+      .withColumn("rn", row_number().over(wBudget))
+      .filter(col("rn") <= verifyCap)
+      .select("bands", "doc_a", "doc_b")
+      .localCheckpoint() // per-geometry stats + the verify union read it
+    // verify the SAMPLED pair union once; geometries re-join verdicts
+    val verified = sampled.select("doc_a", "doc_b").distinct()
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round((size(col("sh_a")) + size(col("sh_b")) - size(array_union(col("sh_a"), col("sh_b"))))
+          .cast("double") / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .localCheckpoint() // pair-evidence-sized; read per geometry + union total
+    val totalDups = verified.filter(col("jaccard") >= bar)
+      .agg(count(lit(1)).as("n_dups_union"))
+    sampled.join(verified, Seq("doc_a", "doc_b"))
+      .groupBy("bands")
+      .agg(count(lit(1)).as("n_verified"),
+        sum(when(col("jaccard") >= bar, 1L).otherwise(0L)).as("n_dup"))
+      .join(nProbes, Seq("bands"))
+      .crossJoin(broadcast(totalDups))
+      .select(col("bands"), (lit(MinhashK) / col("bands")).cast("long").as("rows_per_band"),
+        col("n_probes"), col("n_verified"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_verified"), 4).as("precision"),
+        when(col("n_dups_union") > 0,
+          round(col("n_dup").cast("double") / col("n_dups_union"), 4)).as("recall"))
+      .orderBy("bands")
+  }
+
   /** c12: duplicate clusters — connected components over the verified
     * near-dup pair graph (jaccard ≥ 0.5), the step that turns pair
     * lists into the keep-one-per-cluster decision a training-data

@@ -2557,6 +2557,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- c115: classifier calibration ------------------------------------
+
+  /** c115 bin count — fixed-width score deciles (quantile bins would
+    * need a cross-engine percentile contract; c91's fixed-range
+    * stance). Oracle-interpolated. */
+  val CalibBins = 10
+
+  /** c115: RELIABILITY of the stored classifier — the calibration
+    * monitor a deployed c89 needs next to c91's drift and c102's
+    * threshold sweep: scores cut into [[CalibBins]] fixed-width bins,
+    * each bin reporting its doc count, mean predicted score, the
+    * TEACHER's empirical keep rate, and the calibration gap
+    * (keep_rate − mean_score) — the reliability diagram in rows. A
+    * well-calibrated student has gaps ≈ 0 everywhere; a positive gap
+    * in the high bins means the student under-claims quality (c102's
+    * threshold should move down), negative means over-confidence.
+    * Score 1.0 clamps into the top bin.
+    *
+    * Shape: scoring is c89's one aggregate off the memoized training
+    * frame; the binning is a per-row floor and ONE ≤ bins-group
+    * aggregate — report-sized at any corpus. */
+  def c115Calibration(spark: org.apache.spark.sql.SparkSession, dir: String,
+      bins: Int = CalibBins): DataFrame = {
+    c89StoredClassifier(spark, dir)
+      .select(col("doc_id"), col("score"), col("teacher_keep"))
+      .withColumn("bin", least(floor(col("score") * bins), lit(bins - 1L)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("teacher_keep")).as("n_teacher_keep"),
+        round(avg(col("score")), 4).as("mean_score"))
+      .withColumn("keep_rate",
+        round(col("n_teacher_keep").cast("double") / col("n_docs"), 4))
+      .withColumn("calib_gap", round(col("keep_rate") - col("mean_score"), 4))
+      .orderBy("bin")
+  }
+
   // ---- c108: quality-weighted sampling without replacement -------------
 
   /** c108 contract constants — sample size, the weight floor (a

@@ -196,6 +196,52 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("c114: candidate volume and recall grow with bands, dup counts nest across the grid") {
+    val rows = graft.operators.Dedup.c114LshGeometry(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    val grid = graft.operators.Dedup.LshGeometries.map(_._1.toLong).toSet
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(grid))
+    for (r <- rows) {
+      assert(r.getLong(1) == graft.operators.Dedup.MinhashK / r.getLong(0))
+      // every distinct sampled pair is counted at least once in the
+      // analytic probe mass
+      assert(r.getLong(3) <= r.getLong(2), "verified more pairs than the probe mass")
+      assert(r.getLong(3) <= graft.operators.Dedup.SweepVerifyCap, "verify budget breached")
+      assert(r.getLong(4) <= r.getLong(3), "more dups than verified pairs")
+      val prec = r.getDouble(5)
+      assert(prec >= 0 && prec <= 1.0 + 1e-9)
+    }
+    // a pair matching an r-row band matches both r/2-row halves, so
+    // probe mass NESTS as bands grow (bucket caps could in theory
+    // break this on a degenerate corpus; on the driver corpus they
+    // don't bind at these volumes)
+    val byBands = rows.sortBy(_.getLong(0))
+    val probes = byBands.map(_.getLong(2))
+    assert(probes.zip(probes.tail).forall { case (a, b) => a <= b },
+      s"probe mass not monotone in bands: ${probes.toSeq}")
+  }
+
+  test("c115: bins partition the scored corpus and the gap arithmetic closes") {
+    val bins = graft.operators.TextAnalysis.CalibBins
+    val rows = graft.operators.TextAnalysis.c115Calibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scored = graft.operators.TextAnalysis.c89StoredClassifier(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == scored, "bins do not partition the scored corpus")
+    for (r <- rows) {
+      val bin = r.getLong(0)
+      assert(bin >= 0 && bin < bins)
+      assert(r.getLong(2) <= r.getLong(1), "more keeps than docs in a bin")
+      val (mean, rate, gap) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // fixed-width bin bounds (top bin clamps score 1.0)
+      assert(mean >= bin.toDouble / bins - 1e-9 &&
+        mean <= (bin + 1).toDouble / bins + (if (bin == bins - 1) 1e-9 else 1e-9),
+        s"mean score outside its bin: $r")
+      assert(math.abs(gap - math.rint((rate - mean) * 1e4) / 1e4) < 1e-9)
+      assert(rate >= 0 && rate <= 1.0 + 1e-9)
+    }
+  }
+
   test("c110: vintages partition the corpus, proportions close, psi terms non-negative") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val rows = graft.operators.Similarity.c110EmbedDrift(emb).collect()
