@@ -2416,6 +2416,16 @@ object OraclesC {
     """
   }
 
+  /** c116: c102's sweep as a subquery, F1-scored, the max-F1 row
+    * (ties to the lower threshold). */
+  private def c116Sql: String = s"""
+      select threshold, n_keep, tp, fp, fn, precision, recall, agreement,
+             case when 2 * tp + fp + fn > 0
+               then round((2 * tp)::double / (2 * tp + fp + fn), 4) end as f1
+      from ( $c102Sql ) s102
+      order by f1 desc, threshold limit 1
+    """
+
   /** c113: c47's ADC chain at refine depth, exact-cosine re-rank of
     * the candidates only. */
   private def c113Sql: String = {
@@ -2660,6 +2670,7 @@ object OraclesC {
     "c113_pq_rerank" -> c113Sql,
     "c114_lsh_geometry" -> c114Sql,
     "c115_calibration" -> c115Sql,
+    "c116_threshold_pick" -> c116Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

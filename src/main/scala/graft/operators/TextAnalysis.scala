@@ -2483,6 +2483,29 @@ object TextAnalysis {
       .orderBy("threshold")
   }
 
+  /** c116: the RECOMMENDED cut — closing the monitoring → config loop
+    * (c115 reads calibration, c102 prices every cut; this picks one):
+    * c102's sweep re-scored with F1 (the balance metric a gate
+    * deploys on), the winner = max F1, ties to the LOWER threshold
+    * (keep more data at equal quality). Output is ONE row — the
+    * threshold a deployment writes into the student gate's config,
+    * with the full confusion evidence attached — so "where should 0.5
+    * actually sit" is a query result, not a hand edit. F1 =
+    * 2tp/(2tp+fp+fn): an exact integer-pair division in both engines
+    * before its 4-round.
+    *
+    * Shape: c102's one scoring pass + grid explode (rows per doc, not
+    * passes), a ≤|grid|-row sort. */
+  def c116ThresholdPick(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val f1 = when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+      round(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")), 4))
+    c102ThresholdSweep(spark, dir)
+      .withColumn("f1", f1)
+      .orderBy(col("f1").desc, col("threshold"))
+      .limit(1)
+  }
+
   /** c93 batch size — the labeling budget per active-learning round.
     * Oracle-interpolated. */
   val ActiveBatchK = 50

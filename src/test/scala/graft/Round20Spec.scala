@@ -242,6 +242,27 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("c116: the pick is the sweep's max-F1 row, ties to the lower threshold") {
+    val pick = graft.operators.TextAnalysis.c116ThresholdPick(spark, sf).collect()
+    assert(pick.length == 1)
+    val p = pick.head
+    // F1 arithmetic closes off the row's own confusion counts
+    val (tp, fp, fn) = (p.getLong(2), p.getLong(3), p.getLong(4))
+    val f1 = p.getDouble(8)
+    assert(math.abs(f1 - math.rint(2.0 * tp / (2 * tp + fp + fn) * 1e4) / 1e4) < 1e-9)
+    // no sweep row has a strictly higher F1; equal-F1 rows sit at a
+    // higher threshold (the tie rule keeps more data)
+    val sweep = graft.operators.TextAnalysis.c102ThresholdSweep(spark, sf).collect()
+    for (r <- sweep) {
+      val rf1 = 2.0 * r.getLong(2) / (2 * r.getLong(2) + r.getLong(3) + r.getLong(4))
+      val rf1r = math.rint(rf1 * 1e4) / 1e4
+      assert(rf1r < f1 + 1e-9, s"sweep row beats the pick: $r")
+      if (math.abs(rf1r - f1) < 1e-9)
+        assert(r.getDouble(0) >= p.getDouble(0) - 1e-9,
+          s"an equal-F1 row at a lower threshold was not picked: $r")
+    }
+  }
+
   test("c110: vintages partition the corpus, proportions close, psi terms non-negative") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val rows = graft.operators.Similarity.c110EmbedDrift(emb).collect()
