@@ -2281,6 +2281,31 @@ object OraclesC {
     """
   }
 
+  /** c117: c111's mounted packing aggregated to sequence grain, the
+    * epoch grid exploded, epoch 0 in curriculum order and later
+    * epochs under the seeded md5 shuffle. */
+  private def c117Sql: String = {
+    val e = graft.operators.Sampling.EpochCount
+    val seed = graft.operators.Sampling.ShuffleSeed
+    s"""
+      with p117 as ( $c111Sql ),
+      s117 as (
+        select shard, seq_id, count(*)::bigint as n_docs, sum(n_tok)::bigint as sum_tok
+        from p117 group by 1, 2),
+      e117 as (select s117.*, unnest(range(0, $e))::bigint as epoch from s117),
+      r117 as (
+        select epoch, shard, seq_id, n_docs, sum_tok,
+               row_number() over (partition by epoch, shard
+                 order by case when epoch = 0 then seq_id else 0 end,
+                          md5('$seed' || ':' || epoch::varchar || ':'
+                            || shard::varchar || ':' || seq_id::varchar),
+                          seq_id)::bigint as epoch_pos
+        from e117)
+      select epoch, shard, seq_id, epoch_pos, n_docs, sum_tok
+      from r117 order by epoch, shard, epoch_pos
+    """
+  }
+
   /** c112: the √n-per-mille temperature weights (c38's quantization)
     * at token grain, then exact integer repeat math under the epoch
     * cap. */
@@ -2671,6 +2696,7 @@ object OraclesC {
     "c114_lsh_geometry" -> c114Sql,
     "c115_calibration" -> c115Sql,
     "c116_threshold_pick" -> c116Sql,
+    "c117_epoch_plan" -> c117Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

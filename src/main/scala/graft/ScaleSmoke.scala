@@ -255,7 +255,8 @@ object ScaleSmoke {
       "c111_keeps_pack", "c112_repeat_mixture", "c113_pq_rerank",
       // r15c: the geometry grid (3× band derivations off one sig
       // build, one union verify) and the calibration report
-      "c114_lsh_geometry", "c115_calibration", "c116_threshold_pick")
+      "c114_lsh_geometry", "c115_calibration", "c116_threshold_pick",
+      "c117_epoch_plan")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

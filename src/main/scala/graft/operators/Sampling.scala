@@ -584,6 +584,45 @@ object Sampling {
     packBySchedule(c105KeepsSchedule(spark, dir, seed, shards),
       storedTokCounts(spark, dir), budget, Seq("source", "bin"))
 
+  /** c117 epoch count — the read plan's horizon. Oracle-interpolated. */
+  val EpochCount = 3
+
+  /** c117: the MULTI-EPOCH read plan — what the loader consumes
+    * ACROSS epochs (c111 fixes one epoch's mounted packing; training
+    * runs several): per epoch, the order in which each shard's packed
+    * SEQUENCES are read. Epoch 0 preserves the curriculum exactly
+    * (sequence id order — the easy-first schedule c111 packed);
+    * epochs ≥ 1 reshuffle sequences WITHIN each shard under a seeded
+    * md5 key (c28's epoch-shuffle discipline at sequence grain), so
+    * later epochs decorrelate batch composition while every sequence
+    * keeps its internal curriculum run — the standard
+    * curriculum-then-shuffle training recipe, deterministic on any
+    * engine, rerun, or cluster size.
+    *
+    * Shape: c111's packing aggregated to sequence grain (corpus
+    * tokens / budget rows), a |epochs|-way explode, one per-(epoch,
+    * shard) rank window over sequence-grain rows — report-sized at
+    * any corpus; the raw corpus is never re-read per epoch. */
+  def c117EpochPlan(spark: org.apache.spark.sql.SparkSession, dir: String,
+      epochs: Int = EpochCount, budget: Long = DefaultTokenBudget,
+      seed: Long = ShuffleSeed, shards: Int = ShuffleShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochs > 0, "c117 needs at least one epoch")
+    val seqs = c111KeepsPack(spark, dir, budget, seed, shards)
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+    val skey = md5(concat_ws(":", lit(seed), col("epoch"), col("shard"), col("seq_id")))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(when(col("epoch") === 0, col("seq_id")).otherwise(lit(0L)),
+        skey, col("seq_id"))
+    seqs
+      .select(col("shard"), col("seq_id"), col("n_docs"), col("sum_tok"),
+        explode(sequence(lit(0L), lit((epochs - 1).toLong))).as("epoch"))
+      .withColumn("epoch_pos", row_number().over(w).cast("long"))
+      .select("epoch", "shard", "seq_id", "epoch_pos", "n_docs", "sum_tok")
+      .orderBy("epoch", "shard", "epoch_pos")
+  }
+
   // ---- c112: data-constrained repeat mixture ---------------------------
 
   /** c112 repeat cap — the "repeating past ~4 epochs stops helping"

@@ -263,6 +263,40 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("c117: epoch 0 preserves the curriculum, later epochs permute the same sequence set") {
+    val rows = graft.operators.Sampling.c117EpochPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val epochs = rows.map(_.getLong(0)).distinct.sorted
+    assert(epochs.toSeq == (0L until graft.operators.Sampling.EpochCount).toSeq)
+    val byEpoch = rows.groupBy(_.getLong(0))
+    val seqSet = byEpoch(0L).map(r => (r.getLong(1), r.getLong(2))).toSet
+    for ((e, rs) <- byEpoch) {
+      // every epoch reads exactly the packed sequence set, once each
+      assert(rs.map(r => (r.getLong(1), r.getLong(2))).toSet == seqSet,
+        s"epoch $e reads a different sequence universe")
+      for ((_, shardRows) <- rs.groupBy(_.getLong(1))) {
+        val pos = shardRows.map(_.getLong(3)).sorted.toSeq
+        assert(pos == (1L to shardRows.length).toSeq, s"epoch $e positions not dense")
+      }
+    }
+    // epoch 0 IS the curriculum: positions follow sequence ids
+    for ((_, shardRows) <- byEpoch(0L).groupBy(_.getLong(1))) {
+      val inPos = shardRows.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(inPos.sorted.toSeq == inPos.toSeq, "epoch 0 broke the curriculum order")
+    }
+    // later epochs actually shuffle (some shard's order differs from
+    // the curriculum, given more than one sequence per shard)
+    if (byEpoch.contains(1L)) {
+      val moved = byEpoch(1L).groupBy(_.getLong(1)).exists { case (_, shardRows) =>
+        shardRows.length > 1 && {
+          val inPos = shardRows.sortBy(_.getLong(3)).map(_.getLong(2))
+          inPos.sorted.toSeq != inPos.toSeq
+        }
+      }
+      assert(moved, "epoch 1 never deviates from the curriculum order")
+    }
+  }
+
   test("c110: vintages partition the corpus, proportions close, psi terms non-negative") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val rows = graft.operators.Similarity.c110EmbedDrift(emb).collect()
