@@ -2306,6 +2306,19 @@ object OraclesC {
     """
   }
 
+  /** c120: c104's index aggregate over the MOUNTED (keeps-only)
+    * packing — c111's full chain as a CTE, then ONE (shard, seq_id)
+    * group; the index c117's epoch plan actually resolves in. */
+  private def c120Sql: String = s"""
+      with p120 as ( $c111Sql )
+      select shard, seq_id, count(*)::bigint as n_docs,
+             sum(n_tok)::bigint as sum_tok,
+             min(pos)::bigint as first_pos, max(pos)::bigint as last_pos,
+             max(bin)::bigint as max_bin, min(bin)::bigint as min_bin,
+             round(sum(n_tok)::double / $BUDGET, 4) as fill_frac
+      from p120 group by shard, seq_id order by shard, seq_id
+    """
+
   /** c112: the √n-per-mille temperature weights (c38's quantization)
     * at token grain, then exact integer repeat math under the epoch
     * cap. */
@@ -2697,6 +2710,7 @@ object OraclesC {
     "c115_calibration" -> c115Sql,
     "c116_threshold_pick" -> c116Sql,
     "c117_epoch_plan" -> c117Sql,
+    "c120_keeps_manifest" -> c120Sql,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """

@@ -245,6 +245,10 @@ object ScaleSmoke {
       "c96_student_gate", "c97_classifier_refresh", "c98_export_manifest",
       "c99_curriculum", "c100_multibench_contam", "c101_manifest_diff",
       "c102_threshold_sweep",
+      // r16 (advice): the whole-corpus curriculum packing windows —
+      // c111 covers the keeps-filtered (smaller) shape only, so the
+      // corpus-grain windows get their own 20× rows
+      "c103_curriculum_pack", "c104_seq_manifest", "c105_keeps_schedule",
       // r15: the mixture/retrieval widening — the one-window grid
       // sweep, the vocabulary-grain pair join, the TakeOrdered draw,
       // the two-leg fusion, and the broadcast assignment pass

@@ -578,8 +578,11 @@ object Dedup {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= bucketCap)
       .localCheckpoint() // probe sum + the sample's semi-join both read it
+    // integer `div` keeps every term (and the sum) a long — the
+    // oracle sums exact integers via `//`, and a double sum could
+    // diverge from it past 2^53 aggregate probe mass
     val nProbes = bsizes.groupBy("bands")
-      .agg(sum(col("bsz") * (col("bsz") - 1) / 2).cast("long").as("n_probes"))
+      .agg(sum(expr("bsz * (bsz - 1) div 2")).as("n_probes"))
     // md5-ordered per-bucket doc sample bounds pair enumeration at
     // C(sample, 2) per bucket — the quadratic corner never enumerates
     val wBucket = Window.partitionBy(col("bands"), col("band_key"))

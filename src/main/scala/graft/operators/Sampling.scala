@@ -529,7 +529,15 @@ object Sampling {
   def c104SeqManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
       budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
       shards: Int = ShuffleShards): DataFrame =
-    c103CurriculumPack(spark, dir, budget, seed, shards)
+    seqManifestOver(c103CurriculumPack(spark, dir, budget, seed, shards), budget)
+
+  /** The per-(shard, seq_id) index aggregate over ANY packing frame
+    * carrying (shard, pos, seq_id, bin, n_tok) — ONE spelling shared
+    * by c104 (the whole-corpus packing) and c120 (the keeps-only
+    * mounted packing), so the two indexes cannot drift in what a
+    * sequence row means. */
+  private[graft] def seqManifestOver(pack: DataFrame, budget: Long): DataFrame =
+    pack
       .groupBy("shard", "seq_id")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -540,6 +548,25 @@ object Sampling {
         min(col("bin")).as("min_bin"))
       .withColumn("fill_frac", round(col("sum_tok").cast("double") / budget, 4))
       .orderBy("shard", "seq_id")
+
+  /** c120: the sequence index of the MOUNTED packing — the r11
+    * verdict's design-coherence fix ("c104's sequence index describes
+    * a packing the epoch plan doesn't read"): c104 indexes c103's
+    * whole-corpus packing, but the epoch plan (c117) and the mount
+    * (c111) are keeps-only, so a loader seeking c117's
+    * (shard, seq_id) in c104's manifest reads rows about sequences it
+    * will never mmap. c120 is the SAME index aggregate
+    * ([[seqManifestOver]], one spelling) over c111's keeps-only
+    * packing — every c117 sequence resolves here, both directions
+    * (the pipeline-integrity spec pins c120 ↔ c111 ↔ c117).
+    *
+    * Shape: c111's packing + ONE (shard, seq_id) aggregate reusing
+    * the packing window's shard exchange — report-sized (kept tokens
+    * / budget rows) at any scale. */
+  def c120KeepsManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards): DataFrame =
+    seqManifestOver(c111KeepsPack(spark, dir, budget, seed, shards), budget)
 
   /** c105: the KEEPS-ONLY curriculum — the schedule a run actually
     * mounts: c99 orders the WHOLE corpus while c98's manifest ships

@@ -1874,13 +1874,15 @@ object Similarity {
 
   /** c109 contract constants — the standard RRF discount (Cormack,
     * Clarke & Büttcher 2009 use 60), the per-leg / fused result
-    * depth, and the query-id bound that keeps the fusion's query set
-    * a FIXED COUNT (the first 100 members of c37's % 101 slice).
-    * Without the bound the query set grows as a corpus FRACTION and
-    * the dense leg's broadcast×scan goes quadratic — the 20×
-    * ScaleSmoke measured exactly that (62.8× time ratio) before the
-    * bound; c6's fixed-count contract applied to the fusion. All
-    * oracle-interpolated. */
+    * depth, and the query-id bound that caps the fusion's query set
+    * at AT MOST 100 queries (the % 101 slice members below the
+    * bound; fewer when doc_ids are sparse or don't start at 0 —
+    * parity holds either way since the oracle applies the same
+    * bound). Without the bound the query set grows as a corpus
+    * FRACTION and the dense leg's broadcast×scan goes quadratic —
+    * the 20× ScaleSmoke measured exactly that (62.8× time ratio)
+    * before the bound; c6's bounded-count contract applied to the
+    * fusion. All oracle-interpolated. */
   val RrfC = 60L
   val RrfTopK = 10
   val RrfQueryBound = 101L * 100

@@ -1566,7 +1566,18 @@ object TextAnalysis {
     * lineage cut per step. Determinism: integer totals, argmax ties
     * broken (total desc, a, b) under the binary string order both
     * engines share; the oracle replays every count-pick-apply step
-    * CTE-for-CTE. Training stops early if no adjacent pair remains. */
+    * CTE-for-CTE. Training stops early if no adjacent pair remains.
+    *
+    * Step-cost shape: the loop is nMerges × (one vocabulary-grain
+    * job + one 1-row argmax collect) — a LATENCY cost (job-launch
+    * floor per merge), never a memory hazard (every collect is one
+    * row; state is the vocabulary frame). Fine at the report-sized
+    * budgets here (8 merges); at a real-vocab budget (32k merges)
+    * batch the steps instead: take the top-B disjoint pairs per
+    * count pass (pairs sharing no symbol merge in one step — the
+    * standard batched-BPE trade, slightly different merge order for
+    * B× fewer jobs) or move the loop into one mapPartitions over
+    * the vocabulary with driver-side count exchange per step. */
   def c75BpeTrain(docs: DataFrame, iters: Int = BpeMerges,
       grain: BpeGrain = CharGrain): DataFrame = {
     val spark0 = docs.sparkSession

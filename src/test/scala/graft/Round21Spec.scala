@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-21 contracts: the coherence/serving round — the keeps-grain
+  * sequence index (c120) closing the c104↔c117 grain mismatch, the
+  * stored-index RRF fusion (c118), byte-grain BPE (c119), the
+  * five-gate student pipeline (c121), and the degraded-cluster
+  * index repair (c122). */
+class Round21Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("c120: indexes exactly c111's sequences; c117's plan resolves in it, both directions") {
+    val budget = graft.operators.Sampling.DefaultTokenBudget
+    val idx = graft.operators.Sampling.c120KeepsManifest(spark, sf).collect()
+    assert(idx.nonEmpty)
+    val pack = graft.operators.Sampling.c111KeepsPack(spark, sf).collect()
+    // the index aggregates the MOUNTED packing exactly: same key set,
+    // same per-sequence doc count / token mass / pos extent / bin range
+    val groups = pack.groupBy(r => (r.getLong(3), r.getLong(5)))
+    assert(idx.map(r => (r.getLong(0), r.getLong(1))).toSet == groups.keySet,
+      "index keys != mounted packing's sequences")
+    for (r <- idx) {
+      val g = groups((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == g.length, s"n_docs wrong for $r")
+      assert(r.getLong(3) == g.map(_.getLong(7)).sum, s"sum_tok wrong for $r")
+      assert(r.getLong(4) == g.map(_.getLong(4)).min && r.getLong(5) == g.map(_.getLong(4)).max,
+        s"pos extent wrong for $r")
+      assert(r.getLong(6) == g.map(_.getLong(2)).max && r.getLong(7) == g.map(_.getLong(2)).min,
+        s"bin range wrong for $r")
+      val fill = BigDecimal.valueOf(r.getLong(3).toDouble / budget)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(8) - fill) < 1e-9, s"fill_frac wrong for $r")
+    }
+    // the epoch plan's (shard, seq_id) rows resolve in THIS index —
+    // and the index carries nothing the plan won't read (c117 reads
+    // every packed sequence each epoch, so the sets are equal)
+    val plan = graft.operators.Sampling.c117EpochPlan(spark, sf).collect()
+      .filter(_.getLong(0) == 0L)
+    assert(plan.map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      idx.map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "epoch plan and sequence index disagree about which sequences exist")
+    val idxByKey = idx.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    for (p <- plan) {
+      val r = idxByKey((p.getLong(1), p.getLong(2)))
+      assert(p.getLong(4) == r.getLong(2) && p.getLong(5) == r.getLong(3),
+        s"plan row $p disagrees with the index about the sequence's content")
+    }
+  }
+}
