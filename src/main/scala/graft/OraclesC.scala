@@ -1049,16 +1049,19 @@ object OraclesC {
     * application step the c57 chain uses ([[bpeStep]], its learned-
     * merge parameterization). The report is the learned merge list
     * with each pair's total AT SELECTION TIME. */
-  private def c75Chain(iters: Int): String = s"""
+  private def c75Chain(iters: Int, byteGrain: Boolean = false): String = s"""
       tf75 as materialized (
         select doc_id, term, count(*)::bigint as tf
         from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
         group by 1, 2),
       words as materialized (select term, sum(tf)::bigint as n from tf75 group by term),
-      s0 as materialized (
+      s0 as materialized (${if (byteGrain) s"""
+        select term, i - 1 as pos, substr(lower(hex(term)), 2*i - 1, 2) as sym
+        from (select term from words) v,
+             lateral (select unnest(range(1, strlen(term) + 1)) as i) t""" else s"""
         select term, i - 1 as pos, substr(term, i::int, 1) as sym
         from (select term from words) v,
-             lateral (select unnest(range(1, length(term) + 1)) as i) t),
+             lateral (select unnest(range(1, length(term) + 1)) as i) t"""}),
       ${(1 to iters).map { k =>
         s"""cnt$k as materialized (
         select s.sym as a, nx.sym as b, sum(w.n)::bigint as total
@@ -2966,6 +2969,7 @@ object OraclesC {
     "c83_stored_tokenizer" -> C76_SQL,
     "c86_pack_tokenized" -> C86_SQL,
     "c76_bpe_trained_encode" -> C76_SQL,
+    "c119_bpe_bytes" -> C119_SQL,
   )
 
   private lazy val C76_SQL: String = s"""
@@ -2981,6 +2985,31 @@ object OraclesC {
       from tf75 tf left join nsy76 on tf.term = nsy76.term
       group by tf.doc_id order by tf.doc_id
     """
+
+  /** c119: C76's trained-encode replay at BYTE grain — the same
+    * count-pick-apply training chain with s0 split into lowercase
+    * hex UTF-8 byte symbols (the operator's ByteGrain.symbols
+    * spelling: DuckDB's hex() over the term's UTF-8 bytes) and the
+    * compression mass priced in BYTES (strlen, Spark's
+    * octet_length). Merged symbols concatenate hex pairs, so the
+    * symbol tables stay plain strings under the same binary
+    * tie-break order both engines share. */
+  private lazy val C119_SQL: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    s"""
+      with ${c75Chain(m, byteGrain = true)},
+      nsy119 as (select term, count(*)::bigint as n_syms
+                 from s$m group by term)
+      select tf.doc_id, sum(tf.tf)::bigint as n_words,
+             sum(tf.tf * strlen(tf.term))::bigint as n_chars,
+             sum(tf.tf * coalesce(nsy119.n_syms, 0))::bigint as n_bpe_tokens,
+             case when sum(tf.tf * strlen(tf.term)) > 0
+               then round(sum(tf.tf * coalesce(nsy119.n_syms, 0))::double
+                          / sum(tf.tf * strlen(tf.term)), 4) end as compression
+      from tf75 tf left join nsy119 on tf.term = nsy119.term
+      group by tf.doc_id order by tf.doc_id
+    """
+  }
 
   // c86: c76's trained-encode chain producing the per-doc BPE token
   // counts, then c22's packing window verbatim over those counts —

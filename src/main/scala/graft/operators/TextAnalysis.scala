@@ -1628,6 +1628,23 @@ object TextAnalysis {
       c75BpeTrain(docs, nMerges, grain).select(col("a"), col("b")).collect()
         .map(r => (r.getString(0), r.getString(1))), grain)
 
+  /** c119: c76's train-then-encode at BYTE grain — the production
+    * grain (GPT-2/LLaMA byte-level BPE) keyed with its own oracle:
+    * the r11 verdict's "byte-grain BPE has no keyed oracle query"
+    * (the grain parameter was spec-proven — round-trip, alphabet
+    * bound — but only char grain was oracle-checked). Same trainer
+    * ([[c75BpeTrain]]), same greedy encode kernel
+    * ([[encodeUnderMerges]]), symbols = lowercase-hex UTF-8 bytes
+    * ([[ByteGrain]]), compression priced per BYTE (octet_length) —
+    * the oracle replays the hex symbol tables CTE-for-CTE (c75's
+    * chain with s0 split via DuckDB's hex()). On a pure-ASCII corpus
+    * the byte and char merge sequences are isomorphic (hex pairs ↔
+    * code points), which the spec pins as the cross-grain
+    * consistency check; on multi-byte text they genuinely diverge —
+    * that is what the grain dial is for. */
+  def c119BpeBytes(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame =
+    c76BpeTrainedEncode(docs, nMerges, ByteGrain)
+
   /** c57/c76's per-doc pricing under an explicit RANK-ORDERED merge
     * list — one spelling shared by the in-session encode (c76) and
     * the stored-artifact encode (c83), so the shipped tokenizer

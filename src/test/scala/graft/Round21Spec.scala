@@ -10,6 +10,36 @@ import org.scalatest.funsuite.AnyFunSuite
 class Round21Spec extends AnyFunSuite {
   import TestSpark._
 
+  test("c119: byte-grain BPE — hex alphabet, byte mass, ASCII-corpus isomorphism with char grain") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // learned merges live in the lowercase-hex alphabet, even length
+    // (every symbol is a whole number of bytes)
+    val merges = graft.operators.TextAnalysis
+      .c75BpeTrain(docs, grain = graft.operators.TextAnalysis.ByteGrain).collect()
+    assert(merges.nonEmpty)
+    for (m <- merges; s <- Seq(m.getString(1), m.getString(2))) {
+      assert(s.matches("[0-9a-f]+") && s.length % 2 == 0, s"non-byte symbol in merge: $m")
+    }
+    val bytes = graft.operators.TextAnalysis.c119BpeBytes(docs).collect()
+    val chars = graft.operators.TextAnalysis.c76BpeTrainedEncode(docs).collect()
+    // the driver corpus is pure ASCII (pinned below), so hex pairs ↔
+    // code points are a bijection and the two grains' merge sequences
+    // are isomorphic: identical rows, column for column
+    assert(docs.filter(org.apache.spark.sql.functions.expr(
+      "octet_length(text) <> length(text)")).count() == 0, "corpus not ASCII — spec premise broken")
+    assert(bytes.length == chars.length)
+    val byId = chars.map(r => r.getLong(0) -> r).toMap
+    for (b <- bytes) {
+      val c = byId(b.getLong(0))
+      assert(b.getLong(1) == c.getLong(1) && b.getLong(2) == c.getLong(2)
+        && b.getLong(3) == c.getLong(3),
+        s"byte/char grain diverge on the ASCII corpus: $b vs $c")
+    }
+    // compression is bounded by 1 (a merge never grows a token count
+    // past one unit per byte)
+    for (b <- bytes if !b.isNullAt(4)) assert(b.getDouble(4) <= 1.0 + 1e-9)
+  }
+
   test("c120: indexes exactly c111's sequences; c117's plan resolves in it, both directions") {
     val budget = graft.operators.Sampling.DefaultTokenBudget
     val idx = graft.operators.Sampling.c120KeepsManifest(spark, sf).collect()
