@@ -338,7 +338,9 @@ object OraclesC {
     * variants report), and c71 (trained centroids). */
   private def residualServeChain(pfx: String, centCte: String,
       trainFilter: Option[String] = None, corpus: String = "embeddings",
-      trainCorpus: Option[String] = None): String = {
+      trainCorpus: Option[String] = None,
+      queryPred: String = s"vec_id < $NQ",
+      candPred: Option[String] = None): String = {
     // the subquantizer's training slices: by default the served
     // corpus's own residual rows (optionally filtered — c81's
     // base-only training); with trainCorpus, a SEPARATE residual
@@ -374,7 +376,7 @@ object OraclesC {
         from $corpus e cross join $centCte c),
       ${pfx}asg as materialized (select vec_id, c_id as cluster from ${pfx}ra where rn = 1),
       ${pfx}pr as (select vec_id as q_id, c_id as cluster
-                   from ${pfx}ra where vec_id < $NQ and rn <= $NPROBE),
+                   from ${pfx}ra where ($queryPred) and rn <= $NPROBE),
       ${pfx}res as (
         select e.vec_id,
                [e.embedding[i]::double - c.c_emb[i]::double
@@ -416,7 +418,7 @@ object OraclesC {
         from ${pfx}codes c
         join ${pfx}asg a on a.vec_id = c.vec_id
         join ${pfx}lut l on l.cluster = a.cluster and l.m = c.m and l.k = c.code
-        where c.vec_id <> l.q_id
+        where c.vec_id <> l.q_id${candPred.map(p => s" and ($p)").getOrElse("")}
         group by 1, 2),
       ${pfx}r as (select q_id, vec_id, adist,
               row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
@@ -2585,12 +2587,15 @@ object OraclesC {
     * 1/(c+rank) is the same exact integer-pair division in both
     * engines (::double forced — DuckDB would otherwise divide in
     * decimal). */
-  private def c109Sql: String = {
-    val c = graft.operators.Similarity.RrfC
+  /** The fusion's LEXICAL-leg CTE list (q → lexr): c37's BM25 kernel
+    * at fusion depth over the % 101 held-out query slice — ONE
+    * spelling shared by c109 (exact-baseline fusion) and c118
+    * (stored-index fusion), mirroring the operators' shared
+    * bm25Ranked. */
+  private def rrfLexCtes: String = {
     val k = graft.operators.Similarity.RrfTopK
     val qb = graft.operators.Similarity.RrfQueryBound
-    s"""
-      with q as (
+    s"""q as (
         select doc_id as q_id, unnest(list_distinct(w[1:$QTOK])) as term
         from (select doc_id, string_split(text, ' ') as w
               from documents where doc_id % 101 = 0 and doc_id < $qb)),
@@ -2621,7 +2626,15 @@ object OraclesC {
                row_number() over (partition by q_id
                  order by score desc, doc_id)::bigint as lex_rank
         from scored),
-      lexr as (select * from lexr0 where lex_rank <= $k),
+      lexr as (select * from lexr0 where lex_rank <= $k)"""
+  }
+
+  private def c109Sql: String = {
+    val c = graft.operators.Similarity.RrfC
+    val k = graft.operators.Similarity.RrfTopK
+    val qb = graft.operators.Similarity.RrfQueryBound
+    s"""
+      with $rrfLexCtes,
       eq as (select vec_id as q_id, embedding as q_emb
              from embeddings where vec_id % 101 = 0 and vec_id < $qb),
       sems as (
@@ -2648,6 +2661,56 @@ object OraclesC {
         from f)
       select q_id, rank, doc_id, lex_rank, sem_rank, rrf
       from r109 where rank <= $k order by q_id, rank
+    """
+  }
+
+  /** c118: the stored-index fusion — c71's full trained-index replay
+    * serving the % 101 query slice at refine depth (the held-out
+    * candidate exclusion inside the ADC scan), c113's exact re-rank
+    * over only the candidates, then c109's lexical leg + RRF combine
+    * verbatim. Every stage is the standalone oracle's own CTE
+    * generator, parameterized — the composed replay cannot drift
+    * from the per-stage ones. */
+  private def c118Sql: String = {
+    val c = graft.operators.Similarity.RrfC
+    val k = graft.operators.Similarity.RrfTopK
+    val qb = graft.operators.Similarity.RrfQueryBound
+    val depth = graft.operators.Similarity.RerankDepth
+    s"""
+      with $rrfLexCtes,
+      $TRAINED_CENTROIDS,
+      ${residualServeChain("y", s"cent$QITERS",
+        queryPred = s"vec_id % 101 = 0 and vec_id < $qb",
+        candPred = Some("c.vec_id % 101 <> 0"))},
+      cand118 as (select q_id, vec_id, rank as adc_rank from yr where rank <= $depth),
+      eq118 as (select vec_id as q_id, embedding as q_emb from embeddings
+                where vec_id % 101 = 0 and vec_id < $qb),
+      ex118 as (
+        select c.q_id, c.vec_id, c.adc_rank, ${cosN("eq118.q_emb", "e.embedding")} as cos
+        from cand118 c
+        join embeddings e on c.vec_id = e.vec_id
+        join eq118 on c.q_id = eq118.q_id),
+      semr118 as (
+        select q_id, vec_id as doc_id, sem_rank, adc_rank from (
+          select q_id, vec_id, adc_rank,
+                 row_number() over (partition by q_id
+                   order by cos desc nulls last, vec_id)::bigint as sem_rank
+          from ex118)
+        where sem_rank <= $k),
+      f118 as (
+        select coalesce(l.q_id, s.q_id) as q_id,
+               coalesce(l.doc_id, s.doc_id) as doc_id,
+               lex_rank, sem_rank, adc_rank,
+               round(coalesce(1.0::double / ($c + lex_rank), 0)
+                   + coalesce(1.0::double / ($c + sem_rank), 0), 6) as rrf
+        from lexr l full outer join semr118 s on l.q_id = s.q_id and l.doc_id = s.doc_id),
+      r118 as (
+        select q_id, doc_id, lex_rank, sem_rank, adc_rank, rrf,
+               row_number() over (partition by q_id
+                 order by rrf desc, doc_id)::bigint as rank
+        from f118)
+      select q_id, rank, doc_id, lex_rank, sem_rank, adc_rank, rrf
+      from r118 where rank <= $k order by q_id, rank
     """
   }
 
@@ -2705,6 +2768,7 @@ object OraclesC {
     "c107_source_divergence" -> c107Sql,
     "c108_gumbel_sample" -> c108Sql,
     "c109_rrf_fusion" -> c109Sql,
+    "c118_rrf_stored" -> c118Sql,
     "c110_embed_drift" -> c110Sql,
     "c111_keeps_pack" -> c111Sql,
     "c112_repeat_mixture" -> c112Sql,

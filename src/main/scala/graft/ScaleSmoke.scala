@@ -260,7 +260,11 @@ object ScaleSmoke {
       // r15c: the geometry grid (3× band derivations off one sig
       // build, one union verify) and the calibration report
       "c114_lsh_geometry", "c115_calibration", "c116_threshold_pick",
-      "c117_epoch_plan")
+      "c117_epoch_plan",
+      // r16: the stored-index fusion (codes scan + bounded refine),
+      // byte-grain BPE (vocabulary-grain), and the keeps-grain index
+      // (one report-sized aggregate over c111's window)
+      "c118_rrf_stored", "c119_bpe_bytes", "c120_keeps_manifest")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

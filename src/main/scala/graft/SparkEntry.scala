@@ -181,6 +181,7 @@ object SparkEntry {
     "c115_calibration" -> ((s, dir) => TextAnalysis.c115Calibration(s, dir)),
     "c116_threshold_pick" -> ((s, dir) => TextAnalysis.c116ThresholdPick(s, dir)),
     "c117_epoch_plan" -> ((s, dir) => Sampling.c117EpochPlan(s, dir)),
+    "c118_rrf_stored" -> ((s, dir) => Similarity.c118RrfStored(s, dir)),
     "c119_bpe_bytes" -> ((s, dir) => TextAnalysis.c119BpeBytes(Tables.documents(s, dir))),
     "c120_keeps_manifest" -> ((s, dir) => Sampling.c120KeepsManifest(s, dir)),
 

@@ -1600,14 +1600,20 @@ object Similarity {
 
   /** Serve top-k from the STORED artifacts: LUTs from the artifact
     * centroids/codebooks, candidates from the CODES scan. The raw
-    * corpus is touched only for the bounded query rows. */
+    * corpus is touched only for the bounded query rows.
+    * `queryFilter` overrides the default first-nQueries slice (c118
+    * serves the fusion's % 101 query set); `candFilter` restricts
+    * the CODES scan (a predicate over the stored vec_id — c118's
+    * held-out-benchmark exclusion, applied at the codes scan). */
   private def serveStoredIndex(spark: SparkSession, emb: DataFrame, root: String,
-      nQueries: Int, topK: Int, nprobe: Int, codesDir: String = "codes"): DataFrame = {
+      nQueries: Int, topK: Int, nprobe: Int, codesDir: String = "codes",
+      queryFilter: Option[org.apache.spark.sql.Column] = None,
+      candFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dims = PqSubspaces * PqSubDim
     val (rBooks, centLocal, centNorm) = loadArtifacts(spark, root)
     val nCent = centLocal.length
-    val qVecs = emb.filter(col("vec_id") < nQueries)
+    val qVecs = emb.filter(queryFilter.getOrElse(col("vec_id") < nQueries))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
@@ -1630,7 +1636,8 @@ object Similarity {
     val bc = spark.sparkContext.broadcast((qArr, lutR, probeSets))
     import spark.implicits._
     val kLocal = topK
-    val topLocal = spark.read.parquet(s"$root/$codesDir")
+    val topLocal = candFilter
+      .foldLeft(spark.read.parquet(s"$root/$codesDir"))(_ filter _)
       .select(col("vec_id"), col("cluster").cast("int"), col("codes"))
       .as[(Long, Int, Array[Int])]
       .mapPartitions { it =>
@@ -1921,6 +1928,19 @@ object Similarity {
         col("nrm").as("q_nrm"))
     val sem = c6AnnTopK(emb.filter(col("vec_id") % 101 =!= 0), Some(qs), RrfTopK)
       .select(col("q_id"), col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+    rrfFuse(lex, sem)
+      .select("q_id", "rank", "doc_id", "lex_rank", "sem_rank", "rrf")
+      .orderBy("q_id", "rank")
+  }
+
+  /** The RRF combine itself — full-outer the two (queries × k)-row
+    * legs, score Σ 1/(c+rank), rank per query. ONE spelling shared by
+    * c109 (exact-baseline legs) and c118 (stored-index dense leg), so
+    * the fusion arithmetic cannot drift between the report and the
+    * serving path. Extra columns on either leg (c118's adc_rank) ride
+    * through the join untouched. */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(RrfC) + col("lex_rank")), lit(0.0))
@@ -1928,8 +1948,81 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= RrfTopK)
-      .select("q_id", "rank", "doc_id", "lex_rank", "sem_rank", "rrf")
+  }
+
+  /** c118: the hybrid fusion SERVED FROM THE PERSISTED INDEX — the
+    * r11 verdict's #1 (c109's dense leg was c6 brute force: fine as
+    * the exact-baseline report, wrong as the deployment shape, which
+    * re-scores every raw vector instead of reading the PQ codes it
+    * already ships). Here the dense leg is the c79 artifact end to
+    * end: stage 1 scans the STORED codes (M bytes/vector — the only
+    * corpus-grain read on the dense RANKING; the query slice is
+    * excluded from candidacy at the codes scan, c37's held-out
+    * discipline), stage 2 re-ranks ONLY the depth·|Q| ADC candidates
+    * with the exact cosine (c113's refine shape — the broadcast-join
+    * fetch is the local spelling of an index's point reads), and the
+    * fusion is [[rrfFuse]], unchanged, because RRF consumes only
+    * ranks — the leg swap the c109 scaladoc promised, now keyed.
+    * c109 stays as the exact-baseline twin. MEASURED, not assumed:
+    * at the driver SFs the stored-dense leg diverges from the exact
+    * one (8×16 codes over 64 unclustered dims are coarse — the same
+    * partial recall the c55/c66 audits price; a (nprobe, depth)
+    * sweep showed even full-probe/2×-depth doesn't close it), so the
+    * spec pins what IS guaranteed: the lexical leg identical to
+    * c109's, the fusion arithmetic, and c113's refine theorem on the
+    * dense leg (exact-rerank recall ≥ raw-ADC recall vs the exact
+    * baseline, per query). Fusion degrades gracefully under dense
+    * misses because the lexical leg stays exact — that is WHY hybrid
+    * serving fuses. The report carries adc_rank so the refine
+    * stage's reorder depth is readable per row.
+    *
+    * Oracle: the full trained-index replay (c71's chain) serving the
+    * % 101 query slice at refine depth with the held-out candidate
+    * exclusion, the exact re-rank, and c109's lexical leg + fusion
+    * CTEs — every stage CTE-for-CTE. */
+  def c118RrfStored(spark: SparkSession, dir: String,
+      depth: Int = RerankDepth, nprobe: Int = DefaultNProbe): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val lex = graft.operators.TextAnalysis
+      .bm25Ranked(docs, topK = RrfTopK, queryBound = Some(RrfQueryBound))
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val sem = storedDenseLeg(spark, dir, depth, nprobe)
+      .filter(col("sem_rank") <= RrfTopK)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("sem_rank"), col("adc_rank"))
+    rrfFuse(lex, sem)
+      .select("q_id", "rank", "doc_id", "lex_rank", "sem_rank", "adc_rank", "rrf")
       .orderBy("q_id", "rank")
+  }
+
+  /** c118's DENSE leg before the top-k cut — all depth·|Q| stored-
+    * index candidates with BOTH rankings (adc_rank from the codes
+    * scan, sem_rank from the exact-cosine refine) — factored out so
+    * the spec can prove c113's refine theorem (top-k by sem_rank
+    * recalls ≥ top-k by adc_rank vs the exact baseline) on exactly
+    * the frame the fusion consumes. */
+  private[graft] def storedDenseLeg(spark: SparkSession, dir: String,
+      depth: Int = RerankDepth, nprobe: Int = DefaultNProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    // ONE index per (session, corpus): c79's artifact, shared — a
+    // deployment maintains one index and runs many consumers on it
+    val root = graft.streaming.StoreMemo.memo(spark, s"c79_index_$dir")(
+      buildIndexArtifacts(emb, _))
+    val qPred = col("vec_id") % 101 === 0 && col("vec_id") < RrfQueryBound
+    val cand = serveStoredIndex(spark, emb, root, nQueries = 0, topK = depth,
+        nprobe = nprobe, queryFilter = Some(qPred),
+        candFilter = Some(col("vec_id") % 101 =!= 0))
+      .select(col("q_id"), col("vec_id"), col("rank").as("adc_rank"))
+    val q = withNorm(emb).filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wSem = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    withNorm(emb)
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("adc_rank"),
+        pairCos("q_emb", "q_nrm", "embedding", "nrm").as("cos"))
+      .withColumn("sem_rank", row_number().over(wSem).cast("long"))
   }
 
   // ---- c113: two-stage PQ serve + exact re-rank ------------------------

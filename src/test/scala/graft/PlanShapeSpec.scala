@@ -233,6 +233,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("c118's dense ranking reads the stored codes; raw embeddings only for the two bounded reads") {
+    // the r11 verdict's #1 done-criterion: the fusion's dense leg
+    // must rank off the persisted index (codes scan), with raw
+    // embeddings touched only by (a) the bounded query frame and
+    // (b) the broadcast-bounded candidate fetch of the refine stage
+    val p = plan("c118_rrf_stored")
+    assert(p.contains("c79_index"),
+      s"c118's dense leg does not scan the stored index:\n$p")
+    val rawScans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(rawScans <= 2,
+      s"c118 reads raw embeddings $rawScans times (query frame + candidate fetch expected):\n$p")
+    // the candidate fetch rides broadcast joins; the only sort-merge
+    // join allowed is the fusion's report-sized FULL-OUTER combine
+    // (≤ 2k rows — full outer cannot broadcast)
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("FullOuter")),
+      s"c118 shuffle-joins something besides the report-sized fusion:\n$p")
+  }
+
   test("c49 assembles the hashed vectors in aggregates alone off the tf memo") {
     // scaladoc claims "one conditional-sum aggregate, no explode, no
     // pivot shuffle": no join anywhere, input is the materialized tf

@@ -10,6 +10,72 @@ import org.scalatest.funsuite.AnyFunSuite
 class Round21Spec extends AnyFunSuite {
   import TestSpark._
 
+  test("c118: stored-index fusion — lex leg ≡ c109's, arithmetic closes, refine theorem holds") {
+    val k = graft.operators.Similarity.RrfTopK
+    val c = graft.operators.Similarity.RrfC
+    val depth = graft.operators.Similarity.RerankDepth
+    val fused = graft.operators.Similarity.c118RrfStored(spark, sf).collect()
+    val base = graft.operators.Similarity.c109RrfFusion(spark, sf).collect()
+    assert(fused.nonEmpty)
+    // cols: q_id(0), rank(1), doc_id(2), lex_rank(3), sem_rank(4), adc_rank(5), rrf(6)
+    // the lexical leg is the SAME kernel at the same depth, but each
+    // report's top-k cut shows a different candidate slice — so the
+    // check is consistency on the SHARED candidates (same lex_rank or
+    // same absence, (q_id, doc_id) for (q_id, doc_id)) plus identical
+    // lexical-only winners (a candidate no dense leg touches fuses
+    // identically in both reports)
+    val baseByKey = base.map(r => (r.getLong(0), r.getLong(2)) -> r).toMap
+    for (r <- fused; b <- baseByKey.get((r.getLong(0), r.getLong(2)))) {
+      assert(r.isNullAt(3) == b.isNullAt(3)
+          && (r.isNullAt(3) || r.getLong(3) == b.getLong(3)),
+        s"shared candidate's lex evidence differs: $r vs $b")
+    }
+    val lexOnly = fused.filter(r => !r.isNullAt(3) && r.isNullAt(4))
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val baseLexOnly = base.filter(r => !r.isNullAt(3) && r.isNullAt(4))
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // c118's lexical-only rows are a superset is NOT guaranteed either
+    // (rank crowding differs); what IS: any lexical-only row in BOTH
+    // reports carries the same rank — covered by the shared check —
+    // and the lexical evidence never contradicts (no pair has
+    // different lex_ranks across reports)
+    val contra = (lexOnly.map(t => (t._1, t._2)) intersect baseLexOnly.map(t => (t._1, t._2)))
+      .filter(k => lexOnly.filter(t => (t._1, t._2) == k).map(_._3)
+        != baseLexOnly.filter(t => (t._1, t._2) == k).map(_._3))
+    assert(contra.isEmpty, s"lexical evidence contradicts across reports: $contra")
+    for ((q, rs) <- fused.groupBy(_.getLong(0))) {
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1 to rs.length).map(_.toLong) && rs.length <= k, s"query $q ranks not dense top-$k")
+    }
+    for (r <- fused) {
+      val lex = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val sem = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(lex.nonEmpty || sem.nonEmpty, s"candidate surfaced by neither leg: $r")
+      // the dense leg always carries its ADC provenance, within depth
+      assert(sem.isEmpty == r.isNullAt(5), s"sem/adc provenance mismatch: $r")
+      if (!r.isNullAt(5)) assert(r.getLong(5) >= 1 && r.getLong(5) <= depth)
+      assert(sem.forall(_ <= k) && lex.forall(_ <= k))
+      // held-out discipline: no query-slice doc is ever a candidate
+      assert(r.getLong(2) % 101 != 0, s"query-slice doc served as candidate: $r")
+      val expect = lex.map(x => 1.0 / (c + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (c + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(6) - expect) < 1e-6, s"rrf arithmetic broken: $r")
+    }
+    // c113's refine theorem on the frame the fusion consumes: per
+    // query, top-k by the exact-cosine re-rank recalls at least as
+    // much of the exact baseline as top-k by raw ADC rank
+    val exact = base.filter(!_.isNullAt(4))
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val leg = graft.operators.Similarity.storedDenseLeg(spark, sf).collect()
+    for ((q, rs) <- leg.groupBy(_.getLong(0))) {
+      val ex = exact(q)
+      val byAdc = rs.sortBy(_.getLong(2)).take(k).map(_.getLong(1)).toSet
+      val bySem = rs.sortBy(_.getLong(4)).take(k).map(_.getLong(1)).toSet
+      assert((bySem intersect ex).size >= (byAdc intersect ex).size,
+        s"refine lost recall for query $q")
+    }
+  }
+
   test("c119: byte-grain BPE — hex alphabet, byte mass, ASCII-corpus isomorphism with char grain") {
     val docs = graft.sources.Tables.documents(spark, sf)
     // learned merges live in the lowercase-hex alphabet, even length
