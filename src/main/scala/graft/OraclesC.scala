@@ -799,7 +799,13 @@ object OraclesC {
     * oracle spelling per gate — each block is the standalone audit's
     * own CTE generator, parameterized, so the composed replay cannot
     * drift from the per-gate ones. */
-  private def c85Sql(nBatches: Int): String = {
+  private def c85Sql(nBatches: Int): String =
+    s"with recursive ${c85Body(nBatches)}"
+
+  /** c85's replay minus the WITH keyword — parameterized on the
+    * quality stage's CTE so c121 can interpose the student classifier
+    * (the exact c96 factoring, one gate chain deeper). */
+  private def c85Body(nBatches: Int, qDef: Option[String] = None): String = {
     val bits = (0 until graft.streaming.EmbedDupStream.SignBits)
       .map(d => s"(case when embedding[${d + 1}] >= 0 then ${1L << d} else 0 end)")
       .mkString("\n          + ")
@@ -812,9 +818,8 @@ object OraclesC {
       fk$i as (select vec_id as doc_id from ekeep$i)"""
     }.mkString(",")
     s"""
-      with recursive
       ${c67Stateless("""select d.doc_id, d.text from documents d
-        join embeddings e on e.vec_id = d.doc_id where d.doc_id % 97 <> 0""")},
+        join embeddings e on e.vec_id = d.doc_id where d.doc_id % 97 <> 0""", qDef)},
       sigv as materialized (
         select vec_id, $bits as bucket
         from embeddings),
@@ -833,6 +838,32 @@ object OraclesC {
              coalesce(c.cut_tokens, 0)::bigint as cut_tokens
       from alldec d left join cut77 c using (doc_id)
       order by d.doc_id
+    """
+  }
+
+  /** c121: the five-gate replay (c85's body verbatim) with the
+    * quality stage swapped to the trained classifier — c96's student
+    * qDef (the c88 chain's final weights scoring every doc) composed
+    * into the five-gate history. One oracle spelling per gate; the
+    * student swap is exactly the CTE c96 already pins. */
+  private def c121Sql: String = {
+    import graft.operators.TextAnalysis._
+    val steps = QcTrainSteps
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val studentQ = s"""
+        select sig.doc_id,
+               case when sc.score < $QcThreshold then 'low_quality'
+                    else 'keep' end as qreason
+        from sig join scored121 sc using (doc_id)"""
+    s"""
+      with recursive ${c88Chain(steps, "q", "")},
+      scored121 as materialized (
+        select t.doc_id,
+               round(1.0 / (1.0 + exp(-((w.w0 / 1000000.0) * x0 + (w.w1 / 1000000.0) * x1
+                 + (w.w2 / 1000000.0) * x2 + (w.w3 / 1000000.0) * x3
+                 + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as score
+        from tq t cross join w${steps}q w),
+      ${c85Body(n, Some(studentQ))}
     """
   }
 
@@ -3003,6 +3034,7 @@ object OraclesC {
     // batch's lexical keeps, the span tier over the final keeps; every
     // block is the standalone audit's own generator, parameterized
     "c85_gate5" -> c85Sql(graft.streaming.FunnelStream.AuditBatches),
+    "c121_gate5_student" -> c121Sql,
 
     // c77: the four-gate pipeline — c67's replay + the span gate over
     // each batch's admissions, one hash over both stores

@@ -208,12 +208,13 @@ object FunnelStream {
       spanStore: String, postingStore: String, batchId: Long,
       maxFrac: Double = DecontamStream.MaxFlaggedFrac,
       threshold: Double = NearDupStream.JaccardThreshold,
-      cosThreshold: Double = EmbedDupStream.CosThreshold): Unit = {
+      cosThreshold: Double = EmbedDupStream.CosThreshold,
+      reasonsOf: DataFrame => DataFrame = teacherReasons): Unit = {
     val b = Materialize.frame(
       batch.select(col("doc_id"), col("text"), col("embedding")))
     // gates 1–3 decide (no commits yet — gate 4 may still refuse)
     val (dec3, bandsB, s2) = funnelDecisions(b.select(col("doc_id"), col("text")),
-      bits, bandStore, keepStore, maxFrac, threshold)
+      bits, bandStore, keepStore, maxFrac, threshold, reasonsOf)
     // gate 4 — semantic novelty over the triple-survivors' vectors
     val keptVecs = Materialize.frame(
       b.join(dec3.filter(col("stage") === "keep").select("doc_id"), Seq("doc_id"))
@@ -414,6 +415,78 @@ object FunnelStream {
           s"$scratch/spans", s"$scratch/postings", i.toLong)
     }
   }
+
+  /** ONE five-gate STUDENT store build per (session, corpus, batch
+    * count) — [[gate5Stores]]'s discipline with the quality stage
+    * swapped to the STORED classifier ([[gateStudentStores]]'s swap,
+    * one gate deeper in the compose): the weights artifact loads once
+    * per session, each poll runs [[processBatch5]] with the student
+    * reasons provider; leakage, lexical novelty, semantic novelty,
+    * and the span tier are shared spelling. */
+  private def gate5StudentStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0).join(vecs, Seq("doc_id"))
+    val bits = graft.operators.CorpusPrep.memo("c67_bits", docs)(
+      TextAnalysis.bloomBitsFromKeys(
+        TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0))))
+    val wE6 = TextAnalysis.storedClassifierWeights(spark, dir)
+    StoreMemo.memo(spark, s"gate5q_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processBatch5(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i), bits,
+          s"$scratch/decisions", s"$scratch/keep", s"$scratch/bands",
+          s"$scratch/vecs", s"$scratch/buckets",
+          s"$scratch/spans", s"$scratch/postings", i.toLong,
+          reasonsOf = b => TextAnalysis.studentQualityReasons(b, wE6))
+    }
+  }
+
+  /** Start the STUDENT-gated FIVE-gate funnel as a real streaming
+    * query — [[funnelGate5]]'s wiring with the stored classifier
+    * deciding stage 1 (`wE6` = the c88 artifact's weights, loaded
+    * once and closed over — [[funnelGateStudent]]'s contract at five
+    * gates). The per-batch work is [[processBatch5]] with
+    * [[TextAnalysis.studentQualityReasons]] — the same spelling the
+    * c121 audit polls, so live and audit cannot drift. */
+  def funnelGate5Student(docs: DataFrame, bits: DataFrame, decisionStore: String,
+      keepStore: String, bandStore: String,
+      vecStore: String, bucketStore: String,
+      spanStore: String, postingStore: String, wE6: Array[Long],
+      maxFrac: Double = DecontamStream.MaxFlaggedFrac,
+      threshold: Double = NearDupStream.JaccardThreshold,
+      cosThreshold: Double = EmbedDupStream.CosThreshold,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch5(batch, bits, decisionStore, keepStore, bandStore,
+          vecStore, bucketStore, spanStore, postingStore, batchId,
+          maxFrac, threshold, cosThreshold,
+          reasonsOf = b => TextAnalysis.studentQualityReasons(b, wE6))
+        ()
+      }
+      .start()
+
+  /** c121: the five-gate pipeline under the STUDENT quality gate, at
+    * STORE grain — the deployed compose the r11 verdict named (c96
+    * proves the student swap at three gates, c85 proves five gates
+    * under the teacher; a deployment runs BOTH: the trained
+    * classifier at the door AND the full gate chain): [[AuditBatches]]
+    * polls through [[processBatch5]] with the c88 artifact deciding
+    * stage 1, everything downstream shared spelling, and the keyed
+    * result read from the stores ([[gate5Result]] — decisions + the
+    * island-merged span cuts). Against c85 the stage set collapses
+    * the cascade to `low_quality` AND every downstream gate sees a
+    * different survivor population — the store-grain proof that the
+    * swap composes with BOTH stateful novelty gates and the span
+    * tier. The oracle replays the whole history with the c88 chain's
+    * final weights deciding stage 1 inside c85's five-gate replay. */
+  def c121Gate5Student(spark: SparkSession, dir: String,
+      nBatches: Int = AuditBatches): DataFrame =
+    gate5Result(spark, gate5StudentStores(spark, dir, nBatches))
 
   /** c85: the FIVE-gate live pipeline at STORE grain — c77's audit
     * with the semantic near-dup gate ([[EmbedDupStream]], SemDeDup at

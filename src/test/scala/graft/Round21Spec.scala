@@ -10,6 +10,53 @@ import org.scalatest.funsuite.AnyFunSuite
 class Round21Spec extends AnyFunSuite {
   import TestSpark._
 
+  test("c121: live five-gate student stream accumulates the same stores as the audit replay") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.FunnelStream
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0).join(vecs, Seq("doc_id"))
+    val bits = graft.operators.CorpusPrep.memo("c67_bits", docs)(
+      TextAnalysis.bloomBitsFromKeys(
+        TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0))))
+    val wE6 = TextAnalysis.storedClassifierWeights(spark, sf)
+    val n = FunnelStream.AuditBatches
+    val in = java.nio.file.Files.createTempDirectory("graft-g5q-in-").toString
+    for (i <- 0 until n) {
+      pop.filter(pmod(col("doc_id"), lit(n)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50) // distinct mtimes → batch order = poll order
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-g5q-st-").toString
+    val src = spark.readStream.schema(pop.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = FunnelStream.funnelGate5Student(src, bits,
+      s"$root/decisions", s"$root/keep", s"$root/bands",
+      s"$root/vecs", s"$root/buckets", s"$root/spans", s"$root/postings", wE6)
+    try q.processAllAvailable() finally q.stop()
+    val live = FunnelStream.gate5Result(spark, root).collect()
+    val audit = FunnelStream.c121Gate5Student(spark, sf).collect()
+    assert(live.length == audit.length, s"live ${live.length} vs audit ${audit.length}")
+    assert(live.sameElements(audit), "live student five-gate stores diverge from the audit")
+    // the swap is OBSERVABLE: stage 1 is the classifier's verdict
+    // (cascade reasons collapse to low_quality) and the full gate set
+    // still fires
+    val stages = audit.map(_.getString(1)).toSet
+    assert(!stages.exists(Set("too_short", "non_en", "repetitive", "pii_heavy")),
+      s"teacher cascade reasons leaked into the student pipeline: $stages")
+    assert(stages.contains("keep"))
+    // the survivor population genuinely differs from the teacher-gated
+    // five-gate audit (the point of the store-grain proof: downstream
+    // stateful gates see a different world)
+    val teacher = FunnelStream.c85Gate5Pipeline(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = audit.count(r => teacher(r.getLong(0)) != r.getString(1))
+    assert(moved > 0, "student swap changed no decision — swap not observable")
+  }
+
   test("c118: stored-index fusion — lex leg ≡ c109's, arithmetic closes, refine theorem holds") {
     val k = graft.operators.Similarity.RrfTopK
     val c = graft.operators.Similarity.RrfC
