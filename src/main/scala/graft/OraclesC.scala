@@ -1351,8 +1351,10 @@ object OraclesC {
   // then per-vector reconstruction error = the encode's own chosen
   // cell distances (yvd at ycodes' argmin), accumulated in exact e4
   // integer units per cluster
-  private val C87_SQL = s"""
-      with uemb as (
+  /** The churned-index health chain (uemb → g87, CTE list without the
+    * WITH keyword) — shared by the c87 report and c122's repair,
+    * which consumes g87's degraded flags. */
+  private val C87_CHAIN = s"""uemb as (
         select vec_id,
                case when vec_id % 7 = 3
                     then list_transform(embedding, x -> (x::double * 0.5 + 0.25)::real)
@@ -1379,10 +1381,83 @@ object OraclesC {
                  then round((sum(qerr_e4) filter (where upd))
                             / (10000.0 * count(*) filter (where upd)), 4)
                end as upd_mean_qerr
-        from h87 group by cluster)
+        from h87 group by cluster)"""
+
+  private val C87_SQL = s"""
+      with $C87_CHAIN
       select cluster, n_vecs, n_updated, mean_qerr, upd_mean_qerr,
              coalesce(upd_mean_qerr > mean_qerr, false) as degraded
       from g87 order by cluster
+    """
+
+  /** One iteration of c122's CLUSTER-KEYED subquantizer trainer —
+    * [[pqTrainIter]] with the cluster key threaded through the
+    * assignment join, the update aggregate, and the keep-previous
+    * coalesce. */
+  private def c122TrainIter(prev: String, i: Int): String = s"""
+      rd$i as (
+        select v.cluster, v.vec_id, v.m, cb.k, v.sub,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from rvm v join $prev cb on cb.cluster = v.cluster and cb.m = v.m),
+      ra$i as (
+        select cluster, m, k as code, sub from rd$i
+        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
+      ru$i as (
+        select cluster, m, code, j as dim,
+               sum(floor(sub[j] * $QS + 0.5)::bigint) as s, count(*) as n
+        from ra$i, unnest(range(1,${PSUB + 1})) as t(j)
+        group by cluster, m, code, j),
+      rm$i as (
+        select cluster, m, code as k,
+               list(s::double / (n * $QS)::double order by dim) as csub
+        from ru$i group by cluster, m, code),
+      rcb$i as (
+        select c.cluster, c.m, c.k, coalesce(u.csub, c.csub) as csub
+        from $prev c left join rm$i u
+          on u.cluster = c.cluster and u.m = c.m and u.k = c.k)"""
+
+  /** c122: c87's health chain, then the repair — degraded seedable
+    * clusters, their members' residual slices (codes_v2 assignment,
+    * v1 centroids — the coarse geometry is not retrained), the
+    * keyed trainer unrolled, the re-encode argmin under the local
+    * books, and the per-cluster after-error. */
+  private def c122Sql: String = s"""
+      with $C87_CHAIN,
+      dcl as (select cluster from g87
+              where coalesce(upd_mean_qerr > mean_qerr, false) and n_vecs >= $PQK),
+      rvm as (
+        select a.cluster, v.vec_id, v.m, v.sub
+        from yvm v join yasg a using (vec_id) join dcl on dcl.cluster = a.cluster),
+      rcb0 as (
+        select cluster, m, (rk - 1)::bigint as k, sub as csub
+        from (select cluster, m, vec_id, sub,
+                     row_number() over (partition by cluster, m order by vec_id) as rk
+              from rvm)
+        where rk <= $PQK),
+      ${(1 to QITERS).map(i => c122TrainIter(s"rcb${i - 1}", i)).mkString(",")},
+      rqd as (
+        select v.cluster, v.vec_id, v.m, cb.k,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from rvm v join rcb$QITERS cb on cb.cluster = v.cluster and cb.m = v.m),
+      rch as (
+        select cluster, vec_id, m, d2 from rqd
+        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
+      gafter as (
+        select cluster,
+               round(sum(round(d2 * 10000)::bigint)
+                     / (10000.0 * count(distinct vec_id)), 4) as mean_after
+        from rch group by cluster)
+      select g.cluster, g.n_vecs,
+             coalesce(g.upd_mean_qerr > g.mean_qerr, false) as degraded,
+             (d.cluster is not null) as retrained,
+             g.mean_qerr as mean_qerr_before,
+             coalesce(a.mean_after, g.mean_qerr) as mean_qerr_after
+      from g87 g
+      left join dcl d on d.cluster = g.cluster
+      left join gafter a on a.cluster = g.cluster
+      order by g.cluster
     """
 
   /** The clustered-derivation CTE (the exact twin of
@@ -3896,6 +3971,7 @@ object OraclesC {
     "c81_index_append" -> C81_SQL,
     "c82_index_churn" -> C82_SQL,
     "c87_index_health" -> C87_SQL,
+    "c122_index_repair" -> c122Sql,
 
     // c70: residual-vs-plain recall at the default dial — factored
     // above (C70_SQL) so c78 serves the same report over the

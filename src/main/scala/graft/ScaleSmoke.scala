@@ -264,7 +264,10 @@ object ScaleSmoke {
       // r16: the stored-index fusion (codes scan + bounded refine),
       // byte-grain BPE (vocabulary-grain), and the keeps-grain index
       // (one report-sized aggregate over c111's window)
-      "c118_rrf_stored", "c119_bpe_bytes", "c120_keeps_manifest")
+      "c118_rrf_stored", "c119_bpe_bytes", "c120_keeps_manifest",
+      // r16: the student five-gate store build and the touched-only
+      // repair (health kernel + |degraded members| trainer)
+      "c121_gate5_student", "c122_index_repair")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

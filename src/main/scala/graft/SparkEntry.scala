@@ -185,6 +185,7 @@ object SparkEntry {
     "c119_bpe_bytes" -> ((s, dir) => TextAnalysis.c119BpeBytes(Tables.documents(s, dir))),
     "c120_keeps_manifest" -> ((s, dir) => Sampling.c120KeepsManifest(s, dir)),
     "c121_gate5_student" -> ((s, dir) => graft.streaming.FunnelStream.c121Gate5Student(s, dir)),
+    "c122_index_repair" -> ((s, dir) => Similarity.c122IndexRepair(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

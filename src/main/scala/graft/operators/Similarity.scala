@@ -1515,7 +1515,7 @@ object Similarity {
     * rewrite. Shared memo between c82 (serving) and c87 (health
     * monitoring): a deployment maintains one index and runs many
     * consumers against it. */
-  private def churnedIndexRoot(spark: SparkSession, emb: DataFrame,
+  private[graft] def churnedIndexRoot(spark: SparkSession, emb: DataFrame,
       dir: String): String =
     graft.streaming.StoreMemo.memo(spark, s"c82_index_$dir") { r =>
       buildIndexArtifacts(emb, r) // v1: the pre-churn index
@@ -1595,6 +1595,156 @@ object Similarity {
           .as("upd_mean_qerr"))
       .withColumn("degraded",
         coalesce(col("upd_mean_qerr") > col("mean_qerr"), lit(false)))
+      .orderBy("cluster")
+  }
+
+  // ---- c122: touched-only index repair ---------------------------------
+
+  /** The per-(cluster, m) subquantizer trainer — [[trainPqCodebooks]]
+    * with a cluster key: identical fixed-point discipline (quantized
+    * integer sums, round-then-argmin on the 4dp cell, min-k ties,
+    * empty cells keep previous), but seeds and every iteration are
+    * KEYED by the coarse cluster, so each degraded cluster gets a
+    * codebook trained on ITS OWN live residual distribution. Seed =
+    * each cluster's [[PqCodebookK]] smallest-vec_id members' slices
+    * (k = rank − 1 — the per-cluster spelling of the global
+    * first-K-rows seed). Clusters with fewer members than a seed
+    * needs must be filtered out by the caller. Input `vm0`:
+    * (cluster, vec_id, m, sub); output: (cluster, m, k, csub) —
+    * ≤ |clusters|·M·K rows, bounded by construction. */
+  private def trainPqCodebooksKeyed(vm0: DataFrame, iters: Int = QuantIters,
+      scale: Long = QuantScale): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vm = vm0.localCheckpoint() // read once per iteration
+    val wSeed = Window.partitionBy(col("cluster"), col("m")).orderBy(col("vec_id"))
+    var cb = vm.withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") <= PqCodebookK)
+      .select(col("cluster"), col("m"), (col("rk") - 1).cast("long").as("k"),
+        col("sub").as("csub"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = vm.join(broadcast(cb), Seq("cluster", "m"))
+        .select(col("cluster"), col("vec_id"), col("m"), col("sub"), col("k"),
+          round(aggregate(zip_with(col("sub"), col("csub"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 4).as("d2"))
+        .groupBy("cluster", "vec_id", "m")
+        .agg(expr("min_by(struct(k, sub), struct(d2, k))").as("best"))
+        .select(col("cluster"), col("m"), col("best.k").as("code"), col("best.sub").as("sub"))
+      val updated = assigned
+        .select(col("cluster"), col("m"), col("code"),
+          posexplode(col("sub")).as(Seq("dim", "x")))
+        .groupBy("cluster", "m", "code", "dim")
+        .agg(sum(floor(col("x") * scale + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("m"), col("code").as("k"), col("dim"),
+          (col("s").cast("double") / (col("n") * scale).cast("double")).as("c"))
+        .groupBy("cluster", "m", "k")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("csub"))
+      val kept = cb.join(updated.select("cluster", "m", "k"),
+        Seq("cluster", "m", "k"), "left_anti")
+      cb = updated.unionByName(kept).localCheckpoint()
+    }
+    cb
+  }
+
+  /** ONE repair per (session, corpus): the degraded clusters' local
+    * codebooks trained, their members re-encoded, and the versioned
+    * artifacts written — `codebooks_r` (the cluster-local books),
+    * `codes_v3` (untouched clusters carried byte-for-byte from
+    * codes_v2, repaired members re-coded), and `after` (the
+    * per-cluster post-repair error the report reads). */
+  private[graft] def c122RepairRoot(spark: SparkSession, dir: String): String = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = churnedIndexRoot(spark, emb, dir)
+    graft.streaming.StoreMemo.memo(spark, s"c122_repair_$dir") { r =>
+      val repair = c87IndexHealth(spark, dir)
+        .filter(col("degraded") && col("n_vecs") >= PqCodebookK)
+        .select(col("cluster"))
+      val cent = spark.read.parquet(s"$root/centroids")
+        .select(col("c_id").as("cluster"), col("c_emb"))
+      val v2 = spark.read.parquet(s"$root/codes_v2")
+      // cluster-tagged residual subspace rows of ONLY the repaired
+      // clusters' live members — the assignment is codes_v2's (the
+      // coarse geometry is NOT retrained; only the codebooks refine)
+      val slices = (0 until PqSubspaces).map(m =>
+        struct(lit(m).as("m"), slice(col("rv"), m * PqSubDim + 1, PqSubDim).as("sub")))
+      val vm = churnedCorpus(emb)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .join(v2.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+        .join(broadcast(repair), Seq("cluster"))
+        .join(broadcast(cent), Seq("cluster"))
+        .select(col("cluster"), col("vec_id"),
+          zip_with(col("v"), col("c_emb"), (a, b) => a - b).as("rv"))
+        .select(col("cluster"), col("vec_id"), explode(array(slices: _*)).as("e"))
+        .select(col("cluster"), col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+      val books = trainPqCodebooksKeyed(vm)
+      books.write.mode("overwrite").parquet(s"$r/codebooks_r")
+      // re-encode the repaired members under their cluster-local
+      // books: rounded cell distance, argmin with min-k ties — the
+      // encode contract [[pqCellD2]] pins, spelled declaratively over
+      // the bounded (members × M × K) cell frame
+      val chosen = vm.join(broadcast(books), Seq("cluster", "m"))
+        .select(col("cluster"), col("vec_id"), col("m"), col("k"),
+          round(aggregate(zip_with(col("sub"), col("csub"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 4).as("d2"))
+        .groupBy("cluster", "vec_id", "m")
+        .agg(expr("min_by(struct(k, d2), struct(d2, k))").as("best"))
+        .select(col("cluster"), col("vec_id"), col("m"),
+          col("best.k").as("code"), col("best.d2").as("d2"))
+      val recoded = chosen.groupBy("vec_id", "cluster")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          s => s.getField("code").cast("int")).as("codes"))
+        .select(col("vec_id"), col("cluster"), col("codes"))
+      v2.join(repair, Seq("cluster"), "left_anti")
+        .select(col("vec_id"), col("cluster"), col("codes"))
+        .unionByName(recoded)
+        .write.mode("overwrite").parquet(s"$r/codes_v3")
+      chosen.groupBy("cluster")
+        .agg(sum(round(col("d2") * 10000).cast("long")).as("sum_e4"),
+          countDistinct(col("vec_id")).as("n"))
+        .select(col("cluster"),
+          round(col("sum_e4") / (lit(10000.0) * col("n")), 4).as("mean_after"))
+        .write.mode("overwrite").parquet(s"$r/after")
+    }
+  }
+
+  /** c122: the monitor → maintenance loop CLOSED — the r11 verdict's
+    * "c87's `degraded` flag has no consumer": clusters the health
+    * report flags (updated members quantize worse than the cluster
+    * at large — their codebooks were trained on a distribution that
+    * no longer holds) get their subquantizer RETRAINED on exactly
+    * their own live residuals ([[trainPqCodebooksKeyed]] — the
+    * per-cluster local-codebook refinement), and ONLY their members
+    * re-encode (c82's touched-only discipline, one artifact version
+    * deeper: codes_v3). The keyed report prices the repair per
+    * cluster: occupancy, the degraded flag, whether it was retrained
+    * (degraded AND enough members to seed a [[PqCodebookK]]-entry
+    * book), and the mean reconstruction error BEFORE (c87's read,
+    * under the global pre-churn books) vs AFTER (under the
+    * cluster-local books; unrepaired clusters carry their before
+    * value). Coarse centroids are NOT retrained — assignment, and
+    * with it every untouched cluster's codes, stays byte-identical
+    * (spec-pinned), which is what makes the repair safe to ship
+    * incrementally.
+    *
+    * Scale shape: the health pass is c87's one codes⋈corpus kernel;
+    * the repair touches |degraded members| rows through one
+    * bounded-key trainer (≤ |clusters|·M·K codebook rows broadcast
+    * per iteration) and one re-encode join; the report is
+    * cluster-grain. Oracle: c87's replay chain + the keyed trainer
+    * unrolled CTE-for-CTE (seed = rank-ordered member slices, the
+    * c26/c64 fixed-point discipline with a cluster key) + the
+    * re-encode argmin + the after-aggregate. */
+  def c122IndexRepair(spark: SparkSession, dir: String): DataFrame = {
+    val after = spark.read.parquet(s"${c122RepairRoot(spark, dir)}/after")
+    c87IndexHealth(spark, dir)
+      .withColumn("retrained",
+        col("degraded") && col("n_vecs") >= PqCodebookK)
+      .join(after, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vecs"), col("degraded"), col("retrained"),
+        col("mean_qerr").as("mean_qerr_before"),
+        coalesce(col("mean_after"), col("mean_qerr")).as("mean_qerr_after"))
       .orderBy("cluster")
   }
 

@@ -10,6 +10,59 @@ import org.scalatest.funsuite.AnyFunSuite
 class Round21Spec extends AnyFunSuite {
   import TestSpark._
 
+  test("c122: touched-only repair — untouched codes byte-identical, degraded error non-increasing") {
+    import org.apache.spark.sql.functions._
+    val K = graft.operators.Similarity.PqCodebookK
+    val rows = graft.operators.Similarity.c122IndexRepair(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cols: cluster(0), n_vecs(1), degraded(2), retrained(3), before(4), after(5)
+    assert(rows.exists(_.getBoolean(3)), "no cluster repaired — the loop never fires here")
+    for (r <- rows) {
+      assert(r.getBoolean(3) == (r.getBoolean(2) && r.getLong(1) >= K),
+        s"retrained flag breaks its rule: $r")
+      if (r.getBoolean(3))
+        assert(r.getDouble(5) <= r.getDouble(4) + 1e-9,
+          s"repair increased cluster error: $r")
+      else
+        assert(r.getDouble(5) == r.getDouble(4),
+          s"unrepaired cluster's error moved: $r")
+    }
+    // artifact discipline: untouched clusters' codes carry over
+    // byte-for-byte; repaired members are all present, same universe
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val v2 = spark.read.parquet(
+      s"${graft.operators.Similarity.churnedIndexRoot(spark, emb, sf)}/codes_v2")
+    val v3 = spark.read.parquet(
+      s"${graft.operators.Similarity.c122RepairRoot(spark, sf)}/codes_v3")
+    assert(v3.count() == v2.count(), "repair changed the codes universe")
+    val repaired = rows.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val untouched2 = v2.collect().filter(r => !repaired(r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq)).toSet
+    val untouched3 = v3.collect().filter(r => !repaired(r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(untouched2 == untouched3, "untouched clusters' codes not byte-identical")
+    // repaired members keep their coarse assignment (only codebooks
+    // refine) and at least one member's codes actually changed
+    val full2 = v2.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2).toSeq))).toMap
+    val changed = v3.collect().filter(r => repaired(r.getLong(1)))
+      .count { r =>
+        val (cl2, codes2) = full2(r.getLong(0))
+        assert(cl2 == r.getLong(1), s"repair moved vec ${r.getLong(0)} across clusters")
+        codes2 != r.getSeq[Int](2).toSeq
+      }
+    assert(changed > 0, "repair re-encoded nothing")
+    // the local books are complete M×K grids per retrained cluster
+    val books = spark.read.parquet(
+      s"${graft.operators.Similarity.c122RepairRoot(spark, sf)}/codebooks_r").collect()
+    val grid = books.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = for {
+      c <- repaired; m <- 0 until graft.operators.Similarity.PqSubspaces
+      k <- 0 until K
+    } yield (c, m, k.toLong)
+    assert(grid == want.toSet, "local codebook grid incomplete")
+  }
+
   test("c121: live five-gate student stream accumulates the same stores as the audit replay") {
     import org.apache.spark.sql.functions._
     import graft.streaming.FunnelStream
