@@ -545,6 +545,17 @@ object Dedup {
     * verification budget (precision low) or misses near-dups (recall
     * low).
     *
+    * Recall is an ESTIMATOR, not ground truth: it normalizes by the
+    * SAMPLED union, so at a BINDING verify budget every geometry's
+    * recall inflates by exactly the factor |true dups| / |union| —
+    * all three can read 1.0 while missing the same mass. The
+    * planted-duplicate spec quantifies this (reported = true ×
+    * P/union, exact when the budget doesn't bind); the analytic
+    * probe column is exact at any budget. A deployment sizing its
+    * budget should read n_verified < the budget as "estimator
+    * trustworthy", n_verified = the budget as "recall is relative,
+    * compare geometries only".
+    *
     * Shape: ONE minhash signature build (the 16 min-aggregates c3
     * pays, computed once and checkpointed), a |grid|-way union of
     * band-key derivations off that frame — band keys are geometry-

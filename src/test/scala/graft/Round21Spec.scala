@@ -10,6 +10,54 @@ import org.scalatest.funsuite.AnyFunSuite
 class Round21Spec extends AnyFunSuite {
   import TestSpark._
 
+  test("c114: planted duplicates quantify the recall estimator's bias at a binding budget") {
+    import spark.implicits._
+    // P planted duplicate pairs (identical text, zero cross-pair
+    // shingle overlap) + distinct filler — ground truth is EXACTLY
+    // the P pairs, so the sampled-union recall column's bias is
+    // measurable against it
+    val P = 12
+    val planted = (0 until P).flatMap { i =>
+      val text = s"p$i q$i r$i s$i t$i u$i"
+      Seq((i * 2L, text), (i * 2L + 1, text))
+    }
+    val filler = (0 until 30).map(i => (1000L + i, s"f$i g$i h$i j$i k$i l$i"))
+    val docs = (planted ++ filler).toDF("doc_id", "text")
+    def unionOf(rows: Array[org.apache.spark.sql.Row]): Long = {
+      // the report's recall divides by the sampled-union dup count;
+      // recover it from any geometry with dups (integers this small
+      // invert the 4dp rounding exactly)
+      val r = rows.filter(_.getLong(4) > 0).head
+      math.round(r.getLong(4) / r.getDouble(6))
+    }
+    // BINDING budget: every geometry verifies at most 4 pairs
+    val bound = graft.operators.Dedup.c114LshGeometry(docs, verifyCap = 4).collect()
+    val uBound = unionOf(bound)
+    assert(uBound < P,
+      s"budget 4 did not bind — union $uBound should miss planted mass ($P)")
+    for (r <- bound if r.getLong(4) > 0) {
+      val (nDup, reported) = (r.getLong(4), r.getDouble(6))
+      val trueRecall = nDup.toDouble / P
+      // the report divides by the union — consistency…
+      assert(math.abs(reported - math.rint(nDup.toDouble / uBound * 1e4) / 1e4) < 1.5e-4)
+      // …and the BIAS, quantified: reported overstates ground truth
+      // by exactly the factor P/union (> 1 at a binding budget)
+      assert(reported > trueRecall + 1e-9,
+        s"binding budget should inflate recall: reported $reported vs true $trueRecall")
+      assert(math.abs(reported / trueRecall - P.toDouble / uBound) < 0.05,
+        s"bias factor off: ${reported / trueRecall} vs ${P.toDouble / uBound}")
+    }
+    // NON-binding budget: the union covers every planted pair and the
+    // estimator is exact — all geometries capture all P (identical
+    // docs share every band key at every geometry)
+    val free = graft.operators.Dedup.c114LshGeometry(docs, verifyCap = 100000).collect()
+    assert(unionOf(free) == P, "unbounded union must equal the planted ground truth")
+    for (r <- free) {
+      assert(r.getLong(4) == P, s"geometry missed a planted identical pair: $r")
+      assert(math.abs(r.getDouble(6) - 1.0) < 1e-9)
+    }
+  }
+
   test("c122: touched-only repair — untouched codes byte-identical, degraded error non-increasing") {
     import org.apache.spark.sql.functions._
     val K = graft.operators.Similarity.PqCodebookK
