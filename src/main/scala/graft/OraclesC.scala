@@ -1417,13 +1417,13 @@ object OraclesC {
         from $prev c left join rm$i u
           on u.cluster = c.cluster and u.m = c.m and u.k = c.k)"""
 
-  /** c122: c87's health chain, then the repair — degraded seedable
-    * clusters, their members' residual slices (codes_v2 assignment,
-    * v1 centroids — the coarse geometry is not retrained), the
-    * keyed trainer unrolled, the re-encode argmin under the local
-    * books, and the per-cluster after-error. */
-  private def c122Sql: String = s"""
-      with $C87_CHAIN,
+  /** c122's repair chain (dcl → rqd, CTE list without WITH): degraded
+    * seedable clusters, their members' residual slices (codes_v2
+    * assignment, v1 centroids — the coarse geometry is not
+    * retrained), the keyed trainer unrolled, and every re-encode cell
+    * distance under the local books. Shared by the c122 report and
+    * c123's repaired-index serving. */
+  private def c122Chain: String = s"""
       dcl as (select cluster from g87
               where coalesce(upd_mean_qerr > mean_qerr, false) and n_vecs >= $PQK),
       rvm as (
@@ -1440,7 +1440,13 @@ object OraclesC {
         select v.cluster, v.vec_id, v.m, cb.k,
                round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
                  for j in range(1,${PSUB + 1})]), 4) as d2
-        from rvm v join rcb$QITERS cb on cb.cluster = v.cluster and cb.m = v.m),
+        from rvm v join rcb$QITERS cb on cb.cluster = v.cluster and cb.m = v.m)"""
+
+  /** c122: c87's health chain, then the repair — the keyed trainer,
+    * the re-encode argmin, and the per-cluster after-error. */
+  private def c122Sql: String = s"""
+      with $C87_CHAIN,
+      $c122Chain,
       rch as (
         select cluster, vec_id, m, d2 from rqd
         qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
@@ -1458,6 +1464,48 @@ object OraclesC {
       left join dcl d on d.cluster = g.cluster
       left join gafter a on a.cluster = g.cluster
       order by g.cluster
+    """
+
+  /** c123: the repaired index SERVED — c122's chain, then serving
+    * with local-over-global book selection: per probed (query,
+    * cluster) the LUT builds from the coalesced book, candidates are
+    * the v3 code union (untouched clusters' v2 codes + the repaired
+    * re-encode), ADC + rank as every stored-serving oracle. */
+  private def c123Sql: String = s"""
+      with $C87_CHAIN,
+      $c122Chain,
+      rcode as (
+        select cluster, vec_id, m, k from rqd
+        qualify row_number() over (partition by vec_id, m order by d2, k) = 1),
+      bks123 as (
+        select cl.cluster, g.m, g.k, coalesce(r.csub, g.csub) as csub
+        from (select distinct cluster from yasg) cl
+        cross join ytcb$QITERS g
+        left join rcb$QITERS r on r.cluster = cl.cluster and r.m = g.m and r.k = g.k),
+      lut123 as (
+        select q.q_id, q.cluster, q.m, b.k,
+               round(list_sum([(sub[j]-csub[j])*(sub[j]-csub[j])
+                 for j in range(1,${PSUB + 1})]), 4) as d2
+        from yqrm q join bks123 b on b.cluster = q.cluster and b.m = q.m),
+      codes123 as (
+        select a.cluster, c.vec_id, c.m, c.code
+        from ycodes c join yasg a using (vec_id)
+        left join dcl d on d.cluster = a.cluster
+        where d.cluster is null
+        union all
+        select cluster, vec_id, m, k as code from rcode),
+      sc123 as (
+        select l.q_id, c.vec_id, round(sum(l.d2), 4) as adist
+        from codes123 c
+        join lut123 l on l.cluster = c.cluster and l.m = c.m and l.k = c.code
+        where c.vec_id <> l.q_id
+        group by 1, 2),
+      r123 as (select q_id, vec_id, adist,
+               row_number() over (partition by q_id order by adist, vec_id)::bigint as rank
+               from sc123)
+      select q_id, rank, vec_id, adist from r123
+      where rank <= $PTOPK
+      order by q_id, rank
     """
 
   /** The clustered-derivation CTE (the exact twin of
@@ -3972,6 +4020,7 @@ object OraclesC {
     "c82_index_churn" -> C82_SQL,
     "c87_index_health" -> C87_SQL,
     "c122_index_repair" -> c122Sql,
+    "c123_repaired_serve" -> c123Sql,
 
     // c70: residual-vs-plain recall at the default dial — factored
     // above (C70_SQL) so c78 serves the same report over the

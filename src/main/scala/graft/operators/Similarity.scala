@@ -1748,17 +1748,69 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** The repair root's cluster-local codebooks in the serving layout:
+    * cluster → [m][k][i]. Bounded (≤ |clusters|·M·K rows). */
+  private def collectLocalBooks(spark: SparkSession,
+      rroot: String): Map[Long, Array[Array[Array[Double]]]] = {
+    spark.read.parquet(s"$rroot/codebooks_r")
+      .select(col("cluster"), col("m"), col("k"), col("csub")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (cl, rows) =>
+        val cells = rows.map(r =>
+          ((r.getInt(1), r.getLong(2).toInt), r.getSeq[Double](3).toArray)).toMap
+        require(cells.size == PqSubspaces * PqCodebookK,
+          s"c123: cluster $cl local book has ${cells.size} cells")
+        cl -> Array.tabulate(PqSubspaces, PqCodebookK)((m, k) => cells((m, k)))
+      }
+  }
+
+  /** c123: SERVING THE REPAIRED INDEX — the read path that makes
+    * c122's repair real (c122 writes codes_v3 + local books; nothing
+    * consumed them): c82's churned-corpus serving with, per REPAIRED
+    * cluster, the LUT built from that cluster's LOCAL codebook and
+    * the candidates read from codes_v3 — local-over-global selection
+    * at LUT-build time, exactly DEPLOY.md's prescription. Untouched
+    * clusters serve bit-identically to c82 (same books, same codes),
+    * so a query whose probe set avoids every repaired cluster
+    * returns c82's rows verbatim — spec-pinned, the incremental-
+    * safety property that lets a deployment ship the repair without
+    * a full-index re-audit.
+    *
+    * Shape: identical to c79/c82's serving (bounded artifact +
+    * query collects, ONE codes scan, one report-sized rank window);
+    * the local books add ≤ |repaired|·M·K rows to the driver-side
+    * LUT build. Oracle: c122's replay chain + the coalesced-book
+    * LUT + the v3 code union, serving CTE-for-CTE. */
+  def c123RepairedServe(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultQueryCount, topK: Int = PqTopK,
+      nprobe: Int = DefaultNProbe): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = churnedIndexRoot(spark, emb, dir)
+    val rroot = c122RepairRoot(spark, dir)
+    serveStoredIndex(spark, churnedCorpus(emb), root, nQueries, topK, nprobe,
+      codesDir = "codes_v3", localBooks = collectLocalBooks(spark, rroot),
+      codesRoot = Some(rroot))
+  }
+
   /** Serve top-k from the STORED artifacts: LUTs from the artifact
     * centroids/codebooks, candidates from the CODES scan. The raw
     * corpus is touched only for the bounded query rows.
     * `queryFilter` overrides the default first-nQueries slice (c118
     * serves the fusion's % 101 query set); `candFilter` restricts
     * the CODES scan (a predicate over the stored vec_id — c118's
-    * held-out-benchmark exclusion, applied at the codes scan). */
+    * held-out-benchmark exclusion, applied at the codes scan);
+    * `localBooks` overrides the global codebooks for named clusters
+    * (c123's repaired-index serving — the LUT for a repaired cluster
+    * builds from ITS local book, everything else from the global
+    * one); `codesRoot` points the codes scan at a different artifact
+    * root than the centroid/codebook read (c123 reads codes_v3 from
+    * the repair root against the churned root's v1 geometry). */
   private def serveStoredIndex(spark: SparkSession, emb: DataFrame, root: String,
       nQueries: Int, topK: Int, nprobe: Int, codesDir: String = "codes",
       queryFilter: Option[org.apache.spark.sql.Column] = None,
-      candFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      candFilter: Option[org.apache.spark.sql.Column] = None,
+      localBooks: Map[Long, Array[Array[Array[Double]]]] = Map.empty,
+      codesRoot: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dims = PqSubspaces * PqSubDim
     val (rBooks, centLocal, centNorm) = loadArtifacts(spark, root)
@@ -1777,17 +1829,18 @@ object Similarity {
     val lutR = Array.tabulate(qArr.length, nCent) { (qi, c) =>
       if (!probeSets(qi)(c)) null
       else {
+        val bks = localBooks.getOrElse(c.toLong, rBooks)
         val qres = new Array[Double](dims)
         var i = 0
         while (i < dims) { qres(i) = qVecs(qi)._2(i) - centLocal(c)(i); i += 1 }
-        Array.tabulate(PqSubspaces, PqCodebookK)((m, k) => pqCellD2(qres, rBooks, k, m))
+        Array.tabulate(PqSubspaces, PqCodebookK)((m, k) => pqCellD2(qres, bks, k, m))
       }
     }
     val bc = spark.sparkContext.broadcast((qArr, lutR, probeSets))
     import spark.implicits._
     val kLocal = topK
     val topLocal = candFilter
-      .foldLeft(spark.read.parquet(s"$root/$codesDir"))(_ filter _)
+      .foldLeft(spark.read.parquet(s"${codesRoot.getOrElse(root)}/$codesDir"))(_ filter _)
       .select(col("vec_id"), col("cluster").cast("int"), col("codes"))
       .as[(Long, Int, Array[Int])]
       .mapPartitions { it =>

@@ -111,6 +111,47 @@ class Round21Spec extends AnyFunSuite {
     assert(grid == want.toSet, "local codebook grid incomplete")
   }
 
+  test("c123: repaired serving — unrepaired evidence identical to c82, repair observable, ranks sound") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Similarity.c123RepairedServe(spark, sf).collect()
+    val base = graft.operators.Similarity.c82IndexChurnServe(spark, sf).collect()
+    assert(got.nonEmpty)
+    // same query universe, dense ranks, non-decreasing adist, no
+    // dropped vectors, no self-hits
+    assert(got.map(_.getLong(0)).toSet == base.map(_.getLong(0)).toSet)
+    for ((q, rs) <- got.groupBy(_.getLong(0))) {
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq)
+      val dists = sorted.map(_.getDouble(3))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b + 1e-9 },
+        s"adist not non-decreasing for query $q")
+      for (r <- rs) {
+        assert(r.getLong(2) % 11 != 4, s"dropped vector served: $r")
+        assert(r.getLong(2) != q, s"self-hit served: $r")
+      }
+    }
+    // the repair is OBSERVABLE in serving (some query's top-k moved)
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val baseSet = base.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(gotSet != baseSet, "repaired serving identical to pre-repair — repair invisible")
+    // incremental safety: a candidate in an UNrepaired cluster scores
+    // identically in both indexes wherever it appears (same books,
+    // same codes — only repaired clusters' evidence may move)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val repaired = graft.operators.Similarity.c122IndexRepair(spark, sf).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val clusterOf = spark.read.parquet(
+        s"${graft.operators.Similarity.churnedIndexRoot(spark, emb, sf)}/codes_v2")
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseBy = base.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    for (r <- got if !repaired(clusterOf(r.getLong(2)))) {
+      for (d <- baseBy.get((r.getLong(0), r.getLong(2))))
+        assert(math.abs(d - r.getDouble(3)) < 1e-12,
+          s"unrepaired candidate's score moved: $r vs $d")
+    }
+  }
+
   test("c121: live five-gate student stream accumulates the same stores as the audit replay") {
     import org.apache.spark.sql.functions._
     import graft.streaming.FunnelStream
