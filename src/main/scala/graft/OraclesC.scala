@@ -34,8 +34,12 @@ object OraclesC {
   /** c33's shingle-diagonal span chain up to maximal cross-doc spans
     * (CTE list, no WITH keyword) — shared by c33 and c34. Geometry
     * interpolated from the operator constants. */
-  private val C33_CHAIN = s"""
-      d33 as (select doc_id, string_split(text, ' ') as w0 from documents),
+  private val C33_CHAIN = c33Chain()
+  /** c33's span-evidence chain over an arbitrary corpus CTE — the
+    * default is the whole table; c124 runs it over the funnel's
+    * KEPT corpus (span dedup executes on what survives curation). */
+  private def c33Chain(corpus: String = "documents"): String = s"""
+      d33 as (select doc_id, string_split(text, ' ') as w0 from $corpus),
       sh33 as (
         select doc_id, p as pos,
                substr(md5(array_to_string(w0[p+1:p+${graft.operators.Dedup.SpanShingleW}], ' ')), 1, 16) as key
@@ -2347,7 +2351,10 @@ object OraclesC {
     * schedule chain — quality re-binned WITHIN the kept population.
     * Factored as a CTE list (ending in `sched105`) so c111 can run
     * the packing window over the same schedule. */
-  private def c105Chain: String = s"""
+  /** The funnel's keep chain (pop105 → kept105, CTE list without
+    * WITH) — ONE spelling of c50's keeps shared by c105's schedule
+    * and c124's yield report. */
+  private def keepsChain: String = s"""
       pop105 as (select * from documents where doc_id % 97 <> 0),
       kd105 as (select md5(text) as h, min(doc_id) as keep_doc from pop105 group by 1),
       sh105 as ($SH8),
@@ -2382,7 +2389,13 @@ object OraclesC {
           and (en_score > 0.01 or en_ngram_score > 0.02)
           and distinct_ratio >= 0.3
           and n_pii <= 20),
-      kept105 as (select d.* from documents d join keeps105 using (doc_id)),
+      kept105 as (select d.* from documents d join keeps105 using (doc_id))"""
+
+  /** c105: [[keepsChain]] feeding c99's schedule chain — quality
+    * re-binned WITHIN the kept population. Ends in `sched105` so c111
+    * can run the packing window over the same schedule. */
+  private def c105Chain: String = s"""
+      $keepsChain,
       q105 as (
         select source, doc_id,
                round(0.3 * least(len(w)::double / 100.0, 1.0)
@@ -2413,6 +2426,70 @@ object OraclesC {
       select doc_id, source, bin, shard, pos from sched105
       order by shard, pos
     """
+
+  /** c124: the per-source acquisition yield — the funnel's keeps
+    * ([[keepsChain]]), the stored tokenizer's BPE mass (c75's chain),
+    * span cuts over the KEPT corpus (c33's chain rebased + c34's
+    * island merge), one source-grain rollup. The BPE-net estimate is
+    * exact integer arithmetic (div), the fractions 4-rounded. */
+  private def c124Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    s"""
+      with ${c75Chain(m)},
+      nsy124 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc124 as (
+        select tf.doc_id,
+               sum(tf.tf * coalesce(nsy124.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy124 on tf.term = nsy124.term
+        group by tf.doc_id),
+      $keepsChain,
+      ${c33Chain("kept105")},
+      iv124 as (select doc_b as doc_id, b_start as s, b_start + n_tokens as e from spans),
+      mx124 as (
+        select doc_id, s, e,
+               max(e) over (partition by doc_id order by s, e
+                 rows between unbounded preceding and 1 preceding) as maxe
+        from iv124),
+      isl124 as (
+        select doc_id, s, e,
+               sum(case when maxe is null or s > maxe then 1 else 0 end)
+                 over (partition by doc_id order by s, e) as island
+        from mx124),
+      r124 as (select doc_id, island, min(s) as cs, max(e) as ce
+               from isl124 group by doc_id, island),
+      cut124 as (select doc_id, sum(ce - cs)::bigint as cut_tokens
+                 from r124 group by doc_id),
+      ws124 as (select doc_id, len(string_split(text, ' '))::bigint as ws from kept105),
+      per124 as (
+        select d.source, d.doc_id, e.n_tok,
+               (k.doc_id is not null) as kept,
+               coalesce(w.ws, 0)::bigint as ws,
+               coalesce(c.cut_tokens, 0)::bigint as cut
+        from (select doc_id, source from documents where doc_id % 97 <> 0) d
+        join enc124 e using (doc_id)
+        left join keeps105 k using (doc_id)
+        left join ws124 w using (doc_id)
+        left join cut124 c using (doc_id)),
+      g124 as (
+        select source,
+               count(*)::bigint as n_docs,
+               (count(*) filter (where kept))::bigint as n_kept,
+               sum(n_tok)::bigint as bpe_raw,
+               coalesce(sum(n_tok) filter (where kept), 0)::bigint as bpe_kept,
+               sum(ws)::bigint as ws_kept,
+               sum(cut)::bigint as ws_cut
+        from per124 group by source)
+      select source, n_docs, n_kept,
+             round(n_kept::double / n_docs, 4) as keep_rate,
+             bpe_raw, bpe_kept, ws_kept, ws_cut,
+             case when ws_kept > 0 then round(ws_cut::double / ws_kept, 4) end as cut_frac,
+             (bpe_kept - case when ws_kept > 0
+                then (bpe_kept * ws_cut) // ws_kept else 0 end)::bigint as bpe_net_est,
+             round((bpe_kept - case when ws_kept > 0
+                then (bpe_kept * ws_cut) // ws_kept else 0 end)::double / bpe_raw, 4) as yield_frac
+      from g124 order by source
+    """
+  }
 
   /** c111: c105's schedule chain + c103's stored-tokenizer counts,
     * the packing prefix sum over the KEPT schedule's (shard, pos). */
@@ -2918,6 +2995,7 @@ object OraclesC {
     "c103_curriculum_pack" -> c103Sql,
     "c104_seq_manifest" -> c104Sql,
     "c105_keeps_schedule" -> c105Sql,
+    "c124_source_yield" -> c124Sql,
     "c106_pack_sweep" -> c106Sql,
     "c107_source_divergence" -> c107Sql,
     "c108_gumbel_sample" -> c108Sql,

@@ -267,7 +267,8 @@ object ScaleSmoke {
       "c118_rrf_stored", "c119_bpe_bytes", "c120_keeps_manifest",
       // r16: the student five-gate store build and the touched-only
       // repair (health kernel + |degraded members| trainer)
-      "c121_gate5_student", "c122_index_repair", "c123_repaired_serve")
+      "c121_gate5_student", "c122_index_repair", "c123_repaired_serve",
+      "c124_source_yield")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

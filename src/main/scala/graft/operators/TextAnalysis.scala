@@ -1893,6 +1893,66 @@ object TextAnalysis {
           .otherwise(col("qreason")).as("stage"))
   }
 
+  /** c124: the per-source ACQUISITION YIELD — the table a data team
+    * reads when deciding where the next crawl dollar goes: per
+    * source, how much of its raw token mass actually survives into
+    * the training budget. Composes the pipeline's own stages in
+    * execution order: the c50 funnel decides keeps (exact dedup →
+    * contamination → quality cascade), the stored tokenizer (c83's
+    * artifact) prices raw and kept mass in BPE tokens (the billing
+    * grain c86/c98 budget in), and span dedup (c33/c34) runs over
+    * the KEPT corpus — cuts are priced at their native whitespace
+    * grain (ws_cut / ws_kept), with `bpe_net_est` the explicit
+    * proportional estimate bpe_kept − (bpe_kept·ws_cut) div ws_kept
+    * (exact integer arithmetic both engines; an ESTIMATE because
+    * span cuts are ws-grain ranges, honestly named). yield_frac =
+    * net / raw is the acquisition signal: a high-keep low-yield
+    * source is duplication-bound (c112's repeat table says whether
+    * it's also repeat-bound), a low-keep source is quality-bound.
+    *
+    * Shape: the funnel + tokenizer memos are session-paid; the span
+    * chain runs once over the kept subset (capped postings — c33's
+    * bounds); the rollup is one source-grain aggregate over doc-grain
+    * joins. Population = the funnel's own (benchmark slice
+    * excluded), so every number reconciles with c50/c98. */
+  def c124SourceYield(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val pop = docs.filter(col("doc_id") % 97 =!= 0)
+    val keeps = funnelDecisions(docs).filter(col("stage") === "keep").select("doc_id")
+    val kept = Materialize.frame(docs.join(keeps, Seq("doc_id")))
+    val tok = graft.operators.Sampling.storedTokCounts(spark, dir)
+    val ws = kept.select(col("doc_id"),
+      size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("ws"))
+    val cuts = Dedup.c34SpanCuts(kept).select(col("doc_id"), col("cut_tokens"))
+    pop.select(col("doc_id"), col("source"))
+      .join(tok, Seq("doc_id"))
+      .join(keeps.withColumn("kept", lit(true)), Seq("doc_id"), "left")
+      .join(ws, Seq("doc_id"), "left")
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tok"),
+        coalesce(col("kept"), lit(false)).as("kept"),
+        coalesce(col("ws"), lit(0L)).as("ws"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("bpe_raw"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("bpe_kept"),
+        sum(col("ws")).as("ws_kept"),
+        sum(col("cut")).as("ws_cut"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4).as("keep_rate"),
+        col("bpe_raw"), col("bpe_kept"), col("ws_kept"), col("ws_cut"),
+        when(col("ws_kept") > 0,
+          round(col("ws_cut").cast("double") / col("ws_kept"), 4)).as("cut_frac"),
+        (col("bpe_kept") - when(col("ws_kept") > 0,
+          expr("(bpe_kept * ws_cut) div ws_kept")).otherwise(lit(0L))).as("bpe_net_est"))
+      .withColumn("yield_frac",
+        round(col("bpe_net_est").cast("double") / col("bpe_raw"), 4))
+      .orderBy("source")
+  }
+
   /** c50: the composed batch curation FUNNEL — the end-to-end
     * decision a training-data pipeline executes per document, in the
     * exact order the three live gates run it (NearDupStream /

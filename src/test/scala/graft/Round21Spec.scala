@@ -111,6 +111,43 @@ class Round21Spec extends AnyFunSuite {
     assert(grid == want.toSet, "local codebook grid incomplete")
   }
 
+  test("c124: yield report reconciles with the funnel, tokenizer, and span tiers") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextAnalysis.c124SourceYield(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val popN = docs.filter(col("doc_id") % 97 =!= 0).count()
+    assert(rows.map(_.getLong(1)).sum == popN, "per-source docs don't cover the population")
+    // keeps reconcile with c50's funnel report
+    val c50keep = graft.operators.TextAnalysis.c50CurationFunnel(docs).collect()
+      .find(_.getString(1) == "keep").map(_.getLong(2)).getOrElse(0L)
+    assert(rows.map(_.getLong(2)).sum == c50keep, "keeps don't reconcile with c50")
+    for (r <- rows) {
+      val (nDocs, nKept) = (r.getLong(1), r.getLong(2))
+      val (bpeRaw, bpeKept) = (r.getLong(4), r.getLong(5))
+      val (wsKept, wsCut) = (r.getLong(6), r.getLong(7))
+      val (netEst, yld) = (r.getLong(9), r.getDouble(10))
+      assert(nKept <= nDocs && bpeKept <= bpeRaw && wsCut <= wsKept,
+        s"mass grows through the funnel: $r")
+      val expectNet =
+        if (wsKept > 0) bpeKept - (bpeKept * wsCut) / wsKept else bpeKept
+      assert(netEst == expectNet, s"net-estimate arithmetic broken: $r")
+      assert(netEst <= bpeKept && netEst >= 0)
+      val expectYield = BigDecimal.valueOf(netEst.toDouble / bpeRaw)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(yld - expectYield) < 1e-9, s"yield arithmetic broken: $r")
+    }
+    // span dedup ran over the KEPT corpus: total cut mass matches
+    // c34 on exactly the kept docs
+    val keptIds = graft.operators.Sampling.c105KeepsSchedule(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = docs.filter(col("doc_id").isInCollection(keptIds))
+    val cutTotal = graft.operators.Dedup.c34SpanCuts(kept).collect()
+      .map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(7)).sum == cutTotal,
+      "cut mass doesn't reconcile with c34 over the kept corpus")
+  }
+
   test("c123: repaired serving — unrepaired evidence identical to c82, repair observable, ranks sound") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Similarity.c123RepairedServe(spark, sf).collect()
