@@ -871,6 +871,81 @@ object OraclesC {
     """
   }
 
+  /** c125: the fusion-tier recall audit — c118's full replay (the
+    * trained chain at fusion queries/depth, the exact refine, the
+    * lexical leg, the RRF combine) plus the exact-cosine ground
+    * truth, three per-query hit counts at report grain. */
+  private def c125Sql: String = {
+    val c = graft.operators.Similarity.RrfC
+    val k = graft.operators.Similarity.RrfTopK
+    val qb = graft.operators.Similarity.RrfQueryBound
+    val depth = graft.operators.Similarity.RerankDepth
+    s"""
+      with $rrfLexCtes,
+      $TRAINED_CENTROIDS,
+      ${residualServeChain("y", s"cent$QITERS",
+        queryPred = s"vec_id % 101 = 0 and vec_id < $qb",
+        candPred = Some("c.vec_id % 101 <> 0"))},
+      cand118 as (select q_id, vec_id, rank as adc_rank from yr where rank <= $depth),
+      eq118 as (select vec_id as q_id, embedding as q_emb from embeddings
+                where vec_id % 101 = 0 and vec_id < $qb),
+      ex118 as (
+        select c.q_id, c.vec_id, c.adc_rank, ${cosN("eq118.q_emb", "e.embedding")} as cos
+        from cand118 c
+        join embeddings e on c.vec_id = e.vec_id
+        join eq118 on c.q_id = eq118.q_id),
+      semr118 as (
+        select q_id, vec_id as doc_id, sem_rank, adc_rank from (
+          select q_id, vec_id, adc_rank,
+                 row_number() over (partition by q_id
+                   order by cos desc nulls last, vec_id)::bigint as sem_rank
+          from ex118)
+        where sem_rank <= $k),
+      f118 as (
+        select coalesce(l.q_id, s.q_id) as q_id,
+               coalesce(l.doc_id, s.doc_id) as doc_id,
+               lex_rank, sem_rank,
+               round(coalesce(1.0::double / ($c + lex_rank), 0)
+                   + coalesce(1.0::double / ($c + sem_rank), 0), 6) as rrf
+        from lexr l full outer join semr118 s on l.q_id = s.q_id and l.doc_id = s.doc_id),
+      fused125 as (
+        select q_id, doc_id from (
+          select q_id, doc_id,
+                 row_number() over (partition by q_id
+                   order by rrf desc, doc_id)::bigint as rank
+          from f118)
+        where rank <= $k),
+      exs125 as (
+        select eq118.q_id, e.vec_id as doc_id,
+               row_number() over (partition by eq118.q_id
+                 order by ${cosN("eq118.q_emb", "e.embedding")} desc nulls last,
+                          e.vec_id)::bigint as rk
+        from embeddings e cross join eq118
+        where e.vec_id % 101 <> 0 and e.vec_id <> eq118.q_id),
+      gt125 as (select q_id, doc_id from exs125 where rk <= $k),
+      dh125 as (
+        select gt125.q_id, count(s.doc_id)::bigint as dense_hits
+        from gt125 left join semr118 s
+          on s.q_id = gt125.q_id and s.doc_id = gt125.doc_id
+        group by gt125.q_id),
+      fh125 as (
+        select gt125.q_id, count(f.doc_id)::bigint as fused_hits
+        from gt125 left join fused125 f
+          on f.q_id = gt125.q_id and f.doc_id = gt125.doc_id
+        group by gt125.q_id),
+      lh125 as (
+        select gt125.q_id, count(l.doc_id)::bigint as lex_hits
+        from gt125 left join lexr l
+          on l.q_id = gt125.q_id and l.doc_id = gt125.doc_id
+        group by gt125.q_id)
+      select q_id, dense_hits, round(dense_hits::double / $k, 4) as dense_recall,
+             fused_hits, round(fused_hits::double / $k, 4) as fused_recall,
+             lex_hits, round(lex_hits::double / $k, 4) as lex_recall
+      from dh125 join fh125 using (q_id) join lh125 using (q_id)
+      order by q_id
+    """
+  }
+
   /** One c73 cell: probes at this nprobe (a prefix of the ranked
     * clusters), truncated-code ADC over the per-cluster residual
     * LUTs, top-k, per-query hits. */
@@ -3001,6 +3076,7 @@ object OraclesC {
     "c108_gumbel_sample" -> c108Sql,
     "c109_rrf_fusion" -> c109Sql,
     "c118_rrf_stored" -> c118Sql,
+    "c125_fusion_recall" -> c125Sql,
     "c110_embed_drift" -> c110Sql,
     "c111_keeps_pack" -> c111Sql,
     "c112_repeat_mixture" -> c112Sql,

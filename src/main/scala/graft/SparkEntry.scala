@@ -188,6 +188,7 @@ object SparkEntry {
     "c122_index_repair" -> ((s, dir) => Similarity.c122IndexRepair(s, dir)),
     "c123_repaired_serve" -> ((s, dir) => Similarity.c123RepairedServe(s, dir)),
     "c124_source_yield" -> ((s, dir) => TextAnalysis.c124SourceYield(s, dir)),
+    "c125_fusion_recall" -> ((s, dir) => Similarity.c125FusionRecall(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

@@ -2197,6 +2197,54 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** c125: HYBRID-RETRIEVAL recall audit — c55's measure-don't-guess
+    * discipline applied to the fusion tier (c118's scaladoc prices
+    * its dense divergence off the c55/c66 audits; this is the audit
+    * for the fusion itself): per query of the % 101 slice, how many
+    * of the EXACT dense top-k (brute cosine over the held-out
+    * corpus — the ground truth both c109 legs rank against) are
+    * recovered by (a) the stored-index dense leg after the refine,
+    * (b) the full RRF fusion's top-k, and (c) the lexical leg alone.
+    * dense vs fused reads the fusion's value directly — fused ≥
+    * dense means the lexical leg RESCUES semantically-relevant docs
+    * the coarse codes miss (measured, per query); lex_hits is the
+    * cross-modal agreement baseline. The number a deployment tunes
+    * (nprobe, depth, RRF c) against.
+    *
+    * Shape: the exact leg is c6's bounded broadcast scan, the other
+    * legs are the c118 frames (one codes scan + bounded refine), the
+    * comparison is three (|Q|·k)-row joins at report grain. */
+  def c125FusionRecall(spark: SparkSession, dir: String,
+      k: Int = RrfTopK): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val qPred = col("vec_id") % 101 === 0 && col("vec_id") < RrfQueryBound
+    val qs = withNorm(emb).filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val gt = c6AnnTopK(emb.filter(col("vec_id") % 101 =!= 0), Some(qs), k)
+      .select(col("q_id"), col("vec_id").as("doc_id"))
+    val dense = storedDenseLeg(spark, dir)
+      .filter(col("sem_rank") <= k)
+      .select(col("q_id"), col("vec_id").as("doc_id"))
+    val fused = c118RrfStored(spark, dir).select(col("q_id"), col("doc_id"))
+    val lex = graft.operators.TextAnalysis
+      .bm25Ranked(docs, topK = k, queryBound = Some(RrfQueryBound))
+      .select(col("q_id"), col("doc_id"))
+    def hitsOf(leg: DataFrame, name: String): DataFrame =
+      gt.join(leg.withColumn("h", lit(1L)), Seq("q_id", "doc_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("h"), lit(0L))).as(name))
+    hitsOf(dense, "dense_hits")
+      .join(hitsOf(fused, "fused_hits"), Seq("q_id"))
+      .join(hitsOf(lex, "lex_hits"), Seq("q_id"))
+      .select(col("q_id"),
+        col("dense_hits"), round(col("dense_hits").cast("double") / k, 4).as("dense_recall"),
+        col("fused_hits"), round(col("fused_hits").cast("double") / k, 4).as("fused_recall"),
+        col("lex_hits"), round(col("lex_hits").cast("double") / k, 4).as("lex_recall"))
+      .orderBy("q_id")
+  }
+
   /** c118's DENSE leg before the top-k cut — all depth·|Q| stored-
     * index candidates with BOTH rankings (adc_rank from the codes
     * scan, sem_rank from the exact-cosine refine) — factored out so

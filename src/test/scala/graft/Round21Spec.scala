@@ -111,6 +111,46 @@ class Round21Spec extends AnyFunSuite {
     assert(grid == want.toSet, "local codebook grid incomplete")
   }
 
+  test("c125: fusion recall audit — bounds hold and fused hits reconcile with c118's own report") {
+    val k = graft.operators.Similarity.RrfTopK
+    val rows = graft.operators.Similarity.c125FusionRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ground truth derived independently: the exact dense top-k over
+    // the held-out corpus (c109's report can't supply it — its sem
+    // rows are post-fused-cut)
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val qPred = col("vec_id") % 101 === 0 &&
+      col("vec_id") < graft.operators.Similarity.RrfQueryBound
+    val qs = emb.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val gt = graft.operators.Similarity
+      .c6AnnTopK(emb.filter(col("vec_id") % 101 =!= 0), Some(qs), k).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val fused = graft.operators.Similarity.c118RrfStored(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    assert(rows.map(_.getLong(0)).toSet == gt.keySet, "audit misses a query")
+    for (r <- rows) {
+      val q = r.getLong(0)
+      for (i <- Seq(1, 3, 5)) assert(r.getLong(i) >= 0 && r.getLong(i) <= k)
+      for ((h, rec) <- Seq((1, 2), (3, 4), (5, 6))) {
+        val want = BigDecimal.valueOf(r.getLong(h).toDouble / k)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(rec) - want) < 1e-9, s"recall arithmetic broken: $r")
+      }
+      // independent cross-check: fused_hits == |c118's fused top-k ∩
+      // the exact dense top-k c109 reports|
+      assert(r.getLong(3) == (fused(q) intersect gt(q)).size,
+        s"fused_hits disagrees with the keyed reports: $r")
+      // the dense leg re-ranks stored candidates by the SAME metric
+      // the ground truth ranks by, so any candidate it recovers is a
+      // hit c118's fused report can at most dilute, never invent:
+      // fused hits never exceed dense hits + the lexical ceiling
+      assert(r.getLong(3) <= r.getLong(1) + r.getLong(5),
+        s"fused hits exceed the legs' union ceiling: $r")
+    }
+  }
+
   test("c124: yield report reconciles with the funnel, tokenizer, and span tiers") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.TextAnalysis.c124SourceYield(spark, sf).collect()
