@@ -2502,6 +2502,33 @@ object OraclesC {
       order by shard, pos
     """
 
+  /** c126: the budget gate's at-rest replay — the cutoff rule IS one
+    * prefix sum: n_tok from the c75 chain, cumulative offered mass
+    * over (batch = doc_id % n, doc_id) arrival order, admit iff the
+    * running total stays within the budget. */
+  private def c126Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val budget = graft.streaming.BudgetStream.BudgetTokens
+    s"""
+      with ${c75Chain(m)},
+      nsy126 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc126 as (
+        select tf.doc_id, sum(tf.tf * coalesce(nsy126.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy126 on tf.term = nsy126.term
+        group by tf.doc_id),
+      cum126 as (
+        select doc_id, n_tok,
+               sum(n_tok) over (order by doc_id % $n, doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from enc126 where doc_id % 97 <> 0)
+      select doc_id,
+             case when cum <= $budget then 'keep' else 'budget_full' end as stage,
+             n_tok
+      from cum126 order by doc_id
+    """
+  }
+
   /** c124: the per-source acquisition yield — the funnel's keeps
     * ([[keepsChain]]), the stored tokenizer's BPE mass (c75's chain),
     * span cuts over the KEPT corpus (c33's chain rebased + c34's
@@ -3071,6 +3098,7 @@ object OraclesC {
     "c104_seq_manifest" -> c104Sql,
     "c105_keeps_schedule" -> c105Sql,
     "c124_source_yield" -> c124Sql,
+    "c126_budget_gate" -> c126Sql,
     "c106_pack_sweep" -> c106Sql,
     "c107_source_divergence" -> c107Sql,
     "c108_gumbel_sample" -> c108Sql,

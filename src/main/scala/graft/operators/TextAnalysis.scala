@@ -1683,16 +1683,42 @@ object TextAnalysis {
     * SQL verbatim — the hash check proves the persisted tokenizer
     * loses nothing against the in-session one. */
   def c83StoredTokenizer(spark: org.apache.spark.sql.SparkSession, dir: String,
-      nMerges: Int = BpeMerges): DataFrame = {
+      nMerges: Int = BpeMerges): DataFrame =
+    encodeUnderMerges(graft.sources.Tables.documents(spark, dir),
+      storedMerges(spark, dir, nMerges))
+
+  /** The stored tokenizer's rank-ordered merge list — c83's artifact
+    * load factored out so door-side consumers (the c126 budget gate)
+    * ship the SAME list the batch encode prices with. */
+  private[graft] def storedMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nMerges: Int = BpeMerges): Array[(String, String)] = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val root = graft.streaming.StoreMemo.memo(spark, s"c83_tokenizer_$dir") { r =>
       c75BpeTrain(docs, nMerges)
         .write.mode("overwrite").parquet(s"$r/merges")
     }
-    val merges = spark.read.parquet(s"$root/merges")
+    spark.read.parquet(s"$root/merges")
       .orderBy("rank").select(col("a"), col("b")).collect()
       .map(r => (r.getString(0), r.getString(1)))
-    encodeUnderMerges(docs, merges)
+  }
+
+  /** Per-doc BPE token counts over a BATCH frame (doc_id, text) under
+    * an explicit merge list — the door-side twin of
+    * [[encodeUnderMerges]]'s count column: batch-direct (tfRowsDirect,
+    * no corpus memo), same greedy kernel, so a doc is priced
+    * identically at the door and at rest. */
+  private[graft] def bpeCountsDirect(batch: DataFrame,
+      merges: Array[(String, String)]): DataFrame = {
+    val spark0 = batch.sparkSession
+    import spark0.implicits._
+    val bc = spark0.sparkContext.broadcast(merges)
+    tfRowsDirect(batch)
+      .select(col("doc_id"), col("term"), col("tf"))
+      .as[(Long, String, Long)]
+      .map { case (d, t, tf) => (d, tf * bpeSymbolCount(t, bc.value)) }
+      .toDF("doc_id", "toks")
+      .groupBy("doc_id")
+      .agg(sum(col("toks")).as("n_tok"))
   }
 
   // ---- c39: DSIR importance scoring -----------------------------------

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.{Materialize, TextAnalysis}
+
+/** The TOKEN-BUDGET admission gate — the door a data-collection run
+  * closes when its training budget fills: every arriving doc is
+  * priced in the stored tokenizer's BPE tokens (the billing grain
+  * c86/c98 budget in; the merge artifact ships to the door exactly
+  * like the c96 classifier weights), and a doc is admitted iff the
+  * cumulative OFFERED mass up to and including it — across batches
+  * in poll order, within a batch in doc_id order — stays within the
+  * budget. Past the overflow point everything is refused
+  * (`budget_full`): the ARRIVAL-MASS CUTOFF rule. A collector stops
+  * pulling when the budget fills; it does not cherry-pick stragglers
+  * that would still fit — deliberately, because the greedy-skip rule
+  * makes admission depend on every earlier refusal (sequentially
+  * recursive, unreplayable as a plain window), while the cutoff rule
+  * is ONE prefix sum any engine replays.
+  *
+  * State across batches is a LEDGER store: one row per processed
+  * batch (batch_id, offered_tok). A batch reads Σ offered of batches
+  * BEFORE it, prices its own docs with a batch-local prefix sum, and
+  * merges both stores keep-first — an at-least-once replay re-prices
+  * against the ledger rows earlier batches wrote and its own ledger
+  * row merges as a no-op, so decisions are replay-stable (the house
+  * exactly-once shape, with a SCALAR of cross-batch state instead of
+  * keyed membership).
+  *
+  * Scale shape: pricing is batch-local (tfRowsDirect + the broadcast
+  * merge list), the prefix sum is one batch-sized window, the ledger
+  * is |batches| rows, and the decision merge touches only the
+  * batch's key buckets. Nothing is proportional to the accumulated
+  * corpus. */
+object BudgetStream {
+
+  /** The gate's budget in stored-tokenizer BPE tokens — sized to BIND
+    * at every driver SF (sf0.001's population carries ~10k tokens,
+    * sf0.01's ~100k), so both stages are always exercised.
+    * Oracle-interpolated; a deployment sets its real budget. */
+  val BudgetTokens = 6144L
+
+  /** One micro-batch through the gate — ONE spelling shared by the
+    * live stream and the store-grain audit. `batchId` orders the
+    * ledger (poll order = budget consumption order). */
+  private[graft] def processBatch(batch: DataFrame,
+      merges: Array[(String, String)], decisionStore: String,
+      ledgerStore: String, batchId: Long,
+      budget: Long = BudgetTokens): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = batch.sparkSession
+    val priced = Materialize.frame(
+      TextAnalysis.bpeCountsDirect(batch.select(col("doc_id"), col("text")), merges))
+    // Σ offered by batches strictly before this one — replay-safe:
+    // the ledger row for THIS batch (if a replay already wrote it)
+    // is excluded by the id bound, so re-pricing reads the same prior
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerStore)
+    val prior =
+      if (ledgerPath.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+          .exists(ledgerPath))
+        spark0.read.parquet(ledgerStore)
+          .filter(col("batch_id") < batchId)
+          .agg(coalesce(sum(col("offered_tok")), lit(0L))).head.getLong(0)
+      else 0L
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val decisions = priced
+      .withColumn("cum", sum(col("n_tok")).over(w) + prior)
+      .select(col("doc_id"),
+        when(col("cum") <= budget, lit("keep")).otherwise(lit("budget_full"))
+          .as("stage"),
+        col("n_tok"))
+    EventsStream.upsertSink(decisions, decisionStore, "doc_id")
+    val offered = priced.agg(coalesce(sum(col("n_tok")), lit(0L))).head.getLong(0)
+    import spark0.implicits._
+    EventsStream.upsertSink(
+      Seq((batchId, offered)).toDF("batch_id", "offered_tok"),
+      ledgerStore, "batch_id")
+  }
+
+  /** Start the live budget gate over a streaming (doc_id, text)
+    * frame. `merges` = the stored tokenizer's rank-ordered list (the
+    * c83 artifact, loaded once and closed over). The batch-local
+    * prefix window is global WITHIN a batch by design — a micro-batch
+    * is door-sized, and arrival order is the contract being priced. */
+  def budgetGate(docs: DataFrame, merges: Array[(String, String)],
+      decisionStore: String, ledgerStore: String,
+      budget: Long = BudgetTokens,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, merges, decisionStore, ledgerStore, batchId, budget)
+        ()
+      }
+      .start()
+
+  /** ONE budget-gate store build per (session, corpus, batch count) —
+    * the funnel audits' poll discipline: the population arrives as
+    * `nBatches` disjoint polls in doc_id-slice order, each driven
+    * through [[processBatch]], the exact code the live stream runs. */
+  private def budgetStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = TextAnalysis.storedMerges(spark, dir)
+    StoreMemo.memo(spark, s"budget_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          merges, s"$scratch/decisions", s"$scratch/ledger", i.toLong)
+    }
+  }
+
+  /** c126: the budget gate at STORE grain — [[FunnelStream.AuditBatches]]
+    * polls through [[processBatch]], the keyed result read back from
+    * the decision store: (doc_id, stage, n_tok), every doc priced and
+    * decided exactly once. The oracle replays the whole arrival
+    * history as ONE prefix sum: n_tok from the c75 chain's counts,
+    * cumulative mass over (batch = doc_id % n, doc_id) order, admit
+    * iff cum ≤ budget — the cutoff rule's point is precisely that the
+    * at-rest replay is this cheap. */
+  def c126BudgetGateAudit(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame =
+    spark.read.parquet(s"${budgetStores(spark, dir, nBatches)}/decisions")
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_id", "stage", "n_tok")
+      .orderBy("doc_id")
+}

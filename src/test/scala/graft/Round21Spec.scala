@@ -111,6 +111,59 @@ class Round21Spec extends AnyFunSuite {
     assert(grid == want.toSet, "local codebook grid incomplete")
   }
 
+  test("c126: live budget gate ≡ audit, cutoff is a single arrival-order point, budget honored") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{BudgetStream, FunnelStream}
+    val budget = BudgetStream.BudgetTokens
+    val n = FunnelStream.AuditBatches
+    val audit = BudgetStream.c126BudgetGateAudit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    // both stages fire (the constant is sized to bind at driver SFs)
+    val stages = audit.map(_.getString(1)).toSet
+    assert(stages == Set("keep", "budget_full"), s"gate never cut (or never kept): $stages")
+    // kept mass within budget; the cutoff is one point in arrival
+    // order (batch = doc_id % n, then doc_id): once full, always full
+    assert(audit.filter(_.getString(1) == "keep").map(_.getLong(2)).sum <= budget)
+    val arrival = audit.sortBy(r => (r.getLong(0) % n, r.getLong(0)))
+    val firstFull = arrival.indexWhere(_.getString(1) == "budget_full")
+    assert(firstFull > 0)
+    assert(arrival.drop(firstFull).forall(_.getString(1) == "budget_full"),
+      "gate re-opened after the budget filled")
+    val beforeCut = arrival.take(firstFull).map(_.getLong(2)).sum
+    assert(beforeCut <= budget && beforeCut + arrival(firstFull).getLong(2) > budget,
+      "cutoff point doesn't sit exactly at the overflow")
+    // the LIVE stream accumulates the same decision store
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0)
+    val merges = graft.operators.TextAnalysis.storedMerges(spark, sf)
+    val in = java.nio.file.Files.createTempDirectory("graft-bg-in-").toString
+    for (i <- 0 until n) {
+      pop.filter(pmod(col("doc_id"), lit(n)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-bg-st-").toString
+    val src = spark.readStream.schema(pop.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = BudgetStream.budgetGate(src, merges, s"$root/decisions", s"$root/ledger")
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.read.parquet(s"$root/decisions")
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+      .select("doc_id", "stage", "n_tok").orderBy("doc_id").collect()
+    assert(live.length == audit.length && live.sameElements(audit),
+      "live budget-gate store diverges from the audit")
+    // at-least-once replay: re-offering every file changes nothing
+    val src2 = spark.readStream.schema(pop.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q2 = BudgetStream.budgetGate(src2, merges, s"$root/decisions", s"$root/ledger")
+    try q2.processAllAvailable() finally q2.stop()
+    val replayed = spark.read.parquet(s"$root/decisions")
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+      .select("doc_id", "stage", "n_tok").orderBy("doc_id").collect()
+    assert(replayed.sameElements(audit), "replay changed budget decisions")
+  }
+
   test("c125: fusion recall audit — bounds hold and fused hits reconcile with c118's own report") {
     val k = graft.operators.Similarity.RrfTopK
     val rows = graft.operators.Similarity.c125FusionRecall(spark, sf).collect()
