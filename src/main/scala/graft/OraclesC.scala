@@ -2502,6 +2502,68 @@ object OraclesC {
       order by shard, pos
     """
 
+  /** c127: the sequence-grain vintage diff — ONE shared tokenizer
+    * chain (the shipped artifact's stance), the keeps-schedule +
+    * packing chain once over the full corpus (c105's CTEs verbatim)
+    * and once TEXT-REWRITTEN onto the base vintage (105→127 CTE
+    * rename + documents→dv1 — the onClustered discipline), two
+    * sequence aggregates with c98's bit_xor membership checksum, one
+    * full-outer status join. */
+  private def c127Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val basePred =
+      s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < ${graft.operators.Dedup.DeltaBasePct}"
+    val v1Chain = c105Chain.replaceAll("105", "127")
+      .replaceAll("\\bdocuments\\b", "dv1")
+    s"""
+      with ${c75Chain(m)},
+      nsyx as (select term, count(*)::bigint as n_syms from s$m group by term),
+      encx as (
+        select tf.doc_id, sum(tf.tf * coalesce(nsyx.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsyx on tf.term = nsyx.term
+        group by tf.doc_id),
+      $c105Chain,
+      dv1 as (select * from documents where $basePred),
+      $v1Chain,
+      a2x as (
+        select sched105.doc_id, shard, pos, encx.n_tok,
+               sum(n_tok) over (partition by shard order by pos
+                 rows between unbounded preceding and current row)::bigint as cum
+        from sched105 join encx on sched105.doc_id = encx.doc_id),
+      p2x as (select doc_id, shard, ((cum - n_tok) // $BUDGET)::bigint as seq_id, n_tok
+              from a2x),
+      a1x as (
+        select sched127.doc_id, shard, pos, encx.n_tok,
+               sum(n_tok) over (partition by shard order by pos
+                 rows between unbounded preceding and current row)::bigint as cum
+        from sched127 join encx on sched127.doc_id = encx.doc_id),
+      p1x as (select doc_id, shard, ((cum - n_tok) // $BUDGET)::bigint as seq_id, n_tok
+              from a1x),
+      s1x as (
+        select shard, seq_id, count(*)::bigint as n_docs_v1,
+               sum(n_tok)::bigint as tok_v1,
+               bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint) as checksum_v1
+        from p1x group by 1, 2),
+      s2x as (
+        select shard, seq_id, count(*)::bigint as n_docs_v2,
+               sum(n_tok)::bigint as tok_v2,
+               bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint) as checksum_v2
+        from p2x group by 1, 2)
+      select shard, seq_id,
+             coalesce(n_docs_v1, 0)::bigint as n_docs_v1,
+             coalesce(tok_v1, 0)::bigint as tok_v1,
+             coalesce(n_docs_v2, 0)::bigint as n_docs_v2,
+             coalesce(tok_v2, 0)::bigint as tok_v2,
+             case when checksum_v1 is null then 'added'
+                  when checksum_v2 is null then 'removed'
+                  when checksum_v1 = checksum_v2 and n_docs_v1 = n_docs_v2
+                       and tok_v1 = tok_v2 then 'same'
+                  else 'changed' end as status
+      from s1x full outer join s2x using (shard, seq_id)
+      order by shard, seq_id
+    """
+  }
+
   /** c126: the budget gate's at-rest replay — the cutoff rule IS one
     * prefix sum: n_tok from the c75 chain, cumulative offered mass
     * over (batch = doc_id % n, doc_id) arrival order, admit iff the
@@ -3099,6 +3161,7 @@ object OraclesC {
     "c105_keeps_schedule" -> c105Sql,
     "c124_source_yield" -> c124Sql,
     "c126_budget_gate" -> c126Sql,
+    "c127_seq_vintage_diff" -> c127Sql,
     "c106_pack_sweep" -> c106Sql,
     "c107_source_divergence" -> c107Sql,
     "c108_gumbel_sample" -> c108Sql,

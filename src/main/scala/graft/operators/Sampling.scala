@@ -585,8 +585,16 @@ object Sampling {
     * no new shuffle class. */
   def c105KeepsSchedule(spark: org.apache.spark.sql.SparkSession, dir: String,
       seed: Long = ShuffleSeed, shards: Int = ShuffleShards,
+      bins: Int = graft.operators.TextAnalysis.QualityBins): DataFrame =
+    keepsScheduleOver(graft.sources.Tables.documents(spark, dir), seed, shards, bins)
+
+  /** c105's schedule over an explicit corpus VINTAGE — funnel keeps
+    * computed within the vintage, quality re-binned within its kept
+    * population. ONE spelling for c105/c111 (full corpus) and c127's
+    * base-vintage leg. */
+  private[graft] def keepsScheduleOver(docs: DataFrame, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards,
       bins: Int = graft.operators.TextAnalysis.QualityBins): DataFrame = {
-    val docs = graft.sources.Tables.documents(spark, dir)
     val keeps = graft.operators.TextAnalysis.funnelDecisions(docs)
       .filter(col("stage") === "keep").select("doc_id")
     c99CurriculumSchedule(docs.join(keeps, Seq("doc_id")), seed, shards, bins)
@@ -608,8 +616,66 @@ object Sampling {
   def c111KeepsPack(spark: org.apache.spark.sql.SparkSession, dir: String,
       budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
       shards: Int = ShuffleShards): DataFrame =
-    packBySchedule(c105KeepsSchedule(spark, dir, seed, shards),
+    keepsPackOver(spark, dir, graft.sources.Tables.documents(spark, dir),
+      budget, seed, shards)
+
+  /** c111's mounted packing over an explicit corpus VINTAGE — the
+    * vintage's own keeps schedule priced in the SHIPPED tokenizer's
+    * counts (c83's full-corpus artifact: a deployment doesn't retrain
+    * the tokenizer per ingest — c98/c101's standing stance). */
+  private[graft] def keepsPackOver(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame, budget: Long = DefaultTokenBudget,
+      seed: Long = ShuffleSeed, shards: Int = ShuffleShards): DataFrame =
+    packBySchedule(keepsScheduleOver(docs, seed, shards),
       storedTokCounts(spark, dir), budget, Seq("source", "bin"))
+
+  /** c127: the SEQUENCE-grain vintage diff — c101's "which shards does
+    * this ingest invalidate" answered at the grain a loader actually
+    * mmaps (c111's packed sequences): the mounted packing computed
+    * over the BASE vintage (c45/c56/c101's md5 percent cut) and over
+    * the full corpus, full-outer joined per (shard, seq_id) with each
+    * side's doc count, token mass, and membership checksum (c98's
+    * O(1)-state bit_xor of 60-bit md5 prefixes). Status per sequence:
+    * `added` (new vintage only), `removed` (base only — an upstream
+    * drop shifted the packing), `changed` (same slot, different
+    * members), `same` — only non-`same` sequences need re-shipping.
+    * Curriculum caveat, stated not hidden: the keeps schedule
+    * re-bins quality WITHIN each vintage's kept population, so an
+    * ingest can reorder the schedule and cascade `changed` through a
+    * shard — exactly the invalidation cost this table makes visible
+    * BEFORE a publish.
+    *
+    * Shape: two keeps-schedule+packing chains (the funnel memo is
+    * per-vintage; the tokenizer artifact is shared), two report-sized
+    * sequence aggregates, one full-outer join at sequence grain. */
+  def c127SeqVintageDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val checksum = expr(
+      "bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint))")
+    def seqsOf(pack: DataFrame, sfx: String): DataFrame =
+      pack.groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as(s"n_docs_$sfx"),
+          sum(col("n_tok")).as(s"tok_$sfx"),
+          checksum.as(s"checksum_$sfx"))
+    val v1 = seqsOf(keepsPackOver(spark, dir,
+      docs.filter(Dedup.isBaseDoc(col("doc_id"))), budget, seed, shards), "v1")
+    val v2 = seqsOf(keepsPackOver(spark, dir, docs, budget, seed, shards), "v2")
+    v1.join(v2, Seq("shard", "seq_id"), "full_outer")
+      .select(col("shard"), col("seq_id"),
+        coalesce(col("n_docs_v1"), lit(0L)).as("n_docs_v1"),
+        coalesce(col("tok_v1"), lit(0L)).as("tok_v1"),
+        coalesce(col("n_docs_v2"), lit(0L)).as("n_docs_v2"),
+        coalesce(col("tok_v2"), lit(0L)).as("tok_v2"),
+        when(col("checksum_v1").isNull, lit("added"))
+          .when(col("checksum_v2").isNull, lit("removed"))
+          .when(col("checksum_v1") === col("checksum_v2")
+            && col("n_docs_v1") === col("n_docs_v2")
+            && col("tok_v1") === col("tok_v2"), lit("same"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy("shard", "seq_id")
+  }
 
   /** c117 epoch count — the read plan's horizon. Oracle-interpolated. */
   val EpochCount = 3

@@ -111,6 +111,29 @@ class Round21Spec extends AnyFunSuite {
     assert(grid == want.toSet, "local codebook grid incomplete")
   }
 
+  test("c127: vintage diff — v2 side ≡ c120's index, statuses partition, added/removed zeros") {
+    val rows = graft.operators.Sampling.c127SeqVintageDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the new-vintage side IS the mounted packing c120 indexes
+    val idx = graft.operators.Sampling.c120KeepsManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val v2 = rows.filter(_.getString(6) != "removed")
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(v2 == idx, "diff's v2 side disagrees with the c120 sequence index")
+    for (r <- rows) {
+      r.getString(6) match {
+        case "added"   => assert(r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) > 0)
+        case "removed" => assert(r.getLong(4) == 0 && r.getLong(5) == 0 && r.getLong(2) > 0)
+        case "same"    => assert(r.getLong(2) == r.getLong(4) && r.getLong(3) == r.getLong(5))
+        case "changed" => assert(r.getLong(2) > 0 && r.getLong(4) > 0)
+        case s => fail(s"unknown status $s")
+      }
+    }
+    // the vintage genuinely differs (the base cut drops ~20% of docs,
+    // which must move at least one sequence)
+    assert(rows.exists(_.getString(6) != "same"), "vintage diff saw no movement")
+  }
+
   test("c126: live budget gate ≡ audit, cutoff is a single arrival-order point, budget honored") {
     import org.apache.spark.sql.functions._
     import graft.streaming.{BudgetStream, FunnelStream}
