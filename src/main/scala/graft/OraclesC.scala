@@ -2564,6 +2564,45 @@ object OraclesC {
     """
   }
 
+  /** c128: the quota gate's at-rest replay — c112's weight CTEs
+    * (st/tot/mille verbatim), quota = (budget · mille) div 1000, one
+    * per-source prefix sum over (batch, doc_id) arrival order. */
+  private def c128Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val budget = graft.streaming.BudgetStream.BudgetTokens
+    s"""
+      with ${c75Chain(m)},
+      nsy128 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc128 as (
+        select tf.doc_id, sum(tf.tf * coalesce(nsy128.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy128 on tf.term = nsy128.term
+        group by tf.doc_id),
+      st128 as (
+        select d.source, sum(enc128.n_tok)::bigint as n_tok
+        from documents d join enc128 on d.doc_id = enc128.doc_id
+        group by 1),
+      tot128 as (select round(sum(sqrt(n_tok::double)), 6) as z from st128),
+      q128 as (
+        select source,
+               (($budget * floor(1000.0 * sqrt(n_tok::double) / z)::bigint) // 1000)::bigint
+                 as quota
+        from st128, tot128),
+      cum128 as (
+        select d.doc_id, d.source, e.n_tok,
+               sum(e.n_tok) over (partition by d.source
+                 order by d.doc_id % $n, d.doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from documents d join enc128 e on d.doc_id = e.doc_id
+        where d.doc_id % 97 <> 0)
+      select c.doc_id, c.source,
+             case when c.cum <= q.quota then 'keep' else 'quota_full' end as stage,
+             c.n_tok
+      from cum128 c join q128 q using (source)
+      order by c.doc_id
+    """
+  }
+
   /** c126: the budget gate's at-rest replay — the cutoff rule IS one
     * prefix sum: n_tok from the c75 chain, cumulative offered mass
     * over (batch = doc_id % n, doc_id) arrival order, admit iff the
@@ -3162,6 +3201,7 @@ object OraclesC {
     "c124_source_yield" -> c124Sql,
     "c126_budget_gate" -> c126Sql,
     "c127_seq_vintage_diff" -> c127Sql,
+    "c128_quota_gate" -> c128Sql,
     "c106_pack_sweep" -> c106Sql,
     "c107_source_divergence" -> c107Sql,
     "c108_gumbel_sample" -> c108Sql,

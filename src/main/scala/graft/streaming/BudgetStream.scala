@@ -114,6 +114,110 @@ object BudgetStream {
     }
   }
 
+  /** Per-source quotas: [[BudgetTokens]] split by c112's √n
+    * per-mille temperature weights (the EXACT quantization c112
+    * reports — floor(1000·√n/Σ√n) with the 6-rounded z — so the
+    * door enforces the same mixture the repeat plan budgets);
+    * quota = (budget · mille) div 1000, exact integers. Bounded
+    * collect (|sources| rows). */
+  private[graft] def sourceQuotas(spark: SparkSession, dir: String,
+      budget: Long = BudgetTokens): Map[String, Long] = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val st = docs.join(graft.operators.Sampling.storedTokCounts(spark, dir), Seq("doc_id"))
+      .groupBy("source").agg(sum(col("n_tok")).as("n_tok"))
+    val tot = st.agg(round(sum(sqrt(col("n_tok").cast("double"))), 6).as("z"))
+    st.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(lit(1000.0) * sqrt(col("n_tok").cast("double")) / col("z"))
+          .cast("long").as("mille"))
+      .collect().map(r => r.getString(0) -> budget * r.getLong(1) / 1000L).toMap
+  }
+
+  /** One micro-batch through the PER-SOURCE quota gate — [[processBatch]]'s
+    * shape with the budget keyed by source: each source's arrivals
+    * consume ITS quota (cutoff rule per source — a source filling its
+    * quota closes only its own door), the ledger carries one row per
+    * (batch, source). */
+  private[graft] def processQuotaBatch(batch: DataFrame,
+      merges: Array[(String, String)], quotas: Map[String, Long],
+      decisionStore: String, ledgerStore: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = batch.sparkSession
+    import spark0.implicits._
+    val priced = Materialize.frame(
+      TextAnalysis.bpeCountsDirect(batch.select(col("doc_id"), col("text")), merges)
+        .join(batch.select(col("doc_id"), col("source")), Seq("doc_id")))
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerStore)
+    val prior: Map[String, Long] =
+      if (ledgerPath.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+          .exists(ledgerPath))
+        spark0.read.parquet(ledgerStore)
+          .filter(col("batch_id") < batchId)
+          .groupBy("source").agg(sum(col("offered_tok")).as("p"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty
+    val qdf = broadcast(quotas.toSeq
+      .map { case (s, q) => (s, q, prior.getOrElse(s, 0L)) }
+      .toDF("source", "quota", "prior"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val decisions = priced.join(qdf, Seq("source"))
+      .withColumn("cum", sum(col("n_tok")).over(w) + col("prior"))
+      .select(col("doc_id"), col("source"),
+        when(col("cum") <= col("quota"), lit("keep")).otherwise(lit("quota_full"))
+          .as("stage"),
+        col("n_tok"))
+    EventsStream.upsertSink(decisions, decisionStore, "doc_id")
+    EventsStream.upsertSink(
+      priced.groupBy("source").agg(sum(col("n_tok")).as("offered_tok"))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("bk", concat_ws(":", col("batch_id"), col("source"))),
+      ledgerStore, "bk")
+  }
+
+  /** Start the live per-source quota gate over a streaming (doc_id,
+    * text, source) frame — the mixture plan enforced at the door. */
+  def quotaGate(docs: DataFrame, merges: Array[(String, String)],
+      quotas: Map[String, Long], decisionStore: String, ledgerStore: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processQuotaBatch(batch, merges, quotas, decisionStore, ledgerStore, batchId)
+        ()
+      }
+      .start()
+
+  private def quotaStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = TextAnalysis.storedMerges(spark, dir)
+    val quotas = sourceQuotas(spark, dir)
+    StoreMemo.memo(spark, s"quota_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processQuotaBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          merges, quotas, s"$scratch/decisions", s"$scratch/ledger", i.toLong)
+    }
+  }
+
+  /** c128: the PER-SOURCE quota gate at STORE grain — the mixture
+    * plan (c112's √n per-mille weights) ENFORCED at ingest: each
+    * source's arrivals consume its own quota under the cutoff rule,
+    * so the admitted corpus's source composition approaches the
+    * designed mixture no matter how skewed arrivals are — the door-
+    * side twin of c38/c112's at-rest designs. Keyed result = the
+    * decision store (doc_id, source, stage, n_tok); oracle = c112's
+    * weight CTEs + one per-source prefix sum over arrival order. */
+  def c128QuotaGateAudit(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame =
+    spark.read.parquet(s"${quotaStores(spark, dir, nBatches)}/decisions")
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "stage", "n_tok")
+      .orderBy("doc_id")
+
   /** c126: the budget gate at STORE grain — [[FunnelStream.AuditBatches]]
     * polls through [[processBatch]], the keyed result read back from
     * the decision store: (doc_id, stage, n_tok), every doc priced and

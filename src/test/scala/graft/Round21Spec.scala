@@ -111,6 +111,55 @@ class Round21Spec extends AnyFunSuite {
     assert(grid == want.toSet, "local codebook grid incomplete")
   }
 
+  test("c128: quota gate enforces c112's mixture at the door, live ≡ audit, per-source cutoffs") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{BudgetStream, FunnelStream}
+    val n = FunnelStream.AuditBatches
+    val audit = graft.streaming.BudgetStream.c128QuotaGateAudit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    // quotas are EXACTLY c112's per-mille weights applied to the gate
+    // budget — cross-checked against the keyed mixture report
+    val quotas = BudgetStream.sourceQuotas(spark, sf)
+    val milles = graft.operators.Sampling.c112RepeatMixture(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(quotas.keySet == milles.keySet)
+    for ((s, q) <- quotas)
+      assert(q == BudgetStream.BudgetTokens * milles(s) / 1000L, s"quota drifts from c112: $s")
+    // per source: kept mass within quota, single cutoff in arrival order
+    for ((src, rs) <- audit.groupBy(_.getString(1))) {
+      val kept = rs.filter(_.getString(2) == "keep").map(_.getLong(3)).sum
+      assert(kept <= quotas(src), s"source $src kept past its quota")
+      val arrival = rs.sortBy(r => (r.getLong(0) % n, r.getLong(0)))
+      val firstFull = arrival.indexWhere(_.getString(2) == "quota_full")
+      if (firstFull >= 0)
+        assert(arrival.drop(firstFull).forall(_.getString(2) == "quota_full"),
+          s"source $src re-opened after its quota filled")
+    }
+    assert(audit.exists(_.getString(2) == "quota_full"), "no source's quota ever bound")
+    // the LIVE stream accumulates the same decision store
+    val pop = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = graft.operators.TextAnalysis.storedMerges(spark, sf)
+    val in = java.nio.file.Files.createTempDirectory("graft-qg-in-").toString
+    for (i <- 0 until n) {
+      pop.filter(pmod(col("doc_id"), lit(n)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-qg-st-").toString
+    val src0 = spark.readStream.schema(pop.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = BudgetStream.quotaGate(src0, merges, quotas,
+      s"$root/decisions", s"$root/ledger")
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.read.parquet(s"$root/decisions")
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "stage", "n_tok").orderBy("doc_id").collect()
+    assert(live.length == audit.length && live.sameElements(audit),
+      "live quota-gate store diverges from the audit")
+  }
+
   test("c127: vintage diff — v2 side ≡ c120's index, statuses partition, added/removed zeros") {
     val rows = graft.operators.Sampling.c127SeqVintageDiff(spark, sf).collect()
     assert(rows.nonEmpty)
