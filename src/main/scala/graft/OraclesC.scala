@@ -2564,6 +2564,57 @@ object OraclesC {
     """
   }
 
+  /** c129: the pinned-bin schedule — the v1 keeps chain (keepsChain
+    * text-rewritten onto the base vintage), the free ntile ONCE over
+    * v1's kept population to derive the explicit cuts, the v2 keeps
+    * binned by cut comparison (first bin whose cut ≥ quality, top-bin
+    * clamp), then c99's shard/shuffle-key/pos spelling. */
+  private def c129Sql: String = {
+    val bins = graft.operators.TextAnalysis.QualityBins
+    val basePred =
+      s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < ${graft.operators.Dedup.DeltaBasePct}"
+    val v1Chain = keepsChain.replaceAll("105", "129")
+      .replaceAll("\\bdocuments\\b", "dv129")
+    def qOf(tbl: String, cte: String) = s"""
+      $cte as (
+        select source, doc_id,
+               round(0.3 * least(len(w)::double / 100.0, 1.0)
+                   + 0.4 * round(len(list_distinct(w))::double / len(w), 4)
+                   + 0.3 * least(round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) * 5.0, 1.0), 5) as quality
+        from (select source, doc_id, string_split(text, ' ') as w from $tbl))"""
+    s"""
+      with dv129 as (select * from documents where $basePred),
+      $v1Chain,
+      $keepsChain,
+      ${qOf("kept129", "qv1")},
+      bv1 as (
+        select source, doc_id, quality,
+               ntile($bins) over (partition by source
+                 order by quality, doc_id)::bigint as bin
+        from qv1),
+      cuts129 as (select source, bin, max(quality) as cut from bv1 group by 1, 2),
+      ${qOf("kept105", "qv2")},
+      binp as (
+        select q.doc_id, q.source,
+               coalesce(min(c.bin) filter (where c.cut >= q.quality), $bins)::bigint as bin
+        from qv2 q left join cuts129 c on c.source = q.source
+        group by q.doc_id, q.source, q.quality),
+      k129 as (
+        select doc_id, source, bin,
+               md5('${graft.operators.Sampling.ShuffleSeed}' || ':' || doc_id::varchar) as shuffle_key
+        from binp),
+      s129 as (
+        select *, ('0x' || substr(shuffle_key, 1, 7))::bigint
+                    % ${graft.operators.Sampling.ShuffleShards} as shard
+        from k129)
+      select doc_id, source, bin, shard,
+             row_number() over (partition by shard
+               order by bin desc, shuffle_key)::bigint as pos
+      from s129
+      order by shard, pos
+    """
+  }
+
   /** c128: the quota gate's at-rest replay — c112's weight CTEs
     * (st/tot/mille verbatim), quota = (budget · mille) div 1000, one
     * per-source prefix sum over (batch, doc_id) arrival order. */
@@ -3202,6 +3253,7 @@ object OraclesC {
     "c126_budget_gate" -> c126Sql,
     "c127_seq_vintage_diff" -> c127Sql,
     "c128_quota_gate" -> c128Sql,
+    "c129_pinned_schedule" -> c129Sql,
     "c106_pack_sweep" -> c106Sql,
     "c107_source_divergence" -> c107Sql,
     "c108_gumbel_sample" -> c108Sql,

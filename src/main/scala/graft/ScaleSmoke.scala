@@ -269,7 +269,7 @@ object ScaleSmoke {
       // repair (health kernel + |degraded members| trainer)
       "c121_gate5_student", "c122_index_repair", "c123_repaired_serve",
       "c124_source_yield", "c125_fusion_recall", "c126_budget_gate",
-      "c127_seq_vintage_diff", "c128_quota_gate")
+      "c127_seq_vintage_diff", "c128_quota_gate", "c129_pinned_schedule")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

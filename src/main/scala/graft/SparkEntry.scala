@@ -192,6 +192,7 @@ object SparkEntry {
     "c126_budget_gate" -> ((s, dir) => graft.streaming.BudgetStream.c126BudgetGateAudit(s, dir)),
     "c127_seq_vintage_diff" -> ((s, dir) => Sampling.c127SeqVintageDiff(s, dir)),
     "c128_quota_gate" -> ((s, dir) => graft.streaming.BudgetStream.c128QuotaGateAudit(s, dir)),
+    "c129_pinned_schedule" -> ((s, dir) => Sampling.c129PinnedSchedule(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

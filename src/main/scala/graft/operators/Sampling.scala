@@ -629,6 +629,64 @@ object Sampling {
     packBySchedule(keepsScheduleOver(docs, seed, shards),
       storedTokCounts(spark, dir), budget, Seq("source", "bin"))
 
+  /** c129: the PINNED-BIN keeps schedule — the publish-stability dial
+    * c127's deployment note names: the free curriculum (c105) re-bins
+    * quality ntiles within every vintage's kept population, so ANY
+    * ingest can reorder whole shards and cascade `changed` through
+    * the sequence diff. Here the bin CUTS are an artifact of the
+    * BASE vintage (per (source, bin) the max kept quality under the
+    * free ntile — the explicit quantile boundaries ntile implies),
+    * and the new vintage's keeps are binned by CUT COMPARISON:
+    * bin = the first bin whose cut ≥ the doc's quality, clamped to
+    * the top bin for docs better than anything v1 saw (and for
+    * sources v1 never kept — a new source enters top-binned until
+    * the next re-pin). Docs kept in BOTH vintages keep their v1 bin
+    * (boundary-quality ties aside — spec-pinned), so new arrivals
+    * can no longer move old docs' schedule bins: curriculum
+    * freshness traded for publish stability, as config.
+    *
+    * Shape: the cuts artifact is (sources × bins) rows, broadcast;
+    * binning is one join + a doc-grain min-aggregate (no window over
+    * the corpus for bin assignment — the ntile window runs only on
+    * the BASE vintage, once, at pin time); the schedule is c99's
+    * per-shard windows. */
+  def c129PinnedSchedule(spark: org.apache.spark.sql.SparkSession, dir: String,
+      seed: Long = ShuffleSeed, shards: Int = ShuffleShards,
+      bins: Int = graft.operators.TextAnalysis.QualityBins): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val cutsRoot = graft.streaming.StoreMemo.memo(spark, s"c129_cuts_$dir") { r =>
+      val v1 = docs.filter(Dedup.isBaseDoc(col("doc_id")))
+      val v1kept = v1.join(
+        graft.operators.TextAnalysis.funnelDecisions(v1)
+          .filter(col("stage") === "keep").select("doc_id"), Seq("doc_id"))
+      graft.operators.TextAnalysis.qualityBinned(v1kept, bins)
+        .groupBy("source", "bin").agg(max(col("quality")).as("cut"))
+        .write.mode("overwrite").parquet(s"$r/cuts")
+    }
+    val cuts = spark.read.parquet(s"$cutsRoot/cuts")
+    val kept = docs.join(
+      graft.operators.TextAnalysis.funnelDecisions(docs)
+        .filter(col("stage") === "keep").select("doc_id"), Seq("doc_id"))
+    val scored = kept.select(col("source"), col("doc_id"),
+      graft.operators.TextAnalysis.qualityOf(col("text")).as("quality"))
+    val binned = scored.join(broadcast(cuts), Seq("source"), "left")
+      .groupBy("doc_id", "source", "quality")
+      .agg(coalesce(min(when(col("cut") >= col("quality"), col("bin"))),
+        lit(bins.toLong)).as("bin"))
+    val key = md5(concat_ws(":", lit(seed), col("doc_id")))
+    binned
+      .withColumn("shuffle_key", key)
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 7), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard"))
+          .orderBy(col("bin").desc, col("shuffle_key")))
+        .cast("long"))
+      .select("doc_id", "source", "bin", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   /** c127: the SEQUENCE-grain vintage diff — c101's "which shards does
     * this ingest invalidate" answered at the grain a loader actually
     * mmaps (c111's packed sequences): the mounted packing computed

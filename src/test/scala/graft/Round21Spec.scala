@@ -111,6 +111,50 @@ class Round21Spec extends AnyFunSuite {
     assert(grid == want.toSet, "local codebook grid incomplete")
   }
 
+  test("c129: pinned bins — old docs keep their v1 bin (ties aside), universe ≡ c105, dense positions") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val bins = graft.operators.TextAnalysis.QualityBins
+    val rows = graft.operators.Sampling.c129PinnedSchedule(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // same kept universe as the free schedule; dense per-shard positions
+    val free = graft.operators.Sampling.c105KeepsSchedule(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == free.map(_.getLong(0)).toSet,
+      "pinned schedule's universe differs from the free one")
+    for ((_, rs) <- rows.groupBy(_.getLong(3)))
+      assert(rs.map(_.getLong(4)).sorted.toSeq == (1L to rs.length).toSeq)
+    // v1's free bins + cuts, recomputed independently
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val v1 = docs.filter(graft.operators.Dedup.isBaseDoc(col("doc_id")))
+    val v1kept = v1.join(graft.operators.TextAnalysis.funnelDecisions(v1)
+      .filter(col("stage") === "keep").select("doc_id"), Seq("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    val v1binned = v1kept.select(col("source"), col("doc_id"),
+        graft.operators.TextAnalysis.qualityOf(col("text")).as("quality"))
+      .withColumn("bin", ntile(bins).over(w).cast("long")).collect()
+    val v1bin = v1binned.map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val cuts = v1binned.groupBy(r => (r.getString(0), r.getLong(3)))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(2)).max }
+    val quality = docs.select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.qualityOf(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    var stable = 0
+    for (r <- rows) {
+      val (doc, pinned) = (r.getLong(0), r.getLong(2))
+      assert(pinned >= 1 && pinned <= bins)
+      for (v1b <- v1bin.get(doc)) {
+        val (src, q) = quality(doc)
+        // pinned = first bin whose cut ≥ q: can sit BELOW the v1 bin
+        // only on an exact boundary-quality tie, never above
+        assert(pinned <= v1b, s"pinned bin rose above v1's: doc $doc")
+        if (pinned == v1b) stable += 1
+        else assert(cuts((src, pinned)) == q,
+          s"doc $doc moved bins without a boundary tie")
+      }
+    }
+    assert(stable > 0, "no doc survived with its v1 bin — pin not exercised")
+  }
+
   test("c128: quota gate enforces c112's mixture at the door, live ≡ audit, per-source cutoffs") {
     import org.apache.spark.sql.functions._
     import graft.streaming.{BudgetStream, FunnelStream}
