@@ -1385,6 +1385,21 @@ object OraclesC {
       order by q_id, rank
     """
 
+  /** c131's oracle: the stored-index serve (c71's trained chain) with
+    * the metadata predicate on the CANDIDATE side — scoring, ranking,
+    * and the top-k cut all run on the label-passing population
+    * (pre-filtering), exactly where the operator pushes the predicate
+    * into the codes scan. */
+  private val C131_SQL = s"""
+      with $TRAINED_CENTROIDS,
+      ${residualServeChain("y", s"cent$QITERS",
+        candPred = Some("c.vec_id in (select vec_id from embeddings " +
+          s"where label = ${graft.operators.Similarity.FilterLabel})"))}
+      select q_id, rank, vec_id, adist from yr
+      where rank <= $PTOPK
+      order by q_id, rank
+    """
+
   /** c81's oracle: the base-vs-delta asymmetry replayed in one query
     * — trainers over the base slice, everything else over the whole
     * corpus (the boundary predicate is the operator constant). */
@@ -1467,6 +1482,24 @@ object OraclesC {
       select cluster, n_vecs, n_updated, mean_qerr, upd_mean_qerr,
              coalesce(upd_mean_qerr > mean_qerr, false) as degraded
       from g87 order by cluster
+    """
+
+  /** c133's oracle: c87's chain (per-vector errors h87, cluster means
+    * g87) read at the QUERY slice — each query's own reconstruction
+    * error over its cluster's corpus mean, ratio and flag at the
+    * operator's interpolated bar. */
+  private val C133_SQL = s"""
+      with $C87_CHAIN,
+      q133 as (
+        select vec_id as q_id, cluster,
+               round(qerr_e4 / 10000.0, 4) as q_qerr
+        from h87 where vec_id < $NQ)
+      select q.q_id, q.cluster, q.q_qerr, g.mean_qerr,
+             round(q.q_qerr / g.mean_qerr, 4) as ood_ratio,
+             (round(q.q_qerr / g.mean_qerr, 4)
+               > ${graft.operators.Similarity.OodRatioBar}) as ood
+      from q133 q join g87 g using (cluster)
+      order by q.q_id
     """
 
   /** One iteration of c122's CLUSTER-KEYED subquantizer trainer —
@@ -2809,6 +2842,86 @@ object OraclesC {
       from p120 group by shard, seq_id order by shard, seq_id
     """
 
+  /** c132: tokenizer fertility by (lang, source) — the shared c75
+    * trainer chain's symbol-table counts (c111's enc spelling) rolled
+    * up over the documents' declared language and source. */
+  private def c132Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    s"""
+      with ${c75Chain(m)},
+      nsy132 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc132 as (
+        select tf.doc_id, sum(tf.tf * coalesce(nsy132.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy132 on tf.term = nsy132.term
+        group by tf.doc_id),
+      f132 as (
+        select d.lang, d.source, count(*)::bigint as n_docs,
+               sum(length(d.text))::bigint as n_chars,
+               sum(e.n_tok)::bigint as n_tok
+        from documents d join enc132 e using (doc_id)
+        group by 1, 2)
+      select lang, source, n_docs, n_chars, n_tok,
+             round(n_chars::double / n_tok, 4) as chars_per_tok,
+             round(n_tok * 100.0 / n_chars, 4) as toks_per_100ch
+      from f132 order by lang, source
+    """
+  }
+
+  /** c134: the count-min sketch replayed exactly — cells are sums of
+    * colliding bigram counts per (hash row, position), the estimate
+    * is the min over rows; geometry interpolated from the operator
+    * constants so the two engines cannot disagree on the hash. */
+  private def c134Sql: String = {
+    val w = graft.operators.TextAnalysis.CmsWidth
+    val d = graft.operators.TextAnalysis.CmsDepth
+    val k = graft.operators.TextAnalysis.CmsTopK
+    s"""
+      with t134 as (
+        select unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) as bigram
+        from (select string_split(text, ' ') as w from documents)),
+      c134 as (select bigram, count(*)::bigint as cnt from t134 group by 1),
+      tp134 as (
+        select bigram, cnt, i,
+               ('0x' || substr(md5(bigram), (i*7+1)::int, 7))::bigint % $w as pos
+        from c134, unnest(range(0, $d)) as t(i)),
+      cl134 as (select i, pos, sum(cnt)::bigint as cell from tp134 group by 1, 2),
+      e134 as (
+        select tp134.bigram, tp134.cnt, min(cl134.cell)::bigint as est
+        from tp134 join cl134 using (i, pos) group by 1, 2)
+      select bigram, cnt as exact, est, (est - cnt)::bigint as overcount
+      from e134 order by est desc, bigram limit $k
+    """
+  }
+
+  /** c130: sequence-grain eval taint — c111's packing chain + one
+    * (shard, seq_id) aggregate whose suite predicates interpolate
+    * from the SAME [[graft.operators.TextAnalysis.BenchRegistry]] the
+    * operator reads (c100's registry discipline: adding a suite is
+    * one registry row, zero oracle edits). */
+  private def c130Sql: String = {
+    val suites = graft.operators.TextAnalysis.BenchRegistry
+    val anyPred = suites.map(s => s"(${s.pred})").mkString(" or ")
+    val suiteCols = suites.map(s =>
+      s"sum(case when ${s.pred} then 1 else 0 end)::bigint as n_eval_${s.id}")
+      .mkString(",\n             ")
+    s"""
+      with p130 as ( $c111Sql ),
+      s130 as (
+        select shard, seq_id,
+               count(*)::bigint as n_docs,
+               sum(n_tok)::bigint as sum_tok,
+               sum(case when $anyPred then 1 else 0 end)::bigint as n_eval_docs,
+               sum(case when $anyPred then n_tok else 0 end)::bigint as eval_tok,
+               $suiteCols
+        from p130 group by 1, 2)
+      select shard, seq_id, n_docs, sum_tok, n_eval_docs, eval_tok,
+             ${suites.map(s => s"n_eval_${s.id}").mkString(", ")},
+             round(eval_tok::double / sum_tok, 4) as taint_frac,
+             (n_eval_docs > 0) as tainted
+      from s130 order by shard, seq_id
+    """
+  }
+
   /** c112: the √n-per-mille temperature weights (c38's quantization)
     * at token grain, then exact integer repeat math under the epoch
     * cap. */
@@ -3269,6 +3382,23 @@ object OraclesC {
     "c116_threshold_pick" -> c116Sql,
     "c117_epoch_plan" -> c117Sql,
     "c120_keeps_manifest" -> c120Sql,
+    "c130_seq_contam" -> c130Sql,
+    "c132_fertility" -> c132Sql,
+    "c134_cms_heavy" -> c134Sql,
+    // c135: c16's regexes rolled up to source grain
+    "c135_pii_rate" -> """
+      with p135 as (
+        select source,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))::bigint as e,
+               len(regexp_extract_all(text, '[0-9]+'))::bigint as n
+        from documents)
+      select source, count(*)::bigint as n_docs,
+             sum(e)::bigint as n_emails, sum(n)::bigint as n_nums,
+             sum(case when e + n > 0 then 1 else 0 end)::bigint as docs_with_pii,
+             round(sum(case when e + n > 0 then 1 else 0 end)::double / count(*), 4) as pii_doc_frac,
+             round((sum(e) + sum(n))::double / count(*), 4) as hits_per_doc
+      from p135 group by source order by source
+    """,
     "c78_clustered_recall" -> C78_SQL,
 
     "c1_dedup_exact" -> """
@@ -4356,6 +4486,11 @@ object OraclesC {
     "c81_index_append" -> C81_SQL,
     "c82_index_churn" -> C82_SQL,
     "c87_index_health" -> C87_SQL,
+    // c131: the stored serve's chain with the candidate-side label
+    // predicate — pre-filtered top-k at full depth
+    "c131_filtered_ann" -> C131_SQL,
+    // c133: c87's error chain read at the query slice
+    "c133_query_ood" -> C133_SQL,
     "c122_index_repair" -> c122Sql,
     "c123_repaired_serve" -> c123Sql,
 

@@ -269,7 +269,13 @@ object ScaleSmoke {
       // repair (health kernel + |degraded members| trainer)
       "c121_gate5_student", "c122_index_repair", "c123_repaired_serve",
       "c124_source_yield", "c125_fusion_recall", "c126_budget_gate",
-      "c127_seq_vintage_diff", "c128_quota_gate", "c129_pinned_schedule")
+      "c127_seq_vintage_diff", "c128_quota_gate", "c129_pinned_schedule",
+      // r17: sequence-grain eval taint (one report aggregate over
+      // c111's packing window — c120's shape plus the registry
+      // predicates), the filtered/OOD serving pair (bounded codes
+      // reads off the stored artifacts), and the fertility rollup
+      "c130_seq_contam", "c131_filtered_ann", "c132_fertility",
+      "c133_query_ood", "c134_cms_heavy", "c135_pii_rate")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

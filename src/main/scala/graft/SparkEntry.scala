@@ -193,6 +193,12 @@ object SparkEntry {
     "c127_seq_vintage_diff" -> ((s, dir) => Sampling.c127SeqVintageDiff(s, dir)),
     "c128_quota_gate" -> ((s, dir) => graft.streaming.BudgetStream.c128QuotaGateAudit(s, dir)),
     "c129_pinned_schedule" -> ((s, dir) => Sampling.c129PinnedSchedule(s, dir)),
+    "c130_seq_contam" -> ((s, dir) => Sampling.c130SeqContam(s, dir)),
+    "c131_filtered_ann" -> ((s, dir) => Similarity.c131FilteredAnn(s, dir)),
+    "c132_fertility" -> ((s, dir) => TextAnalysis.c132Fertility(s, dir)),
+    "c134_cms_heavy" -> ((s, dir) => TextAnalysis.c134CmsHeavy(Tables.documents(s, dir))),
+    "c135_pii_rate" -> ((s, dir) => TextAnalysis.c135PiiRate(Tables.documents(s, dir))),
+    "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
     "d2_media_chunks"    -> ((s, dir) => Multimodal.d2MediaChunks(Tables.documents(s, dir))),

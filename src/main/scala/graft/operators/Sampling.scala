@@ -568,6 +568,60 @@ object Sampling {
       shards: Int = ShuffleShards): DataFrame =
     seqManifestOver(c111KeepsPack(spark, dir, budget, seed, shards), budget)
 
+  /** c130: SEQUENCE-grain eval-set taint — decontamination at the
+    * grain a loader actually mmaps. Doc-grain decontamination (c20/
+    * c35/c100) decides which DOCUMENTS leak an eval suite, but the
+    * training run consumes PACKED SEQUENCES (c111): a context window
+    * that concatenates a benchmark-member doc between two clean docs
+    * still trains on eval text, and the loss-mask/re-pack decision is
+    * per sequence, not per doc. This report is that decision's input:
+    * for every (shard, seq_id) of the mounted packing, the member-doc
+    * count, token mass, how many members belong to ANY
+    * [[graft.operators.TextAnalysis.BenchRegistry]] suite (per-suite
+    * columns — c100's columns-not-rows discipline, generated from the
+    * same registry both engines interpolate), the tainted token mass,
+    * and the verdict bit. Suite membership is a pure doc_id predicate
+    * (the registry's stand-in for an eval manifest join), so taint
+    * costs ZERO joins — one projection over the packing plus the
+    * sequence-grain aggregate c120 already pays.
+    *
+    * Note the funnel already excludes suite `a` members from keeps
+    * (the contamination gate's own benchmark family — spec-pinned at
+    * zero here); suites `b`/`c` members survive curation and surface
+    * as real taint, which is exactly the gap this report exists to
+    * catch: per-doc gates tuned on one suite do not decontaminate
+    * the packed corpus against the others.
+    *
+    * Shape: c111's chain + one (shard, seq_id) aggregate reusing the
+    * packing window's shard exchange — report-sized output, no new
+    * shuffle class at any scale. */
+  def c130SeqContam(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards,
+      suites: Seq[graft.operators.TextAnalysis.BenchSuite] =
+        graft.operators.TextAnalysis.BenchRegistry): DataFrame = {
+    require(suites.nonEmpty, "c130 needs at least one benchmark suite")
+    val pack = c111KeepsPack(spark, dir, budget, seed, shards)
+    val preds = suites.map(s => expr(s.pred))
+    val anyEval = preds.reduce(_ || _)
+    val suiteCols = suites.zip(preds).map { case (s, p) =>
+      sum(when(p, 1L).otherwise(0L)).as(s"n_eval_${s.id}")
+    }
+    pack
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (Seq(
+          sum(col("n_tok")).as("sum_tok"),
+          sum(when(anyEval, 1L).otherwise(0L)).as("n_eval_docs"),
+          sum(when(anyEval, col("n_tok")).otherwise(0L)).as("eval_tok")) ++
+          suiteCols): _*)
+      .withColumn("taint_frac",
+        round(col("eval_tok").cast("double") / col("sum_tok"), 4))
+      .withColumn("tainted", col("n_eval_docs") > 0)
+      .orderBy("shard", "seq_id")
+  }
+
   /** c105: the KEEPS-ONLY curriculum — the schedule a run actually
     * mounts: c99 orders the WHOLE corpus while c98's manifest ships
     * only the funnel's keeps, so an epoch loader walking c99 would

@@ -1348,6 +1348,50 @@ object Similarity {
     serveStoredIndex(spark, emb, root, nQueries, topK, nprobe)
   }
 
+  /** c131's candidate predicate — a selective (~10%) metadata filter,
+    * the regime where post-filtering a top-k collapses (most of an
+    * unfiltered top-k fails the predicate, leaving the consumer
+    * fewer than k results). The oracle interpolates the constant. */
+  val FilterLabel = 3L
+
+  /** c131: METADATA-FILTERED vector search off the persisted index —
+    * the production feature every vector store ships ("top-k among
+    * docs where source = X"): the filterable attribute is stored IN
+    * the index (one build-time join of the codes table with the
+    * attribute column, persisted co-located as `codes_attr` — an
+    * index stores its payload columns next to its codes), and
+    * serving pushes the predicate INTO the codes scan, so ADC
+    * scoring, the heaps, and the rank window all run on the
+    * pre-filtered candidate stream. This is PRE-filtering: the
+    * returned top-k is the true ADC top-k of the label-passing
+    * population at full depth — not the survivors of an unfiltered
+    * top-k (post-filtering), which under a selective predicate
+    * returns fewer than k rows and misses passing candidates that
+    * ranked below the global cut. The spec pins both: equivalence to
+    * filter-after-full-depth, and the post-filter@k gap this exists
+    * to close.
+    *
+    * Shape: identical to c79's serve (bounded artifact collects, one
+    * codes scan — now with `PushedFilters: label = …` at the parquet
+    * scan, so a partitioned/attr-sorted layout skips row groups —
+    * one rank window). The attr join runs ONCE at build time at
+    * corpus grain, co-keyed on vec_id; serving never joins. */
+  def c131FilteredAnn(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultQueryCount, topK: Int = PqTopK,
+      nprobe: Int = DefaultNProbe, label: Long = FilterLabel): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = graft.streaming.StoreMemo.memo(spark, s"c79_index_$dir")(
+      buildIndexArtifacts(emb, _))
+    val attrRoot = graft.streaming.StoreMemo.memo(spark, s"c131_attr_$dir") { r =>
+      spark.read.parquet(s"$root/codes")
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .write.mode("overwrite").parquet(s"$r/codes_attr")
+    }
+    serveStoredIndex(spark, emb, root, nQueries, topK, nprobe,
+      codesDir = "codes_attr", codesRoot = Some(attrRoot),
+      candFilter = Some(col("label") === label))
+  }
+
   /** Train-once → write the centroid/codebook/code artifacts under
     * `root` (the upsert store's at-rest discipline applied to the
     * index): one corpus kernel pass assigns, residual-encodes, and
@@ -1551,16 +1595,23 @@ object Similarity {
     * corpus join (the only raw-embedding read — monitoring must
     * compare against live vectors), one kernel pass, one cluster-key
     * aggregate. */
-  def c87IndexHealth(spark: SparkSession, dir: String): DataFrame = {
+  /** The churned index's per-vector reconstruction error — the codes
+    * scan + live join + the error kernel (each vector's own chosen
+    * cell distances, exact e4 integer units). ONE spelling shared by
+    * the c87 health aggregate and c133's query-side OOD probe; the
+    * optional `vecFilter` is applied to the CODES SCAN so a bounded
+    * consumer (c133's |Q| queries) never pays the corpus pass. */
+  private def churnedPerVecErr(spark: SparkSession, dir: String,
+      vecFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val root = churnedIndexRoot(spark, emb, dir)
     val (rBooks, centLocal, _) = loadArtifacts(spark, root)
     val bc = spark.sparkContext.broadcast((rBooks, centLocal))
     import spark.implicits._
     val dims = PqSubspaces * PqSubDim
-    val live = churnedCorpus(emb)
+    val live = vecFilter.foldLeft(churnedCorpus(emb))(_ filter _)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val perVec = spark.read.parquet(s"$root/codes_v2")
+    vecFilter.foldLeft(spark.read.parquet(s"$root/codes_v2"))(_ filter _)
       .select(col("vec_id"), col("cluster").cast("int"), col("codes"))
       .join(live, Seq("vec_id"))
       .select(col("vec_id"), col("cluster"), col("codes"), col("v"))
@@ -1580,6 +1631,10 @@ object Similarity {
           (vec, cluster.toLong, e4)
         }
       }.toDF("vec_id", "cluster", "qerr_e4")
+  }
+
+  def c87IndexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val perVec = churnedPerVecErr(spark, dir)
     perVec
       .withColumn("upd", isUpdatedVec(col("vec_id")))
       .groupBy("cluster")
@@ -1596,6 +1651,46 @@ object Similarity {
       .withColumn("degraded",
         coalesce(col("upd_mean_qerr") > col("mean_qerr"), lit(false)))
       .orderBy("cluster")
+  }
+
+  /** c133's flag bar: a query whose quantization error exceeds its
+    * probed cluster's corpus mean by this factor is out-of-
+    * distribution for the index. The oracle interpolates it. */
+  val OodRatioBar = 1.5
+
+  /** c133: QUERY-side OOD detection — the serve-time twin of c87's
+    * at-rest health audit (c110 detects CORPUS drift between
+    * vintages; this detects a drifting QUERY STREAM against a fixed
+    * index): each query is encoded through the stored index's own
+    * kernel (assign → residual → codes — [[churnedPerVecErr]], the
+    * exact spelling c87 prices the corpus with), and its
+    * reconstruction error is compared to its cluster's corpus-wide
+    * mean from the health report. A ratio ≫ 1 means the codebooks
+    * cannot represent the query's region — its ADC ranking is
+    * untrustworthy and a router should fall back to exact scoring
+    * (c113's refine leg) or flag the traffic shift. The report is the
+    * router's input: per query, the cluster it probes, its own error,
+    * the cluster mean, the ratio, the flag.
+    *
+    * Shape: the query side is a BOUNDED codes read (the vec_id
+    * filter lands on the codes parquet scan — |Q| rows through the
+    * kernel, never the corpus); the health side is c87's one corpus
+    * pass (at-rest cadence — a deployment reads the stored health
+    * report instead); the join is |Q| × a broadcast of ≤ nCent rows.
+    * No corpus-grain shuffle anywhere. */
+  def c133QueryOod(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultQueryCount): DataFrame = {
+    val qErr = churnedPerVecErr(spark, dir,
+      vecFilter = Some(col("vec_id") < nQueries))
+    val health = c87IndexHealth(spark, dir).select("cluster", "mean_qerr")
+    qErr
+      .join(broadcast(health), Seq("cluster"))
+      .select(col("vec_id").as("q_id"), col("cluster"),
+        round(col("qerr_e4") / lit(10000.0), 4).as("q_qerr"),
+        col("mean_qerr"))
+      .withColumn("ood_ratio", round(col("q_qerr") / col("mean_qerr"), 4))
+      .withColumn("ood", col("ood_ratio") > OodRatioBar)
+      .orderBy("q_id")
   }
 
   // ---- c122: touched-only index repair ---------------------------------

@@ -461,6 +461,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c135: PII incidence by SOURCE — the privacy-budget rollup next
+    * to c16's doc-grain redaction (c16 says what to mask in each
+    * document; this says which SOURCES carry the exposure): per
+    * source, the email/number hit mass, how many docs carry any hit,
+    * and the density dials (hit docs per doc, hits per doc). The
+    * acquisition read: a source whose pii_doc_frac trends up is
+    * raising the redaction bill and the residual-leak risk — price
+    * that against its c124 yield before the next crawl buy; the
+    * funnel's n_pii gate (c41/keeps) drops the extreme tail, this
+    * table prices what remains. Same regexes as c16 — one contract
+    * for what counts as PII, doc grain and source grain.
+    *
+    * Shape: one projection over the corpus (two codegen'd regex
+    * extracts) + one source-grain aggregate — report-sized output. */
+  def c135PiiRate(docs: DataFrame): DataFrame = {
+    val e = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long")
+    val n = size(regexp_extract_all(col("text"), lit(NumRe), lit(0))).cast("long")
+    docs.select(col("source"), e.as("e"), n.as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).as("n_emails"),
+        sum(col("n")).as("n_nums"),
+        sum(when(col("e") + col("n") > 0, 1L).otherwise(0L)).as("docs_with_pii"))
+      .withColumn("pii_doc_frac",
+        round(col("docs_with_pii").cast("double") / col("n_docs"), 4))
+      .withColumn("hits_per_doc",
+        round((col("n_emails") + col("n_nums")).cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
   /** c17: tf-idf top terms — the per-document salient-term extraction
     * used for corpus analytics and topic filtering. Two aggregations
     * (term frequency per doc, document frequency per term) joined on
@@ -495,6 +525,57 @@ object TextAnalysis {
     * definition so c19 and c21 can never diverge on tokenization.
     * limit -1 keeps trailing empty tokens (= the oracle's
     * string_split / Spark SQL's split builtin). */
+  /** c134 geometry — a [[CmsDepth]]×[[CmsWidth]] count-min sketch.
+    * Width is deliberately SMALLER than this corpus's bigram
+    * vocabulary so the sketch binds at driver SFs (collisions are
+    * the whole object of study); the three hash rows are disjoint
+    * 7-hex slices of one md5 (the c49/Bloom discipline). Oracle-
+    * interpolated. */
+  val CmsDepth = 3
+  val CmsWidth = 256L
+  val CmsTopK = 50
+
+  /** c134: COUNT-MIN heavy hitters over word bigrams — the fixed-
+    * memory heavy-hitter mining a 100 TB phrase scan needs when the
+    * n-gram vocabulary no longer fits an exact aggregate (boilerplate
+    * detection, hot-phrase mining): every bigram increments
+    * [[CmsDepth]] cells of a [[CmsWidth]]-wide row (depth disjoint
+    * md5 slices), a point estimate is the MIN over its cells, and
+    * the report is the top-[[CmsTopK]] bigrams by estimate WITH the
+    * exact count beside it — the overcount column is the sketch's
+    * measured (never negative) collision error at this geometry,
+    * the audit that sizes width/depth before trusting the sketch
+    * where the exact column is no longer affordable.
+    *
+    * Shape: the shared bigram-counts memo reduces to vocabulary
+    * grain once; the sketch is [[CmsDepth]] map-side-combined
+    * aggregates over that frame into ≤ depth·width cells (the fixed
+    * memory bound that IS the operator); estimates are
+    * [[CmsDepth]] broadcast joins of those cell tables; top-k by
+    * (estimate, bigram) — exact at any corpus size because the
+    * vocabulary-grain frame, not the corpus, feeds every stage. */
+  def c134CmsHeavy(docs: DataFrame, k: Int = CmsTopK): DataFrame = {
+    val counts = Materialize.frame(
+      bigramCounts(docs).groupBy("bigram").agg(sum(col("k")).as("cnt")))
+    def pos(i: Int) =
+      conv(substring(md5(col("bigram")), i * 7 + 1, 7), 16, 10)
+        .cast("long") % CmsWidth
+    val withPos = counts.select(
+      col("bigram") +: col("cnt") +:
+        (0 until CmsDepth).map(i => pos(i).as(s"_p$i")): _*)
+    val est = (0 until CmsDepth).foldLeft(withPos) { (df, i) =>
+      val cells = withPos.groupBy(col(s"_p$i"))
+        .agg(sum(col("cnt")).as(s"_cell$i"))
+      df.join(broadcast(cells), Seq(s"_p$i"))
+    }
+    est
+      .select(col("bigram"), col("cnt").as("exact"),
+        least((0 until CmsDepth).map(i => col(s"_cell$i")): _*).as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy(col("est").desc, col("bigram"))
+      .limit(k)
+  }
+
   private def bigramCountsKernel(docs: DataFrame): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
@@ -1700,6 +1781,39 @@ object TextAnalysis {
     spark.read.parquet(s"$root/merges")
       .orderBy("rank").select(col("a"), col("b")).collect()
       .map(r => (r.getString(0), r.getString(1)))
+  }
+
+  /** c132: tokenizer FERTILITY by (lang, source) — the fairness/
+    * billing audit a multilingual pipeline runs against its shipped
+    * tokenizer: tokens-per-character by language and source. A
+    * tokenizer trained on a skewed mixture over-fragments the
+    * under-represented languages (high fertility = more tokens for
+    * the same text = that language pays more context budget per
+    * character and trains on fewer effective documents per token
+    * budget) — this table is the evidence, read next to c61's
+    * language mixture and c92's holdout audit before re-training
+    * with a re-balanced c30 mixture. Counts are the STORED
+    * tokenizer's (c83's artifact — the deployment prices against
+    * what it ships, not a per-query retrain).
+    *
+    * Shape: the tokenizer artifact + one doc-grain join (counts are
+    * doc-keyed, co-partitioned) + one (lang, source) rollup —
+    * report-sized output, no new shuffle class. */
+  def c132Fertility(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("chars"))
+      .join(graft.operators.Sampling.storedTokCounts(spark, dir), Seq("doc_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("n_tok")).as("n_tok"))
+      .withColumn("chars_per_tok",
+        round(col("n_chars").cast("double") / col("n_tok"), 4))
+      .withColumn("toks_per_100ch",
+        round(col("n_tok") * lit(100.0) / col("n_chars"), 4))
+      .orderBy("lang", "source")
   }
 
   /** Per-doc BPE token counts over a BATCH frame (doc_id, text) under

@@ -1,0 +1,196 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-22 contracts: the serving/coverage widening — sequence-grain
+  * eval taint (c130) and the tier that follows it. */
+class Round22Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("c130: taint keys are exactly c120's index with identical doc/token mass") {
+    val taint = graft.operators.Sampling.c130SeqContam(spark, sf)
+      .select("shard", "seq_id", "n_docs", "sum_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val index = graft.operators.Sampling.c120KeepsManifest(spark, sf)
+      .select("shard", "seq_id", "n_docs", "sum_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(taint.keySet == index.keySet,
+      "taint report and mounted-packing index disagree on which sequences exist")
+    for ((k, v) <- taint) assert(index(k) == v,
+      s"sequence $k: taint says $v, index says ${index(k)}")
+  }
+
+  test("c130: per-doc taint recomputed from the packing + registry matches the aggregate") {
+    val suites = graft.operators.TextAnalysis.BenchRegistry
+    val pack = graft.operators.Sampling.c111KeepsPack(spark, sf)
+      .withColumn("ev", suites.map(s => expr(s.pred)).reduce(_ || _))
+    val direct = pack.groupBy("shard", "seq_id")
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("n"),
+        sum(when(col("ev"), col("n_tok")).otherwise(0L)).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val rep = graft.operators.Sampling.c130SeqContam(spark, sf).collect()
+    assert(rep.nonEmpty)
+    for (r <- rep) {
+      val k = (r.getLong(0), r.getLong(1))
+      assert(direct(k) == (r.getAs[Long]("n_eval_docs"), r.getAs[Long]("eval_tok")),
+        s"sequence $k taint mass diverges from the direct recount")
+      // verdict + fraction arithmetic
+      assert(r.getAs[Boolean]("tainted") == (r.getAs[Long]("n_eval_docs") > 0L))
+      assert(r.getAs[Long]("eval_tok") <= r.getAs[Long]("sum_tok"))
+      val want = math.rint(r.getAs[Long]("eval_tok").toDouble /
+        r.getAs[Long]("sum_tok") * 1e4) / 1e4
+      assert(math.abs(r.getAs[Double]("taint_frac") - want) < 1e-9)
+      // per-suite columns sum to at least the any-suite count (a doc
+      // can belong to several suites, so ≥, with equality when the
+      // suite slices are disjoint on this corpus)
+      val perSuite = suites.map(s => r.getAs[Long](s"n_eval_${s.id}")).sum
+      assert(perSuite >= r.getAs[Long]("n_eval_docs"))
+    }
+  }
+
+  test("c130: suite-a taint is zero (the funnel's own contamination gate excludes it from keeps)") {
+    val rep = graft.operators.Sampling.c130SeqContam(spark, sf)
+    assert(rep.agg(sum("n_eval_a")).head.getLong(0) == 0L,
+      "suite-a members survived the funnel — the keeps chain's decontamination gate moved")
+    // and the operator is not vacuous: the OTHER suites do surface
+    // taint the doc-grain gate missed (the report's reason to exist)
+    assert(rep.agg(sum("n_eval_docs")).head.getLong(0) > 0L,
+      "no taint at all — the packed corpus accidentally decontaminated")
+  }
+
+  test("c131: pre-filtered top-k ≡ filter-after-FULL-depth, and post-filter@k provably loses results") {
+    val lbl = graft.operators.Similarity.FilterLabel
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val filtered = graft.operators.Similarity.c131FilteredAnn(spark, sf).collect()
+    assert(filtered.nonEmpty)
+    // every returned candidate passes the predicate; ranks dense per query
+    for (r <- filtered)
+      assert(labels(r.getAs[Long]("vec_id")) == lbl, s"leaked ${r}")
+    filtered.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length),
+        s"q$q ranks not dense")
+    }
+    // the pre-filter theorem: identical to ranking the FULL-depth ADC
+    // stream and filtering afterwards (depth = whole corpus)
+    val full = graft.operators.Similarity
+      .c79StoredIndexServe(spark, sf, topK = n).collect()
+      .filter(r => labels(r.getAs[Long]("vec_id")) == lbl)
+    val k = graft.operators.Similarity.PqTopK
+    val want = full.groupBy(_.getLong(0)).toSeq.flatMap { case (q, rs) =>
+      rs.sortBy(r => (r.getAs[Double]("adist"), r.getAs[Long]("vec_id")))
+        .take(k).zipWithIndex
+        .map { case (r, i) => (q, i + 1L, r.getAs[Long]("vec_id"),
+          r.getAs[Double]("adist")) }
+    }.toSet
+    val got = filtered.map(r => (r.getLong(0), r.getAs[Long]("rank"),
+      r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSet
+    assert(got == want, "pre-filtered serve diverges from filter-after-full-depth")
+    // …and the naive spelling (post-filter the UNFILTERED top-k)
+    // returns strictly fewer results under a ~10% predicate — the
+    // gap the stored-attribute pushdown exists to close
+    val post = graft.operators.Similarity.c79StoredIndexServe(spark, sf)
+      .collect().count(r => labels(r.getAs[Long]("vec_id")) == lbl)
+    assert(filtered.length > post,
+      s"post-filtering kept $post of the top-k — expected the pre-filtered " +
+        s"serve (${filtered.length}) to recover strictly more")
+  }
+
+  test("c132: fertility masses reconcile with the corpus and the stored tokenizer") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rep = graft.operators.TextAnalysis.c132Fertility(spark, sf).collect()
+    assert(rep.nonEmpty)
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rep.map(_.getAs[Long]("n_chars")).sum ==
+      docs.agg(sum(length(col("text")))).head.getLong(0))
+    for (r <- rep) {
+      val (nc, nt) = (r.getAs[Long]("n_chars"), r.getAs[Long]("n_tok"))
+      assert(nt > 0 && nc > 0)
+      assert(math.abs(r.getAs[Double]("chars_per_tok") -
+        math.rint(nc.toDouble / nt * 1e4) / 1e4) < 1e-9)
+      assert(math.abs(r.getAs[Double]("toks_per_100ch") -
+        math.rint(nt * 100.0 / nc * 1e4) / 1e4) < 1e-9)
+    }
+  }
+
+  test("c133: query OOD rows join the health report correctly with pinned arithmetic") {
+    val rep = graft.operators.Similarity.c133QueryOod(spark, sf).collect()
+    assert(rep.nonEmpty)
+    val health = graft.operators.Similarity.c87IndexHealth(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("mean_qerr")).toMap
+    val nq = graft.operators.Similarity.DefaultQueryCount
+    for (r <- rep) {
+      val q = r.getAs[Long]("q_id")
+      assert(q < nq && q % 11 != 4, s"q$q outside the live query slice")
+      assert(r.getAs[Double]("mean_qerr") == health(r.getAs[Long]("cluster")),
+        s"q$q carries a mean that is not its cluster's health row")
+      val want = math.rint(r.getAs[Double]("q_qerr") /
+        r.getAs[Double]("mean_qerr") * 1e4) / 1e4
+      assert(math.abs(r.getAs[Double]("ood_ratio") - want) < 1e-9)
+      assert(r.getAs[Boolean]("ood") ==
+        (r.getAs[Double]("ood_ratio") > graft.operators.Similarity.OodRatioBar))
+    }
+    // every live query is priced exactly once
+    assert(rep.map(_.getAs[Long]("q_id")).distinct.length == rep.length)
+    assert(rep.length == (0 until nq).count(_ % 11 != 4))
+  }
+
+  test("c134: the count-min theorem holds, binds, and replays by hand") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // full-vocabulary call: the sketch never undercounts, anywhere
+    val all = graft.operators.TextAnalysis.c134CmsHeavy(docs, k = 1000000).collect()
+    assert(all.forall(_.getAs[Long]("overcount") >= 0L),
+      "a count-min estimate undercounted — the sketch theorem is broken")
+    // and the geometry BINDS at this SF (vocab ≫ width): collisions
+    // survive the min-of-depth for most keys, so the overcount column
+    // is a real error measurement, not a column of zeros
+    assert(all.count(_.getAs[Long]("overcount") > 0L) > all.length / 2,
+      s"sketch did not bind (${all.count(_.getAs[Long]("overcount") > 0L)}/${all.length})")
+    // hand-replay the estimate of the heaviest row: min over hash
+    // rows of the colliding exact mass
+    val exact = all.map(r => r.getString(0) -> r.getAs[Long]("exact")).toMap
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def posOf(b: String, i: Int): Long =
+      java.lang.Long.parseLong(md5hex(b).substring(i * 7, i * 7 + 7), 16) %
+        graft.operators.TextAnalysis.CmsWidth
+    val top = graft.operators.TextAnalysis.c134CmsHeavy(docs).collect()
+    assert(top.length == graft.operators.TextAnalysis.CmsTopK)
+    for (r <- top.take(3)) {
+      val b = r.getString(0)
+      val want = (0 until graft.operators.TextAnalysis.CmsDepth).map { i =>
+        exact.iterator.filter { case (b2, _) => posOf(b2, i) == posOf(b, i) }
+          .map(_._2).sum
+      }.min
+      assert(r.getAs[Long]("est") == want, s"'$b' estimate diverges from the hand replay")
+    }
+    // the report rows ARE the k largest estimates
+    val kth = top.map(_.getAs[Long]("est")).min
+    assert(all.count(_.getAs[Long]("est") > kth) < top.length)
+  }
+
+  test("c135: source-grain PII masses reconcile with c16's doc-grain redaction") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rep = graft.operators.TextAnalysis.c135PiiRate(docs).collect()
+    val c16 = graft.operators.TextAnalysis.c16PiiRedact(docs)
+      .select("doc_id", "n_emails", "n_nums").collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rep.map(_.getAs[Long]("n_emails")).sum ==
+      c16.map(_.getAs[Long]("n_emails")).sum,
+      "source rollup and doc-grain redaction disagree on email mass")
+    assert(rep.map(_.getAs[Long]("n_nums")).sum ==
+      c16.map(_.getAs[Long]("n_nums")).sum)
+    assert(rep.map(_.getAs[Long]("docs_with_pii")).sum ==
+      c16.count(r => r.getAs[Long]("n_emails") + r.getAs[Long]("n_nums") > 0))
+    for (r <- rep) {
+      assert(r.getAs[Long]("docs_with_pii") <= r.getAs[Long]("n_docs"))
+      val want = math.rint(r.getAs[Long]("docs_with_pii").toDouble /
+        r.getAs[Long]("n_docs") * 1e4) / 1e4
+      assert(math.abs(r.getAs[Double]("pii_doc_frac") - want) < 1e-9)
+    }
+  }
+}
