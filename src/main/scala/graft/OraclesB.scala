@@ -262,6 +262,18 @@ object OraclesB {
       order by id_a, id_b
     """,
 
+    "b22_grouping_sets" -> """
+      select coalesce(l_returnflag, 'ALL') as returnflag,
+             coalesce(l_linestatus, 'ALL') as linestatus,
+             coalesce(sy, -1)::bigint as ship_year,
+             grouping(l_returnflag, l_linestatus, sy)::bigint as gid,
+             count(*) as n_rows,
+             round(sum(l_extendedprice), 2) as total_price
+      from (select *, year(l_shipdate)::bigint as sy from lineitem)
+      group by grouping sets ((l_returnflag, l_linestatus), (sy), ())
+      order by gid, returnflag, linestatus, ship_year
+    """,
+
     "b9_sessionize" -> """
       with ev as (
         select event_id, user_id, epoch_us(ts) as ts_us from events),

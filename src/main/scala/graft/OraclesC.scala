@@ -344,7 +344,8 @@ object OraclesC {
       trainFilter: Option[String] = None, corpus: String = "embeddings",
       trainCorpus: Option[String] = None,
       queryPred: String = s"vec_id < $NQ",
-      candPred: Option[String] = None): String = {
+      candPred: Option[String] = None,
+      nprobe: Int = NPROBE): String = {
     // the subquantizer's training slices: by default the served
     // corpus's own residual rows (optionally filtered — c81's
     // base-only training); with trainCorpus, a SEPARATE residual
@@ -380,7 +381,7 @@ object OraclesC {
         from $corpus e cross join $centCte c),
       ${pfx}asg as materialized (select vec_id, c_id as cluster from ${pfx}ra where rn = 1),
       ${pfx}pr as (select vec_id as q_id, c_id as cluster
-                   from ${pfx}ra where ($queryPred) and rn <= $NPROBE),
+                   from ${pfx}ra where ($queryPred) and rn <= $nprobe),
       ${pfx}res as (
         select e.vec_id,
                [e.embedding[i]::double - c.c_emb[i]::double
@@ -1399,6 +1400,71 @@ object OraclesC {
       where rank <= $PTOPK
       order by q_id, rank
     """
+
+  /** c136's oracle: the trained serve chain at FULL probe depth, each
+    * candidate tagged with its cluster's probe rank for its query
+    * (yra's row_number — the probe ORDER), then every sweep level
+    * cuts rank ≤ nprobe and takes its own top-k; recall against c6's
+    * exact chain, scan mass analytically from cluster sizes × probed
+    * ranks with the query's own vector excluded. */
+  private def c136Sql: String = {
+    val lvls = graft.operators.Similarity.NprobeLevels.mkString(", ")
+    s"""
+      with $TRAINED_CENTROIDS,
+      ${residualServeChain("y", s"cent$QITERS", nprobe = NC)},
+      lv as (select unnest([$lvls])::bigint as nprobe),
+      crnk as (
+        select s.q_id, s.vec_id, s.adist, r.rn as crank
+        from ysc s
+        join yasg a on a.vec_id = s.vec_id
+        join yra r on r.vec_id = s.q_id and r.c_id = a.cluster),
+      swp as (
+        select lv.nprobe, c.q_id, c.vec_id,
+               row_number() over (partition by lv.nprobe, c.q_id
+                 order by c.adist, c.vec_id) as rank
+        from lv join crnk c on c.crank <= lv.nprobe),
+      tk as (select nprobe, q_id, vec_id from swp where rank <= $PTOPK),
+      exq as (select vec_id as q_id, embedding as q_emb
+              from embeddings where vec_id < $NQ),
+      exs as (
+        select q.q_id, e.vec_id,
+               ${cosN("q.q_emb", "e.embedding")} as cos
+        from embeddings e cross join exq q
+        where e.vec_id <> q.q_id),
+      ex as (
+        select q_id, vec_id from (
+          select q_id, vec_id,
+                 row_number() over (partition by q_id
+                   order by cos desc nulls last, vec_id) as rank
+          from exs)
+        where rank <= $PTOPK),
+      ph as (
+        select tk.nprobe, tk.q_id, count(ex.vec_id)::bigint as n_hits
+        from tk left join ex on ex.q_id = tk.q_id and ex.vec_id = tk.vec_id
+        group by 1, 2),
+      qg as (select lv.nprobe, e.vec_id as q_id
+             from lv cross join embeddings e where e.vec_id < $NQ),
+      pq as (
+        select qg.nprobe, qg.q_id, coalesce(ph.n_hits, 0) as n_hits
+        from qg left join ph using (nprobe, q_id)),
+      rec as (
+        select nprobe, count(*)::bigint as n_queries,
+               round(avg(n_hits::double / $PTOPK), 4) as mean_recall
+        from pq group by 1),
+      csz as (select cluster, count(*)::bigint as sz from yasg group by 1),
+      scan as (
+        select lv.nprobe,
+               (sum(csz.sz) - (select count(*) from embeddings
+                               where vec_id < $NQ))::bigint as n_scanned
+        from lv
+        join yra r on r.vec_id < $NQ and r.rn <= lv.nprobe
+        join csz on csz.cluster = r.c_id
+        group by lv.nprobe)
+      select rec.nprobe, rec.n_queries, scan.n_scanned, rec.mean_recall
+      from rec join scan using (nprobe)
+      order by nprobe
+    """
+  }
 
   /** c81's oracle: the base-vs-delta asymmetry replayed in one query
     * — trainers over the base slice, everything else over the whole
@@ -2922,6 +2988,44 @@ object OraclesC {
     """
   }
 
+  /** c139: the decontaminated packing's index — c127's text-rewrite
+    * discipline (keeps schedule + packing recomputed within the CLEAN
+    * vintage, tokenizer artifact shared from the full corpus), the
+    * clean corpus cut by the registry predicates, then c120's
+    * sequence aggregate. */
+  private def c139Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val anyPred = graft.operators.TextAnalysis.BenchRegistry
+      .map(s => s"(${s.pred})").mkString(" or ")
+    val cChain = c105Chain.replaceAll("105", "139")
+      .replaceAll("\\bdocuments\\b", "d139")
+    s"""
+      with ${c75Chain(m)},
+      nsyc as (select term, count(*)::bigint as n_syms from s$m group by term),
+      encc as (
+        select tf.doc_id, sum(tf.tf * coalesce(nsyc.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsyc on tf.term = nsyc.term
+        group by tf.doc_id),
+      d139 as (select * from documents where not ($anyPred)),
+      $cChain,
+      a139 as (
+        select sched139.doc_id, source, bin, shard, pos, encc.n_tok,
+               sum(n_tok) over (partition by shard order by pos
+                 rows between unbounded preceding and current row)::bigint as cum
+        from sched139 join encc on sched139.doc_id = encc.doc_id),
+      p139 as (
+        select doc_id, source, bin, shard, pos,
+               ((cum - n_tok) // $BUDGET)::bigint as seq_id, n_tok
+        from a139)
+      select shard, seq_id, count(*)::bigint as n_docs,
+             sum(n_tok)::bigint as sum_tok,
+             min(pos)::bigint as first_pos, max(pos)::bigint as last_pos,
+             max(bin)::bigint as max_bin, min(bin)::bigint as min_bin,
+             round(sum(n_tok)::double / $BUDGET, 4) as fill_frac
+      from p139 group by shard, seq_id order by shard, seq_id
+    """
+  }
+
   /** c112: the √n-per-mille temperature weights (c38's quantization)
     * at token grain, then exact integer repeat math under the epoch
     * cap. */
@@ -3383,8 +3487,31 @@ object OraclesC {
     "c117_epoch_plan" -> c117Sql,
     "c120_keeps_manifest" -> c120Sql,
     "c130_seq_contam" -> c130Sql,
+    "c139_decontam_pack" -> c139Sql,
     "c132_fertility" -> c132Sql,
     "c134_cms_heavy" -> c134Sql,
+    // c137: the linear-counting table replayed — bucket = the shingle
+    // key's own first 16 bits, estimate m·ln(m/V), null at saturation
+    "c137_linear_count" -> {
+      val m = graft.operators.TextAnalysis.LcBuckets
+      s"""
+      with s137 as (
+        select d.source, sh.sh8,
+               ('0x' || substr(sh.sh8, 1, 4))::bigint as bucket
+        from ($SH8) sh join documents d using (doc_id)),
+      a137 as (
+        select source, count(distinct sh8)::bigint as exact_distinct,
+               count(distinct bucket)::bigint as n_occupied
+        from s137 group by 1)
+      select source, exact_distinct, n_occupied,
+             case when n_occupied < $m
+               then round($m * ln($m::double / ($m - n_occupied)), 4) end as est,
+             case when n_occupied < $m
+               then round((round($m * ln($m::double / ($m - n_occupied)), 4)
+                           - exact_distinct) / exact_distinct, 4) end as rel_err
+      from a137 order by source
+    """
+    },
     // c135: c16's regexes rolled up to source grain
     "c135_pii_rate" -> """
       with p135 as (
@@ -4491,6 +4618,47 @@ object OraclesC {
     "c131_filtered_ann" -> C131_SQL,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
+    // c136: one full-probe serve pass, every level cut from it
+    "c136_nprobe_sweep" -> c136Sql,
+    // c138: c87's router flag over the churned serve chain — ADC leg
+    // for in-distribution queries, exact cosine leg for flagged ones
+    "c138_routed_serve" -> s"""
+      with $C87_CHAIN,
+      q138 as (
+        select vec_id as q_id, cluster,
+               round(qerr_e4 / 10000.0, 4) as q_qerr
+        from h87 where vec_id < $NQ),
+      flag as (
+        select q.q_id,
+               (round(q.q_qerr / g.mean_qerr, 4)
+                 > ${graft.operators.Similarity.OodRatioBar}) as ood
+        from q138 q join g87 g using (cluster)),
+      adc as (
+        select yr.q_id, yr.rank, yr.vec_id, yr.adist as score,
+               'adc' as path
+        from yr join flag on flag.q_id = yr.q_id
+        where not flag.ood and yr.rank <= $PTOPK),
+      exq as (
+        select e.vec_id as q_id, e.embedding as q_emb
+        from uemb e join flag on flag.q_id = e.vec_id
+        where flag.ood),
+      exs as (
+        select q.q_id, e.vec_id,
+               ${cosN("q.q_emb", "e.embedding")} as cos
+        from uemb e cross join exq q
+        where e.vec_id <> q.q_id),
+      exr as (
+        select q_id, vec_id, cos,
+               row_number() over (partition by q_id
+                 order by cos desc nulls last, vec_id)::bigint as rank
+        from exs),
+      exact as (
+        select q_id, rank, vec_id, cos as score, 'exact' as path
+        from exr where rank <= $PTOPK)
+      select q_id, rank, vec_id, score, path
+      from (select * from adc union all select * from exact)
+      order by q_id, rank
+    """,
     "c122_index_repair" -> c122Sql,
     "c123_repaired_serve" -> c123Sql,
 

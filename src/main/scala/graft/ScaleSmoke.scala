@@ -275,7 +275,15 @@ object ScaleSmoke {
       // predicates), the filtered/OOD serving pair (bounded codes
       // reads off the stored artifacts), and the fertility rollup
       "c130_seq_contam", "c131_filtered_ann", "c132_fertility",
-      "c133_query_ood", "c134_cms_heavy", "c135_pii_rate")
+      "c133_query_ood", "c134_cms_heavy", "c135_pii_rate",
+      // r17: the probe-dial sweep (one full-probe codes pass + c6's
+      // exact leg — audit class), the cardinality sketch, and the
+      // OOD-routed serve (one codes scan + |flagged|-bounded exact leg)
+      "c136_nprobe_sweep", "c137_linear_count", "c138_routed_serve",
+      // r17: the decontaminated re-pack (c111's chain + one pushed
+      // doc_id predicate; b22 is a single Expand aggregate — linear
+      // by construction, not separately smoked)
+      "c139_decontam_pack")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

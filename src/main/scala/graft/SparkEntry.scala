@@ -57,6 +57,7 @@ object SparkEntry {
     "b19_window_nav"     -> ((s, dir) => Olap.b19WindowNav(s, dir)),
     "b20_bivariate"      -> ((s, dir) => Stats.b20Bivariate(Tables.events(s, dir))),
     "b21_time_window"    -> ((s, dir) => Olap.b21TimeWindow(s, dir)),
+    "b22_grouping_sets"  -> ((s, dir) => Olap.b22GroupingSets(s, dir)),
 
     "c1_dedup_exact"   -> ((s, dir) => Dedup.c1Exact(Tables.documents(s, dir))),
     "c2_dedup_ngram"   -> ((s, dir) => Dedup.c2NgramJaccard(Tables.documents(s, dir))),
@@ -198,6 +199,10 @@ object SparkEntry {
     "c132_fertility" -> ((s, dir) => TextAnalysis.c132Fertility(s, dir)),
     "c134_cms_heavy" -> ((s, dir) => TextAnalysis.c134CmsHeavy(Tables.documents(s, dir))),
     "c135_pii_rate" -> ((s, dir) => TextAnalysis.c135PiiRate(Tables.documents(s, dir))),
+    "c136_nprobe_sweep" -> ((s, dir) => Similarity.c136NprobeSweep(s, dir)),
+    "c137_linear_count" -> ((s, dir) => TextAnalysis.c137LinearCount(Tables.documents(s, dir))),
+    "c138_routed_serve" -> ((s, dir) => Similarity.c138RoutedServe(s, dir)),
+    "c139_decontam_pack" -> ((s, dir) => Sampling.c139DecontamPack(s, dir)),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

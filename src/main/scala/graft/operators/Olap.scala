@@ -172,6 +172,31 @@ object Olap {
       .orderBy("event_id")
   }
 
+  /** b22: GROUPING SETS — the ad-hoc aggregation-lattice shape cube
+    * (b14, every subset) and rollup (b5, the prefix chain) cannot
+    * express: exactly the named levels, here (returnflag, linestatus)
+    * + the orthogonal (shipmode) + the grand total. One pass, one
+    * expand+aggregate plan (Spark's Expand — rows × |sets|, map-side
+    * combined), grouping_id disambiguating real NULLs from
+    * subtotals. */
+  def b22GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("sy", year(col("l_shipdate")).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("sy")), Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("sy"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        coalesce(col("sy"), lit(-1L)).as("ship_year"),
+        col("gid"), col("n_rows"), col("total_price"))
+      .orderBy("gid", "returnflag", "linestatus", "ship_year")
+
   /** Hot-bin guard for b13 (the BucketCap discipline of the dedup
     * tier): a burst of `cap` events inside one second is ~cap²/2
     * candidate pairs from that second alone. Seconds whose occupancy

@@ -599,9 +599,15 @@ object Sampling {
       budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
       shards: Int = ShuffleShards,
       suites: Seq[graft.operators.TextAnalysis.BenchSuite] =
-        graft.operators.TextAnalysis.BenchRegistry): DataFrame = {
+        graft.operators.TextAnalysis.BenchRegistry): DataFrame =
+    seqContamOver(c111KeepsPack(spark, dir, budget, seed, shards), suites)
+
+  /** c130's taint aggregate over ANY packing frame — one spelling for
+    * the keyed report and the c139 closure spec (the decontaminated
+    * packing must read zero taint through the SAME aggregate). */
+  private[graft] def seqContamOver(pack: DataFrame,
+      suites: Seq[graft.operators.TextAnalysis.BenchSuite]): DataFrame = {
     require(suites.nonEmpty, "c130 needs at least one benchmark suite")
-    val pack = c111KeepsPack(spark, dir, budget, seed, shards)
     val preds = suites.map(s => expr(s.pred))
     val anyEval = preds.reduce(_ || _)
     val suiteCols = suites.zip(preds).map { case (s, p) =>
@@ -620,6 +626,42 @@ object Sampling {
         round(col("eval_tok").cast("double") / col("sum_tok"), 4))
       .withColumn("tainted", col("n_eval_docs") > 0)
       .orderBy("shard", "seq_id")
+  }
+
+  /** c139: the DECONTAMINATED packing's sequence index — the re-pack
+    * path c130's deployment note names, composed and keyed (c138's
+    * closure discipline): eval-suite members are dropped from the
+    * corpus BEFORE the keeps schedule, the mounted packing re-runs
+    * over the survivors (the funnel, quality re-binning, shard
+    * windows all recompute within the clean vintage — c127's
+    * text-rewrite stance), and the output is the sequence index a
+    * clean publish ships. The tokenizer artifact stays the SHIPPED
+    * full-corpus one (a deployment does not retrain the tokenizer to
+    * decontaminate — c98/c101/c127's standing stance). The closure
+    * theorem is spec-pinned: c130's taint aggregate over THIS packing
+    * reads zero for every suite.
+    *
+    * Shape: c111's chain with one more corpus-side predicate (pure
+    * doc_id — pushed to the scan) + c120's sequence aggregate; no new
+    * shuffle class. */
+  def c139DecontamPack(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards,
+      suites: Seq[graft.operators.TextAnalysis.BenchSuite] =
+        graft.operators.TextAnalysis.BenchRegistry): DataFrame =
+    seqManifestOver(c139CleanPack(spark, dir, budget, seed, shards, suites),
+      budget)
+
+  /** The decontaminated mounted packing itself — shared by the keyed
+    * index and the closure spec. */
+  private[graft] def c139CleanPack(spark: org.apache.spark.sql.SparkSession,
+      dir: String, budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards,
+      suites: Seq[graft.operators.TextAnalysis.BenchSuite] =
+        graft.operators.TextAnalysis.BenchRegistry): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val clean = docs.filter(!suites.map(s => expr(s.pred)).reduce(_ || _))
+    keepsPackOver(spark, dir, clean, budget, seed, shards)
   }
 
   /** c105: the KEEPS-ONLY curriculum — the schedule a run actually

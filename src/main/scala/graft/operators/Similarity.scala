@@ -1392,6 +1392,146 @@ object Similarity {
       candFilter = Some(col("label") === label))
   }
 
+  /** c136's probe dial — every power of two up to the full centroid
+    * count. Oracle-interpolated. */
+  val NprobeLevels: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** c136: the NPROBE SWEEP — recall-vs-cost for the coarse-probe
+    * dial, measured in one pass (c114's geometry-sweep discipline
+    * applied to the IVF side: c55/c66 price ONE operating point;
+    * the dial is chosen from the whole curve). For every
+    * [[NprobeLevels]] level: mean exact-recall@k of the stored
+    * index's ADC serving against the brute-force ground truth, and
+    * the analytic candidate mass the level scans (Σ over queries of
+    * probed-cluster sizes, self excluded) — the (recall, cost) pairs
+    * a deployment picks its nprobe from, and the table c133's OOD
+    * fallback rate is budgeted against.
+    *
+    * One pass, not |levels| serves: the codes scan runs ONCE at full
+    * probe depth; each candidate's distance is computed once and
+    * offered to every level whose probe set contains its cluster
+    * (per-(level, query) bounded heaps — the sweep's working state is
+    * |levels|·|Q|·k rows, never the corpus). The probe ORDER per
+    * query is the centroid ranking serving already computes; level
+    * membership is rank < nprobe, so level L's top-k is exactly what
+    * a standalone serve at nprobe = L returns (spec-pinned against
+    * [[c79StoredIndexServe]]). Scan mass is priced analytically from
+    * the ≤ nCent cluster sizes (bounded collect, documented), not by
+    * re-scanning. Audit-class cost (the full-probe pass ≡ one
+    * worst-case serve over the codes — M bytes/vector, never raw
+    * embeddings); the exact leg is c6's one corpus pass. */
+  def c136NprobeSweep(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultQueryCount, topK: Int = PqTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = graft.streaming.StoreMemo.memo(spark, s"c79_index_$dir")(
+      buildIndexArtifacts(emb, _))
+    val dims = PqSubspaces * PqSubDim
+    val (rBooks, centLocal, centNorm) = loadArtifacts(spark, root)
+    val nCent = centLocal.length
+    val levels = NprobeLevels.filter(_ <= nCent).toArray
+    val qVecs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val qArr = qVecs.map(_._1)
+    // full probe ORDER per query: ranks(qi)(c) = c's position in the
+    // centroid ranking (0 = nearest); level L probes rank < L
+    val ranks = qVecs.map { case (_, qv) =>
+      val order = ivfTopClusters(qv, centLocal, centNorm, nCent)
+      val r = new Array[Int](nCent)
+      var i = 0
+      while (i < order.length) { r(order(i)) = i; i += 1 }
+      r
+    }
+    val lutR = Array.tabulate(qArr.length, nCent) { (qi, c) =>
+      val qres = new Array[Double](dims)
+      var i = 0
+      while (i < dims) { qres(i) = qVecs(qi)._2(i) - centLocal(c)(i); i += 1 }
+      Array.tabulate(PqSubspaces, PqCodebookK)((m, k) => pqCellD2(qres, rBooks, k, m))
+    }
+    val bc = spark.sparkContext.broadcast((qArr, lutR, ranks, levels))
+    import spark.implicits._
+    val kLocal = topK
+    val topPerLevel = spark.read.parquet(s"$root/codes")
+      .select(col("vec_id"), col("cluster").cast("int"), col("codes"))
+      .as[(Long, Int, Array[Int])]
+      .mapPartitions { it =>
+        val (qs, lut, rk, lv) = bc.value
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(lv.length, qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (vec, cluster, cs) =>
+          var qi = 0
+          while (qi < qs.length) {
+            if (qs(qi) != vec) {
+              val crank = rk(qi)(cluster)
+              var s = -1.0 // distance priced once per (query, candidate)
+              var li = 0
+              while (li < lv.length) {
+                if (crank < lv(li)) {
+                  if (s < 0) {
+                    val l = lut(qi)(cluster)
+                    var acc = 0.0
+                    var mm = 0
+                    while (mm < PqSubspaces) { acc += l(mm)(cs(mm)); mm += 1 }
+                    s = pqRound4(acc)
+                  }
+                  val cand = (s, vec)
+                  val h = heaps(li)(qi)
+                  if (h.size < kLocal) h.enqueue(cand)
+                  else if (ord.lt(cand, h.head)) { h.dequeue(); h.enqueue(cand) }
+                }
+                li += 1
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (hs, li) =>
+          hs.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            h.iterator.map { case (d, v) => (lv(li).toLong, qs(qi), v, d) }
+          }
+        }
+      }.toDF("nprobe", "q_id", "vec_id", "adist")
+    val wR = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val topk = topPerLevel
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= topK)
+    val exact = c6AnnTopK(emb, Some(defaultQueries(emb, nQueries)), topK)
+      .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+    val perQ = topk.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy("nprobe", "q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    // complete (level, query) grid so a zero-hit query still counts
+    val grid = levels.map(_.toLong).toSeq.toDF("nprobe")
+      .crossJoin(qArr.toSeq.toDF("q_id"))
+    val rec = grid.join(perQ, Seq("nprobe", "q_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("n_hits").cast("double") / topK), 4).as("mean_recall"))
+    // analytic scan mass off the ≤ nCent cluster sizes (bounded
+    // collect — the same class as the centroid pulls)
+    val sizes = spark.read.parquet(s"$root/codes")
+      .groupBy("cluster").agg(count(lit(1)).as("sz")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val scanned = levels.map { l =>
+      val total = qArr.indices.map { qi =>
+        (0 until nCent).collect {
+          case c if ranks(qi)(c) < l => sizes.getOrElse(c, 0L)
+        }.sum - 1L // the query itself sits in its rank-0 cluster
+      }.sum
+      (l.toLong, total)
+    }.toSeq.toDF("nprobe", "n_scanned")
+    rec.join(scanned, Seq("nprobe"))
+      .select(col("nprobe"), col("n_queries"), col("n_scanned"),
+        col("mean_recall"))
+      .orderBy("nprobe")
+  }
+
   /** Train-once → write the centroid/codebook/code artifacts under
     * `root` (the upsert store's at-rest discipline applied to the
     * index): one corpus kernel pass assigns, residual-encodes, and
@@ -1691,6 +1831,47 @@ object Similarity {
       .withColumn("ood_ratio", round(col("q_qerr") / col("mean_qerr"), 4))
       .withColumn("ood", col("ood_ratio") > OodRatioBar)
       .orderBy("q_id")
+  }
+
+  /** c138: the OOD-ROUTED serve — the read path that makes c133 real
+    * (the same closure discipline as c123 over c122): the health-
+    * ratio router decides per query, in-distribution queries take the
+    * churned index's ADC serving (c82's path, codes_v2), flagged
+    * queries take the exact cosine scan over the live corpus — the
+    * fallback c133's scaladoc names, composed and keyed. Output
+    * carries the leg (`path`) and each leg's own score (ADC distance
+    * / exact cosine), so the flag rate × exact-leg cost is auditable
+    * against c136's scan table.
+    *
+    * Shape: the router frame is |Q| rows (bounded collect of the
+    * flagged ids — the same class as the centroid pulls); the ADC leg
+    * is one codes_v2 scan (M bytes/vector); the exact leg is one
+    * corpus pass against |flagged| broadcast queries — the priced
+    * fallback, linear in corpus size and bounded in queries. */
+  def c138RoutedServe(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultQueryCount, topK: Int = PqTopK,
+      nprobe: Int = DefaultNProbe): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val churn = churnedCorpus(emb)
+    val oodSeq = c133QueryOod(spark, dir, nQueries)
+      .filter(col("ood")).select("q_id").collect().map(_.getLong(0)).toSeq.sorted
+    val inFilter =
+      if (oodSeq.isEmpty) col("vec_id") < nQueries
+      else col("vec_id") < nQueries && !col("vec_id").isin(oodSeq: _*)
+    val adc = serveStoredIndex(spark, churn,
+        churnedIndexRoot(spark, emb, dir), nQueries, topK, nprobe,
+        codesDir = "codes_v2", queryFilter = Some(inFilter))
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("adist").as("score"), lit("adc").as("path"))
+    if (oodSeq.isEmpty) adc.orderBy("q_id", "rank")
+    else {
+      val exQ = churn.filter(col("vec_id").isin(oodSeq: _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = c6AnnTopK(churn, Some(exQ), topK)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          col("cos").as("score"), lit("exact").as("path"))
+      adc.unionByName(exact).orderBy("q_id", "rank")
+    }
   }
 
   // ---- c122: touched-only index repair ---------------------------------

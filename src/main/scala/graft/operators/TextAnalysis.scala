@@ -1097,6 +1097,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c137 geometry: 2^16 linear-counting buckets — the first 16 bits
+    * of the shingle key ARE the bucket (sh8 is already an md5 slice,
+    * so no second hash). Oracle-interpolated. */
+  val LcBuckets = 65536L
+
+  /** c137: LINEAR-COUNTING cardinality — the distinct-count sketch
+    * (Whang et al. 1990) the sketch tier was missing next to Bloom
+    * (membership, c35), MinHash (similarity, c3), and count-min
+    * (frequency, c134): per source, the exact distinct-shingle count
+    * beside the estimate m·ln(m/V) read off a fixed m-bit table
+    * (V = empty buckets), with the relative error as a column —
+    * c134's audit discipline (the exact leg prices the sketch at
+    * pilot SF; at 100 TB only the bit table ships: m bits per
+    * source, mergeable across partitions/days by OR). Saturation is
+    * surfaced, not hidden: a source whose table fills (V = 0) reads
+    * a null estimate — the signal to grow m or switch to the
+    * log-scale family (HLL) whose per-bucket state is a max, at the
+    * cost of a harder cross-engine arithmetic contract.
+    *
+    * Shape: one (source, bucket) distinct aggregate (≤ m rows per
+    * source — the fixed memory bound that is the operator) + the
+    * exact-leg distinct (the audit, corpus-priced); report-sized
+    * output. */
+  def c137LinearCount(docs: DataFrame): DataFrame = {
+    val m = LcBuckets
+    val sh = Dedup.docShingles8(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    sh.select(col("source"), col("sh8"),
+        conv(substring(col("sh8"), 1, 4), 16, 10).cast("long").as("bucket"))
+      .groupBy("source")
+      .agg(countDistinct(col("sh8")).as("exact_distinct"),
+        countDistinct(col("bucket")).as("n_occupied"))
+      .withColumn("est", when(col("n_occupied") < m,
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / (lit(m) - col("n_occupied"))), 4)))
+      .withColumn("rel_err", when(col("n_occupied") < m,
+        round((col("est") - col("exact_distinct")) / col("exact_distinct"), 4)))
+      .orderBy("source")
+  }
+
   /** The Bloom set-bit table of a (…, sh8) key frame — materialized:
     * the k probe joins each broadcast it, and an unmaterialized plan
     * would re-derive the explode + distinct once per hash function

@@ -173,6 +173,150 @@ class Round22Spec extends AnyFunSuite {
     assert(all.count(_.getAs[Long]("est") > kth) < top.length)
   }
 
+  test("c136: each sweep level reproduces the standalone serve at that nprobe") {
+    val k = graft.operators.Similarity.PqTopK
+    val nq = graft.operators.Similarity.DefaultQueryCount
+    val sweep = graft.operators.Similarity.c136NprobeSweep(spark, sf).collect()
+    assert(sweep.map(_.getAs[Long]("nprobe")).toSeq ==
+      graft.operators.Similarity.NprobeLevels.map(_.toLong))
+    assert(sweep.forall(_.getAs[Long]("n_queries") == nq.toLong))
+    // scan mass grows with the probe set and tops out at NQ·(N−1)
+    val scans = sweep.map(_.getAs[Long]("n_scanned"))
+    assert(scans.zip(scans.tail).forall { case (a, b) => a <= b })
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(scans.last == nq * (n - 1),
+      "full-probe scan mass is not the whole self-excluded corpus")
+    // the flagship pin: a level's mean recall equals the recall of a
+    // STANDALONE serve at that nprobe against the exact baseline —
+    // the one-pass sweep is the real dial curve, not an approximation
+    val exact = graft.operators.Similarity
+      .c6AnnTopK(graft.sources.Tables.embeddings(spark, sf), k = k)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (l <- Seq(1, 2, 16)) {
+      val serve = graft.operators.Similarity
+        .c79StoredIndexServe(spark, sf, nprobe = l).collect()
+      val hits = serve.count(r =>
+        exact((r.getLong(0), r.getAs[Long]("vec_id"))))
+      val want = math.rint(hits.toDouble / (nq * k) * 1e4) / 1e4
+      val got = sweep.find(_.getAs[Long]("nprobe") == l.toLong).get
+        .getAs[Double]("mean_recall")
+      // mean over queries of n_hits/k == total hits/(NQ·k) since the
+      // grid is complete
+      assert(math.abs(got - want) < 1.5e-4,
+        s"nprobe=$l sweep recall $got != standalone serve recall $want")
+    }
+  }
+
+  test("c137: linear counting replays, stays unsaturated, and lands near the exact count") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rep = graft.operators.TextAnalysis.c137LinearCount(docs).collect()
+    assert(rep.nonEmpty)
+    val m = graft.operators.TextAnalysis.LcBuckets
+    for (r <- rep) {
+      val occ = r.getAs[Long]("n_occupied")
+      assert(occ < m, s"source ${r.getString(0)} saturated at this SF")
+      assert(occ <= r.getAs[Long]("exact_distinct"),
+        "more occupied buckets than distinct keys")
+      val want = math.rint(m * math.log(m.toDouble / (m - occ)) * 1e4) / 1e4
+      assert(math.abs(r.getAs[Double]("est") - want) < 1e-9,
+        "estimate diverges from the m·ln(m/V) replay")
+      // at load n/m ≪ 1 the estimator's relative error is sub-percent;
+      // 5% is a generous structural bound, not a tuned one
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.05,
+        s"estimate off by ${r.getAs[Double]("rel_err")} — the sketch is broken, not noisy")
+    }
+    // exact column really is the per-source distinct-shingle count
+    import org.apache.spark.sql.functions.{explode, array_distinct, md5, substring, countDistinct}
+    val direct = docs
+      .select(col("source"),
+        explode(array_distinct(graft.functions.TextFns.shingles3(col("text")))).as("s"))
+      .select(col("source"), substring(md5(col("s")), 1, 8).as("sh8"))
+      .groupBy("source").agg(countDistinct(col("sh8")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rep)
+      assert(r.getAs[Long]("exact_distinct") == direct(r.getString(0)))
+  }
+
+  test("c138: every query serves on exactly the leg the router chose, each leg its own spelling") {
+    val rep = graft.operators.Similarity.c138RoutedServe(spark, sf).collect()
+    val flags = graft.operators.Similarity.c133QueryOod(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Boolean]("ood")).toMap
+    // exactly one path per query, and it is the router's
+    val byQ = rep.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == flags.keySet,
+      "served query set is not the router's query set")
+    for ((q, rows) <- byQ) {
+      val paths = rows.map(_.getAs[String]("path")).distinct
+      assert(paths.length == 1, s"q$q served on ${paths.length} paths")
+      assert((paths.head == "exact") == flags(q),
+        s"q$q took ${paths.head} against the router's ${flags(q)}")
+    }
+    // the ADC leg is c82's churned serving, row-for-row
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val adcWant = graft.operators.Similarity.c82IndexChurnServe(spark, sf)
+      .collect().filter(r => !flags(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adist"))).toSet
+    val adcGot = rep.filter(_.getAs[String]("path") == "adc")
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"))).toSet
+    assert(adcGot == adcWant, "ADC leg diverges from c82's serving")
+    // the exact leg is the brute-force cosine over the same live corpus
+    val oodIds = flags.filter(_._2).keySet
+    if (oodIds.nonEmpty) {
+      val churn = graft.operators.Similarity.churnedCorpus(emb)
+      val exQ = churn.filter(col("vec_id").isInCollection(oodIds))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exWant = graft.operators.Similarity.c6AnnTopK(churn, Some(exQ))
+        .collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSet
+      val exGot = rep.filter(_.getAs[String]("path") == "exact")
+        .map(r => (r.getLong(0), r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("score"))).toSet
+      assert(exGot == exWant, "exact leg diverges from the brute-force spelling")
+    }
+  }
+
+  test("b22: grouping sets emit exactly the named levels, each reconciling to the total") {
+    val rep = graft.operators.Olap.b22GroupingSets(spark, sf).collect()
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    // (rf, ls) → ship-year grouped-out → gid 001; (sy) → 110; () → 111
+    assert(rep.map(_.getAs[Long]("gid")).toSet == Set(1L, 6L, 7L),
+      "grouping-set lattice emitted levels the query did not name")
+    for (g <- Seq(1L, 6L, 7L))
+      assert(rep.filter(_.getAs[Long]("gid") == g).map(_.getAs[Long]("n_rows")).sum == total,
+        s"level gid=$g does not partition the corpus")
+    val grand = rep.filter(_.getAs[Long]("gid") == 7L)
+    assert(grand.length == 1 && grand.head.getAs[String]("returnflag") == "ALL")
+  }
+
+  test("c139: the decontaminated packing reads ZERO taint through c130's own aggregate") {
+    val suites = graft.operators.TextAnalysis.BenchRegistry
+    val cleanPack = graft.operators.Sampling.c139CleanPack(spark, sf)
+    // the closure theorem: re-packing after the eval drop leaves
+    // nothing for the sequence-grain taint report to flag
+    val taint = graft.operators.Sampling.seqContamOver(cleanPack, suites)
+    assert(taint.agg(sum("n_eval_docs")).head.getLong(0) == 0L,
+      "eval members survived the decontaminated re-pack")
+    // the keyed index is that packing's own sequence aggregate…
+    val idx = graft.operators.Sampling.c139DecontamPack(spark, sf)
+      .select("shard", "seq_id", "n_docs", "sum_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val direct = graft.operators.Sampling.seqManifestOver(cleanPack,
+        graft.operators.Sampling.DefaultTokenBudget)
+      .select("shard", "seq_id", "n_docs", "sum_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(idx == direct)
+    // …and the drop demonstrably moved the packing (the taint c130
+    // reported on the contaminated packing is gone, not relabeled)
+    val before = graft.operators.Sampling.c120KeepsManifest(spark, sf)
+      .select("shard", "seq_id", "n_docs", "sum_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(idx != before, "dropping kept eval docs left every sequence identical")
+  }
+
   test("c135: source-grain PII masses reconcile with c16's doc-grain redaction") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val rep = graft.operators.TextAnalysis.c135PiiRate(docs).collect()
