@@ -3445,7 +3445,18 @@ object OraclesC {
     """
   }
 
-  lazy val sql: Map[String, String] = sql1 ++ sql2
+  lazy val sql: Map[String, String] = {
+    val base = sql1 ++ sql2
+    base +
+      // c140/c141 serve from at-rest lexical artifacts whose contents
+      // are LOGICALLY identical to c37's per-query derivation (c140:
+      // train-once; c141: base build + exact append — top-cap(A∪B) ⊆
+      // top-cap(A) ∪ B makes capped-base + delta re-capping exact),
+      // so all three hash-check against the one BM25 spelling —
+      // c79/c71's shared-oracle discipline on the lexical side
+      ("c140_bm25_stored" -> base("c37_bm25")) +
+      ("c141_postings_append" -> base("c37_bm25"))
+  }
 
   private lazy val sql1: Map[String, String] = Map(
     "c88_classifier_train" -> c88Sql,

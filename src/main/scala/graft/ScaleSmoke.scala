@@ -283,7 +283,10 @@ object ScaleSmoke {
       // r17: the decontaminated re-pack (c111's chain + one pushed
       // doc_id predicate; b22 is a single Expand aggregate — linear
       // by construction, not separately smoked)
-      "c139_decontam_pack")
+      "c139_decontam_pack",
+      // r17: the persisted lexical index (build + serve; append path
+      // touches only delta terms' lists)
+      "c140_bm25_stored", "c141_postings_append")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

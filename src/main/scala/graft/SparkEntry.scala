@@ -203,6 +203,8 @@ object SparkEntry {
     "c137_linear_count" -> ((s, dir) => TextAnalysis.c137LinearCount(Tables.documents(s, dir))),
     "c138_routed_serve" -> ((s, dir) => Similarity.c138RoutedServe(s, dir)),
     "c139_decontam_pack" -> ((s, dir) => Sampling.c139DecontamPack(s, dir)),
+    "c140_bm25_stored" -> ((s, dir) => TextAnalysis.c140Bm25Stored(s, dir)),
+    "c141_postings_append" -> ((s, dir) => TextAnalysis.c141PostingsAppend(s, dir)),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

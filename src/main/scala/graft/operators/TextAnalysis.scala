@@ -1300,6 +1300,152 @@ object TextAnalysis {
       .orderBy("q_id", "rank")
   }
 
+  // ---- c140/c141: the persisted lexical index --------------------------
+
+  /** Write the lexical index artifacts under `root` with a version
+    * suffix — static-pruned impact-ordered postings (the shipped
+    * list), the df table, doc lengths, and ADDITIVE stats (sum_dl +
+    * n_docs, not avgdl, so an append can merge them exactly). One
+    * spelling for the full build (c140) and c141's base vintage. */
+  private def writeLexArtifacts(corpusTf: DataFrame, root: String, ver: String,
+      postingCap: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    corpusTf.withColumn("prank", row_number().over(wT))
+      .filter(col("prank") <= postingCap).drop("prank")
+      .write.mode("overwrite").parquet(s"$root/postings$ver")
+    corpusTf.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$root/df$ver")
+    val dl = corpusTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$root/dl$ver")
+    dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$root/stats$ver")
+  }
+
+  /** BM25 SERVING off stored artifacts — c37's scoring pipeline with
+    * every corpus-derived frame replaced by an artifact read (the
+    * arithmetic is verbatim, so the stored path hash-checks against
+    * c37's oracle). avgdl is derived from the additive stats at read
+    * time: the same two integers c37 divides. */
+  private def bm25ServeStored(spark: org.apache.spark.sql.SparkSession,
+      root: String, docs: DataFrame, ver: String,
+      topK: Int = Bm25TopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = spark.read.parquet(s"$root/postings$ver")
+    val dfT = spark.read.parquet(s"$root/df$ver")
+    val dl = spark.read.parquet(s"$root/dl$ver")
+    val stats = spark.read.parquet(s"$root/stats$ver")
+      .select((col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+        col("n_docs"))
+    val queries = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(TextFns.tokens(col("text")), 1, Bm25QueryTokens)))
+          .as("term"))
+    val dfCapped = dfT.crossJoin(broadcast(stats))
+      .filter(col("df") * 10 <= col("n_docs") * 9)
+    val scored = queries.join(postings, Seq("term"))
+      .join(dfCapped, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(Bm25K1 + 1))
+          / (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("q_id", "rank", "doc_id", "score")
+      .orderBy("q_id", "rank")
+  }
+
+  /** c140: BM25 served from the PERSISTED index — the lexical twin of
+    * c79's dense stored-index serving (c37 re-derives postings per
+    * invocation; a deployment builds the inverted index once and
+    * every query reads it): one build pass writes impact-ordered
+    * static-pruned postings, df, doc lengths, and additive stats;
+    * serving is four artifact scans + c37's exact joins and
+    * arithmetic — hash-checked against c37's own oracle (the
+    * c79≡c71 shared-oracle discipline on the lexical side). At
+    * 100 TB the artifact is partitioned by term (the join key), so a
+    * query's probe reads only its terms' posting row-groups. */
+  def c140Bm25Stored(spark: org.apache.spark.sql.SparkSession, dir: String,
+      postingCap: Int = Bm25PostingCap, topK: Int = Bm25TopK): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val root = graft.streaming.StoreMemo.memo(spark, s"c140_lex_$dir") { r =>
+      writeLexArtifacts(tfRows(docs).filter(col("doc_id") % 101 =!= 0),
+        r, "", postingCap)
+    }
+    bm25ServeStored(spark, root, docs, "", topK)
+  }
+
+  /** c141: EXACT incremental append to the lexical index — c81's
+    * append-without-retrain discipline where the lexical index is
+    * strictly better off than the dense one: posting lists, df, and
+    * the additive stats all merge EXACTLY (top-cap(A ∪ B) ⊆
+    * top-cap(A) ∪ B makes re-capping touched terms over capped-base
+    * ∪ delta identical to a full rebuild — no quantization drift to
+    * measure). The base vintage (the c45/c56 md5-percent cut) builds
+    * the v1 artifacts; the delta's tf rows touch ONLY their own
+    * terms' postings (c82's touched-only discipline), df merges by
+    * addition, stats by summing sums. The keyed result serves from
+    * the appended artifacts and hash-checks against c37's
+    * full-corpus oracle — the ≡-rebuild theorem as a driver check,
+    * with the spec additionally pinning untouched posting lists
+    * row-identical to v1. */
+  def c141PostingsAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      postingCap: Int = Bm25PostingCap, topK: Int = Bm25TopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val root = graft.streaming.StoreMemo.memo(spark, s"c141_lex_$dir")(
+      buildLexAppend(spark, tfRows(docs).filter(col("doc_id") % 101 =!= 0),
+        _, postingCap))
+    bm25ServeStored(spark, root, docs, "_v2", topK)
+  }
+
+  /** c141's build — base artifacts from the base vintage, then the
+    * exact append: touched terms' lists re-capped over capped-base ∪
+    * delta, untouched lists copied through, df/dl/stats merged by
+    * addition. Factored so the spec can run it on a planted corpus
+    * with a controlled base/delta vocabulary split. */
+  private[graft] def buildLexAppend(spark: org.apache.spark.sql.SparkSession,
+      corpusTf: DataFrame, r: String,
+      postingCap: Int = Bm25PostingCap): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val baseTf = corpusTf.filter(Dedup.isBaseDoc(col("doc_id")))
+    writeLexArtifacts(baseTf, r, "", postingCap)
+    val deltaTf = Materialize.frame(
+      corpusTf.filter(!Dedup.isBaseDoc(col("doc_id"))))
+    val touched = deltaTf.select("term").distinct()
+    val v1Post = spark.read.parquet(s"$r/postings")
+    // untouched lists ride through; touched lists re-cap over
+    // capped-base ∪ delta (exact — dropped base rows were already
+    // outranked by cap rows that are still present)
+    val wT = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    val recapped = v1Post.join(touched, Seq("term"), "left_semi")
+      .unionByName(deltaTf)
+      .withColumn("prank", row_number().over(wT))
+      .filter(col("prank") <= postingCap).drop("prank")
+    v1Post.join(touched, Seq("term"), "left_anti")
+      .unionByName(recapped)
+      .write.mode("overwrite").parquet(s"$r/postings_v2")
+    val dfDelta = deltaTf.groupBy("term").agg(count(lit(1)).as("df_d"))
+    spark.read.parquet(s"$r/df")
+      .join(dfDelta, Seq("term"), "full")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"))
+      .write.mode("overwrite").parquet(s"$r/df_v2")
+    val dlDelta = deltaTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    spark.read.parquet(s"$r/dl").unionByName(dlDelta)
+      .write.mode("overwrite").parquet(s"$r/dl_v2")
+    val statsDelta = dlDelta.agg(sum(col("dl")).as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    spark.read.parquet(s"$r/stats").unionByName(statsDelta)
+      .agg(sum(col("sum_dl")).as("sum_dl"), sum(col("n_docs")).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$r/stats_v2")
+  }
+
   /** Shared materialized (doc_id, term, tf) frame — the term-grain
     * twin of the shingle/bigram memos: c17, c31, c37, and c39 all
     * start from the same tokenize + (doc, term) count, so inside a

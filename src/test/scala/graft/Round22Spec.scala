@@ -317,6 +317,71 @@ class Round22Spec extends AnyFunSuite {
     assert(idx != before, "dropping kept eval docs left every sequence identical")
   }
 
+  test("c140: the stored lexical index serves c37's exact results") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))
+    val want = graft.operators.TextAnalysis.c37Bm25(docs).collect().map(key).toSeq
+    val got = graft.operators.TextAnalysis.c140Bm25Stored(spark, sf)
+      .collect().map(key).toSeq
+    assert(got == want, "artifact-served BM25 diverges from the per-query derivation")
+  }
+
+  test("c141: append ≡ rebuild at the corpus, and the planted append is surgically exact") {
+    // the ≡-rebuild theorem on the real corpus
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))
+    val want = graft.operators.TextAnalysis.c37Bm25(docs).collect().map(key).toSeq
+    val got = graft.operators.TextAnalysis.c141PostingsAppend(spark, sf)
+      .collect().map(key).toSeq
+    assert(got == want, "appended index diverges from the full rebuild")
+
+    // planted corpus with a controlled vocabulary split and a BINDING
+    // cap: untouched lists ride through row-identical, touched lists
+    // re-cap exactly, df/stats merge by addition
+    import spark.implicits._
+    val ids = (1L to 400L).filterNot(_ % 101 == 0)
+    val flags = ids.toDF("doc_id")
+      .withColumn("b", graft.operators.Dedup.isBaseDoc(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val baseIds = ids.filter(flags)
+    val deltaIds = ids.filterNot(flags)
+    assert(baseIds.nonEmpty && deltaIds.nonEmpty)
+    val corpusTf = (
+      baseIds.flatMap(i => Seq((i, "a", i % 3 + 1), (i, "b", 1L))) ++
+        deltaIds.flatMap(i => Seq((i, "c", 2L), (i, "b", 5L)))
+      ).toDF("doc_id", "term", "tf")
+    val root = java.nio.file.Files.createTempDirectory("c141spec").toString
+    graft.operators.TextAnalysis.buildLexAppend(spark, corpusTf, root, postingCap = 2)
+    def posts(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"), r.getAs[Long]("tf")))
+      .toSet
+    val v1 = posts(s"$root/postings")
+    val v2 = posts(s"$root/postings_v2")
+    // untouched term 'a': list identical (including the binding cap)
+    assert(v1.filter(_._1 == "a") == v2.filter(_._1 == "a"),
+      "untouched posting list was rewritten by the append")
+    assert(v1.count(_._1 == "a") == 2, "cap did not bind on the planted list")
+    // touched term 'b': delta tf=5 rows outrank the base tf=1 rows
+    assert(v2.filter(_._1 == "b") ==
+      deltaIds.sorted.take(2).map(i => ("b", i, 5L)).toSet)
+    // new term 'c': purely delta
+    assert(v2.filter(_._1 == "c") ==
+      deltaIds.sorted.take(2).map(i => ("c", i, 2L)).toSet)
+    // df and stats merged by addition
+    val dfm = spark.read.parquet(s"$root/df_v2").collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(dfm == Map("a" -> baseIds.length.toLong,
+      "b" -> ids.length.toLong, "c" -> deltaIds.length.toLong))
+    val st = spark.read.parquet(s"$root/stats_v2").head
+    assert(st.getAs[Long]("n_docs") == ids.length.toLong)
+    assert(st.getAs[Long]("sum_dl") ==
+      baseIds.map(i => (i % 3 + 1) + 1L).sum + deltaIds.length * 7L)
+  }
+
   test("c135: source-grain PII masses reconcile with c16's doc-grain redaction") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val rep = graft.operators.TextAnalysis.c135PiiRate(docs).collect()
