@@ -1466,6 +1466,37 @@ object OraclesC {
     """
   }
 
+  /** c144's oracle: the trained coarse assignment (c79's) feeding
+    * c38's temperature-admission CTEs verbatim, keyed by cluster. */
+  private def c144Sql: String = s"""
+      with $TRAINED_CENTROIDS,
+      ra144 as (
+        select e.vec_id, c.c_id,
+               row_number() over (partition by e.vec_id
+                 order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
+        from embeddings e cross join cent$QITERS c),
+      asg144 as (select vec_id as doc_id, c_id as cluster from ra144 where rn = 1),
+      counts144 as (select cluster, count(*) as n_total from asg144 group by 1),
+      tot144 as (
+        select sum(n_total)::bigint as n_corpus,
+               round(sum(sqrt(n_total)), 6) as z
+        from counts144),
+      rates144 as (
+        select cluster,
+               least(1000, floor(1000.0 * floor(n_corpus * $MIXSHARE)
+                 * sqrt(n_total) / (z * n_total))::bigint) as mille
+        from counts144, tot144),
+      d144 as (
+        select doc_id, cluster,
+               ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 1000 as bucket
+        from asg144)
+      select d144.cluster, count(*) as n_docs, min(mille) as keep_mille,
+             (count(*) filter (where bucket < mille))::bigint as n_kept,
+             round((count(*) filter (where bucket < mille))::double / count(*), 4) as kept_frac
+      from d144 join rates144 using (cluster)
+      group by d144.cluster order by d144.cluster
+    """
+
   /** c81's oracle: the base-vs-delta asymmetry replayed in one query
     * — trainers over the base slice, everything else over the whole
     * corpus (the boundary predicate is the operator constant). */
@@ -2753,6 +2784,56 @@ object OraclesC {
     """
   }
 
+  /** c143: the composed door replayed — c128's quota stage verbatim,
+    * then c126's global cutoff as a CONDITIONAL prefix sum over the
+    * quota survivors only (refused mass consumes no budget). */
+  private def c143Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val budget = graft.streaming.BudgetStream.BudgetTokens
+    val gbudget = graft.streaming.BudgetStream.ComposedBudget
+    s"""
+      with ${c75Chain(m)},
+      nsy143 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc143 as (
+        select tf.doc_id, sum(tf.tf * coalesce(nsy143.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy143 on tf.term = nsy143.term
+        group by tf.doc_id),
+      st143 as (
+        select d.source, sum(enc143.n_tok)::bigint as n_tok
+        from documents d join enc143 on d.doc_id = enc143.doc_id
+        group by 1),
+      tot143 as (select round(sum(sqrt(n_tok::double)), 6) as z from st143),
+      q143 as (
+        select source,
+               (($budget * floor(1000.0 * sqrt(n_tok::double) / z)::bigint) // 1000)::bigint
+                 as quota
+        from st143, tot143),
+      cum143 as (
+        select d.doc_id, d.source, e.n_tok,
+               sum(e.n_tok) over (partition by d.source
+                 order by d.doc_id % $n, d.doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from documents d join enc143 e on d.doc_id = e.doc_id
+        where d.doc_id % 97 <> 0),
+      s143 as (
+        select c.doc_id, c.source, c.n_tok, (c.cum <= q.quota) as quota_ok
+        from cum143 c join q143 q using (source)),
+      g143 as (
+        select doc_id, source, n_tok, quota_ok,
+               sum(case when quota_ok then n_tok else 0 end) over (
+                 order by doc_id % $n, doc_id
+                 rows between unbounded preceding and current row)::bigint as gcum
+        from s143)
+      select doc_id, source,
+             case when not quota_ok then 'quota_full'
+                  when gcum <= $gbudget then 'keep'
+                  else 'budget_full' end as stage,
+             n_tok
+      from g143 order by doc_id
+    """
+  }
+
   /** c126: the budget gate's at-rest replay — the cutoff rule IS one
     * prefix sum: n_tok from the c75 chain, cumulative offered mass
     * over (batch = doc_id % n, doc_id) arrival order, admit iff the
@@ -2956,6 +3037,57 @@ object OraclesC {
         from tp134 join cl134 using (i, pos) group by 1, 2)
       select bigram, cnt as exact, est, (est - cnt)::bigint as overcount
       from e134 order by est desc, bigram limit $k
+    """
+  }
+
+  /** c142: the fixed-width histogram quantile sketch replayed — bin
+    * counts, the cumulative walk, rank targets ⌈n·p/100⌉ in exact
+    * integer arithmetic, exact order statistics via the same
+    * (value, doc_id) total order. */
+  private def c142Sql: String = {
+    val bw = graft.operators.TextAnalysis.HqBinWidth
+    val nb = graft.operators.TextAnalysis.HqBins
+    val ps = graft.operators.TextAnalysis.HqPcts
+    val pivot = ps.flatMap(p => Seq(
+      s"max(case when p = $p then exact end)::bigint as p${p}_exact",
+      s"max(case when p = $p then est end)::bigint as p${p}_est",
+      s"max(case when p = $p then err end)::bigint as p${p}_err"))
+      .mkString(",\n             ")
+    s"""
+      with l142 as (
+        select source, doc_id, length(text)::bigint as v from documents),
+      n142 as (select source, count(*)::bigint as n_docs from l142 group by 1),
+      r142 as (
+        select n142.source, p, ((n_docs * p + 99) // 100)::bigint as r
+        from n142, unnest([${ps.mkString(", ")}]) as t(p)),
+      b142 as (
+        select source, least(v // $bw, ${nb - 1})::bigint as bin,
+               count(*)::bigint as c
+        from l142 group by 1, 2),
+      cw142 as (
+        select source, bin,
+               sum(c) over (partition by source order by bin
+                 rows between unbounded preceding and current row)::bigint as cum
+        from b142),
+      e142 as (
+        select c.source, r.p, (min(c.bin) * $bw)::bigint as est
+        from cw142 c join r142 r on r.source = c.source and c.cum >= r.r
+        group by 1, 2),
+      x142 as (
+        select l.source, r.p, l.v as exact
+        from (select source, doc_id, v,
+                     row_number() over (partition by source
+                       order by v, doc_id)::bigint as rk
+              from l142) l
+        join r142 r on r.source = l.source and l.rk = r.r),
+      p142 as (
+        select e.source, e.p, x.exact, e.est,
+               (e.est - x.exact)::bigint as err
+        from e142 e join x142 x using (source, p))
+      select p142.source, n142.n_docs,
+             $pivot
+      from p142 join n142 using (source)
+      group by 1, 2 order by source
     """
   }
 
@@ -3481,6 +3613,7 @@ object OraclesC {
     "c126_budget_gate" -> c126Sql,
     "c127_seq_vintage_diff" -> c127Sql,
     "c128_quota_gate" -> c128Sql,
+    "c143_composed_gate" -> c143Sql,
     "c129_pinned_schedule" -> c129Sql,
     "c106_pack_sweep" -> c106Sql,
     "c107_source_divergence" -> c107Sql,
@@ -3503,6 +3636,7 @@ object OraclesC {
     "c134_cms_heavy" -> c134Sql,
     // c137: the linear-counting table replayed — bucket = the shingle
     // key's own first 16 bits, estimate m·ln(m/V), null at saturation
+    "c142_hist_quantiles" -> c142Sql,
     "c137_linear_count" -> {
       val m = graft.operators.TextAnalysis.LcBuckets
       s"""
@@ -4627,6 +4761,7 @@ object OraclesC {
     // c131: the stored serve's chain with the candidate-side label
     // predicate — pre-filtered top-k at full depth
     "c131_filtered_ann" -> C131_SQL,
+    "c144_cluster_mix" -> c144Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -286,7 +286,10 @@ object ScaleSmoke {
       "c139_decontam_pack",
       // r17: the persisted lexical index (build + serve; append path
       // touches only delta terms' lists)
-      "c140_bm25_stored", "c141_postings_append")
+      "c140_bm25_stored", "c141_postings_append",
+      // r17: the quantile sketch (one bin aggregate + per-source
+      // sort audit) and the composed quota→budget door
+      "c142_hist_quantiles", "c143_composed_gate", "c144_cluster_mix")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -205,6 +205,9 @@ object SparkEntry {
     "c139_decontam_pack" -> ((s, dir) => Sampling.c139DecontamPack(s, dir)),
     "c140_bm25_stored" -> ((s, dir) => TextAnalysis.c140Bm25Stored(s, dir)),
     "c141_postings_append" -> ((s, dir) => TextAnalysis.c141PostingsAppend(s, dir)),
+    "c142_hist_quantiles" -> ((s, dir) => TextAnalysis.c142HistQuantiles(Tables.documents(s, dir))),
+    "c143_composed_gate" -> ((s, dir) => graft.streaming.BudgetStream.c143ComposedGateAudit(s, dir)),
+    "c144_cluster_mix" -> ((s, dir) => Similarity.c144ClusterMix(s, dir)),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

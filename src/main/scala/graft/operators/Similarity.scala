@@ -1392,6 +1392,30 @@ object Similarity {
       candFilter = Some(col("label") === label))
   }
 
+  /** c144: TOPIC-balanced mixture — c38's p ∝ √n temperature
+    * admission keyed by the LEARNED topic geometry instead of source
+    * metadata (the SemDeDup-era curation move: source labels are
+    * coarse and self-reported; the coarse quantizer's clusters are
+    * what the corpus actually looks like). The grouping key is the
+    * stored index's own assignment (one codes-scan projection —
+    * artifact reuse, no re-clustering), the admission math is
+    * [[Sampling.temperatureMixOver]]'s ONE spelling (c38/c61's), so
+    * the three mixture reports cannot drift. Over-represented topics
+    * read keep_mille < 1000; the md5-bucket admission is the same
+    * deterministic door every mixture op ships. */
+  def c144ClusterMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixOver(storedAssignment(spark, dir), Seq("cluster"))
+
+  /** The stored index's (doc_id := vec_id, cluster) assignment — one
+    * codes-scan projection, shared by c144 and its spec recount. */
+  private[graft] def storedAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = graft.streaming.StoreMemo.memo(spark, s"c79_index_$dir")(
+      buildIndexArtifacts(emb, _))
+    spark.read.parquet(s"$root/codes")
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+  }
+
   /** c136's probe dial — every power of two up to the full centroid
     * count. Oracle-interpolated. */
   val NprobeLevels: Seq[Int] = Seq(1, 2, 4, 8, 16)

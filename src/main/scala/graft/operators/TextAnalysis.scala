@@ -461,6 +461,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c142 geometry — fixed-RANGE equi-width bins (c91's fixed-range
+    * stance: quantile bins would need a cross-engine percentile
+    * contract; fixed edges are pure integer arithmetic). Values ≥
+    * the range clamp to the last bin. Oracle-interpolated. */
+  val HqBinWidth = 4L
+  val HqBins = 256L
+  val HqPcts: Seq[Int] = Seq(50, 90, 99)
+
+  /** c142: HISTOGRAM quantiles with the exact audit — the quantile
+    * member of the sketch tier (membership=Bloom c35, similarity=
+    * MinHash c3, frequency=CMS c134, cardinality=LC c137, now rank):
+    * per source, p50/p90/p99 of document length estimated from a
+    * fixed 256-bin equi-width histogram (the estimate = the lower
+    * edge of the bin where the cumulative count crosses the target
+    * rank) BESIDE the exact order statistic, with the signed error
+    * per percentile — bounded by the bin width BY CONSTRUCTION when
+    * the true value is in range (the spec theorem), which is the
+    * number that sizes (range, width) before the exact leg stops
+    * being affordable at 100 TB. Rank convention is explicit integer
+    * arithmetic both engines share: target = ⌈n·p/100⌉ over the
+    * (value, doc_id) total order.
+    *
+    * Shape: the sketch is one (source, bin) count aggregate (≤
+    * sources·[[HqBins]] rows — the fixed memory bound, mergeable by
+    * cell-wise +) + a tiny cumulative window over it; the exact leg
+    * is one per-source sort (the audit — a deployment ships the
+    * histogram alone). */
+  def c142HistQuantiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val lens = docs.select(col("source"), col("doc_id"),
+      length(col("text")).cast("long").as("v"))
+    val nS = lens.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val ranks = nS.crossJoin(HqPcts.toDF("p"))
+      .withColumn("r", expr("(n_docs * p + 99) div 100"))
+    // the sketch: fixed-width bin counts + a cumulative walk
+    val binned = lens.select(col("source"),
+      expr(s"least(v div $HqBinWidth, ${HqBins - 1}L)").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val wB = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = binned.withColumn("cum", sum(col("c")).over(wB))
+    val est = cum.join(ranks, Seq("source"))
+      .filter(col("cum") >= col("r"))
+      .groupBy("source", "p")
+      .agg((min(col("bin")) * HqBinWidth).as("est"))
+    // the exact audit: the r-th order statistic per source
+    val wV = Window.partitionBy("source").orderBy(col("v"), col("doc_id"))
+    val exact = lens.withColumn("rk", row_number().over(wV).cast("long"))
+      .join(ranks, Seq("source"))
+      .filter(col("rk") === col("r"))
+      .select(col("source"), col("p"), col("v").as("exact"))
+    val per = est.join(exact, Seq("source", "p"))
+      .withColumn("err", col("est") - col("exact"))
+    val pcols = HqPcts.flatMap { p =>
+      Seq(max(when(col("p") === p, col("exact"))).as(s"p${p}_exact"),
+        max(when(col("p") === p, col("est"))).as(s"p${p}_est"),
+        max(when(col("p") === p, col("err"))).as(s"p${p}_err"))
+    }
+    per.join(nS, Seq("source"))
+      .groupBy("source", "n_docs")
+      .agg(pcols.head, pcols.tail: _*)
+      .orderBy("source")
+  }
+
   /** c135: PII incidence by SOURCE — the privacy-budget rollup next
     * to c16's doc-grain redaction (c16 says what to mask in each
     * document; this says which SOURCES carry the exposure): per

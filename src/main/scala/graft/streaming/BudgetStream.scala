@@ -203,6 +203,113 @@ object BudgetStream {
     }
   }
 
+  /** c143's global stage budget — HALF the quota pool, so the second
+    * gate BINDS behind the first at every driver SF (the quota stage
+    * alone admits ~Σ quotas ≈ [[BudgetTokens]] of mass; a global
+    * budget at or above that would never fire). Oracle-interpolated. */
+  val ComposedBudget: Long = BudgetTokens / 2
+
+  /** One micro-batch through the COMPOSED gate — quota first, global
+    * budget second (the compose c128's deployment note names: a
+    * bursty source can't starve the others' budget, and the whole
+    * door still respects one run-level token ceiling). Stage 1 is
+    * [[processQuotaBatch]]'s per-source cutoff verbatim; stage 2 runs
+    * [[processBatch]]'s global cutoff over the QUOTA SURVIVORS only
+    * (refused mass consumes no budget — the conditional prefix sum).
+    * The ledger carries, per (batch, source), both the offered mass
+    * (stage 1's replay state) and the quota-survivor mass (stage
+    * 2's), so a restart replays both priors from one store. */
+  private[graft] def processComposedBatch(batch: DataFrame,
+      merges: Array[(String, String)], quotas: Map[String, Long],
+      decisionStore: String, ledgerStore: String, batchId: Long,
+      budget: Long = ComposedBudget): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = batch.sparkSession
+    import spark0.implicits._
+    val priced = Materialize.frame(
+      TextAnalysis.bpeCountsDirect(batch.select(col("doc_id"), col("text")), merges)
+        .join(batch.select(col("doc_id"), col("source")), Seq("doc_id")))
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerStore)
+    val (priorS, priorG): (Map[String, Long], Long) =
+      if (ledgerPath.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+          .exists(ledgerPath)) {
+        val prev = spark0.read.parquet(ledgerStore)
+          .filter(col("batch_id") < batchId)
+        (prev.groupBy("source").agg(sum(col("offered_tok")).as("p"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+          prev.agg(coalesce(sum(col("survivor_tok")), lit(0L))).head.getLong(0))
+      } else (Map.empty, 0L)
+    val qdf = broadcast(quotas.toSeq
+      .map { case (s, q) => (s, q, priorS.getOrElse(s, 0L)) }
+      .toDF("source", "quota", "prior"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wG = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = priced.join(qdf, Seq("source"))
+      .withColumn("cum", sum(col("n_tok")).over(wS) + col("prior"))
+      .withColumn("quota_ok", col("cum") <= col("quota"))
+      .withColumn("gcum",
+        sum(when(col("quota_ok"), col("n_tok")).otherwise(0L)).over(wG)
+          + lit(priorG))
+    val decisions = staged.select(col("doc_id"), col("source"),
+      when(!col("quota_ok"), lit("quota_full"))
+        .when(col("gcum") <= budget, lit("keep"))
+        .otherwise(lit("budget_full")).as("stage"),
+      col("n_tok"))
+    EventsStream.upsertSink(decisions, decisionStore, "doc_id")
+    EventsStream.upsertSink(
+      staged.groupBy("source").agg(
+        sum(col("n_tok")).as("offered_tok"),
+        sum(when(col("quota_ok"), col("n_tok")).otherwise(0L)).as("survivor_tok"))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("bk", concat_ws(":", col("batch_id"), col("source"))),
+      ledgerStore, "bk")
+  }
+
+  /** Start the live composed (quota → budget) gate. */
+  def composedGate(docs: DataFrame, merges: Array[(String, String)],
+      quotas: Map[String, Long], decisionStore: String, ledgerStore: String,
+      budget: Long = ComposedBudget,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processComposedBatch(batch, merges, quotas, decisionStore, ledgerStore,
+          batchId, budget)
+        ()
+      }
+      .start()
+
+  private def composedStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = TextAnalysis.storedMerges(spark, dir)
+    val quotas = sourceQuotas(spark, dir)
+    StoreMemo.memo(spark, s"composed_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processComposedBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          merges, quotas, s"$scratch/decisions", s"$scratch/ledger", i.toLong)
+    }
+  }
+
+  /** c143: the COMPOSED door at STORE grain — the deployment wiring
+    * c128's DEPLOY row names (quota first, global budget second),
+    * keyed: per arrival, `quota_full` (its source's door closed),
+    * `budget_full` (survived quota, the run-level ceiling closed), or
+    * `keep`. Refused-by-quota mass consumes NO global budget — the
+    * property that makes the compose fair (a bursty source's overflow
+    * cannot starve the others), and exactly what the conditional
+    * prefix sum in the oracle replays. */
+  def c143ComposedGateAudit(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame =
+    spark.read.parquet(s"${composedStores(spark, dir, nBatches)}/decisions")
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "stage", "n_tok")
+      .orderBy("doc_id")
+
   /** c128: the PER-SOURCE quota gate at STORE grain — the mixture
     * plan (c112's √n per-mille weights) ENFORCED at ingest: each
     * source's arrivals consume its own quota under the cutoff rule,

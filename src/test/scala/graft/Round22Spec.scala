@@ -382,6 +382,114 @@ class Round22Spec extends AnyFunSuite {
       baseIds.map(i => (i % 3 + 1) + 1L).sum + deltaIds.length * 7L)
   }
 
+  test("c142: histogram quantiles are within one bin of exact, arithmetic pinned") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rep = graft.operators.TextAnalysis.c142HistQuantiles(docs).collect()
+    assert(rep.nonEmpty)
+    val bw = graft.operators.TextAnalysis.HqBinWidth
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    for (r <- rep; p <- graft.operators.TextAnalysis.HqPcts) {
+      val exact = r.getAs[Long](s"p${p}_exact")
+      val est = r.getAs[Long](s"p${p}_est")
+      val err = r.getAs[Long](s"p${p}_err")
+      assert(err == est - exact)
+      // the sketch theorem: the estimate is the exact value's own
+      // bin's lower edge — never above, never more than a bin below
+      assert(err <= 0 && err > -bw,
+        s"source ${r.getString(0)} p$p err $err outside (-$bw, 0]")
+      assert(est == (exact / bw) * bw, "estimate is not the exact value's bin edge")
+    }
+    // exact leg really is the order statistic (one source, hand-sorted)
+    val src = rep.head.getString(0)
+    val vals = docs.filter(col("source") === src)
+      .select(length(col("text")).cast("long")).collect().map(_.getLong(0)).sorted
+    val r50 = (vals.length * 50 + 99) / 100
+    assert(rep.head.getAs[Long]("p50_exact") == vals(r50.toInt - 1))
+  }
+
+  test("c143: composed gate — quota stage ≡ c128, budget stage binds only on survivors, live ≡ audit") {
+    import graft.streaming.{BudgetStream, FunnelStream}
+    val n = FunnelStream.AuditBatches
+    val audit = BudgetStream.c143ComposedGateAudit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    // stage 1 is c128's quota gate verbatim: the refused sets match
+    val quotaFull = audit.filter(_.getString(2) == "quota_full").map(_.getLong(0)).toSet
+    val c128Full = BudgetStream.c128QuotaGateAudit(spark, sf).collect()
+      .filter(_.getString(2) == "quota_full").map(_.getLong(0)).toSet
+    assert(quotaFull == c128Full, "composed quota stage diverges from c128")
+    // stage 2: replay the conditional prefix sum in arrival order
+    val budget = BudgetStream.ComposedBudget
+    var gcum = 0L
+    for (r <- audit.sortBy(r => (r.getLong(0) % n, r.getLong(0)))) {
+      val (id, stage, tok) = (r.getLong(0), r.getString(2), r.getLong(3))
+      if (!quotaFull(id)) {
+        gcum += tok
+        assert(stage == (if (gcum <= budget) "keep" else "budget_full"),
+          s"doc $id staged $stage at cumulative $gcum / $budget")
+      } else assert(stage == "quota_full")
+    }
+    assert(audit.exists(_.getString(2) == "budget_full"), "the global ceiling never bound")
+    assert(audit.filter(_.getString(2) == "keep").map(_.getLong(3)).sum <= budget)
+    // the LIVE composed stream accumulates the same store
+    val pop = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = graft.operators.TextAnalysis.storedMerges(spark, sf)
+    val quotas = BudgetStream.sourceQuotas(spark, sf)
+    val in = java.nio.file.Files.createTempDirectory("graft-cg-in-").toString
+    for (i <- 0 until n) {
+      pop.filter(pmod(col("doc_id"), lit(n)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-cg-st-").toString
+    val src0 = spark.readStream.schema(pop.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = BudgetStream.composedGate(src0, merges, quotas,
+      s"$root/decisions", s"$root/ledger")
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.read.parquet(s"$root/decisions")
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "stage", "n_tok").orderBy("doc_id").collect()
+    val auditOrdered = BudgetStream.c143ComposedGateAudit(spark, sf).collect()
+    assert(live.length == auditOrdered.length && live.sameElements(auditOrdered),
+      "live composed-gate store diverges from the audit")
+  }
+
+  test("c144: topic mixture keys the stored assignment with c38's exact admission math") {
+    val rep = graft.operators.Similarity.c144ClusterMix(spark, sf).collect()
+    assert(rep.nonEmpty)
+    // √n damping: a bigger topic never keeps a larger per-mille
+    val byN = rep.map(r => r.getAs[Long]("n_docs") -> r.getAs[Long]("keep_mille"))
+    for (w <- byN.sortBy(_._1).sliding(2) if w.length == 2) {
+      val Array((na, ma), (nb, mb)) = w
+      if (na < nb)
+        assert(mb <= ma, s"larger cluster ($nb docs) keeps more per-mille than smaller ($na)")
+    }
+    // admission recount: n_kept is exactly the md5-bucket rule over
+    // the stored assignment (the same frame the operator groups)
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 7), 16) % 1000
+    }
+    val asg = graft.operators.Similarity.storedAssignment(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == asg.length)
+    val milles = rep.map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("keep_mille")).toMap
+    val keptDirect = asg.groupBy(_._2).map { case (c, rows) =>
+      c -> rows.count { case (id, _) => bucket(id) < milles(c) }.toLong
+    }
+    for (r <- rep) {
+      assert(r.getAs[Long]("n_kept") == keptDirect(r.getAs[Long]("cluster")),
+        s"cluster ${r.getAs[Long]("cluster")} kept count diverges from the md5 recount")
+      val want = BigDecimal(r.getAs[Long]("n_kept").toDouble /
+        r.getAs[Long]("n_docs")).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(math.abs(r.getAs[Double]("kept_frac") - want) < 1e-9)
+    }
+  }
+
   test("c135: source-grain PII masses reconcile with c16's doc-grain redaction") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val rep = graft.operators.TextAnalysis.c135PiiRate(docs).collect()
