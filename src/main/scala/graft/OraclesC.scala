@@ -1466,6 +1466,36 @@ object OraclesC {
     """
   }
 
+  /** c145's oracle: the deterministic ±1 projection replayed as a
+    * nested list comprehension (sign = md5 parity of "jl:i:j"),
+    * 64-dim and [[graft.operators.Similarity.JlDim]]-dim cosines
+    * through the tier's one null-on-degenerate rounding. */
+  private def c145Sql: String = {
+    val k = graft.operators.Similarity.JlDim
+    def dotK(a: String, b: String) =
+      s"list_sum(list_transform(range(1,${k + 1}), i -> $a[i]::double * $b[i]::double))"
+    def cosK(a: String, b: String) =
+      s"${dotK(a, b)} / (sqrt(${dotK(a, a)}) * sqrt(${dotK(b, b)}))"
+    def cosNK(a: String, b: String) =
+      s"(case when isnan(round(${cosK(a, b)}, 4)) then null else round(${cosK(a, b)}, 4) end)"
+    s"""
+      with pr145 as (
+        select vec_id, embedding as v,
+               [list_sum(list_transform(range(1, 65),
+                  i -> case when ('0x' || substr(md5('jl:' || i::varchar || ':' || j::varchar), 1, 1))::bigint % 2 = 0
+                            then embedding[i]::double
+                            else -(embedding[i]::double) end))
+                for j in range(0, $k)] as p
+        from embeddings where vec_id < $NQ)
+      select a.vec_id as vec_a, b.vec_id as vec_b,
+             ${cosN("a.v", "b.v")} as cos_full,
+             ${cosNK("a.p", "b.p")} as cos_proj,
+             round(abs(${cosN("a.v", "b.v")} - ${cosNK("a.p", "b.p")}), 4) as abs_err
+      from pr145 a join pr145 b on a.vec_id < b.vec_id
+      order by vec_a, vec_b
+    """
+  }
+
   /** c144's oracle: the trained coarse assignment (c79's) feeding
     * c38's temperature-admission CTEs verbatim, keyed by cluster. */
   private def c144Sql: String = s"""
@@ -4762,6 +4792,7 @@ object OraclesC {
     // predicate — pre-filtered top-k at full depth
     "c131_filtered_ann" -> C131_SQL,
     "c144_cluster_mix" -> c144Sql,
+    "c145_jl_audit" -> c145Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

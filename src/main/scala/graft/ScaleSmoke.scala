@@ -289,7 +289,10 @@ object ScaleSmoke {
       "c140_bm25_stored", "c141_postings_append",
       // r17: the quantile sketch (one bin aggregate + per-source
       // sort audit) and the composed quota→budget door
-      "c142_hist_quantiles", "c143_composed_gate", "c144_cluster_mix")
+      "c142_hist_quantiles", "c143_composed_gate", "c144_cluster_mix",
+      // r17: the JL audit (bounded |Q|²/2 pair frame; the projection
+      // itself is a per-row linear map)
+      "c145_jl_audit")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -1416,6 +1416,76 @@ object Similarity {
       .select(col("vec_id").as("doc_id"), col("cluster"))
   }
 
+  /** c145's target dimensionality — 4× compression of the 64-dim
+    * corpus. Oracle-interpolated. */
+  val JlDim = 16
+
+  /** c145: RANDOM-PROJECTION audit (Johnson–Lindenstrauss / Achlioptas
+    * ±1 sketch) — the dimensionality-reduction dial measured, not
+    * assumed: every vector of the bounded audit slice is projected
+    * through a DETERMINISTIC ±1 sign matrix (md5 parity of "jl:i:j" —
+    * both engines derive the same matrix, the c49/Bloom hash
+    * discipline), and every slice pair reports its exact 64-dim
+    * cosine beside its [[JlDim]]-dim cosine with the absolute error —
+    * the table that decides whether a 4× cheaper embedding column can
+    * drive near-dup gates (c5's threshold shifts by at most the
+    * observed error band) before re-embedding the corpus. The 1/√k
+    * scale factor is omitted: cosine is scale-invariant, so the
+    * sketch needs no normalization contract.
+    *
+    * Shape: the projection is a narrow per-row kernel over the
+    * bounded slice (at corpus scale it is one linear map per row —
+    * embarrassingly parallel, no shuffle); the pair frame is the
+    * |slice|²/2 broadcast self-join (audit-bounded, the c125 class).
+    * Scoring reuses the tier's one cosine spelling ([[pairCos]]). */
+  def c145JlAudit(spark: SparkSession, dir: String,
+      nVecs: Int = DefaultQueryCount): DataFrame = {
+    val dims = PqSubspaces * PqSubDim
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // s(j)(i): +1 iff the first hex nibble of md5("jl:<i+1>:<j>") is
+    // even (i reported 1-based to match SQL list indexing)
+    val signs = Array.tabulate(JlDim, dims) { (j, i) =>
+      if (java.lang.Long.parseLong(
+        md5hex(s"jl:${i + 1}:$j").substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+    }
+    val bc = spark.sparkContext.broadcast(signs)
+    import spark.implicits._
+    val proj = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nVecs)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val s = bc.value
+        it.map { case (id, v) =>
+          val p = new Array[Double](s.length)
+          var j = 0
+          while (j < s.length) {
+            var acc = 0.0
+            var i = 0
+            while (i < s(j).length && i < v.length) { acc += s(j)(i) * v(i); i += 1 }
+            p(j) = acc
+            j += 1
+          }
+          (id, v, p)
+        }
+      }.toDF("vec_id", "v", "p")
+      .withColumn("nv", VectorFns.norm(col("v")))
+      .withColumn("np", VectorFns.norm(col("p")))
+    val a = proj.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("p").as("pa"), col("nv").as("nva"), col("np").as("npa"))
+    val b = proj.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("p").as("pb"), col("nv").as("nvb"), col("np").as("npb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        pairCos("va", "nva", "vb", "nvb").as("cos_full"),
+        pairCos("pa", "npa", "pb", "npb").as("cos_proj"))
+      .withColumn("abs_err", round(abs(col("cos_full") - col("cos_proj")), 4))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** c136's probe dial — every power of two up to the full centroid
     * count. Oracle-interpolated. */
   val NprobeLevels: Seq[Int] = Seq(1, 2, 4, 8, 16)

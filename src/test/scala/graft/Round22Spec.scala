@@ -490,6 +490,49 @@ class Round22Spec extends AnyFunSuite {
     }
   }
 
+  test("c145: the JL projection is deterministic, complete, and in the expected error band") {
+    val rep = graft.operators.Similarity.c145JlAudit(spark, sf).collect()
+    val nq = graft.operators.Similarity.DefaultQueryCount
+    assert(rep.length == nq * (nq - 1) / 2, "pair grid incomplete")
+    val k = graft.operators.Similarity.JlDim
+    val errs = rep.flatMap(r => Option(r.getAs[java.lang.Double]("abs_err")).map(_.toDouble))
+    assert(errs.nonEmpty)
+    // every cosine is a cosine
+    for (r <- rep; c <- Seq("cos_full", "cos_proj");
+         v <- Option(r.getAs[java.lang.Double](c)))
+      assert(math.abs(v) <= 1.0 + 1e-9, s"$c out of range: $v")
+    // the ±1 sketch distorts like 1/√k, not like noise and not like
+    // zero: a mean error above 2/√k means the matrix is broken; an
+    // all-zero error means the audit compared a column to itself
+    val mean = errs.sum / errs.length
+    assert(mean > 0.0 && mean < 2.0 / math.sqrt(k.toDouble),
+      s"mean |cos error| $mean outside (0, ${2.0 / math.sqrt(k.toDouble)})")
+    // hand-replay one projected coordinate: cos_proj for a pair of
+    // identical raw vectors must be exactly 1 (projection is linear)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < nq)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def proj(v: Array[Double]): Array[Double] = Array.tabulate(k) { j =>
+      v.indices.map { i =>
+        val sgn = if (java.lang.Long.parseLong(
+          md5hex(s"jl:${i + 1}:$j").substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+        sgn * v(i)
+      }.sum
+    }
+    val sample = rep.take(5)
+    for (r <- sample; cp <- Option(r.getAs[java.lang.Double]("cos_proj"))) {
+      val (pa, pb) = (proj(emb(r.getLong(0))), proj(emb(r.getLong(1))))
+      val dot = pa.zip(pb).map { case (x, y) => x * y }.sum
+      val want = dot / (math.sqrt(pa.map(x => x * x).sum) * math.sqrt(pb.map(x => x * x).sum))
+      assert(math.abs(cp - want) < 1.5e-4,
+        s"pair (${r.getLong(0)},${r.getLong(1)}) projected cosine diverges from the hand replay")
+    }
+  }
+
   test("c135: source-grain PII masses reconcile with c16's doc-grain redaction") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val rep = graft.operators.TextAnalysis.c135PiiRate(docs).collect()
