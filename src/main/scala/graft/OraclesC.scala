@@ -3188,6 +3188,22 @@ object OraclesC {
     """
   }
 
+  /** c146: the loss-mask rows — c111's chain cut to the registry
+    * members, spans from the packing window's own offsets. */
+  private def c146Sql: String = {
+    val anyPred = graft.operators.TextAnalysis.BenchRegistry
+      .map(s => s"(${s.pred})").mkString(" or ")
+    s"""
+      with p146 as ( $c111Sql )
+      select shard, seq_id, doc_id, start_offset,
+             (start_offset + n_tok)::bigint as mask_end,
+             (start_offset + n_tok > $BUDGET) as crosses_boundary
+      from p146
+      where $anyPred
+      order by shard, seq_id, start_offset, doc_id
+    """
+  }
+
   /** c112: the √n-per-mille temperature weights (c38's quantization)
     * at token grain, then exact integer repeat math under the epoch
     * cap. */
@@ -3662,6 +3678,7 @@ object OraclesC {
     "c120_keeps_manifest" -> c120Sql,
     "c130_seq_contam" -> c130Sql,
     "c139_decontam_pack" -> c139Sql,
+    "c146_loss_mask" -> c146Sql,
     "c132_fertility" -> c132Sql,
     "c134_cms_heavy" -> c134Sql,
     // c137: the linear-counting table replayed — bucket = the shingle

@@ -291,8 +291,9 @@ object ScaleSmoke {
       // sort audit) and the composed quota→budget door
       "c142_hist_quantiles", "c143_composed_gate", "c144_cluster_mix",
       // r17: the JL audit (bounded |Q|²/2 pair frame; the projection
-      // itself is a per-row linear map)
-      "c145_jl_audit")
+      // itself is a per-row linear map) and the loss-mask manifest
+      // (c111's chain + one pushed predicate)
+      "c145_jl_audit", "c146_loss_mask")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

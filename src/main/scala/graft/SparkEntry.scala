@@ -209,6 +209,7 @@ object SparkEntry {
     "c143_composed_gate" -> ((s, dir) => graft.streaming.BudgetStream.c143ComposedGateAudit(s, dir)),
     "c144_cluster_mix" -> ((s, dir) => Similarity.c144ClusterMix(s, dir)),
     "c145_jl_audit" -> ((s, dir) => Similarity.c145JlAudit(s, dir)),
+    "c146_loss_mask" -> ((s, dir) => Sampling.c146LossMask(s, dir)),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

@@ -664,6 +664,39 @@ object Sampling {
     keepsPackOver(spark, dir, clean, budget, seed, shards)
   }
 
+  /** c146: the sequence LOSS-MASK manifest — the cheap alternative to
+    * c139's re-pack, emitted as the artifact a loader actually
+    * applies (c130 flags tainted sequences; this is the row set that
+    * masks them): for every eval-suite member doc in the mounted
+    * packing, its (shard, seq_id) slot, its token-offset span within
+    * the sequence (start_offset from the packing window, end =
+    * start + n_tok), and whether the span overhangs the sequence
+    * boundary (the boundary doc continues into the NEXT sequence —
+    * c94's crossing discipline — so the loader masks the tail of one
+    * block and the head of the next). Shipping this next to c120's
+    * index keeps tainted bytes out of the LOSS without re-shipping a
+    * single shard; the trade against re-packing is priced by c127's
+    * diff (c130's DEPLOY row).
+    *
+    * Shape: c111's chain + one pushed doc_id predicate + a
+    * projection — no aggregate, no new shuffle; output is
+    * |eval members in keeps| rows (report-sized). */
+  def c146LossMask(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards,
+      suites: Seq[graft.operators.TextAnalysis.BenchSuite] =
+        graft.operators.TextAnalysis.BenchRegistry): DataFrame = {
+    require(suites.nonEmpty, "c146 needs at least one benchmark suite")
+    val anyEval = suites.map(s => expr(s.pred)).reduce(_ || _)
+    c111KeepsPack(spark, dir, budget, seed, shards)
+      .filter(anyEval)
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        col("start_offset"),
+        (col("start_offset") + col("n_tok")).as("mask_end"),
+        (col("start_offset") + col("n_tok") > budget).as("crosses_boundary"))
+      .orderBy("shard", "seq_id", "start_offset", "doc_id")
+  }
+
   /** c105: the KEEPS-ONLY curriculum — the schedule a run actually
     * mounts: c99 orders the WHOLE corpus while c98's manifest ships
     * only the funnel's keeps, so an epoch loader walking c99 would

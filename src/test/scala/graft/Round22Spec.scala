@@ -533,6 +533,32 @@ class Round22Spec extends AnyFunSuite {
     }
   }
 
+  test("c146: the mask rows cover exactly c130's tainted mass with sane spans") {
+    val budget = graft.operators.Sampling.DefaultTokenBudget
+    val mask = graft.operators.Sampling.c146LossMask(spark, sf).collect()
+    assert(mask.nonEmpty, "no mask rows — the packed corpus accidentally decontaminated")
+    val taint = graft.operators.Sampling.c130SeqContam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_eval_docs"), r.getAs[Long]("eval_tok"))).toMap
+    val bySeq = mask.groupBy(r => (r.getLong(0), r.getLong(1)))
+    // every masked sequence is a tainted sequence, with exactly the
+    // taint report's doc count and token mass — mask ∪ report agree
+    assert(bySeq.keySet == taint.filter(_._2._1 > 0).keySet,
+      "mask rows and the taint report disagree on which sequences are tainted")
+    for ((k, rows) <- bySeq) {
+      assert(rows.length.toLong == taint(k)._1)
+      assert(rows.map(r => r.getAs[Long]("mask_end") -
+        r.getAs[Long]("start_offset")).sum == taint(k)._2,
+        s"sequence $k masked token mass diverges from eval_tok")
+      for (r <- rows) {
+        assert(r.getAs[Long]("start_offset") >= 0 &&
+          r.getAs[Long]("start_offset") < budget)
+        assert(r.getAs[Boolean]("crosses_boundary") ==
+          (r.getAs[Long]("mask_end") > budget))
+      }
+    }
+  }
+
   test("c135: source-grain PII masses reconcile with c16's doc-grain redaction") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val rep = graft.operators.TextAnalysis.c135PiiRate(docs).collect()
