@@ -233,13 +233,13 @@ object OraclesB {
       order by event_id
     """,
 
-    "b20_bivariate" -> """
+    "b20_bivariate" -> s"""
       select event_type, count(*) as n,
-             round(corr(t, value), 4) as corr_tv,
-             round(covar_samp(t, value), 4) as covar_s,
-             round(covar_pop(t, value), 4) as covar_p,
-             round(regr_slope(value, t), 4) as slope,
-             round(regr_intercept(value, t), 4) as intercept
+             ${Rz("corr(t, value)", 4)} as corr_tv,
+             ${Rz("covar_samp(t, value)", 4)} as covar_s,
+             ${Rz("covar_pop(t, value)", 4)} as covar_p,
+             ${Rz("regr_slope(value, t)", 4)} as slope,
+             ${Rz("regr_intercept(value, t)", 4)} as intercept
       from (select event_type, value, epoch_us(ts)::double / 1e12 as t from events)
       group by event_type order by event_type
     """,

@@ -7,18 +7,22 @@ package graft
   */
 object OraclesC {
 
-  /** doc_id → in-order word-3-gram shingle strings. */
-  private val SHINGLES = """
+  /** doc_id → in-order word-3-gram shingle strings, over an arbitrary
+    * corpus CTE (vintage-rewrite discipline: pass the vintage's CTE
+    * name instead of post-hoc string surgery on the rendered SQL). */
+  private def shinglesOver(corpus: String): String = s"""
     select doc_id, unnest([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) as s
-    from (select doc_id, string_split(text, ' ') as w from documents)
+    from (select doc_id, string_split(text, ' ') as w from $corpus)
   """
+  private val SHINGLES = shinglesOver("documents")
 
   /** Distinct (doc_id, shingle) then 32-bit key — distinct BEFORE
     * hashing, matching array_distinct-then-h8 on the Spark side. */
-  private val SH8 = s"""
+  private def sh8Over(corpus: String): String = s"""
     select doc_id, substr(md5(s),1,8) as sh8
-    from (select distinct doc_id, s from ($SHINGLES))
+    from (select distinct doc_id, s from (${shinglesOver(corpus)}))
   """
+  private val SH8 = sh8Over("documents")
 
   // MinHash geometry from the operator's own constants (Dedup)
   private val MHK = graft.operators.Dedup.MinhashK
@@ -170,7 +174,7 @@ object OraclesC {
     * rank LAST and compare FALSE, exactly as Spark's NULL does.
     * Orderings over it spell `desc nulls last` explicitly. */
   private def cosN(a: String, b: String) =
-    s"(case when isnan(round(${cosine(a, b)}, 4)) then null else round(${cosine(a, b)}, 4) end)"
+    s"(case when isnan(round(${cosine(a, b)}, 4)) then null else ${Rz(cosine(a, b), 4)} end)"
   private val markers = "['the','a','of','to','and','is','in','it']"
   private val SEMTH = graft.operators.Similarity.SemDedupThreshold
 
@@ -1470,28 +1474,99 @@ object OraclesC {
     * nested list comprehension (sign = md5 parity of "jl:i:j"),
     * 64-dim and [[graft.operators.Similarity.JlDim]]-dim cosines
     * through the tier's one null-on-degenerate rounding. */
-  private def c145Sql: String = {
-    val k = graft.operators.Similarity.JlDim
-    def dotK(a: String, b: String) =
-      s"list_sum(list_transform(range(1,${k + 1}), i -> $a[i]::double * $b[i]::double))"
-    def cosK(a: String, b: String) =
-      s"${dotK(a, b)} / (sqrt(${dotK(a, a)}) * sqrt(${dotK(b, b)}))"
-    def cosNK(a: String, b: String) =
-      s"(case when isnan(round(${cosK(a, b)}, 4)) then null else round(${cosK(a, b)}, 4) end)"
-    s"""
-      with pr145 as (
-        select vec_id, embedding as v,
+  /** k-dim twin of [[cosN]] (same null-on-degenerate + Rz rounding)
+    * over the first `k` list positions — c145/c147's sketch cosine. */
+  private def cosNK(k: Int)(a: String, b: String): String = {
+    def dotK(x: String, y: String) =
+      s"list_sum(list_transform(range(1,${k + 1}), i -> $x[i]::double * $y[i]::double))"
+    val cosK = s"${dotK(a, b)} / (sqrt(${dotK(a, a)}) * sqrt(${dotK(b, b)}))"
+    s"(case when isnan(round($cosK, 4)) then null else ${Rz(cosK, 4)} end)"
+  }
+
+  /** c145's deterministic ±1 projection as a list comprehension over
+    * the `embedding` column (sign = md5 parity of "jl:i:j") — shared
+    * by the audit (c145) and the corpus-wide serving column (c147). */
+  private def jlProjList(k: Int): String = s"""
                [list_sum(list_transform(range(1, 65),
                   i -> case when ('0x' || substr(md5('jl:' || i::varchar || ':' || j::varchar), 1, 1))::bigint % 2 = 0
                             then embedding[i]::double
                             else -(embedding[i]::double) end))
-                for j in range(0, $k)] as p
+                for j in range(0, $k)]"""
+
+  private def c145Sql: String = {
+    val k = graft.operators.Similarity.JlDim
+    val cosNK = this.cosNK(k) _
+    s"""
+      with pr145 as (
+        select vec_id, embedding as v, ${jlProjList(k)} as p
         from embeddings where vec_id < $NQ)
       select a.vec_id as vec_a, b.vec_id as vec_b,
              ${cosN("a.v", "b.v")} as cos_full,
              ${cosNK("a.p", "b.p")} as cos_proj,
              round(abs(${cosN("a.v", "b.v")} - ${cosNK("a.p", "b.p")}), 4) as abs_err
       from pr145 a join pr145 b on a.vec_id < b.vec_id
+      order by vec_a, vec_b
+    """
+  }
+
+  /** c147: the projected-column serving — the corpus-wide JL sketch
+    * (c145's matrix), c5's capped sign-LSH banding over the sketch's
+    * first 8 dims, the audit grid's max |err| as the threshold band,
+    * two-tier decisions (sketch-definite `proj`, band-escalated
+    * `full`). */
+  private def c147Sql: String = {
+    val k = graft.operators.Similarity.JlDim
+    val th = graft.operators.Similarity.SemDedupThreshold
+    val cosNK = this.cosNK(k) _
+    s"""
+      with pr147 as (
+        select vec_id, embedding as v, ${jlProjList(k)} as p
+        from embeddings),
+      a147 as (select vec_id, v, p from pr147 where vec_id < $NQ),
+      err147 as (
+        select round(abs(${cosN("a.v", "b.v")}
+                 - ${cosNK("a.p", "b.p")}), 4) as abs_err
+        from a147 a join a147 b on a.vec_id < b.vec_id
+        where ${cosN("a.v", "b.v")} is not null
+          and ${cosNK("a.p", "b.p")} is not null),
+      bd147 as (
+        select abs_err as band from (
+          select abs_err, row_number() over (order by abs_err) as rk,
+                 count(*) over () as n
+          from err147)
+        where rk = ((n * ${graft.operators.Similarity.JlBandPct} + 99) // 100)),
+      v147 as (
+        select vec_id, p,
+          (case when p[1] >= 0 then 1 else 0 end)
+        + (case when p[2] >= 0 then 2 else 0 end)
+        + (case when p[3] >= 0 then 4 else 0 end)
+        + (case when p[4] >= 0 then 8 else 0 end)
+        + (case when p[5] >= 0 then 16 else 0 end)
+        + (case when p[6] >= 0 then 32 else 0 end)
+        + (case when p[7] >= 0 then 64 else 0 end)
+        + (case when p[8] >= 0 then 128 else 0 end) as bucket
+        from pr147
+        qualify count(*) over (partition by bucket) <= $CAP),
+      sc147 as (
+        select a.vec_id as vec_a, b.vec_id as vec_b,
+               ${cosNK("a.p", "b.p")} as cos_proj
+        from v147 a join v147 b
+          on a.bucket = b.bucket and a.vec_id < b.vec_id
+        cross join bd147
+        where ${cosNK("a.p", "b.p")} >= $th - band),
+      esc147 as (
+        select s.vec_a, s.vec_b, s.cos_proj,
+               ${cosN("ea.embedding", "eb.embedding")} as cos_full
+        from sc147 s
+        cross join bd147
+        join embeddings ea on ea.vec_id = s.vec_a
+        join embeddings eb on eb.vec_id = s.vec_b
+        where s.cos_proj < $th + band)
+      select vec_a, vec_b, cos_proj, null::double as cos_full, 'proj' as tier
+      from sc147 cross join bd147 where cos_proj >= $th + band
+      union all
+      select vec_a, vec_b, cos_proj, cos_full, 'full' as tier
+      from esc147 where cos_full >= $th
       order by vec_a, vec_b
     """
   }
@@ -2023,9 +2098,9 @@ object OraclesC {
                     order by abs(p_in - p_tr) desc, bin) as gr
         from props91)
       select feature, max(tot_tr)::bigint as n_train, max(tot_in)::bigint as n_incoming,
-             round(sum((p_in - p_tr) * ln((p_in + $DriftEps) / (p_tr + $DriftEps))), 4) as psi,
+             ${Rz(s"sum((p_in - p_tr) * ln((p_in + $DriftEps) / (p_tr + $DriftEps)))", 4)} as psi,
              max(case when gr = 1 then bin end)::bigint as max_gap_bin,
-             max(case when gr = 1 then round(p_in - p_tr, 4) end) as max_gap
+             max(case when gr = 1 then ${Rz("p_in - p_tr", 4)} end) as max_gap
       from gaps91 group by feature order by feature
     """
   }
@@ -2586,20 +2661,23 @@ object OraclesC {
     * schedule chain — quality re-binned WITHIN the kept population.
     * Factored as a CTE list (ending in `sched105`) so c111 can run
     * the packing window over the same schedule. */
-  /** The funnel's keep chain (pop105 → kept105, CTE list without
+  /** The funnel's keep chain (pop<sfx> → kept<sfx>, CTE list without
     * WITH) — ONE spelling of c50's keeps shared by c105's schedule
-    * and c124's yield report. */
-  private def keepsChain: String = s"""
-      pop105 as (select * from documents where doc_id % 97 <> 0),
-      kd105 as (select md5(text) as h, min(doc_id) as keep_doc from pop105 group by 1),
-      sh105 as ($SH8),
-      bench105 as (select distinct sh8 from sh105 where doc_id % 97 = 0),
-      ct105 as (
-        select sh105.doc_id, round(count(bench105.sh8)::double / count(*), 4) as contam
-        from sh105 left join bench105 on sh105.sh8 = bench105.sh8
-        where sh105.doc_id % 97 <> 0
-        group by sh105.doc_id),
-      sig105 as (
+    * and c124's yield report. `sfx` names the CTE family and `corpus`
+    * the table/CTE the vintage reads — the parameterized spelling of
+    * the vintage rewrite (r12 advice: no post-hoc replaceAll on the
+    * rendered SQL, which silently breaks on an unlucky substring). */
+  private def keepsChain(sfx: String = "105", corpus: String = "documents"): String = s"""
+      pop$sfx as (select * from $corpus where doc_id % 97 <> 0),
+      kd$sfx as (select md5(text) as h, min(doc_id) as keep_doc from pop$sfx group by 1),
+      sh$sfx as (${sh8Over(corpus)}),
+      bench$sfx as (select distinct sh8 from sh$sfx where doc_id % 97 = 0),
+      ct$sfx as (
+        select sh$sfx.doc_id, round(count(bench$sfx.sh8)::double / count(*), 4) as contam
+        from sh$sfx left join bench$sfx on sh$sfx.sh8 = bench$sfx.sh8
+        where sh$sfx.doc_id % 97 <> 0
+        group by sh$sfx.doc_id),
+      sig$sfx as (
         select doc_id,
                len(w) as n_tokens,
                round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
@@ -2611,53 +2689,53 @@ object OraclesC {
                round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
                len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
                  + len(regexp_extract_all(text, '[0-9]+')) as n_pii
-        from (select doc_id, text, string_split(text, ' ') as w from pop105)),
-      keeps105 as (
+        from (select doc_id, text, string_split(text, ' ') as w from pop$sfx)),
+      keeps$sfx as (
         select p.doc_id
-        from pop105 p
-        join kd105 on md5(p.text) = kd105.h
-        left join ct105 on ct105.doc_id = p.doc_id
-        join sig105 on sig105.doc_id = p.doc_id
-        where p.doc_id = kd105.keep_doc
-          and coalesce(ct105.contam, 0) < ${graft.operators.TextAnalysis.FunnelContamBar}
+        from pop$sfx p
+        join kd$sfx on md5(p.text) = kd$sfx.h
+        left join ct$sfx on ct$sfx.doc_id = p.doc_id
+        join sig$sfx on sig$sfx.doc_id = p.doc_id
+        where p.doc_id = kd$sfx.keep_doc
+          and coalesce(ct$sfx.contam, 0) < ${graft.operators.TextAnalysis.FunnelContamBar}
           and n_tokens >= 5
           and (en_score > 0.01 or en_ngram_score > 0.02)
           and distinct_ratio >= 0.3
           and n_pii <= 20),
-      kept105 as (select d.* from documents d join keeps105 using (doc_id))"""
+      kept$sfx as (select d.* from $corpus d join keeps$sfx using (doc_id))"""
 
   /** c105: [[keepsChain]] feeding c99's schedule chain — quality
     * re-binned WITHIN the kept population. Ends in `sched105` so c111
     * can run the packing window over the same schedule. */
-  private def c105Chain: String = s"""
-      $keepsChain,
-      q105 as (
+  private def c105Chain(sfx: String = "105", corpus: String = "documents"): String = s"""
+      ${keepsChain(sfx, corpus)},
+      q$sfx as (
         select source, doc_id,
                round(0.3 * least(len(w)::double / 100.0, 1.0)
                    + 0.4 * round(len(list_distinct(w))::double / len(w), 4)
                    + 0.3 * least(round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) * 5.0, 1.0), 5) as quality
-        from (select source, doc_id, string_split(text, ' ') as w from kept105)),
-      b105 as (
+        from (select source, doc_id, string_split(text, ' ') as w from kept$sfx)),
+      b$sfx as (
         select source, doc_id,
                ntile(${graft.operators.TextAnalysis.QualityBins})
                  over (partition by source order by quality, doc_id)::bigint as bin
-        from q105),
-      k105 as (
+        from q$sfx),
+      k$sfx as (
         select doc_id, source, bin,
                md5('${graft.operators.Sampling.ShuffleSeed}' || ':' || doc_id::varchar) as shuffle_key
-        from b105),
-      s105 as (
+        from b$sfx),
+      s$sfx as (
         select *, ('0x' || substr(shuffle_key, 1, 7))::bigint
                     % ${graft.operators.Sampling.ShuffleShards} as shard
-        from k105),
-      sched105 as (
+        from k$sfx),
+      sched$sfx as (
         select doc_id, source, bin, shard,
                row_number() over (partition by shard
                  order by bin desc, shuffle_key)::bigint as pos
-        from s105)"""
+        from s$sfx)"""
 
   private def c105Sql: String = s"""
-      with $c105Chain
+      with ${c105Chain()}
       select doc_id, source, bin, shard, pos from sched105
       order by shard, pos
     """
@@ -2665,16 +2743,15 @@ object OraclesC {
   /** c127: the sequence-grain vintage diff — ONE shared tokenizer
     * chain (the shipped artifact's stance), the keeps-schedule +
     * packing chain once over the full corpus (c105's CTEs verbatim)
-    * and once TEXT-REWRITTEN onto the base vintage (105→127 CTE
-    * rename + documents→dv1 — the onClustered discipline), two
+    * and once PARAMETERIZED onto the base vintage (c105Chain("127",
+    * "dv1") — the onClustered discipline), two
     * sequence aggregates with c98's bit_xor membership checksum, one
     * full-outer status join. */
   private def c127Sql: String = {
     val m = graft.operators.TextAnalysis.BpeMerges
     val basePred =
       s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < ${graft.operators.Dedup.DeltaBasePct}"
-    val v1Chain = c105Chain.replaceAll("105", "127")
-      .replaceAll("\\bdocuments\\b", "dv1")
+    val v1Chain = c105Chain("127", "dv1")
     s"""
       with ${c75Chain(m)},
       nsyx as (select term, count(*)::bigint as n_syms from s$m group by term),
@@ -2682,7 +2759,7 @@ object OraclesC {
         select tf.doc_id, sum(tf.tf * coalesce(nsyx.n_syms, 0))::bigint as n_tok
         from tf75 tf left join nsyx on tf.term = nsyx.term
         group by tf.doc_id),
-      $c105Chain,
+      ${c105Chain()},
       dv1 as (select * from documents where $basePred),
       $v1Chain,
       a2x as (
@@ -2725,7 +2802,7 @@ object OraclesC {
   }
 
   /** c129: the pinned-bin schedule — the v1 keeps chain (keepsChain
-    * text-rewritten onto the base vintage), the free ntile ONCE over
+    * parameterized onto the base vintage), the free ntile ONCE over
     * v1's kept population to derive the explicit cuts, the v2 keeps
     * binned by cut comparison (first bin whose cut ≥ quality, top-bin
     * clamp), then c99's shard/shuffle-key/pos spelling. */
@@ -2733,8 +2810,7 @@ object OraclesC {
     val bins = graft.operators.TextAnalysis.QualityBins
     val basePred =
       s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < ${graft.operators.Dedup.DeltaBasePct}"
-    val v1Chain = keepsChain.replaceAll("105", "129")
-      .replaceAll("\\bdocuments\\b", "dv129")
+    val v1Chain = keepsChain("129", "dv129")
     def qOf(tbl: String, cte: String) = s"""
       $cte as (
         select source, doc_id,
@@ -2745,7 +2821,7 @@ object OraclesC {
     s"""
       with dv129 as (select * from documents where $basePred),
       $v1Chain,
-      $keepsChain,
+      ${keepsChain()},
       ${qOf("kept129", "qv1")},
       bv1 as (
         select source, doc_id, quality,
@@ -2817,50 +2893,118 @@ object OraclesC {
   /** c143: the composed door replayed — c128's quota stage verbatim,
     * then c126's global cutoff as a CONDITIONAL prefix sum over the
     * quota survivors only (refused mass consumes no budget). */
-  private def c143Sql: String = {
+  /** The composed door's replay chain (CTE list, no WITH, assumes
+    * [[c75Chain]]'s tf75/s<merges> are in scope) ending in g<sfx>
+    * with (doc_id, source, n_tok, quota_ok, gcum) — ONE spelling for
+    * c143's audit and c148's hand-off. */
+  private def composedChain(sfx: String): String = {
     val m = graft.operators.TextAnalysis.BpeMerges
     val n = graft.streaming.FunnelStream.AuditBatches
     val budget = graft.streaming.BudgetStream.BudgetTokens
-    val gbudget = graft.streaming.BudgetStream.ComposedBudget
-    s"""
-      with ${c75Chain(m)},
-      nsy143 as (select term, count(*)::bigint as n_syms from s$m group by term),
-      enc143 as (
-        select tf.doc_id, sum(tf.tf * coalesce(nsy143.n_syms, 0))::bigint as n_tok
-        from tf75 tf left join nsy143 on tf.term = nsy143.term
+    s"""nsy$sfx as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc$sfx as (
+        select tf.doc_id, sum(tf.tf * coalesce(nsy$sfx.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy$sfx on tf.term = nsy$sfx.term
         group by tf.doc_id),
-      st143 as (
-        select d.source, sum(enc143.n_tok)::bigint as n_tok
-        from documents d join enc143 on d.doc_id = enc143.doc_id
+      st$sfx as (
+        select d.source, sum(enc$sfx.n_tok)::bigint as n_tok
+        from documents d join enc$sfx on d.doc_id = enc$sfx.doc_id
         group by 1),
-      tot143 as (select round(sum(sqrt(n_tok::double)), 6) as z from st143),
-      q143 as (
+      tot$sfx as (select round(sum(sqrt(n_tok::double)), 6) as z from st$sfx),
+      q$sfx as (
         select source,
                (($budget * floor(1000.0 * sqrt(n_tok::double) / z)::bigint) // 1000)::bigint
                  as quota
-        from st143, tot143),
-      cum143 as (
+        from st$sfx, tot$sfx),
+      cum$sfx as (
         select d.doc_id, d.source, e.n_tok,
                sum(e.n_tok) over (partition by d.source
                  order by d.doc_id % $n, d.doc_id
                  rows between unbounded preceding and current row)::bigint as cum
-        from documents d join enc143 e on d.doc_id = e.doc_id
+        from documents d join enc$sfx e on d.doc_id = e.doc_id
         where d.doc_id % 97 <> 0),
-      s143 as (
+      s$sfx as (
         select c.doc_id, c.source, c.n_tok, (c.cum <= q.quota) as quota_ok
-        from cum143 c join q143 q using (source)),
-      g143 as (
+        from cum$sfx c join q$sfx q using (source)),
+      g$sfx as (
         select doc_id, source, n_tok, quota_ok,
                sum(case when quota_ok then n_tok else 0 end) over (
                  order by doc_id % $n, doc_id
                  rows between unbounded preceding and current row)::bigint as gcum
-        from s143)
+        from s$sfx)"""
+  }
+
+  private def c143Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val gbudget = graft.streaming.BudgetStream.ComposedBudget
+    s"""
+      with ${c75Chain(m)},
+      ${composedChain("143")}
       select doc_id, source,
              case when not quota_ok then 'quota_full'
                   when gcum <= $gbudget then 'keep'
                   else 'budget_full' end as stage,
              n_tok
       from g143 order by doc_id
+    """
+  }
+
+  /** c148: the door→schedule hand-off replayed — the composed door's
+    * keeps (c143's chain), binned by c129's pinned base-vintage cuts,
+    * the incremental per-batch appends collapsed into their exact
+    * closed form: ONE row_number per shard ordered by (batch, bin
+    * desc, shuffle_key). */
+  private def c148Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val gbudget = graft.streaming.BudgetStream.ComposedBudget
+    val bins = graft.operators.TextAnalysis.QualityBins
+    val basePred =
+      s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < ${graft.operators.Dedup.DeltaBasePct}"
+    def qOf(tbl: String, cte: String) = s"""
+      $cte as (
+        select source, doc_id,
+               round(0.3 * least(len(w)::double / 100.0, 1.0)
+                   + 0.4 * round(len(list_distinct(w))::double / len(w), 4)
+                   + 0.3 * least(round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) * 5.0, 1.0), 5) as quality
+        from (select source, doc_id, string_split(text, ' ') as w from $tbl))"""
+    s"""
+      with ${c75Chain(m)},
+      ${composedChain("148")},
+      keeps148 as (
+        select doc_id, source from g148
+        where quota_ok and gcum <= $gbudget),
+      dv148 as (select * from documents where $basePred),
+      ${keepsChain("148v", "dv148")},
+      ${qOf("kept148v", "qv148")},
+      bv148 as (
+        select source, doc_id, quality,
+               ntile($bins) over (partition by source
+                 order by quality, doc_id)::bigint as bin
+        from qv148),
+      cuts148 as (select source, bin, max(quality) as cut from bv148 group by 1, 2),
+      t148 as (select d.source, d.doc_id, d.text
+               from documents d join keeps148 using (doc_id)),
+      ${qOf("t148", "qq148")},
+      bin148 as (
+        select q.doc_id, q.source,
+               coalesce(min(c.bin) filter (where c.cut >= q.quality), $bins)::bigint as bin
+        from qq148 q left join cuts148 c on c.source = q.source
+        group by q.doc_id, q.source, q.quality),
+      k148 as (
+        select doc_id, source, bin,
+               md5('${graft.operators.Sampling.ShuffleSeed}' || ':' || doc_id::varchar) as shuffle_key
+        from bin148),
+      sh148 as (
+        select *, ('0x' || substr(shuffle_key, 1, 7))::bigint
+                    % ${graft.operators.Sampling.ShuffleShards} as shard
+        from k148)
+      select doc_id, source, bin, shard,
+             row_number() over (partition by shard
+               order by doc_id % $n, bin desc, shuffle_key)::bigint as pos,
+             (doc_id % $n)::bigint as batch_id
+      from sh148
+      order by shard, pos
     """
   }
 
@@ -2906,7 +3050,7 @@ object OraclesC {
                sum(tf.tf * coalesce(nsy124.n_syms, 0))::bigint as n_tok
         from tf75 tf left join nsy124 on tf.term = nsy124.term
         group by tf.doc_id),
-      $keepsChain,
+      ${keepsChain()},
       ${c33Chain("kept105")},
       iv124 as (select doc_b as doc_id, b_start as s, b_start + n_tokens as e from spans),
       mx124 as (
@@ -2949,8 +3093,8 @@ object OraclesC {
              case when ws_kept > 0 then round(ws_cut::double / ws_kept, 4) end as cut_frac,
              (bpe_kept - case when ws_kept > 0
                 then (bpe_kept * ws_cut) // ws_kept else 0 end)::bigint as bpe_net_est,
-             round((bpe_kept - case when ws_kept > 0
-                then (bpe_kept * ws_cut) // ws_kept else 0 end)::double / bpe_raw, 4) as yield_frac
+             ${Rz("""(bpe_kept - case when ws_kept > 0
+                then (bpe_kept * ws_cut) // ws_kept else 0 end)::double / bpe_raw""", 4)} as yield_frac
       from g124 order by source
     """
   }
@@ -2967,7 +3111,7 @@ object OraclesC {
                sum(tf.tf * coalesce(nsy111.n_syms, 0))::bigint as n_tok
         from tf75 tf left join nsy111 on tf.term = nsy111.term
         group by tf.doc_id),
-      $c105Chain,
+      ${c105Chain()},
       a111 as (
         select sched105.doc_id, source, bin, shard, pos, enc111.n_tok,
                sum(n_tok) over (partition by shard order by pos
@@ -3070,6 +3214,41 @@ object OraclesC {
     """
   }
 
+  /** c149: the distributed-merge audit — per-source cell tables,
+    * cell-wise summed, against the one-pass global sketch; both sides
+    * derived independently so the identity is checked, not assumed. */
+  private def c149Sql: String = {
+    val w = graft.operators.TextAnalysis.CmsWidth
+    val d = graft.operators.TextAnalysis.CmsDepth
+    s"""
+      with t149 as (
+        select source, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) as bigram
+        from (select source, string_split(text, ' ') as w from documents)),
+      sc149 as (select source, bigram, count(*)::bigint as cnt from t149 group by 1, 2),
+      sp149 as (
+        select source, cnt, i,
+               ('0x' || substr(md5(bigram), (i*7+1)::int, 7))::bigint % $w as pos
+        from sc149, unnest(range(0, $d)) as t(i)),
+      scell149 as (select i, pos, source, sum(cnt)::bigint as cell
+                   from sp149 group by 1, 2, 3),
+      m149 as (select i, pos, sum(cell)::bigint as m from scell149 group by 1, 2),
+      g0149 as (select bigram, count(*)::bigint as cnt from t149 group by 1),
+      gp149 as (
+        select cnt, i,
+               ('0x' || substr(md5(bigram), (i*7+1)::int, 7))::bigint % $w as pos
+        from g0149, unnest(range(0, $d)) as t(i)),
+      gcell149 as (select i, pos, sum(cnt)::bigint as g from gp149 group by 1, 2),
+      j149 as (
+        select i, pos, coalesce(m, 0)::bigint as m, coalesce(g, 0)::bigint as g
+        from m149 full join gcell149 using (i, pos))
+      select i::bigint as depth, count(*)::bigint as n_cells,
+             sum(g)::bigint as mass, max(g)::bigint as max_cell,
+             sum(case when m <> g then 1 else 0 end)::bigint as n_diff_cells,
+             max(abs(m - g))::bigint as max_abs_diff
+      from j149 group by 1 order by depth
+    """
+  }
+
   /** c142: the fixed-width histogram quantile sketch replayed — bin
     * counts, the cumulative walk, rank targets ⌈n·p/100⌉ in exact
     * integer arithmetic, exact order statistics via the same
@@ -3121,6 +3300,85 @@ object OraclesC {
     """
   }
 
+  /** c150: c142's bin tables diffed across vintages under c91's PSI
+    * discipline — base = the md5 percent cut, current = the full
+    * corpus; quantile shifts read off each vintage's cumulative
+    * walk. Signed columns (psi, max_gap) through [[Rz]]. */
+  private def c150Sql: String = {
+    val bw = graft.operators.TextAnalysis.HqBinWidth
+    val nb = graft.operators.TextAnalysis.HqBins
+    val ps = graft.operators.TextAnalysis.HqPcts
+    val eps = graft.operators.TextAnalysis.DriftEps
+    val basePred =
+      s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < ${graft.operators.Dedup.DeltaBasePct}"
+    val shiftPivot = ps.map(p =>
+      s"max(case when p = $p then shift end)::bigint as p${p}_shift")
+      .mkString(",\n             ")
+    s"""
+      with l150 as (
+        select source, doc_id, length(text)::bigint as v,
+               ($basePred) as is_base
+        from documents),
+      n150 as (select source,
+                      sum(case when is_base then 1 else 0 end)::bigint as n_base,
+                      count(*)::bigint as n_cur
+               from l150 group by 1),
+      bb150 as (select source, least(v // $bw, ${nb - 1})::bigint as bin,
+                       count(*)::bigint as c
+                from l150 where is_base group by 1, 2),
+      bc150 as (select source, least(v // $bw, ${nb - 1})::bigint as bin,
+                       count(*)::bigint as c
+                from l150 group by 1, 2),
+      grid150 as (select source, r.bin::bigint as bin
+                  from n150, range(0, $nb) r(bin)),
+      p150 as (
+        select g.source, g.bin,
+               round(coalesce(bb.c, 0)::double / n.n_base, 4) as p_base,
+               round(coalesce(bc.c, 0)::double / n.n_cur, 4) as p_cur
+        from grid150 g
+        left join bb150 bb using (source, bin)
+        left join bc150 bc using (source, bin)
+        join n150 n using (source)),
+      gr150 as (
+        select *, row_number() over (partition by source
+                    order by abs(p_cur - p_base) desc, bin) as gr
+        from p150),
+      psi150 as (
+        select source,
+               ${Rz(s"sum((p_cur - p_base) * ln((p_cur + $eps) / (p_base + $eps)))", 4)} as psi,
+               max(case when gr = 1 then bin end)::bigint as max_gap_bin,
+               max(case when gr = 1 then ${Rz("p_cur - p_base", 4)} end) as max_gap
+        from gr150 group by source),
+      r150 as (select source, p,
+                      ((n_cur * p + 99) // 100)::bigint as r_cur,
+                      ((n_base * p + 99) // 100)::bigint as r_base
+               from n150, unnest([${ps.mkString(", ")}]) as t(p)),
+      cwc150 as (select source, bin,
+                        sum(c) over (partition by source order by bin
+                          rows between unbounded preceding and current row)::bigint as cum
+                 from bc150),
+      cwb150 as (select source, bin,
+                        sum(c) over (partition by source order by bin
+                          rows between unbounded preceding and current row)::bigint as cum
+                 from bb150),
+      ec150 as (select c.source, r.p, (min(c.bin) * $bw)::bigint as cur_est
+                from cwc150 c join r150 r
+                  on r.source = c.source and c.cum >= r.r_cur
+                group by 1, 2),
+      eb150 as (select c.source, r.p, (min(c.bin) * $bw)::bigint as base_est
+                from cwb150 c join r150 r
+                  on r.source = c.source and c.cum >= r.r_base
+                group by 1, 2),
+      sh150 as (select source, p, (cur_est - base_est)::bigint as shift
+                from ec150 join eb150 using (source, p)),
+      shp150 as (select source, $shiftPivot from sh150 group by 1)
+      select n.source, n.n_base, n.n_cur, psi, max_gap_bin, max_gap,
+             p50_shift, p90_shift, p99_shift
+      from n150 n join psi150 using (source) join shp150 using (source)
+      order by source
+    """
+  }
+
   /** c130: sequence-grain eval taint — c111's packing chain + one
     * (shard, seq_id) aggregate whose suite predicates interpolate
     * from the SAME [[graft.operators.TextAnalysis.BenchRegistry]] the
@@ -3150,7 +3408,7 @@ object OraclesC {
     """
   }
 
-  /** c139: the decontaminated packing's index — c127's text-rewrite
+  /** c139: the decontaminated packing's index — c127's vintage-chain
     * discipline (keeps schedule + packing recomputed within the CLEAN
     * vintage, tokenizer artifact shared from the full corpus), the
     * clean corpus cut by the registry predicates, then c120's
@@ -3159,8 +3417,7 @@ object OraclesC {
     val m = graft.operators.TextAnalysis.BpeMerges
     val anyPred = graft.operators.TextAnalysis.BenchRegistry
       .map(s => s"(${s.pred})").mkString(" or ")
-    val cChain = c105Chain.replaceAll("105", "139")
-      .replaceAll("\\bdocuments\\b", "d139")
+    val cChain = c105Chain("139", "d139")
     s"""
       with ${c75Chain(m)},
       nsyc as (select term, count(*)::bigint as n_syms from s$m group by term),
@@ -3334,7 +3591,7 @@ object OraclesC {
       k115 as (
         select *, round(n_teacher_keep::double / n_docs, 4) as keep_rate from a115)
       select bin, n_docs, n_teacher_keep, mean_score, keep_rate,
-             round(keep_rate - mean_score, 4) as calib_gap
+             ${Rz("keep_rate - mean_score", 4)} as calib_gap
       from k115 order by bin
     """
   }
@@ -3430,8 +3687,8 @@ object OraclesC {
         from p107 a join p107 b on a.term = b.term and a.source < b.source)
       select source_a, source_b, count(*)::bigint as n_shared,
              round(sum(pa), 4) as overlap_a, round(sum(pb), 4) as overlap_b,
-             round(0.5 * sum(pa * log2(2 * pa / (pa + pb)) + pb * log2(2 * pb / (pa + pb)))
-                 + 0.5 * (1 - sum(pa)) + 0.5 * (1 - sum(pb)), 4) as js_div
+             ${Rz("""0.5 * sum(pa * log2(2 * pa / (pa + pb)) + pb * log2(2 * pb / (pa + pb)))
+                 + 0.5 * (1 - sum(pa)) + 0.5 * (1 - sum(pb))""", 4)} as js_div
       from pr107 group by 1, 2 order by source_a, source_b
     """
 
@@ -3450,8 +3707,8 @@ object OraclesC {
         from (select doc_id, source, string_split(text, ' ') as w from documents)),
       g108 as (
         select doc_id, source, quality,
-               round(ln(quality + $eps)
-                   - ln(-ln((('0x' || substr(md5('gumbel:' || doc_id::varchar), 1, 7))::bigint + 1)::double / $denom)), 4) as gumbel_key
+               ${Rz(s"""ln(quality + $eps)
+                   - ln(-ln((('0x' || substr(md5('gumbel:' || doc_id::varchar), 1, 7))::bigint + 1)::double / $denom))""", 4)} as gumbel_key
         from q108),
       r108 as (
         select row_number() over (order by gumbel_key desc, doc_id)::bigint as rank,
@@ -3618,7 +3875,7 @@ object OraclesC {
                round(n_live::double / tl, 4) as p_live
         from s, t)
       select cluster, n_base, n_live, p_base, p_live,
-             round((p_live - p_base) * ln((p_live + $eps) / (p_base + $eps)), 6) as psi_term
+             ${Rz(s"(p_live - p_base) * ln((p_live + $eps) / (p_base + $eps))", 6)} as psi_term
       from p order by cluster
     """
   }
@@ -3699,8 +3956,8 @@ object OraclesC {
              case when n_occupied < $m
                then round($m * ln($m::double / ($m - n_occupied)), 4) end as est,
              case when n_occupied < $m
-               then round((round($m * ln($m::double / ($m - n_occupied)), 4)
-                           - exact_distinct) / exact_distinct, 4) end as rel_err
+               then ${Rz(s"""(round($m * ln($m::double / ($m - n_occupied)), 4)
+                           - exact_distinct) / exact_distinct""", 4)} end as rel_err
       from a137 order by source
     """
     },
@@ -4427,7 +4684,7 @@ object OraclesC {
       tot as (select sum(cnt)::bigint as n_total from uni),
       sc as (
         select doc_id, sum(tf)::bigint as n_tokens,
-               round(sum(tf::double * log10(cnt::double / n_total)) / sum(tf), 4) as mean_logprob
+               ${Rz("sum(tf::double * log10(cnt::double / n_total)) / sum(tf)", 4)} as mean_logprob
         from tf join uni using (term), tot
         group by doc_id),
       b as (
@@ -4503,7 +4760,7 @@ object OraclesC {
       order by total desc, pair limit 50
     """,
 
-    "c39_dsir" -> """
+    "c39_dsir" -> s"""
       with tf as (
         select doc_id, term, count(*) as tf
         from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
@@ -4517,9 +4774,9 @@ object OraclesC {
       tot as (select sum(c_tgt)::bigint as n_tgt, sum(c_raw)::bigint as n_raw,
                      count(*) as v from vocab)
       select tf.doc_id, sum(tf)::bigint as n_tokens,
-             round(sum(tf::double * (log10((c_tgt+1)::double / (n_tgt+v))
-                                   - log10((c_raw+1)::double / (n_raw+v)))) / sum(tf),
-                   4) as mean_llr
+             ${Rz("""sum(tf::double * (log10((c_tgt+1)::double / (n_tgt+v))
+                                   - log10((c_raw+1)::double / (n_raw+v)))) / sum(tf)""",
+                  4)} as mean_llr
       from tf join vocab using (term), tot
       where tf.doc_id % 97 <> 0
       group by tf.doc_id
@@ -4683,13 +4940,13 @@ object OraclesC {
       from c group by source order by source
     """,
 
-    "c31_unigram_logprob" -> """
+    "c31_unigram_logprob" -> s"""
       with terms as (select doc_id, unnest(string_split(text, ' ')) as term from documents),
       tf as (select doc_id, term, count(*) as tf from terms group by 1, 2),
       uni as (select term, sum(tf)::bigint as cnt from tf group by term),
       tot as (select sum(cnt)::bigint as n_total from uni)
       select doc_id, sum(tf)::bigint as n_tokens, count(*) as n_terms,
-             round(sum(tf::double * log10(cnt::double / n_total)) / sum(tf), 4) as mean_logprob
+             ${Rz("sum(tf::double * log10(cnt::double / n_total)) / sum(tf)", 4)} as mean_logprob
       from tf join uni using (term), tot
       group by doc_id order by doc_id
     """,
@@ -4810,6 +5067,10 @@ object OraclesC {
     "c131_filtered_ann" -> C131_SQL,
     "c144_cluster_mix" -> c144Sql,
     "c145_jl_audit" -> c145Sql,
+    "c147_proj_serve" -> c147Sql,
+    "c148_door_schedule" -> c148Sql,
+    "c149_cms_merge" -> c149Sql,
+    "c150_hist_drift" -> c150Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it
@@ -4915,7 +5176,7 @@ object OraclesC {
 
     // c52: H = log2(n) − Σ tf·log2(tf)/n off the same tokenization;
     // single-term docs have zero entropy and no defined ratio
-    "c52_token_entropy" -> """
+    "c52_token_entropy" -> s"""
       with tf as materialized (
         select doc_id, term, count(*)::bigint as tf
         from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
@@ -4926,11 +5187,11 @@ object OraclesC {
         from tf group by doc_id)
       select doc_id, n_tokens, vocab,
              case when vocab = 1 then 0.0
-               else round(log2(n_tokens::double) - tlt / n_tokens, 4)
+               else ${Rz("log2(n_tokens::double) - tlt / n_tokens", 4)}
                end as entropy,
              case when vocab > 1
-               then round((log2(n_tokens::double) - tlt / n_tokens)
-                          / log2(vocab::double), 4) end as entropy_ratio
+               then ${Rz("""(log2(n_tokens::double) - tlt / n_tokens)
+                          / log2(vocab::double)""", 4)} end as entropy_ratio
       from sig order by doc_id
     """,
 
@@ -5114,7 +5375,7 @@ object OraclesC {
              round(vocab::double / n_tokens, 4) as ttr,
              round(hapax::double / vocab, 4) as hapax_frac,
              round(head_mass::double / n_tokens, 4) as head_mass_frac,
-             round(slope, 4) as zipf_slope
+             ${Rz("slope", 4)} as zipf_slope
       from nd join base using (source) join hh using (source)
       order by source
     """,
@@ -5175,7 +5436,7 @@ object OraclesC {
 
     // c46: c19's bigram extraction; conditional add-1 estimates with
     // the context marginal reduced off the bigram table
-    "c46_bigram_logprob" -> """
+    "c46_bigram_logprob" -> s"""
       with t as (
         select doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) as bigram
         from (select doc_id, string_split(text, ' ') as w from documents)),
@@ -5189,7 +5450,7 @@ object OraclesC {
       s as (select db.doc_id, db.k, cb.cab, cx.cctx
             from db join cb using (bigram) join cx using (ctx))
       select doc_id, sum(k)::bigint as n_bigrams,
-             round(sum(k * log10((cab + 1)::double / (cctx + vsz))) / sum(k), 4) as mean_logprob
+             ${Rz("sum(k * log10((cab + 1)::double / (cctx + vsz))) / sum(k)", 4)} as mean_logprob
       from s, v group by doc_id order by doc_id
     """,
 

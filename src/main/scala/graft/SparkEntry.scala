@@ -210,6 +210,10 @@ object SparkEntry {
     "c144_cluster_mix" -> ((s, dir) => Similarity.c144ClusterMix(s, dir)),
     "c145_jl_audit" -> ((s, dir) => Similarity.c145JlAudit(s, dir)),
     "c146_loss_mask" -> ((s, dir) => Sampling.c146LossMask(s, dir)),
+    "c147_proj_serve" -> ((s, dir) => Similarity.c147ProjServe(s, dir)),
+    "c148_door_schedule" -> ((s, dir) => graft.streaming.BudgetStream.c148DoorSchedule(s, dir)),
+    "c149_cms_merge" -> ((s, dir) => TextAnalysis.c149CmsMerge(Tables.documents(s, dir))),
+    "c150_hist_drift" -> ((s, dir) => TextAnalysis.c150HistDrift(Tables.documents(s, dir))),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

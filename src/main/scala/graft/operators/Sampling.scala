@@ -779,10 +779,15 @@ object Sampling {
     * the corpus for bin assignment — the ntile window runs only on
     * the BASE vintage, once, at pin time); the schedule is c99's
     * per-shard windows. */
-  def c129PinnedSchedule(spark: org.apache.spark.sql.SparkSession, dir: String,
-      seed: Long = ShuffleSeed, shards: Int = ShuffleShards,
+  /** The BASE vintage's pinned bin cuts — per (source, bin) the max
+    * kept quality under the free ntile (the explicit quantile
+    * boundaries ntile implies), memoized once per (session, corpus):
+    * the artifact c129's at-rest schedule AND c148's door→schedule
+    * hand-off both bin against (artifact reuse — one pin, many
+    * consumers). */
+  private[graft] def pinnedCuts(spark: org.apache.spark.sql.SparkSession,
+      dir: String,
       bins: Int = graft.operators.TextAnalysis.QualityBins): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = graft.sources.Tables.documents(spark, dir)
     val cutsRoot = graft.streaming.StoreMemo.memo(spark, s"c129_cuts_$dir") { r =>
       val v1 = docs.filter(Dedup.isBaseDoc(col("doc_id")))
@@ -793,21 +798,42 @@ object Sampling {
         .groupBy("source", "bin").agg(max(col("quality")).as("cut"))
         .write.mode("overwrite").parquet(s"$r/cuts")
     }
-    val cuts = spark.read.parquet(s"$cutsRoot/cuts")
+    spark.read.parquet(s"$cutsRoot/cuts")
+  }
+
+  /** Cut-comparison binning — bin = the first bin whose pinned cut ≥
+    * the doc's quality, clamped to the top bin (docs better than
+    * anything the base vintage saw, and sources it never kept). ONE
+    * spelling for c129's at-rest schedule and c148's door hand-off. */
+  private[graft] def binByCuts(scored: DataFrame, cuts: DataFrame,
+      bins: Int): DataFrame =
+    scored.join(broadcast(cuts), Seq("source"), "left")
+      .groupBy("doc_id", "source", "quality")
+      .agg(coalesce(min(when(col("cut") >= col("quality"), col("bin"))),
+        lit(bins.toLong)).as("bin"))
+      .drop("quality")
+
+  /** The schedule's deterministic shard assignment — md5 shuffle key
+    * + 7-hex-digit shard bucket, c99's one spelling. */
+  private[graft] def withShuffleShard(seed: Long, shards: Int)(
+      df: DataFrame): DataFrame =
+    df.withColumn("shuffle_key", md5(concat_ws(":", lit(seed), col("doc_id"))))
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 7), 16, 10).cast("long") % shards)
+
+  def c129PinnedSchedule(spark: org.apache.spark.sql.SparkSession, dir: String,
+      seed: Long = ShuffleSeed, shards: Int = ShuffleShards,
+      bins: Int = graft.operators.TextAnalysis.QualityBins): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val cuts = pinnedCuts(spark, dir, bins)
     val kept = docs.join(
       graft.operators.TextAnalysis.funnelDecisions(docs)
         .filter(col("stage") === "keep").select("doc_id"), Seq("doc_id"))
     val scored = kept.select(col("source"), col("doc_id"),
       graft.operators.TextAnalysis.qualityOf(col("text")).as("quality"))
-    val binned = scored.join(broadcast(cuts), Seq("source"), "left")
-      .groupBy("doc_id", "source", "quality")
-      .agg(coalesce(min(when(col("cut") >= col("quality"), col("bin"))),
-        lit(bins.toLong)).as("bin"))
-    val key = md5(concat_ws(":", lit(seed), col("doc_id")))
-    binned
-      .withColumn("shuffle_key", key)
-      .withColumn("shard",
-        conv(substring(col("shuffle_key"), 1, 7), 16, 10).cast("long") % shards)
+    binByCuts(scored, cuts, bins)
+      .transform(withShuffleShard(seed, shards))
       .withColumn("pos", row_number()
         .over(Window.partitionBy(col("shard"))
           .orderBy(col("bin").desc, col("shuffle_key")))

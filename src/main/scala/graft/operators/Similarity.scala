@@ -1420,6 +1420,50 @@ object Similarity {
     * corpus. Oracle-interpolated. */
   val JlDim = 16
 
+  /** The deterministic Achlioptas ±1 sign matrix c145 audits —
+    * s(j)(i): +1 iff the first hex nibble of md5("jl:<i+1>:<j>") is
+    * even (i reported 1-based to match SQL list indexing; both
+    * engines derive the same matrix — the c49/Bloom hash
+    * discipline). */
+  private def jlSigns(dims: Int): Array[Array[Double]] = {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Array.tabulate(JlDim, dims) { (j, i) =>
+      if (java.lang.Long.parseLong(
+        md5hex(s"jl:${i + 1}:$j").substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** (vec_id, v = full embedding, p = [[JlDim]]-dim JL sketch) — the
+    * per-row linear map shared by the c145 audit and c147's
+    * corpus-wide projected serving, ONE spelling so the serving
+    * column is provably the matrix the audit measured. Narrow typed
+    * kernel (a dense ±sum per row — Catalyst higher-order functions
+    * evaluate interpreted); no shuffle at any scale. */
+  private[graft] def jlProjected(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val bc = spark.sparkContext.broadcast(jlSigns(PqSubspaces * PqSubDim))
+    import spark.implicits._
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val s = bc.value
+        it.map { case (id, v) =>
+          val p = new Array[Double](s.length)
+          var j = 0
+          while (j < s.length) {
+            var acc = 0.0
+            var i = 0
+            while (i < s(j).length && i < v.length) { acc += s(j)(i) * v(i); i += 1 }
+            p(j) = acc
+            j += 1
+          }
+          (id, v, p)
+        }
+      }.toDF("vec_id", "v", "p")
+  }
+
   /** c145: RANDOM-PROJECTION audit (Johnson–Lindenstrauss / Achlioptas
     * ±1 sketch) — the dimensionality-reduction dial measured, not
     * assumed: every vector of the bounded audit slice is projected
@@ -1440,37 +1484,9 @@ object Similarity {
     * Scoring reuses the tier's one cosine spelling ([[pairCos]]). */
   def c145JlAudit(spark: SparkSession, dir: String,
       nVecs: Int = DefaultQueryCount): DataFrame = {
-    val dims = PqSubspaces * PqSubDim
-    def md5hex(s: String): String = java.security.MessageDigest
-      .getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    // s(j)(i): +1 iff the first hex nibble of md5("jl:<i+1>:<j>") is
-    // even (i reported 1-based to match SQL list indexing)
-    val signs = Array.tabulate(JlDim, dims) { (j, i) =>
-      if (java.lang.Long.parseLong(
-        md5hex(s"jl:${i + 1}:$j").substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
-    }
-    val bc = spark.sparkContext.broadcast(signs)
-    import spark.implicits._
-    val proj = graft.sources.Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < nVecs)
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val s = bc.value
-        it.map { case (id, v) =>
-          val p = new Array[Double](s.length)
-          var j = 0
-          while (j < s.length) {
-            var acc = 0.0
-            var i = 0
-            while (i < s(j).length && i < v.length) { acc += s(j)(i) * v(i); i += 1 }
-            p(j) = acc
-            j += 1
-          }
-          (id, v, p)
-        }
-      }.toDF("vec_id", "v", "p")
+    val proj = jlProjected(graft.sources.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < nVecs))
+      .select(col("vec_id"), col("v"), col("p"))
       .withColumn("nv", VectorFns.norm(col("v")))
       .withColumn("np", VectorFns.norm(col("p")))
     val a = proj.select(col("vec_id").as("vec_a"), col("v").as("va"),
@@ -1484,6 +1500,89 @@ object Similarity {
         pairCos("pa", "npa", "pb", "npb").as("cos_proj"))
       .withColumn("abs_err", round(abs(col("cos_full") - col("cos_proj")), 4))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** c147's band percentile — the audit-error quantile that bounds
+    * the sketch tier's guarantee. Oracle-interpolated. */
+  val JlBandPct = 90L
+
+  /** The serving band: the audit grid's p[[JlBandPct]] |err| as the
+    * exact ⌈n·p/100⌉-th order statistic (bounded audit aggregate —
+    * |grid| rows, computed once per embedding vintage). 1.0 (escalate
+    * everything) on an empty audit. */
+  private[graft] def jlBand(spark: SparkSession, dir: String): Double = {
+    val errs = c145JlAudit(spark, dir).select(col("abs_err")).na.drop()
+    val n = errs.count()
+    if (n == 0L) 1.0
+    else errs.orderBy(col("abs_err")).limit(((n * JlBandPct + 99L) / 100L).toInt)
+      .agg(max(col("abs_err"))).head.getDouble(0)
+  }
+
+  /** c147: PROJECTED-COLUMN near-dup serving — the read-cost dial
+    * c145's audit prices, cashed in: the [[JlDim]]-dim JL sketch is
+    * materialized CORPUS-WIDE (4× fewer bytes than the raw
+    * embeddings) and c5's LSH-bucketed near-dup gate runs over the
+    * sketch, with the audit's own measured error band as the
+    * threshold margin. Decisions are two-tier: a candidate pair with
+    * sketch cosine ≥ threshold + band is a dup on sketch evidence
+    * alone (`proj` tier — the full embedding is NEVER read); a pair
+    * inside the uncertainty band [threshold − band, threshold + band)
+    * ESCALATES — only that sliver's vectors are read at full width
+    * and decided by exact cosine (`full` tier); below the band is a
+    * definite reject. The band is the audit grid's p[[JlBandPct]]
+    * |err| as an EXACT order statistic (c142's integer-rank
+    * discipline — cross-engine reproducible, unlike interpolated
+    * quantiles): for every pair whose own projection error is within
+    * the band — ≥[[JlBandPct]]% of audited pairs by construction —
+    * the tiered decision provably equals the full-width gate's
+    * (|cos_full − cos_proj| ≤ band ∧ cos_proj ≥ th + band ⟹
+    * cos_full ≥ th); the tail is the measured trade the audit
+    * prices, not a silent wrong answer. The max |err| would make the
+    * guarantee unconditional but swallows the whole cosine range at
+    * k=16 (max ≈ 0.87 at sf0.01 — nothing would ever be
+    * sketch-definite); the quantile band is what makes the dial
+    * exist.
+    *
+    * Shape: one linear map over the corpus (no shuffle), c5's
+    * banding/cap candidate math on the 4×-smaller column, the scored
+    * candidates materialized once (two tier scans, no re-derive), and
+    * the full-width read bounded to the escalation sliver (a
+    * semi-join on its vec_ids — never a corpus cross). The band is
+    * one bounded audit aggregate, artifact-shaped: a deployment
+    * computes it once per embedding vintage. */
+  def c147ProjServe(spark: SparkSession, dir: String,
+      nBits: Int = DefaultSignBits, nTables: Int = 1,
+      threshold: Double = SemDedupThreshold,
+      bucketCap: Int = Dedup.BucketCap): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val band = jlBand(spark, dir)
+    val projEmb = jlProjected(emb)
+      .select(col("vec_id"), col("p").as("embedding"))
+    val scored = Materialize.frame(
+      c5Candidates(projEmb, nBits, nTables, bucketCap)
+        .select(col("vec_a"), col("vec_b"),
+          pairCos("emb_a", "nrm_a", "emb_b", "nrm_b").as("cos_proj"))
+        // NULL sketch cosine = no evidence = reject (pairCos stance);
+        // definite rejects leave the pipeline here
+        .filter(col("cos_proj") >= threshold - band))
+    val projTier = scored.filter(col("cos_proj") >= threshold + band)
+      .select(col("vec_a"), col("vec_b"), col("cos_proj"),
+        lit(null).cast("double").as("cos_full"), lit("proj").as("tier"))
+    val esc = scored.filter(col("cos_proj") < threshold + band)
+    val needed = esc.select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .distinct()
+    val fullVecs = withNorm(emb).join(needed, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val fullTier = esc
+      .join(fullVecs.select(col("vec_id").as("vec_a"),
+        col("embedding").as("fa"), col("nrm").as("na")), Seq("vec_a"))
+      .join(fullVecs.select(col("vec_id").as("vec_b"),
+        col("embedding").as("fb"), col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos_full", pairCos("fa", "na", "fb", "nb"))
+      .filter(col("cos_full") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_proj"), col("cos_full"),
+        lit("full").as("tier"))
+    projTier.union(fullTier).orderBy("vec_a", "vec_b")
   }
 
   /** c136's probe dial — every power of two up to the full centroid

@@ -527,6 +527,82 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** c150: HISTOGRAM-QUANTILE DRIFT — c142's bin tables diffed across
+    * vintages under c91's PSI discipline, at rank grain: per source,
+    * the length distribution of the BASE vintage (c45/c127's md5
+    * percent cut) against the full corpus — PSI over the 256-bin
+    * histograms, the widest proportion gap, and the p50/p90/p99
+    * shifts read off each vintage's own cumulative walk (the
+    * publish-gate numbers: "did this ingest move the length
+    * distribution, and at which quantile"). A mixture/packing
+    * publish can gate on psi and the p99 shift BEFORE re-packing —
+    * the histogram diff costs two bin tables, not a re-pack.
+    *
+    * Shape: one corpus projection (length + vintage flag,
+    * materialized), two ≤ sources×256 bin aggregates, the complete
+    * bin grid (zero-count bins contribute zero PSI terms — c91's
+    * grid stance), report-sized joins throughout. At 100 TB the bin
+    * tables are the per-vintage artifacts (256 longs per source); the
+    * drift table is their diff, never a corpus re-read. */
+  def c150HistDrift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val lens = Materialize.frame(docs.select(col("source"), col("doc_id"),
+      length(col("text")).cast("long").as("v"),
+      graft.operators.Dedup.isBaseDoc(col("doc_id")).as("is_base")))
+    def binned(df: DataFrame) = df
+      .select(col("source"), expr(s"least(v div $HqBinWidth, ${HqBins - 1}L)").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val bBase = binned(lens.filter(col("is_base")))
+    val bCur = binned(lens)
+    val nS = lens.groupBy("source").agg(
+      sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+      count(lit(1)).as("n_cur"))
+    val grid = nS.select("source").crossJoin((0L until HqBins).toDF("bin"))
+    val p = grid
+      .join(bBase.withColumnRenamed("c", "cb"), Seq("source", "bin"), "left")
+      .join(bCur.withColumnRenamed("c", "cc"), Seq("source", "bin"), "left")
+      .join(nS, Seq("source"))
+      .withColumn("p_base",
+        round(coalesce(col("cb"), lit(0L)).cast("double") / col("n_base"), 4))
+      .withColumn("p_cur",
+        round(coalesce(col("cc"), lit(0L)).cast("double") / col("n_cur"), 4))
+    val wG = Window.partitionBy(col("source"))
+      .orderBy(abs(col("p_cur") - col("p_base")).desc, col("bin"))
+    val psi = p.withColumn("gr", row_number().over(wG))
+      .groupBy("source")
+      .agg(
+        round(sum((col("p_cur") - col("p_base")) *
+          log((col("p_cur") + lit(DriftEps)) / (col("p_base") + lit(DriftEps)))), 4)
+          .as("psi"),
+        max(when(col("gr") === 1, col("bin"))).as("max_gap_bin"),
+        max(when(col("gr") === 1, round(col("p_cur") - col("p_base"), 4)))
+          .as("max_gap"))
+    def quants(b: DataFrame, nCol: String, estCol: String) = {
+      val wB = Window.partitionBy("source").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ranks = nS.select(col("source"), col(nCol).as("n"))
+        .crossJoin(HqPcts.toDF("p"))
+        .withColumn("r", expr("(n * p + 99) div 100"))
+      b.withColumn("cum", sum(col("c")).over(wB))
+        .join(ranks, Seq("source")).filter(col("cum") >= col("r"))
+        .groupBy("source", "p")
+        .agg((min(col("bin")) * HqBinWidth).as(estCol))
+    }
+    val shifts = quants(bCur, "n_cur", "cur_est")
+      .join(quants(bBase, "n_base", "base_est"), Seq("source", "p"))
+      .withColumn("shift", col("cur_est") - col("base_est"))
+    val sCols = HqPcts.map(pp =>
+      max(when(col("p") === pp, col("shift"))).as(s"p${pp}_shift"))
+    nS.join(psi, Seq("source"))
+      .join(shifts.groupBy("source").agg(sCols.head, sCols.tail: _*), Seq("source"))
+      .select(col("source"), col("n_base"), col("n_cur"), col("psi"),
+        col("max_gap_bin"), col("max_gap"),
+        col("p50_shift"), col("p90_shift"), col("p99_shift"))
+      .orderBy("source")
+  }
+
   /** c135: PII incidence by SOURCE — the privacy-budget rollup next
     * to c16's doc-grain redaction (c16 says what to mask in each
     * document; this says which SOURCES carry the exposure): per
@@ -640,6 +716,58 @@ object TextAnalysis {
       .withColumn("overcount", col("est") - col("exact"))
       .orderBy(col("est").desc, col("bigram"))
       .limit(k)
+  }
+
+  /** c149: CMS MERGEABILITY — the distributed-merge property c134's
+    * DEPLOY row claims ("cells are mergeable across partitions/days
+    * by cell-wise +"), PROVEN as a keyed audit instead of implied by
+    * linearity: every source builds its own depth×width cell table
+    * from its own bigram counts, the per-source tables are summed
+    * CELL-WISE, and the result is compared against the sketch built
+    * over the whole corpus in one pass. Per depth: occupied-cell
+    * count, total mass (= the corpus bigram mass at every depth —
+    * CMS rows are mass-preserving), the hottest cell, and the diff
+    * stats, which are ZERO by linearity; the audit computes both
+    * sides independently so a broken hash/sharding spelling (how
+    * mergeability actually fails across days/partitions in
+    * production) surfaces as a nonzero keyed row, not a silent
+    * overcount on some future query.
+    *
+    * Shape: the shared bigram-counts memo joined to source (one
+    * map-side-combined shuffle), position explode (depth rows per
+    * bigram), two ≤ depth·width-row cell aggregates, one cell-grain
+    * full-outer diff — report-sized past the counts memo. At 100 TB
+    * the per-source tables are the per-day/per-partition sketches a
+    * deployment ships; this audit is the merge step run against the
+    * one-pass rebuild at a pilot SF. */
+  def c149CmsMerge(docs: DataFrame): DataFrame = {
+    def pos(i: Int) =
+      conv(substring(md5(col("bigram")), i * 7 + 1, 7), 16, 10)
+        .cast("long") % CmsWidth
+    val posCols = posexplode(array((0 until CmsDepth).map(pos): _*))
+      .as(Seq("i", "pos"))
+    val bySrc = Materialize.frame(
+      bigramCounts(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source", "bigram").agg(sum(col("k")).as("cnt")))
+    val merged = bySrc.select(col("source"), col("cnt"), posCols)
+      .groupBy("i", "pos", "source").agg(sum(col("cnt")).as("cell"))
+      .groupBy("i", "pos").agg(sum(col("cell")).as("m_cell"))
+    val global = bigramCounts(docs)
+      .groupBy("bigram").agg(sum(col("k")).as("cnt"))
+      .select(col("cnt"), posCols)
+      .groupBy("i", "pos").agg(sum(col("cnt")).as("g_cell"))
+    merged.join(global, Seq("i", "pos"), "full")
+      .select(col("i").cast("long").as("depth"),
+        coalesce(col("m_cell"), lit(0L)).as("m"),
+        coalesce(col("g_cell"), lit(0L)).as("g"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("g")).as("mass"),
+        max(col("g")).as("max_cell"),
+        sum(when(col("m") =!= col("g"), 1L).otherwise(0L)).as("n_diff_cells"),
+        max(abs(col("m") - col("g"))).as("max_abs_diff"))
+      .orderBy("depth")
   }
 
   private def bigramCountsKernel(docs: DataFrame): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.{Materialize, TextAnalysis}
@@ -30,11 +30,50 @@ import graft.operators.{Materialize, TextAnalysis}
   * keyed membership).
   *
   * Scale shape: pricing is batch-local (tfRowsDirect + the broadcast
-  * merge list), the prefix sum is one batch-sized window, the ledger
+  * merge list), the prefix sum is the BUCKETED arrival-order walk
+  * ([[withArrivalCum]] — no unpartitioned window ever sees the batch
+  * frame, only the ≤[[DoorBuckets]]-row offsets table), the ledger
   * is |batches| rows, and the decision merge touches only the
   * batch's key buckets. Nothing is proportional to the accumulated
   * corpus. */
 object BudgetStream {
+
+  /** Bucket count for the doors' exact arrival-order prefix sum —
+    * the scale-safe spelling of the global in-batch window (r12
+    * verdict): ≤ this many per-bucket offset rows, each in-bucket
+    * window partition ≈ batch/DoorBuckets rows. */
+  private[graft] val DoorBuckets = 4096L
+
+  /** EXACT global prefix sum of `value` in doc_id (arrival) order,
+    * without an unpartitioned window over the batch frame: doc_id is
+    * RANGE-bucKeted (monotone in doc_id, so bucket order == arrival
+    * order), per-bucket totals (≤ [[DoorBuckets]] rows — the only
+    * frame any unpartitioned window touches) carry the cross-bucket
+    * offsets, and the per-row walk partitions on the bucket — c30's
+    * bucketed-admission discipline applied to the door. Identical
+    * result to `sum(value) over (order by doc_id rows unbounded
+    * preceding..current)`: integer sums regrouped, same order. The
+    * min/max probe is one extra door-sized job over the already-
+    * materialized pricing frame. */
+  private[graft] def withArrivalCum(priced: DataFrame, value: Column,
+      as: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mm = priced.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head
+    if (mm.isNullAt(0)) return priced.withColumn(as, lit(0L))
+    val lo = mm.getLong(0)
+    val width = math.max(1L, (mm.getLong(1) - lo) / DoorBuckets + 1L)
+    val b = priced.withColumn("door_bkt", expr(s"(doc_id - ${lo}L) div ${width}L"))
+    val wOff = Window.orderBy(col("door_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy("door_bkt").agg(sum(value).as("bkt_tok"))
+      .withColumn("base", coalesce(sum(col("bkt_tok")).over(wOff), lit(0L)))
+      .select(col("door_bkt"), col("base"))
+    val wIn = Window.partitionBy(col("door_bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    b.join(broadcast(offs), Seq("door_bkt"))
+      .withColumn(as, col("base") + sum(value).over(wIn))
+      .drop("door_bkt", "base")
+  }
 
   /** The gate's budget in stored-tokenizer BPE tokens — sized to BIND
     * at every driver SF (sf0.001's population carries ~10k tokens,
@@ -64,10 +103,8 @@ object BudgetStream {
           .filter(col("batch_id") < batchId)
           .agg(coalesce(sum(col("offered_tok")), lit(0L))).head.getLong(0)
       else 0L
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val decisions = priced
-      .withColumn("cum", sum(col("n_tok")).over(w) + prior)
+    val decisions = withArrivalCum(priced, col("n_tok"), "cum0")
+      .withColumn("cum", col("cum0") + prior)
       .select(col("doc_id"),
         when(col("cum") <= budget, lit("keep")).otherwise(lit("budget_full"))
           .as("stage"),
@@ -82,9 +119,10 @@ object BudgetStream {
 
   /** Start the live budget gate over a streaming (doc_id, text)
     * frame. `merges` = the stored tokenizer's rank-ordered list (the
-    * c83 artifact, loaded once and closed over). The batch-local
-    * prefix window is global WITHIN a batch by design — a micro-batch
-    * is door-sized, and arrival order is the contract being priced. */
+    * c83 artifact, loaded once and closed over). Arrival order is the
+    * contract being priced; the in-batch walk is the bucketed
+    * [[withArrivalCum]], so even a GB-sized door batch never funnels
+    * through one task. */
   def budgetGate(docs: DataFrame, merges: Array[(String, String)],
       decisionStore: String, ledgerStore: String,
       budget: Long = BudgetTokens,
@@ -162,7 +200,11 @@ object BudgetStream {
       .toDF("source", "quota", "prior"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val decisions = priced.join(qdf, Seq("source"))
+    // left join: unknown sources get quota 0 → `quota_full`, never a
+    // silently dropped arrival (r12 advice)
+    val decisions = priced.join(qdf, Seq("source"), "left")
+      .withColumn("quota", coalesce(col("quota"), lit(0L)))
+      .withColumn("prior", coalesce(col("prior"), lit(0L)))
       .withColumn("cum", sum(col("n_tok")).over(w) + col("prior"))
       .select(col("doc_id"), col("source"),
         when(col("cum") <= col("quota"), lit("keep")).otherwise(lit("quota_full"))
@@ -244,14 +286,17 @@ object BudgetStream {
       .toDF("source", "quota", "prior"))
     val wS = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wG = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val staged = priced.join(qdf, Seq("source"))
+    // left join: a source absent from the quota plan gets quota 0 and
+    // routes to `quota_full` — every arrival gets a keyed decision
+    // row (r12 advice: the inner join silently dropped unknowns)
+    val quotaStaged = Materialize.frame(priced.join(qdf, Seq("source"), "left")
+      .withColumn("quota", coalesce(col("quota"), lit(0L)))
+      .withColumn("prior", coalesce(col("prior"), lit(0L)))
       .withColumn("cum", sum(col("n_tok")).over(wS) + col("prior"))
-      .withColumn("quota_ok", col("cum") <= col("quota"))
-      .withColumn("gcum",
-        sum(when(col("quota_ok"), col("n_tok")).otherwise(0L)).over(wG)
-          + lit(priorG))
+      .withColumn("quota_ok", col("cum") <= col("quota")))
+    val staged = withArrivalCum(quotaStaged,
+        when(col("quota_ok"), col("n_tok")).otherwise(0L), "gcum0")
+      .withColumn("gcum", col("gcum0") + lit(priorG))
     val decisions = staged.select(col("doc_id"), col("source"),
       when(!col("quota_ok"), lit("quota_full"))
         .when(col("gcum") <= budget, lit("keep"))
@@ -339,4 +384,104 @@ object BudgetStream {
       .drop(EventsStream.KeyBucketCol)
       .select("doc_id", "stage", "n_tok")
       .orderBy("doc_id")
+
+  /** One micro-batch of the DOOR → SCHEDULE hand-off: the composed
+    * gate decides the batch ([[processComposedBatch]] verbatim), then
+    * the batch's ADMITTED docs are binned against the PINNED base-
+    * vintage cuts (c129's artifact — the publish-stability contract)
+    * and APPENDED to the schedule store: pos = rows earlier batches
+    * already placed in the shard + the batch's own (bin desc,
+    * shuffle_key) rank. Earlier batches' rows are never reordered —
+    * the incremental twin of c129's full window, exact because each
+    * shard's positions are dense and batch-monotone. Replay-stable:
+    * the prior count reads only batch_id < this batch (a replayed
+    * batch recomputes identical rows; the keyed merge is a no-op). */
+  private[graft] def processHandoffBatch(batch: DataFrame,
+      merges: Array[(String, String)], quotas: Map[String, Long],
+      cuts: DataFrame, stores: String, batchId: Long,
+      budget: Long = ComposedBudget,
+      seed: Long = graft.operators.Sampling.ShuffleSeed,
+      shards: Int = graft.operators.Sampling.ShuffleShards,
+      bins: Int = TextAnalysis.QualityBins): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = batch.sparkSession
+    import spark0.implicits._
+    processComposedBatch(batch, merges, quotas, s"$stores/decisions",
+      s"$stores/ledger", batchId, budget)
+    // this batch's admitted docs: the decision store cut to the batch
+    // (the join carries the batch's text for quality scoring)
+    val keeps = spark0.read.parquet(s"$stores/decisions")
+      .filter(col("stage") === "keep").select("doc_id")
+      .join(batch.select(col("doc_id"), col("text"), col("source")), Seq("doc_id"))
+    val scored = keeps.select(col("source"), col("doc_id"),
+      TextAnalysis.qualityOf(col("text")).as("quality"))
+    val schedPath = new org.apache.hadoop.fs.Path(s"$stores/schedule")
+    val priorPos: Map[Long, Long] =
+      if (schedPath.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+          .exists(schedPath))
+        spark0.read.parquet(s"$stores/schedule")
+          .filter(col("batch_id") < batchId)
+          .groupBy("shard").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      else Map.empty
+    val pdf = broadcast(
+      (0L until shards.toLong).map(s => (s, priorPos.getOrElse(s, 0L)))
+        .toDF("shard", "prior_pos"))
+    val rows = graft.operators.Sampling.binByCuts(scored, cuts, bins)
+      .transform(graft.operators.Sampling.withShuffleShard(seed, shards))
+      .join(pdf, Seq("shard"))
+      .withColumn("pos", col("prior_pos") + row_number()
+        .over(Window.partitionBy(col("shard"))
+          .orderBy(col("bin").desc, col("shuffle_key")))
+        .cast("long"))
+      .withColumn("batch_id", lit(batchId))
+      .select("doc_id", "source", "bin", "shard", "pos", "batch_id")
+    EventsStream.upsertSink(rows, s"$stores/schedule", "doc_id")
+  }
+
+  /** Start the live door→schedule hand-off over a streaming (doc_id,
+    * text, source) frame — the composed ingest door feeding the
+    * pinned curriculum incrementally, no full re-pack per poll. */
+  def handoffGate(docs: DataFrame, merges: Array[(String, String)],
+      quotas: Map[String, Long], cuts: DataFrame, stores: String,
+      budget: Long = ComposedBudget,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processHandoffBatch(batch, merges, quotas, cuts, stores, batchId, budget)
+        ()
+      }
+      .start()
+
+  private def handoffStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = TextAnalysis.storedMerges(spark, dir)
+    val quotas = sourceQuotas(spark, dir)
+    val cuts = graft.operators.Sampling.pinnedCuts(spark, dir)
+    StoreMemo.memo(spark, s"handoff_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processHandoffBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          merges, quotas, cuts, scratch, i.toLong)
+    }
+  }
+
+  /** c148: the DOOR → SCHEDULE hand-off at STORE grain — the last
+    * ingest-to-loader arc: c143's composed door admits, and every
+    * admitted batch lands in the training schedule THAT POLL, binned
+    * by c129's pinned base-vintage cuts (artifact reuse: one pin,
+    * both consumers) and appended per shard behind the rows earlier
+    * polls placed. Earlier rows never move (publish stability at the
+    * door, not just at re-pack time); the whole history replays as
+    * ONE window ordered by (batch, bin desc, shuffle_key) — exactly
+    * what the oracle spells. Keyed result = the schedule store. */
+  def c148DoorSchedule(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame =
+    spark.read.parquet(s"${handoffStores(spark, dir, nBatches)}/schedule")
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "bin", "shard", "pos", "batch_id")
+      .orderBy("shard", "pos")
 }

@@ -55,6 +55,11 @@ for name, sql in sorted(oracles.items()):
                 if isinstance(g, float) or isinstance(e, float):
                     if gn != en or abs(float(g) - float(e)) > 1e-9:
                         return (i, c, g, e)
+                    # the driver hashes exact bytes: -0.0 != +0.0 there,
+                    # but passes the tolerance above. Check sign at zero.
+                    if float(g) == 0.0 and float(e) == 0.0 and \
+                       math.copysign(1.0, float(g)) != math.copysign(1.0, float(e)):
+                        return (i, c, g, e)
                 elif str(g) != str(e):
                     return (i, c, g, e)
         return None
