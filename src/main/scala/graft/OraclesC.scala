@@ -3008,6 +3008,51 @@ object OraclesC {
     """
   }
 
+  /** c153: the ledger report replayed from the arrival history —
+    * both the decision-grain stage counts and the ledger-grain
+    * offered/survivor masses come from ONE chain, so a ledger row
+    * that drifted from its decisions hash-fails. */
+  private def c153Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val gb = graft.streaming.BudgetStream.ComposedBudget
+    s"""
+      with ${c75Chain(m)},
+      ${composedChain("153")}
+      select (doc_id % $n)::bigint as batch_id,
+             count(*)::bigint as n_arrivals,
+             sum(n_tok)::bigint as offered_tok,
+             sum(case when quota_ok then n_tok else 0 end)::bigint as survivor_tok,
+             sum(case when quota_ok and gcum <= $gb then n_tok else 0 end)::bigint as kept_tok,
+             sum(case when quota_ok and gcum <= $gb then 1 else 0 end)::bigint as n_keep,
+             sum(case when not quota_ok then 1 else 0 end)::bigint as n_quota_full,
+             sum(case when quota_ok and gcum > $gb then 1 else 0 end)::bigint as n_budget_full
+      from g153 group by 1 order by batch_id
+    """
+  }
+
+  /** c152: the mask budget — the c111 chain once, whole-shard and
+    * masked-leg aggregates side by side. */
+  private def c152Sql: String = {
+    val anyPred = graft.operators.TextAnalysis.BenchRegistry
+      .map(s => s"(${s.pred})").mkString(" or ")
+    s"""
+      with p152 as ( $c111Sql )
+      select shard,
+             count(distinct seq_id)::bigint as n_seqs,
+             count(*)::bigint as n_docs,
+             sum(n_tok)::bigint as sum_tok,
+             sum(case when $anyPred then 1 else 0 end)::bigint as n_masked_docs,
+             count(distinct case when $anyPred then seq_id end)::bigint as n_masked_seqs,
+             coalesce(sum(case when $anyPred then n_tok end), 0)::bigint as masked_tok,
+             (sum(n_tok) - coalesce(sum(case when $anyPred then n_tok end), 0))::bigint
+               as effective_tok,
+             round((sum(n_tok) - coalesce(sum(case when $anyPred then n_tok end), 0))::double
+                   / sum(n_tok), 4) as effective_frac
+      from p152 group by shard order by shard
+    """
+  }
+
   /** c126: the budget gate's at-rest replay — the cutoff rule IS one
     * prefix sum: n_tok from the c75 chain, cumulative offered mass
     * over (batch = doc_id % n, doc_id) arrival order, admit iff the
@@ -3248,6 +3293,91 @@ object OraclesC {
       from j149 group by 1 order by depth
     """
   }
+
+  /** The HLL register CTE body over a frame exposing `sh8` (+ key
+    * cols): 60-bit md5-slice hash, register = top 8 bits, rank =
+    * 53 − binary length of the low 52 bits (exact integers — no
+    * float in the sketch state). */
+  private def hllRankSql(src: String, keySel: String): String = {
+    val base = graft.operators.TextAnalysis.HllRankBase
+    s"""select ${keySel}v // $base as reg,
+             (case when v % $base = 0 then 53
+                   else 53 - length(bin(v % $base)) end)::bigint as rnk
+      from (select ${keySel}('0x' || substr(md5(sh8), 1, 15))::bigint as v
+            from $src)"""
+  }
+
+  /** HLL estimate subquery over a (key…, reg, m) register CTE —
+    * mirrors [[graft.operators.TextAnalysis.hllEstimate]]: exact
+    * bigint register sum (Σ 2^(53−M), empty registers 2^53), one
+    * float division by the Scala-interpolated α·m²·2^53, linear
+    * counting below 2.5m. */
+  private def hllEstSql(regs: String, key: String): String = {
+    val m = graft.operators.TextAnalysis.HllRegisters
+    val numer = graft.operators.TextAnalysis.HllNumer
+    val keySel = if (key.isEmpty) "" else s"$key, "
+    val keyGrp = if (key.isEmpty) "" else s"group by $key"
+    val scaled = s"(sum_used + ($m - n_used) * 9007199254740992)"
+    s"""(
+      select ${keySel}n_used, $scaled::bigint as sum_scaled,
+             round($numer / $scaled, 4) as raw_est,
+             case when $m - n_used > 0
+               then round(${m}.0 * ln(${m}.0 / ($m - n_used)), 4) end as lc_est,
+             case when $numer / $scaled <= ${2.5 * m} and $m - n_used > 0
+               then round(${m}.0 * ln(${m}.0 / ($m - n_used)), 4)
+               else round($numer / $scaled, 4) end as est
+      from (select ${keySel}count(*)::bigint as n_used,
+                   sum((1::bigint << (53 - m)))::bigint as sum_used
+            from $regs $keyGrp))"""
+  }
+
+  /** c154: the HLL distinct counter replayed — registers/ranks in
+    * exact integer arithmetic, the estimate off the exact register
+    * sum, the linear-counting correction, c137's exact-distinct
+    * audit leg. */
+  private def c154Sql: String = s"""
+      with sh154 as ($SH8),
+      it154 as (select d.source, sh154.sh8
+                from sh154 join documents d using (doc_id)),
+      rg154 as (${hllRankSql("it154", "source, ")}),
+      mx154 as (select source, reg, max(rnk)::bigint as m
+                from rg154 group by 1, 2),
+      ex154 as (select source, count(distinct sh8)::bigint as exact_distinct
+                from it154 group by 1),
+      es154 as ${hllEstSql("mx154", "source")}
+      select e.source, x.exact_distinct, e.n_used, e.sum_scaled,
+             e.raw_est, e.lc_est, e.est,
+             ${Rz("(e.est - x.exact_distinct) / x.exact_distinct", 4)} as rel_err
+      from es154 e join ex154 x using (source)
+      order by source
+    """
+
+  /** c155: HLL mergeability — per-source registers max-merged vs the
+    * one-pass global table, both derived independently; the merged
+    * and global estimates off the shared estimator. */
+  private def c155Sql: String = s"""
+      with sh155 as ($SH8),
+      it155 as (select d.source, sh155.sh8
+                from sh155 join documents d using (doc_id)),
+      rg155 as (${hllRankSql("it155", "source, ")}),
+      mx155 as (select source, reg, max(rnk)::bigint as m
+                from rg155 group by 1, 2),
+      mg155 as (select reg, max(m)::bigint as m from mx155 group by 1),
+      rgg155 as (${hllRankSql("sh155", "")}),
+      gg155 as (select reg, max(rnk)::bigint as m from rgg155 group by 1),
+      df155 as (select coalesce(a.m, 0)::bigint as ma, coalesce(b.m, 0)::bigint as mb
+                from mg155 a full join gg155 b using (reg)),
+      d155 as (select count(*)::bigint as n_occupied,
+                      sum(case when ma <> mb then 1 else 0 end)::bigint as n_diff_regs,
+                      max(greatest(ma, mb))::bigint as max_rank
+               from df155),
+      em155 as ${hllEstSql("(select 1 as k, reg, m from mg155)", "k")},
+      eg155 as ${hllEstSql("(select 1 as k, reg, m from gg155)", "k")}
+      select d155.n_occupied, d155.n_diff_regs, d155.max_rank,
+             em155.sum_scaled as sum_scaled_merged, em155.est as est_merged,
+             eg155.sum_scaled as sum_scaled_global, eg155.est as est_global
+      from d155, em155, eg155
+    """
 
   /** c142: the fixed-width histogram quantile sketch replayed — bin
     * counts, the cumulative walk, rank targets ⌈n·p/100⌉ in exact
@@ -3890,7 +4020,10 @@ object OraclesC {
       // so all three hash-check against the one BM25 spelling —
       // c79/c71's shared-oracle discipline on the lexical side
       ("c140_bm25_stored" -> base("c37_bm25")) +
-      ("c141_postings_append" -> base("c37_bm25"))
+      ("c141_postings_append" -> base("c37_bm25")) +
+      // c151 serves c147's gate from the at-rest sketch artifact; the
+      // stored path must be byte-identical to the in-flight one
+      ("c151_proj_stored" -> base("c147_proj_serve"))
   }
 
   private lazy val sql1: Map[String, String] = Map(
@@ -5071,6 +5204,10 @@ object OraclesC {
     "c148_door_schedule" -> c148Sql,
     "c149_cms_merge" -> c149Sql,
     "c150_hist_drift" -> c150Sql,
+    "c152_mask_budget" -> c152Sql,
+    "c153_door_ledger" -> c153Sql,
+    "c154_hll_distinct" -> c154Sql,
+    "c155_hll_merge" -> c155Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -214,6 +214,11 @@ object SparkEntry {
     "c148_door_schedule" -> ((s, dir) => graft.streaming.BudgetStream.c148DoorSchedule(s, dir)),
     "c149_cms_merge" -> ((s, dir) => TextAnalysis.c149CmsMerge(Tables.documents(s, dir))),
     "c150_hist_drift" -> ((s, dir) => TextAnalysis.c150HistDrift(Tables.documents(s, dir))),
+    "c151_proj_stored" -> ((s, dir) => Similarity.c151ProjStored(s, dir)),
+    "c152_mask_budget" -> ((s, dir) => Sampling.c152MaskBudget(s, dir)),
+    "c153_door_ledger" -> ((s, dir) => graft.streaming.BudgetStream.c153DoorLedger(s, dir)),
+    "c154_hll_distinct" -> ((s, dir) => TextAnalysis.c154HllDistinct(Tables.documents(s, dir))),
+    "c155_hll_merge" -> ((s, dir) => TextAnalysis.c155HllMerge(Tables.documents(s, dir))),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

@@ -697,6 +697,48 @@ object Sampling {
       .orderBy("shard", "seq_id", "start_offset", "doc_id")
   }
 
+  /** c152: the MASK BUDGET — what c146's loss masking actually costs
+    * a training run, priced at shard grain (the unit an epoch loader
+    * mmaps): per shard, the mounted packing's sequence and token
+    * mass, the masked-doc count / masked sequences / masked token
+    * mass, the EFFECTIVE (loss-contributing) tokens, and the
+    * effective fill fraction. The c139-vs-c146 decision table:
+    * re-packing reclaims the masked mass at the cost of c127's
+    * invalidation cascade; masking keeps every sequence byte-stable
+    * and pays this (now priced) effective-token discount — c117's
+    * epoch budgeting reads the effective column, not the raw one.
+    *
+    * Shape: the c111 chain once (the funnel/tokenizer memos shared),
+    * one registry predicate pushed to the mask leg, two shard-grain
+    * aggregates, a report-sized join. */
+  def c152MaskBudget(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
+      shards: Int = ShuffleShards,
+      suites: Seq[graft.operators.TextAnalysis.BenchSuite] =
+        graft.operators.TextAnalysis.BenchRegistry): DataFrame = {
+    val anyEval = suites.map(s => expr(s.pred)).reduce(_ || _)
+    val pack = Materialize.frame(
+      c111KeepsPack(spark, dir, budget, seed, shards)
+        .withColumn("ev", anyEval))
+    val whole = pack.groupBy("shard").agg(
+      countDistinct(col("seq_id")).as("n_seqs"),
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("sum_tok"))
+    val masked = pack.filter(col("ev")).groupBy("shard").agg(
+      count(lit(1)).as("n_masked_docs"),
+      countDistinct(col("seq_id")).as("n_masked_seqs"),
+      sum(col("n_tok")).as("masked_tok"))
+    whole.join(masked, Seq("shard"), "left")
+      .select(col("shard"), col("n_seqs"), col("n_docs"), col("sum_tok"),
+        coalesce(col("n_masked_docs"), lit(0L)).as("n_masked_docs"),
+        coalesce(col("n_masked_seqs"), lit(0L)).as("n_masked_seqs"),
+        coalesce(col("masked_tok"), lit(0L)).as("masked_tok"))
+      .withColumn("effective_tok", col("sum_tok") - col("masked_tok"))
+      .withColumn("effective_frac",
+        round(col("effective_tok").cast("double") / col("sum_tok"), 4))
+      .orderBy("shard")
+  }
+
   /** c105: the KEEPS-ONLY curriculum — the schedule a run actually
     * mounts: c99 orders the WHOLE corpus while c98's manifest ships
     * only the funnel's keeps, so an epoch loader walking c99 would

@@ -1555,9 +1555,18 @@ object Similarity {
       threshold: Double = SemDedupThreshold,
       bucketCap: Int = Dedup.BucketCap): DataFrame = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val band = jlBand(spark, dir)
-    val projEmb = jlProjected(emb)
-      .select(col("vec_id"), col("p").as("embedding"))
+    projGate(emb, jlProjected(emb).select(col("vec_id"), col("p")),
+      jlBand(spark, dir), nBits, nTables, threshold, bucketCap)
+  }
+
+  /** The two-tier gate over an explicit sketch frame (vec_id, p) —
+    * ONE spelling shared by c147 (in-flight projection) and c151
+    * (stored sketch artifact), so the stored path provably runs the
+    * audited gate. */
+  private def projGate(emb: DataFrame, sketch: DataFrame, band: Double,
+      nBits: Int, nTables: Int, threshold: Double,
+      bucketCap: Int): DataFrame = {
+    val projEmb = sketch.select(col("vec_id"), col("p").as("embedding"))
     val scored = Materialize.frame(
       c5Candidates(projEmb, nBits, nTables, bucketCap)
         .select(col("vec_a"), col("vec_b"),
@@ -1583,6 +1592,36 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos_proj"), col("cos_full"),
         lit("full").as("tier"))
     projTier.union(fullTier).orderBy("vec_a", "vec_b")
+  }
+
+  /** c151: the sketch AT REST — c147 projects in-flight every serve;
+    * here the [[JlDim]]-dim column AND the audited band are written
+    * once as parquet artifacts (c79's train-once-serve-many stance on
+    * the projection side) and serving reads the sketch column — 4×
+    * fewer bytes than the raw embeddings — escalating to raw reads
+    * only for the band sliver. Hash-checked against c147's own
+    * oracle (the c140/c141 shared-oracle discipline): the stored
+    * path must be byte-identical to the in-flight one, or the
+    * artifact write broke the projection. At 100 TB this is the
+    * deployment shape: the projection job runs once per embedding
+    * vintage; every near-dup serve after it scans 16 doubles per
+    * vector instead of 64. */
+  def c151ProjStored(spark: SparkSession, dir: String,
+      nBits: Int = DefaultSignBits, nTables: Int = 1,
+      threshold: Double = SemDedupThreshold,
+      bucketCap: Int = Dedup.BucketCap): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = graft.streaming.StoreMemo.memo(spark, s"c151_sketch_$dir") { r =>
+      jlProjected(emb).select(col("vec_id"), col("p"))
+        .write.mode("overwrite").parquet(s"$r/sketch")
+      val spark0 = emb.sparkSession
+      import spark0.implicits._
+      Seq(jlBand(spark, dir)).toDF("band")
+        .write.mode("overwrite").parquet(s"$r/band")
+    }
+    val band = spark.read.parquet(s"$root/band").head.getDouble(0)
+    projGate(emb, spark.read.parquet(s"$root/sketch"), band,
+      nBits, nTables, threshold, bucketCap)
   }
 
   /** c136's probe dial — every power of two up to the full centroid

@@ -1331,6 +1331,120 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** c154 geometry: 2^8 HyperLogLog registers over a 60-bit md5-slice
+    * hash (8 register bits + 52 rank bits, max rank 53). 2^52, for
+    * the register/rank split in exact integer arithmetic. */
+  val HllRegisters = 256L
+  private[graft] val HllRankBase = 4503599627370496L // 2^52
+  /** α_m·m²·2^53 precomputed ONCE in Scala and interpolated into the
+    * oracle verbatim — the estimate is then a single cross-engine
+    * float division (numer / exact-integer register sum), sidestepping
+    * the order-dependent 2^-M float summation the HLL paper spells
+    * (Σ 2^-M is held as the EXACT bigint Σ 2^(53-M) instead — every
+    * term a power of two ≤ 2^52, total ≤ 2^61). */
+  val HllNumer: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+
+  /** The HLL register table of a keyed item frame — per (key, reg)
+    * the max rank. Registers/ranks are exact integers (md5-derived),
+    * so the table is hash-comparable across engines and MERGEABLE by
+    * max — the property c155 proves. */
+  private[graft] def hllRegisters(items: DataFrame, key: Seq[String]): DataFrame =
+    items.withColumn("hll_v",
+        conv(substring(md5(col("sh8")), 1, 15), 16, 10).cast("long"))
+      .withColumn("reg", expr(s"hll_v div $HllRankBase"))
+      .withColumn("rest", expr(s"hll_v % $HllRankBase"))
+      .withColumn("rank", when(col("rest") === 0L, lit(53L))
+        .otherwise(lit(53L) - length(bin(col("rest")))))
+      .groupBy((key :+ "reg").map(col): _*).agg(max(col("rank")).as("m"))
+
+  /** The HLL estimate columns off a register table at `key` grain:
+    * the exact-integer register sum (empty registers contribute
+    * 2^53), the raw estimate, the small-range linear-counting
+    * correction, and the corrected choice — the standard HLL
+    * estimator with every cross-engine float surface reduced to one
+    * division and one ln. */
+  private[graft] def hllEstimate(regs: DataFrame, key: Seq[String]): DataFrame = {
+    val m = HllRegisters
+    regs.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(53 - m as int))")).as("sum_used"))
+      .withColumn("sum_scaled",
+        col("sum_used") + (lit(m) - col("n_used")) * lit(9007199254740992L))
+      .withColumn("raw", lit(HllNumer) / col("sum_scaled"))
+      .withColumn("v_zero", lit(m) - col("n_used"))
+      .withColumn("lc_est", when(col("v_zero") > 0L,
+        round(lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")), 4)))
+      .withColumn("raw_est", round(col("raw"), 4))
+      .withColumn("est",
+        when(col("raw") <= lit(2.5 * m) && col("v_zero") > 0L, col("lc_est"))
+          .otherwise(col("raw_est")))
+      .drop("sum_used", "raw", "v_zero")
+  }
+
+  /** c154: HYPERLOGLOG distinct-count — the log-scale sketch c137's
+    * scaladoc names as linear counting's scale path, landed with the
+    * harder cross-engine arithmetic contract paid deliberately:
+    * register index and rank are exact integers off one md5 slice
+    * (no float anywhere in the sketch state), the register sum is an
+    * exact bigint (Σ 2^(53-M) — every addend a power of two, so no
+    * order-dependent float accumulation), and the only float
+    * surfaces are ONE division by an interpolated constant and
+    * linear counting's ln (c137's own proven-parity spelling). Per
+    * source: the exact distinct (the audit), occupied registers, the
+    * exact-integer register sum (hash-checkable sketch state), raw
+    * and small-range-corrected estimates, relative error through Rz.
+    * Fixed memory: 256 registers per source, ~5 bits each in a real
+    * deployment — the counter that runs at 100 TB where exact
+    * distinct cannot.
+    *
+    * Shape: one shingle pass (the shared kernel), one (source, reg)
+    * max-aggregate (≤ 256 rows per source — the operator), the
+    * exact-distinct audit leg, report-sized output. */
+  def c154HllDistinct(docs: DataFrame): DataFrame = {
+    val items = Dedup.docShingles8(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val exact = items.groupBy("source")
+      .agg(countDistinct(col("sh8")).as("exact_distinct"))
+    hllEstimate(hllRegisters(items, Seq("source")), Seq("source"))
+      .join(exact, Seq("source"))
+      .withColumn("rel_err",
+        round((col("est") - col("exact_distinct")) / col("exact_distinct"), 4))
+      .select(col("source"), col("exact_distinct"), col("n_used"),
+        col("sum_scaled"), col("raw_est"), col("lc_est"), col("est"),
+        col("rel_err"))
+      .orderBy("source")
+  }
+
+  /** c155: HLL MERGEABILITY — c149's discipline on the log-scale
+    * sketch: the per-source register tables max-merged per register
+    * ≡ the register table built over the whole corpus in one pass
+    * (register and rank derive from the shingle alone, so the
+    * per-source MAX of maxes is the global max — the property that
+    * lets a deployment union per-day/per-partition sketches without
+    * re-reading a byte). Both sides derived independently; the diff
+    * row is zero or the merge spelling is broken. One summary row:
+    * occupied registers both ways, differing registers (0), the
+    * exact-integer sums, both estimates. */
+  def c155HllMerge(docs: DataFrame): DataFrame = {
+    val items = Dedup.docShingles8(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val merged = hllRegisters(items, Seq("source"))
+      .groupBy("reg").agg(max(col("m")).as("m"))
+    val global = hllRegisters(Dedup.docShingles8(docs), Seq.empty)
+    val diff = merged.as("a").join(global.as("b"), Seq("reg"), "full")
+      .select(coalesce(col("a.m"), lit(0L)).as("ma"),
+        coalesce(col("b.m"), lit(0L)).as("mb"))
+      .agg(count(lit(1)).as("n_occupied"),
+        sum(when(col("ma") =!= col("mb"), 1L).otherwise(0L)).as("n_diff_regs"),
+        max(greatest(col("ma"), col("mb"))).as("max_rank"))
+    val eM = hllEstimate(merged.withColumn("k", lit(1)), Seq("k"))
+      .select(col("sum_scaled").as("sum_scaled_merged"), col("est").as("est_merged"))
+    val eG = hllEstimate(global.withColumn("k", lit(1)), Seq("k"))
+      .select(col("sum_scaled").as("sum_scaled_global"), col("est").as("est_global"))
+    diff.crossJoin(eM).crossJoin(eG)
+  }
+
   /** The Bloom set-bit table of a (…, sh8) key frame — materialized:
     * the k probe joins each broadcast it, and an unmaterialized plan
     * would re-derive the explode + distinct once per hash function

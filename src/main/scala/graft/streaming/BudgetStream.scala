@@ -484,4 +484,43 @@ object BudgetStream {
       .drop(EventsStream.KeyBucketCol)
       .select("doc_id", "source", "bin", "shard", "pos", "batch_id")
       .orderBy("shard", "pos")
+
+  /** c153: the DOOR LEDGER report — the composed gate's cross-batch
+    * state made a keyed, oracle-audited table for the first time (the
+    * decisions store has been audited since c143; the LEDGER — the
+    * only state a restart resumes from — was trusted): per poll, the
+    * arrival/stage counts from the decision store joined against the
+    * offered/survivor masses from the ledger store. The oracle
+    * replays BOTH sides from the arrival history, so a ledger row
+    * that drifted from its batch's decisions (the failure mode that
+    * silently re-prices every later batch) hash-fails the round
+    * instead of surfacing as a budget overrun in production. Also
+    * the door's observability surface: offered vs survivor vs kept
+    * mass per poll is the backpressure curve a collector reads.
+    *
+    * Shape: two store scans (|arrivals| and |batches|·|sources|
+    * rows), two batch-grain aggregates, one report-sized join. */
+  def c153DoorLedger(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame = {
+    val root = composedStores(spark, dir, nBatches)
+    val dec = spark.read.parquet(s"$root/decisions")
+      .drop(EventsStream.KeyBucketCol)
+      .withColumn("batch_id", pmod(col("doc_id"), lit(nBatches.toLong)))
+      .groupBy("batch_id").agg(
+        count(lit(1)).as("n_arrivals"),
+        sum(when(col("stage") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("stage") === "quota_full", 1L).otherwise(0L)).as("n_quota_full"),
+        sum(when(col("stage") === "budget_full", 1L).otherwise(0L)).as("n_budget_full"),
+        sum(when(col("stage") === "keep", col("n_tok")).otherwise(0L)).as("kept_tok"))
+    val led = spark.read.parquet(s"$root/ledger")
+      .drop(EventsStream.KeyBucketCol)
+      .groupBy("batch_id").agg(
+        sum(col("offered_tok")).as("offered_tok"),
+        sum(col("survivor_tok")).as("survivor_tok"))
+    dec.join(led, Seq("batch_id"))
+      .select(col("batch_id"), col("n_arrivals"), col("offered_tok"),
+        col("survivor_tok"), col("kept_tok"), col("n_keep"),
+        col("n_quota_full"), col("n_budget_full"))
+      .orderBy("batch_id")
+  }
 }

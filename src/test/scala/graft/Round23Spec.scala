@@ -228,4 +228,109 @@ class Round23Spec extends AnyFunSuite {
     assert(r.getAs[Long]("p99_shift") > 0L, "the planted p99 shift went undetected")
     assert(r.getAs[Double]("psi") > 0.0)
   }
+
+  test("c151: the stored-sketch serve is row-identical to the in-flight gate") {
+    import graft.operators.Similarity
+    val inflight = Similarity.c147ProjServe(spark, sf).collect().map(_.toString).sorted
+    val stored = Similarity.c151ProjStored(spark, sf).collect().map(_.toString).sorted
+    assert(inflight.nonEmpty)
+    assert(stored.toSeq == inflight.toSeq,
+      "the at-rest sketch artifact drifted from the in-flight projection")
+  }
+
+  test("c152: the mask budget reconciles with c146's mask rows and c120's index") {
+    val rep = graft.operators.Sampling.c152MaskBudget(spark, sf).collect()
+    assert(rep.nonEmpty)
+    val maskByShard = graft.operators.Sampling.c146LossMask(spark, sf)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum(col("mask_end") - col("start_offset")).as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val idxByShard = graft.operators.Sampling.c120KeepsManifest(spark, sf)
+      .groupBy("shard").agg(count(lit(1)).as("n_seqs"), sum("sum_tok").as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    var masked = 0L
+    for (r <- rep) {
+      val sh = r.getAs[Long]("shard")
+      val (nSeqs, sumTok) = idxByShard(sh)
+      assert(r.getAs[Long]("n_seqs") == nSeqs && r.getAs[Long]("sum_tok") == sumTok,
+        s"shard $sh whole-side mass diverges from c120's index")
+      val (nMask, tMask) = maskByShard.getOrElse(sh, (0L, 0L))
+      assert(r.getAs[Long]("n_masked_docs") == nMask)
+      assert(r.getAs[Long]("masked_tok") == tMask,
+        s"shard $sh masked mass diverges from c146's mask rows")
+      assert(r.getAs[Long]("effective_tok") ==
+        r.getAs[Long]("sum_tok") - r.getAs[Long]("masked_tok"))
+      masked += r.getAs[Long]("masked_tok")
+    }
+    assert(masked > 0L, "no masked mass at all — the budget report is vacuous")
+  }
+
+  test("c153: ledger masses reconcile with decisions and the run budget binds") {
+    val rep = graft.streaming.BudgetStream.c153DoorLedger(spark, sf).collect()
+    assert(rep.nonEmpty)
+    var keptTotal = 0L
+    for (r <- rep) {
+      assert(r.getAs[Long]("n_arrivals") ==
+        r.getAs[Long]("n_keep") + r.getAs[Long]("n_quota_full") +
+          r.getAs[Long]("n_budget_full"))
+      assert(r.getAs[Long]("survivor_tok") <= r.getAs[Long]("offered_tok"))
+      assert(r.getAs[Long]("kept_tok") <= r.getAs[Long]("survivor_tok"))
+      keptTotal += r.getAs[Long]("kept_tok")
+    }
+    assert(keptTotal <= graft.streaming.BudgetStream.ComposedBudget,
+      "admitted mass exceeds the run ceiling — the ledger lies")
+    // stage counts must agree with the decision-store audit (c143)
+    val dec = graft.streaming.BudgetStream.c143ComposedGateAudit(spark, sf)
+      .groupBy().agg(
+        sum(when(col("stage") === "keep", 1L).otherwise(0L)),
+        sum(when(col("stage") === "quota_full", 1L).otherwise(0L)),
+        sum(when(col("stage") === "budget_full", 1L).otherwise(0L))).head
+    assert(rep.map(_.getAs[Long]("n_keep")).sum == dec.getLong(0))
+    assert(rep.map(_.getAs[Long]("n_quota_full")).sum == dec.getLong(1))
+    assert(rep.map(_.getAs[Long]("n_budget_full")).sum == dec.getLong(2))
+  }
+
+  test("c154: register arithmetic hand-replays; the estimator picks the documented branch") {
+    import spark.implicits._
+    // hand-replay the 60-bit split for a planted key
+    val key = "deadbeef"
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val v = java.lang.Long.parseLong(md5.substring(0, 15), 16)
+    val rest = v % graft.operators.TextAnalysis.HllRankBase
+    val wantReg = v / graft.operators.TextAnalysis.HllRankBase
+    val wantRank = if (rest == 0L) 53L else 53L - java.lang.Long.toBinaryString(rest).length
+    val got = graft.operators.TextAnalysis
+      .hllRegisters(Seq(key).toDF("sh8"), Seq.empty).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("reg") == wantReg && got.head.getAs[Long]("m") == wantRank,
+      s"register split diverges from the hand replay: ${got.head} vs ($wantReg, $wantRank)")
+    // the keyed report: branch selection + sane accuracy
+    val rep = graft.operators.TextAnalysis
+      .c154HllDistinct(graft.sources.Tables.documents(spark, sf)).collect()
+    assert(rep.nonEmpty)
+    for (r <- rep) {
+      val m = graft.operators.TextAnalysis.HllRegisters
+      assert(r.getAs[Long]("n_used") > 0L && r.getAs[Long]("n_used") <= m)
+      val est = r.getAs[Double]("est")
+      assert(est == r.getAs[Double]("raw_est") ||
+        (!r.isNullAt(r.fieldIndex("lc_est")) && est == r.getAs[Double]("lc_est")),
+        "est is neither the raw nor the linear-counting branch")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(math.abs(est - exact) / exact < 0.5,
+        s"HLL error beyond any plausible band for m=256: $r")
+    }
+  }
+
+  test("c155: per-source registers max-merge to exactly the global table") {
+    val r = graft.operators.TextAnalysis
+      .c155HllMerge(graft.sources.Tables.documents(spark, sf)).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_diff_regs") == 0L, "merge broke the max property")
+    assert(row.getAs[Long]("sum_scaled_merged") == row.getAs[Long]("sum_scaled_global"))
+    assert(row.getAs[Double]("est_merged") == row.getAs[Double]("est_global"))
+    assert(row.getAs[Long]("n_occupied") > 0L)
+    assert(row.getAs[Long]("max_rank") >= 1L && row.getAs[Long]("max_rank") <= 53L)
+  }
 }
