@@ -3379,6 +3379,38 @@ object OraclesC {
       from d155, em155, eg155
     """
 
+  /** c156: vintage novelty off the sketches — base and union register
+    * tables per source, the shared estimator, est_new = difference,
+    * beside the exact audit. */
+  private def c156Sql: String = {
+    val basePred =
+      s"('0x' || substr(md5(d.doc_id::varchar), 1, 7))::bigint % 100 < ${graft.operators.Dedup.DeltaBasePct}"
+    s"""
+      with sh156 as ($SH8),
+      it156 as (select d.source, sh156.sh8, ($basePred) as is_base
+                from sh156 join documents d on sh156.doc_id = d.doc_id),
+      ex156 as (
+        select source,
+               count(distinct case when is_base then sh8 end)::bigint as exact_base,
+               count(distinct sh8)::bigint as exact_union
+        from it156 group by 1),
+      rb156 as (${hllRankSql("(select source, sh8 from it156 where is_base)", "source, ")}),
+      mb156 as (select source, reg, max(rnk)::bigint as m from rb156 group by 1, 2),
+      ru156 as (${hllRankSql("it156", "source, ")}),
+      mu156 as (select source, reg, max(rnk)::bigint as m from ru156 group by 1, 2),
+      eb156 as ${hllEstSql("mb156", "source")},
+      eu156 as ${hllEstSql("mu156", "source")}
+      select x.source, x.exact_base, x.exact_union,
+             (x.exact_union - x.exact_base)::bigint as exact_new,
+             b.est as est_base, u.est as est_union,
+             ${Rz("u.est - b.est", 4)} as est_new
+      from ex156 x
+      join eu156 u using (source)
+      left join eb156 b using (source)
+      order by source
+    """
+  }
+
   /** c142: the fixed-width histogram quantile sketch replayed — bin
     * counts, the cumulative walk, rank targets ⌈n·p/100⌉ in exact
     * integer arithmetic, exact order statistics via the same
@@ -5208,6 +5240,7 @@ object OraclesC {
     "c153_door_ledger" -> c153Sql,
     "c154_hll_distinct" -> c154Sql,
     "c155_hll_merge" -> c155Sql,
+    "c156_hll_vintage" -> c156Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -293,7 +293,16 @@ object ScaleSmoke {
       // r17: the JL audit (bounded |Q|²/2 pair frame; the projection
       // itself is a per-row linear map) and the loss-mask manifest
       // (c111's chain + one pushed predicate)
-      "c145_jl_audit", "c146_loss_mask")
+      "c145_jl_audit", "c146_loss_mask",
+      // r23: the projected serving pair (corpus-wide linear map +
+      // banded candidates + band-sliver escalation), the door →
+      // schedule hand-off and ledger report (batch-bounded door
+      // chains), the sketch-merge audits (cell/register tables are
+      // ≤ d·w / m rows regardless of corpus), HLL, and the
+      // histogram-drift publish gate (two bin aggregates)
+      "c147_proj_serve", "c148_door_schedule", "c149_cms_merge",
+      "c150_hist_drift", "c151_proj_stored", "c152_mask_budget",
+      "c153_door_ledger", "c154_hll_distinct", "c155_hll_merge")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

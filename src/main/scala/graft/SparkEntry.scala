@@ -219,6 +219,7 @@ object SparkEntry {
     "c153_door_ledger" -> ((s, dir) => graft.streaming.BudgetStream.c153DoorLedger(s, dir)),
     "c154_hll_distinct" -> ((s, dir) => TextAnalysis.c154HllDistinct(Tables.documents(s, dir))),
     "c155_hll_merge" -> ((s, dir) => TextAnalysis.c155HllMerge(Tables.documents(s, dir))),
+    "c156_hll_vintage" -> ((s, dir) => TextAnalysis.c156HllVintage(Tables.documents(s, dir))),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

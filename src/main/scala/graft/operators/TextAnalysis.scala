@@ -1445,6 +1445,41 @@ object TextAnalysis {
     diff.crossJoin(eM).crossJoin(eG)
   }
 
+  /** c156: HLL VINTAGE NOVELTY — what an ingest adds, estimated from
+    * sketches alone: per source, the base vintage's register table
+    * and the union's (one pass each), estimates off the shared
+    * estimator, and est_new = est_union − est_base — the standard
+    * sketch-difference novelty read (|A∪B| − |A| ≈ |B\\A|), beside
+    * the exact audit. At 100 TB the base registers are LAST vintage's
+    * stored artifact (256 longs per source) and the delta's merge in
+    * by max (c155's proven property) — "how much genuinely new
+    * content did this crawl buy" priced without re-reading the base
+    * corpus. est_new is signed (HLL noise can push it below zero on
+    * a tiny delta) and flows through the Rz discipline.
+    *
+    * Shape: one shingle pass, two ≤ sources×256 register aggregates,
+    * the exact audit legs, report-sized joins. */
+  def c156HllVintage(docs: DataFrame): DataFrame = {
+    val items = Dedup.docShingles8(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("is_base", graft.operators.Dedup.isBaseDoc(col("doc_id")))
+    val exact = items.groupBy("source").agg(
+      countDistinct(when(col("is_base"), col("sh8"))).as("exact_base"),
+      countDistinct(col("sh8")).as("exact_union"))
+    val eBase = hllEstimate(
+      hllRegisters(items.filter(col("is_base")), Seq("source")), Seq("source"))
+      .select(col("source"), col("est").as("est_base"))
+    val eUnion = hllEstimate(hllRegisters(items, Seq("source")), Seq("source"))
+      .select(col("source"), col("est").as("est_union"))
+    exact.join(eUnion, Seq("source"))
+      .join(eBase, Seq("source"), "left")
+      .withColumn("exact_new", col("exact_union") - col("exact_base"))
+      .withColumn("est_new", round(col("est_union") - col("est_base"), 4))
+      .select(col("source"), col("exact_base"), col("exact_union"),
+        col("exact_new"), col("est_base"), col("est_union"), col("est_new"))
+      .orderBy("source")
+  }
+
   /** The Bloom set-bit table of a (…, sh8) key frame — materialized:
     * the k probe joins each broadcast it, and an unmaterialized plan
     * would re-derive the explode + distinct once per hash function

@@ -322,6 +322,57 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("c148: the LIVE hand-off stream accumulates exactly the audit's schedule") {
+    import graft.streaming.BudgetStream
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val pop = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = graft.operators.TextAnalysis.storedMerges(spark, sf)
+    val quotas = BudgetStream.sourceQuotas(spark, sf)
+    val cuts = graft.operators.Sampling.pinnedCuts(spark, sf)
+    val in = java.nio.file.Files.createTempDirectory("graft-ho-in-").toString
+    for (i <- 0 until n) {
+      pop.filter(pmod(col("doc_id"), lit(n)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-ho-st-").toString
+    val src = spark.readStream.schema(pop.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = BudgetStream.handoffGate(src, merges, quotas, cuts, root)
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.read.parquet(s"$root/schedule")
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "bin", "shard", "pos", "batch_id")
+      .orderBy("shard", "pos").collect()
+    val audit = BudgetStream.c148DoorSchedule(spark, sf).collect()
+    assert(live.nonEmpty)
+    assert(live.length == audit.length && live.sameElements(audit),
+      "live hand-off schedule diverges from the store-grain audit")
+  }
+
+  test("c156: sketch novelty tracks the exact new-shingle mass") {
+    val rep = graft.operators.TextAnalysis
+      .c156HllVintage(graft.sources.Tables.documents(spark, sf)).collect()
+    assert(rep.nonEmpty)
+    for (r <- rep) {
+      assert(r.getAs[Long]("exact_new") >= 0L)
+      assert(r.getAs[Long]("exact_new") ==
+        r.getAs[Long]("exact_union") - r.getAs[Long]("exact_base"))
+      // register tables only grow under union, so raw and LC are each
+      // exactly monotone; a branch switch at the 2.5m boundary can
+      // wobble a few percent — allow that, catch real breakage
+      if (!r.isNullAt(r.fieldIndex("est_base")))
+        assert(r.getAs[Double]("est_union") >=
+          r.getAs[Double]("est_base") * 0.9 - 1e-9,
+          s"union estimate far below base — register monotonicity broken: $r")
+      // HLL accuracy: union estimate within a loose band of exact
+      val exact = r.getAs[Long]("exact_union").toDouble
+      assert(math.abs(r.getAs[Double]("est_union") - exact) / exact < 0.5)
+    }
+  }
+
   test("c155: per-source registers max-merge to exactly the global table") {
     val r = graft.operators.TextAnalysis
       .c155HllMerge(graft.sources.Tables.documents(spark, sf)).collect()
