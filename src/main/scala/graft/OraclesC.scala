@@ -524,6 +524,104 @@ object OraclesC {
     """
   }
 
+  /** One unrolled batch of c157's sketch-gate replay — c84Batch's
+    * structure with the two-tier verification: sketch cosine against
+    * threshold ± the c145-audit band, full cosine only deciding the
+    * escalation sliver. Buckets come from the SKETCH's sign bits
+    * (sigp), so candidate generation is also sketch-grain. */
+  private def c157Batch(i: Int, nBatches: Int): String = {
+    val prev = if (i == 0) "skeep_m1" else s"skeep${i - 1}"
+    val th = graft.operators.Similarity.SemDedupThreshold
+    val cosNK = this.cosNK(graft.operators.Similarity.JlDim) _
+    s"""
+      svb$i as materialized (select vec_id from embeddings where vec_id % $nBatches = $i),
+      sbb$i as materialized (select s.vec_id, s.bucket from sigp s join svb$i using (vec_id)),
+      scb$i as (select vec_id, bucket from sbb$i
+                qualify count(*) over (partition by bucket) <= $CAP),
+      swc$i as (select a.vec_id as va, b.vec_id as vb from scb$i a join scb$i b
+                on a.bucket = b.bucket and a.vec_id < b.vec_id),
+      sxc$i as (select distinct bb.vec_id as va, kb.vec_id as vb
+                from sbb$i bb
+                join (select s2.bucket, s2.vec_id from sigp s2 join $prev using (vec_id)) kb
+                  on bb.bucket = kb.bucket),
+      svp$i as materialized (
+        select va, vb from (
+          select c.va, c.vb,
+                 ${cosNK("pa.p", "pb.p")} as cp,
+                 ${cosN("ea.embedding", "eb.embedding")} as cf
+          from (select va, vb from swc$i union select va, vb from sxc$i) c
+          join prj157 pa on pa.vec_id = c.va
+          join prj157 pb on pb.vec_id = c.vb
+          join embeddings ea on ea.vec_id = c.va
+          join embeddings eb on eb.vec_id = c.vb)
+        cross join bd157
+        where cp >= $th + band or (cp >= $th - band and cf >= $th)),
+      sed$i as materialized (select va as a, vb as b from svp$i
+               union select vb as a, va as b from svp$i),
+      sreach$i(a, b) as (
+        select a, b from sed$i
+        union
+        select r.a, e.b from sreach$i r join sed$i e on r.b = e.a where e.b <> r.a),
+      slab$i as materialized (select a as node, least(a, min(b)) as comp from sreach$i group by a),
+      sperc$i as materialized (
+        select l.comp,
+               min(case when kp.vec_id is not null then l.node end) as min_keeper,
+               min(case when kp.vec_id is null then l.node end) as anchor
+        from slab$i l left join $prev kp on kp.vec_id = l.node
+        group by l.comp),
+      sdec$i as materialized (
+        select s.vec_id,
+               case when l.node is null then true
+                    when p.min_keeper is not null then false
+                    when p.anchor <> s.vec_id then false
+                    else true end as admitted,
+               cast(case when l.node is null then null
+                    when p.min_keeper is not null then p.min_keeper
+                    when p.anchor <> s.vec_id then p.anchor
+                    else null end as bigint) as dup_of
+        from svb$i s
+        left join slab$i l on l.node = s.vec_id
+        left join sperc$i p on p.comp = l.comp),
+      skeep$i as materialized (select vec_id from $prev union all
+                    select vec_id from sdec$i where admitted)"""
+  }
+
+  /** c157's full oracle: the sketch-served gate's admission history
+    * replayed batch-for-batch — the corpus-wide projection, the
+    * audit-grid band (c147's exact-rank spelling), sketch-sign
+    * buckets, the unrolled two-tier batches. */
+  private def c157Sql(nBatches: Int): String = {
+    val k = graft.operators.Similarity.JlDim
+    val cosNK = this.cosNK(k) _
+    val bits = (0 until graft.streaming.EmbedDupStream.SignBits)
+      .map(d => s"(case when p[${d + 1}] >= 0 then ${1L << d} else 0 end)")
+      .mkString("\n          + ")
+    s"""
+      with recursive
+      prj157 as materialized (
+        select vec_id, embedding, ${jlProjList(k)} as p from embeddings),
+      a157x as (select vec_id, embedding as v, p from prj157 where vec_id < $NQ),
+      err157 as (
+        select round(abs(${cosN("a.v", "b.v")}
+                 - ${cosNK("a.p", "b.p")}), 4) as abs_err
+        from a157x a join a157x b on a.vec_id < b.vec_id
+        where ${cosN("a.v", "b.v")} is not null
+          and ${cosNK("a.p", "b.p")} is not null),
+      bd157 as (
+        select abs_err as band from (
+          select abs_err, row_number() over (order by abs_err) as rk,
+                 count(*) over () as n
+          from err157)
+        where rk = ((n * ${graft.operators.Similarity.JlBandPct} + 99) // 100)),
+      sigp as materialized (select vec_id, $bits as bucket from prj157),
+      skeep_m1 as (select cast(null as bigint) as vec_id where 1 = 0),
+      ${(0 until nBatches).map(i => c157Batch(i, nBatches)).mkString(",")}
+      select vec_id, admitted, dup_of
+      from (${(0 until nBatches).map(i => s"select * from sdec$i").mkString(" union all ")})
+      order by vec_id
+    """
+  }
+
   /** c60's coarse-quantizer CTEs (cc / ranked_assign / assigned60),
     * shared by the c65 residual chain and the c66 audit — the exact
     * ranking spelling the kernels' ivfTopClusters pins. */
@@ -4359,6 +4457,7 @@ object OraclesC {
     // probes vs accumulated keepers, verified cosine, components,
     // keepers-win) unrolled batch-for-batch
     "c84_embed_gate" -> c84Sql(graft.streaming.EmbedDupStream.EmbedAuditBatches),
+    "c157_sketch_gate" -> c157Sql(graft.streaming.EmbedDupStream.EmbedAuditBatches),
 
     // c85: the five-gate pipeline — the c67 funnel replay probing the
     // FINAL keeper chain, the c84 embedding admission over each

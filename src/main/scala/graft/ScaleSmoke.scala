@@ -302,7 +302,8 @@ object ScaleSmoke {
       // histogram-drift publish gate (two bin aggregates)
       "c147_proj_serve", "c148_door_schedule", "c149_cms_merge",
       "c150_hist_drift", "c151_proj_stored", "c152_mask_budget",
-      "c153_door_ledger", "c154_hll_distinct", "c155_hll_merge")
+      "c153_door_ledger", "c154_hll_distinct", "c155_hll_merge",
+      "c156_hll_vintage", "c157_sketch_gate")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -149,6 +149,7 @@ object SparkEntry {
     "c82_index_churn" -> ((s, dir) => Similarity.c82IndexChurnServe(s, dir)),
     "c83_stored_tokenizer" -> ((s, dir) => TextAnalysis.c83StoredTokenizer(s, dir)),
     "c84_embed_gate" -> ((s, dir) => graft.streaming.EmbedDupStream.c84EmbedGateAudit(s, dir)),
+    "c157_sketch_gate" -> ((s, dir) => graft.streaming.EmbedDupStream.c157SketchGateAudit(s, dir)),
     "c85_gate5" -> ((s, dir) => graft.streaming.FunnelStream.c85Gate5Pipeline(s, dir)),
     "c86_pack_tokenized" -> ((s, dir) => Sampling.c86PackTokenized(s, dir)),
     "c87_index_health" -> ((s, dir) => Similarity.c87IndexHealth(s, dir)),

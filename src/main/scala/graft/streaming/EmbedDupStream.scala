@@ -122,27 +122,9 @@ object EmbedDupStream {
       .select(col("doc_a"), col("doc_b"))
 
     // component labels over batch ∪ keepers; keepers win clusters —
-    // NearDupStream's exact decision tail at vector grain
-    val keepers = crossPairs.select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("is_keeper", lit(true))
-    val labeled = Dedup.labelComponents(pairs)
-      .withColumnRenamed("label", "comp")
-      .join(keepers, Seq("doc_id"), "left")
-    val perComp = labeled.groupBy("comp").agg(
-      min(when(col("is_keeper"), col("doc_id"))).as("min_keeper"),
-      min(when(col("is_keeper").isNull, col("doc_id"))).as("anchor"))
-    val decisions = Materialize.frame(b.select(col("vec_id"))
-      .join(labeled.filter(col("is_keeper").isNull)
-        .join(perComp, Seq("comp"))
-        .select(col("doc_id").as("vec_id"), col("min_keeper"), col("anchor")),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        when(col("min_keeper").isNotNull, lit(false))
-          .when(col("anchor").isNotNull && col("anchor") =!= col("vec_id"), lit(false))
-          .otherwise(lit(true)).as("admitted"),
-        coalesce(col("min_keeper"),
-          when(col("anchor") =!= col("vec_id"), col("anchor"))).as("dup_of")))
-    (decisions, bucketsB)
+    // NearDupStream's exact decision tail at vector grain (the
+    // decideFromPairs spelling shared with the c157 sketch gate)
+    (decideFromPairs(b, pairs, crossCand), bucketsB)
   }
 
   /** How many polls [[c84EmbedGateAudit]] splits the corpus into —
@@ -202,4 +184,185 @@ object EmbedDupStream {
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
+
+  // ---------------------------------------------------------------
+  // c157: the SKETCH-SERVED live gate — c84's admission policy with
+  // c147/c151's two-tier evidence: the door's working set is the
+  // 16-dim JL sketch (bucketing, probing, and MOST verification run
+  // on a quarter of the bytes); the full embedding is read only for
+  // pairs inside the audited uncertainty band. Same keepers-win
+  // policy, same stores discipline; the keep-store now splits into a
+  // sketch store (what every probe joins) and a full store (touched
+  // only by the escalation sliver's keyed join).
+  // ---------------------------------------------------------------
+
+  /** The decision tail shared by c84's and c157's batch admissions:
+    * verified pairs → components → keepers win, batch minima anchor.
+    * `keeperIds` = the matched cross-probe keeper ids (candidate
+    * grain — only ids that appear in components matter). */
+  private def decideFromPairs(b: DataFrame, pairs: DataFrame,
+      keeperIds: DataFrame): DataFrame = {
+    val keepers = keeperIds.select(col("keeper_id").as("doc_id")).distinct()
+      .withColumn("is_keeper", lit(true))
+    val labeled = Dedup.labelComponents(pairs)
+      .withColumnRenamed("label", "comp")
+      .join(keepers, Seq("doc_id"), "left")
+    val perComp = labeled.groupBy("comp").agg(
+      min(when(col("is_keeper"), col("doc_id"))).as("min_keeper"),
+      min(when(col("is_keeper").isNull, col("doc_id"))).as("anchor"))
+    Materialize.frame(b.select(col("vec_id"))
+      .join(labeled.filter(col("is_keeper").isNull)
+        .join(perComp, Seq("comp"))
+        .select(col("doc_id").as("vec_id"), col("min_keeper"), col("anchor")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("min_keeper").isNotNull, lit(false))
+          .when(col("anchor").isNotNull && col("anchor") =!= col("vec_id"), lit(false))
+          .otherwise(lit(true)).as("admitted"),
+        coalesce(col("min_keeper"),
+          when(col("anchor") =!= col("vec_id"), col("anchor"))).as("dup_of")))
+  }
+
+  /** One micro-batch of the sketch-served gate. `band` is the c145
+    * audit's p90 |err| (computed once per gate, the c147 artifact).
+    * Verification is two-tier per candidate pair: sketch cosine ≥
+    * threshold + band is a dup on sketch evidence alone; inside
+    * [threshold − band, threshold + band) the pair escalates to an
+    * exact full-width cosine (batch side from the batch, keeper side
+    * a keyed join into the full store restricted to escalated ids);
+    * below the band is a definite non-pair. */
+  private[graft] def batchDecisions157(b: DataFrame, bucketStore: String,
+      keepSketchStore: String, keepFullStore: String, band: Double,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = b.sparkSession
+    val guarded = b.filter(assert_true(size(col("embedding")) >= SignBits,
+      concat(lit(s"sketch gate: $SignBits sign bits need ≥$SignBits dims, embedding has "),
+        size(col("embedding")))).isNull)
+    // the batch's sketch column + norms (per-row linear map)
+    val nb = Materialize.frame(
+      Similarity.jlProjected(guarded.select(col("vec_id"),
+          col("embedding")))
+        .select(col("vec_id"), col("v").as("embedding"), col("p"))
+        .withColumn("nrm", VectorFns.norm(col("embedding")))
+        .withColumn("pnrm", VectorFns.norm(col("p"))))
+    val bucketsB = Materialize.frame(nb.select(col("vec_id"),
+      VectorFns.signBucket(col("p"), SignBits).as("bucket")))
+
+    val crossCand = bucketsB
+      .join(readOrEmpty(spark, bucketStore, "bucket bigint, vec_id bigint")
+        .withColumnRenamed("vec_id", "keeper_id"), Seq("bucket"))
+      .select(col("vec_id"), col("keeper_id")).distinct()
+      .join(b.select(col("vec_id").as("keeper_id")), Seq("keeper_id"), "left_anti")
+    // sketch-grain verification frame: keeper sketches are the ONLY
+    // per-probe store read (16 doubles/vector)
+    val keeperSk = readOrEmpty(spark, keepSketchStore,
+        "vec_id bigint, p array<double>")
+      .join(crossCand.select(col("keeper_id").as("vec_id")).distinct(), Seq("vec_id"))
+      .withColumn("pnrm", VectorFns.norm(col("p")))
+    val crossSk = crossCand
+      .join(nb.select(col("vec_id"), col("p").as("pa"), col("pnrm").as("pna")),
+        Seq("vec_id"))
+      .join(keeperSk.select(col("vec_id").as("keeper_id"),
+        col("p").as("pb"), col("pnrm").as("pnb")), Seq("keeper_id"))
+      .select(col("vec_id").as("doc_a"), col("keeper_id").as("doc_b"),
+        Similarity.pairCos("pa", "pna", "pb", "pnb").as("cp"))
+    val capped = bucketsB
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsz") <= Dedup.BucketCap)
+      .drop("bsz")
+    val withinSk = capped.as("a")
+      .join(capped.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      .join(nb.select(col("vec_id").as("doc_a"),
+        col("p").as("pa"), col("pnrm").as("pna")), Seq("doc_a"))
+      .join(nb.select(col("vec_id").as("doc_b"),
+        col("p").as("pb"), col("pnrm").as("pnb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Similarity.pairCos("pa", "pna", "pb", "pnb").as("cp"))
+    val scored = Materialize.frame(
+      withinSk.unionByName(crossSk).filter(col("cp") >= threshold - band))
+    val projPairs = scored.filter(col("cp") >= threshold + band)
+      .select(col("doc_a"), col("doc_b"))
+    // the escalation sliver: full-width vectors via keyed joins only
+    val esc = scored.filter(col("cp") < threshold + band)
+    val escKeepers = readOrEmpty(spark, keepFullStore,
+        "vec_id bigint, embedding array<double>")
+      .join(esc.select(col("doc_b").as("vec_id")).distinct(), Seq("vec_id"))
+    val fullSide = nb.select(col("vec_id"), col("embedding"), col("nrm"))
+      .unionByName(Similarity.withNorm(escKeepers))
+    val fullPairs = esc
+      .join(fullSide.select(col("vec_id").as("doc_a"),
+        col("embedding").as("fa"), col("nrm").as("na")), Seq("doc_a"))
+      .join(fullSide.select(col("vec_id").as("doc_b"),
+        col("embedding").as("fb"), col("nrm").as("nb")), Seq("doc_b"))
+      .filter(Similarity.pairCos("fa", "na", "fb", "nb") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val pairs = projPairs.unionByName(fullPairs)
+    val decisions = decideFromPairs(b, pairs, crossCand)
+    (decisions, bucketsB, nb.select(col("vec_id"), col("p")))
+  }
+
+  /** Start the live sketch-served gate over a streaming (vec_id,
+    * embedding) frame. `band` ships like the c96 classifier weights:
+    * computed once from the audit artifact, closed over. */
+  def sketchGate(vecs: DataFrame, stores: String, band: Double,
+      threshold: Double = CosThreshold,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(vecs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = Materialize.frame(batch.select(col("vec_id"), col("embedding")))
+        val (decisions, bucketsB, sketches) = batchDecisions157(
+          b, s"$stores/buckets", s"$stores/keep_sketch", s"$stores/keep_full",
+          band, threshold)
+        EventsStream.upsertSink(decisions, s"$stores/decisions", "vec_id")
+        val kept = decisions.filter(col("admitted")).select("vec_id")
+        EventsStream.upsertSink(sketches.join(kept, Seq("vec_id")),
+          s"$stores/keep_sketch", "vec_id")
+        EventsStream.upsertSink(
+          b.select(col("vec_id"), col("embedding").cast("array<double>"))
+            .join(kept, Seq("vec_id")),
+          s"$stores/keep_full", "vec_id")
+        EventsStream.upsertSink(keptBucketRows(bucketsB, kept),
+          s"$stores/buckets", "bk_vec")
+        ()
+      }
+      .start()
+
+  /** c157: the sketch-served gate's STORE-GRAIN audit — c84's
+    * discipline with the two-tier evidence: [[EmbedAuditBatches]]
+    * polls through [[batchDecisions157]] + the gate's own store
+    * merges, keyed result = the decision store. The oracle replays
+    * the admission history with the same two-tier rule (sketch
+    * cosine against threshold ± the c145-audit band, full cosine for
+    * the escalation sliver), so every decision — including which
+    * tier decided it — is hash-pinned. */
+  def c157SketchGateAudit(spark: SparkSession, dir: String,
+      nBatches: Int = EmbedAuditBatches,
+      threshold: Double = CosThreshold): DataFrame = {
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val band = Similarity.jlBand(spark, dir)
+    val scratch = StoreMemo.memo(spark, s"c157_sketchgate_${dir}_$nBatches") { root =>
+      for (i <- 0 until nBatches) {
+        val b = Materialize.frame(vecs.filter(pmod(col("vec_id"), lit(nBatches)) === i))
+        val (decisions, bucketsB, sketches) = batchDecisions157(
+          b, s"$root/buckets", s"$root/keep_sketch", s"$root/keep_full",
+          band, threshold)
+        EventsStream.upsertSink(decisions, s"$root/decisions", "vec_id")
+        val kept = decisions.filter(col("admitted")).select("vec_id")
+        EventsStream.upsertSink(sketches.join(kept, Seq("vec_id")),
+          s"$root/keep_sketch", "vec_id")
+        EventsStream.upsertSink(
+          b.select(col("vec_id"), col("embedding").cast("array<double>"))
+            .join(kept, Seq("vec_id")),
+          s"$root/keep_full", "vec_id")
+        EventsStream.upsertSink(keptBucketRows(bucketsB, kept),
+          s"$root/buckets", "bk_vec")
+      }
+    }
+    decisions(spark, s"$scratch/decisions").orderBy("vec_id")
+  }
 }

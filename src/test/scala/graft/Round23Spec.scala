@@ -373,6 +373,43 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("c157: the sketch gate's audit is a valid admission history, and the LIVE stream matches it") {
+    import graft.streaming.EmbedDupStream
+    val audit = EmbedDupStream.c157SketchGateAudit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    val admitted = audit.filter(_.getAs[Boolean]("admitted"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(admitted.nonEmpty && admitted.size < audit.length,
+      "gate admitted everything or nothing — vacuous at this SF")
+    // every drop cites an admitted keeper or an earlier batch anchor
+    for (r <- audit if !r.getAs[Boolean]("admitted")) {
+      val cite = r.getAs[Long]("dup_of")
+      assert(admitted.contains(cite),
+        s"vec ${r.getAs[Long]("vec_id")} dropped citing non-admitted $cite")
+      assert(cite != r.getAs[Long]("vec_id"))
+    }
+    // the LIVE sketch-served stream accumulates the same decisions
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = EmbedDupStream.EmbedAuditBatches
+    val band = graft.operators.Similarity.jlBand(spark, sf)
+    val in = java.nio.file.Files.createTempDirectory("graft-sg-in-").toString
+    for (i <- 0 until n) {
+      vecs.filter(pmod(col("vec_id"), lit(n)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-sg-st-").toString
+    val src = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = EmbedDupStream.sketchGate(src, root, band)
+    try q.processAllAvailable() finally q.stop()
+    val live = EmbedDupStream.decisions(spark, s"$root/decisions")
+      .orderBy("vec_id").collect()
+    assert(live.length == audit.length && live.sameElements(audit),
+      "live sketch-gate store diverges from the audit")
+  }
+
   test("c155: per-source registers max-merge to exactly the global table") {
     val r = graft.operators.TextAnalysis
       .c155HllMerge(graft.sources.Tables.documents(spark, sf)).collect()
