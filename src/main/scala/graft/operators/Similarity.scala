@@ -1559,6 +1559,26 @@ object Similarity {
       jlBand(spark, dir), nBits, nTables, threshold, bucketCap)
   }
 
+  /** Escalation-read pushdown bound: when the band sliver's vec_id
+    * set fits under this, it is collected (bounded by construction —
+    * the band bounds the sliver) and pushed as an In filter into the
+    * raw-embedding scan, so the 64-dim read PRUNES instead of
+    * scanning the corpus behind a semi-join; past the bound the
+    * semi-join fallback keeps the result identical and only the scan
+    * pruning differs. */
+  private[graft] val EscalationPushLimit = 10000
+
+  /** The rows of `store` whose vec_id is in `ids` — In-pushdown when
+    * the id set is small (see [[EscalationPushLimit]]), semi-join
+    * fallback otherwise. `ids` must expose one `vec_id` column. */
+  private[graft] def keyedRows(store: DataFrame, ids: DataFrame): DataFrame = {
+    val collected = ids.limit(EscalationPushLimit + 1).collect().map(_.getLong(0))
+    if (collected.isEmpty) store.filter(lit(false))
+    else if (collected.length <= EscalationPushLimit)
+      store.filter(col("vec_id").isin(collected: _*))
+    else store.join(ids, Seq("vec_id"))
+  }
+
   /** The two-tier gate over an explicit sketch frame (vec_id, p) —
     * ONE spelling shared by c147 (in-flight projection) and c151
     * (stored sketch artifact), so the stored path provably runs the
@@ -1580,7 +1600,7 @@ object Similarity {
     val esc = scored.filter(col("cos_proj") < threshold + band)
     val needed = esc.select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
       .distinct()
-    val fullVecs = withNorm(emb).join(needed, Seq("vec_id"))
+    val fullVecs = withNorm(keyedRows(emb, needed))
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val fullTier = esc
       .join(fullVecs.select(col("vec_id").as("vec_a"),

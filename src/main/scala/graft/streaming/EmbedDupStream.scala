@@ -287,9 +287,13 @@ object EmbedDupStream {
       .select(col("doc_a"), col("doc_b"))
     // the escalation sliver: full-width vectors via keyed joins only
     val esc = scored.filter(col("cp") < threshold + band)
-    val escKeepers = readOrEmpty(spark, keepFullStore,
-        "vec_id bigint, embedding array<double>")
-      .join(esc.select(col("doc_b").as("vec_id")).distinct(), Seq("vec_id"))
+    // escalated keeper ids are batch-bounded (cross candidates are
+    // batch × matched); pushed into the full-store scan so the
+    // 64-dim read prunes (Similarity.keyedRows' In/semi-join split)
+    val escKeepers = Similarity.keyedRows(
+      readOrEmpty(spark, keepFullStore, "vec_id bigint, embedding array<double>"),
+      esc.select(col("doc_b").as("vec_id")).distinct()
+        .join(b.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val fullSide = nb.select(col("vec_id"), col("embedding"), col("nrm"))
       .unionByName(Similarity.withNorm(escKeepers))
     val fullPairs = esc
