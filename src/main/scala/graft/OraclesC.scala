@@ -622,6 +622,108 @@ object OraclesC {
     """
   }
 
+  /** c158: the sketch-routed two-stage serve — corpus-wide
+    * projection, sketch-cosine stage-1 window at `depth`, exact
+    * full-width rerank at `topK` (c113's shape with the sketch as
+    * stage 1 instead of the ADC index). */
+  private def c158Sql: String = {
+    val k = graft.operators.Similarity.JlDim
+    val depth = graft.operators.Similarity.RerankDepth
+    val topK = graft.operators.Similarity.PqTopK
+    val cosNK = this.cosNK(k) _
+    s"""
+      with pr158 as materialized (
+        select vec_id, ${jlProjList(k)} as p from embeddings),
+      q158 as (select vec_id as q_id, p as qp from pr158 where vec_id < $NQ),
+      s158 as (
+        select q.q_id, c.vec_id,
+               row_number() over (partition by q.q_id
+                 order by ${cosNK("q.qp", "c.p")} desc nulls last, c.vec_id)::bigint
+                 as sk_rank
+        from pr158 c cross join q158 q
+        where c.vec_id <> q.q_id
+        qualify sk_rank <= $depth),
+      r158 as (
+        select s.q_id, s.vec_id, s.sk_rank,
+               ${cosN("eq.embedding", "ec.embedding")} as cos,
+               row_number() over (partition by s.q_id
+                 order by ${cosN("eq.embedding", "ec.embedding")} desc nulls last,
+                          s.vec_id)::bigint as rank
+        from s158 s
+        join embeddings eq on eq.vec_id = s.q_id
+        join embeddings ec on ec.vec_id = s.vec_id
+        qualify rank <= $topK)
+      select q_id, rank, vec_id, sk_rank, cos
+      from r158 order by q_id, rank
+    """
+  }
+
+  /** c159: the band-health monitor — per vintage (base / full), the
+    * two-tier gate's candidate mass per tier and the escalated
+    * admissions, with the band computed ONCE from the full-corpus
+    * audit grid (the shipped artifact, both legs). */
+  private def c159Sql: String = {
+    val k = graft.operators.Similarity.JlDim
+    val th = graft.operators.Similarity.SemDedupThreshold
+    val cosNK = this.cosNK(k) _
+    val pBits = (0 until graft.operators.Similarity.DefaultSignBits)
+      .map(d => s"(case when p[${d + 1}] >= 0 then ${1L << d} else 0 end)")
+      .mkString("\n          + ")
+    val basePred =
+      s"not (vec_id % 5 = 0 and vec_id >= ${graft.operators.Similarity.IndexBaseBoundary})"
+    def leg(sfx: String, pred: String, vintage: String) = s"""
+      e$sfx as (select vec_id, embedding from embeddings where $pred),
+      pr$sfx as (select vec_id, ${jlProjList(k)} as p from e$sfx),
+      v$sfx as (
+        select vec_id, p, $pBits as bucket
+        from pr$sfx
+        qualify count(*) over (partition by bucket) <= $CAP),
+      sc$sfx as (
+        select a.vec_id as va, b.vec_id as vb, ${cosNK("a.p", "b.p")} as cp
+        from v$sfx a join v$sfx b
+          on a.bucket = b.bucket and a.vec_id < b.vec_id),
+      ea$sfx as (
+        select (count(*) filter (where s.cp >= $th - band and s.cp < $th + band
+                 and ${cosN("x.embedding", "y.embedding")} >= $th))::bigint as n_esc_admit
+        from sc$sfx s
+        cross join bd159
+        join embeddings x on x.vec_id = s.va
+        join embeddings y on y.vec_id = s.vb),
+      ag$sfx as (
+        select '$vintage' as vintage,
+               count(*)::bigint as n_cand,
+               (count(*) filter (where cp >= $th + band))::bigint as n_proj,
+               (count(*) filter (where cp >= $th - band and cp < $th + band))::bigint as n_esc,
+               (count(*) filter (where cp is null or cp < $th - band))::bigint as n_reject
+        from sc$sfx cross join bd159),
+      r$sfx as (
+        select a.vintage, a.n_cand, a.n_proj, a.n_esc, e.n_esc_admit, a.n_reject,
+               round(a.n_proj::double / a.n_cand, 4) as proj_frac,
+               round(a.n_esc::double / a.n_cand, 4) as esc_frac
+        from ag$sfx a, ea$sfx e)"""
+    s"""
+      with prA159 as (
+        select vec_id, embedding as v, ${jlProjList(k)} as p
+        from embeddings where vec_id < $NQ),
+      err159 as (
+        select round(abs(${cosN("a.v", "b.v")}
+                 - ${cosNK("a.p", "b.p")}), 4) as abs_err
+        from prA159 a join prA159 b on a.vec_id < b.vec_id
+        where ${cosN("a.v", "b.v")} is not null
+          and ${cosNK("a.p", "b.p")} is not null),
+      bd159 as (
+        select abs_err as band from (
+          select abs_err, row_number() over (order by abs_err) as rk,
+                 count(*) over () as n
+          from err159)
+        where rk = ((n * ${graft.operators.Similarity.JlBandPct} + 99) // 100)),
+      ${leg("159b", basePred, "base")},
+      ${leg("159f", "1 = 1", "full")}
+      select * from r159b union all select * from r159f
+      order by vintage
+    """
+  }
+
   /** c60's coarse-quantizer CTEs (cc / ranked_assign / assigned60),
     * shared by the c65 residual chain and the c66 audit — the exact
     * ranking spelling the kernels' ivfTopClusters pins. */
@@ -2988,6 +3090,45 @@ object OraclesC {
     """
   }
 
+  /** c160: the novelty-quota door — c156's HLL-novelty chain feeding
+    * the c112 quantization into c128's per-source prefix replay. */
+  private def c160Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val budget = graft.streaming.BudgetStream.BudgetTokens
+    s"""
+      with nv160 as ( $c156Sql ),
+      w160 as (select source, greatest(coalesce(est_new, 0), 0)::double as w
+               from nv160),
+      tz160 as (select round(sum(sqrt(w)), 6) as z from w160),
+      q160 as (
+        select source,
+               case when z > 0
+                 then (($budget * floor(1000.0 * sqrt(w) / z)::bigint) // 1000)::bigint
+                 else 0 end as quota
+        from w160, tz160),
+      ${c75Chain(m)},
+      nsy160 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc160 as (
+        select tf.doc_id, sum(tf.tf * coalesce(nsy160.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy160 on tf.term = nsy160.term
+        group by tf.doc_id),
+      cum160 as (
+        select d.doc_id, d.source, e.n_tok,
+               sum(e.n_tok) over (partition by d.source
+                 order by d.doc_id % $n, d.doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from documents d join enc160 e on d.doc_id = e.doc_id
+        where d.doc_id % 97 <> 0)
+      select c.doc_id, c.source,
+             case when c.cum <= coalesce(q.quota, 0) then 'keep'
+                  else 'quota_full' end as stage,
+             c.n_tok
+      from cum160 c left join q160 q using (source)
+      order by c.doc_id
+    """
+  }
+
   /** c143: the composed door replayed — c128's quota stage verbatim,
     * then c126's global cutoff as a CONDITIONAL prefix sum over the
     * quota survivors only (refused mass consumes no budget). */
@@ -5340,6 +5481,9 @@ object OraclesC {
     "c154_hll_distinct" -> c154Sql,
     "c155_hll_merge" -> c155Sql,
     "c156_hll_vintage" -> c156Sql,
+    "c158_sketch_route" -> c158Sql,
+    "c159_band_health" -> c159Sql,
+    "c160_novelty_quota" -> c160Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -303,7 +303,11 @@ object ScaleSmoke {
       "c147_proj_serve", "c148_door_schedule", "c149_cms_merge",
       "c150_hist_drift", "c151_proj_stored", "c152_mask_budget",
       "c153_door_ledger", "c154_hll_distinct", "c155_hll_merge",
-      "c156_hll_vintage", "c157_sketch_gate")
+      "c156_hll_vintage", "c157_sketch_gate",
+      // r23b: the sketch-routed serve (one sketch-column scan ×
+      // broadcast queries + keyed rerank), the two-leg band monitor,
+      // and the novelty-quota door (HLL chain + batch-bounded door)
+      "c158_sketch_route", "c159_band_health", "c160_novelty_quota")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

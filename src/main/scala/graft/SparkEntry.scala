@@ -221,6 +221,9 @@ object SparkEntry {
     "c154_hll_distinct" -> ((s, dir) => TextAnalysis.c154HllDistinct(Tables.documents(s, dir))),
     "c155_hll_merge" -> ((s, dir) => TextAnalysis.c155HllMerge(Tables.documents(s, dir))),
     "c156_hll_vintage" -> ((s, dir) => TextAnalysis.c156HllVintage(Tables.documents(s, dir))),
+    "c158_sketch_route" -> ((s, dir) => Similarity.c158SketchRoute(s, dir)),
+    "c159_band_health" -> ((s, dir) => Similarity.c159BandHealth(s, dir)),
+    "c160_novelty_quota" -> ((s, dir) => graft.streaming.BudgetStream.c160NoveltyQuota(s, dir)),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

@@ -1626,22 +1626,151 @@ object Similarity {
     * deployment shape: the projection job runs once per embedding
     * vintage; every near-dup serve after it scans 16 doubles per
     * vector instead of 64. */
+  /** The at-rest sketch artifact root (16-dim column + audited band,
+    * written once per (session, corpus)) — shared by c151's near-dup
+    * serving and c158's ANN routing: one projection job, every
+    * sketch consumer. */
+  private[graft] def sketchArtifact(spark: SparkSession, dir: String): String = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    graft.streaming.StoreMemo.memo(spark, s"c151_sketch_$dir") { r =>
+      jlProjected(emb).select(col("vec_id"), col("p"))
+        .write.mode("overwrite").parquet(s"$r/sketch")
+      import spark.implicits._
+      Seq(jlBand(spark, dir)).toDF("band")
+        .write.mode("overwrite").parquet(s"$r/band")
+    }
+  }
+
   def c151ProjStored(spark: SparkSession, dir: String,
       nBits: Int = DefaultSignBits, nTables: Int = 1,
       threshold: Double = SemDedupThreshold,
       bucketCap: Int = Dedup.BucketCap): DataFrame = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val root = graft.streaming.StoreMemo.memo(spark, s"c151_sketch_$dir") { r =>
-      jlProjected(emb).select(col("vec_id"), col("p"))
-        .write.mode("overwrite").parquet(s"$r/sketch")
-      val spark0 = emb.sparkSession
-      import spark0.implicits._
-      Seq(jlBand(spark, dir)).toDF("band")
-        .write.mode("overwrite").parquet(s"$r/band")
-    }
+    val root = sketchArtifact(spark, dir)
     val band = spark.read.parquet(s"$root/band").head.getDouble(0)
     projGate(emb, spark.read.parquet(s"$root/sketch"), band,
       nBits, nTables, threshold, bucketCap)
+  }
+
+  /** c158: SKETCH-ROUTED ANN — the third serving mode beside brute
+    * (c6) and the IVF/PQ index (c79): stage 1 scans the STORED
+    * 16-dim sketch column (a quarter of the bytes of a brute pass,
+    * no index to train or repair) for each query's top-`depth`
+    * sketch-cosine candidates; stage 2 reranks exactly that bounded
+    * candidate set at full width (c113's rerank discipline — the
+    * 64-dim reads are |Q|·depth keyed lookups pushed as In filters,
+    * never a second corpus pass). Where the gate (c147) asks "is
+    * this pair a dup", this asks "what are this query's neighbors" —
+    * the retrieval twin. Recall is bounded by what the sketch scan
+    * surfaces (JL distortion, the c145-audited dial: raise JlDim or
+    * depth for recall, spec-measured against c6's ground truth).
+    *
+    * Shape: one sketch-column scan × broadcast queries with a
+    * depth-bounded rank window (WindowGroupLimit), then report-sized
+    * joins; the full-width reads prune via [[keyedRows]]. */
+  def c158SketchRoute(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultQueryCount, topK: Int = PqTopK,
+      depth: Int = RerankDepth): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = sketchArtifact(spark, dir)
+    val sk = spark.read.parquet(s"$root/sketch")
+      .withColumn("pnrm", VectorFns.norm(col("p")))
+    val qs = sk.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("p").as("qp"), col("pnrm").as("qpn"))
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("sk_cos").desc, col("vec_id"))
+    val stage1 = sk.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        pairCos("qp", "qpn", "p", "pnrm").as("sk_cos"))
+      .withColumn("sk_rank", row_number().over(w1).cast("long"))
+      .filter(col("sk_rank") <= depth)
+    val needed = stage1.select(col("vec_id"))
+      .union(qs.select(col("q_id").as("vec_id"))).distinct()
+    val fullVecs = withNorm(keyedRows(emb, needed))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    stage1
+      .join(fullVecs.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("nrm").as("qn")), Seq("q_id"))
+      .join(fullVecs.select(col("vec_id"),
+        col("embedding").as("ce"), col("nrm").as("cn")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("sk_rank"),
+        pairCos("qe", "qn", "ce", "cn").as("cos"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sk_rank"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** One vintage leg of c159: the two-tier gate's tier MIX over a
+    * corpus — all candidate pairs scored on the sketch, bucketed
+    * into definite-reject / escalate / sketch-definite against
+    * threshold ± band, the escalated sliver's full-width admissions
+    * counted. The same candidate/scoring spellings as [[projGate]];
+    * this variant keeps the below-band mass (the monitor needs the
+    * denominators the gate drops early). */
+  private def bandTierLeg(emb: DataFrame, band: Double, threshold: Double,
+      vintage: String, nBits: Int, bucketCap: Int): DataFrame = {
+    val scored = Materialize.frame(
+      c5Candidates(jlProjected(emb).select(col("vec_id"), col("p").as("embedding")),
+          nBits, 1, bucketCap)
+        .select(col("vec_a"), col("vec_b"),
+          pairCos("emb_a", "nrm_a", "emb_b", "nrm_b").as("cos_proj")))
+    val esc = scored.filter(
+      col("cos_proj") >= threshold - band && col("cos_proj") < threshold + band)
+    val needed = esc.select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .distinct()
+    val fullVecs = withNorm(keyedRows(emb, needed))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val escAdmit = esc
+      .join(fullVecs.select(col("vec_id").as("vec_a"),
+        col("embedding").as("fa"), col("nrm").as("na")), Seq("vec_a"))
+      .join(fullVecs.select(col("vec_id").as("vec_b"),
+        col("embedding").as("fb"), col("nrm").as("nb")), Seq("vec_b"))
+      .agg(coalesce(sum(when(
+        pairCos("fa", "na", "fb", "nb") >= threshold, 1L).otherwise(0L)), lit(0L))
+        .as("n_esc_admit"))
+    scored.agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("cos_proj") >= threshold + band, 1L).otherwise(0L)).as("n_proj"),
+      sum(when(col("cos_proj") >= threshold - band &&
+        col("cos_proj") < threshold + band, 1L).otherwise(0L)).as("n_esc"),
+      sum(when(col("cos_proj").isNull ||
+        col("cos_proj") < threshold - band, 1L).otherwise(0L)).as("n_reject"))
+      .crossJoin(escAdmit)
+      .select(lit(vintage).as("vintage"), col("n_cand"), col("n_proj"),
+        col("n_esc"), col("n_esc_admit"), col("n_reject"))
+      .withColumn("proj_frac",
+        round(col("n_proj").cast("double") / col("n_cand"), 4))
+      .withColumn("esc_frac",
+        round(col("n_esc").cast("double") / col("n_cand"), 4))
+  }
+
+  /** c159: BAND HEALTH — the sketch gate's escalation economics
+    * monitored across vintages (the keyed drift signal the c147/c151
+    * DEPLOY row names): for the BASE vintage and the FULL corpus,
+    * the candidate mass in each tier (sketch-definite / escalated /
+    * definite-reject), the escalated sliver's full-width admission
+    * count, and the tier fractions. The band is the SHIPPED artifact
+    * (one dial, both legs — exactly what a deployment monitors): a
+    * growing esc_frac across ingests means the embedding
+    * distribution has drifted away from the audited geometry and
+    * c145 must re-run before the read-cost savings silently erode;
+    * a growing proj_frac with falling escalated admissions means the
+    * band is wider than the corpus needs. Report-sized output (two
+    * rows). */
+  def c159BandHealth(spark: SparkSession, dir: String,
+      nBits: Int = DefaultSignBits, threshold: Double = SemDedupThreshold,
+      bucketCap: Int = Dedup.BucketCap): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val band = jlBand(spark, dir)
+    bandTierLeg(emb.filter(isBaseVec(col("vec_id"))), band, threshold,
+        "base", nBits, bucketCap)
+      .unionByName(bandTierLeg(emb, band, threshold, "full", nBits, bucketCap))
+      .orderBy("vintage")
   }
 
   /** c136's probe dial — every power of two up to the full centroid

@@ -172,6 +172,58 @@ object BudgetStream {
       .collect().map(r => r.getString(0) -> budget * r.getLong(1) / 1000L).toMap
   }
 
+  /** Per-source NOVELTY quotas — [[BudgetTokens]] split by √(est_new)
+    * per-mille weights off c156's sketch-difference novelty: pay for
+    * estimated-NEW mass, not repeat arrivals. A source whose ingest
+    * adds nothing new reads mille 0 and its door stays closed until
+    * the next vintage's registers say otherwise — the
+    * acquisition-budget twin of c128's volume quotas. Exact c112
+    * quantization (floor(1000·√w/z), z rounded 6); est_new is the
+    * c156-rounded double on both engines, so the weights replay
+    * bit-for-bit. Bounded collect (|sources| rows). */
+  private[graft] def noveltyQuotas(spark: SparkSession, dir: String,
+      budget: Long = BudgetTokens): Map[String, Long] = {
+    val nov = TextAnalysis.c156HllVintage(
+        graft.sources.Tables.documents(spark, dir))
+      .select(col("source"),
+        greatest(coalesce(col("est_new"), lit(0.0)), lit(0.0)).as("w"))
+    val tot = nov.agg(round(sum(sqrt(col("w"))), 6).as("z"))
+    nov.crossJoin(broadcast(tot))
+      .select(col("source"),
+        when(col("z") > 0.0,
+          floor(lit(1000.0) * sqrt(col("w")) / col("z")).cast("long"))
+          .otherwise(0L).as("mille"))
+      .collect().map(r => r.getString(0) -> budget * r.getLong(1) / 1000L).toMap
+  }
+
+  private def noveltyQuotaStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = TextAnalysis.storedMerges(spark, dir)
+    val quotas = noveltyQuotas(spark, dir)
+    StoreMemo.memo(spark, s"nquota_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processQuotaBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          merges, quotas, s"$scratch/decisions", s"$scratch/ledger", i.toLong)
+    }
+  }
+
+  /** c160: the NOVELTY-quota door at STORE grain — c128's per-source
+    * cutoff machinery (processQuotaBatch verbatim — one door
+    * spelling, two quota plans) driven by [[noveltyQuotas]]: the
+    * sketch tier (c154–c156) deciding what ingest is WORTH paying
+    * for. Keyed result = the decision store; the oracle replays the
+    * HLL-novelty chain into the quota arithmetic and the per-source
+    * prefix sums. */
+  def c160NoveltyQuota(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame =
+    spark.read.parquet(s"${noveltyQuotaStores(spark, dir, nBatches)}/decisions")
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "stage", "n_tok")
+      .orderBy("doc_id")
+
   /** One micro-batch through the PER-SOURCE quota gate — [[processBatch]]'s
     * shape with the budget keyed by source: each source's arrivals
     * consume ITS quota (cutoff rule per source — a source filling its

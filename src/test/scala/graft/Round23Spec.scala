@@ -410,6 +410,86 @@ class Round23Spec extends AnyFunSuite {
       "live sketch-gate store diverges from the audit")
   }
 
+  test("c158: sketch routing emits a valid rank table with measured recall vs exact") {
+    import graft.operators.Similarity
+    val route = Similarity.c158SketchRoute(spark, sf).collect()
+    assert(route.nonEmpty)
+    for ((_, rows) <- route.groupBy(_.getAs[Long]("q_id"))) {
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq == (1L to rows.length).toSeq, "rerank ranks not dense")
+      assert(rows.forall(_.getAs[Long]("sk_rank") <= Similarity.RerankDepth),
+        "a candidate escaped the stage-1 depth cut")
+    }
+    // measured recall@k against the full-width brute-force ground
+    // truth — the dial the JlDim/depth trade is priced by. On this
+    // synthetic corpus true cosines are near-uniform (tiny rank
+    // gaps), the worst case for ANY router — measured ≈0.27 at
+    // depth 30 / 16 dims; the spec pins the measure-don't-guess
+    // invariants, not a corpus-dependent floor.
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val exact = Similarity.c6AnnTopK(emb).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val full = Similarity
+      .c158SketchRoute(spark, sf, topK = Similarity.RerankDepth).collect()
+    def recallOf(sel: org.apache.spark.sql.Row => Boolean): Double = {
+      val byQ = full.filter(sel).groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+      val rs = exact.map { case (q, ex) =>
+        byQ.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val k = graft.operators.Similarity.PqTopK
+    val rerank = recallOf(_.getAs[Long]("rank") <= k)
+    val sketchOnly = recallOf(_.getAs[Long]("sk_rank") <= k)
+    // the two-stage theorem: exact rerank over a depth-superset can
+    // only improve on serving the sketch ranking directly
+    assert(rerank >= sketchOnly - 1e-9,
+      f"rerank recall $rerank%.2f fell below sketch-only $sketchOnly%.2f")
+    assert(rerank > 0.05, f"recall $rerank%.2f — routing surfaces nothing")
+  }
+
+  test("c159: tier masses partition the candidates and reconcile with c147's gate") {
+    import graft.operators.Similarity
+    val rows = Similarity.c159BandHealth(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("vintage")).toSeq == Seq("base", "full"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_cand") ==
+        r.getAs[Long]("n_proj") + r.getAs[Long]("n_esc") + r.getAs[Long]("n_reject"),
+        s"tiers do not partition the candidate set: $r")
+      assert(r.getAs[Long]("n_esc_admit") <= r.getAs[Long]("n_esc"))
+      assert(r.getAs[Long]("n_cand") > 0L)
+    }
+    // the full leg's definite + escalated admissions ARE c147's output
+    val full = rows.find(_.getAs[String]("vintage") == "full").get
+    val gate = Similarity.c147ProjServe(spark, sf).collect()
+    assert(gate.count(_.getAs[String]("tier") == "proj") == full.getAs[Long]("n_proj"),
+      "monitor's sketch-definite mass diverges from the gate's proj tier")
+    assert(gate.count(_.getAs[String]("tier") == "full") == full.getAs[Long]("n_esc_admit"),
+      "monitor's escalated admissions diverge from the gate's full tier")
+  }
+
+  test("c160: the novelty-quota door enforces the sketch-derived budget per source") {
+    import graft.streaming.BudgetStream
+    val quotas = BudgetStream.noveltyQuotas(spark, sf)
+    assert(quotas.values.sum <= BudgetStream.BudgetTokens,
+      "novelty milles overflow the budget pool")
+    val dec = BudgetStream.c160NoveltyQuota(spark, sf).collect()
+    assert(dec.nonEmpty)
+    val keptBySource = dec.filter(_.getAs[String]("stage") == "keep")
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tok")).sum).toMap
+    for ((s, kept) <- keptBySource)
+      assert(kept <= quotas.getOrElse(s, 0L),
+        s"source $s admitted $kept tokens over its novelty quota ${quotas.getOrElse(s, 0L)}")
+    assert(dec.exists(_.getAs[String]("stage") == "quota_full"),
+      "no door ever closed — the novelty budget never bound")
+    // same population as the volume-quota door, different plan
+    val vol = BudgetStream.c128QuotaGateAudit(spark, sf).collect()
+    assert(dec.map(_.getAs[Long]("doc_id")).toSet ==
+      vol.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("c155: per-source registers max-merge to exactly the global table") {
     val r = graft.operators.TextAnalysis
       .c155HllMerge(graft.sources.Tables.documents(spark, sf)).collect()
