@@ -3090,6 +3090,40 @@ object OraclesC {
     """
   }
 
+  /** d11: the chunk-store HLL — d2's chunk chain (hex/md5,
+    * media_type by doc_id % 3) feeding c154's register/estimator
+    * spellings: one HLL contract for text and media. */
+  private def d11Sql: String = {
+    val chunk = graft.operators.Multimodal.DefaultChunkBytes
+    s"""
+      with cd11 as (
+        select doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
+               hex(encode(text)) as hx,
+               octet_length(encode(text)) as n_bytes
+        from documents),
+      xd11 as (
+        select doc_id, media_type, hx,
+               unnest(range(0, greatest(ceil(n_bytes::double / $chunk)::bigint, 1))) as chunk_idx
+        from cd11),
+      it11 as (
+        select media_type,
+               md5(substring(hx, (chunk_idx * ${2 * chunk} + 1)::int, ${2 * chunk})) as sh8
+        from xd11),
+      rg11 as (${hllRankSql("it11", "media_type, ")}),
+      mx11 as (select media_type, reg, max(rnk)::bigint as m
+               from rg11 group by 1, 2),
+      ex11 as (select media_type, count(distinct sh8)::bigint as exact_distinct
+               from it11 group by 1),
+      es11 as ${hllEstSql("mx11", "media_type")}
+      select e.media_type, x.exact_distinct, e.n_used, e.sum_scaled,
+             e.raw_est, e.lc_est, e.est,
+             ${Rz("(e.est - x.exact_distinct) / x.exact_distinct", 4)} as rel_err
+      from es11 e join ex11 x using (media_type)
+      order by media_type
+    """
+  }
+
   /** c160: the novelty-quota door — c156's HLL-novelty chain feeding
     * the c112 quantization into c128's per-source prefix replay. */
   private def c160Sql: String = {
@@ -3194,8 +3228,42 @@ object OraclesC {
     * closed form: ONE row_number per shard ordered by (batch, bin
     * desc, shuffle_key). */
   private def c148Sql: String = {
-    val m = graft.operators.TextAnalysis.BpeMerges
     val n = graft.streaming.FunnelStream.AuditBatches
+    s"""
+      with $c148Chain
+      select doc_id, source, bin, shard,
+             row_number() over (partition by shard
+               order by doc_id % $n, bin desc, shuffle_key)::bigint as pos,
+             (doc_id % $n)::bigint as batch_id
+      from sh148
+      order by shard, pos
+    """
+  }
+
+  /** c161: c148's schedule rows with the door-time mask evidence —
+    * registry membership + token mass from the pricing chain. */
+  private def c161Sql: String = {
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val anyPred = graft.operators.TextAnalysis.BenchRegistry
+      .map(s => "(" + s.pred.replace("doc_id", "sh148.doc_id") + ")")
+      .mkString(" or ")
+    s"""
+      with $c148Chain
+      select sh148.doc_id, source, bin, shard,
+             row_number() over (partition by shard
+               order by sh148.doc_id % $n, bin desc, shuffle_key)::bigint as pos,
+             (sh148.doc_id % $n)::bigint as batch_id,
+             enc148.n_tok,
+             ($anyPred) as eval_hit
+      from sh148 join enc148 on sh148.doc_id = enc148.doc_id
+      order by shard, pos
+    """
+  }
+
+  /** The door→schedule chain (WITH body ending in sh148; enc148 in
+    * scope for pricing) — shared by c148 and c161. */
+  private def c148Chain: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
     val gbudget = graft.streaming.BudgetStream.ComposedBudget
     val bins = graft.operators.TextAnalysis.QualityBins
     val basePred =
@@ -3207,8 +3275,7 @@ object OraclesC {
                    + 0.4 * round(len(list_distinct(w))::double / len(w), 4)
                    + 0.3 * least(round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) * 5.0, 1.0), 5) as quality
         from (select source, doc_id, string_split(text, ' ') as w from $tbl))"""
-    s"""
-      with ${c75Chain(m)},
+    s"""${c75Chain(m)},
       ${composedChain("148")},
       keeps148 as (
         select doc_id, source from g148
@@ -3237,14 +3304,7 @@ object OraclesC {
       sh148 as (
         select *, ('0x' || substr(shuffle_key, 1, 7))::bigint
                     % ${graft.operators.Sampling.ShuffleShards} as shard
-        from k148)
-      select doc_id, source, bin, shard,
-             row_number() over (partition by shard
-               order by doc_id % $n, bin desc, shuffle_key)::bigint as pos,
-             (doc_id % $n)::bigint as batch_id
-      from sh148
-      order by shard, pos
-    """
+        from k148)"""
   }
 
   /** c153: the ledger report replayed from the arrival history —
@@ -5484,6 +5544,8 @@ object OraclesC {
     "c158_sketch_route" -> c158Sql,
     "c159_band_health" -> c159Sql,
     "c160_novelty_quota" -> c160Sql,
+    "c161_door_mask" -> c161Sql,
+    "d11_chunk_hll" -> d11Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

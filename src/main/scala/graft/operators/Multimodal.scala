@@ -175,6 +175,33 @@ object Multimodal {
       .withColumn("dup_bytes", (col("n_copies") - 1) * col("chunk_len"))
       .orderBy(col("n_copies").desc, col("chunk_md5"))
 
+  /** d11: DISTINCT-CHUNK cardinality per media type via HLL — the
+    * sketch tier meeting the media tier: the content-addressed chunk
+    * store's true size (what d4's dedup would leave) estimated from
+    * 256 registers per media type, beside the exact audit. At 100 TB
+    * of media the exact distinct (a shuffle over every chunk hash)
+    * is the expensive leg; the registers ship per day/partition and
+    * max-merge (c155's proven property) — capacity planning for the
+    * chunk store priced without re-hashing a byte. Reuses c154's
+    * register/estimator spellings (one HLL contract, text and
+    * media). */
+  def d11ChunkHll(docs: DataFrame, chunkBytes: Int = DefaultChunkBytes): DataFrame = {
+    import graft.operators.TextAnalysis
+    val items = chunkRows(docs, chunkBytes)
+      .select(col("media_type"), col("chunk_md5").as("sh8"))
+    val exact = items.groupBy("media_type")
+      .agg(countDistinct(col("sh8")).as("exact_distinct"))
+    TextAnalysis.hllEstimate(
+        TextAnalysis.hllRegisters(items, Seq("media_type")), Seq("media_type"))
+      .join(exact, Seq("media_type"))
+      .withColumn("rel_err",
+        round((col("est") - col("exact_distinct")) / col("exact_distinct"), 4))
+      .select(col("media_type"), col("exact_distinct"), col("n_used"),
+        col("sum_scaled"), col("raw_est"), col("lc_est"), col("est"),
+        col("rel_err"))
+      .orderBy("media_type")
+  }
+
   /** d5: per-document media manifest with dedup-aware storage
     * accounting (d2 ∘ d4): for every document, its chunk count and
     * byte total, plus how many of its chunk INSTANCES are redundant —

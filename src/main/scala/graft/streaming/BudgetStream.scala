@@ -461,9 +461,10 @@ object BudgetStream {
     processComposedBatch(batch, merges, quotas, s"$stores/decisions",
       s"$stores/ledger", batchId, budget)
     // this batch's admitted docs: the decision store cut to the batch
-    // (the join carries the batch's text for quality scoring)
+    // (the join carries the batch's text for quality scoring); n_tok
+    // rides along so the schedule row is loader-complete
     val keeps = spark0.read.parquet(s"$stores/decisions")
-      .filter(col("stage") === "keep").select("doc_id")
+      .filter(col("stage") === "keep").select(col("doc_id"), col("n_tok"))
       .join(batch.select(col("doc_id"), col("text"), col("source")), Seq("doc_id"))
     val scored = keeps.select(col("source"), col("doc_id"),
       TextAnalysis.qualityOf(col("text")).as("quality"))
@@ -479,6 +480,11 @@ object BudgetStream {
     val pdf = broadcast(
       (0L until shards.toLong).map(s => (s, priorPos.getOrElse(s, 0L)))
         .toDF("shard", "prior_pos"))
+    // the door-side mask annotation (c161): registry membership +
+    // token mass land ON the schedule row, so the loader knows what
+    // to mask without a separate at-rest decontamination pass
+    val anyEval = TextAnalysis.BenchRegistry
+      .map(s => expr(s.pred)).reduce(_ || _)
     val rows = graft.operators.Sampling.binByCuts(scored, cuts, bins)
       .transform(graft.operators.Sampling.withShuffleShard(seed, shards))
       .join(pdf, Seq("shard"))
@@ -487,7 +493,10 @@ object BudgetStream {
           .orderBy(col("bin").desc, col("shuffle_key")))
         .cast("long"))
       .withColumn("batch_id", lit(batchId))
-      .select("doc_id", "source", "bin", "shard", "pos", "batch_id")
+      .join(keeps.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+      .withColumn("eval_hit", anyEval)
+      .select("doc_id", "source", "bin", "shard", "pos", "batch_id",
+        "n_tok", "eval_hit")
     EventsStream.upsertSink(rows, s"$stores/schedule", "doc_id")
   }
 
@@ -535,6 +544,22 @@ object BudgetStream {
     spark.read.parquet(s"${handoffStores(spark, dir, nBatches)}/schedule")
       .drop(EventsStream.KeyBucketCol)
       .select("doc_id", "source", "bin", "shard", "pos", "batch_id")
+      .orderBy("shard", "pos")
+
+  /** c161: the door-side LOSS-MASK hand-off — c148's schedule rows
+    * with the mask evidence attached AT THE DOOR: per admitted
+    * arrival, its registry membership (eval_hit) and token mass ride
+    * the schedule row, so the loader's masking (c146's discipline)
+    * starts from door-time evidence instead of a separate at-rest
+    * decontamination pass over the accumulated corpus. Same store,
+    * two keyed views (c148 = the loader's walk order; this = the
+    * mask ledger). */
+  def c161DoorMask(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame =
+    spark.read.parquet(s"${handoffStores(spark, dir, nBatches)}/schedule")
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "bin", "shard", "pos", "batch_id",
+        "n_tok", "eval_hit")
       .orderBy("shard", "pos")
 
   /** c153: the DOOR LEDGER report — the composed gate's cross-batch

@@ -490,6 +490,66 @@ class Round23Spec extends AnyFunSuite {
       vol.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("c161: the door-side mask annotation reconciles with the registry and the schedule") {
+    import graft.streaming.BudgetStream
+    val masked = BudgetStream.c161DoorMask(spark, sf).collect()
+    val sched = BudgetStream.c148DoorSchedule(spark, sf).collect()
+    assert(masked.length == sched.length,
+      "mask view and loader view disagree on the schedule rows")
+    val slots = sched.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    val suites = graft.operators.TextAnalysis.BenchRegistry
+    def evalHit(id: Long): Boolean = suites.exists { s =>
+      val m = s.pred.split("%")(1).trim.split("=")(0).trim.toLong
+      id % m == 0L
+    }
+    for (r <- masked) {
+      val id = r.getAs[Long]("doc_id")
+      assert(slots(id) == (r.getAs[Long]("shard"), r.getAs[Long]("pos")),
+        s"doc $id sits in a different slot in the two views of one store")
+      assert(r.getAs[Boolean]("eval_hit") == evalHit(id),
+        s"doc $id mask flag diverges from the registry")
+      assert(r.getAs[Long]("n_tok") >= 0L)
+    }
+    // the driver corpora's tight composed budget closes before any
+    // registry id arrives, so the flag is structurally false there —
+    // plant one: a registry member admitted through a permissive
+    // door must land eval-flagged in the schedule
+    import spark.implicits._
+    val evalId = graft.operators.TextAnalysis.Bench2Mod.toLong // id % 89 == 0
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s"),
+      (evalId, "zeta eta theta iota kappa", "s")).toDF("doc_id", "text", "source")
+    val cuts = Seq(("s", 1L, 0.99)).toDF("source", "bin", "cut")
+    val tmp = java.nio.file.Files.createTempDirectory("r23mask").toString
+    BudgetStream.processHandoffBatch(batch, Array.empty, Map("s" -> 1000000L),
+      cuts, tmp, 0L, budget = 1000000L)
+    val planted = spark.read.parquet(s"$tmp/schedule")
+      .select("doc_id", "eval_hit").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(planted == Map(1L -> false, evalId -> true),
+      s"planted registry member not flagged at the door: $planted")
+  }
+
+  test("d11: media-chunk HLL reconciles with d4's exact chunk universe") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rep = graft.operators.Multimodal.d11ChunkHll(docs).collect()
+    assert(rep.map(_.getAs[String]("media_type")).sorted.toSeq ==
+      Seq("audio", "image", "video"))
+    val exact = graft.operators.Multimodal.d2MediaChunks(docs)
+      .groupBy("media_type")
+      .agg(countDistinct(col("chunk_md5")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rep) {
+      val mt = r.getAs[String]("media_type")
+      assert(r.getAs[Long]("exact_distinct") == exact(mt),
+        s"$mt exact audit diverges from the chunk table")
+      val e = r.getAs[Double]("est")
+      assert(math.abs(e - exact(mt)) / exact(mt) < 0.5,
+        s"$mt HLL error beyond any plausible band: $r")
+    }
+  }
+
   test("c155: per-source registers max-merge to exactly the global table") {
     val r = graft.operators.TextAnalysis
       .c155HllMerge(graft.sources.Tables.documents(spark, sf)).collect()
