@@ -349,7 +349,8 @@ object OraclesC {
       trainCorpus: Option[String] = None,
       queryPred: String = s"vec_id < $NQ",
       candPred: Option[String] = None,
-      nprobe: Int = NPROBE): String = {
+      nprobe: Int = NPROBE,
+      probeOverride: Option[String] = None): String = {
     // the subquantizer's training slices: by default the served
     // corpus's own residual rows (optionally filtered — c81's
     // base-only training); with trainCorpus, a SEPARATE residual
@@ -384,8 +385,9 @@ object OraclesC {
                  order by ${cosN("e.embedding", "c.c_emb")} desc nulls last, c.c_id) as rn
         from $corpus e cross join $centCte c),
       ${pfx}asg as materialized (select vec_id, c_id as cluster from ${pfx}ra where rn = 1),
-      ${pfx}pr as (select vec_id as q_id, c_id as cluster
-                   from ${pfx}ra where ($queryPred) and rn <= $nprobe),
+      ${pfx}pr as (${probeOverride.getOrElse(
+        s"""select vec_id as q_id, c_id as cluster
+                   from ${pfx}ra where ($queryPred) and rn <= $nprobe""")}),
       ${pfx}res as (
         select e.vec_id,
                [e.embedding[i]::double - c.c_emb[i]::double
@@ -1589,6 +1591,40 @@ object OraclesC {
       where rank <= $PTOPK
       order by q_id, rank
     """
+
+  /** c162: sketch-routes-codes-score serving — stage 1 is c158's
+    * sketch top-depth; stage 2 replays the stored index's residual
+    * ADC over EXACTLY those candidates (probe set = the clusters the
+    * candidates live in, candidate cut = the sketch pairs) — the
+    * serve that touches no raw embedding at any stage. */
+  private def c162Sql: String = {
+    val k = graft.operators.Similarity.JlDim
+    val depth = graft.operators.Similarity.RerankDepth
+    val cosNK = this.cosNK(k) _
+    s"""
+      with $TRAINED_CENTROIDS,
+      pr162 as materialized (
+        select vec_id, ${jlProjList(k)} as p from embeddings),
+      q162 as (select vec_id as q_id, p as qp from pr162 where vec_id < $NQ),
+      skc as materialized (
+        select q.q_id, c.vec_id,
+               row_number() over (partition by q.q_id
+                 order by ${cosNK("q.qp", "c.p")} desc nulls last, c.vec_id)::bigint
+                 as sk_rank
+        from pr162 c cross join q162 q
+        where c.vec_id <> q.q_id
+        qualify sk_rank <= $depth),
+      ${residualServeChain("y", s"cent$QITERS",
+        probeOverride = Some(
+          "select s.q_id, a.cluster from skc s join yasg a on a.vec_id = s.vec_id group by 1, 2"),
+        candPred = Some(
+          "exists (select 1 from skc x where x.q_id = l.q_id and x.vec_id = c.vec_id)"))}
+      select r.q_id, r.rank, r.vec_id, s.sk_rank, r.adist
+      from yr r join skc s on s.q_id = r.q_id and s.vec_id = r.vec_id
+      where r.rank <= $PTOPK
+      order by r.q_id, r.rank
+    """
+  }
 
   /** c131's oracle: the stored-index serve (c71's trained chain) with
     * the metadata predicate on the CANDIDATE side — scoring, ranking,
@@ -5546,6 +5582,7 @@ object OraclesC {
     "c160_novelty_quota" -> c160Sql,
     "c161_door_mask" -> c161Sql,
     "d11_chunk_hll" -> d11Sql,
+    "c162_sketch_adc" -> c162Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -308,7 +308,7 @@ object ScaleSmoke {
       // broadcast queries + keyed rerank), the two-leg band monitor,
       // and the novelty-quota door (HLL chain + batch-bounded door)
       "c158_sketch_route", "c159_band_health", "c160_novelty_quota",
-      "c161_door_mask", "d11_chunk_hll")
+      "c161_door_mask", "d11_chunk_hll", "c162_sketch_adc")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

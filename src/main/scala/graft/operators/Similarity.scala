@@ -1705,6 +1705,76 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** c162: SKETCH ROUTES, CODES SCORE — the serve that touches no
+    * raw embedding at any stage: stage 1 is c158's sketch top-depth
+    * candidate cut (16 doubles/vector); stage 2 scores exactly those
+    * candidates with the stored index's residual ADC (M bytes/vector
+    * — the codes artifact, not the 64-dim column). Versus c79's
+    * serving the probe dial disappears (candidates come from the
+    * sketch, so cluster boundaries can't hide a neighbor the sketch
+    * saw); versus c158 the rerank reads shrink from 64 doubles to M
+    * code bytes per candidate. The two cheap artifacts compose: one
+    * projection job + one index build serve every mode.
+    *
+    * Shape: the stage-1 scan × broadcast queries (depth-bounded
+    * window), candidate codes via an In-pushed scan (|Q|·depth keyed
+    * rows), per-row residual cell sums off broadcast books/centroids
+    * (bounded rows — no LUT materialization needed), one bounded
+    * rank window. Rounding is the index tier's exact contract
+    * (pqCellD2 per cell, pqRound4 on the sum — the oracle's rounded
+    * LUT spelling). */
+  def c162SketchAdc(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultQueryCount, topK: Int = PqTopK,
+      depth: Int = RerankDepth): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val idxRoot = graft.streaming.StoreMemo.memo(spark, s"c79_index_$dir")(
+      buildIndexArtifacts(emb, _))
+    val skRoot = sketchArtifact(spark, dir)
+    val sk = spark.read.parquet(s"$skRoot/sketch")
+      .withColumn("pnrm", VectorFns.norm(col("p")))
+    val qs = sk.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("p").as("qp"), col("pnrm").as("qpn"))
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("sk_cos").desc, col("vec_id"))
+    val cand = Materialize.frame(sk.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        pairCos("qp", "qpn", "p", "pnrm").as("sk_cos"))
+      .withColumn("sk_rank", row_number().over(w1).cast("long"))
+      .filter(col("sk_rank") <= depth)
+      .select("q_id", "vec_id", "sk_rank"))
+    val (rBooks, centLocal, _) = loadArtifacts(spark, idxRoot)
+    val qVecs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val bc = spark.sparkContext.broadcast((qVecs, rBooks, centLocal))
+    val codesCand = keyedRows(spark.read.parquet(s"$idxRoot/codes"),
+      cand.select("vec_id").distinct())
+    import spark.implicits._
+    val dims = PqSubspaces * PqSubDim
+    val scored = cand
+      .join(codesCand.select(col("vec_id"), col("cluster").cast("int"), col("codes")),
+        Seq("vec_id"))
+      .as[(Long, Long, Long, Int, Array[Int])]
+      .map { case (vec, q, skRank, cluster, cs) =>
+        val (qv, books, cents) = bc.value
+        val qe = qv(q)
+        val qres = new Array[Double](dims)
+        var i = 0
+        while (i < dims) { qres(i) = qe(i) - cents(cluster)(i); i += 1 }
+        var s = 0.0
+        var m = 0
+        while (m < PqSubspaces) { s += pqCellD2(qres, books, cs(m), m); m += 1 }
+        (q, vec, skRank, pqRound4(s))
+      }.toDF("q_id", "vec_id", "sk_rank", "adist")
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sk_rank"), col("adist"))
+      .orderBy("q_id", "rank")
+  }
+
   /** One vintage leg of c159: the two-tier gate's tier MIX over a
     * corpus — all candidate pairs scored on the sketch, bucketed
     * into definite-reject / escalate / sketch-definite against

@@ -550,6 +550,38 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("c162: sketch-routed ADC — candidates are c158's stage 1, distances are the index's") {
+    import graft.operators.Similarity
+    val out = Similarity.c162SketchAdc(spark, sf).collect()
+    assert(out.nonEmpty)
+    for ((_, rows) <- out.groupBy(_.getAs[Long]("q_id"))) {
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq == (1L to rows.length).toSeq, "ranks not dense")
+      assert(rows.forall(_.getAs[Long]("sk_rank") <= Similarity.RerankDepth))
+    }
+    // the candidate universe IS c158's stage-1 (same artifact, same cut)
+    val viaRoute = Similarity
+      .c158SketchRoute(spark, sf, topK = Similarity.RerankDepth).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    for (r <- out)
+      assert(viaRoute.contains((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))),
+        s"c162 scored a candidate the sketch cut never surfaced: $r")
+    // distances are the stored index's exact ADC: any (q, vec) pair
+    // present in BOTH c162 and c79's serving carries the same adist
+    val idx = Similarity.c79StoredIndexServe(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("adist")).toMap
+    var shared = 0
+    for (r <- out) {
+      idx.get((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).foreach { d =>
+        assert(d == r.getAs[Double]("adist"),
+          s"ADC distance diverges between serving modes for $r (index says $d)")
+        shared += 1
+      }
+    }
+    assert(shared > 0, "no overlap with the index serve — the cross-check is vacuous")
+  }
+
   test("c155: per-source registers max-merge to exactly the global table") {
     val r = graft.operators.TextAnalysis
       .c155HllMerge(graft.sources.Tables.documents(spark, sf)).collect()
