@@ -1368,18 +1368,20 @@ object OraclesC {
     * application step the c57 chain uses ([[bpeStep]], its learned-
     * merge parameterization). The report is the learned merge list
     * with each pair's total AT SELECTION TIME. */
-  private def c75Chain(iters: Int, byteGrain: Boolean = false): String = s"""
+  private def c75Chain(iters: Int, byteGrain: Boolean = false,
+      trainPred: String = ""): String = s"""
       tf75 as materialized (
         select doc_id, term, count(*)::bigint as tf
         from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
         group by 1, 2),
-      words as materialized (select term, sum(tf)::bigint as n from tf75 group by term),
+      words as materialized (select term, sum(tf)::bigint as n from tf75
+        ${if (trainPred.nonEmpty) s"where $trainPred " else ""}group by term),
       s0 as materialized (${if (byteGrain) s"""
         select term, i - 1 as pos, substr(lower(hex(term)), 2*i - 1, 2) as sym
-        from (select term from words) v,
+        from (select distinct term from tf75) v,
              lateral (select unnest(range(1, strlen(term) + 1)) as i) t""" else s"""
         select term, i - 1 as pos, substr(term, i::int, 1) as sym
-        from (select term from words) v,
+        from (select distinct term from tf75) v,
              lateral (select unnest(range(1, length(term) + 1)) as i) t"""}),
       ${(1 to iters).map { k =>
         s"""cnt$k as materialized (
@@ -3276,25 +3278,52 @@ object OraclesC {
     """
   }
 
+  /** The schedule rows priced and positioned — sh148 joined to the
+    * token chain inside ONE CTE whose output exposes a bare `doc_id`,
+    * so downstream predicates (the registry's, the pack window's)
+    * resolve naturally instead of being string-rewritten against the
+    * join's qualified names. Shared by c161 and c164. */
+  private def sched148Cte: String = {
+    val n = graft.streaming.FunnelStream.AuditBatches
+    s"""sched148 as (
+        select sh148.doc_id as doc_id, source, bin, shard,
+               row_number() over (partition by shard
+                 order by sh148.doc_id % $n, bin desc, shuffle_key)::bigint as pos,
+               (sh148.doc_id % $n)::bigint as batch_id,
+               enc148.n_tok
+        from sh148 join enc148 on sh148.doc_id = enc148.doc_id)"""
+  }
+
   /** c161: c148's schedule rows with the door-time mask evidence —
     * registry membership + token mass from the pricing chain. */
   private def c161Sql: String = {
-    val n = graft.streaming.FunnelStream.AuditBatches
     val anyPred = graft.operators.TextAnalysis.BenchRegistry
-      .map(s => "(" + s.pred.replace("doc_id", "sh148.doc_id") + ")")
-      .mkString(" or ")
+      .map(s => "(" + s.pred + ")").mkString(" or ")
     s"""
-      with $c148Chain
-      select sh148.doc_id, source, bin, shard,
-             row_number() over (partition by shard
-               order by sh148.doc_id % $n, bin desc, shuffle_key)::bigint as pos,
-             (sh148.doc_id % $n)::bigint as batch_id,
-             enc148.n_tok,
+      with $c148Chain,
+      $sched148Cte
+      select doc_id, source, bin, shard, pos, batch_id, n_tok,
              ($anyPred) as eval_hit
-      from sh148 join enc148 on sh148.doc_id = enc148.doc_id
+      from sched148
       order by shard, pos
     """
   }
+
+  /** c164: the door-side pack — the whole schedule history replayed
+    * as ONE cumulative token window over (shard, pos), cut into
+    * sequences by c111's budget arithmetic. */
+  private def c164Sql: String = s"""
+      with $c148Chain,
+      $sched148Cte,
+      p164 as (
+        select *, sum(n_tok) over (partition by shard order by pos
+          rows between unbounded preceding and current row)::bigint as cum
+        from sched148)
+      select doc_id, source, bin, shard, pos, batch_id, n_tok,
+             ((cum - n_tok) // $BUDGET)::bigint as seq_id,
+             (cum - n_tok - ((cum - n_tok) // $BUDGET) * $BUDGET)::bigint as start_offset
+      from p164 order by shard, pos
+    """
 
   /** The door→schedule chain (WITH body ending in sh148; enc148 in
     * scope for pricing) — shared by c148 and c161. */
@@ -4774,6 +4803,30 @@ object OraclesC {
     """
   }
 
+  /** c163: the byte-grain chain with the pair WEIGHTS restricted to
+    * the deterministic md5-bucket training sample (c13's percent-cut
+    * spelling) — the symbol tables still span the whole vocabulary,
+    * so the learned merges price every doc; the report is c119's
+    * per-doc table over the FULL corpus. */
+  private lazy val C163_SQL: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val pct = graft.operators.TextAnalysis.BpeSampleTrainPct
+    val pred = s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < $pct"
+    s"""
+      with ${c75Chain(m, byteGrain = true, trainPred = pred)},
+      nsy163 as (select term, count(*)::bigint as n_syms
+                 from s$m group by term)
+      select tf.doc_id, sum(tf.tf)::bigint as n_words,
+             sum(tf.tf * strlen(tf.term))::bigint as n_chars,
+             sum(tf.tf * coalesce(nsy163.n_syms, 0))::bigint as n_bpe_tokens,
+             case when sum(tf.tf * strlen(tf.term)) > 0
+               then round(sum(tf.tf * coalesce(nsy163.n_syms, 0))::double
+                          / sum(tf.tf * strlen(tf.term)), 4) end as compression
+      from tf75 tf left join nsy163 on tf.term = nsy163.term
+      group by tf.doc_id order by tf.doc_id
+    """
+  }
+
   // c86: c76's trained-encode chain producing the per-doc BPE token
   // counts, then c22's packing window verbatim over those counts —
   // the two composed oracles are the standalone queries' own SQL
@@ -5583,6 +5636,12 @@ object OraclesC {
     "c161_door_mask" -> c161Sql,
     "d11_chunk_hll" -> d11Sql,
     "c162_sketch_adc" -> c162Sql,
+    // c163: sample-trained byte BPE — c75's chain, weights cut to the
+    // md5 train buckets, priced over the full corpus
+    "c163_bpe_sampled" -> C163_SQL,
+    // c164: door-side packing — the schedule history's one cumulative
+    // token window, sequence-cut by c111's budget arithmetic
+    "c164_door_pack" -> c164Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -62,6 +62,26 @@ object Materialize {
     }
   }
 
+  /** As [[frame]], but LAZY where the strategy supports it: the
+    * checkpoint is marked now and its blocks land inside the CALLER'S
+    * NEXT action instead of a dedicated materialization job. The
+    * right spelling for a driver-side loop whose every iteration
+    * materializes state and then immediately runs an action over it
+    * (the BPE trainer's count-pick-apply step): eager+action is two
+    * jobs per iteration, lazy+action is one, results identical (the
+    * lineage is cut at mark time either way — Dataset.checkpoint
+    * builds the plan over the checkpoint RDD regardless of
+    * eagerness). The scratch strategy has no lazy analog (a parquet
+    * round-trip is inherently a write job) and stays eager. */
+  def frameLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(ConfKey, "local") match {
+      case "local"    => df.localCheckpoint(eager = false)
+      case "reliable" => df.checkpoint(eager = false)
+      case _          => frame(df)
+    }
+  }
+
   /** Materialize SEVERAL independent frames as one unit: each runs
     * [[frame]] on its own thread, so the N materializations execute
     * as CONCURRENT Spark actions and their per-job scheduling floors

@@ -2192,7 +2192,12 @@ object TextAnalysis {
       grain: BpeGrain = CharGrain): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    var vocab = Materialize.frame(
+    // LAZY materialization throughout the loop: each step's argmax
+    // aggregate is the first action over the fresh vocab state, so it
+    // lands the checkpoint blocks in ITS job — one job per merge step
+    // instead of two (the c119 bench-row fix; results are strategy-
+    // and eagerness-independent, Round5Spec's contract)
+    var vocab = Materialize.frameLazy(
       tfRows(docs).groupBy("term").agg(sum(col("tf")).as("n"))
         .as[(String, Long)]
         .map { case (t, n) => (t, n, grain.symbols(t).toSeq) }
@@ -2214,7 +2219,7 @@ object TextAnalysis {
       else {
         val (a, b, tot) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((k, a, b, tot))
-        vocab = Materialize.frame(vocab.as[(String, Long, Seq[String])]
+        vocab = Materialize.frameLazy(vocab.as[(String, Long, Seq[String])]
           .map { case (t, n, syms) => (t, n, bpeApplyOne(syms.toArray, a, b).toSeq) }
           .toDF("term", "n", "syms"))
         k += 1
@@ -2254,6 +2259,37 @@ object TextAnalysis {
     * that is what the grain dial is for. */
   def c119BpeBytes(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame =
     c76BpeTrainedEncode(docs, nMerges, ByteGrain)
+
+  /** c163's deterministic training-sample cut (md5 percent bucket —
+    * c13's spelling, so the oracle replays the exact sample). */
+  val BpeSampleTrainPct: Int = 50
+
+  /** c163: the BOUNDED-SAMPLE byte-grain tokenizer trainer — how a
+    * 100 TB deployment actually trains BPE. Nobody runs |merges|
+    * sequential corpus-grain passes over the full corpus (c119's
+    * exact path, kept as the oracle-replayable reference): the
+    * trainer reads a deterministic md5-bucket sample (cost ∝ sample,
+    * not corpus — and the sample bound holds at ANY corpus scale
+    * because the cut is a percent of doc mass, tunable to a fixed
+    * byte budget), and the learned merge list then prices the FULL
+    * corpus through the same greedy encode kernel every other BPE
+    * key serves with. Same report schema as c119, directly
+    * comparable row-for-row — the delta IS the sampling error, and
+    * the spec pins pct=100 ≡ c119 exactly (sample = corpus ⇒
+    * identical merges ⇒ identical table). Oracle: c75's
+    * count-pick-apply chain with the pair weights restricted to the
+    * sampled docs (symbol tables still span the whole vocabulary, so
+    * the learned merges apply to unsampled terms too — c92's
+    * split-training shape at byte grain). */
+  def c163BpeSampled(docs: DataFrame, nMerges: Int = BpeMerges,
+      trainPct: Int = BpeSampleTrainPct): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    val merges = c75BpeTrain(docs.filter(bucket < trainPct), nMerges, ByteGrain)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    encodeUnderMerges(docs, merges, ByteGrain)
+  }
 
   /** c57/c76's per-doc pricing under an explicit RANK-ORDERED merge
     * list — one spelling shared by the in-session encode (c76) and

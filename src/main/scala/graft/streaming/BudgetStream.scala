@@ -454,7 +454,8 @@ object BudgetStream {
       budget: Long = ComposedBudget,
       seed: Long = graft.operators.Sampling.ShuffleSeed,
       shards: Int = graft.operators.Sampling.ShuffleShards,
-      bins: Int = TextAnalysis.QualityBins): Unit = {
+      bins: Int = TextAnalysis.QualityBins,
+      packBudget: Long = graft.operators.Sampling.DefaultTokenBudget): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark0 = batch.sparkSession
     import spark0.implicits._
@@ -498,6 +499,42 @@ object BudgetStream {
       .select("doc_id", "source", "bin", "shard", "pos", "batch_id",
         "n_tok", "eval_hit")
     EventsStream.upsertSink(rows, s"$stores/schedule", "doc_id")
+    // c164: the batch's schedule rows packed into training sequences
+    // THE SAME POLL — c111's packing window as an append. Positions
+    // are batch-monotone and earlier rows never move, so batch k's
+    // pack is exactly the full-history window's prefix: carry each
+    // shard's prior token mass (batch_id < this batch — replay-stable
+    // like prior_pos), cumulate this batch's rows in pos order, and
+    // cut seq_id/start_offset against the SAME budget arithmetic
+    // packBySchedule spells. Sequences therefore continue across
+    // polls (a boundary doc straddles two batches' sequences exactly
+    // as the at-rest pack would place it), and a replayed batch
+    // recomputes identical rows into the keyed no-op merge.
+    val schedRows = spark0.read.parquet(s"$stores/schedule")
+      .drop(EventsStream.KeyBucketCol)
+      .filter(col("batch_id") === batchId)
+    val packStore = s"$stores/packed"
+    val priorTok: Map[Long, Long] =
+      if (new org.apache.hadoop.fs.Path(packStore)
+          .getFileSystem(spark0.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(packStore)))
+        spark0.read.parquet(packStore)
+          .filter(col("batch_id") < batchId)
+          .groupBy("shard").agg(sum(col("n_tok")).as("t"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      else Map.empty
+    val ptf = broadcast(
+      (0L until shards.toLong).map(s => (s, priorTok.getOrElse(s, 0L)))
+        .toDF("shard", "prior_tok"))
+    val wPack = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val packed = schedRows.join(ptf, Seq("shard"))
+      .withColumn("cum", col("prior_tok") + sum(col("n_tok")).over(wPack))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $packBudget"))
+      .select(col("doc_id"), col("source"), col("bin"), col("shard"),
+        col("pos"), col("batch_id"), col("n_tok"), col("seq_id"),
+        (col("cum") - col("n_tok") - col("seq_id") * packBudget).as("start_offset"))
+    EventsStream.upsertSink(packed, packStore, "doc_id")
   }
 
   /** Start the live door→schedule hand-off over a streaming (doc_id,
@@ -560,6 +597,26 @@ object BudgetStream {
       .drop(EventsStream.KeyBucketCol)
       .select("doc_id", "source", "bin", "shard", "pos", "batch_id",
         "n_tok", "eval_hit")
+      .orderBy("shard", "pos")
+
+  /** c164: DOOR-SIDE SEQUENCE PACKING at STORE grain — the loader's
+    * actual mount surface built incrementally: every poll's admitted
+    * docs land not just in the schedule (c148) but in PACKED
+    * TRAINING SEQUENCES the same poll, each shard's token cursor
+    * carried across batches so sequences continue exactly where the
+    * previous poll stopped. The at-rest twin is c111's packing
+    * window; because schedule positions are batch-monotone and
+    * earlier rows never move, the incremental pack is the full
+    * window's prefix at every poll — the oracle replays the whole
+    * history as ONE cumulative window over (shard, pos), and the
+    * spec pins that batch-k rows are byte-identical after batch k+1
+    * lands (publish stability at sequence grain). */
+  def c164DoorPack(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame =
+    spark.read.parquet(s"${handoffStores(spark, dir, nBatches)}/packed")
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "bin", "shard", "pos", "batch_id",
+        "n_tok", "seq_id", "start_offset")
       .orderBy("shard", "pos")
 
   /** c153: the DOOR LEDGER report — the composed gate's cross-batch

@@ -358,7 +358,30 @@ object EventsStream {
     * is on; with it off, the store remains append-only under
     * readers. */
   def upsertSink(batch: DataFrame, storePath: String, key: String,
-      autoCompactMinFiles: Option[Int]): Unit = {
+      autoCompactMinFiles: Option[Int]): Unit =
+    upsertSink(batch, storePath, key, autoCompactMinFiles,
+      createBuckets = StoreBuckets, bulkBatch = false)
+
+  /** As [[upsertSink]], with the two knobs a BULK (backfill-shaped)
+    * merge wants. `createBuckets` sizes the bucket modulus when this
+    * call CREATES the store (the meta freezes it; an existing store's
+    * layout always wins) — a deployment sizes buckets to target
+    * per-bucket file size, and a small scratch store has no business
+    * writing [[StoreBuckets]] near-empty directories per merge.
+    * `bulkBatch = true` declares the batch touches most buckets (a
+    * backfill or an overlapping re-poll of the whole corpus), so the
+    * touched-bucket pruning machinery — a checkpoint job plus a
+    * collect whose only value is to SHRINK the store scan — is pure
+    * overhead: the merge instead anti-joins against the full store
+    * scan in the same job as the write (one job per merge, no
+    * checkpoint). Correctness is identical either way (the anti-join
+    * drops existing keys regardless of how many buckets are read);
+    * like [[graft.MartRunner.incrementalSink]]'s scope hook, the flag
+    * is the caller's claim about the batch's SHAPE, and only cost
+    * depends on it. */
+  def upsertSink(batch: DataFrame, storePath: String, key: String,
+      autoCompactMinFiles: Option[Int], createBuckets: Int,
+      bulkBatch: Boolean): Unit = {
     val spark0 = batch.sparkSession
     val fs = fsOf(spark0, storePath)
     healInterruptedCompaction(fs, storePath)
@@ -368,7 +391,7 @@ object EventsStream {
     // pre-meta layout (xxhash64), a FRESH store starts on the
     // murmur3-aligned layout
     val (nBuckets, hashKind) = readStoreMeta(fs, storePath).getOrElse(
-      if (committed) (StoreBuckets, Xx64Bucket) else (StoreBuckets, Murmur3Bucket))
+      if (committed) (StoreBuckets, Xx64Bucket) else (createBuckets, Murmur3Bucket))
     // Dedup spelling is layout-dependent. Murmur3 layout: ONE
     // exchange — repartition(nBuckets, key) places every row in the
     // partition whose id equals its bucket (same hash, same modulus),
@@ -387,14 +410,25 @@ object EventsStream {
           .repartition(nBuckets, col(KeyBucketCol))
     }
     val (merged, touchedBuckets) =
-      if (committed) {
+      if (committed && bulkBatch) {
+        // bulk path: the batch touches ~every bucket, so pruning has
+        // nothing to prune — anti-join the full store scan and let
+        // dedup + join + write run as ONE job (single consumer, no
+        // checkpoint needed)
+        val incoming = dedupedBucketed(batch)
+        val existing = spark0.read.schema(incoming.schema).parquet(storePath)
+        (incoming.join(existing.select(key), Seq(key), "left_anti"), None)
+      } else if (committed) {
         // materialize the deduped batch ONCE: it feeds the touched-
         // bucket collect, the anti-join, and the write — without the
         // checkpoint each would re-run the dedup shuffle (and for
-        // file-backed micro-batches, re-read the source). The
-        // checkpoint preserves the partitioning, so the murmur3 path
-        // stays exchange-free through the anti-join and write.
-        val incoming = dedupedBucketed(batch).localCheckpoint()
+        // file-backed micro-batches, re-read the source). LAZY: the
+        // touched-bucket collect is the first action anyway, so it
+        // materializes the checkpoint in ITS job instead of paying a
+        // separate eager-checkpoint job per merge. The checkpoint
+        // preserves the partitioning, so the murmur3 path stays
+        // exchange-free through the anti-join and write.
+        val incoming = dedupedBucketed(batch).localCheckpoint(false)
         val touched = incoming.select(KeyBucketCol).distinct().collect().map(_.getInt(0)).toSeq
         val existing = storeScan(spark0, storePath, incoming.schema, touched)
         (incoming.join(existing.select(key), Seq(key), "left_anti"), Some(touched))
