@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-24 contracts: the sampled BPE trainer (c163) and the
+  * door-side sequence packing (c164). */
+class Round24Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("c163: pct=100 sample is the full corpus — identical table to c119") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val full = graft.operators.TextAnalysis.c119BpeBytes(docs)
+      .collect().map(_.toSeq).toSet
+    val sampled = graft.operators.TextAnalysis.c163BpeSampled(docs, trainPct = 100)
+      .collect().map(_.toSeq).toSet
+    assert(sampled == full,
+      "a 100% training sample must learn the full trainer's merges and price identically")
+  }
+
+  test("c163: sampled trainer prices EVERY doc (coverage is corpus-grain even though training is sample-grain)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = graft.operators.TextAnalysis.c163BpeSampled(docs)
+    assert(out.count() == docs.count(),
+      "the price table must cover the whole corpus, not just the training sample")
+    // every doc with char mass must have positive token mass: merges
+    // learned on the sample still segment unsampled terms (the symbol
+    // alphabet is bytes — no out-of-alphabet word exists)
+    assert(out.filter(col("n_chars") > 0 && col("n_bpe_tokens") <= 0).count() == 0)
+  }
+
+  test("c164: packed store ≡ the at-rest packing window over the schedule store (incremental = full prefix)") {
+    import graft.streaming.BudgetStream
+    val dir = sf
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = graft.operators.TextAnalysis.storedMerges(spark, dir)
+    val quotas = BudgetStream.sourceQuotas(spark, dir)
+    val cuts = graft.operators.Sampling.pinnedCuts(spark, dir)
+    val scratch = System.getProperty("java.io.tmpdir") + "/graft_r24_pack_" +
+      java.util.UUID.randomUUID().toString
+    val n = 3
+    var snapshotAfterK: Set[Seq[Any]] = Set.empty
+    for (i <- 0 until n) {
+      BudgetStream.processHandoffBatch(
+        pop.filter(pmod(col("doc_id"), lit(n)) === i), merges, quotas, cuts,
+        scratch, i.toLong)
+      if (i == n - 2)
+        snapshotAfterK = spark.read.parquet(s"$scratch/packed")
+          .drop(graft.streaming.EventsStream.KeyBucketCol)
+          .collect().map(_.toSeq).toSet
+    }
+    // replay discipline: batch-k rows are byte-identical after batch
+    // k+1 lands — later polls append, never reorder or re-cut
+    val prefixAfterAll = spark.read.parquet(s"$scratch/packed")
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+      .filter(col("batch_id") < n - 1)
+      .collect().map(_.toSeq).toSet
+    assert(prefixAfterAll == snapshotAfterK,
+      "a later poll moved an earlier poll's packed rows — publish stability broken")
+    // incremental ≡ at-rest: the packed store equals ONE cumulative
+    // window over the whole schedule history (c111's arithmetic)
+    import org.apache.spark.sql.expressions.Window
+    val budget = graft.operators.Sampling.DefaultTokenBudget
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val atRest = spark.read.parquet(s"$scratch/schedule")
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
+      .select(col("doc_id"), col("source"), col("bin"), col("shard"),
+        col("pos"), col("batch_id"), col("n_tok"), col("seq_id"),
+        (col("cum") - col("n_tok") - col("seq_id") * budget).as("start_offset"))
+      .collect().map(_.toSeq).toSet
+    val packed = spark.read.parquet(s"$scratch/packed")
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "bin", "shard", "pos", "batch_id",
+        "n_tok", "seq_id", "start_offset")
+      .collect().map(_.toSeq).toSet
+    assert(packed == atRest,
+      "incremental door-side packing diverged from the at-rest packing window")
+    // replayed batch is a no-op: re-offer the last batch, store unchanged
+    BudgetStream.processHandoffBatch(
+      pop.filter(pmod(col("doc_id"), lit(n)) === (n - 1)), merges, quotas, cuts,
+      scratch, (n - 1).toLong)
+    val replayed = spark.read.parquet(s"$scratch/packed")
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "bin", "shard", "pos", "batch_id",
+        "n_tok", "seq_id", "start_offset")
+      .collect().map(_.toSeq).toSet
+    assert(replayed == packed, "a replayed poll changed the packed store")
+  }
+
+  test("c164: sequences continue across polls — a shard's first row of batch k resumes the prior batch's token cursor") {
+    // read back from the keyed query's own store (memoized chain)
+    val out = graft.streaming.BudgetStream.c164DoorPack(spark, sf)
+      .collect()
+    // within each shard, cum reconstructed from (pos order) must be
+    // continuous: start_offset + n_tok of row i, modulo budget
+    // arithmetic, equals the next row's start_offset within a seq
+    val budget = graft.operators.Sampling.DefaultTokenBudget
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("pos"))
+      var cum = 0L
+      sorted.foreach { r =>
+        val seqId = r.getAs[Long]("seq_id")
+        val off = r.getAs[Long]("start_offset")
+        assert(seqId == cum / budget && off == cum % budget,
+          s"pack cursor broke at shard=${r.getAs[Long]("shard")} pos=${r.getAs[Long]("pos")}")
+        cum += r.getAs[Long]("n_tok")
+      }
+    }
+  }
+}
