@@ -3201,6 +3201,85 @@ object OraclesC {
     """
   }
 
+  /** c165: the novelty-composed door replayed — the row-local quality
+    * cascade (c67's stateless spelling), c160's novelty-quota
+    * arithmetic metering the QUALITY SURVIVORS per source, then the
+    * global cutoff as a conditional prefix sum over the quota
+    * survivors. Each stage's refusals add zero to the next stage's
+    * running sum — the oracle's windows spell the fairness property
+    * directly. */
+  private def c165Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val budget = graft.streaming.BudgetStream.BudgetTokens
+    val gbudget = graft.streaming.BudgetStream.ComposedBudget
+    s"""
+      with nv165 as ( $c156Sql ),
+      w165 as (select source, greatest(coalesce(est_new, 0), 0)::double as w
+               from nv165),
+      tz165 as (select round(sum(sqrt(w)), 6) as z from w165),
+      nq165 as (
+        select source,
+               case when z > 0
+                 then (($budget * floor(1000.0 * sqrt(w) / z)::bigint) // 1000)::bigint
+                 else 0 end as quota
+        from w165, tz165),
+      ${c75Chain(m)},
+      nsy165 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc165 as (
+        select tf.doc_id, sum(tf.tf * coalesce(nsy165.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy165 on tf.term = nsy165.term
+        group by tf.doc_id),
+      pop165 as (select doc_id, text, source from documents where doc_id % 97 <> 0),
+      sig165 as (
+        select doc_id,
+               len(w) as n_tokens,
+               round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) as en_score,
+               round(((length(text) - length(replace(text, 'th', ''))) / 2
+                    + (length(text) - length(replace(text, 'he', ''))) / 2
+                    + (length(text) - length(replace(text, 'in', ''))) / 2
+                    + (length(text) - length(replace(text, 'er', ''))) / 2
+                     )::double / length(text), 4) as en_ngram_score,
+               round(len(list_distinct(w))::double / len(w), 4) as distinct_ratio,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                 + len(regexp_extract_all(text, '[0-9]+')) as n_pii
+        from (select doc_id, text, string_split(text, ' ') as w from pop165)),
+      ql165 as (
+        select doc_id,
+               case when n_tokens < 5 then 'too_short'
+                    when not (en_score > 0.01 or en_ngram_score > 0.02) then 'non_en'
+                    when distinct_ratio < 0.3 then 'repetitive'
+                    when n_pii > 20 then 'pii_heavy'
+                    else 'keep' end as qreason
+        from sig165),
+      cum165 as (
+        select p.doc_id, p.source, e.n_tok, ql.qreason,
+               sum(case when ql.qreason = 'keep' then e.n_tok else 0 end) over (
+                 partition by p.source order by p.doc_id % $n, p.doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from pop165 p
+        join enc165 e on p.doc_id = e.doc_id
+        join ql165 ql on ql.doc_id = p.doc_id),
+      s165 as (
+        select c.doc_id, c.source, c.n_tok, c.qreason,
+               (c.qreason = 'keep' and c.cum <= coalesce(q.quota, 0)) as quota_ok
+        from cum165 c left join nq165 q using (source)),
+      g165 as (
+        select doc_id, source, n_tok, qreason, quota_ok,
+               sum(case when quota_ok then n_tok else 0 end) over (
+                 order by doc_id % $n, doc_id
+                 rows between unbounded preceding and current row)::bigint as gcum
+        from s165)
+      select doc_id, source,
+             case when qreason <> 'keep' then qreason
+                  when not quota_ok then 'quota_full'
+                  when gcum <= $gbudget then 'keep'
+                  else 'budget_full' end as stage,
+             n_tok
+      from g165 order by doc_id
+    """
+  }
+
   /** c143: the composed door replayed — c128's quota stage verbatim,
     * then c126's global cutoff as a CONDITIONAL prefix sum over the
     * quota survivors only (refused mass consumes no budget). */
@@ -5642,6 +5721,8 @@ object OraclesC {
     // c164: door-side packing — the schedule history's one cumulative
     // token window, sequence-cut by c111's budget arithmetic
     "c164_door_pack" -> c164Sql,
+    // c165: quality → novelty quota → global budget, one replay
+    "c165_novelty_door" -> c165Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -364,6 +364,119 @@ object BudgetStream {
       ledgerStore, "bk")
   }
 
+  /** One micro-batch through the NOVELTY-COMPOSED door — the whole
+    * acquisition policy in ONE pass over each arrival batch: the
+    * row-local quality cascade decides first (junk consumes nothing),
+    * the NOVELTY quotas (c160's √est_new plan — pay for estimated-new
+    * mass) meter the quality survivors per source, and the run-level
+    * token ceiling (c143's conditional prefix sum) closes over the
+    * quota survivors. ONE ledger row per (batch, source) carries all
+    * three replay states — offered, quality-surviving, and
+    * quota-surviving mass — so a restart resumes every stage from one
+    * store, and the reconciliation spec can re-derive each ledger
+    * column from the decision store alone (c153's discipline). */
+  private[graft] def processNoveltyDoorBatch(batch: DataFrame,
+      merges: Array[(String, String)], quotas: Map[String, Long],
+      decisionStore: String, ledgerStore: String, batchId: Long,
+      budget: Long = ComposedBudget): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = batch.sparkSession
+    import spark0.implicits._
+    val priced = Materialize.frame(
+      TextAnalysis.bpeCountsDirect(batch.select(col("doc_id"), col("text")), merges)
+        .join(batch.select(col("doc_id"), col("source"),
+          TextAnalysis.curationReasonOf(col("text")).as("qreason")), Seq("doc_id")))
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerStore)
+    val (priorQ, priorG): (Map[String, Long], Long) =
+      if (ledgerPath.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+          .exists(ledgerPath)) {
+        val prev = spark0.read.parquet(ledgerStore)
+          .filter(col("batch_id") < batchId)
+        (prev.groupBy("source").agg(sum(col("quality_tok")).as("p"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+          prev.agg(coalesce(sum(col("survivor_tok")), lit(0L))).head.getLong(0))
+      } else (Map.empty, 0L)
+    val qdf = broadcast(quotas.toSeq
+      .map { case (s, q) => (s, q, priorQ.getOrElse(s, 0L)) }
+      .toDF("source", "quota", "prior"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // left join: a source absent from the novelty plan (or with zero
+    // estimated-new mass) gets quota 0 → `quota_full`, never a
+    // dropped arrival
+    val staged0 = Materialize.frame(priced.join(qdf, Seq("source"), "left")
+      .withColumn("quota", coalesce(col("quota"), lit(0L)))
+      .withColumn("prior", coalesce(col("prior"), lit(0L)))
+      .withColumn("quality_ok", col("qreason") === "keep")
+      .withColumn("cum",
+        sum(when(col("quality_ok"), col("n_tok")).otherwise(0L)).over(wS)
+          + col("prior"))
+      .withColumn("quota_ok", col("quality_ok") && col("cum") <= col("quota")))
+    val staged = withArrivalCum(staged0,
+        when(col("quota_ok"), col("n_tok")).otherwise(0L), "gcum0")
+      .withColumn("gcum", col("gcum0") + lit(priorG))
+    val decisions = staged.select(col("doc_id"), col("source"),
+      when(!col("quality_ok"), col("qreason"))
+        .when(!col("quota_ok"), lit("quota_full"))
+        .when(col("gcum") <= budget, lit("keep"))
+        .otherwise(lit("budget_full")).as("stage"),
+      col("n_tok"))
+    EventsStream.upsertSink(decisions, decisionStore, "doc_id")
+    EventsStream.upsertSink(
+      staged.groupBy("source").agg(
+        sum(col("n_tok")).as("offered_tok"),
+        sum(when(col("quality_ok"), col("n_tok")).otherwise(0L)).as("quality_tok"),
+        sum(when(col("quota_ok"), col("n_tok")).otherwise(0L)).as("survivor_tok"))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("bk", concat_ws(":", col("batch_id"), col("source"))),
+      ledgerStore, "bk")
+  }
+
+  /** Start the live novelty-composed (quality → novelty quota →
+    * budget) door. */
+  def noveltyDoorGate(docs: DataFrame, merges: Array[(String, String)],
+      quotas: Map[String, Long], decisionStore: String, ledgerStore: String,
+      budget: Long = ComposedBudget,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processNoveltyDoorBatch(batch, merges, quotas, decisionStore,
+          ledgerStore, batchId, budget)
+        ()
+      }
+      .start()
+
+  private[graft] def noveltyDoorStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = TextAnalysis.storedMerges(spark, dir)
+    val quotas = noveltyQuotas(spark, dir)
+    StoreMemo.memo(spark, s"ndoor_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processNoveltyDoorBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          merges, quotas, s"$scratch/decisions", s"$scratch/ledger", i.toLong)
+    }
+  }
+
+  /** c165: the COMPOSED NOVELTY DOOR at STORE grain — the verdict's
+    * "one ledger, novelty + budget + quality in one pass": per
+    * arrival, either its quality-cascade reason (row-local junk pays
+    * nothing), `quota_full` (its source's novelty quota — c160's
+    * √est_new plan — closed), `budget_full` (survived quota, the
+    * run ceiling closed), or `keep`. Refusals at each stage consume
+    * none of the next stage's budget (the conditional prefix sums
+    * the oracle replays), so a junk-heavy or stale source can't
+    * starve the others. Keyed result = the decision store. */
+  def c165NoveltyDoor(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame =
+    spark.read.parquet(s"${noveltyDoorStores(spark, dir, nBatches)}/decisions")
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "stage", "n_tok")
+      .orderBy("doc_id")
+
   /** Start the live composed (quota → budget) gate. */
   def composedGate(docs: DataFrame, merges: Array[(String, String)],
       quotas: Map[String, Long], decisionStore: String, ledgerStore: String,

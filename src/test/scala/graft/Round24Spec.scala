@@ -92,6 +92,41 @@ class Round24Spec extends AnyFunSuite {
     assert(replayed == packed, "a replayed poll changed the packed store")
   }
 
+  test("c165: ledger reconciles row-for-row with the decision store (every stage's replay state re-derivable)") {
+    import graft.streaming.{BudgetStream, FunnelStream, EventsStream}
+    val n = FunnelStream.AuditBatches
+    // building the keyed query populates the memoized store pair
+    graft.streaming.BudgetStream.c165NoveltyDoor(spark, sf).count()
+    val root = BudgetStream.noveltyDoorStores(spark, sf, n)
+    val qualityReasons = Set("too_short", "non_en", "repetitive", "pii_heavy")
+    val fromDecisions = spark.read.parquet(s"$root/decisions")
+      .drop(EventsStream.KeyBucketCol)
+      .withColumn("batch_id", pmod(col("doc_id"), lit(n.toLong)))
+      .groupBy("batch_id", "source").agg(
+        sum(col("n_tok")).as("offered_tok"),
+        sum(when(!col("stage").isin(qualityReasons.toSeq.map(lit): _*), col("n_tok"))
+          .otherwise(0L)).as("quality_tok"),
+        sum(when(col("stage").isin("keep", "budget_full"), col("n_tok"))
+          .otherwise(0L)).as("survivor_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ledger = spark.read.parquet(s"$root/ledger")
+      .drop(EventsStream.KeyBucketCol)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("offered_tok"), r.getAs[Long]("quality_tok"),
+          r.getAs[Long]("survivor_tok"))).toMap
+    assert(ledger.nonEmpty && ledger == fromDecisions,
+      "a ledger row drifted from its batch's decisions — restarts would re-price later batches")
+    // fairness: a quality-refused arrival consumed no quota, a
+    // quota-refused arrival consumed no budget — so kept mass is
+    // bounded by the composed ceiling
+    val keptTok = spark.read.parquet(s"$root/decisions")
+      .filter(col("stage") === "keep")
+      .agg(coalesce(sum(col("n_tok")), lit(0L))).head.getLong(0)
+    assert(keptTok <= BudgetStream.ComposedBudget,
+      "kept mass exceeds the run ceiling — a refusal leaked into the budget sum")
+  }
+
   test("c164: sequences continue across polls — a shard's first row of batch k resumes the prior batch's token cursor") {
     // read back from the keyed query's own store (memoized chain)
     val out = graft.streaming.BudgetStream.c164DoorPack(spark, sf)
