@@ -3854,6 +3854,65 @@ object OraclesC {
     """
   }
 
+  /** c166: register drift — base vs union register tables per source
+    * (empty register = rank 0), compared as rank distributions over
+    * the 256 registers: changed-register count, max rank gain, PSI
+    * over the rank histogram, widest proportion gap. Signed columns
+    * through Rz. */
+  private def c166Sql: String = {
+    val m = graft.operators.TextAnalysis.HllRegisters
+    val eps = graft.operators.TextAnalysis.DriftEps
+    val basePred =
+      s"('0x' || substr(md5(d.doc_id::varchar), 1, 7))::bigint % 100 < ${graft.operators.Dedup.DeltaBasePct}"
+    s"""
+      with sh166 as ($SH8),
+      it166 as (select d.source, sh166.sh8, ($basePred) as is_base
+                from sh166 join documents d on sh166.doc_id = d.doc_id),
+      rb166 as (${hllRankSql("(select source, sh8 from it166 where is_base)", "source, ")}),
+      mb166 as (select source, reg, max(rnk)::bigint as m from rb166 group by 1, 2),
+      ru166 as (${hllRankSql("it166", "source, ")}),
+      mu166 as (select source, reg, max(rnk)::bigint as m from ru166 group by 1, 2),
+      src166 as (select distinct source from documents),
+      regs166 as (
+        select g.source, g.reg,
+               coalesce(b.m, 0)::bigint as m_base,
+               coalesce(u.m, 0)::bigint as m_cur
+        from (select source, r.range as reg from src166, range(0, $m) r) g
+        left join mb166 b on b.source = g.source and b.reg = g.reg
+        left join mu166 u on u.source = g.source and u.reg = g.reg),
+      chg166 as (
+        select source,
+               sum(case when m_cur <> m_base then 1 else 0 end)::bigint as n_regs_changed,
+               max(m_cur - m_base)::bigint as max_rank_gain
+        from regs166 group by 1),
+      hb166 as (select source, m_base as rk, count(*)::bigint as c
+                from regs166 group by 1, 2),
+      hc166 as (select source, m_cur as rk, count(*)::bigint as c
+                from regs166 group by 1, 2),
+      p166 as (
+        select g.source, g.rk,
+               round(coalesce(b.c, 0)::double / $m, 4) as p_base,
+               round(coalesce(c.c, 0)::double / $m, 4) as p_cur
+        from (select source, r.range as rk from src166, range(0, 54) r) g
+        left join hb166 b on b.source = g.source and b.rk = g.rk
+        left join hc166 c on c.source = g.source and c.rk = g.rk),
+      g166 as (
+        select *, row_number() over (partition by source
+          order by abs(p_cur - p_base) desc, rk) as gr
+        from p166),
+      psi166 as (
+        select source,
+               ${Rz(s"sum((p_cur - p_base) * ln((p_cur + $eps) / (p_base + $eps)))", 4)} as psi,
+               max(case when gr = 1 then rk end)::bigint as max_gap_rank,
+               max(case when gr = 1 then ${Rz("p_cur - p_base", 4)} end) as max_gap
+        from g166 group by 1)
+      select c.source, c.n_regs_changed, c.max_rank_gain,
+             p.psi, p.max_gap_rank, p.max_gap
+      from chg166 c join psi166 p using (source)
+      order by c.source
+    """
+  }
+
   /** c142: the fixed-width histogram quantile sketch replayed — bin
     * counts, the cumulative walk, rank targets ⌈n·p/100⌉ in exact
     * integer arithmetic, exact order statistics via the same
@@ -5723,6 +5782,8 @@ object OraclesC {
     "c164_door_pack" -> c164Sql,
     // c165: quality → novelty quota → global budget, one replay
     "c165_novelty_door" -> c165Sql,
+    // c166: base vs union register tables, PSI at rank grain
+    "c166_register_drift" -> c166Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

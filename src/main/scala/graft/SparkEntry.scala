@@ -230,6 +230,7 @@ object SparkEntry {
     "c163_bpe_sampled" -> ((s, dir) => TextAnalysis.c163BpeSampled(Tables.documents(s, dir))),
     "c164_door_pack" -> ((s, dir) => graft.streaming.BudgetStream.c164DoorPack(s, dir)),
     "c165_novelty_door" -> ((s, dir) => graft.streaming.BudgetStream.c165NoveltyDoor(s, dir)),
+    "c166_register_drift" -> ((s, dir) => TextAnalysis.c166RegisterDrift(Tables.documents(s, dir))),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

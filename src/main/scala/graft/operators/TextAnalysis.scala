@@ -1480,6 +1480,75 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** c166: HLL REGISTER DRIFT — c91's PSI discipline applied to the
+    * sketch STATE itself: per source, the base vintage's register
+    * table against the union's, compared as rank DISTRIBUTIONS over
+    * the 256 registers (empty register = rank 0). The report reads
+    * drift straight off the stored sketches — which registers rose,
+    * the largest rank gain, the PSI of the rank histogram, and the
+    * widest proportion gap — with NO corpus read at diff time: at
+    * 100 TB both register tables are per-vintage artifacts (256
+    * longs per source, c154/c156's store discipline) and this query
+    * is their 256-row diff, the cheapest possible "did this crawl
+    * change a source's content distribution" gate. A register's max
+    * rank only ever rises under the max-merge (c155), so
+    * `n_regs_changed` is also exactly the count of registers the
+    * delta touched. Signed columns (max_gap; psi's rounding) follow
+    * the Rz discipline from birth.
+    *
+    * Shape: one shingle pass, two ≤ sources×256 register aggregates,
+    * then everything is (sources × 256)- and (sources × 54)-row
+    * report arithmetic — grids, not corpus. */
+  def c166RegisterDrift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val items = Dedup.docShingles8(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("is_base", graft.operators.Dedup.isBaseDoc(col("doc_id")))
+    val mBase = hllRegisters(items.filter(col("is_base")), Seq("source"))
+      .withColumnRenamed("m", "m_base")
+    val mCur = hllRegisters(items, Seq("source"))
+      .withColumnRenamed("m", "m_cur")
+    val sources = docs.select(col("source")).distinct()
+    val regs = Materialize.frame(sources
+      .crossJoin((0L until HllRegisters).toDF("reg"))
+      .join(mBase, Seq("source", "reg"), "left")
+      .join(mCur, Seq("source", "reg"), "left")
+      .select(col("source"), col("reg"),
+        coalesce(col("m_base"), lit(0L)).as("m_base"),
+        coalesce(col("m_cur"), lit(0L)).as("m_cur")))
+    val changed = regs.groupBy("source").agg(
+      sum(when(col("m_cur") =!= col("m_base"), 1L).otherwise(0L))
+        .as("n_regs_changed"),
+      max(col("m_cur") - col("m_base")).as("max_rank_gain"))
+    def hist(mcol: String, c: String) = regs
+      .groupBy(col("source"), col(mcol).as("rk"))
+      .agg(count(lit(1)).as(c))
+    val p = sources.crossJoin((0L to 53L).toDF("rk"))
+      .join(hist("m_base", "cb"), Seq("source", "rk"), "left")
+      .join(hist("m_cur", "cc"), Seq("source", "rk"), "left")
+      .withColumn("p_base", round(
+        coalesce(col("cb"), lit(0L)).cast("double") / lit(HllRegisters.toDouble), 4))
+      .withColumn("p_cur", round(
+        coalesce(col("cc"), lit(0L)).cast("double") / lit(HllRegisters.toDouble), 4))
+    val wG = Window.partitionBy(col("source"))
+      .orderBy(abs(col("p_cur") - col("p_base")).desc, col("rk"))
+    changed.join(
+      p.withColumn("gr", row_number().over(wG))
+        .groupBy("source").agg(
+          round(sum((col("p_cur") - col("p_base")) *
+            log((col("p_cur") + lit(DriftEps)) / (col("p_base") + lit(DriftEps)))), 4)
+            .as("psi"),
+          max(when(col("gr") === 1, col("rk"))).as("max_gap_rank"),
+          max(when(col("gr") === 1, round(col("p_cur") - col("p_base"), 4)))
+            .as("max_gap")),
+      Seq("source"))
+      .select(col("source"), col("n_regs_changed"), col("max_rank_gain"),
+        col("psi"), col("max_gap_rank"), col("max_gap"))
+      .orderBy("source")
+  }
+
   /** The Bloom set-bit table of a (…, sh8) key frame — materialized:
     * the k probe joins each broadcast it, and an unmaterialized plan
     * would re-derive the explode + distinct once per hash function

@@ -127,6 +127,27 @@ class Round24Spec extends AnyFunSuite {
       "kept mass exceeds the run ceiling — a refusal leaked into the budget sum")
   }
 
+  test("c166: a source whose docs are all in the base vintage shows exactly zero register drift") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // relabel: base-vintage docs become their own source — for it the
+    // base and union register tables are identical by construction
+    val relabeled = docs.withColumn("source",
+      when(Dedup.isBaseDoc(col("doc_id")), lit("allbase")).otherwise(lit("mixed")))
+    val out = TextAnalysis.c166RegisterDrift(relabeled)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ab = out("allbase")
+    assert(ab.getAs[Long]("n_regs_changed") == 0L && ab.getAs[Long]("max_rank_gain") == 0L,
+      "base==union must leave every register unchanged")
+    assert(ab.getAs[Double]("psi") == 0.0 && ab.getAs[Double]("max_gap") == 0.0,
+      "identical rank distributions must read PSI 0 and gap 0")
+    // the mixed source gained delta docs: registers only ever RISE
+    // under the max-merge, so the gain is non-negative
+    val mx = out("mixed")
+    assert(mx.getAs[Long]("max_rank_gain") >= 0L)
+    assert(mx.getAs[Long]("n_regs_changed") >= 0L)
+  }
+
   test("c164: sequences continue across polls — a shard's first row of batch k resumes the prior batch's token cursor") {
     // read back from the keyed query's own store (memoized chain)
     val out = graft.streaming.BudgetStream.c164DoorPack(spark, sf)
