@@ -247,7 +247,11 @@ object SparkEntry {
     "e1_stream_hourly" -> ((s, dir) => graft.streaming.EventsStream.e1Batch(Tables.events(s, dir))),
     "e2_stream_dedup"  -> ((s, dir) => graft.streaming.EventsStream.e2Batch(Tables.events(s, dir))),
     "e3_stream_join"   -> ((s, dir) => graft.streaming.EventsStream
-      .purchaseClickJoin(Tables.events(s, dir), streaming = false).orderBy("p_id", "c_id"))
+      .purchaseClickJoin(Tables.events(s, dir), streaming = false).orderBy("p_id", "c_id")),
+    "e4_stream_late"   -> ((s, dir) => graft.streaming.EventsStream.e4Batch(Tables.events(s, dir))),
+    "e5_stream_outer_join" -> ((s, dir) => graft.streaming.EventsStream
+      .purchaseClickJoin(Tables.events(s, dir), streaming = false, joinType = "left_outer")
+      .orderBy("p_id", "c_id"))
   )
 
   /** Shared staging CTE for the oracles — the DuckDB spelling of
@@ -801,6 +805,38 @@ object SparkEntry {
       from events p join events c
         on p.user_id = c.user_id
        and p.event_type = 'purchase' and c.event_type = 'click'
+       and c.ts >= p.ts - interval 1 hour and c.ts <= p.ts
+      order by p_id, c_id
+    """,
+
+    // e4: the watermark policy replayed — arrival order = event_id,
+    // watermark = max earlier event time - 2h, first surviving
+    // arrival per key keeps
+    "e4_stream_late" -> """
+      with w4 as (
+        select event_id, user_id, event_type, epoch_us(ts) as ts_us,
+               max(epoch_us(ts)) over (order by event_id
+                 rows between unbounded preceding and 1 preceding) as prev_max
+        from events),
+      s4 as (
+        select event_id, user_id, event_type, ts_us,
+               (prev_max is not null and ts_us < prev_max - 7200000000) as is_late
+        from w4),
+      d4 as (
+        select *, row_number() over (partition by user_id, event_type, ts_us, is_late
+                    order by event_id) as rn
+        from s4)
+      select event_id, user_id, event_type, ts_us,
+             case when is_late then 'late' when rn = 1 then 'keep' else 'dup' end as status
+      from d4 order by event_id
+    """,
+
+    "e5_stream_outer_join" -> """
+      select p.event_id as p_id, c.event_id as c_id, p.user_id,
+             epoch_us(p.ts) as p_ts_us, epoch_us(c.ts) as c_ts_us
+      from (select * from events where event_type = 'purchase') p
+      left join (select * from events where event_type = 'click') c
+        on p.user_id = c.user_id
        and c.ts >= p.ts - interval 1 hour and c.ts <= p.ts
       order by p_id, c_id
     """

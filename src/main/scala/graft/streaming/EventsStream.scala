@@ -186,14 +186,72 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** e4: the WATERMARK'S LATE-DATA POLICY as a keyed decision table —
+    * what e2's streaming dedup silently does, audited per event: with
+    * arrival order = event_id (the poll's append order), the
+    * watermark at each arrival is the max event time of all STRICTLY
+    * EARLIER arrivals minus the delay (exactly Structured Streaming's
+    * rule, where each micro-batch's watermark is the previous
+    * batches' max — feeding one event per batch realizes this
+    * spelling precisely, which the streaming spec exploits). Every
+    * event gets `late` (behind the watermark — the row the streaming
+    * engine drops before state), `dup` (an earlier surviving arrival
+    * holds its key), or `keep`. The keep set IS e2's streaming
+    * output under per-event batches; the late/dup split is the
+    * observability a silent drop policy owes its operator (the
+    * lateDropCounter stance, made a table).
+    *
+    * Scale shape: the running max over arrival order is the RANGE-
+    * bucketed prefix pattern (withArrivalCum's, with max — the
+    * bounded bucket frame is the only unpartitioned window); the
+    * dedup rank is a keyed window. No corpus-grain global window. */
+  def e4Batch(events: DataFrame, delayUs: Long = 2L * 3600 * 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base0 = events.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val mm = base0.agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi")).head
+    val (lo, hi) = if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / 32L + 1L)
+    val b = base0.withColumn("e_bkt", expr(s"(event_id - ${lo}L) div ${width}L"))
+    val wOff = Window.orderBy(col("e_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy("e_bkt").agg(max(col("ts_us")).as("bkt_max"))
+      .withColumn("base_max", max(col("bkt_max")).over(wOff))
+      .select(col("e_bkt"), col("base_max"))
+    val wIn = Window.partitionBy(col("e_bkt")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wKey = Window.partitionBy(col("user_id"), col("event_type"),
+      col("ts_us"), col("is_late")).orderBy(col("event_id"))
+    b.join(broadcast(offs), Seq("e_bkt"))
+      .withColumn("in_max", max(col("ts_us")).over(wIn))
+      .withColumn("prev_max",
+        when(col("base_max").isNull, col("in_max"))
+          .when(col("in_max").isNull, col("base_max"))
+          .otherwise(greatest(col("base_max"), col("in_max"))))
+      .withColumn("is_late",
+        col("prev_max").isNotNull && col("ts_us") < col("prev_max") - lit(delayUs))
+      .withColumn("rn", row_number().over(wKey))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
+        when(col("is_late"), lit("late"))
+          .when(col("rn") === 1, lit("keep")).otherwise(lit("dup")).as("status"))
+      .orderBy("event_id")
+  }
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks from the preceding hour (attribution candidates).
     * Both sides carry watermarks and the join condition bounds the
     * event-time interval, so Spark can expire join state — the two
     * requirements that keep stream-stream join state finite. Works on
     * batch input too (watermarks skipped), which the spec uses as the
-    * ground truth. */
-  def purchaseClickJoin(events: DataFrame, streaming: Boolean): DataFrame = {
+    * ground truth.
+    *
+    * `joinType` extends the same plan to the OUTER attribution read
+    * (e5): `left_outer` emits every purchase, the unmatched ones with
+    * null click columns — in streaming, only once the click-side
+    * watermark passes the purchase's interval (state provably empty),
+    * the Structured Streaming contract for outer interval joins. */
+  def purchaseClickJoin(events: DataFrame, streaming: Boolean,
+      joinType: String = "inner"): DataFrame = {
     def side(tpe: String, prefix: String) = {
       val s = events.filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"),
@@ -201,7 +259,8 @@ object EventsStream {
       if (streaming) s.withWatermark(s"${prefix}_ts", "2 hours") else s
     }
     side("purchase", "p").join(side("click", "c"),
-      expr("p_user = c_user and c_ts >= p_ts - interval 1 hour and c_ts <= p_ts"))
+      expr("p_user = c_user and c_ts >= p_ts - interval 1 hour and c_ts <= p_ts"),
+      joinType)
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
         unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
   }

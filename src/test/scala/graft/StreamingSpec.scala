@@ -622,6 +622,90 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("e4 batch policy table equals streaming dedup-with-watermark under per-event micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val us = 1000000L
+    val t0 = 1704067200L * us // 2024-01-01 00:00:00 UTC, micros
+    def ts(offsetMin: Long) = new java.sql.Timestamp((t0 + offsetMin * 60 * us) / 1000)
+    // (event_id, user_id, event_type, ts): planted dup (2, 6), a
+    // genuinely late arrival (4: behind wm = t0+180m − 120m after
+    // event 3 lands), and keeps (1, 3, 5)
+    val arrivals = Seq(
+      (1L, 1L, "click", ts(0)),
+      (2L, 1L, "click", ts(0)),
+      (3L, 1L, "click", ts(180)),
+      (4L, 2L, "click", ts(30)),
+      (5L, 2L, "click", ts(90)),
+      (6L, 1L, "click", ts(180)))
+    val ms = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val src = ms.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q = EventsStream.dedup(src, streaming = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("e4_out").start()
+    try {
+      // ONE event per micro-batch: the engine's watermark before each
+      // batch is then exactly "max event time of earlier arrivals",
+      // e4Batch's spelling
+      arrivals.foreach { a => ms.addData(a); q.processAllAvailable() }
+      val streamingKeeps = spark.table("e4_out")
+        .select("keep_event_id").collect().map(_.getLong(0)).toSet
+      val batchTable = EventsStream.e4Batch(
+        arrivals.toDF("event_id", "user_id", "event_type", "ts"))
+        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+      assert(batchTable == Map(1L -> "keep", 2L -> "dup", 3L -> "keep",
+        4L -> "late", 5L -> "keep", 6L -> "dup"),
+        s"batch policy table wrong: $batchTable")
+      assert(streamingKeeps == batchTable.filter(_._2 == "keep").keySet,
+        "streaming watermark+dedup keep set diverged from the batch policy table")
+    } finally q.stop()
+  }
+
+  test("e5 streaming left-outer interval join equals batch once the watermark flushes unmatched purchases") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val events = graft.sources.Tables.normalizeEventTs(raw)
+      .select("event_id", "user_id", "event_type", "ts")
+      .as[(Long, Long, String, java.sql.Timestamp)].collect().toSeq
+    val maxTs = events.map(_._4.getTime).max
+    val ms = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val src = ms.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q = EventsStream.purchaseClickJoin(src, streaming = true, joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("e5_out").start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      // sentinel batches for a user no real row has: the global
+      // watermark is the MIN across the two sides' watermark nodes,
+      // so BOTH sides need a far-future arrival before every
+      // purchase's interval is provably closed — and eviction runs
+      // in the batch AFTER the watermark advances, so a final data
+      // batch forces the flush synchronously instead of racing the
+      // engine's no-data batch. purchase(+30d) → click(+60d) →
+      // purchase(+90d) flushes every unmatched (null-click) row —
+      // the outer-join completeness contract
+      Seq((-1L, -1L, "purchase", new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000)),
+          (-2L, -1L, "click",    new java.sql.Timestamp(maxTs + 60L * 24 * 3600 * 1000)),
+          (-3L, -1L, "purchase", new java.sql.Timestamp(maxTs + 90L * 24 * 3600 * 1000)))
+        .foreach { x => ms.addData(x); q.processAllAvailable() }
+      val got = spark.table("e5_out")
+        .filter(col("user_id") =!= -1L)
+        .orderBy("p_id", "c_id").collect()
+      val want = EventsStream.purchaseClickJoin(
+        graft.sources.Tables.events(spark, sf), streaming = false,
+        joinType = "left_outer").orderBy("p_id", "c_id").collect()
+      assert(got.length == want.length && got.sameElements(want),
+        s"streaming outer join: ${got.length} rows vs batch ${want.length}")
+      assert(got.exists(_.isNullAt(1)),
+        "no unmatched purchase in the fixture — the outer leg went untested")
+    } finally q.stop()
+  }
+
   test("d1 multimodal meta covers all docs with sane stub features") {
     val out = SparkEntry.queries("d1_multimodal_meta")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
