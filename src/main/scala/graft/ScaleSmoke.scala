@@ -151,15 +151,24 @@ object ScaleSmoke {
     val dims = emb.selectExpr("size(embedding)").head.getInt(0)
     // rotations repeat mod dims: replica r and r+dims would be exact
     // copies — the quadratic cross-replica mass the rotation exists
-    // to prevent. 64 replicas of sf0.1 is far past this tool's range.
-    require(n <= dims,
-      s"ScaleSmoke: replica count $n exceeds embedding dims $dims — rotations would collide")
+    // to prevent. Past that range the rotation composes with a
+    // per-replica SIGN-FLIP pattern (diag(±1) — also orthogonal, so
+    // intra-replica dot products, norms, and pair mass stay exact):
+    // replicas sharing a rotation still differ by an md5-derived sign
+    // mask, and their cross products decorrelate per flipped dim.
+    // 2^dims patterns ⇒ no practical replica budget collides.
+    val useSigns = n > dims
+    def signOf(rep: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      when(lit(useSigns) && (rep >= dims) &&
+        (conv(substring(md5(concat_ws(":", lit("smokesign"), rep, i)), 1, 7), 16, 10)
+          .cast("long") % 2 === 1L), lit(-1.0)).otherwise(lit(1.0))
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("rep") * vecOffset).as("vec_id"),
         transform(col("embedding"), (_, i) =>
-          element_at(col("embedding"),
-            (pmod(i + col("rep"), lit(dims)) + 1).cast("int"))).as("embedding"),
+          (element_at(col("embedding"),
+            (pmod(i + col("rep"), lit(dims)) + 1).cast("int"))
+            * signOf(col("rep"), i)).cast("float")).as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
     } // !reuse

@@ -197,20 +197,50 @@ object Dedup {
     * ([[overlapFrames]]): candidate volume ∝ shared-shingle mass,
     * never n², and the memoized posting build is shared. */
   def c42Containment(docs: DataFrame, dfCap: Int = DfCap,
-      bar: Double = ContainmentBar): DataFrame = {
-    val (inter, sizes) = overlapFrames(docs, dfCap)
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
-      .select(
-        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")).as("doc_in"),
-        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a")).as("doc_of"),
-        col("n_inter"),
-        round(col("n_inter") / least(col("n_a"), col("n_b")), 4).as("containment"),
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
-      .filter(col("containment") >= bar)
+      bar: Double = ContainmentBar): DataFrame =
+    containAtLeast(docs, dfCap, bar)
       .orderBy(col("containment").desc, col("doc_in"), col("doc_of"))
       .limit(50)
+
+  /** Direction-resolved pairs with rounded containment ≥ `bar` —
+    * c42's evidence frame under [[jacAtLeast]]'s memo discipline:
+    * materialized once per (session, corpus) at the [[ContainmentBar]]
+    * floor, so repeat reads (a notebook, the bench's steady state)
+    * price as a report-sized scan instead of re-pushing the 1M-pair
+    * candidate frame through the size joins. The c42 profiling pass
+    * (r13 verdict #7) found the warm cost was NOT a window (there is
+    * none) but per-pair work on the full candidate frame — ~45% of it
+    * the two BigDecimal round()s the bar filter evaluated per
+    * candidate. The build now guards the exact rounded filter behind
+    * an INTEGER prefilter (n_inter·100 ≥ 79·min-size ⟺ ratio ≥ 0.79,
+    * a strict superset of round(ratio,4) ≥ 0.8 — no double ever
+    * reaches 0.8 after rounding from below 0.7999½), so the
+    * BigDecimal path runs on bar-survivors only and the candidate
+    * frame passes through integer arithmetic alone. */
+  private def containAtLeast(docs: DataFrame, dfCap: Int, bar: Double): DataFrame = {
+    def frame(floor: Double) = {
+      val (inter, sizes) = overlapFrames(docs, dfCap)
+      val joined = inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      // the integer prefilter is only a superset of the rounded bar
+      // when the floor sits above it — a caller probing below 0.8
+      // gets the exact (slower) spelling
+      val pre = if (floor >= ContainmentBar)
+        joined.filter(col("n_inter") * 100 >= least(col("n_a"), col("n_b")) * 79)
+      else joined
+      pre.select(
+          when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")).as("doc_in"),
+          when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a")).as("doc_of"),
+          col("n_inter"),
+          round(col("n_inter") / least(col("n_a"), col("n_b")), 4).as("containment"),
+          round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
+        .filter(col("containment") >= floor)
+    }
+    if (dfCap == DfCap && bar >= ContainmentBar)
+      CorpusPrep.memo("verified_contain", docs)(Materialize.frame(frame(ContainmentBar)))
+        .filter(col("containment") >= bar)
+    else frame(bar)
   }
 
   /** c45 snapshot geometry: the base|delta percent cut (md5(doc_id)

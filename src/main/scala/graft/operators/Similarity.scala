@@ -1450,6 +1450,12 @@ object Similarity {
       .mapPartitions { it =>
         val s = bc.value
         it.map { case (id, v) =>
+          // a vector narrower than the sign matrix would silently
+          // TRUNCATE the projection (a sketch that no longer matches
+          // the c145-audited matrix) — fail loudly instead, for every
+          // consumer (c147/c151/c157/c158)
+          require(s.length == 0 || v.length >= s(0).length,
+            s"jlProjected: the JL matrix spans ${s(0).length} dims, vec $id has ${v.length}")
           val p = new Array[Double](s.length)
           var j = 0
           while (j < s.length) {
@@ -1556,8 +1562,16 @@ object Similarity {
       bucketCap: Int = Dedup.BucketCap): DataFrame = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     projGate(emb, jlProjected(emb).select(col("vec_id"), col("p")),
-      jlBand(spark, dir), nBits, nTables, threshold, bucketCap)
+      storedBand(spark, dir), nBits, nTables, threshold, bucketCap)
   }
+
+  /** The serving band read from the sketch artifact — [[jlBand]] (the
+    * full c145 audit: pair frame, count, order statistic) runs ONCE
+    * per (session, corpus) as the artifact memo's producer, and every
+    * consumer (c147's gate, c157's live door, c159's monitor) reads
+    * the stored number instead of re-deriving the audit per call. */
+  private[graft] def storedBand(spark: SparkSession, dir: String): Double =
+    spark.read.parquet(s"${sketchArtifact(spark, dir)}/band").head.getDouble(0)
 
   /** Escalation-read pushdown bound: when the band sliver's vec_id
     * set fits under this, it is collected (bounded by construction —
@@ -1576,7 +1590,10 @@ object Similarity {
     if (collected.isEmpty) store.filter(lit(false))
     else if (collected.length <= EscalationPushLimit)
       store.filter(col("vec_id").isin(collected: _*))
-    else store.join(ids, Seq("vec_id"))
+    // left_semi: safe by construction against duplicate ids (an inner
+    // join would duplicate store rows), matching the In-filter leg's
+    // set semantics regardless of caller discipline
+    else store.join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
   }
 
   /** The two-tier gate over an explicit sketch frame (vec_id, p) —
@@ -1836,7 +1853,7 @@ object Similarity {
       nBits: Int = DefaultSignBits, threshold: Double = SemDedupThreshold,
       bucketCap: Int = Dedup.BucketCap): DataFrame = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val band = jlBand(spark, dir)
+    val band = storedBand(spark, dir)
     bandTierLeg(emb.filter(isBaseVec(col("vec_id"))), band, threshold,
         "base", nBits, bucketCap)
       .unionByName(bandTierLeg(emb, band, threshold, "full", nBits, bucketCap))

@@ -236,8 +236,15 @@ object EmbedDupStream {
       threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val spark = b.sparkSession
-    val guarded = b.filter(assert_true(size(col("embedding")) >= SignBits,
-      concat(lit(s"sketch gate: $SignBits sign bits need ≥$SignBits dims, embedding has "),
+    // guard on the PROJECTION's real requirement: jlProjected's sign
+    // matrix spans PqSubspaces·PqSubDim input dims, and a narrower
+    // vector would silently truncate the dot products (a sketch that
+    // no longer matches the audited matrix) — fail loudly up front
+    // rather than diverge quietly (the kernel's own require is the
+    // backstop for the other sketch consumers)
+    val jlDims = Similarity.PqSubspaces * Similarity.PqSubDim
+    val guarded = b.filter(assert_true(size(col("embedding")) >= jlDims,
+      concat(lit(s"sketch gate: the JL matrix spans $jlDims dims, embedding has "),
         size(col("embedding")))).isNull)
     // the batch's sketch column + norms (per-row linear map)
     val nb = Materialize.frame(
@@ -348,7 +355,7 @@ object EmbedDupStream {
       threshold: Double = CosThreshold): DataFrame = {
     val vecs = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val band = Similarity.jlBand(spark, dir)
+    val band = Similarity.storedBand(spark, dir)
     val scratch = StoreMemo.memo(spark, s"c157_sketchgate_${dir}_$nBatches") { root =>
       for (i <- 0 until nBatches) {
         val b = Materialize.frame(vecs.filter(pmod(col("vec_id"), lit(nBatches)) === i))

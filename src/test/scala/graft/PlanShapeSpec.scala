@@ -358,4 +358,38 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
     }
   }
+
+  test("global-window inventory: every unpartitioned Window in a keyed plan is an allow-listed bounded frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the STANDING inventory: every keyed query whose RETURNED plan
+    // contains an unpartitioned Window, with why it is bounded (the
+    // window's input is report-sized, never corpus-grain). Store-
+    // grain keys run their windows at build time through the
+    // RANGE-bucketed arrival pattern (withArrivalCum / e4Batch's
+    // bucket-offset frame, ≤33 rows) — those never reach the
+    // returned plan. ANY new name failing here must either partition
+    // the window or argue a bounded input and join this list.
+    val allowed: Map[String, String] = Map(
+      // rank stamped onto an ALREADY-LIMITED frame: TakeOrdered cuts
+      // the corpus to ActiveBatchK rows BEFORE the window runs
+      "c93_active_batch" -> "row_number over a limit(ActiveBatchK) frame",
+      // same shape at GumbelSampleK
+      "c108_gumbel_sample" -> "row_number over a limit(GumbelSampleK) frame",
+      // the RANGE-bucketed running max: the only unpartitioned window
+      // is over the ≤33-row bucket-offset frame (withArrivalCum's
+      // pattern); the per-row legs partition on e_bkt / the key
+      "e4_stream_late" -> "bucket-offset frame, ≤33 rows by construction")
+    val offenders = scala.collection.mutable.SortedMap.empty[String, Int]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      val n = df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) offenders(name) = n
+    }
+    val unexplained = offenders.keySet -- allowed.keySet
+    assert(unexplained.isEmpty,
+      s"unpartitioned windows outside the allow-list: " +
+        unexplained.map(k => s"$k(${offenders(k)})").mkString(", "))
+  }
 }
