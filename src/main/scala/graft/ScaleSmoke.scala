@@ -317,7 +317,13 @@ object ScaleSmoke {
       // broadcast queries + keyed rerank), the two-leg band monitor,
       // and the novelty-quota door (HLL chain + batch-bounded door)
       "c158_sketch_route", "c159_band_health", "c160_novelty_quota",
-      "c161_door_mask", "d11_chunk_hll", "c162_sketch_adc")
+      "c161_door_mask", "d11_chunk_hll", "c162_sketch_adc",
+      // r24: the sampled trainer (sample-bounded loop + full-corpus
+      // encode), the door-side pack (batch-bounded appends), the
+      // three-stage novelty door, the register-grain drift diff
+      // (sources×256 arithmetic), and the two new e-tier batch twins
+      "c163_bpe_sampled", "c164_door_pack", "c165_novelty_door",
+      "c166_register_drift", "e4_stream_late", "e5_stream_outer_join")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:
