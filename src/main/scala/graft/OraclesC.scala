@@ -3913,6 +3913,29 @@ object OraclesC {
     """
   }
 
+  /** c167: the live register store replayed — by c155's merge
+    * property the door's max-over-log equals the one-pass registers
+    * over the whole arrival history, so the oracle is c154's chain
+    * over the door population plus the per-source batch count. */
+  private def c167Sql: String = {
+    val n = graft.streaming.FunnelStream.AuditBatches
+    s"""
+      with sh167 as ($SH8),
+      pop167 as (select doc_id, source from documents where doc_id % 97 <> 0),
+      it167 as (select p.source, sh167.sh8, p.doc_id
+                from sh167 join pop167 p on sh167.doc_id = p.doc_id),
+      rg167 as (${hllRankSql("(select source, sh8 from it167)", "source, ")}),
+      mx167 as (select source, reg, max(rnk)::bigint as m from rg167 group by 1, 2),
+      nb167 as (select source, count(distinct doc_id % $n)::bigint as n_batches
+                from it167 group by 1),
+      es167 as ${hllEstSql("mx167", "source")}
+      select e.source, b.n_batches, e.n_used, e.sum_scaled,
+             e.raw_est, e.lc_est, e.est
+      from es167 e join nb167 b using (source)
+      order by e.source
+    """
+  }
+
   /** c142: the fixed-width histogram quantile sketch replayed — bin
     * counts, the cumulative walk, rank targets ⌈n·p/100⌉ in exact
     * integer arithmetic, exact order statistics via the same
@@ -5784,6 +5807,8 @@ object OraclesC {
     "c165_novelty_door" -> c165Sql,
     // c166: base vs union register tables, PSI at rank grain
     "c166_register_drift" -> c166Sql,
+    // c167: door-maintained register log, max-merge ≡ one-pass
+    "c167_register_door" -> c167Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -231,6 +231,7 @@ object SparkEntry {
     "c164_door_pack" -> ((s, dir) => graft.streaming.BudgetStream.c164DoorPack(s, dir)),
     "c165_novelty_door" -> ((s, dir) => graft.streaming.BudgetStream.c165NoveltyDoor(s, dir)),
     "c166_register_drift" -> ((s, dir) => TextAnalysis.c166RegisterDrift(Tables.documents(s, dir))),
+    "c167_register_door" -> ((s, dir) => graft.streaming.BudgetStream.c167RegisterDoor(s, dir)),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),
@@ -251,7 +252,10 @@ object SparkEntry {
     "e4_stream_late"   -> ((s, dir) => graft.streaming.EventsStream.e4Batch(Tables.events(s, dir))),
     "e5_stream_outer_join" -> ((s, dir) => graft.streaming.EventsStream
       .purchaseClickJoin(Tables.events(s, dir), streaming = false, joinType = "left_outer")
-      .orderBy("p_id", "c_id"))
+      .orderBy("p_id", "c_id")),
+    "e6_session_window" -> ((s, dir) => graft.streaming.EventsStream
+      .e6SessionAgg(Tables.events(s, dir), streaming = false)
+      .orderBy("user_id", "start_us"))
   )
 
   /** Shared staging CTE for the oracles — the DuckDB spelling of
@@ -839,6 +843,30 @@ object SparkEntry {
         on p.user_id = c.user_id
        and c.ts >= p.ts - interval 1 hour and c.ts <= p.ts
       order by p_id, c_id
+    """,
+
+    // e6: session_window replayed as gaps-and-islands — a boundary
+    // event (diff >= gap) opens a new session (Spark's [start, end)
+    // merge rule), session end = last event + gap
+    "e6_session_window" -> """
+      with s6 as (
+        select user_id, epoch_us(ts) as ts_us, value, event_id,
+               case when lag(epoch_us(ts)) over (partition by user_id
+                      order by ts, event_id) is null then 1
+                    when epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id
+                      order by ts, event_id) >= 1800000000 then 1
+                    else 0 end as brk
+        from events),
+      g6 as (
+        select user_id, ts_us, value,
+               sum(brk) over (partition by user_id order by ts_us, event_id
+                 rows between unbounded preceding and current row) as sid
+        from s6)
+      select user_id, min(ts_us) as start_us,
+             (max(ts_us) + 1800000000)::bigint as end_us,
+             count(*) as n_events, round(sum(value), 4) as sum_value
+      from g6 group by user_id, sid
+      order by user_id, start_us
     """
   )
 }

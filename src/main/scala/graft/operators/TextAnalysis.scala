@@ -1480,6 +1480,13 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** (doc_id, source, sh8) items — the shingle frame every HLL key
+    * aggregates over, exposed for the streaming register door (c167),
+    * which lives outside the operators package. */
+  private[graft] def sourceShingleItems(docs: DataFrame): DataFrame =
+    Dedup.docShingles8(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+
   /** c166: HLL REGISTER DRIFT — c91's PSI discipline applied to the
     * sketch STATE itself: per source, the base vintage's register
     * table against the union's, compared as rank DISTRIBUTIONS over

@@ -732,6 +732,79 @@ object BudgetStream {
         "n_tok", "seq_id", "start_offset")
       .orderBy("shard", "pos")
 
+  /** One micro-batch of the REGISTER DOOR: the batch's (source, reg,
+    * rank) HLL register table lands in an APPEND-ONLY register LOG
+    * keyed by (source, reg, batch) — keep-first merge is exactly
+    * right because a replayed batch recomputes the identical row
+    * (registers/ranks are md5-derived), and the MAX-MERGE that makes
+    * registers a sketch (c155's property) moves to the READER: the
+    * served table is max(rank) over the log. No row is ever updated
+    * in place, so the store stays append-only under concurrent
+    * readers, and per-batch cost is the batch's shingle pass plus a
+    * ≤ sources×256-row merge. */
+  private[graft] def processRegisterBatch(batch: DataFrame, store: String,
+      batchId: Long): Unit = {
+    val regs = TextAnalysis.hllRegisters(
+        TextAnalysis.sourceShingleItems(batch), Seq("source"))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("rk", concat_ws(":", col("source"), col("reg"), col("batch_id")))
+    EventsStream.upsertSink(regs, store, "rk")
+  }
+
+  /** Start the live register door over a streaming (doc_id, text,
+    * source) frame — the per-vintage register artifact (what c156's
+    * novelty and c166's drift diff) maintained AT the door instead of
+    * by an at-rest re-read. */
+  def registerDoorGate(docs: DataFrame, store: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processRegisterBatch(batch, store, batchId)
+        ()
+      }
+      .start()
+
+  private[graft] def registerDoorStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    StoreMemo.memo(spark, s"regdoor_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processRegisterBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          scratch + "/registers", i.toLong)
+    }
+  }
+
+  /** c167: the LIVE REGISTER STORE — the sketch artifact the novelty
+    * quotas (c160) and the drift gate (c166) consume, maintained
+    * incrementally by the door: each poll appends its batch's
+    * register table to the log, and the served table is the max-merge
+    * over the log — equal BY c155's MERGE PROPERTY to the one-pass
+    * registers over the whole arrival history, which is exactly what
+    * the oracle replays (c154's chain over the door population). Per
+    * source: batches contributing, occupied registers, the exact-
+    * integer register sum (hash-checkable sketch state), and the
+    * estimates off the shared estimator. At 100 TB this is the whole
+    * point of the sketch tier: the register artifact stays current
+    * poll-by-poll at sources×256-row cost, and no consumer ever
+    * re-reads the corpus to refresh it. */
+  def c167RegisterDoor(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame = {
+    val log = spark.read
+      .parquet(s"${registerDoorStores(spark, dir, nBatches)}/registers")
+      .drop(EventsStream.KeyBucketCol)
+    val merged = log.groupBy("source", "reg").agg(max(col("m")).as("m"))
+    val nb = log.groupBy("source")
+      .agg(countDistinct(col("batch_id")).as("n_batches"))
+    TextAnalysis.hllEstimate(merged, Seq("source"))
+      .join(nb, Seq("source"))
+      .select(col("source"), col("n_batches"), col("n_used"),
+        col("sum_scaled"), col("raw_est"), col("lc_est"), col("est"))
+      .orderBy("source")
+  }
+
   /** c153: the DOOR LEDGER report — the composed gate's cross-batch
     * state made a keyed, oracle-audited table for the first time (the
     * decisions store has been audited since c143; the LEDGER — the

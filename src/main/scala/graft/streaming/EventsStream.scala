@@ -45,6 +45,28 @@ object EventsStream {
         .groupBy(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
         .agg(min(col("event_id")).as("keep_event_id"))
 
+  /** e6: NATIVE session-window aggregation — Spark's `session_window`
+    * (dynamic-gap tumbling: a session extends while the next event
+    * starts strictly inside the previous event's ts+gap; an event AT
+    * the boundary opens a new session — note the deliberate boundary
+    * difference from b9's stateful sessionizer, which opens strictly
+    * PAST the gap). One spelling runs batch (the oracle-checked keyed
+    * query) and streaming (watermarked, sessions finalized once the
+    * watermark passes their end — state is O(open sessions), the
+    * property that runs forever). The batch twin replays in SQL as
+    * gaps-and-islands: boundary on diff ≥ gap, cumulative-sum session
+    * ids, end = max ts + gap. */
+  def e6SessionAgg(events: DataFrame, streaming: Boolean,
+      gap: String = "30 minutes"): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Event/state/output records for the stateful sessionizer. */
   case class SessEvent(user_id: Long, ts_us: Long, event_id: Long)
   case class SessState(sessionSeq: Long, lastTsUs: Long)

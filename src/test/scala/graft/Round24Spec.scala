@@ -148,6 +148,36 @@ class Round24Spec extends AnyFunSuite {
     assert(mx.getAs[Long]("n_regs_changed") >= 0L)
   }
 
+  test("c167: register-log replay is a no-op, and the max-merge equals the one-pass register table") {
+    import graft.streaming.{BudgetStream, EventsStream, FunnelStream}
+    import graft.operators.TextAnalysis
+    val n = FunnelStream.AuditBatches
+    BudgetStream.c167RegisterDoor(spark, sf).count()
+    val root = BudgetStream.registerDoorStores(spark, sf, n)
+    def logRows() = spark.read.parquet(s"$root/registers")
+      .drop(EventsStream.KeyBucketCol)
+      .collect().map(_.toSeq).toSet
+    val before = logRows()
+    val pop = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    BudgetStream.processRegisterBatch(
+      pop.filter(pmod(col("doc_id"), lit(n)) === (n - 1)),
+      s"$root/registers", (n - 1).toLong)
+    assert(logRows() == before, "a replayed poll changed the register log")
+    // c155's merge property, live: max over the per-batch log rows ≡
+    // the register table built over the whole population in one pass
+    val merged = spark.read.parquet(s"$root/registers")
+      .drop(EventsStream.KeyBucketCol)
+      .groupBy("source", "reg").agg(max(col("m")).as("m"))
+      .collect().map(_.toSeq).toSet
+    val onePass = TextAnalysis.hllRegisters(
+        TextAnalysis.sourceShingleItems(pop), Seq("source"))
+      .collect().map(_.toSeq).toSet
+    assert(merged == onePass,
+      "incremental register accumulation diverged from the one-pass table")
+  }
+
   test("c164: sequences continue across polls — a shard's first row of batch k resumes the prior batch's token cursor") {
     // read back from the keyed query's own store (memoized chain)
     val out = graft.streaming.BudgetStream.c164DoorPack(spark, sf)

@@ -706,6 +706,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("e6 streaming session-window agg equals batch once the watermark closes every session") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    val maxTs = events.map(_._2.getTime).max
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val src = ms.toDF().toDF("user_id", "ts", "value")
+    val q = EventsStream.e6SessionAgg(src, streaming = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("e6_out").start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      // sentinel far past every session's end pushes the watermark so
+      // the engine finalizes ALL real sessions; a second one forces
+      // the flush batch to run synchronously
+      ms.addData((-1L, new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000), 0.0))
+      q.processAllAvailable()
+      ms.addData((-2L, new java.sql.Timestamp(maxTs + 60L * 24 * 3600 * 1000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("e6_out").filter(col("user_id") >= 0L)
+        .orderBy("user_id", "start_us").collect()
+      val want = EventsStream.e6SessionAgg(
+        graft.sources.Tables.events(spark, sf), streaming = false)
+        .orderBy("user_id", "start_us").collect()
+      assert(got.length == want.length && got.sameElements(want),
+        s"streaming session agg: ${got.length} rows vs batch ${want.length}")
+      // the fixture must actually exercise multi-event sessions
+      assert(want.exists(_.getAs[Long]("n_events") > 1L),
+        "no multi-event session in the fixture — merging went untested")
+    } finally q.stop()
+  }
+
   test("d1 multimodal meta covers all docs with sane stub features") {
     val out = SparkEntry.queries("d1_multimodal_meta")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
