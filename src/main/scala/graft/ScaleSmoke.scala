@@ -340,6 +340,7 @@ object ScaleSmoke {
         if (dir == work) scaledPartitions else basePartitions)
       operators.CorpusPrep.invalidate()
       streaming.StoreMemo.invalidate()
+      streaming.BudgetStream.invalidateQuotaPlans()
       sources.Tables.invalidate()
       spark.sharedState.cacheManager.clearCache()
       // localCheckpoint blocks are reclaimed by the ContextCleaner
@@ -380,6 +381,7 @@ object ScaleSmoke {
       def mass(dir: String): (Long, Long) = {
         operators.CorpusPrep.invalidate()
         streaming.StoreMemo.invalidate()
+        streaming.BudgetStream.invalidateQuotaPlans()
         sources.Tables.invalidate()
         spark.sharedState.cacheManager.clearCache()
         operators.Dedup.evidenceMass(sources.Tables.documents(spark, dir))

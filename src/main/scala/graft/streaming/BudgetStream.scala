@@ -158,8 +158,36 @@ object BudgetStream {
     * door enforces the same mixture the repeat plan budgets);
     * quota = (budget · mille) div 1000, exact integers. Bounded
     * collect (|sources| rows). */
+  /** Session cache for the bounded quota PLANS — a quota map is an
+    * artifact of the corpus vintage (the deployment computes it once
+    * per vintage and every door poll reads it), but the plan
+    * derivations (the stored-tokenizer mass rollup; c156's whole HLL
+    * novelty chain) were re-running on EVERY audit-store build, which
+    * charged each keyed door query for the planning job instead of
+    * the door. Same staleness contract as the store memos: anyone
+    * rewriting a corpus dir in place calls [[invalidateQuotaPlans]]
+    * beside the other invalidates. */
+  private val quotaPlanCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Long), Map[String, Long]]
+
+  private[graft] def invalidateQuotaPlans(): Unit = quotaPlanCache.clear()
+
+  private def quotaPlan(spark: SparkSession, kind: String, dir: String,
+      budget: Long)(derive: => Map[String, Long]): Map[String, Long] = {
+    quotaPlanCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) quotaPlanCache.remove(k)
+    }
+    quotaPlanCache.getOrElseUpdate((spark, kind, dir, budget), derive)
+  }
+
   private[graft] def sourceQuotas(spark: SparkSession, dir: String,
-      budget: Long = BudgetTokens): Map[String, Long] = {
+      budget: Long = BudgetTokens): Map[String, Long] =
+    quotaPlan(spark, "volume", dir, budget) {
+      sourceQuotasDirect(spark, dir, budget)
+    }
+
+  private def sourceQuotasDirect(spark: SparkSession, dir: String,
+      budget: Long): Map[String, Long] = {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
     val st = docs.join(graft.operators.Sampling.storedTokCounts(spark, dir), Seq("doc_id"))
@@ -182,7 +210,13 @@ object BudgetStream {
     * c156-rounded double on both engines, so the weights replay
     * bit-for-bit. Bounded collect (|sources| rows). */
   private[graft] def noveltyQuotas(spark: SparkSession, dir: String,
-      budget: Long = BudgetTokens): Map[String, Long] = {
+      budget: Long = BudgetTokens): Map[String, Long] =
+    quotaPlan(spark, "novelty", dir, budget) {
+      noveltyQuotasDirect(spark, dir, budget)
+    }
+
+  private def noveltyQuotasDirect(spark: SparkSession, dir: String,
+      budget: Long): Map[String, Long] = {
     val nov = TextAnalysis.c156HllVintage(
         graft.sources.Tables.documents(spark, dir))
       .select(col("source"),
