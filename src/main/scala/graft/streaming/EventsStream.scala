@@ -533,6 +533,16 @@ object EventsStream {
     // merge reads the same layout — never (data, no meta), which a
     // later change of the code constants would misinterpret
     writeStoreMeta(fs, storePath, nBuckets, hashKind)
+    // bulk replay fast path: re-offering already-ingested batches is
+    // the COMMON at-least-once case for bulk merges, and an all-dropped
+    // anti-join still pays a full write-commit job. The emptiness
+    // probe costs one limit-1 pass (cheap when rows exist — take(1)
+    // short-circuits; the full pass when empty is work the write
+    // would have done anyway), and skipping the commit leaves the
+    // store byte-identical. Only the bulk path: the pruned path's
+    // checkpoint makes its write marginal, and probing there would
+    // add a job instead of saving one.
+    if (committed && bulkBatch && merged.isEmpty) return
     // append-mode write: existing bucket files stay, only new keys
     // land; each merge adds ONE file per touched bucket (bucket ==
     // partition for murmur3; explicit repartition for legacy), the
