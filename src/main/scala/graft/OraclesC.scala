@@ -3936,6 +3936,98 @@ object OraclesC {
     """
   }
 
+  /** d12: the chunk-register door replayed — d11's chunk/register
+    * chain over the door population plus per-type batch counts
+    * (max-over-log ≡ one-pass by the merge property). */
+  private def d12Sql: String = {
+    val chunk = graft.operators.Multimodal.DefaultChunkBytes
+    val n = graft.streaming.FunnelStream.AuditBatches
+    s"""
+      with cd12 as (
+        select doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::int] as media_type,
+               hex(encode(text)) as hx,
+               octet_length(encode(text)) as n_bytes
+        from documents where doc_id % 97 <> 0),
+      xd12 as (
+        select doc_id, media_type, hx,
+               unnest(range(0, greatest(ceil(n_bytes::double / $chunk)::bigint, 1))) as chunk_idx
+        from cd12),
+      it12 as (
+        select doc_id, media_type,
+               md5(substring(hx, (chunk_idx * ${2 * chunk} + 1)::int, ${2 * chunk})) as sh8
+        from xd12),
+      rg12 as (${hllRankSql("(select media_type, sh8 from it12)", "media_type, ")}),
+      mx12 as (select media_type, reg, max(rnk)::bigint as m
+               from rg12 group by 1, 2),
+      nb12 as (select media_type, count(distinct doc_id % $n)::bigint as n_batches
+               from it12 group by 1),
+      es12 as ${hllEstSql("mx12", "media_type")}
+      select e.media_type, b.n_batches, e.n_used, e.sum_scaled,
+             e.raw_est, e.lc_est, e.est
+      from es12 e join nb12 b using (media_type)
+      order by e.media_type
+    """
+  }
+
+  /** c168: drift off the live log — c166's register-PSI body with
+    * base = the arrivals BEFORE the latest poll, over the door
+    * population (max-over-log ≡ one-pass registers per vintage). */
+  private def c168Sql: String = {
+    val m = graft.operators.TextAnalysis.HllRegisters
+    val eps = graft.operators.TextAnalysis.DriftEps
+    val n = graft.streaming.FunnelStream.AuditBatches
+    s"""
+      with sh168 as ($SH8),
+      pop168 as (select doc_id, source from documents where doc_id % 97 <> 0),
+      it168 as (select p.source, sh168.sh8,
+                       (p.doc_id % $n < ${n - 1}) as is_base
+                from sh168 join pop168 p on sh168.doc_id = p.doc_id),
+      rb168 as (${hllRankSql("(select source, sh8 from it168 where is_base)", "source, ")}),
+      mb168 as (select source, reg, max(rnk)::bigint as m from rb168 group by 1, 2),
+      ru168 as (${hllRankSql("(select source, sh8 from it168)", "source, ")}),
+      mu168 as (select source, reg, max(rnk)::bigint as m from ru168 group by 1, 2),
+      src168 as (select distinct source from it168),
+      regs168 as (
+        select g.source, g.reg,
+               coalesce(b.m, 0)::bigint as m_base,
+               coalesce(u.m, 0)::bigint as m_cur
+        from (select source, r.range as reg from src168, range(0, $m) r) g
+        left join mb168 b on b.source = g.source and b.reg = g.reg
+        left join mu168 u on u.source = g.source and u.reg = g.reg),
+      chg168 as (
+        select source,
+               sum(case when m_cur <> m_base then 1 else 0 end)::bigint as n_regs_changed,
+               max(m_cur - m_base)::bigint as max_rank_gain
+        from regs168 group by 1),
+      hb168 as (select source, m_base as rk, count(*)::bigint as c
+                from regs168 group by 1, 2),
+      hc168 as (select source, m_cur as rk, count(*)::bigint as c
+                from regs168 group by 1, 2),
+      p168 as (
+        select g.source, g.rk,
+               round(coalesce(b.c, 0)::double / $m, 4) as p_base,
+               round(coalesce(c.c, 0)::double / $m, 4) as p_cur
+        from (select source, r.range as rk from src168, range(0, 54) r) g
+        left join hb168 b on b.source = g.source and b.rk = g.rk
+        left join hc168 c on c.source = g.source and c.rk = g.rk),
+      g168 as (
+        select *, row_number() over (partition by source
+          order by abs(p_cur - p_base) desc, rk) as gr
+        from p168),
+      psi168 as (
+        select source,
+               ${Rz(s"sum((p_cur - p_base) * ln((p_cur + $eps) / (p_base + $eps)))", 4)} as psi,
+               max(case when gr = 1 then rk end)::bigint as max_gap_rank,
+               max(case when gr = 1 then ${Rz("p_cur - p_base", 4)} end) as max_gap
+        from g168 group by 1)
+      select c.source, c.n_regs_changed, c.max_rank_gain,
+             p.psi, p.max_gap_rank, p.max_gap
+      from chg168 c join psi168 p using (source)
+      order by c.source
+    """
+  }
+
   /** c142: the fixed-width histogram quantile sketch replayed — bin
     * counts, the cumulative walk, rank targets ⌈n·p/100⌉ in exact
     * integer arithmetic, exact order statistics via the same
@@ -5809,6 +5901,10 @@ object OraclesC {
     "c166_register_drift" -> c166Sql,
     // c167: door-maintained register log, max-merge ≡ one-pass
     "c167_register_door" -> c167Sql,
+    // c168: register-PSI between the log's pre-latest-poll and full states
+    "c168_door_drift" -> c168Sql,
+    // d12: the chunk-register door — d11's counter maintained live
+    "d12_chunk_register_door" -> d12Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -110,6 +110,14 @@ object Multimodal {
     * again (d4's dedup groupBy, d5's two checksum shuffles, d3's
     * stride filter all move checksum-sized rows only). No sort: each
     * consumer orders its own report. */
+  /** (media_type, sh8 = chunk checksum) items — the chunk-grain
+    * shingle frame the HLL keys aggregate over, exposed for the
+    * streaming chunk-register door (d12). */
+  private[graft] def chunkShingleItems(docs: DataFrame,
+      chunkBytes: Int = DefaultChunkBytes): DataFrame =
+    chunkRows(docs, chunkBytes)
+      .select(col("media_type"), col("chunk_md5").as("sh8"))
+
   private def chunkRows(docs: DataFrame, chunkBytes: Int): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._

@@ -839,6 +839,116 @@ object BudgetStream {
       .orderBy("source")
   }
 
+  /** d12's batch step — [[processRegisterBatch]] at MEDIA-CHUNK
+    * grain: the batch's payloads chunk (d2's kernel), the chunk
+    * checksums land as (media_type, reg, rank) register rows in the
+    * same append-only log discipline. One HLL contract for text and
+    * media, live. */
+  private[graft] def processChunkRegisterBatch(batch: DataFrame, store: String,
+      batchId: Long): Unit = {
+    val regs = TextAnalysis.hllRegisters(
+        graft.operators.Multimodal.chunkShingleItems(batch), Seq("media_type"))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("rk", concat_ws(":", col("media_type"), col("reg"), col("batch_id")))
+    EventsStream.upsertSink(regs, store, "rk")
+  }
+
+  private[graft] def chunkRegisterStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    StoreMemo.memo(spark, s"cregdoor_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processChunkRegisterBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          scratch + "/registers", i.toLong)
+    }
+  }
+
+  /** d12: the LIVE CHUNK-REGISTER STORE — d11's capacity counter
+    * maintained at the door: every poll's media payloads chunk once
+    * (at ingest, when the bytes are already in hand) and only the
+    * ≤ types×256-row register table lands in the log; the chunk-store
+    * capacity read (distinct chunks per media type) max-merges the
+    * log, equal by c155's property to d11's one-pass registers over
+    * the door population. At 100 TB of media this is the difference
+    * between re-hashing the corpus per capacity check and reading
+    * 3×256 longs. */
+  def d12ChunkRegisterDoor(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame = {
+    val log = spark.read
+      .parquet(s"${chunkRegisterStores(spark, dir, nBatches)}/registers")
+      .drop(EventsStream.KeyBucketCol)
+    val merged = log.groupBy("media_type", "reg").agg(max(col("m")).as("m"))
+    val nb = log.groupBy("media_type")
+      .agg(countDistinct(col("batch_id")).as("n_batches"))
+    TextAnalysis.hllEstimate(merged, Seq("media_type"))
+      .join(nb, Seq("media_type"))
+      .select(col("media_type"), col("n_batches"), col("n_used"),
+        col("sum_scaled"), col("raw_est"), col("lc_est"), col("est"))
+      .orderBy("media_type")
+  }
+
+  /** c168: DRIFT OFF THE LIVE LOG — c166's PSI discipline applied to
+    * the c167 register store itself: base = the log's registers
+    * BEFORE the latest poll (batch_id < n−1, max-merged), current =
+    * the whole log. Per source: registers the last poll touched, max
+    * rank gain, PSI of the rank histogram, widest proportion gap —
+    * "did the latest crawl shift this source's content distribution",
+    * answered from ≤ sources×512 stored longs with no corpus read
+    * and no re-sketching: the door already paid for every register
+    * row (c167), and the diff is pure report arithmetic. Signed
+    * columns through Rz from birth (c166's contract). */
+  def c168DoorDrift(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val m = TextAnalysis.HllRegisters
+    val regLog = spark.read
+      .parquet(s"${registerDoorStores(spark, dir, nBatches)}/registers")
+      .drop(EventsStream.KeyBucketCol)
+    val mBase = regLog.filter(col("batch_id") < nBatches - 1)
+      .groupBy("source", "reg").agg(max(col("m")).as("m_base"))
+    val mCur = regLog.groupBy("source", "reg").agg(max(col("m")).as("m_cur"))
+    val sources = regLog.select(col("source")).distinct()
+    val regs = Materialize.frame(sources
+      .crossJoin((0L until m).toDF("reg"))
+      .join(mBase, Seq("source", "reg"), "left")
+      .join(mCur, Seq("source", "reg"), "left")
+      .select(col("source"), col("reg"),
+        coalesce(col("m_base"), lit(0L)).as("m_base"),
+        coalesce(col("m_cur"), lit(0L)).as("m_cur")))
+    val changed = regs.groupBy("source").agg(
+      sum(when(col("m_cur") =!= col("m_base"), 1L).otherwise(0L))
+        .as("n_regs_changed"),
+      max(col("m_cur") - col("m_base")).as("max_rank_gain"))
+    def hist(mcol: String, c: String) = regs
+      .groupBy(col("source"), col(mcol).as("rk"))
+      .agg(count(lit(1)).as(c))
+    val p = sources.crossJoin((0L to 53L).toDF("rk"))
+      .join(hist("m_base", "cb"), Seq("source", "rk"), "left")
+      .join(hist("m_cur", "cc"), Seq("source", "rk"), "left")
+      .withColumn("p_base", round(
+        coalesce(col("cb"), lit(0L)).cast("double") / lit(m.toDouble), 4))
+      .withColumn("p_cur", round(
+        coalesce(col("cc"), lit(0L)).cast("double") / lit(m.toDouble), 4))
+    val wG = Window.partitionBy(col("source"))
+      .orderBy(abs(col("p_cur") - col("p_base")).desc, col("rk"))
+    changed.join(
+      p.withColumn("gr", row_number().over(wG))
+        .groupBy("source").agg(
+          round(sum((col("p_cur") - col("p_base")) *
+            log((col("p_cur") + lit(TextAnalysis.DriftEps))
+              / (col("p_base") + lit(TextAnalysis.DriftEps)))), 4).as("psi"),
+          max(when(col("gr") === 1, col("rk"))).as("max_gap_rank"),
+          max(when(col("gr") === 1, round(col("p_cur") - col("p_base"), 4)))
+            .as("max_gap")),
+      Seq("source"))
+      .select(col("source"), col("n_regs_changed"), col("max_rank_gain"),
+        col("psi"), col("max_gap_rank"), col("max_gap"))
+      .orderBy("source")
+  }
+
   /** c153: the DOOR LEDGER report — the composed gate's cross-batch
     * state made a keyed, oracle-audited table for the first time (the
     * decisions store has been audited since c143; the LEDGER — the

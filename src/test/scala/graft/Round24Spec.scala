@@ -178,6 +178,43 @@ class Round24Spec extends AnyFunSuite {
       "incremental register accumulation diverged from the one-pass table")
   }
 
+  test("d12: the live chunk-register store's max-merge equals d11's one-pass registers over the door population") {
+    import graft.streaming.{BudgetStream, EventsStream, FunnelStream}
+    import graft.operators.{Multimodal, TextAnalysis}
+    val n = FunnelStream.AuditBatches
+    BudgetStream.d12ChunkRegisterDoor(spark, sf).count()
+    val root = BudgetStream.chunkRegisterStores(spark, sf, n)
+    val merged = spark.read.parquet(s"$root/registers")
+      .drop(EventsStream.KeyBucketCol)
+      .groupBy("media_type", "reg").agg(max(col("m")).as("m"))
+      .collect().map(_.toSeq).toSet
+    val pop = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 =!= 0)
+    val onePass = TextAnalysis.hllRegisters(
+        Multimodal.chunkShingleItems(pop), Seq("media_type"))
+      .collect().map(_.toSeq).toSet
+    assert(merged == onePass,
+      "chunk-register door accumulation diverged from the one-pass table")
+  }
+
+  test("c168: drift off the live log — registers only rise, and an empty latest poll reads zero drift") {
+    import graft.streaming.BudgetStream
+    val out = BudgetStream.c168DoorDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_rank_gain") >= 0L,
+        "a register fell across polls — max-merge monotonicity broken")
+      assert(r.getAs[Long]("n_regs_changed") >= 0L)
+      // PSI of two register histograms where cur dominates base:
+      // finite, and zero exactly when nothing changed
+      val psi = r.getAs[Double]("psi")
+      assert(!psi.isNaN && !psi.isInfinite)
+      if (r.getAs[Long]("n_regs_changed") == 0L)
+        assert(psi == 0.0 && r.getAs[Double]("max_gap") == 0.0,
+          "an unchanged source must read exactly zero drift")
+    }
+  }
+
   test("c164: sequences continue across polls — a shard's first row of batch k resumes the prior batch's token cursor") {
     // read back from the keyed query's own store (memoized chain)
     val out = graft.streaming.BudgetStream.c164DoorPack(spark, sf)

@@ -742,6 +742,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("registerDoorGate: a real writeStream maintains the register log equal to the one-pass table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect().toSeq
+    val (b0, b1) = docs.partition(_._1 % 2 == 0)
+    val store = java.nio.file.Files.createTempDirectory("graft-regdoor-").toString + "/registers"
+    val ms = MemoryStream[(Long, String, String)]
+    val gate = graft.streaming.BudgetStream.registerDoorGate(
+      ms.toDF().toDF("doc_id", "text", "source"), store)
+    try {
+      ms.addData(b0: _*); gate.processAllAvailable()
+      ms.addData(b1: _*); gate.processAllAvailable()
+    } finally gate.stop()
+    val merged = spark.read.parquet(store)
+      .drop(graft.streaming.EventsStream.KeyBucketCol)
+      .groupBy("source", "reg").agg(max(col("m")).as("m"))
+      .collect().map(_.toSeq).toSet
+    val onePass = graft.operators.TextAnalysis.hllRegisters(
+        graft.operators.TextAnalysis.sourceShingleItems(
+          docs.toDF("doc_id", "text", "source")), Seq("source"))
+      .collect().map(_.toSeq).toSet
+    assert(merged == onePass,
+      "the streamed register log's max-merge diverged from the one-pass table")
+  }
+
   test("d1 multimodal meta covers all docs with sane stub features") {
     val out = SparkEntry.queries("d1_multimodal_meta")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
