@@ -4028,6 +4028,56 @@ object OraclesC {
     """
   }
 
+  /** c169: the self-contained novelty door replayed — registers per
+    * (source, base|union) over the door population (max-over-log ≡
+    * one-pass), sketch-difference novelty, c112's quantization, then
+    * c128's per-source prefix sums over arrival order. */
+  private def c169Sql: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val budget = graft.streaming.BudgetStream.BudgetTokens
+    s"""
+      with sh169 as ($SH8),
+      pop169 as (select doc_id, source from documents where doc_id % 97 <> 0),
+      it169 as (select p.source, sh169.sh8, (p.doc_id % $n < ${n - 1}) as is_base
+                from sh169 join pop169 p on sh169.doc_id = p.doc_id),
+      rb169 as (${hllRankSql("(select source, sh8 from it169 where is_base)", "source, ")}),
+      mb169 as (select source, reg, max(rnk)::bigint as m from rb169 group by 1, 2),
+      ru169 as (${hllRankSql("(select source, sh8 from it169)", "source, ")}),
+      mu169 as (select source, reg, max(rnk)::bigint as m from ru169 group by 1, 2),
+      eb169 as ${hllEstSql("mb169", "source")},
+      eu169 as ${hllEstSql("mu169", "source")},
+      w169 as (select u.source,
+                      greatest(coalesce(round(u.est - b.est, 4), 0), 0)::double as w
+               from eu169 u left join eb169 b using (source)),
+      tz169 as (select round(sum(sqrt(w)), 6) as z from w169),
+      q169 as (select source,
+                      case when z > 0
+                        then (($budget * floor(1000.0 * sqrt(w) / z)::bigint) // 1000)::bigint
+                        else 0 end as quota
+               from w169, tz169),
+      ${c75Chain(m)},
+      nsy169 as (select term, count(*)::bigint as n_syms from s$m group by term),
+      enc169 as (
+        select tf.doc_id, sum(tf.tf * coalesce(nsy169.n_syms, 0))::bigint as n_tok
+        from tf75 tf left join nsy169 on tf.term = nsy169.term
+        group by tf.doc_id),
+      cum169 as (
+        select d.doc_id, d.source, e.n_tok,
+               sum(e.n_tok) over (partition by d.source
+                 order by d.doc_id % $n, d.doc_id
+                 rows between unbounded preceding and current row)::bigint as cum
+        from documents d join enc169 e on d.doc_id = e.doc_id
+        where d.doc_id % 97 <> 0)
+      select c.doc_id, c.source,
+             case when c.cum <= coalesce(q.quota, 0) then 'keep'
+                  else 'quota_full' end as stage,
+             c.n_tok
+      from cum169 c left join q169 q using (source)
+      order by c.doc_id
+    """
+  }
+
   /** c142: the fixed-width histogram quantile sketch replayed — bin
     * counts, the cumulative walk, rank targets ⌈n·p/100⌉ in exact
     * integer arithmetic, exact order statistics via the same
@@ -5905,6 +5955,8 @@ object OraclesC {
     "c168_door_drift" -> c168Sql,
     // d12: the chunk-register door — d11's counter maintained live
     "d12_chunk_register_door" -> d12Sql,
+    // c169: the self-contained loop — log registers price the quotas
+    "c169_log_novelty_door" -> c169Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -839,6 +839,83 @@ object BudgetStream {
       .orderBy("source")
   }
 
+  /** Novelty quotas derived from the c167 REGISTER LOG instead of the
+    * at-rest c156 chain — the quota plan a deployment actually
+    * computes: last poll's novelty per source = est(whole log) −
+    * est(log before the latest poll), both max-merges over stored
+    * registers (never a corpus read), then c112's exact quantization.
+    * A source with no pre-poll registers prices conservatively to 0
+    * (c156/c160's stance: no base table → door closed until the next
+    * vintage); a zero-novelty source likewise. */
+  private[graft] def logNoveltyQuotas(spark: SparkSession, dir: String,
+      nBatches: Int, budget: Long = BudgetTokens): Map[String, Long] =
+    quotaPlan(spark, "lognovelty", dir, budget) {
+      logNoveltyQuotasFrom(
+        spark.read
+          .parquet(s"${registerDoorStores(spark, dir, nBatches)}/registers")
+          .drop(EventsStream.KeyBucketCol),
+        nBatches, budget)
+    }
+
+  /** The quota arithmetic off an explicit register log — split out so
+    * the spec can plant genuine novelty (the driver corpus's tiny
+    * vocabulary makes consecutive poll slices near-identical in
+    * shingle space, so the keyed query's doors all close — correct,
+    * and the open-door path needs a plant, c161's discipline). */
+  private[graft] def logNoveltyQuotasFrom(regLog: DataFrame, nBatches: Int,
+      budget: Long): Map[String, Long] = {
+    val mCur = regLog.groupBy("source", "reg").agg(max(col("m")).as("m"))
+    val mBase = regLog.filter(col("batch_id") < nBatches - 1)
+      .groupBy("source", "reg").agg(max(col("m")).as("m"))
+    val eCur = TextAnalysis.hllEstimate(mCur, Seq("source"))
+      .select(col("source"), col("est").as("est_union"))
+    val eBase = TextAnalysis.hllEstimate(mBase, Seq("source"))
+      .select(col("source"), col("est").as("est_base"))
+    val nov = eCur.join(eBase, Seq("source"), "left")
+      .select(col("source"),
+        greatest(coalesce(round(col("est_union") - col("est_base"), 4), lit(0.0)),
+          lit(0.0)).as("w"))
+    val tot = nov.agg(round(sum(sqrt(col("w"))), 6).as("z"))
+    nov.crossJoin(broadcast(tot))
+      .select(col("source"),
+        when(col("z") > 0.0,
+          floor(lit(1000.0) * sqrt(col("w")) / col("z")).cast("long"))
+          .otherwise(0L).as("mille"))
+      .collect().map(r => r.getString(0) -> budget * r.getLong(1) / 1000L).toMap
+  }
+
+  private def logNoveltyStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val merges = TextAnalysis.storedMerges(spark, dir)
+    val quotas = logNoveltyQuotas(spark, dir, nBatches)
+    StoreMemo.memo(spark, s"lnquota_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processQuotaBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          merges, quotas, s"$scratch/decisions", s"$scratch/ledger", i.toLong)
+    }
+  }
+
+  /** c169: the SELF-CONTAINED acquisition loop — c160's novelty door
+    * with the quota plan derived from the door's OWN register log
+    * (c167) instead of an at-rest corpus chain: the registers the
+    * door maintained last vintage price what this vintage's arrivals
+    * are worth. End to end, no stage of the loop reads the corpus to
+    * PLAN — the log max-merges (stored longs) give the novelty
+    * estimates, c112's quantization gives the quotas, and c128's
+    * cutoff machinery meters the arrivals. Keyed result = the
+    * decision store; the oracle replays registers → estimates →
+    * quota arithmetic → per-source prefix sums from the raw arrival
+    * history. */
+  def c169LogNoveltyDoor(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame =
+    spark.read.parquet(s"${logNoveltyStores(spark, dir, nBatches)}/decisions")
+      .drop(EventsStream.KeyBucketCol)
+      .select("doc_id", "source", "stage", "n_tok")
+      .orderBy("doc_id")
+
   /** d12's batch step — [[processRegisterBatch]] at MEDIA-CHUNK
     * grain: the batch's payloads chunk (d2's kernel), the chunk
     * checksums land as (media_type, reg, rank) register rows in the

@@ -215,6 +215,37 @@ class Round24Spec extends AnyFunSuite {
     }
   }
 
+  test("c169: planted novelty opens the fresh source's door; a stale source's stays closed") {
+    import spark.implicits._
+    import graft.streaming.{BudgetStream, EventsStream}
+    // the driver corpus's tiny vocabulary makes consecutive poll
+    // slices near-identical in shingle space, so the keyed query's
+    // doors all CLOSE (zero-novelty sources pay nothing — correct,
+    // and hash-pinned). Plant the open path: source `fresh` brings
+    // brand-new content in the latest poll, source `stale` re-sends
+    // its batch-0 text verbatim.
+    def doc(id: Long, src: String, words: Seq[String]) =
+      (id, words.mkString(" "), src)
+    val b0 = (0L until 6L).map(i => doc(i * 2, if (i < 3) "fresh" else "stale",
+      (0 until 12).map(j => s"base$i$j")))
+    val b1 = (0L until 6L).map(i => doc(i * 2 + 1, if (i < 3) "fresh" else "stale",
+      if (i < 3) (0 until 12).map(j => s"novel$i$j")      // genuinely new shingles
+      else (0 until 12).map(j => s"base${i}$j")))          // re-sent batch-0 text
+    val scratch = System.getProperty("java.io.tmpdir") + "/graft_r24_lognov_" +
+      java.util.UUID.randomUUID().toString
+    BudgetStream.processRegisterBatch(
+      b0.toDF("doc_id", "text", "source"), s"$scratch/registers", 0L)
+    BudgetStream.processRegisterBatch(
+      b1.toDF("doc_id", "text", "source"), s"$scratch/registers", 1L)
+    val quotas = BudgetStream.logNoveltyQuotasFrom(
+      spark.read.parquet(s"$scratch/registers")
+        .drop(EventsStream.KeyBucketCol), nBatches = 2, budget = 6144L)
+    assert(quotas.getOrElse("fresh", 0L) > 0L,
+      s"a source with genuinely new content must price a positive quota: $quotas")
+    assert(quotas.getOrElse("stale", 0L) == 0L,
+      s"a source whose latest poll re-sent old content must close: $quotas")
+  }
+
   test("c164: sequences continue across polls — a shard's first row of batch k resumes the prior batch's token cursor") {
     // read back from the keyed query's own store (memoized chain)
     val out = graft.streaming.BudgetStream.c164DoorPack(spark, sf)
