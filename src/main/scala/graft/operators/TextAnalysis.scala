@@ -1134,21 +1134,41 @@ object TextAnalysis {
       fpRows.join(keep, Seq("fp"))
     })
     val sizes = fpk.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-    val inter = fpk.as("a").join(fpk.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        round(col("n_shared").cast("double") / least(col("na"), col("nb")), 4)
-          .as("containment"),
-        round(col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")), 4)
-          .as("jaccard"))
-      .filter(col("containment") >= bar)
-      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
-      .limit(k)
+    def pairs() = {
+      val inter = fpk.as("a").join(fpk.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val joined = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), Seq("doc_b"))
+      // integer prefilter guards the per-pair BigDecimal rounds (c42's
+      // measured fix): round(x, 4) >= bar requires x >= bar − 0.00005,
+      // so a per-mille floor 51 below the bar is a strict superset —
+      // the candidate frame passes through integer arithmetic alone
+      val pre = (bar * 1000).toLong - 51
+      val guarded = if (pre > 0)
+        joined.filter(col("n_shared") * 1000 >= least(col("na"), col("nb")) * pre)
+      else joined
+      guarded
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("n_shared").cast("double") / least(col("na"), col("nb")), 4)
+            .as("containment"),
+          round(col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")), 4)
+            .as("jaccard"))
+        .filter(col("containment") >= bar)
+        .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+        .limit(k)
+    }
+    // the report frame is ≤ k rows — memoize it at the default
+    // geometry so c69's repeat reads and c74's candidate leg price as
+    // a tiny scan instead of re-running the posting self-join
+    // (jacAtLeast's discipline; the re-sort after the memo read is a
+    // k-row job)
+    if (dfCap == Dedup.DfCap && bar == WinnowPairBar && k == 50)
+      CorpusPrep.memo("c69_pairs", docs)(Materialize.frame(pairs()))
+        .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+    else pairs()
   }
 
   /** c74: EXACT span evidence for the winnow report's pairs — the
