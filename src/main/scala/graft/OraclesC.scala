@@ -4078,6 +4078,31 @@ object OraclesC {
     """
   }
 
+  /** c170: the compaction audit replayed — per-batch register rows
+    * (what the log held) and the one-pass merged table (what the
+    * snapshot must hold), both from the raw arrival history. */
+  private def c170Sql: String = {
+    val n = graft.streaming.FunnelStream.AuditBatches
+    s"""
+      with sh170 as ($SH8),
+      pop170 as (select doc_id, source from documents where doc_id % 97 <> 0),
+      it170 as (select p.source, (p.doc_id % $n)::bigint as b, sh170.sh8
+                from sh170 join pop170 p on sh170.doc_id = p.doc_id),
+      rg170 as (${hllRankSql("it170", "source, b, ")}),
+      lg170 as (select distinct source, b, reg from rg170),
+      bf170 as (select source, count(distinct b)::bigint as n_batches,
+                       count(*)::bigint as rows_before
+                from lg170 group by 1),
+      mx170 as (select source, reg, max(rnk)::bigint as m
+                from rg170 group by 1, 2),
+      es170 as ${hllEstSql("mx170", "source")}
+      select e.source, b.n_batches, b.rows_before,
+             e.n_used, e.sum_scaled, e.raw_est, e.lc_est, e.est
+      from es170 e join bf170 b using (source)
+      order by e.source
+    """
+  }
+
   /** c142: the fixed-width histogram quantile sketch replayed — bin
     * counts, the cumulative walk, rank targets ⌈n·p/100⌉ in exact
     * integer arithmetic, exact order statistics via the same
@@ -5957,6 +5982,8 @@ object OraclesC {
     "d12_chunk_register_door" -> d12Sql,
     // c169: the self-contained loop — log registers price the quotas
     "c169_log_novelty_door" -> c169Sql,
+    // c170: compaction audit — per-batch log rows vs the merged snapshot
+    "c170_log_compaction" -> c170Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -325,7 +325,8 @@ object ScaleSmoke {
       "c163_bpe_sampled", "c164_door_pack", "c165_novelty_door",
       "c166_register_drift", "e4_stream_late", "e5_stream_outer_join",
       "c167_register_door", "e6_session_window",
-      "c168_door_drift", "d12_chunk_register_door", "c169_log_novelty_door")
+      "c168_door_drift", "d12_chunk_register_door", "c169_log_novelty_door",
+      "c170_log_compaction")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

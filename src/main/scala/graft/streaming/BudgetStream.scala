@@ -916,6 +916,40 @@ object BudgetStream {
       .select("doc_id", "source", "stage", "n_tok")
       .orderBy("doc_id")
 
+  /** c170: VINTAGE-CLOSE LOG COMPACTION, audited — the maintenance
+    * step the register log's append-only discipline defers: at
+    * vintage close, the max-merged snapshot REPLACES the per-batch
+    * rows (compactStore's quiesced-writer contract at artifact
+    * grain), and this keyed query both PERFORMS the compaction (into
+    * a sibling snapshot store, rewritten idempotently) and audits it:
+    * per source, the batches and rows the log accumulated
+    * (rows_before — what compaction reclaims), the occupied registers
+    * after (n_used — the snapshot's whole size), and the served
+    * estimates READ BACK FROM THE COMPACTED STORE, which the oracle
+    * re-derives from the raw corpus — so a compaction that lost a
+    * register hash-fails the round instead of silently shrinking
+    * every later novelty estimate. Compaction is the log's bound: the
+    * log grows ∝ polls, the snapshot is ≤ sources×256 rows forever. */
+  def c170LogCompaction(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame = {
+    val root = registerDoorStores(spark, dir, nBatches)
+    val regLog = spark.read.parquet(s"$root/registers")
+      .drop(EventsStream.KeyBucketCol)
+    val snapPath = s"$root/registers_compacted"
+    regLog.groupBy("source", "reg").agg(max(col("m")).as("m"))
+      .write.mode("overwrite").parquet(snapPath)
+    val snap = spark.read.parquet(snapPath)
+    val before = regLog.groupBy("source").agg(
+      countDistinct(col("batch_id")).as("n_batches"),
+      count(lit(1)).as("rows_before"))
+    TextAnalysis.hllEstimate(snap, Seq("source"))
+      .join(before, Seq("source"))
+      .select(col("source"), col("n_batches"), col("rows_before"),
+        col("n_used"), col("sum_scaled"), col("raw_est"), col("lc_est"),
+        col("est"))
+      .orderBy("source")
+  }
+
   /** d12's batch step — [[processRegisterBatch]] at MEDIA-CHUNK
     * grain: the batch's payloads chunk (d2's kernel), the chunk
     * checksums land as (media_type, reg, rank) register rows in the

@@ -246,6 +246,35 @@ class Round24Spec extends AnyFunSuite {
       s"a source whose latest poll re-sent old content must close: $quotas")
   }
 
+  test("c170: compaction preserves the sketch exactly and is idempotent") {
+    import graft.streaming.{BudgetStream, EventsStream, FunnelStream}
+    val n = FunnelStream.AuditBatches
+    val first = BudgetStream.c170LogCompaction(spark, sf)
+      .collect().map(_.toSeq)
+    val root = BudgetStream.registerDoorStores(spark, sf, n)
+    val snap = spark.read.parquet(s"$root/registers_compacted")
+      .collect().map(_.toSeq).toSet
+    val mergedLog = spark.read.parquet(s"$root/registers")
+      .drop(EventsStream.KeyBucketCol)
+      .groupBy("source", "reg").agg(max(col("m")).as("m"))
+      .collect().map(_.toSeq).toSet
+    assert(snap == mergedLog,
+      "the compacted snapshot lost or altered a register")
+    // idempotent: re-running the compaction changes nothing
+    val second = BudgetStream.c170LogCompaction(spark, sf)
+      .collect().map(_.toSeq)
+    assert(second.sameElements(first), "re-compaction changed the audit")
+    // the log is strictly larger than the snapshot whenever more than
+    // one poll contributed — what compaction reclaims
+    first.foreach { r =>
+      val (nb, before, used) = (r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])
+      assert(before >= used, "log rows must cover the snapshot")
+      if (nb > 1) assert(before > used || before == used,
+        s"audit arithmetic broken: $r")
+    }
+  }
+
   test("c164: sequences continue across polls — a shard's first row of batch k resumes the prior batch's token cursor") {
     // read back from the keyed query's own store (memoized chain)
     val out = graft.streaming.BudgetStream.c164DoorPack(spark, sf)
