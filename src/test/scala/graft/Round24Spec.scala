@@ -264,14 +264,16 @@ class Round24Spec extends AnyFunSuite {
     val second = BudgetStream.c170LogCompaction(spark, sf)
       .collect().map(_.toSeq)
     assert(second.sameElements(first), "re-compaction changed the audit")
-    // the log is strictly larger than the snapshot whenever more than
-    // one poll contributed — what compaction reclaims
+    // the audit arithmetic: the log's rows cover the snapshot's
+    // occupied registers (equality iff later polls added no register
+    // row that batch 0 already held — impossible here since every
+    // batch re-lands its own occupied set)
     first.foreach { r =>
       val (nb, before, used) = (r(1).asInstanceOf[Long],
         r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])
-      assert(before >= used, "log rows must cover the snapshot")
-      if (nb > 1) assert(before > used || before == used,
-        s"audit arithmetic broken: $r")
+      assert(before >= used, s"log rows must cover the snapshot: $r")
+      if (nb > 1) assert(before > used,
+        s"multi-poll log should hold reclaimable rows: $r")
     }
   }
 
