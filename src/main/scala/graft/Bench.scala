@@ -39,7 +39,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line at 224 keys overflows the driver's tail capture
+    // (BENCH_r14 "parsed": null) — the same JSON lands in a file so
+    // the artifact stays machine-readable regardless of truncation
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

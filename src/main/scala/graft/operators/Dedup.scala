@@ -212,24 +212,29 @@ object Dedup {
     * none) but per-pair work on the full candidate frame — ~45% of it
     * the two BigDecimal round()s the bar filter evaluated per
     * candidate. The build now guards the exact rounded filter behind
-    * an INTEGER prefilter (n_inter·100 ≥ 79·min-size ⟺ ratio ≥ 0.79,
-    * a strict superset of round(ratio,4) ≥ 0.8 — no double ever
-    * reaches 0.8 after rounding from below 0.7999½), so the
-    * BigDecimal path runs on bar-survivors only and the candidate
-    * frame passes through integer arithmetic alone. */
+    * an INTEGER prefilter derived from the floor itself
+    * (n_inter·100 ≥ (⌊floor·100⌋−1)·min-size — a strict superset of
+    * round(ratio,4) ≥ floor, since rounding up to the floor needs
+    * ratio ≥ floor−0.00005), so the BigDecimal path runs on
+    * bar-survivors only and the candidate frame passes through
+    * integer arithmetic alone, at any bar setting. */
   private def containAtLeast(docs: DataFrame, dfCap: Int, bar: Double): DataFrame = {
     def frame(floor: Double) = {
       val (inter, sizes) = overlapFrames(docs, dfCap)
       val joined = inter
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
-      // the integer prefilter is only a superset of the rounded bar
-      // when the floor sits above it — a caller probing below 0.8
-      // gets the exact (slower) spelling
-      val pre = if (floor >= ContainmentBar)
-        joined.filter(col("n_inter") * 100 >= least(col("n_a"), col("n_b")) * 79)
+      // integer prefilter derived FROM the floor: round(r,4) >= floor
+      // implies r >= floor − 0.00005, so r·100 > ⌊floor·100⌋ − 1 and
+      // the integer bound below is a strict superset of the rounded
+      // bar for ANY floor — no hardcoded 79 to drift out from under a
+      // lowered ContainmentBar. At pre ≤ 0 the filter is vacuous, so
+      // it is applied unconditionally.
+      val pre = (floor * 100).toLong - 1
+      val prefiltered = if (pre > 0)
+        joined.filter(col("n_inter") * 100 >= least(col("n_a"), col("n_b")) * pre)
       else joined
-      pre.select(
+      prefiltered.select(
           when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")).as("doc_in"),
           when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a")).as("doc_of"),
           col("n_inter"),

@@ -104,12 +104,6 @@ object Multimodal {
         col("chunk_idx"), col("chunk_len"), col("chunk_md5"))
       .orderBy("doc_id", "frame_idx")
 
-  /** The shared chunk kernel: payload bytes enter here ONCE, slim
-    * (doc_id, media_type, chunk_idx, chunk_len, chunk_md5) rows leave
-    * — nothing downstream of this frame ever touches payload bytes
-    * again (d4's dedup groupBy, d5's two checksum shuffles, d3's
-    * stride filter all move checksum-sized rows only). No sort: each
-    * consumer orders its own report. */
   /** (media_type, sh8 = chunk checksum) items — the chunk-grain
     * shingle frame the HLL keys aggregate over, exposed for the
     * streaming chunk-register door (d12). */
@@ -118,6 +112,12 @@ object Multimodal {
     chunkRows(docs, chunkBytes)
       .select(col("media_type"), col("chunk_md5").as("sh8"))
 
+  /** The shared chunk kernel: payload bytes enter here ONCE, slim
+    * (doc_id, media_type, chunk_idx, chunk_len, chunk_md5) rows leave
+    * — nothing downstream of this frame ever touches payload bytes
+    * again (d4's dedup groupBy, d5's two checksum shuffles, d3's
+    * stride filter all move checksum-sized rows only). No sort: each
+    * consumer orders its own report. */
   private def chunkRows(docs: DataFrame, chunkBytes: Int): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._

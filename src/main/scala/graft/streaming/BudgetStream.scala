@@ -167,18 +167,19 @@ object BudgetStream {
     * the door. Same staleness contract as the store memos: anyone
     * rewriting a corpus dir in place calls [[invalidateQuotaPlans]]
     * beside the other invalidates. */
+  // keyed on applicationId (a string), NOT the SparkSession object —
+  // a session-keyed map would pin the last session (and its context)
+  // for the JVM's lifetime in a long-lived host process; stale
+  // string-keyed entries are just small Map[String,Long] values
   private val quotaPlanCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Long), Map[String, Long]]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Long), Map[String, Long]]
 
   private[graft] def invalidateQuotaPlans(): Unit = quotaPlanCache.clear()
 
   private def quotaPlan(spark: SparkSession, kind: String, dir: String,
-      budget: Long)(derive: => Map[String, Long]): Map[String, Long] = {
-    quotaPlanCache.keys.foreach { k =>
-      if (k._1.sparkContext.isStopped) quotaPlanCache.remove(k)
-    }
-    quotaPlanCache.getOrElseUpdate((spark, kind, dir, budget), derive)
-  }
+      budget: Long)(derive: => Map[String, Long]): Map[String, Long] =
+    quotaPlanCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, kind, dir, budget), derive)
 
   private[graft] def sourceQuotas(spark: SparkSession, dir: String,
       budget: Long = BudgetTokens): Map[String, Long] =
@@ -918,18 +919,22 @@ object BudgetStream {
 
   /** c170: VINTAGE-CLOSE LOG COMPACTION, audited — the maintenance
     * step the register log's append-only discipline defers: at
-    * vintage close, the max-merged snapshot REPLACES the per-batch
-    * rows (compactStore's quiesced-writer contract at artifact
-    * grain), and this keyed query both PERFORMS the compaction (into
-    * a sibling snapshot store, rewritten idempotently) and audits it:
-    * per source, the batches and rows the log accumulated
-    * (rows_before — what compaction reclaims), the occupied registers
-    * after (n_used — the snapshot's whole size), and the served
-    * estimates READ BACK FROM THE COMPACTED STORE, which the oracle
-    * re-derives from the raw corpus — so a compaction that lost a
-    * register hash-fails the round instead of silently shrinking
-    * every later novelty estimate. Compaction is the log's bound: the
-    * log grows ∝ polls, the snapshot is ≤ sources×256 rows forever. */
+    * vintage close, the max-merged snapshot is written BESIDE the log
+    * (a sibling `registers_compacted` store, rewritten idempotently);
+    * the deployment's quiesced-writer truncation step then swaps the
+    * snapshot in for the per-batch rows — deferred here so the keyed
+    * query stays idempotent (a truncating first run would change what
+    * a second run's audit sees, and c167/c169 keep reading the log
+    * within a vintage). The query both BUILDS the snapshot and audits
+    * it: per source, the batches and rows the log accumulated
+    * (rows_before — what the swap would reclaim), the occupied
+    * registers after (n_used — the snapshot's whole size), and the
+    * served estimates READ BACK FROM THE COMPACTED STORE, which the
+    * oracle re-derives from the raw corpus — so a compaction that
+    * lost a register hash-fails the round instead of silently
+    * shrinking every later novelty estimate. The snapshot is the
+    * log's bound: the log grows ∝ polls, the snapshot is ≤
+    * sources×256 rows forever. */
   def c170LogCompaction(spark: SparkSession, dir: String,
       nBatches: Int = FunnelStream.AuditBatches): DataFrame = {
     val root = registerDoorStores(spark, dir, nBatches)

@@ -493,12 +493,18 @@ object EventsStream {
     val (merged, touchedBuckets) =
       if (committed && bulkBatch) {
         // bulk path: the batch touches ~every bucket, so pruning has
-        // nothing to prune — anti-join the full store scan and let
-        // dedup + join + write run as ONE job (single consumer, no
-        // checkpoint needed)
+        // nothing to prune — anti-join the full store scan. The
+        // emptiness probe below made this a TWO-consumer frame (probe
+        // + write), so it is lazily checkpointed like the pruned
+        // path: the probe is the first action and evaluates dedup +
+        // anti-join ONCE into blocks; a non-empty merge's write then
+        // reads the blocks instead of re-running the join. The
+        // checkpoint preserves partitioning, so the murmur3 path's
+        // single exchange survives into the write.
         val incoming = dedupedBucketed(batch)
         val existing = spark0.read.schema(incoming.schema).parquet(storePath)
-        (incoming.join(existing.select(key), Seq(key), "left_anti"), None)
+        (incoming.join(existing.select(key), Seq(key), "left_anti")
+          .localCheckpoint(false), None)
       } else if (committed) {
         // materialize the deduped batch ONCE: it feeds the touched-
         // bucket collect, the anti-join, and the write — without the
@@ -535,13 +541,14 @@ object EventsStream {
     writeStoreMeta(fs, storePath, nBuckets, hashKind)
     // bulk replay fast path: re-offering already-ingested batches is
     // the COMMON at-least-once case for bulk merges, and an all-dropped
-    // anti-join still pays a full write-commit job. The emptiness
-    // probe costs one limit-1 pass (cheap when rows exist — take(1)
-    // short-circuits; the full pass when empty is work the write
-    // would have done anyway), and skipping the commit leaves the
-    // store byte-identical. Only the bulk path: the pruned path's
-    // checkpoint makes its write marginal, and probing there would
-    // add a job instead of saving one.
+    // anti-join still pays a full write-commit job. The probe is the
+    // bulk frame's FIRST action, so it materializes the lazy
+    // checkpoint above — the one evaluation of dedup + anti-join per
+    // merge — and skipping the commit leaves the store byte-identical;
+    // a non-empty merge's write reads the probe's blocks. Only the
+    // bulk path: the pruned path's checkpoint already makes its write
+    // marginal, and probing there would add a job instead of saving
+    // one.
     if (committed && bulkBatch && merged.isEmpty) return
     // append-mode write: existing bucket files stay, only new keys
     // land; each merge adds ONE file per touched bucket (bucket ==
