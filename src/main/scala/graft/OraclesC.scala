@@ -1368,8 +1368,7 @@ object OraclesC {
     * application step the c57 chain uses ([[bpeStep]], its learned-
     * merge parameterization). The report is the learned merge list
     * with each pair's total AT SELECTION TIME. */
-  private def c75Chain(iters: Int, byteGrain: Boolean = false,
-      trainPred: String = ""): String = s"""
+  private def bpeChainHeader(byteGrain: Boolean, trainPred: String): String = s"""
       tf75 as materialized (
         select doc_id, term, count(*)::bigint as tf
         from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
@@ -1382,7 +1381,11 @@ object OraclesC {
              lateral (select unnest(range(1, strlen(term) + 1)) as i) t""" else s"""
         select term, i - 1 as pos, substr(term, i::int, 1) as sym
         from (select distinct term from tf75) v,
-             lateral (select unnest(range(1, length(term) + 1)) as i) t"""}),
+             lateral (select unnest(range(1, length(term) + 1)) as i) t"""})"""
+
+  private def c75Chain(iters: Int, byteGrain: Boolean = false,
+      trainPred: String = ""): String = s"""
+      ${bpeChainHeader(byteGrain, trainPred)},
       ${(1 to iters).map { k =>
         s"""cnt$k as materialized (
         select s.sym as a, nx.sym as b, sum(w.n)::bigint as total
@@ -1401,6 +1404,146 @@ object OraclesC {
         .mkString(" union all ")})
       select rank, a, b, total from rep75 order by rank
     """
+
+  /** The batched-argmax trainer's per-step slot/step layout: step k
+    * selects up to min(b, nMerges − (k−1)·b) disjoint pairs. Shared
+    * by the chain generator and the report CTEs. */
+  private def batchSlots(nMerges: Int, b: Int): Seq[(Int, Int)] = {
+    val nSteps = (nMerges + b - 1) / b
+    (1 to nSteps).map(k => k -> math.min(b, nMerges - (k - 1) * b))
+  }
+
+  /** c171's batched count-select-apply chain (CTE list, no WITH;
+    * assumes [[bpeChainHeader]]'s tf75/words/s0 precede it — names
+    * are all b-prefixed so it composes beside the exact chain in one
+    * query). Per step k: bcnt$k = pair counts off the previous symbol
+    * table; bsel${k}_j = the j-th selection slot, unrolled as "the
+    * first pair (total desc, a, b) disjoint from every earlier
+    * slot's" (exactly the operator's greedy walk — kept pairs gate,
+    * skipped pairs don't); bm$k = the step's merge set; then
+    * [[bpeStep]]'s greedy collapse with the merge matched by
+    * symbol-equality JOIN — each symbol appears in at most one pair
+    * of a disjoint set, so the join never duplicates a position, and
+    * consecutive-hit runs still only arise within one a==b merge.
+    * An empty step (pool exhausted) is a no-op table copy. */
+  private def c171Steps(nMerges: Int, b: Int): String =
+    batchSlots(nMerges, b).map { case (k, slots) =>
+      val sIn = if (k == 1) "s0" else s"bs${k - 1}"
+      val sels = (1 to slots).map { j =>
+        if (j == 1)
+          s"""bsel${k}_1 as (select a, b, total from bcnt$k
+        order by total desc, a, b limit 1)"""
+        else {
+          val prior = (1 until j).map(i => s"select a, b from bsel${k}_$i")
+            .mkString(" union all ")
+          s"""bsel${k}_$j as (
+        select a, b, total from bcnt$k c
+        where not exists (select 1 from ($prior) s
+                          where s.a in (c.a, c.b) or s.b in (c.a, c.b))
+        order by total desc, a, b limit 1)"""
+        }
+      }.mkString(",")
+      s"""bcnt$k as materialized (
+        select s.sym as a, nx.sym as b, sum(w.n)::bigint as total
+        from $sIn s
+        join $sIn nx on nx.term = s.term and nx.pos = s.pos + 1
+        join words w on w.term = s.term
+        group by 1, 2),
+      $sels,
+      bm$k as (${(1 to slots).map(j => s"select a, b from bsel${k}_$j")
+        .mkString(" union all ")}),
+      bx$k as (
+        select s.term, s.pos,
+               case when m.a is not null then 1 else 0 end as hit
+        from $sIn s
+        left join $sIn nx on nx.term = s.term and nx.pos = s.pos + 1
+        left join bm$k m on s.sym = m.a and nx.sym = m.b),
+      bi$k as (select term, pos,
+                      pos - row_number() over (partition by term order by pos) as grp
+               from bx$k where hit = 1),
+      bt$k as materialized (select term, pos from (
+                 select term, pos, min(pos) over (partition by term, grp) as g0
+                 from bi$k)
+               where (pos - g0) % 2 = 0),
+      bs$k as materialized (
+        select term, row_number() over (partition by term order by pos) - 1 as pos, sym
+        from (
+          select s.term, s.pos,
+                 case when tk.pos is not null then s.sym || nx.sym else s.sym end as sym
+          from $sIn s
+          left join bt$k tk on tk.term = s.term and tk.pos = s.pos
+          left join bt$k tp on tp.term = s.term and tp.pos = s.pos - 1
+          left join $sIn nx on nx.term = s.term and nx.pos = s.pos + 1
+          where tp.pos is null))"""
+    }.mkString(",")
+
+  /** The batched trainer's learned-merge report rows (step, slot, a,
+    * b, total) — empty slots contribute nothing, rank is assigned
+    * over (step, slot) like the operator's sequential counter. */
+  private def c171Rep(nMerges: Int, b: Int): String =
+    batchSlots(nMerges, b).flatMap { case (k, slots) =>
+      (1 to slots).map(j =>
+        s"select $k::int as step, $j::int as slot, a, b, total from bsel${k}_$j")
+    }.mkString(" union all ")
+
+  /** c171: the batched-argmax BPE trainer at production shape — byte
+    * grain, c163's md5-bucket training sample, BpeBatchB slots per
+    * count pass, every count-select-apply step replayed CTE-for-CTE
+    * with the B selection slots unrolled. */
+  private lazy val C171_SQL: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val b = graft.operators.TextAnalysis.BpeBatchB
+    val pct = graft.operators.TextAnalysis.BpeSampleTrainPct
+    val pred = s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < $pct"
+    s"""
+      with ${bpeChainHeader(byteGrain = true, trainPred = pred)},
+      ${c171Steps(m, b)},
+      rep171 as (${c171Rep(m, b)})
+      select row_number() over (order by step, slot)::int as rank,
+             step, slot, a, b, total
+      from rep171 order by rank
+    """
+  }
+
+  /** c172: both trainers' chains off ONE shared header (same sample
+    * predicate), both final symbol tables priced over the FULL
+    * corpus, one row per trainer — compression is the audit, not
+    * merge parity (batched merge ORDER differs by design). */
+  private lazy val C172_SQL: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val b = graft.operators.TextAnalysis.BpeBatchB
+    val pct = graft.operators.TextAnalysis.BpeSampleTrainPct
+    val pred = s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < $pct"
+    val lastB = batchSlots(m, b).last._1
+    s"""
+      with ${c75Chain(m, byteGrain = true, trainPred = pred)},
+      ${c171Steps(m, b)},
+      nsyx172 as (select term, count(*)::bigint as n from s$m group by term),
+      nsyb172 as (select term, count(*)::bigint as n from bs$lastB group by term),
+      nmx172 as (select count(*)::bigint as c from (${(1 to m)
+        .map(i => s"select a from m$i").mkString(" union all ")})),
+      nmb172 as (select count(*)::bigint as c from (${c171Rep(m, b)})),
+      enc172 as (
+        select sum(tf.tf * strlen(tf.term))::bigint as n_bytes,
+               sum(tf.tf * coalesce(x.n, 0))::bigint as u_exact,
+               sum(tf.tf * coalesce(bb.n, 0))::bigint as u_batched
+        from tf75 tf
+        left join nsyx172 x on tf.term = x.term
+        left join nsyb172 bb on tf.term = bb.term)
+      select * from (
+        select 'batched' as trainer, (select c from nmb172) as n_merges,
+               u_batched as n_units, n_bytes,
+               case when n_bytes > 0
+                 then round(u_batched::double / n_bytes, 4) end as compression
+        from enc172
+        union all
+        select 'exact', (select c from nmx172), u_exact, n_bytes,
+               case when n_bytes > 0
+                 then round(u_exact::double / n_bytes, 4) end
+        from enc172)
+      order by trainer
+    """
+  }
 
   /** c69's winnow-pair chain (CTE list, no WITH) + its report SELECT
     * — split so c74 can consume the report as a candidate CTE. */
@@ -5984,6 +6127,10 @@ object OraclesC {
     "c169_log_novelty_door" -> c169Sql,
     // c170: compaction audit — per-batch log rows vs the merged snapshot
     "c170_log_compaction" -> c170Sql,
+    // c171: batched-argmax trainer — selection slots unrolled per step
+    "c171_bpe_batched" -> C171_SQL,
+    // c172: exact + batched chains off one header, compression per trainer
+    "c172_bpe_batch_audit" -> C172_SQL,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -2387,6 +2387,211 @@ object TextAnalysis {
     encodeUnderMerges(docs, merges, ByteGrain)
   }
 
+  /** c171's batch width: merges selected per count pass. At a
+    * production 32k-merge vocabulary the batch is the whole point —
+    * ~vocab/B count passes instead of 32k sequential argmax jobs;
+    * the keyed default keeps the report small while exercising two
+    * genuine multi-merge steps (8 merges / B=4). Oracle-interpolated
+    * (the chain generator unrolls B selection CTEs per step). */
+  val BpeBatchB: Int = 4
+
+  /** One SIMULTANEOUS application pass of a DISJOINT merge set
+    * (`m`: a → b, no symbol shared across pairs): left-to-right
+    * greedy over the INPUT symbols only — a position's symbol can
+    * match at most one merge (disjointness), and consecutive-hit
+    * runs can only arise within one a==b merge, so the pass is
+    * order-independent across the set and, at |m| = 1, exactly
+    * [[bpeApplyOne]] (spec-pinned). Matching on the input array —
+    * not the partially-merged output — is the batch's defining
+    * semantics: a composite built this step (say "t"+"h" → "th")
+    * is NOT visible to a later slot's ("th","e") until the NEXT
+    * count pass, which is also what the oracle's position-table
+    * replay computes. */
+  private[graft] def bpeApplyDisjoint(syms: Array[String],
+      m: Map[String, String]): Array[String] = {
+    if (syms.length < 2 || m.isEmpty) syms
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        val b = if (i + 1 < syms.length) m.getOrElse(syms(i), null) else null
+        if (b != null && syms(i + 1) == b) { out += syms(i) + b; i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+  }
+
+  /** Greedy prefix selection of up to `want` pairwise-DISJOINT pairs
+    * from a (total desc, a, b)-ranked candidate list: walk in rank
+    * order, keep a pair iff neither symbol appears in an
+    * already-kept pair. Exactly the oracle's unrolled per-slot
+    * "first pair disjoint from all earlier slots" — kept pairs gate,
+    * skipped pairs don't. */
+  private[graft] def selectDisjoint(ranked: Seq[(String, String, Long)],
+      want: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val it = ranked.iterator
+    while (kept.size < want && it.hasNext) {
+      val p = it.next()
+      if (!used(p._1) && !used(p._2)) { kept += p; used += p._1; used += p._2 }
+    }
+    kept.toSeq
+  }
+
+  /** BATCHED-argmax BPE training — c75's count-pick-apply loop at
+    * production step cost: each count pass selects the top-B
+    * pairwise-DISJOINT pairs (rank order total desc, a, b; a pair
+    * sharing a symbol with a better-ranked kept pair waits for the
+    * next pass) and ONE vocabulary map applies them simultaneously.
+    * The standard batched-BPE trade (merge ORDER differs from the
+    * exact trainer's from the second slot on — compression, not
+    * parity, is the audit) for B× fewer jobs: ceil(nMerges/B) count
+    * passes instead of nMerges, which is what makes a 32k-merge
+    * vocabulary ~8k jobs at B=4 instead of 32k — still vocabulary-
+    * grain, corpus never re-read. The loop runs EXACTLY
+    * ceil(nMerges/B) steps of up to min(B, remaining) merges each
+    * (fewer if the step's candidate pool can't fill its slots — a
+    * blocked pair becomes eligible again next pass); that fixed step
+    * count is the contract the oracle's unrolled chain replays.
+    * Selection collects a ranked PREFIX of the pair aggregate
+    * (doubling on the pathological all-overlapping shortfall, final
+    * when the prefix covers the whole pool), so the per-step driver
+    * traffic stays bounded ≈ 8·B rows. At B = 1 the loop IS c75's —
+    * same merges, same totals, spec-pinned.
+    * Output: (rank, step, slot, a, b, total-at-selection). */
+  def bpeBatchTrain(docs: DataFrame, nMerges: Int = BpeMerges,
+      batchB: Int = BpeBatchB, grain: BpeGrain = CharGrain): DataFrame = {
+    require(nMerges >= 1 && batchB >= 1, s"need nMerges/batchB >= 1: $nMerges/$batchB")
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    // same lazy-materialization discipline as c75: each step's ranked
+    // pair collect is the first action over the fresh vocab state, so
+    // the checkpoint blocks land in that job — one job per STEP (= B
+    // merges), not per merge
+    var vocab = Materialize.frameLazy(
+      tfRows(docs).groupBy("term").agg(sum(col("tf")).as("n"))
+        .as[(String, Long)]
+        .map { case (t, n) => (t, n, grain.symbols(t).toSeq) }
+        .toDF("term", "n", "syms"))
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, String, String, Long)]
+    val nSteps = (nMerges + batchB - 1) / batchB
+    var rank = 1
+    var step = 1
+    var exhausted = false
+    while (!exhausted && step <= nSteps) {
+      val want = math.min(batchB, nMerges - (step - 1) * batchB)
+      val counts = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("total"))
+      var limit = math.max(8 * want, 32)
+      var sel = Seq.empty[(String, String, Long)]
+      var done = false
+      while (!done) {
+        val ranked = counts.orderBy(col("total").desc, col("a"), col("b"))
+          .limit(limit).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        sel = selectDisjoint(ranked, want)
+        // a short prefix proves completeness: we saw the whole pool
+        if (sel.size == want || ranked.size < limit) done = true
+        else limit *= 4
+      }
+      if (sel.isEmpty) exhausted = true
+      else {
+        sel.zipWithIndex.foreach { case ((a, b, tot), j) =>
+          learned += ((rank, step, j + 1, a, b, tot)); rank += 1
+        }
+        val bm = spark0.sparkContext.broadcast(
+          sel.map { case (a, b, _) => a -> b }.toMap)
+        vocab = Materialize.frameLazy(vocab.as[(String, Long, Seq[String])]
+          .map { case (t, n, syms) => (t, n, bpeApplyDisjoint(syms.toArray, bm.value).toSeq) }
+          .toDF("term", "n", "syms"))
+        step += 1
+      }
+    }
+    learned.toSeq.toDF("rank", "step", "slot", "a", "b", "total").orderBy("rank")
+  }
+
+  /** c171: the batched trainer KEYED at production shape — byte
+    * grain, c163's deterministic md5-bucket training sample, B =
+    * [[BpeBatchB]] merges per count pass. The report is the learned
+    * merge table with each pair's batch coordinates (step, slot) and
+    * total at selection time; the oracle replays every
+    * count-select-apply step CTE-for-CTE, the B selection slots
+    * unrolled as "first pair disjoint from all earlier slots". */
+  def c171BpeBatched(docs: DataFrame, nMerges: Int = BpeMerges,
+      batchB: Int = BpeBatchB, trainPct: Int = BpeSampleTrainPct): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    bpeBatchTrain(docs.filter(bucket < trainPct), nMerges, batchB, ByteGrain)
+  }
+
+  /** Per-term symbol count under a STEPPED merge schedule (one
+    * disjoint map per step, applied simultaneously per step in step
+    * order) — the batch-trained tokenizer's encode kernel, as
+    * [[bpeSymbolCount]] is the sequential list's. */
+  private[graft] def bpeSymbolCountBatched(term: String,
+      steps: Seq[Map[String, String]], grain: BpeGrain): Int = {
+    var syms: Array[String] = grain.symbols(term)
+    steps.foreach(m => syms = bpeApplyDisjoint(syms, m))
+    syms.length
+  }
+
+  /** c172: the COMPRESSION-vs-EXACT audit the batched trainer owes —
+    * merge ORDER differs from the exact trainer's by design (that is
+    * the whole trade), so parity is the wrong question; what the
+    * trade must be priced on is units-per-byte over the FULL corpus.
+    * Both trainers run on the SAME c163 sample (exact = c75's
+    * sequential argmax, batched = [[bpeBatchTrain]] at B =
+    * [[BpeBatchB]]), both merge lists price every document through
+    * their own encode kernels off one shared vocabulary pass, and
+    * the report is one row per trainer: merges learned, corpus BPE
+    * units, corpus bytes, compression. The oracle re-derives both
+    * chains and both encodes from raw text. */
+  def c172BpeBatchAudit(docs: DataFrame, nMerges: Int = BpeMerges,
+      batchB: Int = BpeBatchB, trainPct: Int = BpeSampleTrainPct): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    val train = docs.filter(bucket < trainPct)
+    val exact = c75BpeTrain(train, nMerges, ByteGrain)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val batchedRows = bpeBatchTrain(train, nMerges, batchB, ByteGrain)
+      .select(col("step"), col("a"), col("b")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val steps = batchedRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => r._2 -> r._3).toMap }
+    val nBatched = batchedRows.length.toLong
+    val nExact = exact.length.toLong
+    val bc = spark0.sparkContext.broadcast((exact, steps))
+    val vocabSyms = tfRows(docs).select(col("term")).distinct().as[String]
+      .map { t =>
+        val (ex, st) = bc.value
+        (t, bpeSymbolCount(t, ex, ByteGrain).toLong,
+          bpeSymbolCountBatched(t, st, ByteGrain).toLong)
+      }
+      .toDF("term", "n_exact", "n_batched")
+    val tot = tfRows(docs).join(vocabSyms, Seq("term"))
+      .agg(sum(col("tf") * octet_length(col("term"))).as("n_bytes"),
+        sum(col("tf") * col("n_exact")).as("u_exact"),
+        sum(col("tf") * col("n_batched")).as("u_batched"))
+    tot.select(lit("batched").as("trainer"), lit(nBatched).as("n_merges"),
+        col("u_batched").as("n_units"), col("n_bytes"))
+      .union(tot.select(lit("exact"), lit(nExact), col("u_exact"), col("n_bytes")))
+      .withColumn("compression",
+        when(col("n_bytes") > 0,
+          round(col("n_units").cast("double") / col("n_bytes"), 4)))
+      .orderBy("trainer")
+  }
+
   /** c57/c76's per-doc pricing under an explicit RANK-ORDERED merge
     * list — one spelling shared by the in-session encode (c76) and
     * the stored-artifact encode (c83), so the shipped tokenizer

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-25 contracts: the batched-argmax BPE trainer (c171) and its
+  * compression-vs-exact audit (c172). */
+class Round25Spec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.TextAnalysis
+
+  test("bpeApplyDisjoint: a singleton set is exactly bpeApplyOne (incl. a==b runs)") {
+    val cases = Seq(
+      Array("a", "b", "c"), Array("x", "x", "x", "x"), Array("x", "x", "x"),
+      Array("t", "h", "e", "t", "h"), Array.empty[String], Array("a"),
+      Array("a", "b", "a", "b", "a"))
+    for (syms <- cases; (a, b) <- Seq(("a", "b"), ("x", "x"), ("t", "h"), ("b", "a"))) {
+      assert(TextAnalysis.bpeApplyDisjoint(syms, Map(a -> b)).toSeq ==
+        TextAnalysis.bpeApplyOne(syms, a, b).toSeq,
+        s"singleton batch must equal the sequential kernel on ${syms.toSeq} for ($a,$b)")
+    }
+  }
+
+  test("bpeApplyDisjoint: matching is SIMULTANEOUS — a composite built this step is invisible to the same step") {
+    // {t→h, th→e} is disjoint as a symbol-string set; SEQUENTIAL
+    // application would chain t+h → th, then th+e → the. The batch
+    // semantics match on the step's INPUT table only — exactly what
+    // the oracle's position-table replay computes.
+    val out = TextAnalysis.bpeApplyDisjoint(
+      Array("t", "h", "e"), Map("t" -> "h", "th" -> "e"))
+    assert(out.toSeq == Seq("th", "e"),
+      "a composite formed in this step must not feed another merge of the same step")
+    // and two genuinely independent merges land in one pass
+    val two = TextAnalysis.bpeApplyDisjoint(
+      Array("a", "b", "c", "d"), Map("a" -> "b", "c" -> "d"))
+    assert(two.toSeq == Seq("ab", "cd"))
+  }
+
+  test("bpeBatchTrain at B=1 IS c75's exact trainer — same merges, same totals") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exact = TextAnalysis.c75BpeTrain(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val b1 = TextAnalysis.bpeBatchTrain(docs, batchB = 1)
+      .select("rank", "a", "b", "total").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(b1 == exact,
+      "a batch width of one must degenerate to the sequential argmax trainer")
+  }
+
+  test("c171: ranks enumerate (step, slot); every step's merge set is pairwise disjoint; slot totals are non-increasing") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = TextAnalysis.c171BpeBatched(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (1 to rows.length),
+      "rank must be the dense 1..n counter")
+    assert(rows.sortBy(r => (r._2, r._3)).map(_._1).toSeq == (1 to rows.length),
+      "rank order must be (step, slot) order")
+    for ((step, g) <- rows.groupBy(_._2)) {
+      val syms = g.flatMap(r => Seq(r._4, r._5)).toSeq
+      assert(syms.distinct.length == syms.length,
+        s"step $step selected pairs sharing a symbol — not disjoint")
+      val totals = g.sortBy(_._3).map(_._6).toSeq
+      assert(totals == totals.sortBy(-_),
+        s"step $step slot totals must be non-increasing (each slot picks from a shrinking pool)")
+    }
+    // the batch actually batches: fewer steps than merges
+    assert(rows.map(_._2).distinct.length < rows.length)
+  }
+
+  test("c172: batched compression within 5% of exact, both trainers fill their budgets") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = TextAnalysis.c172BpeBatchAudit(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(rows.keySet == Set("batched", "exact"))
+    val (nb, cb) = rows("batched")
+    val (nx, cx) = rows("exact")
+    assert(nb == TextAnalysis.BpeMerges && nx == TextAnalysis.BpeMerges,
+      "both trainers must learn the full merge budget on this corpus")
+    assert(math.abs(cb - cx) <= 0.05 * cx,
+      s"batched compression $cb must sit within 5% of exact $cx — the batch trades " +
+        "merge ORDER, not compression class")
+  }
+}
