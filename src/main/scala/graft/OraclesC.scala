@@ -3547,6 +3547,29 @@ object OraclesC {
       from p164 order by shard, pos
     """
 
+  /** c173: the compaction audit — c164's packed replay aggregated per
+    * shard (polls, docs, sequences, token mass, membership checksum).
+    * The operator reads these numbers back from the COMPACTED store
+    * and its sequence-grain snapshot; the oracle re-derives them from
+    * the raw arrival history, so any row the re-lay lost or
+    * duplicated, and any sequence the snapshot mis-aggregated,
+    * hash-fails. */
+  private def c173Sql: String = s"""
+      with $c148Chain,
+      $sched148Cte,
+      p173 as (
+        select *, sum(n_tok) over (partition by shard order by pos
+          rows between unbounded preceding and current row)::bigint as cum
+        from sched148)
+      select shard,
+             count(distinct batch_id)::bigint as n_batches,
+             count(*)::bigint as n_docs,
+             count(distinct (cum - n_tok) // $BUDGET)::bigint as n_seqs,
+             sum(n_tok)::bigint as sum_tok,
+             bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint) as doc_checksum
+      from p173 group by shard order by shard
+    """
+
   /** The door→schedule chain (WITH body ending in sh148; enc148 in
     * scope for pricing) — shared by c148 and c161. */
   private def c148Chain: String = {
@@ -6131,6 +6154,8 @@ object OraclesC {
     "c171_bpe_batched" -> C171_SQL,
     // c172: exact + batched chains off one header, compression per trainer
     "c172_bpe_batch_audit" -> C172_SQL,
+    // c173: the door-log compaction audit — packed replay per shard
+    "c173_pack_compaction" -> c173Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -237,6 +237,7 @@ object SparkEntry {
     "c169_log_novelty_door" -> ((s, dir) => graft.streaming.BudgetStream.c169LogNoveltyDoor(s, dir)),
     "c170_log_compaction" -> ((s, dir) => graft.streaming.BudgetStream.c170LogCompaction(s, dir)),
     "c171_bpe_batched" -> ((s, dir) => TextAnalysis.c171BpeBatched(Tables.documents(s, dir))),
+    "c173_pack_compaction" -> ((s, dir) => graft.streaming.BudgetStream.c173PackCompaction(s, dir)),
     "c172_bpe_batch_audit" -> ((s, dir) => TextAnalysis.c172BpeBatchAudit(Tables.documents(s, dir))),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 

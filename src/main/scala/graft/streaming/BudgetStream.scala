@@ -700,7 +700,7 @@ object BudgetStream {
       }
       .start()
 
-  private def handoffStores(spark: SparkSession, dir: String,
+  private[graft] def handoffStores(spark: SparkSession, dir: String,
       nBatches: Int): String = {
     val pop = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"))
@@ -766,6 +766,54 @@ object BudgetStream {
       .select("doc_id", "source", "bin", "shard", "pos", "batch_id",
         "n_tok", "seq_id", "start_offset")
       .orderBy("shard", "pos")
+
+  /** c173: VINTAGE-CLOSE MAINTENANCE for the door's DOC-GRAIN logs —
+    * c170's audited-compaction pattern applied to the schedule (c148)
+    * and packed (c164) stores, which grow ∝ polls at FILE grain:
+    * every poll's upsert appends one parquet file per touched bucket
+    * (rows are unique by doc_id — nothing to drop, everything to
+    * re-lay), so a vintage of hourly polls leaves thousands of small
+    * files per bucket. The query PERFORMS the maintenance under the
+    * quiesced-writer contract (vintage closed, no poll in flight):
+    * [[EventsStream.compactStoreSelective]] re-lays every fragmented
+    * bucket of both stores to its one-file layout contract (atomic
+    * per-bucket swap; a re-run finds single-file buckets and rewrites
+    * nothing — idempotent by construction), and the packed log gets
+    * its SEQUENCE-GRAIN snapshot written beside it
+    * (`packed_manifest`, c120's index aggregate at door grain —
+    * ≤ corpus-tokens/budget rows, the artifact vintage diffs read
+    * instead of re-deriving the pack). Then it AUDITS the
+    * post-maintenance stores: per shard, the polls and docs
+    * accumulated, token mass, and membership checksum read back from
+    * the COMPACTED packed store, and the sequence count read from
+    * the SNAPSHOT — all re-derived by the oracle from the raw
+    * arrival history, so a compaction that drops or duplicates one
+    * row, or a snapshot that mis-aggregates one sequence,
+    * hash-fails the round instead of silently corrupting the mount
+    * surface. */
+  def c173PackCompaction(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame = {
+    val root = handoffStores(spark, dir, nBatches)
+    EventsStream.compactStoreSelective(spark, s"$root/schedule", minFiles = 2)
+    EventsStream.compactStoreSelective(spark, s"$root/packed", minFiles = 2)
+    val packed = spark.read.parquet(s"$root/packed")
+      .drop(EventsStream.KeyBucketCol)
+    graft.operators.Sampling.seqManifestOver(packed,
+        graft.operators.Sampling.DefaultTokenBudget)
+      .write.mode("overwrite").parquet(s"$root/packed_manifest")
+    val nSeqs = spark.read.parquet(s"$root/packed_manifest")
+      .groupBy("shard").agg(count(lit(1)).as("n_seqs"))
+    packed.groupBy("shard")
+      .agg(
+        countDistinct(col("batch_id")).as("n_batches"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint))")
+          .as("doc_checksum"))
+      .join(nSeqs, Seq("shard"))
+      .select("shard", "n_batches", "n_docs", "n_seqs", "sum_tok", "doc_checksum")
+      .orderBy("shard")
+  }
 
   /** One micro-batch of the REGISTER DOOR: the batch's (source, reg,
     * rank) HLL register table lands in an APPEND-ONLY register LOG

@@ -69,6 +69,51 @@ class Round25Spec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length < rows.length)
   }
 
+  test("c173: re-lay is row-identical and idempotent; both logs land on the one-file bucket contract") {
+    import graft.streaming.{BudgetStream, EventsStream}
+    // the mount surface before maintenance
+    val before = BudgetStream.c164DoorPack(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val audit1 = BudgetStream.c173PackCompaction(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // compaction re-lays files, never rows: the packed view is
+    // byte-identical through the swap
+    val after = BudgetStream.c164DoorPack(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction must not change the packed store's rows")
+    // idempotent: the second vintage-close pass finds one-file
+    // buckets, rewrites nothing, and reports identically
+    val audit2 = BudgetStream.c173PackCompaction(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(audit2 == audit1, "recompaction must be a no-op with an identical audit")
+    // the one-file-per-bucket layout contract after maintenance
+    val root = BudgetStream.handoffStores(spark, sf,
+      graft.streaming.FunnelStream.AuditBatches)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (store <- Seq("schedule", "packed")) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$store")
+      val fs = p.getFileSystem(conf)
+      val overfull = fs.listStatus(p)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"${EventsStream.KeyBucketCol}="))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).count(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
+        .filter(_._2 > 1)
+      assert(overfull.isEmpty,
+        s"$store buckets above one data file after maintenance: ${overfull.toSeq}")
+    }
+    // the snapshot manifest exists and agrees with the packed log at
+    // sequence grain (what c120's aggregate would say)
+    val snap = spark.read.parquet(s"$root/packed_manifest")
+    val packed = spark.read.parquet(s"$root/packed")
+      .drop(EventsStream.KeyBucketCol)
+    val live = graft.operators.Sampling.seqManifestOver(packed,
+      graft.operators.Sampling.DefaultTokenBudget)
+    assert(snap.collect().map(_.toSeq).toSet == live.collect().map(_.toSeq).toSet,
+      "the stored sequence manifest must equal the live aggregate over the packed log")
+  }
+
   test("c172: batched compression within 5% of exact, both trainers fill their budgets") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val rows = TextAnalysis.c172BpeBatchAudit(docs).collect()
