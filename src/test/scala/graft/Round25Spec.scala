@@ -114,6 +114,23 @@ class Round25Spec extends AnyFunSuite {
       "the stored sequence manifest must equal the live aggregate over the packed log")
   }
 
+  test("c127: the artifact-backed diff equals the from-scratch two-vintage recompute") {
+    val artifact = graft.operators.Sampling.c127SeqVintageDiff(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val recomputed = graft.operators.Sampling.c127DiffRecomputed(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(artifact == recomputed,
+      "reading v1 from the stored sequence manifest must not change one diff row")
+  }
+
+  test("c127 reads the base vintage from the stored sequence manifest") {
+    val p = SparkEntry.queries("c127_seq_vintage_diff")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("seq_manifest_v1"),
+      s"c127's v1 leg must be the persisted artifact scan, not a recomputed packing:\n$p")
+  }
+
   test("c172: batched compression within 5% of exact, both trainers fill their budgets") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val rows = TextAnalysis.c172BpeBatchAudit(docs).collect()
