@@ -114,6 +114,91 @@ class Round25Spec extends AnyFunSuite {
       "the stored sequence manifest must equal the live aggregate over the packed log")
   }
 
+  test("five-gate door: a mid-poll crash (stores committed, checkpoint not) resumes from ledgered state to the uninterrupted run's stores") {
+    import graft.streaming.{EventsStream, FunnelStream}
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val pop = docs.filter(col("doc_id") % 97 =!= 0).join(vecs, Seq("doc_id"))
+    val bits = graft.operators.CorpusPrep.memo("c67_bits", docs)(
+      TextAnalysis.bloomBitsFromKeys(
+        TextAnalysis.docShingles8Direct(docs.filter(col("doc_id") % 97 === 0))))
+    val n = 2
+    val storeNames = Seq("decisions", "keep", "bands", "vecs", "buckets",
+      "spans", "postings")
+    def gate(root: String, in: String, ckpt: String) = {
+      val src = spark.readStream.schema(pop.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      FunnelStream.funnelGate5(src, bits,
+        s"$root/decisions", s"$root/keep", s"$root/bands",
+        s"$root/vecs", s"$root/buckets", s"$root/spans", s"$root/postings",
+        checkpoint = Some(ckpt))
+    }
+    def stores(root: String): Map[String, Set[Seq[Any]]] =
+      storeNames.map { s =>
+        // a store a gate never commits to (no spans at this SF) may be
+        // absent or meta-only — unreadable on both sides compares as
+        // empty
+        s -> (try {
+          val df0 = spark.read.parquet(s"$root/$s")
+          val df = if (df0.columns.contains(EventsStream.KeyBucketCol))
+            df0.drop(EventsStream.KeyBucketCol) else df0
+          // name-sorted projection: parquet footer merge order can
+          // differ between runs (file commit order), and only the
+          // CONTENT is the contract
+          df.select(df.columns.sorted.map(col): _*)
+            .collect().map(_.toSeq).toSet
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => Set.empty[Seq[Any]]
+        })
+      }.toMap
+    def stage(in: String, i: Int): Unit = {
+      pop.filter(pmod(col("doc_id"), lit(n)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50) // distinct mtimes → batch order = poll order
+    }
+    // uninterrupted reference: both polls through one checkpointed query
+    val uIn = java.nio.file.Files.createTempDirectory("graft-g5r-uin-").toString
+    stage(uIn, 0); stage(uIn, 1)
+    val uRoot = java.nio.file.Files.createTempDirectory("graft-g5r-ust-").toString
+    val uCkpt = java.nio.file.Files.createTempDirectory("graft-g5r-uck-").toString
+    locally { val q = gate(uRoot, uIn, uCkpt)
+      try q.processAllAvailable() finally q.stop() }
+    val want = stores(uRoot)
+    // interrupted run: poll 0 commits through the door, the door stops
+    val iIn = java.nio.file.Files.createTempDirectory("graft-g5r-iin-").toString
+    stage(iIn, 0)
+    val iRoot = java.nio.file.Files.createTempDirectory("graft-g5r-ist-").toString
+    val iCkpt = java.nio.file.Files.createTempDirectory("graft-g5r-ick-").toString
+    locally { val q = gate(iRoot, iIn, iCkpt)
+      try q.processAllAvailable() finally q.stop() }
+    // poll 1 arrives and the batch CRASHES mid-poll: every store
+    // commit lands (processBatch5 directly — the exact foreachBatch
+    // body) but the checkpoint offset never does — the worst window
+    // the at-least-once contract has to survive
+    stage(iIn, 1)
+    FunnelStream.processBatch5(
+      pop.filter(pmod(col("doc_id"), lit(n)) === 1), bits,
+      s"$iRoot/decisions", s"$iRoot/keep", s"$iRoot/bands",
+      s"$iRoot/vecs", s"$iRoot/buckets", s"$iRoot/spans", s"$iRoot/postings", 1L)
+    // restart from the checkpoint: the engine re-offers poll 1 as
+    // batch 1; every gate re-derives identical decisions against
+    // stores that already hold the batch's keeps, and the keep-first
+    // merges drop everything
+    locally { val q = gate(iRoot, iIn, iCkpt)
+      try q.processAllAvailable() finally q.stop() }
+    val got = stores(iRoot)
+    for (s <- storeNames) {
+      val extra = got(s) -- want(s)
+      val missing = want(s) -- got(s)
+      assert(extra.isEmpty && missing.isEmpty,
+        s"store '$s' diverged after the mid-poll crash + checkpointed resume: " +
+          s"${extra.size} extra (${extra.take(3)}), ${missing.size} missing (${missing.take(3)})")
+    }
+  }
+
   test("c127: the artifact-backed diff equals the from-scratch two-vintage recompute") {
     val artifact = graft.operators.Sampling.c127SeqVintageDiff(spark, sf)
       .collect().map(_.toSeq).toSeq
