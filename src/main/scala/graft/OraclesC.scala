@@ -978,7 +978,8 @@ object OraclesC {
                  partition by doc_keep, doc_cut, pos_cut - pos_keep order by pos_cut) as grp
         from pr77),
       spans77 as (
-        select doc_cut, min(pos_cut) as cut_start,
+        select doc_cut, doc_keep, min(pos_cut) as cut_start,
+               min(pos_keep) as keep_start,
                count(*) + ${w - 1} as n_tokens
         from runs77 group by doc_keep, doc_cut, diag, grp
         having count(*) + ${w - 1} >= $minSpan),
@@ -1016,7 +1017,19 @@ object OraclesC {
   /** c85's replay minus the WITH keyword — parameterized on the
     * quality stage's CTE so c121 can interpose the student classifier
     * (the exact c96 factoring, one gate chain deeper). */
-  private def c85Body(nBatches: Int, qDef: Option[String] = None): String = {
+  private def c85Body(nBatches: Int, qDef: Option[String] = None): String = s"""
+      ${c85Ctes(nBatches, qDef)}
+      select d.doc_id, d.stage, d.dup_of,
+             coalesce(c.cut_tokens, 0)::bigint as cut_tokens
+      from alldec d left join cut77 c using (doc_id)
+      order by d.doc_id
+    """
+
+  /** The five-gate replay's CTE list alone (no final select) —
+    * c85Body's chain, shared with the c174 store-inventory audit,
+    * which reads DIFFERENT terminal frames (per-store key sets) off
+    * the same replay. */
+  private def c85Ctes(nBatches: Int, qDef: Option[String] = None): String = {
     val bits = (0 until graft.streaming.EmbedDupStream.SignBits)
       .map(d => s"(case when embedding[${d + 1}] >= 0 then ${1L << d} else 0 end)")
       .mkString("\n          + ")
@@ -1044,12 +1057,7 @@ object OraclesC {
                              dup_of from edec$i""").mkString(" "))},
       ${spanBlock((0 until nBatches).map(i =>
         s"select vec_id as doc_id, $i as g from edec$i where admitted")
-        .mkString(" union all "))}
-      select d.doc_id, d.stage, d.dup_of,
-             coalesce(c.cut_tokens, 0)::bigint as cut_tokens
-      from alldec d left join cut77 c using (doc_id)
-      order by d.doc_id
-    """
+        .mkString(" union all "))}"""
   }
 
   /** c121: the five-gate replay (c85's body verbatim) with the
@@ -1075,6 +1083,50 @@ object OraclesC {
                  + (w.w4 / 1000000.0) * x4 + (w.w5 / 1000000.0)))), 4) as score
         from tq t cross join w${steps}q w),
       ${c85Body(n, Some(studentQ))}
+    """
+  }
+
+  /** c174: the five-gate door's post-compaction store inventory
+    * re-derived from the raw arrival history — the c85 replay's CTEs
+    * with per-store terminal frames: decisions = alldec, keep/vecs =
+    * the final keeper union, bands = the keepers' uncapped band rows,
+    * buckets = their sign buckets, spans/postings = the span tier's
+    * accumulated rows (spans77 / sh77). Each store contributes one
+    * (store, n_rows, key_checksum) row, the checksum the bit_xor over
+    * the store's own merge-key string — the exact spelling the
+    * compacted parquet carries. */
+  private def c174Sql: String = {
+    val n = graft.streaming.FunnelStream.AuditBatches
+    def chk(e: String) = s"bit_xor(('0x' || substr(md5($e), 1, 15))::bigint)"
+    s"""
+      with recursive ${c85Ctes(n)},
+      fk174 as materialized (select doc_id from fk${n - 1}),
+      rows174 as (
+        select 'bands' as store, count(*)::bigint as n_rows,
+               ${chk("b.band_key || ':' || b.doc_id::varchar")} as key_checksum
+        from bandsS b join fk174 using (doc_id)
+        union all
+        select 'buckets', count(*)::bigint,
+               ${chk("s.bucket::varchar || ':' || s.vec_id::varchar")}
+        from sigv s join fk174 f on s.vec_id = f.doc_id
+        union all
+        select 'decisions', count(*)::bigint, ${chk("doc_id::varchar")}
+        from alldec
+        union all
+        select 'keep', count(*)::bigint, ${chk("doc_id::varchar")}
+        from fk174
+        union all
+        select 'postings', count(*)::bigint,
+               ${chk("key || ':' || doc_id::varchar || ':' || pos::varchar")}
+        from sh77
+        union all
+        select 'spans', count(*)::bigint,
+               ${chk("doc_cut::varchar || ':' || doc_keep::varchar || ':' || cut_start::varchar || ':' || keep_start::varchar")}
+        from spans77
+        union all
+        select 'vecs', count(*)::bigint, ${chk("doc_id::varchar")}
+        from fk174)
+      select store, n_rows, key_checksum from rows174 order by store
     """
   }
 
@@ -4194,6 +4246,47 @@ object OraclesC {
     """
   }
 
+  /** c175: the histogram door replayed — c142's sketch half (bin
+    * counts + the cumulative-walk quantile estimates, no exact leg:
+    * the at-rest c142 already prices sketch-vs-exact) over the door
+    * population, plus per-source poll/bin counts. Sum-over-log ≡
+    * one-pass bins by additivity, so the oracle re-bins the raw
+    * arrival history directly. */
+  private def c175Sql: String = {
+    val bw = graft.operators.TextAnalysis.HqBinWidth
+    val nb = graft.operators.TextAnalysis.HqBins
+    val ps = graft.operators.TextAnalysis.HqPcts
+    val n = graft.streaming.FunnelStream.AuditBatches
+    val pivot = ps.map(p => s"max(case when p = $p then est end)::bigint as p${p}_est")
+      .mkString(",\n             ")
+    s"""
+      with l175 as (
+        select source, doc_id, length(text)::bigint as v
+        from documents where doc_id % 97 <> 0),
+      n175 as (select source, count(*)::bigint as n_docs,
+                      count(distinct doc_id % $n)::bigint as n_batches
+               from l175 group by 1),
+      b175 as (select source, least(v // $bw, ${nb - 1})::bigint as bin,
+                      count(*)::bigint as c
+               from l175 group by 1, 2),
+      nb175 as (select source, count(*)::bigint as n_bins from b175 group by 1),
+      r175 as (select n175.source, p, ((n_docs * p + 99) // 100)::bigint as r
+               from n175, unnest([${ps.mkString(", ")}]) as t(p)),
+      cw175 as (select source, bin,
+                       sum(c) over (partition by source order by bin
+                         rows between unbounded preceding and current row)::bigint as cum
+                from b175),
+      e175 as (select c.source, r.p, (min(c.bin) * $bw)::bigint as est
+               from cw175 c join r175 r on r.source = c.source and c.cum >= r.r
+               group by 1, 2),
+      ep175 as (select source, $pivot from e175 group by 1)
+      select n.source, n.n_batches, nb175.n_bins, n.n_docs,
+             p50_est, p90_est, p99_est
+      from n175 n join nb175 using (source) join ep175 using (source)
+      order by n.source
+    """
+  }
+
   /** c169: the self-contained novelty door replayed — registers per
     * (source, base|union) over the door population (max-over-log ≡
     * one-pass), sketch-difference novelty, c112's quantization, then
@@ -4324,13 +4417,27 @@ object OraclesC {
     * discipline — base = the md5 percent cut, current = the full
     * corpus; quantile shifts read off each vintage's cumulative
     * walk. Signed columns (psi, max_gap) through [[Rz]]. */
-  private def c150Sql: String = {
+  private def c150Sql: String = histDriftSql("documents",
+    s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < ${graft.operators.Dedup.DeltaBasePct}")
+
+  /** c176: the SAME drift arithmetic over the door population with
+    * base = arrivals before the latest poll — the log-sum ≡ one-pass
+    * property (each doc lands in exactly one batch) lets the oracle
+    * re-bin the raw history instead of mounting the log. */
+  private def c176Sql: String = {
+    val n = graft.streaming.FunnelStream.AuditBatches
+    histDriftSql("(select * from documents where doc_id % 97 <> 0)",
+      s"doc_id % $n < ${n - 1}")
+  }
+
+  /** The c150/c176 shared body — ONE histogram-drift spelling
+    * parameterized on the population and the base-vintage predicate
+    * (the Scala twin is TextAnalysis.histDriftOver, likewise shared). */
+  private def histDriftSql(pop: String, basePred: String): String = {
     val bw = graft.operators.TextAnalysis.HqBinWidth
     val nb = graft.operators.TextAnalysis.HqBins
     val ps = graft.operators.TextAnalysis.HqPcts
     val eps = graft.operators.TextAnalysis.DriftEps
-    val basePred =
-      s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < ${graft.operators.Dedup.DeltaBasePct}"
     val shiftPivot = ps.map(p =>
       s"max(case when p = $p then shift end)::bigint as p${p}_shift")
       .mkString(",\n             ")
@@ -4338,11 +4445,12 @@ object OraclesC {
       with l150 as (
         select source, doc_id, length(text)::bigint as v,
                ($basePred) as is_base
-        from documents),
+        from $pop),
       n150 as (select source,
                       sum(case when is_base then 1 else 0 end)::bigint as n_base,
                       count(*)::bigint as n_cur
-               from l150 group by 1),
+               from l150 group by 1
+               having n_base > 0),
       bb150 as (select source, least(v // $bw, ${nb - 1})::bigint as bin,
                        count(*)::bigint as c
                 from l150 where is_base group by 1, 2),
@@ -6156,6 +6264,12 @@ object OraclesC {
     "c172_bpe_batch_audit" -> C172_SQL,
     // c173: the door-log compaction audit — packed replay per shard
     "c173_pack_compaction" -> c173Sql,
+    // c174: the five-gate store inventory — per-store key sets off the replay
+    "c174_door_compaction" -> c174Sql,
+    // c175: the histogram door — sum-over-log ≡ one-pass bins
+    "c175_hist_door" -> c175Sql,
+    // c176: drift off the histogram log — c150's arithmetic, door base cut
+    "c176_door_hist_drift" -> c176Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -326,7 +326,18 @@ object ScaleSmoke {
       "c166_register_drift", "e4_stream_late", "e5_stream_outer_join",
       "c167_register_door", "e6_session_window",
       "c168_door_drift", "d12_chunk_register_door", "c169_log_novelty_door",
-      "c170_log_compaction")
+      "c170_log_compaction",
+      // r25: the batched trainer pair (sample-bounded loop at B=4 +
+      // the two-trainer compression audit's full-corpus encodes), the
+      // doc-grain log maintenance (file-grain re-lay + one sequence
+      // aggregate), and the stored tokenizer's full-corpus encode —
+      // the r14 verdict's vocabulary-growth family
+      "c171_bpe_batched", "c172_bpe_batch_audit", "c173_pack_compaction",
+      "c83_stored_tokenizer",
+      // r26: the five-gate store maintenance (file-grain re-lay +
+      // seven key scans) and the histogram door pair (sources×256-row
+      // log appends; drift = report arithmetic off the log)
+      "c174_door_compaction", "c175_hist_door", "c176_door_hist_drift")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:
@@ -392,6 +403,17 @@ object ScaleSmoke {
       val (sp, sk) = mass(work)
       println(f"""{"probe":"verified_pairs","base":$bp,"scaled":$sp,"mass_ratio":${sp.toDouble / math.max(bp, 1)}%.1f,"data_ratio":$n}""")
       println(f"""{"probe":"posting_keys","base":$bk,"scaled":$sk,"mass_ratio":${sk.toDouble / math.max(bk, 1)}%.1f,"data_ratio":$n}""")
+      // vocabulary probe: the tokenizer family's time ratios are read
+      // against UNIGRAM VOCABULARY growth, not the corpus multiplier —
+      // prefix mode grows vocab ~N× (disjoint alphabets), controlled
+      // mode holds it constant; the pair separates "trainer cost ∝
+      // vocabulary" from "trainer cost ∝ corpus"
+      def vocab(dir: String): Long =
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(col("text"), lit(" "))).as("t"))
+          .agg(countDistinct(col("t"))).head.getLong(0)
+      val (bv, sv) = (vocab(src), vocab(work))
+      println(f"""{"probe":"vocab_size","base":$bv,"scaled":$sv,"mass_ratio":${sv.toDouble / math.max(bv, 1)}%.1f,"data_ratio":$n}""")
     }
 
     // r6: the DURABLE materialization path (graft.materialize=

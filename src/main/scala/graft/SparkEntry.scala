@@ -239,6 +239,9 @@ object SparkEntry {
     "c171_bpe_batched" -> ((s, dir) => TextAnalysis.c171BpeBatched(Tables.documents(s, dir))),
     "c173_pack_compaction" -> ((s, dir) => graft.streaming.BudgetStream.c173PackCompaction(s, dir)),
     "c172_bpe_batch_audit" -> ((s, dir) => TextAnalysis.c172BpeBatchAudit(Tables.documents(s, dir))),
+    "c174_door_compaction" -> ((s, dir) => graft.streaming.FunnelStream.c174DoorCompaction(s, dir)),
+    "c175_hist_door" -> ((s, dir) => graft.streaming.BudgetStream.c175HistDoor(s, dir)),
+    "c176_door_hist_drift" -> ((s, dir) => graft.streaming.BudgetStream.c176DoorHistDrift(s, dir)),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

@@ -545,20 +545,34 @@ object TextAnalysis {
     * tables are the per-vintage artifacts (256 longs per source); the
     * drift table is their diff, never a corpus re-read. */
   def c150HistDrift(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark0 = docs.sparkSession
-    import spark0.implicits._
     val lens = Materialize.frame(docs.select(col("source"), col("doc_id"),
       length(col("text")).cast("long").as("v"),
       graft.operators.Dedup.isBaseDoc(col("doc_id")).as("is_base")))
     def binned(df: DataFrame) = df
       .select(col("source"), expr(s"least(v div $HqBinWidth, ${HqBins - 1}L)").as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("c"))
-    val bBase = binned(lens.filter(col("is_base")))
-    val bCur = binned(lens)
     val nS = lens.groupBy("source").agg(
       sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
       count(lit(1)).as("n_cur"))
+    histDriftOver(binned(lens.filter(col("is_base"))), binned(lens), nS)
+  }
+
+  /** The histogram-drift arithmetic over two explicit (source, bin, c)
+    * tables — ONE spelling shared by the at-rest vintage diff (c150,
+    * which bins the corpus itself) and the door-log diff (c176, which
+    * reads the bins from the door's histogram store), so the
+    * publish-gate numbers cannot drift between the corpus-read and
+    * artifact-read paths. `nS` must carry (source, n_base, n_cur). */
+  private[graft] def histDriftOver(bBase: DataFrame, bCur: DataFrame,
+      nSAll: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = nSAll.sparkSession
+    import spark0.implicits._
+    // drift is defined AGAINST a base vintage: a source whose first
+    // docs arrived in the latest poll has no base distribution to
+    // diff (that is novelty's territory — c156/c160), so it is out of
+    // this report's population rather than a 0/0 row
+    val nS = nSAll.filter(col("n_base") > 0)
     val grid = nS.select("source").crossJoin((0L until HqBins).toDF("bin"))
     val p = grid
       .join(bBase.withColumnRenamed("c", "cb"), Seq("source", "bin"), "left")

@@ -1113,6 +1113,131 @@ object BudgetStream {
       .orderBy("source")
   }
 
+  /** c175's batch step — [[processRegisterBatch]]'s discipline for the
+    * ADDITIVE sketch: the batch's (source, bin) length-histogram
+    * counts (c142's fixed-range geometry) land in an append-only
+    * HISTOGRAM LOG keyed by (source, bin, batch). Keep-first merge is
+    * exact for the same reason the register log's is — a replayed
+    * batch recomputes the identical count row off its own immutable
+    * slice — and because bin counts MERGE BY + (where HLL registers
+    * merge by max), the reader's serve is a SUM over the log. Per
+    * poll only the ≤ sources×[[TextAnalysis.HqBins]]-row count table
+    * lands; the corpus text is read once, at the door. */
+  private[graft] def processHistBatch(batch: DataFrame, store: String,
+      batchId: Long): Unit = {
+    val bins = batch.select(col("source"),
+        expr(s"least(length(text) div ${TextAnalysis.HqBinWidth}, ${TextAnalysis.HqBins - 1}L)")
+          .as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("hk", concat_ws(":", col("source"), col("bin"), col("batch_id")))
+    EventsStream.upsertSink(bins, store, "hk")
+  }
+
+  /** Start the live histogram door over a streaming (doc_id, text,
+    * source) frame — the per-vintage length-distribution artifact
+    * (what c142 quantile-serves and c150 drift-diffs) maintained AT
+    * the door instead of by an at-rest re-read. */
+  def histDoorGate(docs: DataFrame, store: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processHistBatch(batch, store, batchId)
+        ()
+      }
+      .start()
+
+  private[graft] def histDoorStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    StoreMemo.memo(spark, s"histdoor_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processHistBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          scratch + "/bins", i.toLong)
+    }
+  }
+
+  /** c175: the LIVE HISTOGRAM STORE — the sketch-tier door pattern
+    * (c167) applied to the ADDITIVE member: each poll appends its
+    * batch's (source, bin) length-histogram counts to the log, and
+    * the served distribution is the SUM over the log — equal by
+    * additivity to the one-pass bins over the whole arrival history
+    * (each doc lands in exactly one batch), which is exactly what the
+    * oracle replays (c142's sketch half over the door population).
+    * Per source: polls contributing, occupied bins, doc mass, and the
+    * p50/p90/p99 estimates read off the summed log via c142's
+    * cumulative walk. At 100 TB the length/quality distribution that
+    * sizes packing budgets and drift gates stays current poll-by-poll
+    * at sources×256-row cost — no consumer re-reads the corpus to
+    * refresh a histogram. */
+  def c175HistDoor(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val log = spark.read
+      .parquet(s"${histDoorStores(spark, dir, nBatches)}/bins")
+      .drop(EventsStream.KeyBucketCol)
+    val summed = log.groupBy("source", "bin").agg(sum(col("c")).as("c"))
+    val nb = log.groupBy("source").agg(
+      countDistinct(col("batch_id")).as("n_batches"),
+      countDistinct(col("bin")).as("n_bins"))
+    val nS = summed.groupBy("source").agg(sum(col("c")).as("n_docs"))
+    val ranks = nS.crossJoin(TextAnalysis.HqPcts.toDF("p"))
+      .withColumn("r", expr("(n_docs * p + 99) div 100"))
+    val wB = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val est = summed.withColumn("cum", sum(col("c")).over(wB))
+      .join(ranks, Seq("source"))
+      .filter(col("cum") >= col("r"))
+      .groupBy("source", "p")
+      .agg((min(col("bin")) * TextAnalysis.HqBinWidth).as("est"))
+    val pcols = TextAnalysis.HqPcts.map(p =>
+      max(when(col("p") === p, col("est"))).as(s"p${p}_est"))
+    nb.join(nS, Seq("source"))
+      .join(est.groupBy("source").agg(pcols.head, pcols.tail: _*), Seq("source"))
+      .select(col("source"), col("n_batches"), col("n_bins"), col("n_docs"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+      .orderBy("source")
+  }
+
+  /** c176: DRIFT OFF THE LIVE HISTOGRAM LOG — c150's publish-gate
+    * numbers (PSI over the bin grid, widest proportion gap, quantile
+    * shifts) with base = the log summed BEFORE the latest poll and
+    * current = the whole log: "did the latest crawl shift this
+    * source's length distribution, and at which quantile", answered
+    * from ≤ sources×256 stored counts — no corpus read, no
+    * re-binning (the door already paid for every count row, c175).
+    * The arithmetic is [[TextAnalysis.histDriftOver]] — the SAME
+    * spelling c150 runs over corpus-derived bins, so the gate cannot
+    * drift between its at-rest and artifact-read deployments. Signed
+    * columns (psi, max_gap) Rz'd in the oracle from birth. */
+  def c176DoorHistDrift(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame =
+    doorHistDriftFrom(
+      spark.read
+        .parquet(s"${histDoorStores(spark, dir, nBatches)}/bins")
+        .drop(EventsStream.KeyBucketCol),
+      nBatches)
+
+  /** The drift read off an explicit histogram log — split out so the
+    * spec can construct a log with a source ABSENT from the latest
+    * poll (the exactly-zero-drift contract the driver corpus's even
+    * batch split never produces). */
+  private[graft] def doorHistDriftFrom(log: DataFrame, nBatches: Int): DataFrame = {
+    val bBase = log.filter(col("batch_id") < nBatches - 1)
+      .groupBy("source", "bin").agg(sum(col("c")).as("c"))
+    val bCur = log.groupBy("source", "bin").agg(sum(col("c")).as("c"))
+    val nS = bCur.groupBy("source").agg(sum(col("c")).as("n_cur"))
+      .join(bBase.groupBy("source").agg(sum(col("c")).as("n_base")),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+        col("n_cur"))
+    TextAnalysis.histDriftOver(bBase, bCur, nS)
+  }
+
   /** c153: the DOOR LEDGER report — the composed gate's cross-batch
     * state made a keyed, oracle-audited table for the first time (the
     * decisions store has been audited since c143; the LEDGER — the

@@ -398,7 +398,7 @@ object FunnelStream {
     * admission path: each poll is the documents slice JOINED to its
     * embeddings (doc_id ≡ vec_id — the door embeds on arrival) driven
     * through [[processBatch5]], the exact code the live stream runs. */
-  private def gate5Stores(spark: SparkSession, dir: String, nBatches: Int): String = {
+  private[graft] def gate5Stores(spark: SparkSession, dir: String, nBatches: Int): String = {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
     val vecs = graft.sources.Tables.embeddings(spark, dir)
@@ -507,6 +507,49 @@ object FunnelStream {
   def c85Gate5Pipeline(spark: SparkSession, dir: String,
       nBatches: Int = AuditBatches): DataFrame =
     gate5Result(spark, gate5Stores(spark, dir, nBatches))
+
+  /** c174: VINTAGE-CLOSE MAINTENANCE for the five-gate door's WHOLE
+    * store inventory — c173 compacted the hand-off door's two
+    * doc-grain logs; this closes the arc for the ingest door itself:
+    * all seven append-only stores the composed funnel maintains
+    * (decisions / keep / bands / vecs / buckets / spans / postings),
+    * each of which grows one parquet file per touched bucket per poll
+    * (rows unique by key — nothing to drop, everything to re-lay).
+    * The query performs the maintenance under the quiesced-writer
+    * contract ([[EventsStream.compactStoreSelective]] per store —
+    * atomic per-bucket swap, idempotent re-run) and then audits the
+    * COMPACTED stores at the strictest grain the oracle can
+    * independently derive: per store, the row count and the bit_xor
+    * checksum over the store's OWN MERGE KEY (doc_id / vec_id /
+    * band_key:doc / bucket:vec / span 4-tuple / key:doc:pos) — all
+    * re-derived by the oracle from the raw arrival history via the
+    * five-gate replay, so a re-lay that drops, duplicates, or
+    * corrupts one row in ANY store hash-fails the round instead of
+    * silently eroding the door's state. At 100 TB this is the door's
+    * compaction bill made auditable: the stores stay one file per
+    * bucket, and the proof costs seven key-column scans — never a
+    * corpus re-read. */
+  def c174DoorCompaction(spark: SparkSession, dir: String,
+      nBatches: Int = AuditBatches): DataFrame = {
+    val root = gate5Stores(spark, dir, nBatches)
+    val keyOf = Seq("bands" -> "bk_doc", "buckets" -> "bk_vec",
+      "decisions" -> "doc_id", "keep" -> "doc_id", "postings" -> "kdp",
+      "spans" -> "span_key", "vecs" -> "vec_id")
+    keyOf.foreach { case (s, _) =>
+      EventsStream.compactStoreSelective(spark, s"$root/$s", minFiles = 2) }
+    keyOf.map { case (s, k) =>
+      // a store a tiny corpus never wrote (empty-write fast path, no
+      // footer to infer) audits as the empty inventory row
+      val df =
+        if (EventsStream.hasCommittedData(spark, s"$root/$s"))
+          spark.read.parquet(s"$root/$s")
+        else spark.range(0).select(lit("").as(k))
+      df.agg(count(lit(1)).as("n_rows"),
+          expr(s"bit_xor(cast(conv(substring(md5(cast($k as string)), 1, 15), 16, 10) as bigint))")
+            .as("key_checksum"))
+        .select(lit(s).as("store"), col("n_rows"), col("key_checksum"))
+    }.reduce(_.unionByName(_)).orderBy("store")
+  }
 
   /** The five-gate keyed result read from a store root (decision
     * store + island-merged span cuts) — path-parameterized so the
