@@ -4847,6 +4847,37 @@ object OraclesC {
     """
   }
 
+  /** c177: the sample door replayed — c108's quality-Gumbel chain
+    * over the door population, ranked PER SOURCE (top-k-over-log ≡
+    * one-pass draw by the top-k merge property). */
+  private def c177Sql: String = {
+    val k = graft.streaming.BudgetStream.DoorSampleK
+    val eps = graft.operators.TextAnalysis.GumbelEps
+    val denom = graft.operators.TextAnalysis.GumbelDenom
+    s"""
+      with q177 as (
+        select doc_id, source,
+               round(0.3 * least(len(w)::double / 100.0, 1.0)
+                   + 0.4 * round(len(list_distinct(w))::double / len(w), 4)
+                   + 0.3 * least(round(len(list_filter(w, t -> list_contains($markers, t)))::double / len(w), 4) * 5.0, 1.0), 5) as quality
+        from (select doc_id, source, string_split(text, ' ') as w
+              from documents where doc_id % 97 <> 0)),
+      g177 as (
+        select doc_id, source, quality,
+               ${Rz(s"""ln(quality + $eps)
+                   - ln(-ln((('0x' || substr(md5('gumbel:' || doc_id::varchar), 1, 7))::bigint + 1)::double / $denom))""", 4)} as gumbel_key
+        from q177),
+      r177 as (
+        select source,
+               row_number() over (partition by source
+                 order by gumbel_key desc, doc_id)::bigint as rank,
+               doc_id, quality, gumbel_key
+        from g177)
+      select source, rank, doc_id, quality, gumbel_key
+      from r177 where rank <= $k order by source, rank
+    """
+  }
+
   /** c109: c37's BM25 chain at fusion depth + c6's cosine chain over
     * the same query slice, full-outer joined and RRF-scored; every
     * 1/(c+rank) is the same exact integer-pair division in both
@@ -6270,6 +6301,8 @@ object OraclesC {
     "c175_hist_door" -> c175Sql,
     // c176: drift off the histogram log — c150's arithmetic, door base cut
     "c176_door_hist_drift" -> c176Sql,
+    // c177: the sample door — per-source Gumbel top-k over the log
+    "c177_sample_door" -> c177Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -337,7 +337,8 @@ object ScaleSmoke {
       // r26: the five-gate store maintenance (file-grain re-lay +
       // seven key scans) and the histogram door pair (sources×256-row
       // log appends; drift = report arithmetic off the log)
-      "c174_door_compaction", "c175_hist_door", "c176_door_hist_drift")
+      "c174_door_compaction", "c175_hist_door", "c176_door_hist_drift",
+      "c177_sample_door")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

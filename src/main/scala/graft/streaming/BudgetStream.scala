@@ -1238,6 +1238,90 @@ object BudgetStream {
     TextAnalysis.histDriftOver(bBase, bCur, nS)
   }
 
+  /** c177 geometry — the per-source sample size the door maintains.
+    * Oracle-interpolated. */
+  val DoorSampleK = 8
+
+  /** c177's batch step — the THIRD merge discipline of the sketch-door
+    * family (HLL merges by max — c167; histograms by sum — c175; the
+    * weighted sample by TOP-K UNION): each arriving doc draws its
+    * Gumbel priority (c108's exact spelling — quality-weighted
+    * sampling without replacement, Efraimidis–Spirakis via the Gumbel
+    * trick, md5-deterministic so replays and both engines agree), and
+    * only the batch's per-source top-k rows land in the log. Top-k is
+    * a mergeable summary: topK(A ∪ B) = topK(topK(A) ∪ topK(B)) —
+    * any doc in the history's top-k ranks ≤ k within its own batch
+    * too, so the per-poll cut loses nothing (spec-pinned). Per poll
+    * ≤ sources×k rows land; the corpus is read once, at the door. */
+  private[graft] def processSampleBatch(batch: DataFrame, store: String,
+      batchId: Long, k: Int = DoorSampleK): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(concat(lit("gumbel:"), col("doc_id").cast("string"))), 1, 7),
+      16, 10).cast("double") + 1.0) / lit(TextAnalysis.GumbelDenom)
+    val key = round(log(TextAnalysis.qualityOf(col("text")) + lit(TextAnalysis.GumbelEps))
+      - log(-log(u)), 4)
+    val w = Window.partitionBy("source")
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+    val top = batch.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityOf(col("text")).as("quality"), key.as("gumbel_key"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("sk", concat_ws(":", col("source"), col("doc_id")))
+    EventsStream.upsertSink(top, store, "sk")
+  }
+
+  /** Start the live sample door over a streaming (doc_id, text,
+    * source) frame — the per-source quality-weighted spot-check
+    * sample maintained AT the door instead of by an at-rest re-draw. */
+  def sampleDoorGate(docs: DataFrame, store: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)((w, dir) => w.option("checkpointLocation", dir))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSampleBatch(batch, store, batchId)
+        ()
+      }
+      .start()
+
+  private[graft] def sampleDoorStores(spark: SparkSession, dir: String,
+      nBatches: Int): String = {
+    val pop = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    StoreMemo.memo(spark, s"sampledoor_${dir}_$nBatches") { scratch =>
+      for (i <- 0 until nBatches)
+        processSampleBatch(pop.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          scratch + "/sample", i.toLong)
+    }
+  }
+
+  /** c177: the LIVE WEIGHTED SAMPLE — a per-source, quality-weighted
+    * k-document sample maintained incrementally by the door: each
+    * poll appends its batch's per-source Gumbel top-k, and serving
+    * takes the top-k over the log — equal BY THE TOP-K MERGE PROPERTY
+    * to the one-pass draw over the whole arrival history, which is
+    * exactly what the oracle replays (c108's chain, per-source). The
+    * training-data read: a standing spot-check/eval set per source
+    * that follows the corpus poll-by-poll at sources×k-row cost — no
+    * consumer re-scans a source to draw inspection samples, and the
+    * weighting means the samples over-represent exactly the docs the
+    * curation tiers are most likely to keep. */
+  def c177SampleDoor(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val log = spark.read
+      .parquet(s"${sampleDoorStores(spark, dir, nBatches)}/sample")
+      .drop(EventsStream.KeyBucketCol)
+    val w = Window.partitionBy("source")
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+    log.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= DoorSampleK)
+      .select(col("source"), col("rank"), col("doc_id"), col("quality"),
+        col("gumbel_key"))
+      .orderBy("source", "rank")
+  }
+
   /** c153: the DOOR LEDGER report — the composed gate's cross-batch
     * state made a keyed, oracle-audited table for the first time (the
     * decisions store has been audited since c143; the LEDGER — the

@@ -180,4 +180,83 @@ class Round26Spec extends AnyFunSuite {
     assert(keyed.sameElements(direct),
       "the artifact-read drift diverged from the corpus-read arithmetic")
   }
+
+  test("c177: top-k over the log equals the one-pass draw (top-k merge property)") {
+    import org.apache.spark.sql.expressions.Window
+    // the one-pass draw: the whole door population as a single batch
+    val store = java.nio.file.Files.createTempDirectory("graft-sampledoor-")
+      .toString + "/sample"
+    val pop = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+    BudgetStream.processSampleBatch(pop, store, 0L)
+    val w = Window.partitionBy("source")
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+    val onePass = spark.read.parquet(store).drop(EventsStream.KeyBucketCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BudgetStream.DoorSampleK)
+      .select("source", "rank", "doc_id", "quality", "gumbel_key")
+      .collect().map(_.toSeq).toSet
+    val keyed = SparkEntry.queries("c177_sample_door")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(keyed == onePass,
+      "the merged per-poll top-k diverged from the one-pass draw")
+  }
+
+  test("c177: each poll contributes at most k rows per source, and the cut binds") {
+    val log = spark.read
+      .parquet(s"${BudgetStream.sampleDoorStores(spark, sf, FunnelStream.AuditBatches)}/sample")
+      .drop(EventsStream.KeyBucketCol)
+    val per = log.groupBy("source", "batch_id").agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    assert(per.forall(_ <= BudgetStream.DoorSampleK),
+      "a poll leaked more than k rows for one source into the log")
+    assert(per.exists(_ == BudgetStream.DoorSampleK.toLong),
+      "the fixture never saturated the per-poll cut — the bound went untested")
+  }
+
+  test("c177: a replayed poll is a no-op") {
+    val store = java.nio.file.Files.createTempDirectory("graft-sampledoor-r-")
+      .toString + "/sample"
+    val batch = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 2 === 0)
+    BudgetStream.processSampleBatch(batch, store, 0L)
+    val once = spark.read.parquet(store).drop(EventsStream.KeyBucketCol)
+      .collect().map(_.toSeq).toSet
+    BudgetStream.processSampleBatch(batch, store, 0L)
+    val twice = spark.read.parquet(store).drop(EventsStream.KeyBucketCol)
+      .collect().map(_.toSeq).toSet
+    assert(twice == once, "an at-least-once replay changed the sample log")
+  }
+
+  test("sampleDoorGate: a real writeStream maintains the log equal to the audit store") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 97 =!= 0)
+      .as[(Long, String, String)].collect().toSeq
+    val n = FunnelStream.AuditBatches
+    val store = java.nio.file.Files.createTempDirectory("graft-sampledoor-s-")
+      .toString + "/sample"
+    val ms = MemoryStream[(Long, String, String)]
+    val gate = BudgetStream.sampleDoorGate(
+      ms.toDF().toDF("doc_id", "text", "source"), store)
+    try {
+      for (i <- 0 until n) {
+        ms.addData(docs.filter(_._1 % n == i): _*)
+        gate.processAllAvailable()
+      }
+    } finally gate.stop()
+    val cols = Seq("batch_id", "doc_id", "gumbel_key", "quality", "sk", "source")
+    val streamed = spark.read.parquet(store)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val audit = spark.read
+      .parquet(s"${BudgetStream.sampleDoorStores(spark, sf, n)}/sample")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(streamed == audit,
+      "the live stream's sample log diverged from the audit build's")
+  }
 }
