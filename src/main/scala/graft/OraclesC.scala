@@ -4287,6 +4287,38 @@ object OraclesC {
     """
   }
 
+  /** c178: the truncated-log read replayed — the full-population
+    * one-pass estimates (snapshot ∪ tail ≡ full log by max-merge
+    * associativity; the oracle takes the associativity for granted
+    * and re-derives the SERVED numbers from raw history), plus the
+    * artifact sizes: occupied registers of the pre-latest-poll slice
+    * (the snapshot) and of the latest poll alone (the tail). */
+  private def c178Sql: String = {
+    val n = graft.streaming.FunnelStream.AuditBatches
+    s"""
+      with sh178 as ($SH8),
+      pop178 as (select doc_id, source from documents where doc_id % 97 <> 0),
+      it178 as (select p.source, sh178.sh8, p.doc_id % $n as b
+                from sh178 join pop178 p on sh178.doc_id = p.doc_id),
+      ru178 as (${hllRankSql("(select source, sh8 from it178)", "source, ")}),
+      mu178 as (select source, reg, max(rnk)::bigint as m from ru178 group by 1, 2),
+      rb178 as (${hllRankSql(s"(select source, sh8 from it178 where b < ${n - 1})", "source, ")}),
+      rt178 as (${hllRankSql(s"(select source, sh8 from it178 where b = ${n - 1})", "source, ")}),
+      sz178 as (
+        select coalesce(s.source, t.source) as source,
+               coalesce(s.nsr, 0)::bigint as n_snapshot_rows,
+               coalesce(t.ntr, 0)::bigint as n_tail_rows
+        from (select source, count(distinct reg) as nsr from rb178 group by 1) s
+        full join (select source, count(distinct reg) as ntr from rt178 group by 1) t
+          on s.source = t.source),
+      es178 as ${hllEstSql("mu178", "source")}
+      select e.source, z.n_snapshot_rows, z.n_tail_rows, e.n_used,
+             e.sum_scaled, e.raw_est, e.lc_est, e.est
+      from es178 e join sz178 z using (source)
+      order by e.source
+    """
+  }
+
   /** c169: the self-contained novelty door replayed — registers per
     * (source, base|union) over the door population (max-over-log ≡
     * one-pass), sketch-difference novelty, c112's quantization, then
@@ -6303,6 +6335,8 @@ object OraclesC {
     "c176_door_hist_drift" -> c176Sql,
     // c177: the sample door — per-source Gumbel top-k over the log
     "c177_sample_door" -> c177Sql,
+    // c178: snapshot ∪ tail serve — the truncated-log read path
+    "c178_snapshot_serve" -> c178Sql,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

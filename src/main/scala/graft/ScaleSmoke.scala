@@ -338,7 +338,7 @@ object ScaleSmoke {
       // seven key scans) and the histogram door pair (sources×256-row
       // log appends; drift = report arithmetic off the log)
       "c174_door_compaction", "c175_hist_door", "c176_door_hist_drift",
-      "c177_sample_door")
+      "c177_sample_door", "c178_snapshot_serve")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:
@@ -400,10 +400,18 @@ object ScaleSmoke {
         spark.sharedState.cacheManager.clearCache()
         operators.Dedup.evidenceMass(sources.Tables.documents(spark, dir))
       }
-      val (bp, bk) = mass(src)
-      val (sp, sk) = mass(work)
-      println(f"""{"probe":"verified_pairs","base":$bp,"scaled":$sp,"mass_ratio":${sp.toDouble / math.max(bp, 1)}%.1f,"data_ratio":$n}""")
-      println(f"""{"probe":"posting_keys","base":$bk,"scaled":$sk,"mass_ratio":${sk.toDouble / math.max(bk, 1)}%.1f,"data_ratio":$n}""")
+      // the pair-evidence probe materializes the overlap chain — at
+      // extreme N (100× prefix mode) it can exhaust executor memory
+      // AFTER every query row has already printed; a dead probe must
+      // not kill the run's exit code or the scratch rows below
+      try {
+        val (bp, bk) = mass(src)
+        val (sp, sk) = mass(work)
+        println(f"""{"probe":"verified_pairs","base":$bp,"scaled":$sp,"mass_ratio":${sp.toDouble / math.max(bp, 1)}%.1f,"data_ratio":$n}""")
+        println(f"""{"probe":"posting_keys","base":$bk,"scaled":$sk,"mass_ratio":${sk.toDouble / math.max(bk, 1)}%.1f,"data_ratio":$n}""")
+      } catch { case e: Throwable =>
+        println(s"""{"probe":"evidence_mass","error":"${e.getClass.getSimpleName}"}""")
+      }
       // vocabulary probe: the tokenizer family's time ratios are read
       // against UNIGRAM VOCABULARY growth, not the corpus multiplier —
       // prefix mode grows vocab ~N× (disjoint alphabets), controlled

@@ -1003,6 +1003,51 @@ object BudgetStream {
       .orderBy("source")
   }
 
+  /** c178: the TRUNCATED-LOG READ PATH — the serve c170's snapshot
+    * exists FOR: after a vintage-close compaction truncates the
+    * per-batch rows behind the max-merged snapshot, every later read
+    * is snapshot ∪ post-snapshot tail — and this key proves that read
+    * serves IDENTICAL estimates. The snapshot here is the log BEFORE
+    * the latest poll (the last maintenance window), written
+    * idempotently beside the log (`registers_compacted_pre`); the
+    * tail is the latest poll's register rows; the served table
+    * max-merges the two — equal by the merge property's
+    * ASSOCIATIVITY (max(max(A), B) = max(A ∪ B)) to c167's full-log
+    * serve, which is what the oracle independently re-derives from
+    * the raw arrival history. Per source the row also carries the
+    * artifact sizes the truncation trades between: snapshot rows
+    * (≤ 256 forever) vs the tail the next compaction will fold in.
+    * At 100 TB this is the bound that keeps the register store
+    * constant-size across unbounded polls: the log never needs to be
+    * replayed past the last maintenance window. */
+  def c178SnapshotServe(spark: SparkSession, dir: String,
+      nBatches: Int = FunnelStream.AuditBatches): DataFrame = {
+    val root = registerDoorStores(spark, dir, nBatches)
+    val regLog = spark.read.parquet(s"$root/registers")
+      .drop(EventsStream.KeyBucketCol)
+    val snapPath = s"$root/registers_compacted_pre"
+    regLog.filter(col("batch_id") < nBatches - 1)
+      .groupBy("source", "reg").agg(max(col("m")).as("m"))
+      .write.mode("overwrite").parquet(snapPath)
+    val snap = spark.read.parquet(snapPath)
+    val tail = regLog.filter(col("batch_id") === nBatches - 1)
+      .select("source", "reg", "m")
+    val served = snap.unionByName(tail)
+      .groupBy("source", "reg").agg(max(col("m")).as("m"))
+    val sizes = snap.groupBy("source").agg(count(lit(1)).as("n_snapshot_rows"))
+      .join(tail.groupBy("source").agg(count(lit(1)).as("n_tail_rows")),
+        Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("n_snapshot_rows"), lit(0L)).as("n_snapshot_rows"),
+        coalesce(col("n_tail_rows"), lit(0L)).as("n_tail_rows"))
+    TextAnalysis.hllEstimate(served, Seq("source"))
+      .join(sizes, Seq("source"))
+      .select(col("source"), col("n_snapshot_rows"), col("n_tail_rows"),
+        col("n_used"), col("sum_scaled"), col("raw_est"), col("lc_est"),
+        col("est"))
+      .orderBy("source")
+  }
+
   /** d12's batch step — [[processRegisterBatch]] at MEDIA-CHUNK
     * grain: the batch's payloads chunk (d2's kernel), the chunk
     * checksums land as (media_type, reg, rank) register rows in the

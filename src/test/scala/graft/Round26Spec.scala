@@ -259,4 +259,28 @@ class Round26Spec extends AnyFunSuite {
     assert(streamed == audit,
       "the live stream's sample log diverged from the audit build's")
   }
+
+  test("c178: the snapshot ∪ tail serve is exactly c167's full-log serve") {
+    val served = SparkEntry.queries("c178_snapshot_serve")(spark, sf)
+      .select("source", "n_used", "sum_scaled", "raw_est", "lc_est", "est")
+      .collect().map(_.toSeq).toSet
+    val full = SparkEntry.queries("c167_register_door")(spark, sf)
+      .select("source", "n_used", "sum_scaled", "raw_est", "lc_est", "est")
+      .collect().map(_.toSeq).toSet
+    assert(served == full,
+      "truncated-log read served different estimates than the full log")
+  }
+
+  test("c178: the snapshot rewrite is idempotent and the artifact stays register-bounded") {
+    val first = SparkEntry.queries("c178_snapshot_serve")(spark, sf).collect()
+    val second = SparkEntry.queries("c178_snapshot_serve")(spark, sf).collect()
+    assert(second.sameElements(first), "re-running the serve changed the audit")
+    for (r <- first) {
+      assert(r.getAs[Long]("n_snapshot_rows") <=
+        graft.operators.TextAnalysis.HllRegisters,
+        s"snapshot exceeded the register bound: $r")
+      assert(r.getAs[Long]("n_tail_rows") <=
+        graft.operators.TextAnalysis.HllRegisters)
+    }
+  }
 }
