@@ -593,19 +593,24 @@ object TextAnalysis {
         max(when(col("gr") === 1, col("bin"))).as("max_gap_bin"),
         max(when(col("gr") === 1, round(col("p_cur") - col("p_base"), 4)))
           .as("max_gap"))
-    def quants(b: DataFrame, nCol: String, estCol: String) = {
-      val wB = Window.partitionBy("source").orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val ranks = nS.select(col("source"), col(nCol).as("n"))
-        .crossJoin(HqPcts.toDF("p"))
-        .withColumn("r", expr("(n * p + 99) div 100"))
-      b.withColumn("cum", sum(col("c")).over(wB))
-        .join(ranks, Seq("source")).filter(col("cum") >= col("r"))
-        .groupBy("source", "p")
-        .agg((min(col("bin")) * HqBinWidth).as(estCol))
-    }
-    val shifts = quants(bCur, "n_cur", "cur_est")
-      .join(quants(bBase, "n_base", "base_est"), Seq("source", "p"))
+    // BOTH vintages' quantile walks ride ONE side-tagged window +
+    // ONE rank join (the two-sided frame is ≤ 2·sources·bins rows —
+    // fusing halves the report stages vs a per-side quants() call)
+    val tagged = bCur.withColumn("side", lit("cur"))
+      .unionByName(bBase.withColumn("side", lit("base")))
+    val wB = Window.partitionBy("source", "side").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranks = nS.select(col("source"), lit("cur").as("side"), col("n_cur").as("n"))
+      .unionByName(nS.select(col("source"), lit("base").as("side"), col("n_base").as("n")))
+      .crossJoin(HqPcts.toDF("p"))
+      .withColumn("r", expr("(n * p + 99) div 100"))
+    val est = tagged.withColumn("cum", sum(col("c")).over(wB))
+      .join(ranks, Seq("source", "side")).filter(col("cum") >= col("r"))
+      .groupBy("source", "side", "p")
+      .agg((min(col("bin")) * HqBinWidth).as("est"))
+    val shifts = est.groupBy("source", "p")
+      .agg(max(when(col("side") === "cur", col("est"))).as("cur_est"),
+        max(when(col("side") === "base", col("est"))).as("base_est"))
       .withColumn("shift", col("cur_est") - col("base_est"))
     val sCols = HqPcts.map(pp =>
       max(when(col("p") === pp, col("shift"))).as(s"p${pp}_shift"))
