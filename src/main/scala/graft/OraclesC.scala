@@ -1597,6 +1597,37 @@ object OraclesC {
     """
   }
 
+  /** c179: the batch-width sweep — one UNROLLED batched chain per B
+    * (the generator's CTE names are width-independent, so each width
+    * lives in its own nested-WITH derived table; DuckDB scopes CTEs
+    * per subquery), each width's final symbol table pricing the full
+    * corpus, one row per B. */
+  private lazy val C179_SQL: String = {
+    val m = graft.operators.TextAnalysis.BpeMerges
+    val pct = graft.operators.TextAnalysis.BpeSampleTrainPct
+    val pred = s"('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 100 < $pct"
+    val legs = graft.operators.TextAnalysis.BpeSweepBs.map { b =>
+      val lastB = batchSlots(m, b).last._1
+      s"""select * from (
+        with ${bpeChainHeader(byteGrain = true, trainPred = pred)},
+        ${c171Steps(m, b)},
+        rep179 as (${c171Rep(m, b)}),
+        nsy179 as (select term, count(*)::bigint as n from bs$lastB group by term),
+        enc179 as (
+          select sum(tf.tf * strlen(tf.term))::bigint as n_bytes,
+                 sum(tf.tf * coalesce(nsy179.n, 0))::bigint as n_units
+          from tf75 tf left join nsy179 on tf.term = nsy179.term)
+        select $b::bigint as batch_b,
+               (select count(*)::bigint from rep179) as n_merges,
+               (select coalesce(max(step), 0)::bigint from rep179) as n_steps,
+               n_units, n_bytes,
+               case when n_bytes > 0
+                 then round(n_units::double / n_bytes, 4) end as compression
+        from enc179)"""
+    }
+    s"""${legs.mkString(" union all ")} order by batch_b"""
+  }
+
   /** c69's winnow-pair chain (CTE list, no WITH) + its report SELECT
     * — split so c74 can consume the report as a candidate CTE. */
   private val C69_CTES = s"""h as (
@@ -6337,6 +6368,8 @@ object OraclesC {
     "c177_sample_door" -> c177Sql,
     // c178: snapshot ∪ tail serve — the truncated-log read path
     "c178_snapshot_serve" -> c178Sql,
+    // c179: one unrolled batched chain per width, nested-WITH scoped
+    "c179_bpe_batch_sweep" -> C179_SQL,
     // c133: c87's error chain read at the query slice
     "c133_query_ood" -> C133_SQL,
     // c136: one full-probe serve pass, every level cut from it

@@ -338,7 +338,7 @@ object ScaleSmoke {
       // seven key scans) and the histogram door pair (sources×256-row
       // log appends; drift = report arithmetic off the log)
       "c174_door_compaction", "c175_hist_door", "c176_door_hist_drift",
-      "c177_sample_door", "c178_snapshot_serve")
+      "c177_sample_door", "c178_snapshot_serve", "c179_bpe_batch_sweep")
       .filter(q => onlyQueries.forall(_.contains(q)))
 
     // the one knob a real scale-up retunes with the data (SURVEY §5:

@@ -244,6 +244,7 @@ object SparkEntry {
     "c176_door_hist_drift" -> ((s, dir) => graft.streaming.BudgetStream.c176DoorHistDrift(s, dir)),
     "c177_sample_door" -> ((s, dir) => graft.streaming.BudgetStream.c177SampleDoor(s, dir)),
     "c178_snapshot_serve" -> ((s, dir) => graft.streaming.BudgetStream.c178SnapshotServe(s, dir)),
+    "c179_bpe_batch_sweep" -> ((s, dir) => TextAnalysis.c179BpeBatchSweep(Tables.documents(s, dir))),
     "c133_query_ood" -> ((s, dir) => Similarity.c133QueryOod(s, dir)),
 
     "d1_multimodal_meta" -> ((s, dir) => Multimodal.d1MultimodalMeta(s, Tables.documents(s, dir)).toDF()),

@@ -2633,6 +2633,63 @@ object TextAnalysis {
       .orderBy("trainer")
   }
 
+  /** c179's batch widths. B=1 is the exact sequential trainer (the
+    * sweep's own baseline row); B=8 selects the whole default merge
+    * budget in ONE count pass. Oracle-interpolated (one unrolled
+    * chain per width). */
+  val BpeSweepBs: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** c179: the BATCH-WIDTH SWEEP — the dial c171 fixes at B=4,
+    * priced across the whole range a deployment would tune over:
+    * for each B, the batched trainer runs on the SAME c163 sample
+    * (B=1 degenerating to c75's exact argmax — the baseline row is
+    * IN the sweep) and its merge list prices the FULL corpus through
+    * the stepped encode kernel, all widths' encodes off ONE shared
+    * vocabulary pass. One row per B: merges learned, count passes
+    * actually run (the step cost a 32k-merge production vocabulary
+    * divides by B), corpus BPE units/bytes, compression. The
+    * measured trade the c172 audit pins at one point, as a curve:
+    * step count falls ∝ 1/B while compression degrades only as far
+    * as slot-disjointness defers conflicting pairs — the table a
+    * deployment reads to pick B before committing 32k merges to it. */
+  def c179BpeBatchSweep(docs: DataFrame, nMerges: Int = BpeMerges,
+      bs: Seq[Int] = BpeSweepBs, trainPct: Int = BpeSampleTrainPct): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    val train = docs.filter(bucket < trainPct)
+    val learnedPerB = bs.map { b =>
+      val rows = bpeBatchTrain(train, nMerges, b, ByteGrain)
+        .select(col("step"), col("a"), col("b")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      val steps = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, g) => g.map(r => r._2 -> r._3).toMap }
+      (b, rows.length.toLong, steps.length.toLong, steps)
+    }
+    val bc = spark0.sparkContext.broadcast(learnedPerB.map(r => (r._1, r._4)))
+    val vocabSyms = tfRows(docs).select(col("term")).distinct().as[String]
+      .flatMap { t =>
+        bc.value.map { case (b, steps) =>
+          (t, b.toLong, bpeSymbolCountBatched(t, steps, ByteGrain).toLong)
+        }
+      }
+      .toDF("term", "batch_b", "n_syms")
+    val enc = tfRows(docs).join(vocabSyms, Seq("term"))
+      .groupBy("batch_b")
+      .agg(sum(col("tf") * octet_length(col("term"))).as("n_bytes"),
+        sum(col("tf") * col("n_syms")).as("n_units"))
+    learnedPerB.map(r => (r._1.toLong, r._2, r._3))
+      .toDF("batch_b", "n_merges", "n_steps")
+      .join(enc, Seq("batch_b"))
+      .withColumn("compression",
+        when(col("n_bytes") > 0,
+          round(col("n_units").cast("double") / col("n_bytes"), 4)))
+      .select("batch_b", "n_merges", "n_steps", "n_units", "n_bytes",
+        "compression")
+      .orderBy("batch_b")
+  }
+
   /** c57/c76's per-doc pricing under an explicit RANK-ORDERED merge
     * list — one spelling shared by the in-session encode (c76) and
     * the stored-artifact encode (c83), so the shipped tokenizer

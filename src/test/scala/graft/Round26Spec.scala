@@ -283,4 +283,31 @@ class Round26Spec extends AnyFunSuite {
         graft.operators.TextAnalysis.HllRegisters)
     }
   }
+
+  test("c179: the B=1 row is c172's exact trainer; step counts divide by B; compression stays in band") {
+    val sweep = SparkEntry.queries("c179_bpe_batch_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Long]("batch_b") -> r).toMap
+    val audit = SparkEntry.queries("c172_bpe_batch_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // B=1 IS the exact sequential trainer — its full-corpus pricing
+    // must match the audit's exact row number-for-number
+    assert(sweep(1L).getAs[Long]("n_units") ==
+      audit("exact").getAs[Long]("n_units"),
+      "the B=1 sweep row diverged from the exact trainer's encode")
+    assert(sweep(4L).getAs[Long]("n_units") ==
+      audit("batched").getAs[Long]("n_units"),
+      "the B=4 sweep row diverged from c172's batched encode")
+    for ((b, r) <- sweep) {
+      val m = r.getAs[Long]("n_merges")
+      assert(r.getAs[Long]("n_steps") == (m + b - 1) / b,
+        s"B=$b: steps must be ceil(merges/B) when no step came up empty: $r")
+      // the trade's bound: batching may only degrade compression,
+      // and the spec keeps the degradation inside c172's 5% band
+      val c1 = sweep(1L).getAs[Double]("compression")
+      val cb = r.getAs[Double]("compression")
+      assert(cb >= c1 - 1e-9, s"B=$b compressed BETTER than exact? $r")
+      assert(cb <= c1 * 1.05 + 1e-9,
+        s"B=$b compression left the 5% band: $cb vs exact $c1")
+    }
+  }
 }
