@@ -16,7 +16,8 @@ import scala.collection.mutable
 object BenchProfile {
   private final class Acc extends SparkListener {
     case class Job(id: Int, desc: String, t0: Long, var t1: Long = 0L,
-      var stages: Int = 0, var tasks: Int = 0, var taskMs: Long = 0L)
+      var stages: Int = 0, var tasks: Int = 0, var taskMs: Long = 0L,
+      var gcMs: Long = 0L, var cpuMs: Long = 0L)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
     val stageToJob = mutable.Map.empty[Int, Int]
     @volatile var on = false
@@ -38,6 +39,10 @@ object BenchProfile {
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
       stageToJob.get(e.stageId).flatMap(jobs.get).foreach { j =>
         if (e.taskInfo != null) j.taskMs += (e.taskInfo.finishTime - e.taskInfo.launchTime)
+        if (e.taskMetrics != null) {
+          j.gcMs += e.taskMetrics.jvmGCTime
+          j.cpuMs += e.taskMetrics.executorCpuTime / 1000000L
+        }
       }
     }
     def reset(): Unit = synchronized { jobs.clear(); stageToJob.clear() }
@@ -49,7 +54,8 @@ object BenchProfile {
         f"taskTimeSum=${rows.map(_.taskMs).sum / 1000.0}%.2fs"
       val per = rows.map { j =>
         f"    job ${j.id}%4d ${(j.t1 - j.t0) / 1000.0}%6.3fs stages=${j.stages}%2d " +
-          f"tasks=${j.tasks}%3d taskSum=${j.taskMs / 1000.0}%6.3fs ${j.desc.take(80)}"
+          f"tasks=${j.tasks}%3d taskSum=${j.taskMs / 1000.0}%6.3fs " +
+          f"cpu=${j.cpuMs / 1000.0}%6.3fs gc=${j.gcMs / 1000.0}%6.3fs ${j.desc.take(60)}"
       }.mkString("\n")
       hdr + "\n" + per
     }

@@ -17,8 +17,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Reports.a7RptDiscovery(Staging.stgEvents(Tables.events(spark, "/root/testdata/sf0.001")))
 
+  // memoized: the staging projection (surrogate keys, tz conversion,
+  // JSON prop parse) feeds seven keyed consumers (a2–a7, a9) — one
+  // parse per (session, corpus), the dbt "build staging once, derive
+  // marts from it" shape. a1's keyed output stays the direct
+  // projection (its contract plan is scan+project, no materialization).
+  // All consumers aggregate, so none depends on this frame's order.
+  // the memo BUILD spreads the scan first (parallelKernelInput: no-op
+  // on any real multi-split table) so the surrogate-key/JSON parse and
+  // the materialized blocks land cores-wide, not on one input split.
   private def stg(s: SparkSession, dir: String): DataFrame =
-    Staging.stgEvents(Tables.events(s, dir))
+    graft.operators.CorpusPrep.memo("stg_events", Tables.events(s, dir))(
+      graft.operators.Materialize.frame(Staging.stgEvents(
+        Tables.parallelKernelInput(Tables.events(s, dir)))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_stg_events"      -> ((s, dir) => Staging.a1StgEvents(Tables.events(s, dir))),

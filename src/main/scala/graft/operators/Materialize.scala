@@ -82,6 +82,62 @@ object Materialize {
     }
   }
 
+  /** Hash-spread a COMPUTE-DENSE frame across the session's cores
+    * before a per-row kernel runs over it. AQE sizes post-shuffle
+    * partitions by BYTES (advisory/parallelismFirst), so a frame
+    * whose rows are cheap to ship but expensive to process (exact-
+    * Jaccard verify pairs, brute-force cosine scoring) collapses to
+    * one or two tasks on a small shuffle and serializes the kernel
+    * on one core. The partition count derives from
+    * defaultParallelism — cluster-adaptive, never a constant — and
+    * the spread frames are BOUNDED by construction at their call
+    * sites (capped pair sets, |Q|-sized query fans), so the extra
+    * exchange ships a bounded row set at any corpus size. Rows are
+    * identical; every consumer downstream re-aggregates or applies
+    * its own total ORDER BY. */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (keys.isEmpty) df.repartition(n) else df.repartition(n, keys: _*)
+  }
+
+  /** [[spread]] gated on the frame's CURRENT layout — for scan-side
+    * kernels (tokenize/shingle/parse) whose input may be a single
+    * row-group parquet file: a 100 TB table scan already carries
+    * thousands of splits (the gate no-ops and costs nothing), but a
+    * small file is ONE task and serializes the kernel while the rest
+    * of the cluster idles (guide §2.5's "input skew: repartition
+    * immediately after the read"). Evaluates the input's partition
+    * count at plan-build time; intended for once-per-session memo
+    * builds, not per-row paths. */
+  def spreadScan(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df else spread(df, keys: _*)
+  }
+
+  /** Run INDEPENDENT driver-side action sequences concurrently and
+    * return their results in input order — [[frames]]' overlap
+    * discipline generalized to arbitrary per-item work (the trainer
+    * sweep's per-width loops, an audit's two trainer chains). The
+    * caller owns independence: items must not share mutable state
+    * beyond Spark's own thread-safe surfaces (memo caches, actions).
+    * One item's failure cancels the rest and rethrows its cause. */
+  def concurrently[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.sizeIs <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(items.size, 8))
+      try {
+        val futures = items.map(a => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+        try futures.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            futures.foreach(_.cancel(true))
+            pool.shutdownNow()
+            throw e.getCause
+        }
+      } finally pool.shutdown()
+    }
+
   /** Materialize SEVERAL independent frames as one unit: each runs
     * [[frame]] on its own thread, so the N materializations execute
     * as CONCURRENT Spark actions and their per-job scheduling floors

@@ -256,19 +256,24 @@ object Sampling {
     * (split, shard) packing window. ONE spelling for the manifest
     * (c98) and the vintage diff (c101). */
   private def manifestAssign(spark: org.apache.spark.sql.SparkSession, dir: String,
-      docs: DataFrame, budget: Long, shards: Int): DataFrame = {
-    val keeps = graft.operators.TextAnalysis.funnelDecisions(docs)
-      .filter(col("stage") === "keep").select("doc_id")
-    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-      .cast("long") % 100)
-    val counts = graft.operators.TextAnalysis.c83StoredTokenizer(spark, dir)
-      .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
-      .join(keeps, Seq("doc_id"))
-      .withColumn("split",
-        when(bucket < SplitTrainPct, "train")
-          .when(bucket < SplitValPct, "val").otherwise("test"))
-    packAssignBy(counts, budget, shards, Seq("split"))
-  }
+      docs: DataFrame, budget: Long, shards: Int): DataFrame =
+    // memoized per (vintage plan, geometry): c98's manifest and c101's
+    // live leg aggregate the SAME doc-grain assignment — one
+    // funnel-join + split window chain per session, not one per query
+    graft.operators.CorpusPrep.memo(s"manifest_assign_${budget}_$shards", docs)(
+      Materialize.frame {
+        val keeps = graft.operators.TextAnalysis.funnelDecisions(docs)
+          .filter(col("stage") === "keep").select("doc_id")
+        val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100)
+        val counts = graft.operators.TextAnalysis.c83StoredTokenizer(spark, dir)
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+          .join(keeps, Seq("doc_id"))
+          .withColumn("split",
+            when(bucket < SplitTrainPct, "train")
+              .when(bucket < SplitValPct, "val").otherwise("test"))
+        packAssignBy(counts, budget, shards, Seq("split"))
+      })
 
   /** The PERSISTED v1 manifest artifact — c98's doc-grain assignment
     * over the BASE vintage, written ONCE per (session, corpus,
@@ -765,11 +770,16 @@ object Sampling {
     * base-vintage leg. */
   private[graft] def keepsScheduleOver(docs: DataFrame, seed: Long = ShuffleSeed,
       shards: Int = ShuffleShards,
-      bins: Int = graft.operators.TextAnalysis.QualityBins): DataFrame = {
-    val keeps = graft.operators.TextAnalysis.funnelDecisions(docs)
-      .filter(col("stage") === "keep").select("doc_id")
-    c99CurriculumSchedule(docs.join(keeps, Seq("doc_id")), seed, shards, bins)
-  }
+      bins: Int = graft.operators.TextAnalysis.QualityBins): DataFrame =
+    // memoized per (vintage plan, geometry): the kept-set schedule is
+    // read by the c105 keyed report AND the c111 pack build — one
+    // funnel-join + two-window chain per session
+    graft.operators.CorpusPrep.memo(s"keeps_sched_${seed}_${shards}_$bins", docs)(
+      Materialize.frame {
+        val keeps = graft.operators.TextAnalysis.funnelDecisions(docs)
+          .filter(col("stage") === "keep").select("doc_id")
+        c99CurriculumSchedule(docs.join(keeps, Seq("doc_id")), seed, shards, bins)
+      })
 
   /** c111: the MOUNTED packing — the last artifact gap in the
     * manifest/schedule/packing loop: c98's manifest ships the keeps,
@@ -786,9 +796,20 @@ object Sampling {
     * identical to c103's plan with the keep semi-join in front. */
   def c111KeepsPack(spark: org.apache.spark.sql.SparkSession, dir: String,
       budget: Long = DefaultTokenBudget, seed: Long = ShuffleSeed,
-      shards: Int = ShuffleShards): DataFrame =
-    keepsPackOver(spark, dir, graft.sources.Tables.documents(spark, dir),
-      budget, seed, shards)
+      shards: Int = ShuffleShards): DataFrame = {
+    // the mounted packing is the frame SIX keyed consumers aggregate
+    // (c111 itself, c117's epochs, c120's index, c130's taint, c146's
+    // masks, c152's budget) — memoized at the driver-checked geometry
+    // so the funnel+schedule+window chain runs once per (session,
+    // corpus), CorpusPrep's standing discipline. Off-default
+    // geometries (specs, sweeps) build direct. The frame carries its
+    // own total ORDER BY (shard, pos) from packBySchedule.
+    val docs = graft.sources.Tables.documents(spark, dir)
+    def build = keepsPackOver(spark, dir, docs, budget, seed, shards)
+    if (budget == DefaultTokenBudget && seed == ShuffleSeed && shards == ShuffleShards)
+      CorpusPrep.memo("c111_keeps_pack", docs)(Materialize.frame(build))
+    else build
+  }
 
   /** c111's mounted packing over an explicit corpus VINTAGE — the
     * vintage's own keeps schedule priced in the SHIPPED tokenizer's
@@ -968,8 +989,11 @@ object Sampling {
       shards: Int = ShuffleShards): DataFrame = {
     val v1 = seqsSfx(spark.read.parquet(
       seqManifestV1Artifact(spark, dir, budget, seed, shards)), "v1")
-    val v2 = seqsSfx(seqChecksumOver(keepsPackOver(spark, dir,
-      graft.sources.Tables.documents(spark, dir), budget, seed, shards)), "v2")
+    // the live leg IS the mounted packing at the same geometry —
+    // routed through c111KeepsPack so it reads the session's memoized
+    // pack frame instead of re-running the funnel+schedule+window chain
+    val v2 = seqsSfx(seqChecksumOver(
+      c111KeepsPack(spark, dir, budget, seed, shards)), "v2")
     seqDiffFrames(v1, v2)
   }
 

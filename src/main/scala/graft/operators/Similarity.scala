@@ -2654,7 +2654,11 @@ object Similarity {
   def c6AnnTopK(emb: DataFrame, queries: Option[DataFrame] = None, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = withQueryNorm(queries.getOrElse(defaultQueries(emb)))
-    val scored = withNorm(emb).crossJoin(broadcast(q))
+    // the |corpus|×|Q| scoring loop inherits the SCAN's partitioning;
+    // a single-row-group file serializes it on one core while the
+    // cluster idles — spreadScan no-ops whenever the scan already
+    // carries ≥ cores splits (any real table), guide §2.5.
+    val scored = withNorm(graft.sources.Tables.parallelKernelInput(emb)).crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         pairCos("q_emb", "q_nrm", "embedding", "nrm").as("cos"))
