@@ -1691,7 +1691,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val root = sketchArtifact(spark, dir)
-    val sk = spark.read.parquet(s"$root/sketch")
+    // single-file artifact: spread so the |vecs|x|Q| stage-1 scoring
+    // runs cores-wide instead of on the one scan split
+    val sk = graft.sources.Tables.parallelKernelInput(
+        spark.read.parquet(s"$root/sketch"))
       .withColumn("pnrm", VectorFns.norm(col("p")))
     val qs = sk.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("p").as("qp"), col("pnrm").as("qpn"))
@@ -1748,7 +1751,8 @@ object Similarity {
     val idxRoot = graft.streaming.StoreMemo.memo(spark, s"c79_index_$dir")(
       buildIndexArtifacts(emb, _))
     val skRoot = sketchArtifact(spark, dir)
-    val sk = spark.read.parquet(s"$skRoot/sketch")
+    val sk = graft.sources.Tables.parallelKernelInput(
+        spark.read.parquet(s"$skRoot/sketch"))
       .withColumn("pnrm", VectorFns.norm(col("p")))
     val qs = sk.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("p").as("qp"), col("pnrm").as("qpn"))
@@ -2583,8 +2587,11 @@ object Similarity {
     val bc = spark.sparkContext.broadcast((qArr, lutR, probeSets))
     import spark.implicits._
     val kLocal = topK
-    val topLocal = candFilter
-      .foldLeft(spark.read.parquet(s"${codesRoot.getOrElse(root)}/$codesDir"))(_ filter _)
+    // the codes artifact is a small single-file parquet: spread the
+    // scan so the ADC kernel below runs cores-wide (parallelKernelInput
+    // no-ops once the artifact carries >= cores splits)
+    val topLocal = graft.sources.Tables.parallelKernelInput(candFilter
+      .foldLeft(spark.read.parquet(s"${codesRoot.getOrElse(root)}/$codesDir"))(_ filter _))
       .select(col("vec_id"), col("cluster").cast("int"), col("codes"))
       .as[(Long, Int, Array[Int])]
       .mapPartitions { it =>

@@ -545,16 +545,28 @@ object TextAnalysis {
     * tables are the per-vintage artifacts (256 longs per source); the
     * drift table is their diff, never a corpus re-read. */
   def c150HistDrift(docs: DataFrame): DataFrame = {
-    val lens = Materialize.frame(docs.select(col("source"), col("doc_id"),
-      length(col("text")).cast("long").as("v"),
-      graft.operators.Dedup.isBaseDoc(col("doc_id")).as("is_base")))
-    def binned(df: DataFrame) = df
-      .select(col("source"), expr(s"least(v div $HqBinWidth, ${HqBins - 1}L)").as("bin"))
-      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
-    val nS = lens.groupBy("source").agg(
-      sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
-      count(lit(1)).as("n_cur"))
-    histDriftOver(binned(lens.filter(col("is_base"))), binned(lens), nS)
+    // ONE corpus aggregate for both vintages' histograms (c166's
+    // fused-conditional spelling): the old shape checkpointed the
+    // length projection and ran three aggregates over it (base bins,
+    // union bins, per-source totals) — all three derive from one
+    // (source, bin)-grain count table, bin-grain small thereafter.
+    // Base groups are the rows with a base count, exactly the groups
+    // the filtered aggregate produced; totals are bin-sums.
+    val fused = Materialize.frame(docs
+      .select(col("source"),
+        expr(s"least((length(text) div $HqBinWidth), ${HqBins - 1}L)").as("bin"),
+        graft.operators.Dedup.isBaseDoc(col("doc_id")).as("is_base"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("c_cur"),
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("c_base")))
+    val nS = fused.groupBy("source").agg(
+      sum(col("c_base")).as("n_base"),
+      sum(col("c_cur")).as("n_cur"))
+    histDriftOver(
+      fused.filter(col("c_base") > 0)
+        .select(col("source"), col("bin"), col("c_base").as("c")),
+      fused.select(col("source"), col("bin"), col("c_cur").as("c")),
+      nS)
   }
 
   /** The histogram-drift arithmetic over two explicit (source, bin, c)
@@ -1477,12 +1489,33 @@ object TextAnalysis {
     * Shape: one shingle pass (the shared kernel), one (source, reg)
     * max-aggregate (≤ 256 rows per source — the operator), the
     * exact-distinct audit leg, report-sized output. */
+  /** The at-rest per-source register table with the base vintage's
+    * registers riding the SAME aggregate (max over the base slice of
+    * each (source, reg) group — c166's fused spelling), memoized per
+    * (session, corpus): c154's estimate, c155's merge side, c156's
+    * both vintages and c166's drift grid all read this one frame, so
+    * the shingle+rank corpus pass runs once per session. Streaming
+    * batch paths (the register doors) keep their direct per-batch
+    * derivations — a memo keyed on transient micro-batch plans would
+    * only leak entries (CorpusPrep's standing caveat). NULL m_base =
+    * the group had no base-vintage item, exactly the groups the
+    * two-pass spelling's base table lacked. */
+  private[graft] def sourceRegistersFused(docs: DataFrame): DataFrame =
+    CorpusPrep.memo("hll_src_regs", docs)(Materialize.frame(
+      hllRanks(Dedup.docShingles8(docs))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("is_base", graft.operators.Dedup.isBaseDoc(col("doc_id")))
+        .groupBy("source", "reg")
+        .agg(max(when(col("is_base"), col("rank"))).as("m_base_raw"),
+          max(col("rank")).as("m_cur_raw"))))
+
   def c154HllDistinct(docs: DataFrame): DataFrame = {
     val items = Dedup.docShingles8(docs)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
     val exact = items.groupBy("source")
       .agg(countDistinct(col("sh8")).as("exact_distinct"))
-    hllEstimate(hllRegisters(items, Seq("source")), Seq("source"))
+    hllEstimate(sourceRegistersFused(docs)
+        .select(col("source"), col("reg"), col("m_cur_raw").as("m")), Seq("source"))
       .join(exact, Seq("source"))
       .withColumn("rel_err",
         round((col("est") - col("exact_distinct")) / col("exact_distinct"), 4))
@@ -1503,9 +1536,12 @@ object TextAnalysis {
     * occupied registers both ways, differing registers (0), the
     * exact-integer sums, both estimates. */
   def c155HllMerge(docs: DataFrame): DataFrame = {
-    val items = Dedup.docShingles8(docs)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-    val merged = hllRegisters(items, Seq("source"))
+    // the MERGE side reads the memoized per-source table (that's the
+    // side a deployment merges); the GLOBAL side stays independently
+    // derived from the corpus — deriving it from the same memo would
+    // make the mergeability audit vacuous
+    val merged = sourceRegistersFused(docs)
+      .select(col("source"), col("reg"), col("m_cur_raw").as("m"))
       .groupBy("reg").agg(max(col("m")).as("m"))
     val global = hllRegisters(Dedup.docShingles8(docs), Seq.empty)
     val diff = merged.as("a").join(global.as("b"), Seq("reg"), "full")
@@ -1542,10 +1578,15 @@ object TextAnalysis {
     val exact = items.groupBy("source").agg(
       countDistinct(when(col("is_base"), col("sh8"))).as("exact_base"),
       countDistinct(col("sh8")).as("exact_union"))
-    val eBase = hllEstimate(
-      hllRegisters(items.filter(col("is_base")), Seq("source")), Seq("source"))
+    // both vintages' register tables off the one memoized fused
+    // aggregate: base rows are the groups whose base slice had items
+    // (m_base_raw non-null) — exactly the two-pass spelling's tables
+    val fused = sourceRegistersFused(docs)
+    val eBase = hllEstimate(fused.filter(col("m_base_raw").isNotNull)
+        .select(col("source"), col("reg"), col("m_base_raw").as("m")), Seq("source"))
       .select(col("source"), col("est").as("est_base"))
-    val eUnion = hllEstimate(hllRegisters(items, Seq("source")), Seq("source"))
+    val eUnion = hllEstimate(fused
+        .select(col("source"), col("reg"), col("m_cur_raw").as("m")), Seq("source"))
       .select(col("source"), col("est").as("est_union"))
     exact.join(eUnion, Seq("source"))
       .join(eBase, Seq("source"), "left")
@@ -1595,13 +1636,9 @@ object TextAnalysis {
     // left join missed — both coalesce to rank 0 in the grid.
     // hllRanks runs BEFORE the source join so the md5/rank kernel
     // stays fused with the (spread) shingle-memo block read instead
-    // of landing in the join's AQE-coalesced output stage.
-    val items = hllRanks(Dedup.docShingles8(docs))
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .withColumn("is_base", graft.operators.Dedup.isBaseDoc(col("doc_id")))
-    val mBoth = items.groupBy("source", "reg")
-      .agg(max(when(col("is_base"), col("rank"))).as("m_base_raw"),
-        max(col("rank")).as("m_cur_raw"))
+    // of landing in the join's AQE-coalesced output stage; the fused
+    // table is the session memo c154/c155/c156 read too.
+    val mBoth = sourceRegistersFused(docs)
     val sources = docs.select(col("source")).distinct()
     val regs = Materialize.frame(sources
       .crossJoin((0L until HllRegisters).toDF("reg"))

@@ -89,6 +89,22 @@ class Round27Spec extends AnyFunSuite {
     assert(a1.size == 2)
   }
 
+  test("the fused source-register memo equals the direct per-vintage register tables") {
+    val docs = Tables.documents(spark, sf)
+    val items = Dedup.docShingles8(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val directUnion = TextAnalysis.hllRegisters(items, Seq("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val directBase = TextAnalysis.hllRegisters(
+        items.filter(Dedup.isBaseDoc(col("doc_id"))), Seq("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fused = TextAnalysis.sourceRegistersFused(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))).toMap
+    assert(fused.view.mapValues(_._2).toMap == directUnion)
+    assert(fused.collect { case (k, (Some(mb), _)) => k -> mb }.toMap == directBase)
+  }
+
   test("the memoized session frames (stg, funnel, c83 encode, c111 pack) are stable across calls") {
     // two calls must return the same rows (the second from the memo) —
     // the cross-call identity every multi-consumer optimization leans on
