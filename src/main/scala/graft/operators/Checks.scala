@@ -117,11 +117,13 @@ object Checks {
     * checkpoint jobs, which was most of a9's wall time), and the
     * check job reads executor-local mart blocks. */
   def a9DqChecks(stg: DataFrame): DataFrame = {
-    // staging arrives memoized+materialized from SparkEntry.stg; the
-    // frame() here is a no-op-cheap checkpoint-of-a-checkpoint for
-    // that caller and keeps the one-scan contract for callers that
-    // pass a raw staging plan (specs).
-    val s = Materialize.frame(stg)
+    // staging arrives memoized+materialized from SparkEntry.stg — a
+    // bare LogicalRDD leaf needs no second checkpoint (skipping it
+    // saves one job per call); a raw staging plan (specs) still
+    // materializes so the one-scan contract holds.
+    val alreadyMaterialized = stg.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val s = if (alreadyMaterialized) stg else Materialize.frame(stg)
     // the BODIES (no report orderBy): the checks aggregate, so each
     // mart's global sort would buy nothing and cost a range-sampling
     // job + a sort stage per mart

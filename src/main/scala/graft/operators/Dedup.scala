@@ -644,14 +644,17 @@ object Dedup {
         .select(col("bands"), col("doc_id"),
           md5(concat_ws(":", lit(b) +: col("j") +: (1 to r).map(k =>
             element_at(col("sig"), col("j") * r + k)): _*)).as("band_key"))
-    }.reduce(_ unionByName _).localCheckpoint() // sizes + sample both read it
+    }.reduce(_ unionByName _)
+      // lazy: blocks land inside the first consumer's job (bsizes) and
+      // the sample join reads them — one fewer dedicated job per frame
+      .localCheckpoint(eager = false) // sizes + sample both read it
     // count-first bucket sizes (map-side combinable — the verdict's
     // posting-cap discipline): the analytic probe count needs no pair
     // enumeration at all
     val bsizes = bandRows.groupBy("bands", "band_key")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= bucketCap)
-      .localCheckpoint() // probe sum + the sample's semi-join both read it
+      .localCheckpoint(eager = false) // probe sum + the sample's semi-join both read it
     // integer `div` keeps every term (and the sum) a long — the
     // oracle sums exact integers via `//`, and a double sum could
     // diverge from it past 2^53 aggregate probe mass
@@ -666,7 +669,7 @@ object Dedup {
       .withColumn("rn", row_number().over(wBucket))
       .filter(col("rn") <= bucketSample)
       .select(col("bands"), col("doc_id"), col("band_key"))
-      .localCheckpoint() // both self-join sides read it
+      .localCheckpoint(eager = false) // both self-join sides read it
     val cand = sampledDocs.as("a")
       .join(sampledDocs.as("b"), Seq("bands", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -678,7 +681,7 @@ object Dedup {
       .withColumn("rn", row_number().over(wBudget))
       .filter(col("rn") <= verifyCap)
       .select("bands", "doc_a", "doc_b")
-      .localCheckpoint() // per-geometry stats + the verify union read it
+      .localCheckpoint(eager = false) // per-geometry stats + the verify union read it
     // verify the SAMPLED pair union once; geometries re-join verdicts.
     // The exact-Jaccard projection is spread across cores explicitly:
     // its input is a few MB of pair rows (AQE coalesces that to one
@@ -693,7 +696,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round((size(col("sh_a")) + size(col("sh_b")) - size(array_union(col("sh_a"), col("sh_b"))))
           .cast("double") / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
-      .localCheckpoint() // pair-evidence-sized; read per geometry + union total
+      .localCheckpoint(eager = false) // pair-evidence-sized; read per geometry + union total
     val totalDups = verified.filter(col("jaccard") >= bar)
       .agg(count(lit(1)).as("n_dups_union"))
     sampled.join(verified, Seq("doc_a", "doc_b"))

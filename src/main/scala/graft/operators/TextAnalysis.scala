@@ -3128,7 +3128,12 @@ object TextAnalysis {
     val docs = graft.sources.Tables.documents(spark, dir)
     val pop = docs.filter(col("doc_id") % 97 =!= 0)
     val keeps = funnelDecisions(docs).filter(col("stage") === "keep").select("doc_id")
-    val kept = Materialize.frame(docs.join(keeps, Seq("doc_id")))
+    // the kept sub-corpus is a stable function of the corpus — memoize
+    // it so the span chain below gets a STABLE memo key (a per-call
+    // localCheckpoint plan would miss c34's span memo every call and
+    // leak one dead entry per run)
+    val kept = CorpusPrep.memo("funnel_kept_docs", docs)(
+      Materialize.frame(docs.join(keeps, Seq("doc_id"))))
     val tok = graft.operators.Sampling.storedTokCounts(spark, dir)
     val ws = kept.select(col("doc_id"),
       size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("ws"))
