@@ -638,13 +638,20 @@ object Dedup {
       s"every geometry must factor the $MinhashK-hash signature")
     val sets = sharedShingleSets(docs)
     val sig = sharedMinhashSigs(docs) // memoized |docs|-row artifact; read once per geometry branch
-    val bandRows = geos.map { case (b, r) =>
-      sig.select(lit(b.toLong).as("bands"), col("doc_id"),
-          explode(sequence(lit(0), lit(b - 1))).as("j"), col("sig"))
-        .select(col("bands"), col("doc_id"),
-          md5(concat_ws(":", lit(b) +: col("j") +: (1 to r).map(k =>
-            element_at(col("sig"), col("j") * r + k)): _*)).as("band_key"))
-    }.reduce(_ unionByName _)
+    // ONE pass over the signature frame for ALL geometries: the
+    // (bands, rows-per-band, j) grid explodes as a literal struct
+    // array, and concat_ws FLATTENS the sliced signature segment —
+    // the band_key string is byte-identical to the old per-geometry
+    // spelling md5("b:j:e1:…:er") (Round27Spec pins it), in one stage
+    // instead of a |grid|-way union of three derivations.
+    val grid = geos.flatMap { case (b, r) => (0 until b).map(j => (b.toLong, r, j)) }
+    val bandRows = sig.select(col("doc_id"),
+        explode(array(grid.map { case (b, r, j) =>
+          struct(lit(b).as("bands"), lit(r).as("r"), lit(j).as("j")) }: _*)).as("g"),
+        col("sig"))
+      .select(col("g.bands").as("bands"), col("doc_id"),
+        md5(concat_ws(":", col("g.bands"), col("g.j"),
+          slice(col("sig"), col("g.j") * col("g.r") + 1, col("g.r")))).as("band_key"))
       // lazy: blocks land inside the first consumer's job (bsizes) and
       // the sample join reads them — one fewer dedicated job per frame
       .localCheckpoint(eager = false) // sizes + sample both read it

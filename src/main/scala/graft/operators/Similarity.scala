@@ -2073,18 +2073,29 @@ object Similarity {
 
   /** Load a stored index root's (codebooks, centroids, norms) — the
     * bounded artifact pull the serve/append paths share. */
+  // collected artifacts are BOUNDED (K codebook cells, k centroids)
+  // and immutable for a store root's lifetime — cache the collected
+  // arrays per (application, root) so the seven serving consumers
+  // pay the two collect jobs once per session, not once per query.
+  // Keys are strings (the quotaPlanCache lesson): no session object
+  // is pinned, stale entries are a few KB of doubles.
+  private val artifactCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Array[Array[Array[Double]]], Array[Array[Double]], Array[Double])]
+  graft.streaming.StoreMemo.registerInvalidateHook(() => artifactCache.clear())
+
   private def loadArtifacts(spark: SparkSession, root: String)
-      : (Array[Array[Array[Double]]], Array[Array[Double]], Array[Double]) = {
-    val rBooks = collectBooks(spark.read.parquet(s"$root/codebooks"))
-    val centRows = spark.read.parquet(s"$root/centroids")
-      .select(col("c_id"), col("c_emb")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1)
-    require(centRows.map(_._1).sameElements(0L until centRows.length),
-      s"stored centroid ids not the dense prefix: ${centRows.map(_._1).mkString(",")}")
-    val centLocal = centRows.map(_._2)
-    (rBooks, centLocal, centLocal.map(c => math.sqrt(dot64(c, c))))
-  }
+      : (Array[Array[Array[Double]]], Array[Array[Double]], Array[Double]) =
+    artifactCache.getOrElseUpdate((spark.sparkContext.applicationId, root), {
+      val rBooks = collectBooks(spark.read.parquet(s"$root/codebooks"))
+      val centRows = spark.read.parquet(s"$root/centroids")
+        .select(col("c_id"), col("c_emb")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+      require(centRows.map(_._1).sameElements(0L until centRows.length),
+        s"stored centroid ids not the dense prefix: ${centRows.map(_._1).mkString(",")}")
+      val centLocal = centRows.map(_._2)
+      (rBooks, centLocal, centLocal.map(c => math.sqrt(dot64(c, c))))
+    })
 
   /** The base/delta boundary for the incremental index (c81):
     * vectors below the boundary are always base (the seed prefix and

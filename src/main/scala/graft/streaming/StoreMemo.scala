@@ -55,6 +55,17 @@ private[graft] object StoreMemo {
     }
   }
 
+  // driver-side caches of COLLECTED store artifacts (Similarity's
+  // codebook/centroid arrays) must drop with the stores they were
+  // collected from — roots are rebuilt IN PLACE on invalidate, so a
+  // surviving array cache would serve the old store's values
+  private val onInvalidate = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+  private[graft] def registerInvalidateHook(f: () => Unit): Unit =
+    lock.synchronized { onInvalidate += f }
+
   /** Drop all entries — call after mutating a corpus path in place. */
-  def invalidate(): Unit = cache.clear()
+  def invalidate(): Unit = {
+    cache.clear()
+    lock.synchronized(onInvalidate.toList).foreach(_())
+  }
 }

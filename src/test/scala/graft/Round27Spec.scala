@@ -89,6 +89,31 @@ class Round27Spec extends AnyFunSuite {
     assert(a1.size == 2)
   }
 
+  test("c114: the single-pass exploded-grid band keys equal the per-geometry union's") {
+    val docs = Tables.documents(spark, sf)
+    val sig = Dedup.sharedMinhashSigs(docs)
+    val geos = Dedup.LshGeometries
+    // the pre-optimization reference: one derivation per geometry,
+    // unioned — md5("b:j:e1:…:er") per (doc, geometry, band)
+    val reference = geos.map { case (b, r) =>
+      sig.select(lit(b.toLong).as("bands"), col("doc_id"),
+          explode(sequence(lit(0), lit(b - 1))).as("j"), col("sig"))
+        .select(col("bands"), col("doc_id"),
+          md5(concat_ws(":", lit(b) +: col("j") +: (1 to r).map(k =>
+            element_at(col("sig"), col("j") * r + k)): _*)).as("band_key"))
+    }.reduce(_ unionByName _).collect().map(_.toSeq).toSet
+    val grid = geos.flatMap { case (b, r) => (0 until b).map(j => (b.toLong, r, j)) }
+    val fused = sig.select(col("doc_id"),
+        explode(array(grid.map { case (b, r, j) =>
+          struct(lit(b).as("bands"), lit(r).as("r"), lit(j).as("j")) }: _*)).as("g"),
+        col("sig"))
+      .select(col("g.bands").as("bands"), col("doc_id"),
+        md5(concat_ws(":", col("g.bands"), col("g.j"),
+          slice(col("sig"), col("g.j") * col("g.r") + 1, col("g.r")))).as("band_key"))
+      .collect().map(_.toSeq).toSet
+    assert(fused == reference)
+  }
+
   test("the fused source-register memo equals the direct per-vintage register tables") {
     val docs = Tables.documents(spark, sf)
     val items = Dedup.docShingles8(docs)
