@@ -34,18 +34,31 @@ object Bench {
         System.gc()
         dt
       }
-      name -> dts.min
+      (name, dts.min, dts.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // run-1 totals put the one-time session-memo build cost on the
+    // record: min-of-2 (the per-key numbers) measures memo-warm plan
+    // cost; the run-1 sum bounds what a cold single-query session
+    // pays on its first pass. Both numbers are reported.
+    val run1Total = if (results.nonEmpty) results.map(_._3).sum else 0.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""run1_total":$run1Total,"sf":"$sfDir"}"""
     println(json)
     // the stdout line at 224 keys overflows the driver's tail capture
     // (BENCH_r14 "parsed": null) — the same JSON lands in a file so
     // the artifact stays machine-readable regardless of truncation
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a SECOND, short summary line as the very last stdout line: the
+    // full per-query line above is ~7 KB at 233 keys and overflows the
+    // driver's tail-capture window, so its JSON parse fails both in
+    // r14 and r15. This line is <200 chars and always lands inside
+    // the captured tail. Additive: the full line and the file stay.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""run1_total":$run1Total,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,10 +26,17 @@ object SparkEntry {
   // the memo BUILD spreads the scan first (parallelKernelInput: no-op
   // on any real multi-split table) so the surrogate-key/JSON parse and
   // the materialized blocks land cores-wide, not on one input split.
+  // The width is BYTE-AWARE (2 MiB/block target): the memo's
+  // consumers are plain aggregates, so a small events file must not
+  // mint defaultParallelism near-empty blocks that every a-tier read
+  // then pays one task each for (the r15 a2/a5/a6 regression —
+  // measured: 32-task memo reads cost 0.13–0.47s wall per job for
+  // ~1 ms of work per task); a real table reaches full width (and
+  // past cores splits the gate no-ops).
   private def stg(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusPrep.memo("stg_events", Tables.events(s, dir))(
       graft.operators.Materialize.frame(Staging.stgEvents(
-        Tables.parallelKernelInput(Tables.events(s, dir)))))
+        Tables.parallelKernelInput(Tables.events(s, dir), bytesPerTask = 2048L << 10))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_stg_events"      -> ((s, dir) => Staging.a1StgEvents(Tables.events(s, dir))),

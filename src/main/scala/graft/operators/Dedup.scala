@@ -655,28 +655,32 @@ object Dedup {
       // lazy: blocks land inside the first consumer's job (bsizes) and
       // the sample join reads them — one fewer dedicated job per frame
       .localCheckpoint(eager = false) // sizes + sample both read it
-    // count-first bucket sizes (map-side combinable — the verdict's
-    // posting-cap discipline): the analytic probe count needs no pair
-    // enumeration at all
-    val bsizes = bandRows.groupBy("bands", "band_key")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= bucketCap)
-      .localCheckpoint(eager = false) // probe sum + the sample's semi-join both read it
-    // integer `div` keeps every term (and the sum) a long — the
-    // oracle sums exact integers via `//`, and a double sum could
-    // diverge from it past 2^53 aggregate probe mass
-    val nProbes = bsizes.groupBy("bands")
-      .agg(sum(expr("bsz * (bsz - 1) div 2")).as("n_probes"))
-    // md5-ordered per-bucket doc sample bounds pair enumeration at
-    // C(sample, 2) per bucket — the quadratic corner never enumerates
+    // bucket sizes FOLDED into the sample window's exchange (r16):
+    // the size is a per-bucket window count over the SAME partition
+    // keys the md5 sample rank orders by, so one shuffle of bandRows
+    // produces both the capped-sample membership and every surviving
+    // bucket's size — the r15 spelling paid a second bandRows shuffle
+    // for a count aggregate plus a semi-join to carry it back. The
+    // rank of a row within its bucket is unchanged (row_number is
+    // bucket-local), so the sample is row-identical.
     val wBucket = Window.partitionBy(col("bands"), col("band_key"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wSize = Window.partitionBy(col("bands"), col("band_key"))
     val sampledDocs = bandRows
-      .join(bsizes.select("bands", "band_key"), Seq("bands", "band_key"))
+      .withColumn("bsz", count(lit(1)).over(wSize))
+      .filter(col("bsz") <= bucketCap)
       .withColumn("rn", row_number().over(wBucket))
       .filter(col("rn") <= bucketSample)
-      .select(col("bands"), col("doc_id"), col("band_key"))
-      .localCheckpoint(eager = false) // both self-join sides read it
+      .select(col("bands"), col("doc_id"), col("band_key"), col("bsz"))
+      .localCheckpoint(eager = false) // probe sum + both self-join sides read it
+    // integer `div` keeps every term (and the sum) a long — the
+    // oracle sums exact integers via `//`, and a double sum could
+    // diverge from it past 2^53 aggregate probe mass. Every surviving
+    // bucket keeps ≥1 sampled row carrying its size, so the distinct
+    // bucket set off the sample IS the capped bucket-size table.
+    val nProbes = sampledDocs.select("bands", "band_key", "bsz").distinct()
+      .groupBy("bands")
+      .agg(sum(expr("bsz * (bsz - 1) div 2")).as("n_probes"))
     val cand = sampledDocs.as("a")
       .join(sampledDocs.as("b"), Seq("bands", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))

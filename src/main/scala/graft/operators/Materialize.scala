@@ -106,12 +106,33 @@ object Materialize {
     * thousands of splits (the gate no-ops and costs nothing), but a
     * small file is ONE task and serializes the kernel while the rest
     * of the cluster idles (guide §2.5's "input skew: repartition
-    * immediately after the read"). Evaluates the input's partition
-    * count at plan-build time; intended for once-per-session memo
-    * builds, not per-row paths. */
+    * immediately after the read"). The partition count is read from
+    * the ANALYZED plan's leaves (a checkpointed frame's LogicalRDD
+    * already holds its RDD; a file scan gets the same split estimate
+    * `Tables.parallelKernelInput` uses) — no `df.rdd` call, which
+    * would force a full physical-planning + RDD-conversion pass per
+    * gate evaluation. Unknown leaf shapes spread conservatively. */
   def spreadScan(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= n) df else spread(df, keys: _*)
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    val conf = spark.sessionState.conf
+    val minPartitionNum = conf.filesMinPartitionNum.getOrElse(n)
+    val leafParts = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getNumPartitions.toLong
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val bytes = f.location.sizeInBytes
+            val bytesPerCore = bytes / math.max(1, minPartitionNum)
+            val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+              math.max(conf.filesOpenCostInBytes, bytesPerCore)))
+            (bytes + maxSplit - 1) / maxSplit
+          case _ => 1L
+        }
+    }
+    val known = if (leafParts.isEmpty) 0L else leafParts.max
+    if (known >= n) df else spread(df, keys: _*)
   }
 
   /** Run INDEPENDENT driver-side action sequences concurrently and

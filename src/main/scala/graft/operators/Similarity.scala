@@ -1685,29 +1685,50 @@ object Similarity {
     * Shape: one sketch-column scan × broadcast queries with a
     * depth-bounded rank window (WindowGroupLimit), then report-sized
     * joins; the full-width reads prune via [[keyedRows]]. */
+  /** Stage-1 sketch-cosine candidates (q_id, vec_id, sk_rank) — the
+    * depth-bounded cut of the |corpus|×|Q| sketch scoring pass, the
+    * ONE spelling c158 (full-width rerank) and c162 (codes rerank)
+    * both route through. Memoized per (session, corpus, |Q|, depth):
+    * the scoring pass is the only corpus-grain work in either serve,
+    * so sharing it makes the second consumer (and every repeat call)
+    * a bounded-join-only query. Keyed on the EMB plan so a memo hit
+    * never re-reads the artifact root. */
+  private def sketchCandidates(spark: SparkSession, dir: String,
+      nQueries: Int, depth: Int): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    CorpusPrep.memo(s"sketch_cand_${nQueries}_$depth", emb)(Materialize.frame {
+      import org.apache.spark.sql.expressions.Window
+      val root = sketchArtifact(spark, dir)
+      // single-file artifact: spread so the |vecs|x|Q| stage-1 scoring
+      // runs cores-wide instead of on the one scan split
+      val sk = graft.sources.Tables.parallelKernelInput(
+          spark.read.parquet(s"$root/sketch"))
+        .withColumn("pnrm", VectorFns.norm(col("p")))
+      val qs = sk.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("p").as("qp"), col("pnrm").as("qpn"))
+      val w1 = Window.partitionBy(col("q_id"))
+        .orderBy(col("sk_cos").desc, col("vec_id"))
+      sk.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          pairCos("qp", "qpn", "p", "pnrm").as("sk_cos"))
+        .withColumn("sk_rank", row_number().over(w1).cast("long"))
+        .filter(col("sk_rank") <= depth)
+        .select("q_id", "vec_id", "sk_rank")
+    })
+  }
+
   def c158SketchRoute(spark: SparkSession, dir: String,
       nQueries: Int = DefaultQueryCount, topK: Int = PqTopK,
       depth: Int = RerankDepth): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val root = sketchArtifact(spark, dir)
-    // single-file artifact: spread so the |vecs|x|Q| stage-1 scoring
-    // runs cores-wide instead of on the one scan split
-    val sk = graft.sources.Tables.parallelKernelInput(
-        spark.read.parquet(s"$root/sketch"))
-      .withColumn("pnrm", VectorFns.norm(col("p")))
-    val qs = sk.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("p").as("qp"), col("pnrm").as("qpn"))
-    val w1 = Window.partitionBy(col("q_id"))
-      .orderBy(col("sk_cos").desc, col("vec_id"))
-    val stage1 = sk.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        pairCos("qp", "qpn", "p", "pnrm").as("sk_cos"))
-      .withColumn("sk_rank", row_number().over(w1).cast("long"))
-      .filter(col("sk_rank") <= depth)
+    val stage1 = sketchCandidates(spark, dir, nQueries, depth)
+    // the query-id set off the raw table: the sketch rows are the
+    // emb rows 1:1 (jlProjected), so the id set is identical and the
+    // memoized candidate frame needs no query-side columns
     val needed = stage1.select(col("vec_id"))
-      .union(qs.select(col("q_id").as("vec_id"))).distinct()
+      .union(emb.filter(col("vec_id") < nQueries).select(col("vec_id"))).distinct()
     val fullVecs = withNorm(keyedRows(emb, needed))
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val w2 = Window.partitionBy(col("q_id"))
@@ -1750,21 +1771,9 @@ object Similarity {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val idxRoot = graft.streaming.StoreMemo.memo(spark, s"c79_index_$dir")(
       buildIndexArtifacts(emb, _))
-    val skRoot = sketchArtifact(spark, dir)
-    val sk = graft.sources.Tables.parallelKernelInput(
-        spark.read.parquet(s"$skRoot/sketch"))
-      .withColumn("pnrm", VectorFns.norm(col("p")))
-    val qs = sk.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("p").as("qp"), col("pnrm").as("qpn"))
-    val w1 = Window.partitionBy(col("q_id"))
-      .orderBy(col("sk_cos").desc, col("vec_id"))
-    val cand = Materialize.frame(sk.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        pairCos("qp", "qpn", "p", "pnrm").as("sk_cos"))
-      .withColumn("sk_rank", row_number().over(w1).cast("long"))
-      .filter(col("sk_rank") <= depth)
-      .select("q_id", "vec_id", "sk_rank"))
+    // stage 1 is c158's memoized candidate frame — the one sketch
+    // scoring pass per session serves both rerank modes
+    val cand = sketchCandidates(spark, dir, nQueries, depth)
     val (rBooks, centLocal, _) = loadArtifacts(spark, idxRoot)
     val qVecs = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
@@ -2227,54 +2236,69 @@ object Similarity {
   private def churnedPerVecErr(spark: SparkSession, dir: String,
       vecFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val root = churnedIndexRoot(spark, emb, dir)
-    val (rBooks, centLocal, _) = loadArtifacts(spark, root)
-    val bc = spark.sparkContext.broadcast((rBooks, centLocal))
-    import spark.implicits._
-    val dims = PqSubspaces * PqSubDim
-    val live = vecFilter.foldLeft(churnedCorpus(emb))(_ filter _)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    vecFilter.foldLeft(spark.read.parquet(s"$root/codes_v2"))(_ filter _)
-      .select(col("vec_id"), col("cluster").cast("int"), col("codes"))
-      .join(live, Seq("vec_id"))
-      .select(col("vec_id"), col("cluster"), col("codes"), col("v"))
-      .as[(Long, Int, Array[Int], Array[Double])]
-      .mapPartitions { it =>
-        val (cb, cent) = bc.value
-        it.map { case (vec, cluster, codes, v) =>
-          val res = new Array[Double](dims)
-          var i = 0
-          while (i < dims) { res(i) = v(i) - cent(cluster)(i); i += 1 }
-          var e4 = 0L
-          var m = 0
-          while (m < PqSubspaces) {
-            e4 += math.round(pqCellD2(res, cb, codes(m), m) * 1e4)
-            m += 1
+    // the corpus-grain error frame is memoized per (session, corpus):
+    // it feeds c87's health aggregate, c133's per-query ratios and
+    // (through c133) c138's router — one codes⋈live kernel pass per
+    // session. A bounded consumer's vecFilter lands on the memoized
+    // blocks' vec_id column — identical rows to filtering both scan
+    // sides (vec_id is the join key), without a second kernel pass.
+    val perVec = CorpusPrep.memo("churned_pvec_err", emb)(Materialize.frame {
+      val root = churnedIndexRoot(spark, emb, dir)
+      val (rBooks, centLocal, _) = loadArtifacts(spark, root)
+      val bc = spark.sparkContext.broadcast((rBooks, centLocal))
+      import spark.implicits._
+      val dims = PqSubspaces * PqSubDim
+      val live = churnedCorpus(emb)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      spark.read.parquet(s"$root/codes_v2")
+        .select(col("vec_id"), col("cluster").cast("int"), col("codes"))
+        .join(live, Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"), col("codes"), col("v"))
+        .as[(Long, Int, Array[Int], Array[Double])]
+        .mapPartitions { it =>
+          val (cb, cent) = bc.value
+          it.map { case (vec, cluster, codes, v) =>
+            val res = new Array[Double](dims)
+            var i = 0
+            while (i < dims) { res(i) = v(i) - cent(cluster)(i); i += 1 }
+            var e4 = 0L
+            var m = 0
+            while (m < PqSubspaces) {
+              e4 += math.round(pqCellD2(res, cb, codes(m), m) * 1e4)
+              m += 1
+            }
+            (vec, cluster.toLong, e4)
           }
-          (vec, cluster.toLong, e4)
-        }
-      }.toDF("vec_id", "cluster", "qerr_e4")
+        }.toDF("vec_id", "cluster", "qerr_e4")
+    })
+    vecFilter.foldLeft(perVec)(_ filter _)
   }
 
-  def c87IndexHealth(spark: SparkSession, dir: String): DataFrame = {
-    val perVec = churnedPerVecErr(spark, dir)
-    perVec
-      .withColumn("upd", isUpdatedVec(col("vec_id")))
-      .groupBy("cluster")
-      .agg(
-        count(lit(1)).as("n_vecs"),
-        sum(when(col("upd"), 1L).otherwise(0L)).as("n_updated"),
-        sum(col("qerr_e4")).as("sum_e4"),
-        sum(when(col("upd"), col("qerr_e4"))).as("upd_sum_e4"))
-      .select(col("cluster"), col("n_vecs"), col("n_updated"),
-        round(col("sum_e4") / (lit(10000.0) * col("n_vecs")), 4).as("mean_qerr"),
-        when(col("n_updated") > 0,
-          round(col("upd_sum_e4") / (lit(10000.0) * col("n_updated")), 4))
-          .as("upd_mean_qerr"))
-      .withColumn("degraded",
-        coalesce(col("upd_mean_qerr") > col("mean_qerr"), lit(false)))
-      .orderBy("cluster")
+  /** c87's health table pre-order — memoized (≤ nCent rows) because
+    * three consumers read it per session: c87's keyed report, c133's
+    * ratio join and c138's router (via c133). */
+  private def healthFrame(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    CorpusPrep.memo("c87_health", emb)(Materialize.frame(
+      churnedPerVecErr(spark, dir)
+        .withColumn("upd", isUpdatedVec(col("vec_id")))
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(when(col("upd"), 1L).otherwise(0L)).as("n_updated"),
+          sum(col("qerr_e4")).as("sum_e4"),
+          sum(when(col("upd"), col("qerr_e4"))).as("upd_sum_e4"))
+        .select(col("cluster"), col("n_vecs"), col("n_updated"),
+          round(col("sum_e4") / (lit(10000.0) * col("n_vecs")), 4).as("mean_qerr"),
+          when(col("n_updated") > 0,
+            round(col("upd_sum_e4") / (lit(10000.0) * col("n_updated")), 4))
+            .as("upd_mean_qerr"))
+        .withColumn("degraded",
+          coalesce(col("upd_mean_qerr") > col("mean_qerr"), lit(false)))))
   }
+
+  def c87IndexHealth(spark: SparkSession, dir: String): DataFrame =
+    healthFrame(spark, dir).orderBy("cluster")
 
   /** c133's flag bar: a query whose quantization error exceeds its
     * probed cluster's corpus mean by this factor is out-of-
@@ -2303,17 +2327,22 @@ object Similarity {
     * No corpus-grain shuffle anywhere. */
   def c133QueryOod(spark: SparkSession, dir: String,
       nQueries: Int = DefaultQueryCount): DataFrame = {
-    val qErr = churnedPerVecErr(spark, dir,
-      vecFilter = Some(col("vec_id") < nQueries))
-    val health = c87IndexHealth(spark, dir).select("cluster", "mean_qerr")
-    qErr
-      .join(broadcast(health), Seq("cluster"))
-      .select(col("vec_id").as("q_id"), col("cluster"),
-        round(col("qerr_e4") / lit(10000.0), 4).as("q_qerr"),
-        col("mean_qerr"))
-      .withColumn("ood_ratio", round(col("q_qerr") / col("mean_qerr"), 4))
-      .withColumn("ood", col("ood_ratio") > OodRatioBar)
-      .orderBy("q_id")
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    // memoized (|Q| rows): c133's keyed report and c138's router both
+    // read it — the router's flagged-id collect becomes a bounded
+    // block read instead of a re-derivation of the ratio join
+    CorpusPrep.memo(s"c133_ood_$nQueries", emb)(Materialize.frame {
+      val qErr = churnedPerVecErr(spark, dir,
+        vecFilter = Some(col("vec_id") < nQueries))
+      val health = healthFrame(spark, dir).select("cluster", "mean_qerr")
+      qErr
+        .join(broadcast(health), Seq("cluster"))
+        .select(col("vec_id").as("q_id"), col("cluster"),
+          round(col("qerr_e4") / lit(10000.0), 4).as("q_qerr"),
+          col("mean_qerr"))
+        .withColumn("ood_ratio", round(col("q_qerr") / col("mean_qerr"), 4))
+        .withColumn("ood", col("ood_ratio") > OodRatioBar)
+    }).orderBy("q_id")
   }
 
   /** c138: the OOD-ROUTED serve — the read path that makes c133 real
@@ -2670,6 +2699,25 @@ object Similarity {
     * window (Spark plans it as a k-bounded WindowGroupLimit). At any
     * scale the corpus side stays a single pass. */
   def c6AnnTopK(emb: DataFrame, queries: Option[DataFrame] = None, k: Int = 10): DataFrame = {
+    val ranked = c6RankedTopK(emb, queries, k)
+    // memoized: the exact top-k frame is the ground-truth leg of every
+    // recall audit (c55/c66/c70/c73/c78/c136) and the fusion tiers'
+    // exact baselines (c109, c125's gt) as well as c6's own keyed
+    // report — one |corpus|×|Q| cosine pass per (session, corpus,
+    // query set, k), read back by every consumer instead of one pass
+    // per consumer per call. The memo key is the ranked PLAN's
+    // semantic hash, so different corpora/query sets/k never collide;
+    // the frame is |Q|·k rows at any corpus size.
+    CorpusPrep.memo(s"c6_exact_$k", ranked)(Materialize.frame(ranked))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The exact top-k plan itself (pre-memo, pre-order) — kept
+    * separate so the plan-shape pin checks the PRODUCER plan (the
+    * memoized consumer read is a checkpoint scan with no scoring
+    * expressions left in it). */
+  private[graft] def c6RankedTopK(emb: DataFrame, queries: Option[DataFrame],
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = withQueryNorm(queries.getOrElse(defaultQueries(emb)))
     // the |corpus|×|Q| scoring loop inherits the SCAN's partitioning;
@@ -2683,7 +2731,6 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Lloyd's k-means over the embedding corpus — the offline training
@@ -3019,27 +3066,36 @@ object Similarity {
     * the frame the fusion consumes. */
   private[graft] def storedDenseLeg(spark: SparkSession, dir: String,
       depth: Int = RerankDepth, nprobe: Int = DefaultNProbe): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    // ONE index per (session, corpus): c79's artifact, shared — a
-    // deployment maintains one index and runs many consumers on it
-    val root = graft.streaming.StoreMemo.memo(spark, s"c79_index_$dir")(
-      buildIndexArtifacts(emb, _))
-    val qPred = col("vec_id") % 101 === 0 && col("vec_id") < RrfQueryBound
-    val cand = serveStoredIndex(spark, emb, root, nQueries = 0, topK = depth,
-        nprobe = nprobe, queryFilter = Some(qPred),
-        candFilter = Some(col("vec_id") % 101 =!= 0))
-      .select(col("q_id"), col("vec_id"), col("rank").as("adc_rank"))
-    val q = withNorm(emb).filter(qPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    val wSem = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    withNorm(emb)
-      .join(broadcast(cand), Seq("vec_id"))
-      .join(broadcast(q), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"), col("adc_rank"),
-        pairCos("q_emb", "q_nrm", "embedding", "nrm").as("cos"))
-      .withColumn("sem_rank", row_number().over(wSem).cast("long"))
+    // memoized per (session, corpus, depth, nprobe): the dense leg
+    // feeds c118's fusion AND c125's audit (which consumes it both
+    // directly and through c118) — one codes scan + bounded refine
+    // per session instead of one per consumer call. Keyed on the EMB
+    // plan (a cheap, already-memoized loader frame), NOT the leg's
+    // own plan: building the serve plan collects the query vectors
+    // (a driver job), which a memo hit must not pay.
+    CorpusPrep.memo(s"c118_dense_${depth}_$nprobe", emb)(Materialize.frame {
+      import org.apache.spark.sql.expressions.Window
+      // ONE index per (session, corpus): c79's artifact, shared — a
+      // deployment maintains one index and runs many consumers on it
+      val root = graft.streaming.StoreMemo.memo(spark, s"c79_index_$dir")(
+        buildIndexArtifacts(emb, _))
+      val qPred = col("vec_id") % 101 === 0 && col("vec_id") < RrfQueryBound
+      val cand = serveStoredIndex(spark, emb, root, nQueries = 0, topK = depth,
+          nprobe = nprobe, queryFilter = Some(qPred),
+          candFilter = Some(col("vec_id") % 101 =!= 0))
+        .select(col("q_id"), col("vec_id"), col("rank").as("adc_rank"))
+      val q = withNorm(emb).filter(qPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val wSem = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      withNorm(emb)
+        .join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), col("adc_rank"),
+          pairCos("q_emb", "q_nrm", "embedding", "nrm").as("cos"))
+        .withColumn("sem_rank", row_number().over(wSem).cast("long"))
+    })
   }
 
   // ---- c113: two-stage PQ serve + exact re-rank ------------------------

@@ -1847,9 +1847,17 @@ object TextAnalysis {
       .groupBy("q_id", "doc_id")
       .agg(round(sum(col("contrib")), 4).as("score"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select("q_id", "rank", "doc_id", "score")
+    // memoized: the RANKED lexical leg (not just its evidence frames)
+    // feeds c37's keyed report and all three fusion-tier consumers
+    // (c109/c118/c125 at the RRF dials) — the probe join + score +
+    // rank window runs once per (session, corpus, cap, topK, bound)
+    // and every consumer reads the |Q|·topK frame back. The memo key
+    // is the ranked plan's semantic hash (cap/topK/bound are literals
+    // in it), so dial probes never collide.
+    CorpusPrep.memo("bm25_ranked", ranked)(Materialize.frame(ranked))
       .orderBy("q_id", "rank")
   }
 

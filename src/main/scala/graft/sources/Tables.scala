@@ -83,13 +83,12 @@ object Tables {
     * already plans as `cores` splits.) Non-file inputs (test frames)
     * fall back to the repartition: harmless on small local data,
     * unreachable for the parquet-backed operators. */
-  def parallelKernelInput(df: DataFrame): DataFrame = {
+  def parallelKernelInput(df: DataFrame, bytesPerTask: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
     val conf = spark.sessionState.conf
     val minPartitionNum = conf.filesMinPartitionNum
       .getOrElse(spark.sparkContext.defaultParallelism)
-    val fileSplits = df.queryExecution.analyzed.collect {
+    val fileStats = df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
           case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -97,11 +96,29 @@ object Tables {
             val bytesPerCore = bytes / math.max(1, minPartitionNum)
             val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
               math.max(conf.filesOpenCostInBytes, bytesPerCore)))
-            (bytes + maxSplit - 1) / maxSplit
-          case _ => 1L
+            (bytes, (bytes + maxSplit - 1) / maxSplit)
+          case _ => (0L, 1L)
         }
     }
-    val planned = if (fileSplits.isEmpty) 1L else fileSplits.max
+    val planned = if (fileStats.isEmpty) 1L else fileStats.map(_._2).max
+    val totalBytes = fileStats.map(_._1).sum
+    // byte-aware width (optional): a spread whose CONSUMERS are plain
+    // aggregates (the staging memo — its readers do ~no per-row work)
+    // should not mint defaultParallelism near-empty blocks for a
+    // small file: every later read pays one task per block for
+    // microseconds of work each. Callers with such consumers pass a
+    // bytesPerTask target and the width scales with the input —
+    // small file → few blocks, real table → full width (and past
+    // `planned >= target` the gate no-ops entirely, as before).
+    // Kernel call sites (per-row shingle/cosine/parse work dominates)
+    // keep the default: full parallelism regardless of byte size.
+    val target = {
+      val cores = spark.sparkContext.defaultParallelism
+      if (bytesPerTask > 0 && totalBytes > 0)
+        math.min(cores.toLong,
+          math.max(1L, (totalBytes + bytesPerTask - 1) / bytesPerTask)).toInt
+      else cores
+    }
     if (planned < target) df.repartition(target) else df
   }
 

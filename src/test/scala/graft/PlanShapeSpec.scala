@@ -101,7 +101,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("similarity norms use the fused self-dot expression") {
-    assert(plan("c6_ann_topk").contains("graft_self_dot"))
+    // assert on the PURE ranked chain — the keyed query memoizes+
+    // materializes it (c6's exact frame feeds every recall audit), so
+    // the keyed plan is a checkpoint read with no scoring left in it
+    val p = graft.operators.Similarity
+      .c6RankedTopK(graft.sources.Tables.embeddings(spark, sf), None, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_self_dot"))
   }
 
   test("b14 cube expands AFTER the broadcast joins (scan read once)") {
